@@ -1,0 +1,481 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Clean, Tables}
+
+/** SURVEY.md §2 operator inventory, one named query per operator family,
+  * expressed over the driver's TPC-H-ish testdata with a DuckDB oracle for
+  * each (SURVEY.md §7.2 role mapping: nation≈departments, customer≈employees,
+  * orders/lineitem≈facts).
+  *
+  * Conventions shared with the oracles:
+  *  - deterministic ORDER BY on a unique key in every query (Catalyst's
+  *    EliminateSorts removes it under Bench's `.count()`, so it costs
+  *    nothing at benchmark time);
+  *  - rounded doubles use [[Clean.roundHalfUp]]'s floor formula on BOTH
+  *    sides — `round()`'s halfway tie-breaking differs between engines and
+  *    money-like values hit exact `.xx5` halves routinely;
+  *  - integer-typed derived columns are BIGINT on both sides (DuckDB
+  *    `sum(int)` is HUGEINT — always cast in the SQL);
+  *  - date-valued outputs stay day-truncated TIMESTAMPs (`date_trunc`) so
+  *    both engines serialize the same logical type (testdata stores NTZ
+  *    timestamps, session timezone UTC).
+  */
+object ParityQueries {
+
+  /** Injected "today" for active-project-style predicates (reference
+    * transform.py:122-124 used Timestamp.today(); see SURVEY.md §7.4). */
+  private val AsOf = "2000-01-01"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1/P3: scan + narrow projection; pruning reaches the parquet reader.
+    "q_scan_project" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F1/F2: null-keeping not-equal (pandas `!=` keeps NaN rows).
+    "q_filter_status" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .filter(Clean.neqKeepNull($"o_orderstatus", "F"))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // F3/F5: closed-range predicate.
+    "q_filter_range" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .filter(Clean.between($"l_discount", 0.02, 0.04))
+        .select("l_orderkey", "l_linenumber", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F6/F7: null-OR-predicate ("still active as of date").
+    "q_filter_null_or" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .filter(Clean.nullOr($"o_orderdate", _ > lit(AsOf).cast("timestamp_ntz")))
+        .select($"o_orderkey", date_trunc("day", $"o_orderdate").as("order_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E5/E7: bucket CASE (null falls to top bucket like the pandas lambda).
+    "q_derive_case" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal",
+          Clean.bucket3($"c_acctbal", 1000.0, 5000.0).as("acctbal_bucket"))
+        .orderBy("c_custkey")
+    }),
+
+    // E2/E4: date parse + datediff + fractional-year round.
+    "q_derive_dates" -> ((s, dir) => {
+      import s.implicits._
+      val asOf = lit("2002-01-01").cast("date")
+      Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          date_trunc("day", $"l_shipdate").as("ship_date"),
+          datediff(asOf, to_date($"l_shipdate")).as("days_since_ship"),
+          Clean.tenureYears(to_date($"l_shipdate"), asOf).as("years_since_ship"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // E8/E9: duration + guarded divide (ANSI-safe CASE).
+    "q_derive_cond_div" -> ((s, dir) => {
+      import s.implicits._
+      val asOf = lit("2002-01-01").cast("date")
+      Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice",
+          datediff(asOf, to_date($"o_orderdate")).as("age_days"))
+        .select($"o_orderkey", $"age_days",
+          Clean.guardedDiv($"o_totalprice", $"age_days", 2).as("daily_value"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E1/E3/E6: enum->int map, null-safe equality flag, FK sentinel.
+    "q_derive_map" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "customer")
+        .select($"c_custkey",
+          when($"c_mktsegment" === "BUILDING", 1)
+            .when($"c_mktsegment" === "AUTOMOBILE", 0).as("segment_flag"),
+          Clean.eqFlag($"c_custkey" % 25, $"c_nationkey".cast("long")).as("key_match"),
+          coalesce(when($"c_nationkey" =!= 0, $"c_nationkey"), lit(-1)).as("nation_sentinel"))
+        .orderBy("c_custkey")
+    }),
+
+    // E10: title-casing (reference str.title(); Spark initcap).
+    "q_initcap" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "nation")
+        .select($"n_nationkey", initcap(lower($"n_name")).as("nation_title"))
+        .orderBy("n_nationkey")
+    }),
+
+    // D1: full-row dedup.
+    "q_dedup_full" -> ((s, dir) => {
+      Tables.table(s, dir, "part")
+        .select("p_brand", "p_type")
+        .dropDuplicates()
+        .orderBy("p_brand", "p_type")
+    }),
+
+    // D2: keyed keep-first-after-sort dedup via row_number window.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata, so
+    // the sort lists every remaining column — a total order up to exact
+    // duplicate rows, which are interchangeable.
+    "q_dedup_keyed" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_shipdate", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_discount", $"l_tax", $"l_partkey",
+          $"l_suppkey", $"l_returnflag", $"l_linestatus")
+      Tables.table(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_orderkey", $"l_linenumber",
+          date_trunc("day", $"l_shipdate").as("first_ship_date"), $"l_quantity")
+        .orderBy("l_orderkey")
+    }),
+
+    // J3 + E11: left equi-join enrich with broadcast dim + Unknown fill.
+    "q_join_left_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val nation = Tables.table(s, dir, "nation")
+      Tables.table(s, dir, "customer")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey", "left")
+        .select($"c_custkey",
+          Clean.fillNull($"n_name", "Unknown").as("nation_name"), $"c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // J1/J4 + E12: dim left-joined to aggregated stats, null-filled.
+    "q_join_agg_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val stats = Tables.table(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(count($"c_custkey").as("customer_count"),
+          Clean.roundHalfUp(avg($"c_acctbal"), 2).as("avg_acctbal"))
+      Tables.table(s, dir, "nation")
+        .join(broadcast(stats), $"n_nationkey" === $"c_nationkey", "left")
+        .select($"n_nationkey", $"n_name",
+          Clean.fillNull($"customer_count", 0L).cast("long").as("customer_count"),
+          Clean.fillNull($"avg_acctbal", 0.0).as("avg_acctbal"))
+        .orderBy("n_nationkey")
+    }),
+
+    // J6/F8: referential-integrity anti-join count (sentinel -1 excluded).
+    "q_anti_fk" -> ((s, dir) => {
+      import s.implicits._
+      val customer = Tables.table(s, dir, "customer").select($"c_custkey")
+      Tables.table(s, dir, "orders")
+        .filter($"o_custkey".isNotNull && $"o_custkey" =!= -1)
+        .select($"o_custkey").distinct()
+        .join(broadcast(customer), $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("invalid_fk_count"))
+    }),
+
+    // A1/A2 + J1/J2 composite: the dept-summary mart analog (flagship;
+    // reference transform.py:96-147). Fact side pre-aggregates before the
+    // dim join; both stat sides broadcast.
+    "q_agg_dept_summary" -> ((s, dir) => {
+      import s.implicits._
+      val custStats = Tables.table(s, dir, "customer")
+        .groupBy($"c_nationkey".as("nationkey"))
+        .agg(count($"c_custkey").as("total_customers"),
+          Clean.roundHalfUp(avg($"c_acctbal"), 2).as("avg_acctbal"))
+      val activeOrderStats = Tables.table(s, dir, "orders")
+        .filter(Clean.nullOr($"o_orderdate", _ > lit(AsOf).cast("timestamp_ntz")))
+        .join(Tables.table(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey".as("nationkey"))
+        .agg(count($"o_orderkey").as("active_orders"),
+          Clean.roundHalfUp(sum($"o_totalprice"), 2).as("active_order_value"))
+      Tables.table(s, dir, "nation")
+        .join(broadcast(custStats), $"n_nationkey" === custStats("nationkey"), "left")
+        .drop("nationkey")
+        .join(broadcast(activeOrderStats), $"n_nationkey" === activeOrderStats("nationkey"), "left")
+        .select($"n_nationkey", $"n_name",
+          Clean.fillNull($"total_customers", 0L).cast("long").as("total_customers"),
+          Clean.fillNull($"avg_acctbal", 0.0).as("avg_acctbal"),
+          Clean.fillNull($"active_orders", 0L).cast("long").as("active_orders"),
+          Clean.fillNull($"active_order_value", 0.0).as("active_order_value"))
+        .orderBy("n_nationkey")
+    }),
+
+    // A3: order-dependent `last` as max_by over a unique (date, key) struct.
+    "q_agg_last_maxby" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(Clean.roundHalfUp(avg($"o_totalprice"), 2).as("avg_price"),
+          count($"o_orderkey").as("order_count"),
+          max_by($"o_totalprice", struct($"o_orderdate", $"o_orderkey")).as("latest_price"),
+          max(date_trunc("day", $"o_orderdate")).as("latest_order_date"))
+        .orderBy("o_custkey")
+    }),
+
+    // A4: distinct-count + plain aggregates.
+    "q_agg_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(countDistinct($"l_suppkey").as("supplier_count"),
+          Clean.roundHalfUp(sum($"l_quantity"), 1).as("total_qty"),
+          Clean.roundHalfUp(avg($"l_quantity"), 1).as("avg_qty"))
+        .orderBy("l_partkey")
+    }),
+
+    // A6: grouped-transform `last` broadcast to every row = unbounded-frame
+    // window analytic (reference transform.py:51-52).
+    "q_window_last" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_shipdate", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_discount", $"l_tax", $"l_partkey",
+          $"l_suppkey", $"l_returnflag", $"l_linestatus")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+          last($"l_extendedprice").over(w).as("latest_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // T2-T5: top-k with deterministic tiebreak.
+    "q_topk" -> ((s, dir) => {
+      import s.implicits._
+      val nation = Tables.table(s, dir, "nation")
+      Tables.table(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(Clean.roundHalfUp(avg($"c_acctbal"), 2).as("avg_acctbal"))
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"avg_acctbal")
+        .orderBy($"avg_acctbal".desc_nulls_last, $"n_name")
+        .limit(5)
+    }),
+
+    // A7: completeness existence aggregates (null PK / dup PK / null FK).
+    "q_dq_completeness" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .agg(count(lit(1)).as("total_rows"),
+          sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_fk_rows"),
+          (count($"o_orderkey") - countDistinct($"o_orderkey")).as("duplicate_pk_rows"))
+    }),
+
+    // A8/F9/F10: accuracy-violation counts (enum membership + conditional).
+    "q_dq_accuracy" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .agg(
+          sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+            .as("invalid_status_rows"),
+          sum(when($"o_orderstatus" === "O" && $"o_totalprice" <= 0, 1L).otherwise(0L))
+            .as("nonpositive_open_rows"))
+    }),
+
+    // S3: per-table volume stats as a unioned count query.
+    "q_volume_counts" -> ((s, dir) => {
+      val names = Seq("customer", "lineitem", "nation", "orders", "part",
+        "region", "supplier")
+      names.map { n =>
+        Tables.table(s, dir, n)
+          .agg(count(lit(1)).as("row_count"))
+          .select(lit(n).as("table_name"), col("row_count"))
+      }.reduce(_ union _).orderBy("table_name")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_status" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.04
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_null_or" ->
+      """SELECT o_orderkey, date_trunc('day', o_orderdate) AS order_date FROM orders
+        |WHERE o_orderdate IS NULL OR o_orderdate > TIMESTAMP '2000-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_derive_case" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_acctbal < 1000 THEN 'Low'
+        |       WHEN c_acctbal <= 5000 THEN 'Medium'
+        |       ELSE 'High' END AS acctbal_bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_derive_dates" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_trunc('day', l_shipdate) AS ship_date,
+        |  CAST(date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01') AS INT)
+        |    AS days_since_ship,
+        |  floor(date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')
+        |        / 365.25 * 10 + 0.5) / 10 AS years_since_ship
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_derive_cond_div" ->
+      """SELECT o_orderkey, age_days,
+        |  CASE WHEN age_days > 0
+        |       THEN floor(o_totalprice / age_days * 100 + 0.5) / 100
+        |       ELSE 0.0 END AS daily_value
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+        |      AS age_days
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_derive_map" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+        |       WHEN c_mktsegment = 'AUTOMOBILE' THEN 0 END AS segment_flag,
+        |  COALESCE(c_custkey % 25 = CAST(c_nationkey AS BIGINT), FALSE) AS key_match,
+        |  COALESCE(CASE WHEN c_nationkey <> 0 THEN c_nationkey END, -1)
+        |    AS nation_sentinel
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_initcap" ->
+      """SELECT n_nationkey,
+        |  array_to_string(
+        |    list_transform(string_split(lower(n_name), ' '),
+        |                   x -> concat(upper(x[1]), x[2:])),
+        |    ' ') AS nation_title
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_dedup_full" ->
+      "SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type",
+
+    "q_dedup_keyed" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_trunc('day', l_shipdate) AS first_ship_date, l_quantity
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_partkey, l_suppkey, l_returnflag,
+        |             l_linestatus) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_join_left_enrich" ->
+      """SELECT c_custkey, COALESCE(n_name, 'Unknown') AS nation_name, c_acctbal
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_agg_enrich" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(COALESCE(customer_count, 0) AS BIGINT) AS customer_count,
+        |  COALESCE(avg_acctbal, 0.0) AS avg_acctbal
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey, count(c_custkey) AS customer_count,
+        |         floor(avg(c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
+        |  FROM customer GROUP BY c_nationkey) s ON n_nationkey = c_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_anti_fk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS invalid_fk_count
+        |FROM (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_custkey IS NOT NULL AND o_custkey <> -1) o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)"""
+        .stripMargin,
+
+    "q_agg_dept_summary" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(COALESCE(cs.total_customers, 0) AS BIGINT) AS total_customers,
+        |  COALESCE(cs.avg_acctbal, 0.0) AS avg_acctbal,
+        |  CAST(COALESCE(os.active_orders, 0) AS BIGINT) AS active_orders,
+        |  COALESCE(os.active_order_value, 0.0) AS active_order_value
+        |FROM nation
+        |LEFT JOIN (
+        |  SELECT c_nationkey, count(c_custkey) AS total_customers,
+        |         floor(avg(c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
+        |  FROM customer GROUP BY c_nationkey) cs ON n_nationkey = cs.c_nationkey
+        |LEFT JOIN (
+        |  SELECT c_nationkey, count(o_orderkey) AS active_orders,
+        |         floor(sum(o_totalprice) * 100 + 0.5) / 100 AS active_order_value
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate IS NULL OR o_orderdate > TIMESTAMP '2000-01-01'
+        |  GROUP BY c_nationkey) os ON n_nationkey = os.c_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_agg_last_maxby" ->
+      """SELECT a.o_custkey, a.avg_price, a.order_count,
+        |       l.latest_price, a.latest_order_date
+        |FROM (
+        |  SELECT o_custkey, floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_price,
+        |         count(o_orderkey) AS order_count,
+        |         max(date_trunc('day', o_orderdate)) AS latest_order_date
+        |  FROM orders GROUP BY o_custkey) a
+        |JOIN (
+        |  SELECT o_custkey, o_totalprice AS latest_price
+        |  FROM (SELECT o_custkey, o_totalprice,
+        |          row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders)
+        |  WHERE rn = 1) l ON a.o_custkey = l.o_custkey
+        |ORDER BY a.o_custkey""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_partkey,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_count,
+        |  floor(sum(l_quantity) * 10 + 0.5) / 10 AS total_qty,
+        |  floor(avg(l_quantity) * 10 + 0.5) / 10 AS avg_qty
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "q_window_last" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  last_value(l_extendedprice) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax, l_partkey, l_suppkey, l_returnflag,
+        |             l_linestatus
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS latest_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk" ->
+      """SELECT n_name, avg_acctbal FROM (
+        |  SELECT c_nationkey, floor(avg(c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
+        |  FROM customer GROUP BY c_nationkey) s
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY avg_acctbal DESC NULLS LAST, n_name LIMIT 5""".stripMargin,
+
+    "q_dq_completeness" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_fk_rows,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+        |    AS duplicate_pk_rows
+        |FROM orders""".stripMargin,
+
+    "q_dq_accuracy" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS invalid_status_rows,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' AND o_totalprice <= 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS nonpositive_open_rows
+        |FROM orders""".stripMargin,
+
+    "q_volume_counts" ->
+      """SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS row_count FROM customer
+        |UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+        |UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+        |UNION ALL SELECT 'region', CAST(count(*) AS BIGINT) FROM region
+        |UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+        |ORDER BY table_name""".stripMargin
+  )
+}
