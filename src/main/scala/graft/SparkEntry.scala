@@ -5,7 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates the query inventories of each operator family:
-  *  - [[graft.queries.ParityQueries]]  — SURVEY.md §2 reference-parity ops
+  *  - [[graft.queries.ParityQueries]]     — SURVEY.md §2 reference-parity ops
+  *  - [[graft.queries.TextQueries]]       — text analysis (tokens, lang-ID,
+  *    quality, fingerprint)
+  *  - [[graft.queries.DedupQueries]]      — exact / Jaccard / MinHash-LSH /
+  *    SimHash / embedding dedup
+  *  - [[graft.queries.SimilarityQueries]] — brute-force + LSH ANN search
+  *  - [[graft.queries.EventQueries]]      — event-time windows, sessions
   */
 object SparkEntry {
 
@@ -13,12 +19,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_dept_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * beyond-reference training-data-pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.ParityQueries.queries
+    graft.queries.ParityQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Keys absent here (minhash/simhash/LSH — seeded
+    * xxhash64 is not reproducible in SQL) get the driver's rows-only check
+    * and are pinned by ScalaTest specs instead. */
   def oracleSql: Map[String, String] =
-    graft.queries.ParityQueries.oracleSql
+    graft.queries.ParityQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.EventQueries.oracleSql
 }

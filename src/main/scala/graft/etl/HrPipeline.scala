@@ -1,0 +1,95 @@
+package graft.etl
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** End-to-end orchestration of the reference pipeline
+  * (reference main.py:184-222): extract -> transform -> validate -> load ->
+  * report, as one lazy DAG with actions only at sinks and check counts.
+  *
+  * Sinks mirror the reference's (SURVEY.md §2.1): CSV with yyyy-MM-dd
+  * dates (S4), parquet for the harness, and a truncate-mode JDBC writer
+  * (S5) — Spark's JDBC `truncate` option reproduces the reference's
+  * TRUNCATE-then-INSERT idempotent load (reference load.py:29-47).
+  */
+object HrPipeline {
+
+  case class Outputs(dimDepartments: DataFrame, dimEmployees: DataFrame,
+                     factReviews: DataFrame, factAssignments: DataFrame,
+                     summaryDeptMetrics: DataFrame,
+                     summaryEmpPerformance: DataFrame,
+                     projectWorkload: DataFrame, dqChecks: DataFrame)
+
+  /** Extract stage (reference extract.py): schema-full CSV scans. */
+  def readCsv(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(HrSchemas.all(table))
+      .csv(s"$dir/$table.csv")
+
+  /** Transform + validate (reference main.py:59-148), pure lineage. */
+  def build(spark: SparkSession, employees: DataFrame, departments: DataFrame,
+            reviews: DataFrame, projects: DataFrame, assignments: DataFrame,
+            asOf: Date): Outputs = {
+    val dimDepartments = HrTransform.normalizeDepartments(departments)
+    val dimEmployees = HrTransform.cleanEmployees(employees, asOf)
+    val factReviews = HrTransform.cleanReviews(reviews)
+    val cleanProjects = HrTransform.cleanProjects(projects, asOf)
+    val factAssignments = HrTransform.cleanAssignments(assignments)
+
+    val summaryDept = HrAggregates.deptSummary(
+      dimDepartments, dimEmployees, cleanProjects, asOf)
+    val summaryEmp = HrAggregates.empPerformance(
+      dimEmployees, factReviews, dimDepartments)
+    val workload = HrAggregates.projectWorkload(cleanProjects, factAssignments)
+
+    val checks = HrValidate.validateEmployees(spark, dimEmployees, dimDepartments)
+      .union(HrValidate.validateReviews(spark, factReviews, dimEmployees))
+      .union(HrValidate.validateAssignments(spark, factAssignments,
+        cleanProjects, dimEmployees))
+      .union(HrValidate.validateProjects(spark, cleanProjects))
+
+    Outputs(dimDepartments, dimEmployees, factReviews, factAssignments,
+      summaryDept, summaryEmp, workload, checks)
+  }
+
+  private def tables(out: Outputs): Seq[(String, DataFrame)] = Seq(
+    "dim_departments" -> out.dimDepartments,
+    "dim_employees" -> out.dimEmployees,
+    "fact_performance_reviews" -> out.factReviews,
+    "fact_project_assignments" -> out.factAssignments,
+    "summary_dept_metrics" -> out.summaryDeptMetrics,
+    "summary_emp_performance" -> out.summaryEmpPerformance)
+
+  /** CSV sink (reference load.py:67-82): header + yyyy-MM-dd dates. */
+  def writeCsv(out: Outputs, dir: String): Unit =
+    tables(out).foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("dateFormat", "yyyy-MM-dd")
+        .csv(s"$dir/$name")
+    }
+
+  /** Parquet sink for the verification harness. */
+  def writeParquet(out: Outputs, dir: String): Unit =
+    tables(out).foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    }
+
+  /** JDBC truncate-then-insert sink (reference load.py:29-47, S5/S6).
+    * Untested here (no database in the build environment); the option set
+    * mirrors the reference's FK-toggle bracket via sessionInitStatement. */
+  def writeJdbc(out: Outputs, url: String, user: String, password: String): Unit =
+    tables(out).foreach { case (name, df) =>
+      df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", name)
+        .option("user", user)
+        .option("password", password)
+        .option("truncate", "true")
+        .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
+        .mode(SaveMode.Overwrite)
+        .save()
+    }
+}

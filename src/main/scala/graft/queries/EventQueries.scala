@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Clean, Tables}
+
+/** Event-time analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props) — the batch faces of the streaming operators
+  * in [[graft.streaming.EventStream]].
+  *
+  * Scale notes: tumbling windows are a plain hash aggregation on
+  * (window, type) — fully partition-parallel; sessionization shuffles once
+  * on user_id and then runs two narrow window passes inside each
+  * partition, which is the textbook distributed gap-sessionization plan
+  * (no driver-side state).
+  */
+object EventQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window aggregation (batch twin of the streaming agg).
+    "q_events_hourly" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+        .agg(count(lit(1)).as("event_count"),
+          countDistinct($"user_id").as("user_count"),
+          Clean.roundHalfUp(sum($"value"), 2).as("total_value"))
+        .orderBy("hour_ts", "event_type")
+    }),
+
+    // Gap-based sessionization (30-minute inactivity); one shuffle on
+    // user_id, session boundaries via lag + running sum.
+    "q_events_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.table(s, dir, "events")
+        .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
+        .withColumn("prev_sec", lag($"sec", 1).over(byUser))
+        .withColumn("is_new",
+          when($"prev_sec".isNull || $"sec" - $"prev_sec" > 1800, 1L).otherwise(0L))
+        .withColumn("session_seq", sum($"is_new").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("event_count"),
+          min(date_trunc("second", $"ts")).as("session_start"),
+          max(date_trunc("second", $"ts")).as("session_end"),
+          Clean.roundHalfUp(sum($"value"), 2).as("session_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // Per-user behavioral profile (funnel-style conditional counts).
+    "q_events_user_profile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("event_count"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errors"),
+          Clean.roundHalfUp(
+            sum(when($"event_type" === "purchase", $"value").otherwise(lit(0.0))), 2)
+            .as("purchase_value"),
+          max(date_trunc("second", $"ts")).as("last_seen"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |  CAST(count(*) AS BIGINT) AS event_count,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS user_count,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """SELECT user_id, session_seq,
+        |  CAST(count(*) AS BIGINT) AS event_count,
+        |  min(date_trunc('second', ts)) AS session_start,
+        |  max(date_trunc('second', ts)) AS session_end,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS session_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM (
+        |      SELECT user_id, ts, event_id, value,
+        |        epoch(date_trunc('second', ts)) AS sec,
+        |        lag(epoch(date_trunc('second', ts)), 1) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |      FROM events)))
+        |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_events_user_profile" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS event_count,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS errors,
+        |  floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+        |        * 100 + 0.5) / 100 AS purchase_value,
+        |  max(date_trunc('second', ts)) AS last_seen
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Clean, Tables}
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything is per-row expression work (tokenize / score / fingerprint)
+  * followed by at most one hash aggregation — no driver-side loops, no
+  * UDFs, all codegen-friendly `functions._`, so each scales linearly with
+  * partition count at 100 TB.
+  */
+object TextQueries {
+
+  /** Whitespace tokenizer shared by all text ops (oracle:
+    * `string_split_regex(trim(text), '\s+')`). */
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Tiny per-language stopword lists for the n-gram-free language-ID
+    * heuristic. Deterministic, ASCII, and easy to mirror in SQL. */
+  private val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "von", "ein", "ist"))
+
+  private def hits(text: Column, words: Seq[String]): Column = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    size(filter(tokens(lower(text)), x => x.isInCollection(words)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + a BPE-ish "word pieces" proxy
+    // (runs of letters / digits / single other chars).
+    "q_doc_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          length($"text").as("char_count"),
+          size(tokens($"text")).cast("long").as("token_count"),
+          size(split(trim($"text"), "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+            .cast("long").as("piece_splits"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-language corpus stats (the "volume report" of a data pipeline).
+    "q_doc_lang_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"lang", $"source",
+          size(tokens($"text")).cast("long").as("token_count"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("doc_count"),
+          countDistinct($"source").as("source_count"),
+          Clean.roundHalfUp(avg($"token_count"), 2).as("avg_tokens"),
+          sum($"token_count").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Quality scoring: length / punctuation / stopword / uniqueness ratios.
+    "q_doc_quality" -> ((s, dir) => {
+      import s.implicits._
+      val toks = tokens(lower($"text"))
+      val en = StopwordLists.toMap.apply("en")
+      Tables.table(s, dir, "documents")
+        .select($"doc_id",
+          size(toks).cast("long").as("token_count"),
+          Clean.roundHalfUp(
+            length(regexp_replace($"text", "[a-zA-Z0-9\\s]", "")).cast("double")
+              / greatest(length($"text"), lit(1)), 4).as("punct_ratio"),
+          Clean.roundHalfUp(
+            size(filter(toks, x => x.isInCollection(en))).cast("double")
+              / greatest(size(toks), lit(1)), 4).as("stopword_ratio"),
+          Clean.roundHalfUp(
+            size(array_distinct(toks)).cast("double")
+              / greatest(size(toks), lit(1)), 4).as("distinct_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: argmax of stopword hits with deterministic
+    // precedence (list order) and an 'und' floor when nothing matches.
+    "q_doc_langid" -> ((s, dir) => {
+      import s.implicits._
+      val scored = StopwordLists.foldLeft(Tables.table(s, dir, "documents")) {
+        case (df, (l, words)) => df.withColumn(s"hits_$l", hits($"text", words))
+      }
+      val best = StopwordLists.map { case (l, _) => col(s"hits_$l") }
+        .reduce((a, b) => greatest(a, b))
+      val detected = StopwordLists.reverse.foldLeft(lit("und")) {
+        case (acc, (l, _)) => when(col(s"hits_$l") === best && best > 0, l).otherwise(acc)
+      }
+      scored.select($"doc_id", $"lang".as("labeled_lang"),
+          detected.as("detected_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: md5 over whitespace-normalized lowercase
+    // text (the content-defined identity used by exact dedup).
+    "q_doc_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"doc_id",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def stopSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = {
+    val en = stopSql(StopwordLists.toMap.apply("en"))
+    Map(
+      "q_doc_tokens" ->
+        """SELECT doc_id, lang,
+          |  CAST(length(text) AS INT) AS char_count,
+          |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |    AS token_count,
+          |  CAST(length(string_split_regex(trim(text),
+          |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS piece_splits
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_doc_lang_stats" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS doc_count,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS source_count,
+          |  floor(avg(token_count) * 100 + 0.5) / 100 AS avg_tokens,
+          |  CAST(sum(token_count) AS BIGINT) AS total_tokens
+          |FROM (SELECT lang, source,
+          |        length(string_split_regex(trim(text), '\s+')) AS token_count
+          |      FROM documents)
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_doc_quality" ->
+        s"""SELECT doc_id,
+           |  CAST(length(toks) AS BIGINT) AS token_count,
+           |  floor(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+           |        AS DOUBLE) / greatest(length(text), 1) * 10000 + 0.5) / 10000
+           |    AS punct_ratio,
+           |  floor(CAST(length(list_filter(toks, x -> x IN ($en)))
+           |        AS DOUBLE) / greatest(length(toks), 1) * 10000 + 0.5) / 10000
+           |    AS stopword_ratio,
+           |  floor(CAST(length(list_distinct(toks))
+           |        AS DOUBLE) / greatest(length(toks), 1) * 10000 + 0.5) / 10000
+           |    AS distinct_token_ratio
+           |FROM (SELECT doc_id, text,
+           |        string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_doc_langid" -> {
+        val hitExprs = StopwordLists.map { case (l, words) =>
+          s"length(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN (${stopSql(words)}))) AS hits_$l"
+        }.mkString(",\n        ")
+        val bestExpr = StopwordLists.map { case (l, _) => s"hits_$l" }
+          .reduce((a, b) => s"greatest($a, $b)")
+        val caseExpr = StopwordLists.map { case (l, _) =>
+          s"WHEN hits_$l = best AND best > 0 THEN '$l'"
+        }.mkString("\n          ")
+        s"""SELECT doc_id, labeled_lang,
+           |  CASE $caseExpr
+           |       ELSE 'und' END AS detected_lang
+           |FROM (SELECT doc_id, lang AS labeled_lang, $bestExpr AS best,
+           |             hits_en, hits_fr, hits_es, hits_de
+           |      FROM (SELECT doc_id, lang, text,
+           |        $hitExprs
+           |      FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "q_doc_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}
