@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming faces of the event-time operators in
+  * [[graft.queries.EventQueries]]: the same windowed aggregation and
+  * sessionization semantics, expressed as incremental queries with
+  * watermarks and keyed state.
+  *
+  * The batch testdata (`events.parquet`) doubles as the stream source for
+  * local smoke: `readStream.parquet` over the directory replays it, and a
+  * memory sink + `processAllAvailable()` makes the run synchronous
+  * (StreamingSpec drives exactly that path).
+  */
+object EventStream {
+
+  /** The events schema as read from the testdata (ts normalized to
+    * microsecond TIMESTAMP_NTZ by [[graft.Tables.table]]; streams read the
+    * raw long nanos and convert the same way). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) under nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Source: replay a parquet events directory as a stream. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * the streaming twin of q_events_hourly. Late rows beyond the
+    * watermark are dropped instead of growing state without bound. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("event_count"), col("total_value"))
+
+  /** One finalized session per user per inactivity gap — the streaming twin
+    * of q_events_sessions, via flatMapGroupsWithState with an event-time
+    * timeout. State per user is O(1) (count + bounds), so executors hold
+    * #active-users state regardless of event volume. */
+  case class SessionState(start: Long, end: Long, events: Long, value: Double)
+  case class SessionOut(userId: Long, start: java.sql.Timestamp,
+                        end: java.sql.Timestamp, events: Long, value: Double)
+
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts").cast("timestamp"),
+      col("value")).as[(Long, java.sql.Timestamp, Double)]
+
+    def finalize(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.events, s.value)
+
+    def update(userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = finalize(userId, state.get)
+        state.remove()
+        Iterator.single(out)
+      } else {
+        val sorted = rows.toSeq.sortBy(_._2.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { case (_, ts, v) =>
+          val t = ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapSeconds * 1000 =>
+              cur = Some(s.copy(end = t, events = s.events + 1, value = s.value + v))
+            case Some(s) =>
+              closed ::= finalize(userId, s)
+              cur = Some(SessionState(t, t, 1, v))
+            case None =>
+              cur = Some(SessionState(t, t, 1, v))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    typed
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Sink: drive a streaming DataFrame into an in-memory table and block
+    * until the source is drained (local smoke / tests). Windowed aggregates
+    * need Complete mode to surface windows still behind the watermark. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Production-shaped sink: partitioned parquet with checkpointing. */
+  def runToParquet(df: DataFrame, outDir: String,
+                   checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.{SparkTestBase, Tables}
+import graft.queries.EventQueries
+
+/** Streaming results must agree with their batch twins when the stream is
+  * the replayed batch data. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** File-stream sources read directories; stage the single testdata file
+    * into one (a production pipeline would already have a file-per-batch
+    * directory). */
+  lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-000.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly counts match the batch aggregation") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.hourlyCounts(stream), "hourly", OutputMode.Complete)
+    q.awaitTermination()
+
+    val got = spark.table("hourly")
+      .select($"hour_ts".cast("timestamp_ntz").as("hour_ts"), $"event_type",
+        $"event_count")
+      .orderBy("hour_ts", "event_type")
+      .as[(java.time.LocalDateTime, String, Long)].collect()
+
+    val want = EventQueries.queries("q_events_hourly")(spark, sf0001)
+      .select($"hour_ts", $"event_type", $"event_count")
+      .orderBy("hour_ts", "event_type")
+      .as[(java.time.LocalDateTime, String, Long)].collect()
+
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("streaming sessionization closes sessions consistent with batch") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.sessionize(spark, stream).toDF(), "sessions")
+    q.awaitTermination()
+    val emitted = spark.table("sessions")
+
+    val batch = EventQueries.queries("q_events_sessions")(spark, sf0001)
+    val batchKeys = batch
+      .select($"user_id", $"session_start".cast("timestamp").as("start"),
+        $"event_count")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map { case (u, st, n) => (u, st.getTime, n) }.toSet
+
+    // Every emitted (closed) session must exist identically in the batch
+    // result; open sessions legitimately stay in state at end-of-stream.
+    // batch session_start is second-truncated; align before comparing
+    val got = emitted.select($"userId", $"start", $"events")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map { case (u, st, n) => (u, st.getTime / 1000 * 1000, n) }
+    assert(got.nonEmpty)
+    got.foreach(k => assert(batchKeys.contains(k), s"session $k not in batch"))
+  }
+}
