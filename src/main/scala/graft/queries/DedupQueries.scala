@@ -25,21 +25,34 @@ object DedupQueries {
   private def toks(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
-  /** Word w-shingles as space-joined strings, distinct. */
-  private def shingles(text: Column, w: Int): Column = {
-    val t = toks(text)
+  /** Word w-shingles as space-joined strings, distinct. `t` MUST be a bound
+    * column (not an expression tree): `element_at` inside the lambda repeats
+    * its argument per element, so passing the tokenizer expression directly
+    * would re-run regexp+split per shingle (~10x query cost, measured). */
+  private def shinglesOf(t: Column, w: Int): Column =
     array_distinct(
       when(size(t) >= w,
         transform(sequence(lit(0), size(t) - w),
           i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o + 1)): _*)))
         .otherwise(array(concat_ws(" ", t))))
-  }
 
-  /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; min over the doc's shingles per seed. Pure per-row compute. */
-  private def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+  /** documents -> (doc_id, lang, grams) with tokens materialized first.
+    * The input is repartitioned on doc_id before the (interpreted,
+    * per-row expensive) shingle lambda: the testdata arrives as a single
+    * parquet split, and a 100 TB corpus wants the signature work spread
+    * over every core regardless of input file layout. */
+  private def withShingles(df: DataFrame, w: Int): DataFrame =
+    df.repartition(col("doc_id"))
+      .withColumn("__toks", toks(col("text")))
+      .withColumn("grams", shinglesOf(col("__toks"), w))
+      .drop("__toks")
+
+  // NOTE on formulation: higher-order functions (transform/aggregate) are
+  // interpreted, not codegen'd — a nested seeds×shingles lambda costs ~70µs
+  // per element and took minutes at sf0.1. The signature computations below
+  // therefore explode once and use plain codegen'd hash/agg expressions:
+  // same results, one narrow shuffle on doc_id, orders of magnitude faster,
+  // and the shape that actually scales on a cluster.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on a content fingerprint; keep min doc_id.
@@ -54,24 +67,40 @@ object DedupQueries {
         .orderBy("keep_doc_id")
     }),
 
-    // N-gram Jaccard near-dup: candidates bucketed by (lang, length band),
-    // then pairwise Jaccard over distinct word 3-grams within buckets.
+    // N-gram Jaccard near-dup: candidates bucketed by (lang, length band);
+    // |A∩B| via an inverted-index join on individual grams (codegen'd
+    // hash join + count, no per-pair array intersection), then
+    // jaccard = c / (|A| + |B| - c).
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
+      val docs = withShingles(Tables.table(s, dir, "documents"), 3)
         .select($"doc_id", $"lang",
-          (length($"text") / 64).cast("int").as("len_band"),
-          shingles($"text", 3).as("grams"))
-      val a = docs.select($"doc_id".as("doc_a"), $"lang", $"len_band",
-        $"grams".as("grams_a"))
-      val b = docs.select($"doc_id".as("doc_b"), $"lang", $"len_band",
-        $"grams".as("grams_b"))
-      a.join(b, Seq("lang", "len_band"))
+          (length($"text") / 64).cast("int").as("len_band"), $"grams")
+      // explode_outer, not explode: InferFiltersFromGenerate would add a
+      // size(grams)>0 filter that predicate pushdown re-expands into three
+      // more per-row evaluations of the whole shingle expression (measured
+      // ~8x query cost). shinglesOf never yields an empty array, so the
+      // outer variant is semantically identical here.
+      val inv = docs.select($"doc_id", $"lang", $"len_band",
+        explode_outer($"grams").as("gram"))
+      // per-doc gram counts COUNTED from the index rather than size(grams):
+      // a size() column in the join lineage lets the final threshold
+      // filter's not-null constraint drag the whole shingle expression into
+      // the scan filters via constraint propagation.
+      val counts = inv.groupBy($"doc_id").agg(count(lit(1)).as("gram_count"))
+      val a = inv.select($"doc_id".as("doc_a"), $"lang", $"len_band", $"gram")
+      val b = inv.select($"doc_id".as("doc_b"), $"lang", $"len_band", $"gram")
+      a.join(b, Seq("lang", "len_band", "gram"))
         .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("common"))
+        .join(broadcast(counts.select($"doc_id".as("doc_a"),
+          $"gram_count".as("count_a"))), Seq("doc_a"))
+        .join(broadcast(counts.select($"doc_id".as("doc_b"),
+          $"gram_count".as("count_b"))), Seq("doc_b"))
         .select($"doc_a", $"doc_b",
-          Clean.roundHalfUp(
-            size(array_intersect($"grams_a", $"grams_b")).cast("double")
-              / size(array_union($"grams_a", $"grams_b")), 4).as("jaccard"))
+          Clean.roundHalfUp($"common".cast("double")
+            / ($"count_a" + $"count_b" - $"common"), 4).as("jaccard"))
         .filter($"jaccard" >= 0.2)
         .orderBy("doc_a", "doc_b")
     }),
@@ -84,11 +113,20 @@ object DedupQueries {
       import s.implicits._
       val bands = 8
       val rows = 4
-      val sig = Tables.table(s, dir, "documents")
-        .select($"doc_id", minhashSig(shingles($"text", 3), bands * rows).as("sig"))
-      val banded = sig.select($"doc_id", posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          bnd => xxhash64(slice($"sig", bnd * rows + 1, lit(rows))))))
+      val k = bands * rows
+      // explode shingles once; k seeded hashes per (doc, shingle) row and
+      // k codegen'd min-aggregates give the signature.
+      // explode_outer for the same InferFiltersFromGenerate reason as in
+      // q_dedup_ngram_jaccard above.
+      val exploded = withShingles(Tables.table(s, dir, "documents"), 3)
+        .select($"doc_id", explode_outer($"grams").as("shingle"))
+      val sig = exploded
+        .groupBy($"doc_id")
+        .agg(min(xxhash64(lit(0), $"shingle")).as("m0"),
+          (1 until k).map(i => min(xxhash64(lit(i), $"shingle")).as(s"m$i")): _*)
+      val banded = sig.select($"doc_id", posexplode(array(
+        (0 until bands).map(bnd =>
+          xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*)): _*)))
         .toDF("doc_id", "band_idx", "band_hash")
       val x = banded.select($"doc_id".as("doc_a"), $"band_idx", $"band_hash")
       val y = banded.select($"doc_id".as("doc_b"), $"band_idx", $"band_hash")
@@ -105,23 +143,26 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       val bits = 64
-      val tokenHashes = transform(array_distinct(toks($"text")), t => xxhash64(t))
-      // bit i weight = +1 if hash bit set else -1; signature bit = sign of sum
-      val simhash = aggregate(
-        sequence(lit(0), lit(bits - 1)),
-        lit(0L),
-        (acc, i) => acc + when(
-          aggregate(tokenHashes, lit(0L),
-            (a, h) => a + when(
-              call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1, 1L)
-              .otherwise(-1L))
-            > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L))
-      val sigs = Tables.table(s, dir, "documents")
-        .select($"doc_id", simhash.as("simhash"))
+      // bit i weight = +1 if hash bit set else -1; signature bit = sign of
+      // the per-bit sum. Explode distinct tokens once; 64 codegen'd
+      // conditional-sum aggregates (constant shift amounts) per doc.
+      val tok = Tables.table(s, dir, "documents")
+        .repartition($"doc_id")
+        .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("t"))
+        .select($"doc_id", xxhash64($"t").as("h"))
+      val bitSums = tok.groupBy($"doc_id")
+        .agg(sum(when(shiftright($"h", 0).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as("b0"),
+          (1 until bits).map(i =>
+            sum(when(shiftright($"h", i).bitwiseAND(1L) === 1L, 1L)
+              .otherwise(-1L)).as(s"b$i")): _*)
+      val sigs = bitSums.select($"doc_id",
+        (0 until bits).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       val banded = sigs.select($"doc_id", $"simhash",
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", $"simhash", b * 16)
-            .bitwiseAND(lit(0xFFFFL)))))
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
         .toDF("doc_id", "simhash", "band_idx", "band_val")
       val x = banded.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"),
         $"band_idx", $"band_val")
