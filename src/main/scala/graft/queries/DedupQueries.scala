@@ -177,25 +177,21 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Embedding cosine near-dup: same-label blocking, pairwise cosine in
-    // double precision, threshold.
+    // Embedding cosine near-dup: same-label blocking, pairwise cosine via
+    // the codegen'd CosineSim expression (graft.functions), threshold.
     "q_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.VectorFunctions.register(s)
       val vecs = Tables.table(s, dir, "embeddings")
-        .select($"vec_id", $"label",
-          transform($"embedding", x => x.cast("double")).as("v"))
-      val withNorm = vecs.select($"vec_id", $"label", $"v",
-        sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)).as("norm"))
-      val a = withNorm.select($"vec_id".as("vec_a"), $"label",
-        $"v".as("va"), $"norm".as("na"))
-      val b = withNorm.select($"vec_id".as("vec_b"), $"label",
-        $"v".as("vb"), $"norm".as("nb"))
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      val a = vecs.select($"vec_id".as("vec_a"), $"label", $"v".as("va"))
+      val b = vecs.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"))
       a.join(b, Seq("label"))
         .filter($"vec_a" < $"vec_b")
         .select($"vec_a", $"vec_b",
           Clean.roundHalfUp(
-            aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-              / ($"na" * $"nb"), 4).as("cosine"))
+            graft.functions.VectorFunctions.cosineSim($"va", $"vb"), 4)
+            .as("cosine"))
         .filter($"cosine" >= 0.8)
         .orderBy("vec_a", "vec_b")
     })

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Clean, Tables}
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (vec_id,
   * embedding ARRAY<FLOAT>, label).
@@ -18,14 +19,9 @@ import graft.{Clean, Tables}
   */
 object SimilarityQueries {
 
-  /** Elementwise double vector from a float array column. */
-  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+  /** Elementwise double vector from a float array column — a codegen'd
+    * array cast, not a per-element transform lambda. */
+  private def dvec(c: Column): Column = c.cast("array<double>")
 
   /** 16-bit random-hyperplane signature: bit j = sign of <v, h_j> where
     * h_j[d] = ±1 from xxhash64(j, d) — pseudo-random, deterministic,
@@ -41,17 +37,18 @@ object SimilarityQueries {
         call_function("shiftleft", lit(1), j)).otherwise(0))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact brute-force cosine top-5 for a small probe set (vec_id < 10).
+    // Exact brute-force cosine top-5 for a small probe set (vec_id < 10),
+    // scored by the codegen'd CosineSim expression.
     "q_knn_brute" -> ((s, dir) => {
       import s.implicits._
+      VectorFunctions.register(s)
       val vecs = Tables.table(s, dir, "embeddings")
         .select($"vec_id", dvec($"embedding").as("v"))
-        .withColumn("n", norm($"v"))
       val probes = vecs.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"n".as("qn"))
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
       val scored = vecs.join(broadcast(probes), $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
-          Clean.roundHalfUp(dot($"qv", $"v") / ($"qn" * $"n"), 4).as("cosine"))
+          Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
       val w = Window.partitionBy($"query_id")
         .orderBy($"cosine".desc, $"neighbor_id")
       scored.withColumn("rank", row_number().over(w))
@@ -65,25 +62,24 @@ object SimilarityQueries {
     // No SQL oracle (seeded hash); AnnSpec measures recall vs q_knn_brute.
     "q_ann_lsh" -> ((s, dir) => {
       import s.implicits._
+      VectorFunctions.register(s)
       val vecs = Tables.table(s, dir, "embeddings")
         .select($"vec_id", dvec($"embedding").as("v"))
-        .withColumn("n", norm($"v"))
         .withColumn("sig", rhpSignature($"v", 8))
       // multi-probe: explode each vector into its bucket plus the 8
       // single-bit-flip neighbors, so near-misses across one hyperplane
       // still collide with the probe's home bucket.
-      val buckets = vecs.select($"vec_id", $"v", $"n",
+      val buckets = vecs.select($"vec_id", $"v",
         explode(array_union(array($"sig"),
           transform(sequence(lit(0), lit(7)),
             b => $"sig".bitwiseXOR(call_function("shiftleft", lit(1), b)))))
           .as("bucket"))
       val probes = vecs.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"n".as("qn"),
-          $"sig".as("bucket"))
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"sig".as("bucket"))
       val cands = buckets.join(broadcast(probes), Seq("bucket"))
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
-          Clean.roundHalfUp(dot($"qv", $"v") / ($"qn" * $"n"), 4).as("cosine"))
+          Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
         .dropDuplicates("query_id", "neighbor_id")
       val w = Window.partitionBy($"query_id")
         .orderBy($"cosine".desc, $"neighbor_id")
