@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Physical-layout helpers — the storage-side levers that matter at
+  * 100 TB (SURVEY.md §4: the reference's only access-path tuning was
+  * sink-side MySQL indexes; the Spark-native equivalents are bucketing
+  * and partition layout).
+  *
+  *  - Bucketed tables: co-located joins and aggregations on the bucket
+  *    key need no shuffle at read time — the exchange is paid once at
+  *    write time. For a fact table joined on the same key by every
+  *    downstream query, this removes the dominant shuffle.
+  *  - Date-partitioned sinks: partition pruning turns time-range scans
+  *    into file listings; a year of data with daily partitions reads
+  *    1/365th of the bytes for a one-day query.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, sorted managed table. Joins/group-bys on
+    * `key` between tables bucketed the same way plan with zero Exchange. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write `df` partitioned by a (typically date-derived) column; readers
+    * filtering on it scan only matching directories. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+}

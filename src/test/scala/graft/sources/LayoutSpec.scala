@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** The layout helpers must actually change the physical plan: bucketed
+  * joins lose their shuffles, partitioned reads prune partitions. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join without any Exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.table(spark, sf0001, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+      val o = Tables.table(spark, sf0001, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      Layout.writeBucketed(li, "li_bucketed", "l_orderkey")
+      Layout.writeBucketed(o, "o_bucketed", "o_orderkey")
+
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle in bucketed join:\n$plan")
+      // same rows as the unbucketed join
+      val expected = li.join(o, $"l_orderkey" === $"o_orderkey").count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("date-partitioned sink prunes partitions on read") {
+    val out = Files.createTempDirectory("events_part").toString
+    val events = Tables.table(spark, sf0001, "events")
+      .withColumn("day", to_date($"ts"))
+    Layout.writePartitioned(events, out, "day")
+
+    val oneDay = spark.read.parquet(out).filter($"day" === "2024-01-05")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // not DataFilters (row filtering after reading everything)
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    assert(plan.contains("DataFilters: []"), plan)
+    val expected = events.filter($"day" === "2024-01-05").count()
+    assert(expected > 0)
+    assert(oneDay.count() === expected)
+  }
+}
