@@ -57,26 +57,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN: probes join only candidates sharing their 16-bit
-    // signature bucket (or differing in the lowest band) — the scale path.
-    // No SQL oracle (seeded hash); AnnSpec measures recall vs q_knn_brute.
+    // LSH-bucketed ANN: the database side keeps ONE bucket per vector (so
+    // the bucket id can be the table's partition key at scale); each probe
+    // multi-probes its home bucket plus all 1-bit and 2-bit signature
+    // flips (1+8+28 buckets of 256). No SQL oracle (seeded hash); AnnSpec
+    // measures recall vs q_knn_brute.
     "q_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       VectorFunctions.register(s)
       val vecs = Tables.table(s, dir, "embeddings")
         .select($"vec_id", dvec($"embedding").as("v"))
         .withColumn("sig", rhpSignature($"v", 8))
-      // multi-probe: explode each vector into its bucket plus the 8
-      // single-bit-flip neighbors, so near-misses across one hyperplane
-      // still collide with the probe's home bucket.
-      val buckets = vecs.select($"vec_id", $"v",
-        explode(array_union(array($"sig"),
-          transform(sequence(lit(0), lit(7)),
-            b => $"sig".bitwiseXOR(call_function("shiftleft", lit(1), b)))))
-          .as("bucket"))
+      val flipMasks = 0 +: ((0 until 8).map(1 << _) ++
+        (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j)))
       val probes = vecs.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"sig".as("bucket"))
-      val cands = buckets.join(broadcast(probes), Seq("bucket"))
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          explode(array(flipMasks.map(m => $"sig".bitwiseXOR(lit(m))): _*))
+            .as("bucket"))
+      val cands = vecs.withColumnRenamed("sig", "bucket")
+        .join(broadcast(probes), Seq("bucket"))
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
           Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
@@ -87,8 +86,72 @@ object SimilarityQueries {
         .filter($"rank" <= 5)
         .select($"query_id", $"rank", $"neighbor_id", $"cosine")
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN: a coarse quantizer (deterministic mini-k-means) partitions
+    // vectors into K cells; probes search only their nprobe nearest cells.
+    // At 100 TB the cell id becomes the table's partition/bucket key, so a
+    // probe touches nprobe/K of the data. (Rows-only; AnnSpec checks
+    // recall vs q_knn_brute.)
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      val nprobe = 4
+      val vecs = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", dvec($"embedding").as("v"))
+      val centroids = ivfCentroids(vecs, k = 16, iters = 2)
+      val assigned = assignCells(vecs, centroids)
+      val probes = vecs.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      val wCell = Window.partitionBy($"query_id")
+        .orderBy(VectorFunctions.cosineSim($"qv", $"cv").desc, $"cell")
+      val probedCells = probes.join(broadcast(centroids))
+        .withColumn("crk", row_number().over(wCell))
+        .filter($"crk" <= nprobe)
+        .select($"query_id", $"qv", $"cell")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"neighbor_id")
+      assigned.join(broadcast(probedCells), Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+        .orderBy("query_id", "rank")
     })
   )
+
+  /** Deterministic mini-Lloyd: K centroids initialized from the first K
+    * vectors, `iters` reassign/update rounds, all as DataFrame lineage
+    * (no driver-side numerics). Returns (cell, centroid_vector). */
+  private def ivfCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    var centroids = vecs.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cell"), $"v".as("cv"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(vecs, centroids)
+      centroids = assigned
+        .select($"cell", posexplode($"v"))
+        .groupBy($"cell", $"pos")
+        .agg(avg($"col").as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          x => x.getField("m")).as("cv"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector by cosine (broadcast K cells). */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id")
+      .orderBy(VectorFunctions.cosineSim($"v", $"cv").desc, $"cell")
+    vecs.join(broadcast(centroids))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"v", $"cell")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_knn_brute" ->
