@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Clean, Tables}
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -26,10 +27,8 @@ object TextQueries {
     "es" -> Seq("el", "la", "los", "y", "de", "un", "es"),
     "de" -> Seq("der", "die", "das", "und", "von", "ein", "ist"))
 
-  private def hits(text: Column, words: Seq[String]): Column = {
-    val list = words.map(w => s"'$w'").mkString(", ")
+  private def hits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(lower(text)), x => x.isInCollection(words)))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish "word pieces" proxy
@@ -104,6 +103,37 @@ object TextQueries {
         .select($"doc_id",
           md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprints (rolling-hash document sketch): md5 of every
+    // 8-char gram of the normalized text, sliding-window (w=4) minimum,
+    // distinct survivors summarized per doc. Position explosion + window
+    // min keeps everything codegen'd and partition-parallel (shuffle on
+    // doc_id only).
+    "q_doc_winnow" -> ((s, dir) => {
+      import s.implicits._
+      val k = 8
+      val win = 4
+      val norm = Tables.table(s, dir, "documents")
+        .repartition($"doc_id")
+        .select($"doc_id",
+          regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
+      val grams = norm
+        .select($"doc_id", $"norm", posexplode(
+          expr(s"sequence(1, greatest(length(norm) - ${k - 1}, 1))")))
+        .toDF("doc_id", "norm", "idx", "p")
+        .select($"doc_id", $"p",
+          md5(expr(s"substring(norm, p, $k)")).as("h"))
+      val w = Window.partitionBy($"doc_id").orderBy($"p")
+        .rowsBetween(-(win - 1), Window.currentRow)
+      grams
+        .select($"doc_id", min($"h").over(w).as("fp"))
+        .distinct()
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("fingerprint_count"),
+          min($"fp").as("min_fingerprint"),
+          max($"fp").as("max_fingerprint"))
+        .orderBy("doc_id")
     })
   )
 
@@ -172,7 +202,26 @@ object TextQueries {
       "q_doc_fingerprint" ->
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_doc_winnow" ->
+        """WITH norm AS (
+          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+          |    AS norm FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(range(1, greatest(length(norm) - 7, 1) + 1))
+          |    AS p, norm FROM norm),
+          |hashed AS (
+          |  SELECT doc_id, p, md5(substring(norm, CAST(p AS INT), 8)) AS h
+          |  FROM grams),
+          |winnowed AS (
+          |  SELECT DISTINCT doc_id,
+          |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+          |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+          |  FROM hashed)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS fingerprint_count,
+          |  min(fp) AS min_fingerprint, max(fp) AS max_fingerprint
+          |FROM winnowed GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }
