@@ -38,7 +38,9 @@ object HrAggregates {
       .join(broadcast(projStats), Seq("department_id"), "left")
       .select(col("department_id"), col("department_name"),
         Clean.fillNull(col("total_employees"), 0L).cast("long").as("total_employees"),
-        bround(Clean.fillNull(col("avg_salary"), 0.0), 2).as("avg_salary"),
+        // the reference fills counts and budget but leaves avg_salary NaN
+        // for employee-less departments (transform.py:139-145) — keep null
+        bround(col("avg_salary"), 2).as("avg_salary"),
         Clean.fillNull(col("active_projects"), 0L).cast("long").as("active_projects"),
         Clean.fillNull(col("total_budget"), 0.0).as("total_budget"))
   }

@@ -54,23 +54,30 @@ object HrTransform {
     df
   }
 
-  /** reference transform.py:35-55 (clean_reviews): parse, range-filter,
-    * keyed dedup keep-first (D2), self-review flag, category, and the
+  /** reference transform.py:35-55 (clean_reviews): parse, keyed dedup
+    * keep-first (D2, transform.py:38-40), THEN range-filter
+    * (transform.py:41-42) — the order matters: a duplicate whose survivor
+    * is out of range removes the whole (employee, date) group, exactly as
+    * in the reference. Then self-review flag, category, and the
     * grouped-transform `last` as an unbounded window (A6). */
   def cleanReviews(reviews: DataFrame): DataFrame = {
     var df = reviews
     df = withColumnIfPresent(df, "review_date")(
       _.withColumn("review_date", to_date(col("review_date"))))
-    df = withColumnIfPresent(df, "rating")(
-      _.filter(col("rating").between(1.0, 5.0)))
     if (df.columns.contains("employee_id") && df.columns.contains("review_date")) {
       // pandas sorts by (employee_id, review_date) then keeps the first of
-      // each key; file order within ties = review_id order here.
+      // each key; file order within ties = review_id order here (fall back
+      // to the remaining columns if the frame has no review_id).
+      val tiebreak =
+        if (df.columns.contains("review_id")) Seq(col("review_id"))
+        else df.columns.filterNot(Set("employee_id", "review_date")).map(col).toSeq
       val w = Window.partitionBy(col("employee_id"), col("review_date"))
-        .orderBy(col("review_id"))
+        .orderBy(tiebreak: _*)
       df = df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
+    df = withColumnIfPresent(df, "rating")(
+      _.filter(col("rating").between(1.0, 5.0)))
     df = withColumnIfPresent(df, "reviewer_id")(
       _.withColumn("is_self_review",
         Clean.eqFlag(col("reviewer_id"), col("employee_id"))))
@@ -78,9 +85,13 @@ object HrTransform {
       _.withColumn("performance_category",
         Clean.category3(col("rating"), 4.5, 3.5)))
     if (df.columns.contains("employee_id") && df.columns.contains("rating")) {
-      val w = Window.partitionBy(col("employee_id"))
-        .orderBy(col("review_date"), col("review_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val order = Seq("review_date", "review_id")
+        .filter(df.columns.contains).map(col)
+      val base = Window.partitionBy(col("employee_id"))
+      val w = if (order.nonEmpty)
+        base.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      else base // no order columns: whole-partition frame, like pandas file order
       df = df.withColumn("latest_rating", last(col("rating")).over(w))
     }
     df

@@ -60,8 +60,12 @@ object HrValidate {
     result(spark, childTable, "fk_consistency", s"$childFk->$parentPk", bad)
   }
 
-  /** reference validation.py:47-57 (check_accuracy): rows violating a
-    * boolean condition. */
+  /** reference validation.py:47-57 (check_accuracy): violations are rows
+    * where `~condition` holds; pandas boolean masks coerce NaN comparisons
+    * to False, so a null-valued condition IS a violation here — matching
+    * `df[~condition]` exactly. Call sites that need pandas' positive-mask
+    * semantics instead (nulls NOT violations, reference validation.py:85-87)
+    * pre-coalesce their condition. */
   def checkAccuracy(spark: SparkSession, df: DataFrame, table: String,
                     validCond: org.apache.spark.sql.Column,
                     label: String): DataFrame = {
@@ -76,11 +80,17 @@ object HrValidate {
       Seq("name", "salary", "hire_date"))
       .union(checkConsistency(spark, employees, "department_id",
         departments, "department_id", "employees"))
+      // pandas `~status.isin(...)` counts a NaN status as invalid
+      // (validation.py:74-78) — so no isNull escape here.
       .union(checkAccuracy(spark, employees, "employees",
-        col("status").isin("active", "inactive", "terminated", "leave") ||
-          col("status").isNull, "status_enum"))
+        col("status").isin("active", "inactive", "terminated", "leave"),
+        "status_enum"))
+      // positive-mask check (validation.py:85-87): `(status=='active') &
+      // (salary<=0)` is False for NaN in pandas, so nulls are NOT
+      // violations — coalesce the bad-mask before negating.
       .union(checkAccuracy(spark, employees, "employees",
-        !(col("status") === "active" && col("salary") <= 0), "active_salary_positive"))
+        !coalesce(col("status") === "active" && col("salary") <= 0, lit(false)),
+        "active_salary_positive"))
 
   /** reference validation.py:90-105 (validate_reviews). */
   def validateReviews(spark: SparkSession, reviews: DataFrame,

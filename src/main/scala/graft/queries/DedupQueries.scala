@@ -94,10 +94,12 @@ object DedupQueries {
         .filter($"doc_a" < $"doc_b")
         .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("common"))
-        .join(broadcast(counts.select($"doc_id".as("doc_a"),
-          $"gram_count".as("count_a"))), Seq("doc_a"))
-        .join(broadcast(counts.select($"doc_id".as("doc_b"),
-          $"gram_count".as("count_b"))), Seq("doc_b"))
+        // no broadcast hint: counts is O(#documents) — let AQE pick
+        // (broadcast at toy scale, shuffle join on the pair keys at 100 TB)
+        .join(counts.select($"doc_id".as("doc_a"),
+          $"gram_count".as("count_a")), Seq("doc_a"))
+        .join(counts.select($"doc_id".as("doc_b"),
+          $"gram_count".as("count_b")), Seq("doc_b"))
         .select($"doc_a", $"doc_b",
           Clean.roundHalfUp($"common".cast("double")
             / ($"count_a" + $"count_b" - $"common"), 4).as("jaccard"))

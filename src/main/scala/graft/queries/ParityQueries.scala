@@ -425,7 +425,7 @@ object ParityQueries {
         |          row_number() OVER (PARTITION BY o_custkey
         |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |        FROM orders)
-        |  WHERE rn = 1) l ON a.o_custkey = l.o_custkey
+        |  WHERE rn = 1) l ON a.o_custkey IS NOT DISTINCT FROM l.o_custkey
         |ORDER BY a.o_custkey""".stripMargin,
 
     "q_agg_distinct" ->

@@ -23,18 +23,27 @@ object SimilarityQueries {
     * array cast, not a per-element transform lambda. */
   private def dvec(c: Column): Column = c.cast("array<double>")
 
-  /** 16-bit random-hyperplane signature: bit j = sign of <v, h_j> where
-    * h_j[d] = ±1 from xxhash64(j, d) — pseudo-random, deterministic,
-    * computed per-row with no shuffle. */
-  private def rhpSignature(v: Column, bits: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0),
-      (acc, j) => acc + when(
-        aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, d) => when(xxhash64(j, d).bitwiseAND(lit(1L)) === 1, x).otherwise(-x)),
-          lit(0.0), (a, x) => a + x) > 0,
-        call_function("shiftleft", lit(1), j)).otherwise(0))
+  /** Random-hyperplane signatures: bit j = sign of <v, h_j> where
+    * h_j[d] = ±1 from xxhash64(j, d) — pseudo-random and deterministic.
+    * Computed by exploding dimensions once and folding `bits` codegen'd
+    * conditional sums per vector (the same explode/agg shape as SimHash —
+    * a nested per-bit HOF lambda would run interpreted, see
+    * [[DedupQueries]]). One narrow shuffle on vec_id. */
+  private def withRhpSignature(vecs: DataFrame, bits: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val dims = vecs.select($"vec_id", posexplode_outer($"v"))
+      .toDF("vec_id", "pos", "x")
+    val bitSums = dims.groupBy($"vec_id")
+      .agg(sum(when(xxhash64(lit(0), $"pos").bitwiseAND(lit(1L)) === 1, $"x")
+        .otherwise(-$"x")).as("s0"),
+        (1 until bits).map(j =>
+          sum(when(xxhash64(lit(j), $"pos").bitwiseAND(lit(1L)) === 1, $"x")
+            .otherwise(-$"x")).as(s"s$j")): _*)
+    val sig = bitSums.select($"vec_id",
+      (0 until bits).map(j =>
+        when(col(s"s$j") > 0, lit(1 << j)).otherwise(0)).reduce(_ + _).as("sig"))
+    vecs.join(sig, Seq("vec_id"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-5 for a small probe set (vec_id < 10),
@@ -65,9 +74,9 @@ object SimilarityQueries {
     "q_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       VectorFunctions.register(s)
-      val vecs = Tables.table(s, dir, "embeddings")
-        .select($"vec_id", dvec($"embedding").as("v"))
-        .withColumn("sig", rhpSignature($"v", 8))
+      val vecs = withRhpSignature(
+        Tables.table(s, dir, "embeddings")
+          .select($"vec_id", dvec($"embedding").as("v")), 8)
       val flipMasks = 0 +: ((0 until 8).map(1 << _) ++
         (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j)))
       val probes = vecs.filter($"vec_id" < 10)

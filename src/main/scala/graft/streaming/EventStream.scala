@@ -29,7 +29,11 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Source: replay a parquet events directory as a stream. */
+  /** Source: replay a parquet events directory as a stream. The event-time
+    * column must stay TIMESTAMP (LTZ) — Spark rejects TIMESTAMP_NTZ as a
+    * watermark column — so run with the session timezone pinned to UTC
+    * (as Verify/Bench/tests do) to make window boundaries agree with the
+    * NTZ batch twins; [[hourlyCounts]] converts its output back to NTZ. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
@@ -45,8 +49,8 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("event_count"),
         sum(col("value")).as("total_value"))
-      .select(col("window.start").as("hour_ts"), col("event_type"),
-        col("event_count"), col("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), col("event_count"), col("total_value"))
 
   /** One finalized session per user per inactivity gap — the streaming twin
     * of q_events_sessions, via flatMapGroupsWithState with an event-time
@@ -80,7 +84,11 @@ object EventStream {
           val t = ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapSeconds * 1000 =>
-              cur = Some(s.copy(end = t, events = s.events + 1, value = s.value + v))
+              // out-of-order arrivals within the watermark can precede the
+              // session bounds — only ever widen them
+              cur = Some(s.copy(start = math.min(s.start, t),
+                end = math.max(s.end, t),
+                events = s.events + 1, value = s.value + v))
             case Some(s) =>
               closed ::= finalize(userId, s)
               cur = Some(SessionState(t, t, 1, v))
