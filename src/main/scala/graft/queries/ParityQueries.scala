@@ -279,6 +279,47 @@ object ParityQueries {
             .as("nonpositive_open_rows"))
     }),
 
+    // Exact interpolated quantiles per group (both engines use linear
+    // interpolation at (n-1)*p over the sorted values, so doubles match).
+    "q_agg_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+          expr("percentile(l_quantity, 0.5)").as("qty_median"),
+          expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+          Clean.roundHalfUp(expr("percentile(l_extendedprice, 0.5)"), 2)
+            .as("price_median"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Hierarchical subtotals: ROLLUP over region -> nation with a grand
+    // total row; subtotal key levels are null on both engines.
+    "q_agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val nation = Tables.table(s, dir, "nation")
+      val region = Tables.table(s, dir, "region")
+      Tables.table(s, dir, "customer")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("customer_count"),
+          Clean.roundHalfUp(sum($"c_acctbal"), 2).as("total_acctbal"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // Pivot: event types to columns via conditional aggregation (the
+    // oracle spells out the CASE sums the pivot lowers to).
+    "q_pivot_events" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     // S3: per-table volume stats as a unioned count query.
     "q_volume_counts" -> ((s, dir) => {
       val names = Seq("customer", "lineitem", "nation", "orders", "part",
@@ -467,6 +508,34 @@ object ParityQueries {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' AND o_totalprice <= 0 THEN 1
         |    ELSE 0 END) AS BIGINT) AS nonpositive_open_rows
         |FROM orders""".stripMargin,
+
+    "q_agg_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |  quantile_cont(l_quantity, 0.5) AS qty_median,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100
+        |    AS price_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(count(*) AS BIGINT) AS customer_count,
+        |  floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_volume_counts" ->
       """SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS row_count FROM customer

@@ -41,7 +41,8 @@ class HrEtlSpec extends SparkTestBase {
     (3L, 3L, d("2025-01-01"), 3.0, Option(3L)),   // self-review
     (4L, 3L, d("2025-01-01"), 2.0, Option(1L)),   // duplicate (emp, date) -> dropped (keep review_id 3)
     (5L, 5L, d("2025-01-01"), 9.9, Option(1L)),   // out-of-range -> dropped
-    (6L, 5L, d("2025-02-01"), 2.5, Option(1L))
+    (6L, 5L, d("2025-02-01"), 2.5, Option(1L)),
+    (7L, 5L, d("2025-01-01"), 3.3, Option(1L))    // dup of review 5: dedup keeps 5, THEN range filter kills the group
   ).toDF("review_id", "employee_id", "review_date", "rating", "reviewer_id")
 
   lazy val projects: DataFrame = Seq(
@@ -93,6 +94,27 @@ class HrEtlSpec extends SparkTestBase {
     val kept = out.factReviews.filter($"employee_id" === 3L)
       .select("review_id").as[Long].collect().toSet
     assert(kept === Set(3L))
+  }
+
+  test("dedup happens BEFORE the range filter (reference transform.py:38-42)") {
+    // review 5 (9.9, first by id) wins the dedup over review 7 (3.3),
+    // then the range filter removes it — the whole (emp 5, Jan 1) group
+    // must vanish, not fall back to review 7.
+    val kept = out.factReviews.filter($"employee_id" === 5L)
+      .select("review_id").as[Long].collect().toSet
+    assert(kept === Set(6L))
+  }
+
+  test("null status counts as an enum violation, pandas ~isin semantics") {
+    val enumCheck = out.dqChecks.filter($"table_name" === "employees" &&
+      $"detail" === "status_enum").collect()(0)
+    assert(enumCheck.getAs[Long]("violations") === 1L)   // Frank's null status
+  }
+
+  test("avg_salary stays null for employee-less departments (no 0.0 fill)") {
+    val ops = out.summaryDeptMetrics
+      .filter($"department_name" === "Operations").collect()(0)
+    assert(ops.isNullAt(ops.fieldIndex("avg_salary")))
   }
 
   test("self-review flag with null-to-false semantics (E6)") {
