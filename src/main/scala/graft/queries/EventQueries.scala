@@ -49,6 +49,27 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // As-of join: for every purchase, the value of the user's latest
+    // event at-or-before it from the reference stream (clicks). Uses the
+    // union + ignore-nulls-window operator (graft.operators.AsOfJoin);
+    // the oracle is DuckDB's native ASOF LEFT JOIN.
+    "q_events_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .withColumn("sec", date_trunc("second", $"ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"sec", $"value")
+      val clicks = graft.operators.AsOfJoin.latestPerKeyTs(
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"sec", $"value", $"event_id"),
+        "user_id", "sec", "event_id")
+      graft.operators.AsOfJoin
+        .asofLeft(purchases, clicks, "user_id", "sec", "value", "last_click_value")
+        .select($"event_id", $"user_id", $"sec".as("purchase_ts"),
+          $"value".as("purchase_value"), $"last_click_value")
+        .orderBy("event_id")
+    }),
+
     // Per-user behavioral profile (funnel-style conditional counts).
     "q_events_user_profile" -> ((s, dir) => {
       import s.implicits._
@@ -95,6 +116,24 @@ object EventQueries {
         |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
         |      FROM events)))
         |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_events_asof" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, date_trunc('second', ts) AS sec, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, sec, value FROM (
+        |    SELECT user_id, date_trunc('second', ts) AS sec, value,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.sec AS purchase_ts,
+        |  p.value AS purchase_value, c.value AS last_click_value
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.sec >= c.sec
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_events_user_profile" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS event_count,
