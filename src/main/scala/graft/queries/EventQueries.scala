@@ -70,6 +70,26 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Temporal range join: purchases within +/-1 hour of each error event,
+    // across all users — a non-equi join Spark would otherwise plan as a
+    // nested-loop; graft.operators.RangeJoin turns it into a binned
+    // equi-join + exact residual filter.
+    "q_events_range" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id".as("error_id"), $"sec".as("e_sec"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"sec".as("p_sec"), $"value")
+      graft.operators.RangeJoin
+        .withinTolerance(errors, purchases, $"e_sec", $"p_sec", 3600L)
+        .groupBy($"error_id")
+        .agg(count(lit(1)).as("nearby_purchases"),
+          Clean.roundHalfUp(sum($"value"), 2).as("nearby_purchase_value"))
+        .orderBy("error_id")
+    }),
+
     // Per-user behavioral profile (funnel-style conditional counts).
     "q_events_user_profile" -> ((s, dir) => {
       import s.implicits._
@@ -134,6 +154,16 @@ object EventQueries {
         |ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.sec >= c.sec
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_events_range" ->
+      """SELECT e.event_id AS error_id,
+        |  CAST(count(*) AS BIGINT) AS nearby_purchases,
+        |  floor(sum(p.value) * 100 + 0.5) / 100 AS nearby_purchase_value
+        |FROM events e JOIN events p
+        |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND abs(CAST(epoch(date_trunc('second', e.ts)) AS BIGINT)
+        |         - CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)) <= 3600
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
 
     "q_events_user_profile" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS event_count,
