@@ -279,6 +279,19 @@ object ParityQueries {
             .as("nonpositive_open_rows"))
     }),
 
+    // Approximate distinct counts (HyperLogLog++): the constant-memory
+    // path for distinct cardinality at 100 TB. No SQL oracle — sketch
+    // implementations differ across engines; PlanSpec pins the relative
+    // error against exact countDistinct instead.
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+          approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact interpolated quantiles per group (both engines use linear
     // interpolation at (n-1)*p over the sorted values, so doubles match).
     "q_agg_quantiles" -> ((s, dir) => {

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Plan-quality properties: the physical plans must keep the shapes the
+  * engine is designed around — pruned scans, pushed filters, broadcast
+  * dimension joins — and the approximate aggregates must stay within
+  * their error bounds. A regression here is a performance bug even when
+  * results stay correct. */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q_scan_project prunes the scan to the projected columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("q_filter_range pushes the range predicate into the parquet scan") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), " +
+      "GreaterThanOrEqual(l_discount,0.02), LessThanOrEqual(l_discount,0.04)]"), p)
+  }
+
+  test("q_agg_dept_summary joins its dimensions via broadcast, no sort-merge") {
+    val p = plan("q_agg_dept_summary")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_anti_fk plans the referential check as a broadcast anti join") {
+    val p = plan("q_anti_fk")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("Bench's count() eliminates the presentation sorts") {
+    val counted = SparkEntry.queries("q_scan_project")(spark, sf0001)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!counted.contains("Sort"), counted)
+  }
+
+  test("approx_count_distinct stays within its rsd bound") {
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.table(spark, sf0001, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey"), countDistinct($"l_partkey"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (flag, (eo, ep)) =>
+      val (ao, ap) = approx(flag)
+      assert(math.abs(ao - eo).toDouble / eo < 0.1, s"$flag orders: $ao vs $eo")
+      assert(math.abs(ap - ep).toDouble / ep < 0.1, s"$flag parts: $ap vs $ep")
+    }
+  }
+}
