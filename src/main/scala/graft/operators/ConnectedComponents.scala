@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the step that
+  * turns pairwise near-duplicate candidates into dedup clusters (every doc
+  * maps to the smallest doc_id of its component, which becomes the
+  * canonical survivor).
+  *
+  * Each iteration is two hash joins + an aggregation, fully distributed;
+  * the driver only checks the per-iteration change count. Label
+  * propagation converges in O(component diameter) rounds — near-dup
+  * clusters are small and dense, so a handful of rounds suffices
+  * (`maxIter` bounds hostile chain-shaped graphs).
+  */
+object ConnectedComponents {
+
+  /** @param edges two LONG columns `src`, `dst` (undirected pairs)
+    * @return (id LONG, component LONG) — component = min id reachable */
+  def components(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("component", $"id")
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // each node adopts the min of its own and its neighbors' labels
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "dst_component"), Seq("dst"))
+        .groupBy($"src".as("id"))
+        .agg(min($"dst_component").as("neighbor_component"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select($"id",
+          least($"component", coalesce($"neighbor_component", $"component"))
+            .as("component"),
+          ($"neighbor_component" < $"component").as("did_change"))
+      // one action per iteration; localCheckpoint truncates the growing
+      // lineage so iteration i+1 doesn't re-run iterations 1..i
+      val materialized = updated.localCheckpoint()
+      changed = materialized.filter(coalesce($"did_change", lit(false))).count()
+      labels = materialized.select($"id", $"component")
+      iter += 1
+    }
+    labels
+  }
+}

@@ -179,6 +179,30 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup clusters: exact-duplicate pairs and high-Jaccard near-dup
+    // pairs become an undirected graph; connected components assign every
+    // document its canonical survivor (min doc_id of the cluster). The
+    // component step is graft.operators.ConnectedComponents (iterative
+    // min-label propagation). Rows-only: pinned by DedupSpec.
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val exactPairs = Tables.table(s, dir, "documents")
+        .select($"doc_id",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+        .groupBy($"fp").agg(min($"doc_id").as("src"),
+          collect_set($"doc_id").as("ids"))
+        .select($"src", explode($"ids").as("dst"))
+        .filter($"src" =!= $"dst")
+      val nearPairs = queries("q_dedup_ngram_jaccard")(s, dir)
+        .filter($"jaccard" >= 0.5)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      val comp = graft.operators.ConnectedComponents
+        .components(exactPairs.union(nearPairs))
+      comp.select($"id".as("doc_id"), $"component".as("keep_doc_id"))
+        .filter($"doc_id" =!= $"keep_doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Embedding cosine near-dup: same-label blocking, pairwise cosine via
     // the codegen'd CosineSim expression (graft.functions), threshold.
     "q_dedup_embedding" -> ((s, dir) => {

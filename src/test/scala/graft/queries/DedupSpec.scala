@@ -62,6 +62,25 @@ class DedupSpec extends SparkTestBase {
     assert(!rows.contains((0L, 3L)))
   }
 
+  test("dedup clusters map every duplicate to the min-id survivor") {
+    val rows = DedupQueries.queries("q_dedup_clusters")(spark, fixtureDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_doc_id"))
+      .toMap
+    assert(rows(1L) === 0L)                       // exact dup of 0
+    assert(rows.get(2L).forall(_ == 0L))          // near-dup joins 0's cluster
+    assert(!rows.contains(3L) && !rows.contains(4L)) // singletons keep themselves
+  }
+
+  test("connected components handle chains and isolated pairs") {
+    import graft.operators.ConnectedComponents
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val comp = ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))  // 4-node chain
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+  }
+
   test("lsh ANN finds exact-duplicate vectors and agrees with brute cosine") {
     val brute = SimilarityQueries.queries("q_knn_brute")(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
