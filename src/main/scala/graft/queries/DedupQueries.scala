@@ -179,11 +179,14 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup clusters: exact-duplicate pairs and high-Jaccard near-dup
-    // pairs become an undirected graph; connected components assign every
-    // document its canonical survivor (min doc_id of the cluster). The
-    // component step is graft.operators.ConnectedComponents (iterative
-    // min-label propagation). Rows-only: pinned by DedupSpec.
+    // Dedup clusters — the full production pipeline shape: MinHash-LSH
+    // generates candidate pairs, ONLY candidates are verified with exact
+    // Jaccard (per-pair array intersection over a handful of pairs, not a
+    // blocked all-pairs pass), verified pairs plus exact-duplicate pairs
+    // form an undirected graph, and connected components
+    // (graft.operators.ConnectedComponents, min-label propagation) assign
+    // every document its canonical min-id survivor. Rows-only: pinned by
+    // DedupSpec.
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       val exactPairs = Tables.table(s, dir, "documents")
@@ -193,8 +196,14 @@ object DedupQueries {
           collect_set($"doc_id").as("ids"))
         .select($"src", explode($"ids").as("dst"))
         .filter($"src" =!= $"dst")
-      val nearPairs = queries("q_dedup_ngram_jaccard")(s, dir)
-        .filter($"jaccard" >= 0.5)
+      val grams = withShingles(Tables.table(s, dir, "documents"), 3)
+        .select($"doc_id", $"grams")
+      val nearPairs = queries("q_dedup_minhash_lsh")(s, dir)
+        .select($"doc_a", $"doc_b")
+        .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")), Seq("doc_a"))
+        .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")), Seq("doc_b"))
+        .filter(size(array_intersect($"ga", $"gb")).cast("double")
+          / size(array_union($"ga", $"gb")) >= 0.5)
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
       val comp = graft.operators.ConnectedComponents
         .components(exactPairs.union(nearPairs))
