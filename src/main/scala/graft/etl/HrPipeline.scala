@@ -77,19 +77,29 @@ object HrPipeline {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
     }
 
-  /** JDBC truncate-then-insert sink (reference load.py:29-47, S5/S6).
-    * Untested here (no database in the build environment); the option set
-    * mirrors the reference's FK-toggle bracket via sessionInitStatement. */
-  def writeJdbc(out: Outputs, url: String, user: String, password: String): Unit =
+  /** JDBC truncate-then-insert sink for one table (reference
+    * load.py:29-47, S5/S6): Overwrite + truncate reproduces the
+    * TRUNCATE-then-INSERT idempotent load. `sessionInit` carries
+    * DB-specific bracketing (the reference's MySQL FK toggle); tested
+    * against embedded Derby in JdbcSinkSpec. */
+  def writeJdbcTable(df: DataFrame, table: String, url: String,
+                     options: Map[String, String] = Map.empty,
+                     sessionInit: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("truncate", "true")
+      .options(options)
+    sessionInit.foreach(s => w.option("sessionInitStatement", s))
+    w.mode(SaveMode.Overwrite).save()
+  }
+
+  /** Load the whole star schema over JDBC (reference main.py:162-166). */
+  def writeJdbc(out: Outputs, url: String, user: String, password: String,
+                sessionInit: Option[String] = Some("SET FOREIGN_KEY_CHECKS=0"))
+      : Unit =
     tables(out).foreach { case (name, df) =>
-      df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", name)
-        .option("user", user)
-        .option("password", password)
-        .option("truncate", "true")
-        .option("sessionInitStatement", "SET FOREIGN_KEY_CHECKS=0")
-        .mode(SaveMode.Overwrite)
-        .save()
+      writeJdbcTable(df, name, url,
+        Map("user" -> user, "password" -> password), sessionInit)
     }
 }
