@@ -111,6 +111,27 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon — the streaming face of q_dedup_exact,
+    * with state bounded by the watermark instead of growing forever. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-sessionization via the built-in session_window aggregate — the
+    * declarative twin of [[sessionize]] (which keeps explicit state to
+    * show the flatMapGroupsWithState shape). session_window's end is
+    * last-event + gap by definition. */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("event_count"), sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("event_count"), col("session_value"))
+
   /** Sink: drive a streaming DataFrame into an in-memory table and block
     * until the source is drained (local smoke / tests). Windowed aggregates
     * need Complete mode to surface windows still behind the watermark. */

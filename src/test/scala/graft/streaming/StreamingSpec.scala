@@ -41,6 +41,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming dedup passes distinct event_ids through unchanged") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.dedupEvents(stream), "deduped")
+    q.awaitTermination()
+    // testdata event_ids are unique, so dedup must be a no-op pass-through
+    val n = spark.table("deduped").count()
+    val distinctIds = spark.table("deduped").select("event_id").distinct().count()
+    assert(n === 1000L)
+    assert(distinctIds === n)
+  }
+
+  test("native session_window sessions match the batch lag/sum sessionization") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.sessionizeNative(stream), "native_sessions",
+      OutputMode.Complete)
+    q.awaitTermination()
+    val got = spark.table("native_sessions")
+      .select($"user_id",
+        $"session_start".cast("timestamp").cast("long").as("start_s"),
+        $"event_count")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = EventQueries.queries("q_events_sessions")(spark, sf0001)
+      .select($"user_id", $"session_start".cast("timestamp").cast("long").as("s"),
+        $"event_count")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("streaming sessionization closes sessions consistent with batch") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.runToMemory(
