@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicate the sf0.1 tables K times (keys offset per
+  * replica; document texts duplicated verbatim, which makes the dedup
+  * candidate paths adversarial — every text gains K exact copies) and
+  * time representative queries at 1x/2x/4x/8x to measure how each plan's
+  * runtime actually grows. Output: one JSON line per (factor, query).
+  *
+  * Usage: runMain graft.ScaleProbe [maxFactor]
+  * Scaled data is materialized once under target/scale/f<K>/.
+  */
+object ScaleProbe {
+
+  private val Offset = 100000000L // key offset per replica
+
+  private val probeQueries = Seq(
+    "q_scan_project", "q_agg_dept_summary", "q_agg_distinct",
+    "q_window_last", "q_dedup_keyed", "q_topk",
+    "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_exact",
+    "q_events_sessions", "q_events_hourly", "q_knn_brute")
+
+  /** Tables whose long key columns shift per replica; dims stay fixed. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "nation" -> Seq(),
+    "region" -> Seq())
+
+  private def replicate(df: DataFrame, cols: Seq[String], k: Int): DataFrame =
+    (0 until k).map { i =>
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Offset)))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
+    val base = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxFactor).toSeq
+    val dirs = factors.map { k =>
+      if (k == 1) k -> base
+      else {
+        val dir = s"target/scale/f$k"
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+          keyCols.foreach { case (t, cols) =>
+            replicate(Tables.table(spark, base, t), cols, k)
+              .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+          }
+        }
+        k -> dir
+      }
+    }
+
+    // warm up
+    spark.range(1000).selectExpr("sum(id)").collect()
+    dirs.foreach { case (k, dir) =>
+      probeQueries.foreach { q =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(q)(spark, dir).count()
+        catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n}""")
+      }
+    }
+    spark.stop()
+  }
+}
