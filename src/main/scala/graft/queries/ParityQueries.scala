@@ -34,7 +34,9 @@ object ParityQueries {
     "q_scan_project" -> ((s, dir) => {
       Tables.table(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata: order
+        // by every output column so row order is total on both engines
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
     // F1/F2: null-keeping not-equal (pandas `!=` keeps NaN rows).
@@ -52,7 +54,7 @@ object ParityQueries {
       Tables.table(s, dir, "lineitem")
         .filter(Clean.between($"l_discount", 0.02, 0.04))
         .select("l_orderkey", "l_linenumber", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_discount")
     }),
 
     // F6/F7: null-OR-predicate ("still active as of date").
@@ -82,7 +84,7 @@ object ParityQueries {
           date_trunc("day", $"l_shipdate").as("ship_date"),
           datediff(asOf, to_date($"l_shipdate")).as("days_since_ship"),
           Clean.tenureYears(to_date($"l_shipdate"), asOf).as("years_since_ship"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "ship_date")
     }),
 
     // E8/E9: duration + guarded divide (ANSI-safe CASE).
@@ -243,7 +245,7 @@ object ParityQueries {
       Tables.table(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
           last($"l_extendedprice").over(w).as("latest_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     }),
 
     // T2-T5: top-k with deterministic tiebreak.
@@ -348,7 +350,8 @@ object ParityQueries {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q_filter_status" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
@@ -358,7 +361,7 @@ object ParityQueries {
     "q_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
         |WHERE l_discount BETWEEN 0.02 AND 0.04
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_discount""".stripMargin,
 
     "q_filter_null_or" ->
       """SELECT o_orderkey, date_trunc('day', o_orderdate) AS order_date FROM orders
@@ -379,7 +382,7 @@ object ParityQueries {
         |    AS days_since_ship,
         |  floor(date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')
         |        / 365.25 * 10 + 0.5) / 10 AS years_since_ship
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
 
     "q_derive_cond_div" ->
       """SELECT o_orderkey, age_days,
@@ -497,7 +500,7 @@ object ParityQueries {
         |             l_linestatus
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS latest_price
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "q_topk" ->
       """SELECT n_name, avg_acctbal FROM (

@@ -22,12 +22,14 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 def canon(df):
+    # columns sorted by name; rows kept in QUERY order — every query carries
+    # a total ORDER BY, so row-order-exact equality must hold (strictest
+    # possible reading of the driver's hash compare)
     df = df[sorted(df.columns)]
     for c in df.columns:  # normalize datetime resolution (ns vs us metadata)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    return df.reset_index(drop=True)
 
 fails, passes = [], []
 for name in sorted(oracle):
