@@ -212,6 +212,28 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance near-dup: candidates blocked on (lang, 16-char
+    // normalized prefix) — only same-prefix docs pay the O(len^2)
+    // levenshtein DP, the textbook cost control for edit-distance dedup.
+    "q_dedup_editdist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
+        .withColumn("prefix", substring($"norm", 1, 16))
+      val a = docs.select($"doc_id".as("doc_a"), $"lang", $"prefix",
+        $"norm".as("norm_a"))
+      val b = docs.select($"doc_id".as("doc_b"), $"lang", $"prefix",
+        $"norm".as("norm_b"))
+      a.join(b, Seq("lang", "prefix"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          levenshtein($"norm_a", $"norm_b").as("edit_distance"),
+          greatest(length($"norm_a"), length($"norm_b")).as("max_len"))
+        .filter($"edit_distance" <= $"max_len" / 10)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Embedding cosine near-dup: same-label blocking, pairwise cosine via
     // the codegen'd CosineSim expression (graft.functions), threshold.
     "q_dedup_embedding" -> ((s, dir) => {
@@ -265,6 +287,22 @@ object DedupQueries {
         |        / (length(a.grams) + length(b.grams)
         |           - length(list_intersect(a.grams, b.grams)))
         |        * 10000 + 0.5) / 10000 >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_editdist" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |pre AS (SELECT doc_id, lang, norm, substring(norm, 1, 16) AS prefix
+        |        FROM docs)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.norm, b.norm) AS INT) AS edit_distance,
+        |  CAST(greatest(length(a.norm), length(b.norm)) AS INT) AS max_len
+        |FROM pre a JOIN pre b
+        |  ON a.lang = b.lang AND a.prefix = b.prefix AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.norm, b.norm)
+        |      <= greatest(length(a.norm), length(b.norm)) / 10
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_embedding" ->
