@@ -71,10 +71,14 @@ object HrPipeline {
         .csv(s"$dir/$name")
     }
 
-  /** Parquet sink for the verification harness. */
+  /** Parquet sink for the verification harness. Each table carries an
+    * `observe` volume metric (reference S3 row-count stats) that the sink
+    * job itself accumulates — readable via [[graft.operators.Metrics]]
+    * with no second scan. */
   def writeParquet(out: Outputs, dir: String): Unit =
     tables(out).foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+      graft.operators.Metrics.observeVolume(df, s"sink_$name")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
     }
 
   /** JDBC truncate-then-insert sink for one table (reference
