@@ -36,7 +36,8 @@ object ScaleProbe {
     "region" -> Seq())
 
   private def replicate(df: DataFrame, cols: Seq[String], k: Int): DataFrame =
-    (0 until k).map { i =>
+    if (cols.isEmpty) df // dimension: stays fixed, never duplicated
+    else (0 until k).map { i =>
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Offset)))
     }.reduce(_ unionAll _)
 
@@ -58,7 +59,9 @@ object ScaleProbe {
       if (k == 1) k -> base
       else {
         val dir = s"target/scale/f$k"
-        if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        val complete = keyCols.keys.forall(t =>
+          new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
+        if (!complete) {
           keyCols.foreach { case (t, cols) =>
             replicate(Tables.table(spark, base, t), cols, k)
               .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")

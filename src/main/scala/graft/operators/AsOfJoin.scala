@@ -24,10 +24,15 @@ object AsOfJoin {
   def asofLeft(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCol: String, outCol: String): DataFrame = {
     val leftCols = left.columns
+    // the value travels inside a presence struct: ignoreNulls must skip
+    // LEFT rows (no struct) but still match a RIGHT row whose value is
+    // null — a bare nullable value column would skip those too
     val l = left
       .withColumn("__tag", lit(1))
-      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(col(key), col(ts), col(valueCol).as("__v"))
+      .withColumn("__v",
+        lit(null).cast(s"struct<v:${right.schema(valueCol).dataType.sql}>"))
+    val r = right.select(col(key), col(ts),
+      struct(col(valueCol).as("v")).as("__v"))
       .withColumn("__tag", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows (tag 0) sort before left rows at the same ts, so an
@@ -36,9 +41,9 @@ object AsOfJoin {
       .orderBy(col(ts), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__last", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(col) :+ col(outCol): _*)
+      .select(leftCols.map(col) :+ col("__last.v").as(outCol): _*)
   }
 
   /** Collapse `right` to one row per (key, ts), keeping the row with the

@@ -47,6 +47,11 @@ object ConnectedComponents {
       labels = materialized.select($"id", $"component")
       iter += 1
     }
+    // silent non-convergence would split real components — fail loudly so
+    // the caller raises maxIter for deep chain-shaped graphs
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter iterations " +
+        s"($changed labels still changing)")
     labels
   }
 }

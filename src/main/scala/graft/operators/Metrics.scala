@@ -11,8 +11,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * reference's row-count "volume stats" (reference main.py:48-52, S3):
   * counts are accumulated by the SAME job that runs the query/sink, not by
   * separate `count()` actions that re-scan the data (at 100 TB a second
-  * pass per table is a second 100 TB scan). Works identically under
-  * Structured Streaming.
+  * pass per table is a second 100 TB scan). `observe` itself also works on
+  * streaming frames, but there the metrics arrive via
+  * `StreamingQueryListener` progress events — [[Listener]] below only
+  * collects from BATCH query executions.
   */
 object Metrics {
 

@@ -483,7 +483,7 @@ object ParityQueries {
         |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |        FROM orders)
         |  WHERE rn = 1) l ON a.o_custkey IS NOT DISTINCT FROM l.o_custkey
-        |ORDER BY a.o_custkey""".stripMargin,
+        |ORDER BY a.o_custkey NULLS FIRST""".stripMargin,
 
     "q_agg_distinct" ->
       """SELECT l_partkey,

@@ -82,13 +82,20 @@ object EventStream {
         var cur = state.getOption
         sorted.foreach { case (_, ts, v) =>
           val t = ts.getTime
+          val gapMs = gapSeconds * 1000
           cur match {
-            case Some(s) if t - s.end <= gapSeconds * 1000 =>
-              // out-of-order arrivals within the watermark can precede the
-              // session bounds — only ever widen them
+            // within gap of the session bounds on either side: merge and
+            // only ever widen (out-of-order arrivals within the watermark)
+            case Some(s) if t <= s.end + gapMs && t >= s.start - gapMs =>
               cur = Some(s.copy(start = math.min(s.start, t),
                 end = math.max(s.end, t),
                 events = s.events + 1, value = s.value + v))
+            // far EARLIER than the session: its own session, immediately
+            // final (everything still coming is at or after `sorted`'s
+            // later rows; batch semantics would close it the same way)
+            case Some(s) if t < s.start - gapMs =>
+              closed ::= finalize(userId, SessionState(t, t, 1, v))
+            // far later: close the current session, start a new one
             case Some(s) =>
               closed ::= finalize(userId, s)
               cur = Some(SessionState(t, t, 1, v))

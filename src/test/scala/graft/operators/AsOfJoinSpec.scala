@@ -25,6 +25,17 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(4L) === Some(4.0))   // t=100: right@99, not the future @101
   }
 
+  test("a matched right row with a NULL value yields null, not an older value") {
+    val left = Seq((1L, "a", 30L)).toDF("id", "key", "t")
+    val right = Seq(("a", 10L, Option(1.0)), ("a", 20L, None: Option[Double]))
+      .toDF("key", "t", "v")
+    val out = AsOfJoin.asofLeft(left, right, "key", "t", "v", "asof_v")
+      .collect()(0)
+    // true ASOF semantics (and DuckDB's ASOF JOIN): the ts=20 row matches,
+    // and its value is null — NOT the older 1.0
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+  }
+
   test("latestPerKeyTs keeps the greatest tiebreaker per (key, ts)") {
     val right = Seq(("a", 10L, 1.0, 1L), ("a", 10L, 9.0, 2L), ("a", 11L, 3.0, 3L))
       .toDF("key", "t", "v", "seq")

@@ -49,10 +49,12 @@ class SessionRestartSpec extends SparkTestBase {
     runOnce()
 
     // batch 2: an OUT-OF-ORDER event inside the session (base+5min) must
-    // widen nothing; then a far-future event (>gap+watermark later) closes
-    // the session and starts a new one.
+    // widen nothing; a late event FAR BEFORE the session (beyond the gap,
+    // inside the watermark) must become its own closed singleton, NOT
+    // merge backward; then a far-future event closes the session.
     writeBatch(srcDir, "b2", Seq(
       (3L, base + 5 * 60 * 1000, 7L, "click", 1.0, "{}"),
+      (5L, base - 60 * 60 * 1000, 7L, "click", 1.0, "{}"),
       (4L, base + 6 * 60 * 60 * 1000, 7L, "click", 1.0, "{}")))
     runOnce()
 
@@ -62,12 +64,16 @@ class SessionRestartSpec extends SparkTestBase {
         $"end".cast("long").as("end_s"), $"events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
-    // the first session must have closed with all 3 events and the
-    // original [base, base+10min] bounds (the late event widened nothing)
+    // the far-early late event is its own closed singleton session
     assert(sessions.nonEmpty, "no closed sessions emitted")
-    val first = sessions.minBy(_._1)
-    assert(first._1 === base / 1000)
-    assert(first._2 === (base + 10 * 60 * 1000) / 1000)
-    assert(first._3 === 3L)
+    val early = sessions.minBy(_._1)
+    assert(early === ((base - 60 * 60 * 1000) / 1000,
+      (base - 60 * 60 * 1000) / 1000, 1L))
+    // the main session closed with its 3 events and the original
+    // [base, base+10min] bounds (the in-session late event widened nothing)
+    val main = sessions.sortBy(_._1).apply(1)
+    assert(main._1 === base / 1000)
+    assert(main._2 === (base + 10 * 60 * 1000) / 1000)
+    assert(main._3 === 3L)
   }
 }
