@@ -26,23 +26,32 @@ object ConnectedComponents {
       .distinct()
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // each node adopts the min of its own and its neighbors' labels
+
+    // one propagation step: each node adopts the min of its own and its
+    // neighbors' labels
+    def step(ls: org.apache.spark.sql.DataFrame) = {
       val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("component", "dst_component"), Seq("dst"))
+        .join(ls.select($"id".as("dst"), $"component".as("dst_component")),
+          Seq("dst"))
         .groupBy($"src".as("id"))
         .agg(min($"dst_component").as("neighbor_component"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      ls.join(neighborMin, Seq("id"), "left")
         .select($"id",
           least($"component", coalesce($"neighbor_component", $"component"))
             .as("component"),
           ($"neighbor_component" < $"component").as("did_change"))
-      // one action per iteration; localCheckpoint truncates the growing
-      // lineage so iteration i+1 doesn't re-run iterations 1..i
-      val materialized = updated.localCheckpoint()
+    }
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // two propagation steps per materialization: halves the number of
+      // actions (each localCheckpoint+count is a fixed scheduling cost)
+      // while lineage depth stays bounded
+      val twoSteps = step(step(labels).select($"id", $"component"))
+      // localCheckpoint truncates the growing lineage so the next round
+      // doesn't re-run all previous rounds
+      val materialized = twoSteps.localCheckpoint()
       changed = materialized.filter(coalesce($"did_change", lit(false))).count()
       labels = materialized.select($"id", $"component")
       iter += 1

@@ -105,6 +105,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sampling — training-data curation's
+    // diversity-aware downsampling: per-language keep rates applied via an
+    // arithmetic hash (overflow-safe, identical in any engine), so the
+    // sample is reproducible and oracle-checkable; no rand() anywhere.
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = (($"doc_id" % 1000003L) * 31L + 7L) % 100L
+      val keepRate = when($"lang" === "en", 50).otherwise(20)
+      Tables.table(s, dir, "documents")
+        .select($"doc_id", $"lang", bucket.as("sample_bucket"))
+        .filter($"sample_bucket" < keepRate)
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (rolling-hash document sketch): md5 of every
     // 8-char gram of the normalized text, sliding-window (w=4) minimum,
     // distinct survivors summarized per doc. Position explosion + window
@@ -203,6 +217,14 @@ object TextQueries {
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang,
+          |  ((doc_id % 1000003) * 31 + 7) % 100 AS sample_bucket
+          |FROM documents
+          |WHERE ((doc_id % 1000003) * 31 + 7) % 100
+          |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+          |ORDER BY doc_id""".stripMargin,
 
       "q_doc_winnow" ->
         """WITH norm AS (
