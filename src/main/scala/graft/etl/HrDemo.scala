@@ -41,8 +41,14 @@ object HrDemo {
     HrPipeline.writeParquet(out, s"$outDir/parquet")
 
     println(HrValidate.dqStats(out.dqChecks).collect()(0))
-    println(HrReport.summaryReport(spark, out.summaryDeptMetrics,
-      out.summaryEmpPerformance, out.projectWorkload))
+    val report = HrReport.summaryReport(spark, out.summaryDeptMetrics,
+      out.summaryEmpPerformance, out.projectWorkload)
+    println(report)
+    // the reference writes the report as a text file too
+    // (reference reporting.py:13,120-121)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/etl_summary_report.txt"), report)
     spark.stop()
   }
 }

@@ -25,6 +25,18 @@ class RangeJoinSpec extends SparkTestBase {
     assert(binned.nonEmpty)
   }
 
+  test("binned == naive on seeded random data including negatives") {
+    val rnd = new scala.util.Random(7)
+    val l = (1L to 300L).map(i => (i, rnd.nextLong() % 500L)).toDF("lid", "lt")
+    val r = (1L to 300L).map(i => (i, rnd.nextLong() % 500L)).toDF("rid", "rt")
+    val binned = RangeJoin.withinTolerance(l, r, $"lt", $"rt", 37L)
+      .select($"lid", $"rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.join(r, abs($"lt" - $"rt") <= 37L)
+      .select($"lid", $"rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(binned === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("binned range join plans as an equi hash join, not nested loop") {
     val l = spark.range(100).select($"id".as("lid"), ($"id" * 7).as("lt"))
     val r = spark.range(100).select($"id".as("rid"), ($"id" * 11).as("rt"))

@@ -21,6 +21,18 @@ class SkewSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("salting stays exact when every row shares ONE hot key") {
+    val hot = spark.range(20000)
+      .select(lit(42L).as("k"), ($"id" % 97).as("v"), $"id".as("rid"))
+    val salted = Skew.saltedCountSum(hot, $"k", $"rid", $"v", buckets = 16)
+      .collect()(0)
+    assert(salted.getAs[Long]("cnt") === 20000L)
+    assert(salted.getAs[Long]("total") ===
+      hot.agg(sum($"v")).collect()(0).getLong(0))
+    val d = Skew.saltedCountDistinct(hot, $"k", $"v", buckets = 16).collect()(0)
+    assert(d.getAs[Long]("distinct_count") === 97L)
+  }
+
   test("saltedCountDistinct == plain countDistinct") {
     val salted = Skew.saltedCountDistinct(li, $"l_partkey", $"l_suppkey",
       buckets = 8)
