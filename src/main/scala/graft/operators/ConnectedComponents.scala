@@ -1,41 +1,66 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components by iterative min-label propagation — the step that
   * turns pairwise near-duplicate candidates into dedup clusters (every doc
   * maps to the smallest doc_id of its component, which becomes the
   * canonical survivor).
   *
-  * Each iteration is two hash joins + an aggregation, fully distributed;
-  * the driver only checks the per-iteration change count. Label
-  * propagation converges in O(component diameter) rounds — near-dup
-  * clusters are small and dense, so a handful of rounds suffices
-  * (`maxIter` bounds hostile chain-shaped graphs).
+  * Each round runs two propagation steps, each joining against the
+  * materialized edge set; everything is fully distributed and the driver
+  * only checks the per-round change count. Label propagation converges in
+  * O(component diameter) rounds — near-dup clusters are small and dense,
+  * so a handful of rounds suffice (`maxIter` bounds hostile chain-shaped
+  * graphs).
+  *
+  * Memory discipline: every intermediate materialization is unpersisted as
+  * soon as it is superseded (the round-2 bench showed leaked iteration
+  * blocks pressuring the whole session, +20% on untouched queries). Only
+  * the returned label table stays persisted — one (id, component) row per
+  * node with a duplicate, orders of magnitude smaller than the edge set.
   */
 object ConnectedComponents {
 
+  /** Materialize a frame eagerly-on-first-action while keeping BOTH
+    * properties the iteration needs:
+    *  - the logical plan collapses to a flat RDD scan, so Catalyst never
+    *    re-plans (or re-runs) the iteration history — constant per-round
+    *    planning cost, like `localCheckpoint` gave;
+    *  - unlike `localCheckpoint`, RDD lineage is retained, so losing an
+    *    executor recomputes the lost partitions instead of failing the
+    *    job, and the handle lets us `unpersist` superseded rounds.
+    */
+  private def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** @param edges two LONG columns `src`, `dst` (undirected pairs)
-    * @return (id LONG, component LONG) — component = min id reachable */
+    * @return (id LONG, component LONG) — component = min id reachable.
+    *         The result is persisted (MEMORY_AND_DISK); all other
+    *         intermediate state is unpersisted before returning. */
   def components(edges: DataFrame, maxIter: Int = 15): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // Materialize the edge set ONCE: the caller's `edges` lineage is often an
     // expensive candidate-generation pipeline (LSH banding + verification),
-    // and every propagation step below references `sym` twice — without this
-    // checkpoint each iteration would re-run the whole upstream pipeline
-    // (measured 4x the query cost on the dedup-clusters benchmark).
-    val sym = edges.select($"src", $"dst")
-      .union(edges.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
-      .localCheckpoint()
+    // and each propagation step below references `sym` once, twice per round
+    // — without materialization every round would re-run the whole upstream
+    // pipeline (measured 4x the query cost on the dedup-clusters benchmark).
+    val (sym, symRdd) = materialize(
+      edges.select($"src", $"dst")
+        .union(edges.select($"dst".as("src"), $"src".as("dst")))
+        .distinct())
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
 
     // one propagation step: each node adopts the min of its own and its
     // neighbors' labels
-    def step(ls: org.apache.spark.sql.DataFrame) = {
+    def step(ls: DataFrame) = {
       val neighborMin = sym
         .join(ls.select($"id".as("dst"), $"component".as("dst_component")),
           Seq("dst"))
@@ -48,25 +73,34 @@ object ConnectedComponents {
           ($"neighbor_component" < $"component").as("did_change"))
     }
 
+    var prevRdd: RDD[Row] = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // two propagation steps per materialization: halves the number of
-      // actions (each localCheckpoint+count is a fixed scheduling cost)
-      // while lineage depth stays bounded
-      val twoSteps = step(step(labels).select($"id", $"component"))
-      // localCheckpoint truncates the growing lineage so the next round
-      // doesn't re-run all previous rounds
-      val materialized = twoSteps.localCheckpoint()
+      // actions (each materialize+count is a fixed scheduling cost) while
+      // the per-round plan stays flat
+      val (materialized, rdd) =
+        materialize(step(step(labels).select($"id", $"component")))
+      // the count is the materializing action; if the SECOND step changed
+      // nothing, the first step's output was already a fixed point
       changed = materialized.filter(coalesce($"did_change", lit(false))).count()
+      // previous round's blocks are superseded the moment this round is
+      // materialized — free them NOW, not at session end
+      if (prevRdd != null) prevRdd.unpersist(false)
+      prevRdd = rdd
       labels = materialized.select($"id", $"component")
       iter += 1
     }
+    symRdd.unpersist(false)
     // silent non-convergence would split real components — fail loudly so
     // the caller raises maxIter for deep chain-shaped graphs
-    if (changed > 0) throw new IllegalStateException(
-      s"connected components did not converge in $maxIter iterations " +
-        s"($changed labels still changing)")
+    if (changed > 0) {
+      if (prevRdd != null) prevRdd.unpersist(false)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations " +
+          s"($changed labels still changing)")
+    }
     labels
   }
 }

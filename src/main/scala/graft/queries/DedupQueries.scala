@@ -54,6 +54,35 @@ object DedupQueries {
   // same results, one narrow shuffle on doc_id, orders of magnitude faster,
   // and the shape that actually scales on a cluster.
 
+  /** MinHash-LSH banded candidate pairs over (doc_id, text): shingles are
+    * exploded once, k=bands*rows seeded hashes with codegen'd
+    * min-aggregates form the signature, and docs sharing >=1 band bucket
+    * become (doc_a, doc_b, shared_bands) pairs — an equi-join on
+    * (band_idx, band_hash), never an all-pairs pass.
+    * explode_outer for the same InferFiltersFromGenerate reason as in
+    * q_dedup_ngram_jaccard. */
+  private def minhashLshPairs(docs: DataFrame, bands: Int = 8,
+      rows: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val k = bands * rows
+    val exploded = withShingles(docs, 3)
+      .select($"doc_id", explode_outer($"grams").as("shingle"))
+    val sig = exploded
+      .groupBy($"doc_id")
+      .agg(min(xxhash64(lit(0), $"shingle")).as("m0"),
+        (1 until k).map(i => min(xxhash64(lit(i), $"shingle")).as(s"m$i")): _*)
+    val banded = sig.select($"doc_id", posexplode(array(
+      (0 until bands).map(bnd =>
+        xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*)): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val x = banded.select($"doc_id".as("doc_a"), $"band_idx", $"band_hash")
+    val y = banded.select($"doc_id".as("doc_b"), $"band_idx", $"band_hash")
+    x.join(y, Seq("band_idx", "band_hash"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on a content fingerprint; keep min doc_id.
     "q_dedup_exact" -> ((s, dir) => {
@@ -71,9 +100,27 @@ object DedupQueries {
     // |A∩B| via an inverted-index join on individual grams (codegen'd
     // hash join + count, no per-pair array intersection), then
     // jaccard = c / (|A| + |B| - c).
+    //
+    // Exact duplicates are collapsed FIRST: verbatim copies multiply
+    // candidate pairs quadratically inside each block (ScaleProbe measured
+    // 3.7x superlinear growth at 8x data on a copy-heavy corpus). Pair
+    // logic runs once per (lang, fingerprint) representative; membership
+    // fans verdicts back out at the end. Identical text means identical
+    // grams, so every cross-group member pair inherits its
+    // representatives' jaccard exactly, and within-group pairs are 1.0 by
+    // construction — the output is row-for-row the same as the
+    // uncollapsed all-pairs form (the DuckDB oracle still computes that).
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val docs = withShingles(Tables.table(s, dir, "documents"), 3)
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      val groups = docs.groupBy($"lang", $"fp").agg(min($"doc_id").as("rep_id"))
+      val members = docs.select($"doc_id", $"lang", $"fp")
+        .join(groups, Seq("lang", "fp"))
+        .select($"rep_id", $"doc_id")
+      val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
+      val shingled = withShingles(reps, 3)
         .select($"doc_id", $"lang",
           (length($"text") / 64).cast("int").as("len_band"), $"grams")
       // explode_outer, not explode: InferFiltersFromGenerate would add a
@@ -81,7 +128,7 @@ object DedupQueries {
       // more per-row evaluations of the whole shingle expression (measured
       // ~8x query cost). shinglesOf never yields an empty array, so the
       // outer variant is semantically identical here.
-      val inv = docs.select($"doc_id", $"lang", $"len_band",
+      val inv = shingled.select($"doc_id", $"lang", $"len_band",
         explode_outer($"grams").as("gram"))
       // per-doc gram counts COUNTED from the index rather than size(grams):
       // a size() column in the join lineage lets the final threshold
@@ -90,7 +137,7 @@ object DedupQueries {
       val counts = inv.groupBy($"doc_id").agg(count(lit(1)).as("gram_count"))
       val a = inv.select($"doc_id".as("doc_a"), $"lang", $"len_band", $"gram")
       val b = inv.select($"doc_id".as("doc_b"), $"lang", $"len_band", $"gram")
-      a.join(b, Seq("lang", "len_band", "gram"))
+      val repPairs = a.join(b, Seq("lang", "len_band", "gram"))
         .filter($"doc_a" < $"doc_b")
         .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("common"))
@@ -104,38 +151,28 @@ object DedupQueries {
           Clean.roundHalfUp($"common".cast("double")
             / ($"count_a" + $"count_b" - $"common"), 4).as("jaccard"))
         .filter($"jaccard" >= 0.2)
-        .orderBy("doc_a", "doc_b")
+      // fan the representative verdicts back out to all member pairs
+      val cross = repPairs
+        .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
+          Seq("doc_a"))
+        .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
+          Seq("doc_b"))
+        .select(least($"mem_a", $"mem_b").as("doc_a"),
+          greatest($"mem_a", $"mem_b").as("doc_b"), $"jaccard")
+      val within = members.select($"rep_id", $"doc_id".as("doc_a"))
+        .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", lit(1.0).as("jaccard"))
+      cross.union(within).orderBy("doc_a", "doc_b")
     }),
 
     // MinHash + LSH banding: signature k=32, 8 bands x 4 rows; docs
     // sharing >=1 band bucket become candidate pairs. (No SQL oracle —
     // seeded xxhash64 is not reproducible in DuckDB; correctness is
-    // pinned by MinHashSpec against brute-force Jaccard instead.)
+    // pinned by DedupSpec against brute-force Jaccard instead.)
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val bands = 8
-      val rows = 4
-      val k = bands * rows
-      // explode shingles once; k seeded hashes per (doc, shingle) row and
-      // k codegen'd min-aggregates give the signature.
-      // explode_outer for the same InferFiltersFromGenerate reason as in
-      // q_dedup_ngram_jaccard above.
-      val exploded = withShingles(Tables.table(s, dir, "documents"), 3)
-        .select($"doc_id", explode_outer($"grams").as("shingle"))
-      val sig = exploded
-        .groupBy($"doc_id")
-        .agg(min(xxhash64(lit(0), $"shingle")).as("m0"),
-          (1 until k).map(i => min(xxhash64(lit(i), $"shingle")).as(s"m$i")): _*)
-      val banded = sig.select($"doc_id", posexplode(array(
-        (0 until bands).map(bnd =>
-          xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*)): _*)))
-        .toDF("doc_id", "band_idx", "band_hash")
-      val x = banded.select($"doc_id".as("doc_a"), $"band_idx", $"band_hash")
-      val y = banded.select($"doc_id".as("doc_b"), $"band_idx", $"band_hash")
-      x.join(y, Seq("band_idx", "band_hash"))
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).as("shared_bands"))
+      minhashLshPairs(Tables.table(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -179,35 +216,58 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup clusters — the full production pipeline shape: MinHash-LSH
-    // generates candidate pairs, ONLY candidates are verified with exact
-    // Jaccard (per-pair array intersection over a handful of pairs, not a
-    // blocked all-pairs pass), verified pairs plus exact-duplicate pairs
-    // form an undirected graph, and connected components
-    // (graft.operators.ConnectedComponents, min-label propagation) assign
-    // every document its canonical min-id survivor. Rows-only: pinned by
-    // DedupSpec.
+    // Dedup clusters — the full production pipeline shape: exact
+    // duplicates collapse to one representative per fingerprint group,
+    // MinHash-LSH generates candidate pairs over representatives only,
+    // ONLY candidates are verified with exact Jaccard (per-pair array
+    // intersection over a handful of pairs, not a blocked all-pairs
+    // pass), verified pairs form an undirected graph, connected
+    // components (graft.operators.ConnectedComponents, min-label
+    // propagation) label each representative, and members inherit their
+    // representative's label. Identical texts produce identical MinHash
+    // signatures, so the collapsed graph has exactly the same components
+    // as the old rep+member graph while removing the quadratic
+    // within-group candidate blowup. Rows-only: pinned by DedupSpec.
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val exactPairs = Tables.table(s, dir, "documents")
-        .select($"doc_id",
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"text",
           md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
-        .groupBy($"fp").agg(min($"doc_id").as("src"),
-          collect_set($"doc_id").as("ids"))
-        .select($"src", explode($"ids").as("dst"))
-        .filter($"src" =!= $"dst")
-      val grams = withShingles(Tables.table(s, dir, "documents"), 3)
-        .select($"doc_id", $"grams")
-      val nearPairs = queries("q_dedup_minhash_lsh")(s, dir)
+      val groups = docs.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
+      val members = docs.select($"doc_id", $"fp")
+        .join(groups, Seq("fp")).select($"rep_id", $"doc_id")
+      val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
+        .select($"doc_id", $"text")
+      val grams = withShingles(reps, 3).select($"doc_id", $"grams")
+      val nearPairs = minhashLshPairs(reps)
         .select($"doc_a", $"doc_b")
         .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")), Seq("doc_a"))
         .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")), Seq("doc_b"))
         .filter(size(array_intersect($"ga", $"gb")).cast("double")
           / size(array_union($"ga", $"gb")) >= 0.5)
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      val comp = graft.operators.ConnectedComponents
-        .components(exactPairs.union(nearPairs))
-      comp.select($"id".as("doc_id"), $"component".as("keep_doc_id"))
+      val comp = graft.operators.ConnectedComponents.components(nearPairs)
+      // a representative keeps its component's min id if it has near-dups,
+      // else itself; members inherit their representative's keeper
+      val repKeep = groups.select($"rep_id")
+        .join(comp.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+        .select($"rep_id", coalesce($"component", $"rep_id").as("keep_doc_id"))
+      members.join(repKeep, Seq("rep_id"))
+        .select($"doc_id", $"keep_doc_id")
+        .filter($"doc_id" =!= $"keep_doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Clusters over the SQL-reproducible edge set (the q_dedup_ngram_jaccard
+    // pairs — no seeded hashing anywhere), so the clustering pipeline also
+    // gets a hard DuckDB oracle: a recursive-CTE transitive closure
+    // computes the same min-id components.
+    "q_dedup_clusters_sql" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = queries("q_dedup_ngram_jaccard")(s, dir)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      graft.operators.ConnectedComponents.components(pairs)
+        .select($"id".as("doc_id"), $"component".as("keep_doc_id"))
         .filter($"doc_id" =!= $"keep_doc_id")
         .orderBy("doc_id")
     }),
@@ -288,6 +348,39 @@ object DedupQueries {
         |           - length(list_intersect(a.grams, b.grams)))
         |        * 10000 + 0.5) / 10000 >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters_sql" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) // 64 AS INT) AS len_band,
+        |    list_distinct(CASE WHEN length(toks) >= 3
+        |      THEN list_transform(range(1, length(toks) - 1),
+        |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS grams
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |            AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM docs a JOIN docs b
+        |    ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+        |  WHERE floor(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |          / (length(a.grams) + length(b.grams)
+        |             - length(list_intersect(a.grams, b.grams)))
+        |          * 10000 + 0.5) / 10000 >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT doc_id, keep_doc_id FROM (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS keep_doc_id
+        |  FROM reach GROUP BY src)
+        |WHERE doc_id <> keep_doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_editdist" ->
       """WITH docs AS (
