@@ -28,10 +28,42 @@ object HrPipeline {
       .schema(HrSchemas.all(table))
       .csv(s"$dir/$table.csv")
 
-  /** Transform + validate (reference main.py:59-148), pure lineage. */
+  /** Staging-zone re-export (reference extract.py:44-70, the script's
+    * `__main__`): every raw CSV present is re-written VERBATIM to a
+    * staging dir before any transform touches it; missing files are
+    * skipped, mirroring the reference's per-file existence check.
+    * Returns the staged table names.
+    *
+    * One observable type divergence from the reference, deliberate:
+    * pandas infers nullable integer columns (e.g. `manager_id` with
+    * missing values) as float64 and re-serializes them as "1.0"; the
+    * Spark reader carries the declared schema (HrSchemas), so staged
+    * integers stay integral. Both pipelines re-read staging with their
+    * own reader (pandas re-coerces, Spark re-applies the schema), so
+    * downstream results are identical — the staged zone here is simply
+    * type-faithful rather than float-mangled. */
+  def stage(spark: SparkSession, rawDir: String, stagingDir: String)
+      : Seq[String] =
+    HrSchemas.all.keys.toSeq.sorted.filter { t =>
+      val present = new java.io.File(s"$rawDir/$t.csv").exists()
+      if (present)
+        readCsv(spark, rawDir, t).write.mode(SaveMode.Overwrite)
+          .option("header", "true")
+          .option("dateFormat", "yyyy-MM-dd")
+          .csv(s"$stagingDir/$t.csv")
+      present
+    }
+
+  /** Transform + validate (reference main.py:59-148), pure lineage.
+    *
+    * @param singlePassDq false (default) keeps the reference's eager
+    *        one-action-per-check validation; true folds each table's
+    *        checks into a single action ([[HrValidate.validateAllSinglePass]],
+    *        4 jobs instead of ~13 — the right setting when the inputs are
+    *        big enough that each extra pass is a real scan) */
   def build(spark: SparkSession, employees: DataFrame, departments: DataFrame,
             reviews: DataFrame, projects: DataFrame, assignments: DataFrame,
-            asOf: Date): Outputs = {
+            asOf: Date, singlePassDq: Boolean = false): Outputs = {
     val dimDepartments = HrTransform.normalizeDepartments(departments)
     val dimEmployees = HrTransform.cleanEmployees(employees, asOf)
     val factReviews = HrTransform.cleanReviews(reviews)
@@ -44,11 +76,16 @@ object HrPipeline {
       dimEmployees, factReviews, dimDepartments)
     val workload = HrAggregates.projectWorkload(cleanProjects, factAssignments)
 
-    val checks = HrValidate.validateEmployees(spark, dimEmployees, dimDepartments)
-      .union(HrValidate.validateReviews(spark, factReviews, dimEmployees))
-      .union(HrValidate.validateAssignments(spark, factAssignments,
-        cleanProjects, dimEmployees))
-      .union(HrValidate.validateProjects(spark, cleanProjects))
+    val checks =
+      if (singlePassDq)
+        HrValidate.validateAllSinglePass(spark, dimEmployees, dimDepartments,
+          factReviews, cleanProjects, factAssignments)
+      else
+        HrValidate.validateEmployees(spark, dimEmployees, dimDepartments)
+          .union(HrValidate.validateReviews(spark, factReviews, dimEmployees))
+          .union(HrValidate.validateAssignments(spark, factAssignments,
+            cleanProjects, dimEmployees))
+          .union(HrValidate.validateProjects(spark, cleanProjects))
 
     Outputs(dimDepartments, dimEmployees, factReviews, factAssignments,
       summaryDept, summaryEmp, workload, checks)
@@ -106,4 +143,36 @@ object HrPipeline {
       writeJdbcTable(df, name, url,
         Map("user" -> user, "password" -> password), sessionInit)
     }
+
+  /** The reference's post-load index set (load.py:63-72,175-180): FK
+    * columns of the fact/dim tables. */
+  val loadIndexes: Seq[(String, String)] = Seq(
+    "dim_employees" -> "department_id",
+    "fact_performance_reviews" -> "employee_id",
+    "fact_project_assignments" -> "employee_id",
+    "fact_project_assignments" -> "project_id")
+
+  /** Sink-side index DDL (S7, reference load.py:63-72): plain JDBC
+    * statements on the TARGET database after the load — indexing is a
+    * sink concern, not a Spark plan concern (the lake-side analog is
+    * [[graft.sources.Layout]] bucketing/partitioning). Idempotent:
+    * an already-existing index is skipped. */
+  def createIndexes(url: String, options: Map[String, String] = Map.empty,
+                    indexes: Seq[(String, String)] = loadIndexes): Unit = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    // match Spark's JDBC writer quoting exactly: it passes the TABLE name
+    // through unquoted (case-folded by the database) but QUOTES every
+    // column identifier — so the index DDL must do the same or it misses
+    // the column on case-folding databases like Derby
+    def q(id: String) = "\"" + id + "\""
+    try indexes.foreach { case (table, column) =>
+      val st = conn.createStatement()
+      try st.execute(s"CREATE INDEX ${q(s"idx_${table}_$column")} " +
+        s"ON $table (${q(column)})")
+      catch { case _: java.sql.SQLException => () } // exists already
+      finally st.close()
+    } finally conn.close()
+  }
 }

@@ -119,6 +119,95 @@ object HrValidate {
       .union(checkAccuracy(spark, projects, "projects",
         col("budget").isNull || col("budget") > 0, "budget_null_or_positive"))
 
+  /** Single-pass variant of one table's whole check set: the eager API
+    * above mirrors the reference's one-action-per-check shape (~13 jobs
+    * over 5 tables during a build); this computes every check for a table
+    * in ONE action — all completeness and accuracy aggregates ride a
+    * single `agg`, and each FK check folds in as a left join against the
+    * parent's DISTINCT keys (distinct, so child rows never multiply;
+    * violations = countDistinct of unmatched keys, exactly the anti-join
+    * count). Emits the same (table, check, detail, violations) rows as
+    * the eager per-check calls, in the same order.
+    *
+    * @param pk       None = no completeness block (e.g. assignments)
+    * @param fks      (childFk, parentTable, parentPk) triples
+    * @param accuracy (validCond, label) pairs — checkAccuracy semantics
+    *                 (a null-valued condition IS a violation)
+    */
+  def singlePassChecks(spark: SparkSession, df: DataFrame, table: String,
+                       pk: Option[String], required: Seq[String],
+                       fks: Seq[(String, DataFrame, String)],
+                       accuracy: Seq[(org.apache.spark.sql.Column, String)])
+      : DataFrame = {
+    val pkPresent = pk.filter(df.columns.contains)
+    val missing = (pk.toSeq ++ required).filterNot(df.columns.contains)
+    val presentReq = required.filter(df.columns.contains)
+    val validFks = fks.zipWithIndex.filter { case ((fk, parent, ppk), _) =>
+      df.columns.contains(fk) && parent.columns.contains(ppk) }
+    val joined = validFks.foldLeft(df) { case (d, ((fk, parent, ppk), i)) =>
+      d.join(parent.select(col(ppk).as(s"__pk_$i")).distinct(),
+        col(fk) === col(s"__pk_$i"), "left")
+    }
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      pkPresent.toSeq.flatMap(p => Seq(
+        sum(when(col(p).isNull, 1L).otherwise(0L)).as("null_pk"),
+        (count(col(p)) - countDistinct(col(p))).as("dup_pk")) ++
+        presentReq.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))) ++
+      validFks.map { case ((fk, _, _), i) =>
+        countDistinct(when(col(fk).isNotNull && col(fk) =!= -1
+          && col(s"__pk_$i").isNull, col(fk))).as(s"fk_$i") } ++
+      accuracy.zipWithIndex.map { case ((cond, _), i) =>
+        sum(when(!coalesce(cond, lit(false)), 1L).otherwise(0L)).as(s"acc_$i") }
+    val row =
+      if (aggs.isEmpty) null
+      else joined.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val completeness = (pkPresent match {
+      case Some(p) =>
+        result(spark, table, "null_pk", p, row.getAs[Long]("null_pk")) +:
+          result(spark, table, "duplicate_pk", p, row.getAs[Long]("dup_pk")) +:
+          presentReq.map(c => result(spark, table, "null_required", c,
+            row.getAs[Long](s"null_$c")))
+      case None => Nil
+    }) ++ missing.map(c => result(spark, table, "missing_column", c, 1L))
+    val fkRows = fks.zipWithIndex.map { case ((fk, _, ppk), i) =>
+      val v = if (validFks.exists(_._2 == i)) row.getAs[Long](s"fk_$i") else 0L
+      result(spark, table, "fk_consistency", s"$fk->$ppk", v) }
+    val accRows = accuracy.zipWithIndex.map { case ((_, label), i) =>
+      result(spark, table, "accuracy", label, row.getAs[Long](s"acc_$i")) }
+    (completeness ++ fkRows ++ accRows).reduce(_ union _)
+  }
+
+  /** The whole build-time DQ suite (validateEmployees/Reviews/Assignments/
+    * Projects) in four actions total — one per validated table — with
+    * check rows identical to the eager path. */
+  def validateAllSinglePass(spark: SparkSession, employees: DataFrame,
+                            departments: DataFrame, reviews: DataFrame,
+                            projects: DataFrame, assignments: DataFrame)
+      : DataFrame =
+    singlePassChecks(spark, employees, "employees", Some("employee_id"),
+      Seq("name", "salary", "hire_date"),
+      Seq(("department_id", departments, "department_id")),
+      Seq(
+        (col("status").isin("active", "inactive", "terminated", "leave"),
+          "status_enum"),
+        (!coalesce(col("status") === "active" && col("salary") <= 0,
+          lit(false)), "active_salary_positive")))
+      .union(singlePassChecks(spark, reviews, "performance_reviews",
+        Some("review_id"), Seq("employee_id", "rating", "review_date"),
+        Seq(("employee_id", employees, "employee_id")),
+        Seq((col("rating").between(1.0, 5.0), "rating_range"))))
+      .union(singlePassChecks(spark, assignments, "project_assignments",
+        None, Nil,
+        Seq(("project_id", projects, "project_id"),
+          ("employee_id", employees, "employee_id")),
+        Seq((col("allocation_percentage").between(0, 100),
+          "allocation_range"))))
+      .union(singlePassChecks(spark, projects, "projects",
+        Some("project_id"), Seq("project_name", "start_date"), Nil,
+        Seq((col("budget").isNull || col("budget") > 0,
+          "budget_null_or_positive"))))
+
   /** reference main.py:135-140: aggregate pass/fail stats over a unioned
     * check DataFrame. */
   def dqStats(checks: DataFrame): DataFrame =

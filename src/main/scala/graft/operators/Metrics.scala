@@ -14,7 +14,8 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * pass per table is a second 100 TB scan). `observe` itself also works on
   * streaming frames, but there the metrics arrive via
   * `StreamingQueryListener` progress events — [[Listener]] below only
-  * collects from BATCH query executions.
+  * collects from BATCH query executions; [[StreamingListener]] is its
+  * streaming twin.
   */
 object Metrics {
 
@@ -35,6 +36,38 @@ object Metrics {
   def attach(spark: SparkSession): Listener = {
     val l = new Listener
     spark.listenerManager.register(l)
+    l
+  }
+
+  /** Streaming twin of [[Listener]]: observed metrics on a streaming
+    * DataFrame arrive once per MICRO-BATCH via StreamingQueryListener
+    * progress events (not via QueryExecutionListener, which never sees
+    * them), so row counts ACCUMULATE across batches — `rows(name)` is the
+    * running total for the whole stream, `lastMetric(name)` the latest
+    * batch's full metric row. */
+  final class StreamingListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val totals = TrieMap.empty[String, Long]
+    private val last = TrieMap.empty[String, Row]
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit =
+      event.progress.observedMetrics.forEach { (k, v) =>
+        last.put(k, v)
+        if (v.schema != null && v.schema.fieldNames.contains("rows"))
+          totals.updateWith(k)(prev =>
+            Some(prev.getOrElse(0L) + v.getAs[Long]("rows")))
+      }
+    def rows(name: String): Option[Long] = totals.get(name)
+    def lastMetric(name: String): Option[Row] = last.get(name)
+  }
+
+  /** Register a fresh streaming metrics listener on the session; pair
+    * with `spark.streams.removeListener` when done. */
+  def attachStreaming(spark: SparkSession): StreamingListener = {
+    val l = new StreamingListener
+    spark.streams.addListener(l)
     l
   }
 

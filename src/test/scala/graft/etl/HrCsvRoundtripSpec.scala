@@ -14,6 +14,36 @@ import graft.SparkTestBase
 class HrCsvRoundtripSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("staging hop re-exports raw CSVs verbatim (extract.py __main__)") {
+    val raw = Files.createTempDirectory("hr_raw_stage").toString
+    val staging = Files.createTempDirectory("hr_staging").toString
+    def d(s: String) = Date.valueOf(s)
+    Seq(
+      (1L, "Alice", Option(101L), 40000.0, d("2020-01-01"), None: Option[Long], "Y", "active"),
+      (2L, "Bob", Option(101L), 70000.0, d("2021-01-01"), Option(1L), "N", "inactive"))
+      .toDF("employee_id", "name", "department_id", "salary", "hire_date",
+        "manager_id", "bonus_eligible", "status")
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("dateFormat", "yyyy-MM-dd").csv(s"$raw/employees.csv")
+    Seq((101L, "hr", "NYC", 100000.0, Option(1L)))
+      .toDF("department_id", "department_name", "location", "budget", "manager_id")
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$raw/departments.csv")
+
+    // only the two present tables stage; the other three are skipped
+    val staged = HrPipeline.stage(spark, raw, staging)
+    assert(staged === Seq("departments", "employees"))
+
+    // verbatim: re-reading staging with the same schema gives identical rows
+    // (incl. the nullable-int manager_id staying integral, not "1.0")
+    val before = HrPipeline.readCsv(spark, raw, "employees").collect().toSet
+    val after = HrPipeline.readCsv(spark, staging, "employees").collect().toSet
+    assert(after === before)
+    val rawLine = spark.read.text(s"$staging/employees.csv")
+      .filter($"value".contains("Bob")).collect()(0).getString(0)
+    assert(rawLine.contains(",1,") && !rawLine.contains("1.0"))
+  }
+
   test("csv in -> pipeline -> csv out roundtrip") {
     val raw = Files.createTempDirectory("hr_raw").toString
     val outDir = Files.createTempDirectory("hr_out").toString

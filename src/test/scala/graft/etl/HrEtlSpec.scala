@@ -198,4 +198,89 @@ class HrEtlSpec extends SparkTestBase {
     assert(report.contains("Tech"))          // highest avg salary = Charlie's dept
     assert(report.contains("Alice"))         // top rated
   }
+
+  test("single-pass DQ: identical check rows, one action per validated table") {
+    val cleanProjects = HrTransform.cleanProjects(projects, asOf)
+    def key(r: Row) = (r.getString(0), r.getString(1), r.getString(2))
+    // force the eager path (and all its ~13 per-check actions) BEFORE
+    // registering the counting listener
+    val eager = out.dqChecks.collect().map(r => key(r) ->
+      r.getAs[Long]("violations")).toMap
+
+    val actions = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    val sp = HrValidate.validateAllSinglePass(spark, out.dimEmployees,
+      out.dimDepartments, out.factReviews, cleanProjects, out.factAssignments)
+    // the 4 aggregations are synchronous; listener events are async — poll,
+    // then grace-sleep so a hypothetical 5th event would still be counted
+    val deadline = System.currentTimeMillis() + 10000
+    while (actions.get < 4 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(250)
+    spark.listenerManager.unregister(l)
+    assert(actions.get === 4)
+
+    val got = sp.collect().map(r => key(r) -> r.getAs[Long]("violations")).toMap
+    assert(got === eager)
+  }
+
+  /** The three fixture tables written as raw CSVs for the CLI entries. */
+  lazy val rawCsvDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("hr_entry_raw").toString
+    Seq("employees" -> employees, "departments" -> departments,
+      "performance_reviews" -> reviews, "projects" -> projects,
+      "project_assignments" -> assignments).foreach { case (name, df) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("header", "true").option("dateFormat", "yyyy-MM-dd")
+        .csv(s"$dir/$name.csv")
+    }
+    dir
+  }
+
+  test("entry point 2: transform + validate with previews (transform.py main)") {
+    val preview = HrTransformDemo.run(spark, rawCsvDir, asOf)
+    assert(preview.contains("validation:"))
+    assert(preview.contains("[dept_summary] 3 rows"))
+    assert(preview.contains("[emp_performance]"))
+    assert(preview.contains("[project_workload]"))
+    // Frank's null status is a known violation in this fixture
+    assert(preview.contains("employees.accuracy(status_enum): 1 violations"))
+  }
+
+  test("entry point 3: transform + load without report (load.py main)") {
+    val outDir = java.nio.file.Files.createTempDirectory("hr_entry_out").toString
+    val dbDir = java.nio.file.Files.createTempDirectory("hr_entry_db").toString
+    val url = s"jdbc:derby:$dbDir/hr;create=true"
+    HrLoadDemo.run(spark, rawCsvDir, outDir, asOf, Some(url))
+
+    // processed zone holds the six aligned tables
+    val dim = spark.read.option("header", "true")
+      .csv(s"$outDir/processed/dim_employees")
+    assert(dim.count() === 4)   // Alice, Charlie, Eve, Frank survive cleaning
+    // the JDBC load shipped the same rows
+    val loaded = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "dim_employees").load()
+    assert(loaded.count() === 4)
+    // and the reference's FK indexes exist on the sink (S7);
+    // createIndexes is idempotent — a second run must not throw
+    HrPipeline.createIndexes(url)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // Spark passes the table name through unquoted -> Derby uppercases
+      val rs = conn.getMetaData.getIndexInfo(null, null, "DIM_EMPLOYEES",
+        false, false)
+      var idx = Set.empty[String]
+      while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(idx += _)
+      assert(idx.exists(_.toUpperCase.contains("DEPARTMENT_ID")),
+        s"no department_id index among $idx")
+    } finally conn.close()
+  }
 }

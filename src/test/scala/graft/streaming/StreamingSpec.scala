@@ -71,6 +71,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("streaming metrics listener accumulates observed row counts") {
+    val listener = graft.operators.Metrics.attachStreaming(spark)
+    try {
+      val stream = EventStream.readEvents(spark, streamDir)
+      val q = EventStream.runToMemory(
+        graft.operators.Metrics.observeVolume(stream, "stream_volume",
+          nullCountCols = Seq("event_type")),
+        "observed_stream")
+      q.awaitTermination()
+      // progress events are async; poll like MetricsSpec does
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.rows("stream_volume").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(listener.rows("stream_volume") === Some(1000L))
+      assert(listener.lastMetric("stream_volume").get
+        .getAs[Long]("null_event_type") === 0L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming sessionization closes sessions consistent with batch") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.runToMemory(
