@@ -100,7 +100,10 @@ object SimilarityQueries {
     // IVF ANN: a coarse quantizer (deterministic mini-k-means) partitions
     // vectors into K cells; probes search only their nprobe nearest cells.
     // At 100 TB the cell id becomes the table's partition/bucket key, so a
-    // probe touches nprobe/K of the data. (Rows-only; AnnSpec checks
+    // probe touches nprobe/K of the data. Because the K centroids are a
+    // driver-side literal (bounded by K), cell assignment is a PURE
+    // PROJECTION — K codegen'd cosines + argmax per row, no join and no
+    // window shuffle anywhere on the big side. (Rows-only; AnnSpec checks
     // recall vs q_knn_brute.)
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
@@ -112,11 +115,10 @@ object SimilarityQueries {
       val assigned = assignCells(vecs, centroids)
       val probes = vecs.filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"v".as("qv"))
-      val wCell = Window.partitionBy($"query_id")
-        .orderBy(VectorFunctions.cosineSim($"qv", $"cv").desc, $"cell")
-      val probedCells = probes.join(broadcast(centroids))
-        .withColumn("crk", row_number().over(wCell))
-        .filter($"crk" <= nprobe)
+      // nprobe nearest cells per probe: the centroid scores are already a
+      // literal array expression — slice its top-nprobe indices
+      val probedCells = probes
+        .withColumn("cell", explode(nearestCells(centroids, $"qv", nprobe)))
         .select($"query_id", $"qv", $"cell")
       val w = Window.partitionBy($"query_id")
         .orderBy($"cosine".desc, $"neighbor_id")
@@ -132,41 +134,61 @@ object SimilarityQueries {
   )
 
   /** Deterministic mini-Lloyd: K centroids initialized from the first K
-    * vectors, `iters` reassign/update rounds. The result is ALWAYS a
-    * K-row literal frame: each round's centroids are collected to the
-    * driver (bounded by K — the one place collect is the right call) and
-    * re-broadcast as data, so consumers can reference the centroid table
-    * any number of times without re-executing the k-means lineage (the
-    * round-2 bench paid the whole quantizer twice: 1.98s -> 5.54s).
-    * Returns (cell, centroid_vector). */
-  private def ivfCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    * vectors, `iters` reassign/update rounds. Each round's centroids are
+    * collected to the DRIVER (bounded by K — the one place collect is the
+    * right call) and embedded back as literals, so the k-means lineage
+    * runs exactly once per round and never re-executes when consumers
+    * reference the centroids (the round-2 bench paid the whole quantizer
+    * twice: 1.98s -> 5.54s). Returns the (cell, centroid) pairs sorted by
+    * cell. */
+  private def ivfCentroids(vecs: DataFrame, k: Int, iters: Int)
+      : Seq[(Int, Seq[Double])] = {
     import vecs.sparkSession.implicits._
-    def toLiteral(df: DataFrame): DataFrame =
-      df.as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1).toDF("cell", "cv")
-    var centroids = toLiteral(vecs.filter($"vec_id" < k)
-      .select($"vec_id".cast("int").as("cell"), $"v".as("cv")))
+    var cents = vecs.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cell"), $"v".as("cv"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
     (0 until iters).foreach { _ =>
-      val assigned = assignCells(vecs, centroids)
-      centroids = toLiteral(assigned
+      cents = assignCells(vecs, cents)
         .select($"cell", posexplode($"v"))
         .groupBy($"cell", $"pos")
         .agg(avg($"col").as("m"))
         .groupBy($"cell")
         .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-          x => x.getField("m")).as("cv")))
+          x => x.getField("m")).as("cv"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
     }
-    centroids
+    cents
   }
 
-  /** Nearest centroid per vector by cosine (broadcast K cells). */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Cosine of `v` against every literal centroid, one array expression
+    * of K codegen'd CosineSim calls. */
+  private def centroidScores(cents: Seq[(Int, Seq[Double])],
+      v: Column): Column =
+    array(cents.map { case (_, cv) =>
+      VectorFunctions.cosineSim(v, typedLit(cv)) }: _*)
+
+  /** Nearest centroid per vector — a PURE PROJECTION (argmax over the
+    * literal score array; first match on ties = smallest cell, the same
+    * tiebreak the former broadcast-join + row_number plan used, without
+    * its per-row window shuffle). The score array is bound to a column
+    * first so the K cosines evaluate once, not once per argmax operand. */
+  private def assignCells(vecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
     import vecs.sparkSession.implicits._
-    val w = Window.partitionBy($"vec_id")
-      .orderBy(VectorFunctions.cosineSim($"v", $"cv").desc, $"cell")
-    vecs.join(broadcast(centroids))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"v", $"cell")
+    vecs.withColumn("__scores", centroidScores(cents, $"v"))
+      .withColumn("cell", element_at(typedLit(cents.map(_._1)),
+        array_position($"__scores", array_max($"__scores")).cast("int")))
+      .drop("__scores")
+  }
+
+  /** The `nprobe` nearest cell ids for a probe vector, best-first
+    * (score desc, cell asc — identical ordering to the former window). */
+  private def nearestCells(cents: Seq[(Int, Seq[Double])], qv: Column,
+      nprobe: Int): Column = {
+    val ranked = array(cents.map { case (cell, cv) =>
+      struct((-VectorFunctions.cosineSim(qv, typedLit(cv))).as("neg_score"),
+        lit(cell).as("cell")) }: _*)
+    transform(slice(array_sort(ranked), 1, nprobe), x => x.getField("cell"))
   }
 
   def oracleSql: Map[String, String] = Map(
