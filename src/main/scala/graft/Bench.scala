@@ -22,7 +22,12 @@ object Bench {
     // sorted, stable order: a Scala Map iterates in unspecified order, which
     // made cross-round per-query timings inherit whatever session state
     // earlier queries happened to leave behind
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter for local single-query iteration
+    // (the driver always invokes with no args -> full suite)
+    val picked =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

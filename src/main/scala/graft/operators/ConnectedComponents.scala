@@ -46,14 +46,16 @@ object ConnectedComponents {
   def components(edges: DataFrame, maxIter: Int = 15): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // Materialize the edge set ONCE: the caller's `edges` lineage is often an
-    // expensive candidate-generation pipeline (LSH banding + verification),
-    // and each propagation step below references `sym` once, twice per round
-    // — without materialization every round would re-run the whole upstream
-    // pipeline (measured 4x the query cost on the dedup-clusters benchmark).
+    // Materialize the edge set ONCE — the caller's `edges` lineage is often
+    // an expensive candidate-generation pipeline (LSH banding +
+    // verification) and the loop references `sym` twice per round — and
+    // materialize the DIRECTED edges before symmetrizing: unioning `edges`
+    // with its swap would clone the upstream lineage into both union
+    // branches and run it twice (the static planner finds no reusable
+    // exchange across the branches; measured 4.6s vs 2s on dedup-clusters).
+    val (e, eRdd) = materialize(edges.select($"src", $"dst"))
     val (sym, symRdd) = materialize(
-      edges.select($"src", $"dst")
-        .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      e.union(e.select($"dst".as("src"), $"src".as("dst")))
         .distinct())
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
@@ -85,6 +87,9 @@ object ConnectedComponents {
       // the count is the materializing action; if the SECOND step changed
       // nothing, the first step's output was already a fixed point
       changed = materialized.filter(coalesce($"did_change", lit(false))).count()
+      // the first count materialized `sym`; the directed edge cache only
+      // existed to keep the union from re-running the upstream pipeline
+      if (iter == 0) eRdd.unpersist(false)
       // previous round's blocks are superseded the moment this round is
       // materialized — free them NOW, not at session end
       if (prevRdd != null) prevRdd.unpersist(false)
@@ -92,6 +97,7 @@ object ConnectedComponents {
       labels = materialized.select($"id", $"component")
       iter += 1
     }
+    eRdd.unpersist(false) // idempotent; covers maxIter <= 0
     symRdd.unpersist(false)
     // silent non-convergence would split real components — fail loudly so
     // the caller raises maxIter for deep chain-shaped graphs

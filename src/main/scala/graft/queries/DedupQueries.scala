@@ -62,10 +62,19 @@ object DedupQueries {
     * explode_outer for the same InferFiltersFromGenerate reason as in
     * q_dedup_ngram_jaccard. */
   private def minhashLshPairs(docs: DataFrame, bands: Int = 8,
-      rows: Int = 4): DataFrame = {
-    import docs.sparkSession.implicits._
+      rows: Int = 4): DataFrame =
+    minhashLshPairsFromShingled(withShingles(docs, 3), bands, rows)
+
+  /** LSH pairs over an already-shingled (doc_id, grams) frame — callers
+    * that also need the gram arrays for verification (q_dedup_clusters)
+    * pass the SAME frame to both consumers so the exchange below it is
+    * computed once (ReuseExchange), instead of paying the interpreted
+    * shingle lambda once per plan branch. */
+  private def minhashLshPairsFromShingled(shingled: DataFrame,
+      bands: Int = 8, rows: Int = 4): DataFrame = {
+    import shingled.sparkSession.implicits._
     val k = bands * rows
-    val exploded = withShingles(docs, 3)
+    val exploded = shingled
       .select($"doc_id", explode_outer($"grams").as("shingle"))
     val sig = exploded
       .groupBy($"doc_id")
@@ -238,8 +247,16 @@ object DedupQueries {
         .join(groups, Seq("fp")).select($"rep_id", $"doc_id")
       val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
         .select($"doc_id", $"text")
-      val grams = withShingles(reps, 3).select($"doc_id", $"grams")
-      val nearPairs = minhashLshPairs(reps)
+      // Grams are computed BEFORE the repartition exchange (the upstream
+      // rep-join already spread the rows), so the LSH-signature branch and
+      // the verification branch below share one exchange subtree — Spark's
+      // ReuseExchange materializes the interpreted shingle lambda once
+      // instead of once per branch.
+      val grams = reps
+        .withColumn("__toks", toks($"text"))
+        .select($"doc_id", shinglesOf($"__toks", 3).as("grams"))
+        .repartition($"doc_id")
+      val nearPairs = minhashLshPairsFromShingled(grams)
         .select($"doc_a", $"doc_b")
         .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")), Seq("doc_a"))
         .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")), Seq("doc_b"))
