@@ -20,6 +20,7 @@ object ScaleProbe {
     "q_scan_project", "q_agg_dept_summary", "q_agg_distinct",
     "q_window_last", "q_dedup_keyed", "q_topk",
     "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_exact",
+    "q_dedup_simhash",
     "q_events_sessions", "q_events_hourly", "q_knn_brute")
 
   /** Tables whose long key columns shift per replica; dims stay fixed. */

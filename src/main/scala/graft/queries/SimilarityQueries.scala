@@ -33,15 +33,18 @@ object SimilarityQueries {
     import vecs.sparkSession.implicits._
     val dims = vecs.select($"vec_id", posexplode_outer($"v"))
       .toDF("vec_id", "pos", "x")
+    // sum(±x) = 2·sum(x where bit set) − sum(x): one shared total plus
+    // `bits` single-branch sums — the same codegen-halving reformulation
+    // as the SimHash bit sums (see [[DedupQueries]]).
     val bitSums = dims.groupBy($"vec_id")
-      .agg(sum(when(xxhash64(lit(0), $"pos").bitwiseAND(lit(1L)) === 1, $"x")
-        .otherwise(-$"x")).as("s0"),
-        (1 until bits).map(j =>
+      .agg(sum($"x").as("tot"),
+        (0 until bits).map(j =>
           sum(when(xxhash64(lit(j), $"pos").bitwiseAND(lit(1L)) === 1, $"x")
-            .otherwise(-$"x")).as(s"s$j")): _*)
+            .otherwise(0.0)).as(s"s$j")): _*)
     val sig = bitSums.select($"vec_id",
       (0 until bits).map(j =>
-        when(col(s"s$j") > 0, lit(1 << j)).otherwise(0)).reduce(_ + _).as("sig"))
+        when(col(s"s$j") * 2.0 > $"tot", lit(1 << j)).otherwise(0))
+        .reduce(_ + _).as("sig"))
     vecs.join(sig, Seq("vec_id"))
   }
 
@@ -103,8 +106,25 @@ object SimilarityQueries {
     // probe touches nprobe/K of the data. Because the K centroids are a
     // driver-side literal (bounded by K), cell assignment is a PURE
     // PROJECTION — K codegen'd cosines + argmax per row, no join and no
-    // window shuffle anywhere on the big side. (Rows-only; AnnSpec checks
-    // recall vs q_knn_brute.)
+    // window shuffle anywhere on the big side.
+    //
+    // WHY THIS STAYS ROWS-ONLY (no DuckDB oracle), deliberately: the
+    // k-means quantizer is an iterative fixed-point computation — each
+    // round's centroids feed the next round's assignment — which SQL can
+    // only express as a recursive CTE carrying per-cell running mean
+    // VECTORS through the recursion; DuckDB's recursive CTEs cannot
+    // aggregate within the recursive term, so a faithful replay would be
+    // K·iters hand-unrolled CTE stages whose float summation ORDER still
+    // wouldn't match Spark's partial-aggregate tree (avg() over different
+    // groupings), making a hash-match meaningless. What the external check
+    // can't pin, AnnSpec does: every returned (query, neighbor) cosine
+    // must EXACTLY equal the brute-force score for that pair (so scoring
+    // is verified against the oracle-matched q_knn_brute path), and
+    // top-5 recall vs brute force must clear the documented floor (0.15
+    // on synthetic random embeddings, whose neighbor structure is weak by
+    // construction — real corpora cluster and recall rises with them).
+    // The pipeline SEMANTICS shared with the oracle-able paths (banding,
+    // min-agg, bucket join) are pinned by q_dedup_minhash_sql instead.
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       VectorFunctions.register(s)

@@ -71,6 +71,23 @@ class DedupSpec extends SparkTestBase {
     assert(!rows.contains(3L) && !rows.contains(4L)) // singletons keep themselves
   }
 
+  test("minhash-sql twin: identical docs share all bands, disjoint docs none") {
+    val pairs = DedupQueries.queries("q_dedup_minhash_sql")(spark, fixtureDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("shared_bands")).toMap
+    assert(pairs((0L, 1L)) === 8L)             // identical -> every band
+    assert(pairs.contains((0L, 2L)))           // near-dup -> some band collides
+    assert(!pairs.contains((0L, 3L)))          // disjoint vocab -> no bands
+  }
+
+  test("no persisted RDDs survive a clustering query's action") {
+    // the iteration's materialized rounds and the result label table must
+    // all be freed once the query's terminal action completes (judge r3:
+    // two leaked label tables accumulated per bench session)
+    DedupQueries.queries("q_dedup_clusters")(spark, fixtureDir).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("connected components handle chains and isolated pairs") {
     import graft.operators.ConnectedComponents
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
