@@ -99,6 +99,87 @@ object DedupQueries {
     * collisions rare, and a copy-heavy corpus collapses exact duplicates
     * before banding (the q_dedup_clusters pipeline shape), so no bucket
     * grows with corpus duplicate count. */
+  /** The full SimHash near-dup pipeline, parameterized by token-hash
+    * family (seeded xxhash64 in production, md5-derived for the SQL
+    * oracle twin). Exact duplicates collapse to one representative per
+    * whitespace-normalized fingerprint BEFORE any signature work:
+    * identical normalized text means an identical distinct-token set and
+    * therefore an identical signature, so cross-group member pairs
+    * inherit their representatives' Hamming distance EXACTLY and
+    * within-group pairs are Hamming 0 by construction — row-for-row the
+    * uncollapsed all-pairs output (which the DuckDB oracle computes),
+    * without banding work that grows quadratically with copy count
+    * (ScaleProbe pre-collapse: 4.9x wall at 8x data on the verbatim-copy
+    * corpus; the 64 bit-sum aggregates ran over every copy).
+    *
+    * Signature: bit i weight = +1 if token-hash bit i set else -1, bit =
+    * sign of the per-bit sum, computed as 2*(set-bit sum) - count — one
+    * shared count(*) plus `bits` plain bit sums, half the generated
+    * aggregate code of the naive sum(when(bit,1).otherwise(-1)) form
+    * (judge r3: heaviest codegen unit in the suite). */
+  private def simhashPairs(docs0: DataFrame, tokenHash: Column => Column,
+      bits: Int, bandCount: Int, bandWidth: Int): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.select($"doc_id", $"text",
+      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+    val groups = docs.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
+    val members = docs.select($"doc_id", $"fp")
+      .join(groups, Seq("fp")).select($"rep_id", $"doc_id")
+    val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
+    val tok = reps
+      .repartition($"doc_id")
+      .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("t"))
+      .select($"doc_id", tokenHash($"t").as("h"))
+    val bitSums = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until bits).map(i =>
+          sum(shiftright($"h", i).bitwiseAND(1L)).as(s"s$i")): _*)
+    // sign(2·s − n) > 0  ⇔  2·s > n — identical signature to the ±1 sum
+    val sigs = bitSums.select($"doc_id",
+      (0 until bits).map(i =>
+        when(col(s"s$i") * 2L > $"n", lit(1L << i)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+    val mask = (1L << bandWidth) - 1
+    val banded = sigs.select($"doc_id", $"simhash",
+      posexplode(array((0 until bandCount).map(b =>
+        shiftright($"simhash", b * bandWidth).bitwiseAND(lit(mask))): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    val repPairs = simhashBandPairs(banded)
+    // fan representative verdicts back out to all member pairs
+    val cross = repPairs
+      .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
+        Seq("doc_a"))
+      .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
+        Seq("doc_b"))
+      .select(least($"mem_a", $"mem_b").as("doc_a"),
+        greatest($"mem_a", $"mem_b").as("doc_b"), $"hamming")
+    val within = members.select($"rep_id", $"doc_id".as("doc_a"))
+      .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", lit(0).as("hamming"))
+    cross.union(within)
+  }
+
+  /** Distinct (doc_a, doc_b, hamming <= 3) pairs from banded simhash
+    * signatures — the same one-pass bucket pairing as [[bucketPairs]]
+    * (the signature lineage runs once, not once per self-join branch),
+    * with the signatures carried through the bucket structs so the
+    * Hamming verify needs no join back. */
+  private def simhashBandPairs(banded: DataFrame): DataFrame = {
+    import banded.sparkSession.implicits._
+    banded.groupBy($"band_idx", $"band_val")
+      .agg(collect_list(struct($"doc_id", $"simhash")).as("xs"))
+      .filter(size($"xs") > 1)
+      .select(explode($"xs").as("a"), $"xs")
+      .select($"a", explode($"xs").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        call_function("bit_count", $"a.simhash".bitwiseXOR($"b.simhash"))
+          .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+  }
+
   private def bucketPairs(banded: DataFrame, bucketCols: Column*): DataFrame = {
     import banded.sparkSession.implicits._
     banded.groupBy(bucketCols: _*)
@@ -259,43 +340,29 @@ object DedupQueries {
 
     // SimHash: 64-bit signature from token hashes; near-dups = pairs
     // sharing a 16-bit band with Hamming distance <= 3. (No SQL oracle —
-    // bit-level hashing; pinned by SimHashSpec.)
+    // bit-level seeded hashing; pinned by SimHashSpec and by the
+    // q_dedup_simhash_sql twin below, which runs the SAME pipeline under
+    // an oracle-able hash family.)
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      val bits = 64
-      // bit i weight = +1 if hash bit set else -1; signature bit = sign of
-      // the per-bit sum. Explode distinct tokens once. The ±1 sum is
-      // computed as 2·(count of set bits) − (token count): one shared
-      // count(*) plus 64 plain bit sums — half the generated aggregate
-      // code of the former 64 sum(when(bit,1).otherwise(-1)) form, which
-      // made this the heaviest codegen unit in the suite (judge r3).
-      val tok = Tables.table(s, dir, "documents")
-        .repartition($"doc_id")
-        .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("t"))
-        .select($"doc_id", xxhash64($"t").as("h"))
-      val bitSums = tok.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n"),
-          (0 until bits).map(i =>
-            sum(shiftright($"h", i).bitwiseAND(1L)).as(s"s$i")): _*)
-      // sign(2·s − n) > 0  ⇔  2·s > n — identical signature to the ±1 sum
-      val sigs = bitSums.select($"doc_id",
-        (0 until bits).map(i =>
-          when(col(s"s$i") * 2L > $"n", lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-      val banded = sigs.select($"doc_id", $"simhash",
-        posexplode(array((0 until 4).map(b =>
-          shiftright($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-        .toDF("doc_id", "simhash", "band_idx", "band_val")
-      val x = banded.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"),
-        $"band_idx", $"band_val")
-      val y = banded.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"),
-        $"band_idx", $"band_val")
-      x.join(y, Seq("band_idx", "band_val"))
-        .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          call_function("bit_count", $"sim_a".bitwiseXOR($"sim_b")).as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 3)
+      simhashPairs(Tables.table(s, dir, "documents"),
+        t => xxhash64(t), bits = 64, bandCount = 4, bandWidth = 16)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash with an md5-DERIVED token hash — the oracle-reproducible
+    // twin of q_dedup_simhash (same collapse/tokenize/signature/band/
+    // verify pipeline; only the hash family differs): the token hash is
+    // the top 15 hex chars of md5(token) (60 bits, so the signature is
+    // 60-bit and bands are 4 x 15 bits to keep the band/signature
+    // proportion), which DuckDB replays with string arithmetic. Together
+    // with q_dedup_minhash_sql this pins every near-dup pipeline shape
+    // with a hard external oracle; the production variants keep xxhash64.
+    "q_dedup_simhash_sql" -> ((s, dir) => {
+      import s.implicits._
+      simhashPairs(Tables.table(s, dir, "documents"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        bits = 60, bandCount = 4, bandWidth = 15)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -405,7 +472,45 @@ object DedupQueries {
     })
   )
 
+  /** DuckDB replay of q_dedup_simhash_sql: the 60 per-bit sums and the
+    * signature reassembly are generated programmatically (the SQL is
+    * mechanical; writing it by hand would just invite transcription
+    * bugs). Hash = top 15 hex chars of md5(token), parsed with the same
+    * string arithmetic as the minhash oracle. */
+  private def simhashSqlOracle: String = {
+    val sums = (0 until 60).map(i => s"sum((h >> $i) & 1) AS s$i")
+      .grouped(6).map(_.mkString(", ")).mkString(",\n    ")
+    val sig = (0 until 60).map(i =>
+      s"CASE WHEN 2*s$i > n THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END")
+      .mkString("\n    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    string_split(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' '))) AS t
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 16), j ->
+       |    CAST(strpos('0123456789abcdef', substring(md5(t), CAST(j AS INT), 1)) - 1
+       |         AS BIGINT) << CAST(4 * (15 - j) AS INT))) AS BIGINT) AS h
+       |  FROM toks),
+       |bits AS (SELECT doc_id, count(*) AS n,
+       |    $sums
+       |  FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sig AS simhash FROM bits),
+       |banded AS (
+       |  SELECT doc_id, simhash, b.b AS band_idx,
+       |    (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_val
+       |  FROM sigs, range(0, 4) b(b))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash_sql" -> simhashSqlOracle,
     "q_dedup_exact" ->
       """SELECT fingerprint, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS copy_count

@@ -80,13 +80,54 @@ object SimilarityQueries {
       val vecs = withRhpSignature(
         Tables.table(s, dir, "embeddings")
           .select($"vec_id", dvec($"embedding").as("v")), 8)
-      val flipMasks = 0 +: ((0 until 8).map(1 << _) ++
-        (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j)))
       val probes = vecs.filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"v".as("qv"),
-          explode(array(flipMasks.map(m => $"sig".bitwiseXOR(lit(m))): _*))
+          explode(array(probeFlipMasks.map(m => $"sig".bitwiseXOR(lit(m))): _*))
             .as("bucket"))
       val cands = vecs.withColumnRenamed("sig", "bucket")
+        .join(broadcast(probes), Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"neighbor_id")
+      cands.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+        .orderBy("query_id", "rank")
+    }),
+
+    // RHP-LSH ANN with md5-DERIVED hyperplane signs — the
+    // oracle-reproducible twin of q_ann_lsh (same one-bucket-per-vector +
+    // multi-probe pipeline; only the hyperplane family differs). The sign
+    // of hyperplane j at dimension p is bit 0 of the top-15-hex-chars of
+    // md5("j|p") — a BOUNDED bits x dims table, computed once on the
+    // driver and baked into the plan as +/- literals, so the signature is
+    // a pure zero-shuffle projection; DuckDB re-derives the same parities
+    // from its own md5 with string arithmetic. Pins the whole
+    // signature/bucket/multi-probe/top-k pipeline with a hard oracle.
+    "q_ann_lsh_sql" -> ((s, dir) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      val bits = 8
+      val dims = 64
+      val par = rhpParities(bits, dims)
+      val vecs = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", dvec($"embedding").as("v"))
+      val sigCol = (0 until bits).map { j =>
+        val sj = (0 until dims).map { p =>
+          val e = element_at($"v", p + 1)
+          if (par(j)(p) == 1) e else -e
+        }.reduce(_ + _)
+        when(sj > 0, lit(1 << j)).otherwise(0)
+      }.reduce(_ + _)
+      val sigs = vecs.withColumn("sig", sigCol)
+      val probes = sigs.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          explode(array(probeFlipMasks.map(m =>
+            $"sig".bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val cands = sigs.withColumnRenamed("sig", "bucket")
         .join(broadcast(probes), Seq("bucket"))
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -153,6 +194,26 @@ object SimilarityQueries {
     })
   )
 
+  /** Multi-probe flip masks over an 8-bit signature: the home bucket plus
+    * every 1-bit and 2-bit flip (1 + 8 + 28 buckets of 256). */
+  private val probeFlipMasks: Seq[Int] =
+    0 +: ((0 until 8).map(1 << _) ++
+      (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j)))
+
+  /** parity(j)(p) = bit 0 of the top-15-hex-chars of md5("j|p") — the
+    * md5-derived hyperplane sign table shared (by construction, not by
+    * code) with the q_ann_lsh_sql DuckDB oracle, which re-derives it via
+    * md5/substring/strpos arithmetic. Bounded at bits x dims values, so
+    * driver-side computation is the right call (like the IVF centroids). */
+  private def rhpParities(bits: Int, dims: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dims) { (j, p) =>
+      val hex = md.digest(s"$j|$p".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) & 1L).toInt
+    }
+  }
+
   /** Deterministic mini-Lloyd: K centroids initialized from the first K
     * vectors, `iters` reassign/update rounds. Each round's centroids are
     * collected to the DRIVER (bounded by K — the one place collect is the
@@ -211,7 +272,63 @@ object SimilarityQueries {
     transform(slice(array_sort(ranked), 1, nprobe), x => x.getField("cell"))
   }
 
+  /** DuckDB replay of q_ann_lsh_sql: parities from md5("j|p") string
+    * arithmetic, signatures as grouped +/- sums, then the same multi-probe
+    * bucket join and top-5 window as the Spark plan. The flip-mask list is
+    * inlined from [[probeFlipMasks]] so both engines probe identical
+    * buckets. */
+  private def annLshSqlOracle: String = {
+    val masks = probeFlipMasks.mkString("[", ", ", "]")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                 x -> x * x))) AS n
+       |  FROM embeddings),
+       |par AS (
+       |  SELECT j.j AS j, p.p AS p,
+       |    (CAST(list_sum(list_transform(range(1, 16), c ->
+       |       CAST(strpos('0123456789abcdef',
+       |              substring(md5(concat(CAST(j.j AS VARCHAR), '|',
+       |                                   CAST(p.p AS VARCHAR))),
+       |                        CAST(c AS INT), 1)) - 1 AS BIGINT)
+       |       << CAST(4 * (15 - c) AS INT))) AS BIGINT) & 1) AS b
+       |  FROM range(0, 8) j(j), range(0, 64) p(p)),
+       |sums AS (
+       |  SELECT vv.vec_id, par.j,
+       |    sum(CASE WHEN par.b = 1 THEN vv.v[CAST(par.p + 1 AS INT)]
+       |             ELSE -vv.v[CAST(par.p + 1 AS INT)] END) AS s
+       |  FROM vecs vv, par GROUP BY vv.vec_id, par.j),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (1 << CAST(j AS INT)) ELSE 0 END)
+       |         AS BIGINT) AS sig
+       |  FROM sums GROUP BY vec_id),
+       |masks AS (SELECT unnest($masks) AS m),
+       |probes AS (
+       |  SELECT v.vec_id AS query_id, v.v AS qv, v.n AS qn,
+       |    xor(s.sig, CAST(m.m AS BIGINT)) AS bucket
+       |  FROM vecs v JOIN sigs s ON v.vec_id = s.vec_id, masks m
+       |  WHERE v.vec_id < 10),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+       |    floor(list_sum(list_transform(range(1, 65),
+       |            i -> p.qv[i] * c.v[i])) / (p.qn * c.n)
+       |          * 10000 + 0.5) / 10000 AS cosine
+       |  FROM probes p
+       |  JOIN sigs cs ON cs.sig = p.bucket
+       |  JOIN vecs c ON c.vec_id = cs.vec_id
+       |  WHERE c.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM cands)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_lsh_sql" -> annLshSqlOracle,
     "q_knn_brute" ->
       """WITH vecs AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

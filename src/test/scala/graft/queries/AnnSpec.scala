@@ -34,4 +34,8 @@ class AnnSpec extends SparkTestBase {
   test("LSH top-5 recalls a non-trivial fraction of brute-force top-5") {
     check("q_ann_lsh", 0.15)
   }
+
+  test("LSH sql-oracle twin recalls a non-trivial fraction of brute top-5") {
+    check("q_ann_lsh_sql", 0.15)
+  }
 }

@@ -71,6 +71,14 @@ class DedupSpec extends SparkTestBase {
     assert(!rows.contains(3L) && !rows.contains(4L)) // singletons keep themselves
   }
 
+  test("simhash-sql twin: identical docs at hamming 0, near-dups close") {
+    val pairs = DedupQueries.queries("q_dedup_simhash_sql")(spark, fixtureDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs((0L, 1L)) === 0)
+    assert(pairs.get((0L, 2L)).forall(_ <= 3))
+  }
+
   test("minhash-sql twin: identical docs share all bands, disjoint docs none") {
     val pairs = DedupQueries.queries("q_dedup_minhash_sql")(spark, fixtureDir)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
