@@ -95,6 +95,46 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition quality signals in the style of the Gopher corpus rules
+    // (Rae et al. 2021, "Scaling Language Models", appendix A1.1 — public
+    // filter heuristics for LLM corpus curation): duplicate word-3-gram
+    // fraction (boilerplate/looping detector), most-common-token share,
+    // and mean word length. Per-row expression work plus one explode+agg
+    // for the token mode; scales like the rest of the text suite.
+    "q_doc_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.table(s, dir, "documents")
+        .repartition($"doc_id")
+        .withColumn("__toks", tokens($"text"))
+      // 3-grams WITHOUT array_distinct (repetition is the signal here);
+      // bound to a column so the interpreted transform runs once, not once
+      // per consumer (see DedupQueries lambda notes)
+      val gramsCol = when(size($"__toks") >= 3,
+        transform(sequence(lit(0), size($"__toks") - 3),
+          i => concat_ws(" ", element_at($"__toks", i + 1),
+            element_at($"__toks", i + 2), element_at($"__toks", i + 3))))
+        .otherwise(array(concat_ws(" ", $"__toks")))
+      val perRow = base.withColumn("__grams", gramsCol)
+        .select($"doc_id",
+          Clean.roundHalfUp(lit(1.0) -
+            size(array_distinct($"__grams")).cast("double")
+              / size($"__grams"), 4).as("dup_3gram_frac"),
+          Clean.roundHalfUp(
+            length(regexp_replace(trim($"text"), "\\s+", "")).cast("double")
+              / size($"__toks"), 4).as("mean_word_len"))
+      val top = base.select($"doc_id", explode($"__toks").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_c"), sum($"c").as("n"))
+        .select($"doc_id",
+          Clean.roundHalfUp($"top_c".cast("double") / $"n", 4)
+            .as("top_token_frac"))
+      perRow.join(top, Seq("doc_id"))
+        .select($"doc_id", $"dup_3gram_frac", $"top_token_frac",
+          $"mean_word_len")
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: md5 over whitespace-normalized lowercase
     // text (the content-defined identity used by exact dedup).
     "q_doc_fingerprint" -> ((s, dir) => {
@@ -157,6 +197,43 @@ object TextQueries {
   def oracleSql: Map[String, String] = {
     val en = stopSql(StopwordLists.toMap.apply("en"))
     Map(
+      "q_doc_repetition" ->
+        """WITH docs AS (
+          |  SELECT doc_id, text,
+          |    string_split_regex(trim(text), '\s+') AS toks
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(toks) >= 3
+          |      THEN list_transform(range(1, length(toks) - 1),
+          |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+          |      ELSE [array_to_string(toks, ' ')] END AS grams
+          |  FROM docs),
+          |rep AS (
+          |  SELECT doc_id,
+          |    floor((1 - CAST(length(list_distinct(grams)) AS DOUBLE)
+          |           / length(grams)) * 10000 + 0.5) / 10000 AS dup_3gram_frac
+          |  FROM g),
+          |freq AS (
+          |  SELECT doc_id, t, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+          |  GROUP BY doc_id, t),
+          |top AS (
+          |  SELECT doc_id,
+          |    floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000
+          |      AS top_token_frac
+          |  FROM freq GROUP BY doc_id),
+          |wl AS (
+          |  SELECT doc_id,
+          |    floor(CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+          |            AS DOUBLE)
+          |          / length(string_split_regex(trim(text), '\s+'))
+          |          * 10000 + 0.5) / 10000 AS mean_word_len
+          |  FROM documents)
+          |SELECT r.doc_id, r.dup_3gram_frac, t.top_token_frac, w.mean_word_len
+          |FROM rep r JOIN top t USING (doc_id) JOIN wl w USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
       "q_doc_tokens" ->
         """SELECT doc_id, lang,
           |  CAST(length(text) AS INT) AS char_count,

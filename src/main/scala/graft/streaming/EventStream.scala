@@ -139,6 +139,32 @@ object EventStream {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("event_count"), col("session_value"))
 
+  /** Watermarked stream-stream interval join — correlate each `click`
+    * event with the same user's `purchase` events within `maxDelay` after
+    * it (attribution-window semantics; the streaming analog of
+    * [[graft.operators.RangeJoin]]'s bounded band). Both sides carry
+    * event-time watermarks and the join condition bounds `r_ts` to
+    * (l_ts, l_ts + maxDelay], so Spark evicts join state older than
+    * watermark + delay — state holds only the interval's events, not the
+    * stream. A self-join of one stream under two filters is the standard
+    * shape; inner stream-stream joins emit in Append mode as matches
+    * arrive. */
+  def correlate(events: DataFrame, leftType: String = "click",
+                rightType: String = "purchase",
+                maxDelay: String = "30 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", "2 hours")
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", "2 hours")
+    l.join(r, expr(
+      s"user_id = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval $maxDelay"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Sink: drive a streaming DataFrame into an in-memory table and block
     * until the source is drained (local smoke / tests). Windowed aggregates
     * need Complete mode to surface windows still behind the watermark. */

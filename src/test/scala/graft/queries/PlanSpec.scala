@@ -38,6 +38,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("near-dup and ANN candidate generation never plans an all-pairs join") {
+    // the whole point of banding/blocking: a cartesian or nested-loop join
+    // anywhere in these plans is a 100 TB scale-killer even if results
+    // stay correct
+    Seq("q_dedup_minhash_lsh", "q_dedup_minhash_sql", "q_dedup_simhash",
+      "q_dedup_simhash_sql", "q_dedup_ngram_jaccard", "q_dedup_editdist",
+      "q_ann_lsh", "q_ann_lsh_sql", "q_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("ann_lsh_sql probes via a broadcast bucket join") {
+    val p = plan("q_ann_lsh_sql")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("Bench's count() eliminates the presentation sorts") {
     val counted = SparkEntry.queries("q_scan_project")(spark, sf0001)
       .groupBy().count().queryExecution.executedPlan.toString

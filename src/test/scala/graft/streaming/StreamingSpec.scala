@@ -71,6 +71,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.correlate(stream), "correlated")
+    q.awaitTermination()
+    val got = spark.table("correlated")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+
+    // batch twin: the same bounded-interval join on the static table
+    val ev = Tables.table(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"),
+        $"event_type", $"value")
+    val l = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("l_id"), $"ts".as("l_ts"))
+    val r = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("r_user"), $"event_id".as("r_id"),
+        $"ts".as("r_ts"))
+    val want = l.join(r, expr(
+        "user_id = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval 30 minutes"))
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+
+    assert(got === want)
+    assert(want.nonEmpty) // the fixture actually exercises the join
+  }
+
   test("streaming metrics listener accumulates observed row counts") {
     val listener = graft.operators.Metrics.attachStreaming(spark)
     try {
