@@ -61,18 +61,19 @@ object Bench {
       val (sec, err) = runOnce(fn)
       (name, sec, err)
     }
+    // only a TIMED-pass failure disqualifies a measurement (its elapsed
+    // time is the time-to-throw, not a benchmark); a transient warm-pass
+    // failure still gets reported but must not drop a valid steady-state
+    // number from the total — that would skew cross-round comparisons
     val errors = (warm.collect { case (n, Some(e)) => n -> s"warm: $e" } ++
       timed.collect { case (n, _, Some(e)) => n -> e }).toMap
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e") }
-    // failed queries are excluded from the total (their elapsed time is the
-    // time-to-throw, not a benchmark) but stay visible in "errors"
-    val ok = timed.filter(t => !errors.contains(t._1))
-    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val ok = timed.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, e) => s"\"" + k + "\":\"" + e.replace("\\", "\\\\")
-        .replace("\"", "\\\"") + "\"" }
+      .map { case (k, e) => JsonUtil.quote(k) + ":" + JsonUtil.quote(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")

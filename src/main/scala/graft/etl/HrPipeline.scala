@@ -164,8 +164,13 @@ object HrPipeline {
   private def indexExists(conn: java.sql.Connection, table: String,
                           index: String): Boolean = {
     val md = conn.getMetaData
+    // scope the probe to the CONNECTION's schema — a null schema matches
+    // same-named tables in every schema (e.g. a staging or backup copy),
+    // which would wrongly report the index as existing and skip creating
+    // it on the schema actually being loaded
+    val schema = try conn.getSchema catch { case _: Throwable => null }
     Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-      val rs = md.getIndexInfo(null, null, t, false, true)
+      val rs = md.getIndexInfo(null, schema, t, false, true)
       try {
         var found = false
         while (!found && rs.next())

@@ -87,18 +87,6 @@ object DedupQueries {
     bucketPairs(banded, $"band_idx", $"band_hash")
   }
 
-  /** (doc_a, doc_b, shared_bands) candidate pairs from one-bucket-per-row
-    * signatures, in ONE pass over the signature lineage. A self-join on
-    * the bucket key reads the whole upstream pipeline (shingle lambda,
-    * hashing, min-aggregates) into BOTH join branches, and neither the
-    * static planner nor AQE deduplicates the two identical subtrees —
-    * profiled at sf0.1, the signature pipeline executed twice and
-    * dominated the query. Collecting each bucket's (few) members and
-    * exploding the ordered pairs runs the pipeline once. Bucket lists are
-    * bounded by the near-dup group size: LSH band width keeps random
-    * collisions rare, and a copy-heavy corpus collapses exact duplicates
-    * before banding (the q_dedup_clusters pipeline shape), so no bucket
-    * grows with corpus duplicate count. */
   /** The full SimHash near-dup pipeline, parameterized by token-hash
     * family (seeded xxhash64 in production, md5-derived for the SQL
     * oracle twin). Exact duplicates collapse to one representative per
@@ -180,6 +168,19 @@ object DedupQueries {
       .filter($"hamming" <= 3)
   }
 
+  /** (doc_a, doc_b, shared_bands) candidate pairs from one-bucket-per-row
+    * signatures, in ONE pass over the signature lineage. A self-join on
+    * the bucket key reads the whole upstream pipeline (shingle lambda,
+    * hashing, min-aggregates) into BOTH join branches, and neither the
+    * static planner nor AQE deduplicates the two identical subtrees —
+    * profiled at sf0.1, the signature pipeline executed twice and
+    * dominated the query. Collecting each bucket's (few) members and
+    * exploding the ordered pairs runs the pipeline once. Bucket lists are
+    * bounded by the near-dup group size: LSH band width keeps random
+    * collisions rare; on a copy-heavy corpus they grow with copy count,
+    * so the production clustering path collapses exact duplicates before
+    * banding (q_dedup_clusters) — feed collapsed representatives here
+    * when the corpus is duplicate-heavy. */
   private def bucketPairs(banded: DataFrame, bucketCols: Column*): DataFrame = {
     import banded.sparkSession.implicits._
     banded.groupBy(bucketCols: _*)

@@ -35,7 +35,12 @@ object SimilarityQueries {
       .toDF("vec_id", "pos", "x")
     // sum(±x) = 2·sum(x where bit set) − sum(x): one shared total plus
     // `bits` single-branch sums — the same codegen-halving reformulation
-    // as the SimHash bit sums (see [[DedupQueries]]).
+    // as the SimHash bit sums (see [[DedupQueries]]). Unlike the integer
+    // SimHash case this is equivalent only up to float rounding (two
+    // independently accumulated sums vs one mixed-sign sum), so a
+    // projection within ~1e-15 of zero could flip a signature bit; that
+    // moves a vector one bucket over, which multi-probe absorbs, and
+    // AnnSpec pins recall + exact score agreement rather than bucket ids.
     val bitSums = dims.groupBy($"vec_id")
       .agg(sum($"x").as("tot"),
         (0 until bits).map(j =>
