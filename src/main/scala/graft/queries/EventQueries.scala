@@ -49,6 +49,58 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Semi-structured extraction: parse the JSON `props` payload with a
+    // typed schema (from_json — codegen'd Jackson parse, no UDF) and
+    // aggregate the extracted field per event type. At 100 TB the parse
+    // is pure per-row work behind the scan; the schema makes malformed
+    // payloads NULL instead of failing the job.
+    "q_events_json" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      Tables.table(s, dir, "events")
+        .withColumn("k", from_json($"props", propsSchema).getField("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("event_count"),
+          count($"k").as("k_present"),
+          sum($"k").as("k_sum"),
+          min($"k").as("k_min"),
+          max($"k").as("k_max"),
+          Clean.roundHalfUp(avg($"k"), 2).as("k_avg"))
+        .orderBy("event_type")
+    }),
+
+    // Strict ordered conversion funnel with a 1-day attribution window
+    // per stage: first signup, first click within a day AFTER it, first
+    // purchase within a day after THAT — per user, then one summary row.
+    // Three conditional-min aggregations over one shuffle on user_id (the
+    // per-stage dependency is resolved by joining the previous stage's
+    // timestamp back); no window over the full stream, no driver loops.
+    "q_events_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select($"user_id", $"event_type", date_trunc("second", $"ts").as("sec"))
+      val s1 = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"sec").as("t1"))
+      val s2 = ev.filter($"event_type" === "click")
+        .join(s1, Seq("user_id"))
+        .filter($"sec" > $"t1" && $"sec" <= $"t1" + expr("interval 1 day"))
+        .groupBy($"user_id").agg(min($"sec").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter($"sec" > $"t2" && $"sec" <= $"t2" + expr("interval 1 day"))
+        .groupBy($"user_id").agg(min($"sec").as("t3"))
+      val users = ev.select($"user_id").distinct()
+      users
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("users_total"),
+          count($"t1").as("reached_signup"),
+          count($"t2").as("reached_click_after_signup"),
+          count($"t3").as("reached_purchase_after_click"))
+    }),
+
     // As-of join: for every purchase, the value of the user's latest
     // event at-or-before it from the reference stream (clicks). Uses the
     // union + ignore-nulls-window operator (graft.operators.AsOfJoin);
@@ -107,6 +159,42 @@ object EventQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_json" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS event_count,
+        |  CAST(count(k) AS BIGINT) AS k_present,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max,
+        |  floor(avg(k) * 100 + 0.5) / 100 AS k_avg
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS sec
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(sec) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(sec) AS t2 FROM ev
+        |       JOIN s1 ON ev.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND sec > t1
+        |         AND sec <= t1 + INTERVAL 1 DAY GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(sec) AS t3 FROM ev
+        |       JOIN s2 ON ev.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND sec > t2
+        |         AND sec <= t2 + INTERVAL 1 DAY GROUP BY ev.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS users_total,
+        |  CAST(count(t1) AS BIGINT) AS reached_signup,
+        |  CAST(count(t2) AS BIGINT) AS reached_click_after_signup,
+        |  CAST(count(t3) AS BIGINT) AS reached_purchase_after_click
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
         |  CAST(count(*) AS BIGINT) AS event_count,
