@@ -25,16 +25,9 @@ object DedupQueries {
   private def toks(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
-  /** Word w-shingles as space-joined strings, distinct. `t` MUST be a bound
-    * column (not an expression tree): `element_at` inside the lambda repeats
-    * its argument per element, so passing the tokenizer expression directly
-    * would re-run regexp+split per shingle (~10x query cost, measured). */
-  private def shinglesOf(t: Column, w: Int): Column =
-    array_distinct(
-      when(size(t) >= w,
-        transform(sequence(lit(0), size(t) - w),
-          i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o + 1)): _*)))
-        .otherwise(array(concat_ws(" ", t))))
+  /** Distinct word w-shingles — see [[Shingles]] for the shared
+    * definition and the bound-column requirement. */
+  private def shinglesOf(t: Column, w: Int): Column = Shingles.of(t, w)
 
   /** documents -> (doc_id, lang, grams) with tokens materialized first.
     * The input is repartitioned on doc_id before the (interpreted,

@@ -107,13 +107,9 @@ object TextQueries {
         .repartition($"doc_id")
         .withColumn("__toks", tokens($"text"))
       // 3-grams WITHOUT array_distinct (repetition is the signal here);
-      // bound to a column so the interpreted transform runs once, not once
-      // per consumer (see DedupQueries lambda notes)
-      val gramsCol = when(size($"__toks") >= 3,
-        transform(sequence(lit(0), size($"__toks") - 3),
-          i => concat_ws(" ", element_at($"__toks", i + 1),
-            element_at($"__toks", i + 2), element_at($"__toks", i + 3))))
-        .otherwise(array(concat_ws(" ", $"__toks")))
+      // the grams column is bound before use so the interpreted transform
+      // runs once, not once per consumer (see Shingles scaladoc)
+      val gramsCol = Shingles.of($"__toks", 3, distinct = false)
       val perRow = base.withColumn("__grams", gramsCol)
         .select($"doc_id",
           Clean.roundHalfUp(lit(1.0) -
