@@ -174,7 +174,8 @@ object DedupQueries {
     * so the production clustering path collapses exact duplicates before
     * banding (q_dedup_clusters) — feed collapsed representatives here
     * when the corpus is duplicate-heavy. */
-  private def bucketPairs(banded: DataFrame, bucketCols: Column*): DataFrame = {
+  private[queries] def bucketPairs(banded: DataFrame,
+      bucketCols: Column*): DataFrame = {
     import banded.sparkSession.implicits._
     banded.groupBy(bucketCols: _*)
       .agg(collect_list($"doc_id").as("ids"))
@@ -311,7 +312,12 @@ object DedupQueries {
       // its numeric value, so string-min == numeric-min, and the base-16
       // decode runs on 32 values per DOC after aggregation instead of 32
       // values per SHINGLE before it (profiled: per-row conv was ~1.3s of
-      // the 8.6s first cut at sf0.1).
+      // the 8.6s first cut at sf0.1). Considered and rejected: hashing
+      // only DISTINCT shingles and joining back (10x md5 reuse on this
+      // corpus) measured no faster at sf0.1 — the distinct+join shuffles
+      // eat the savings; on a Zipf-heavy 100 TB corpus that variant
+      // becomes the right trade and slots in at the explode without
+      // changing semantics.
       val withMd5 = exploded.select(($"doc_id" +:
         (0 until bands).map(b =>
           md5(concat(lit(b.toString), lit("|"), $"shingle")).as(s"mh$b"))): _*)
