@@ -51,6 +51,10 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same steady-state codegen cache as Bench: 13 queries x 4 factors
+      // would otherwise evict and recompile every stage per factor,
+      // polluting the growth ratios with compile noise
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -101,12 +101,7 @@ object DedupQueries {
   private def simhashPairs(docs0: DataFrame, tokenHash: Column => Column,
       bits: Int, bandCount: Int, bandWidth: Int): DataFrame = {
     import docs0.sparkSession.implicits._
-    val docs = docs0.select($"doc_id", $"text",
-      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
-    val groups = docs.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
-    val members = docs.select($"doc_id", $"fp")
-      .join(groups, Seq("fp")).select($"rep_id", $"doc_id")
-    val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
+    val (members, reps) = collapseExact(docs0)
     val tok = reps
       .repartition($"doc_id")
       .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("t"))
@@ -125,19 +120,49 @@ object DedupQueries {
       posexplode(array((0 until bandCount).map(b =>
         shiftright($"simhash", b * bandWidth).bitwiseAND(lit(mask))): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
-    val repPairs = simhashBandPairs(banded)
-    // fan representative verdicts back out to all member pairs
+    fanOut(simhashBandPairs(banded), members, "hamming", lit(0))
+  }
+
+  /** One representative (min doc_id) per whitespace-normalized-text
+    * fingerprint group: returns (members: rep_id -> doc_id, reps: the
+    * representative docs with their original columns). The collapse that
+    * keeps every near-dup pipeline's pair work independent of corpus copy
+    * count — identical normalized text means identical tokens, shingles,
+    * and signatures, so representative-level verdicts extend to members
+    * exactly (see [[fanOut]]). */
+  private def collapseExact(docs0: DataFrame): (DataFrame, DataFrame) = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.withColumn("fp",
+      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+    val groups = docs.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
+    val members = docs.select($"doc_id", $"fp")
+      .join(groups, Seq("fp")).select($"rep_id", $"doc_id")
+    val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
+      .drop("fp")
+    (members, reps)
+  }
+
+  /** Fan representative-level pair verdicts back out to all member pairs:
+    * cross-group pairs inherit their representatives' `payload` column
+    * verbatim (exact, because group members share the representative's
+    * signature); within-group pairs get `withinValue` (hamming 0 /
+    * all-bands-shared — what the uncollapsed computation yields for
+    * identical docs). Two hash joins on the group key — the fan-out is
+    * the (necessary) output size, never pairwise verification work. */
+  private def fanOut(repPairs: DataFrame, members: DataFrame,
+      payload: String, withinValue: Column): DataFrame = {
+    import repPairs.sparkSession.implicits._
     val cross = repPairs
       .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
         Seq("doc_a"))
       .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
         Seq("doc_b"))
       .select(least($"mem_a", $"mem_b").as("doc_a"),
-        greatest($"mem_a", $"mem_b").as("doc_b"), $"hamming")
+        greatest($"mem_a", $"mem_b").as("doc_b"), col(payload))
     val within = members.select($"rep_id", $"doc_id".as("doc_a"))
       .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", lit(0).as("hamming"))
+      .select($"doc_a", $"doc_b", withinValue.as(payload))
     cross.union(within)
   }
 
@@ -281,9 +306,20 @@ object DedupQueries {
     // sharing >=1 band bucket become candidate pairs. (No SQL oracle —
     // seeded xxhash64 is not reproducible in DuckDB; correctness is
     // pinned by DedupSpec against brute-force Jaccard instead.)
+    // Collapse-first like the other near-dup pipelines: banding runs over
+    // one representative per normalized-text fingerprint, and verdicts fan
+    // out to member pairs (within-group pairs share ALL 8 bands — what
+    // identical signatures yield), so neither signature work nor bucket
+    // lists grow with corpus copy count. Measured trade: ~+1s at sf0.1
+    // (whose 5000 docs contain only 8 exact dups, so the collapse is pure
+    // overhead there) for flat wall-clock on copy-heavy corpora
+    // (ScaleProbe 8x verbatim-copy: 1.96s vs unbounded bucket growth) —
+    // the 100 TB-first choice.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      minhashLshPairs(Tables.table(s, dir, "documents"))
+      val (members, reps) = collapseExact(Tables.table(s, dir, "documents"))
+      fanOut(minhashLshPairs(reps.select($"doc_id", $"text")), members,
+        "shared_bands", lit(8L))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -296,12 +332,16 @@ object DedupQueries {
     // hard hash-match oracle. The production path keeps seeded xxhash64
     // (cheaper, 64-bit); this twin exists to pin the PIPELINE semantics —
     // banding, min-aggregation, bucket join — with an external engine.
+    // Collapse-first like the production path; the DuckDB oracle computes
+    // the uncollapsed all-pairs form, so a green hash-match doubles as an
+    // external proof of the collapse/fan-out equivalence.
     "q_dedup_minhash_sql" -> ((s, dir) => {
       import s.implicits._
       val bands = 8
       val rows = 4
-      val docs = Tables.table(s, dir, "documents").select($"doc_id", $"text")
-      val exploded = withShingles(docs, 3)
+      val (members, reps) =
+        collapseExact(Tables.table(s, dir, "documents"))
+      val exploded = withShingles(reps.select($"doc_id", $"text"), 3)
         .select($"doc_id", explode_outer($"grams").as("shingle"))
       // Each md5 is BOUND to a column, and the 4 row windows are sliced
       // into their own columns, BEFORE the aggregate — feeding
@@ -334,7 +374,8 @@ object DedupQueries {
         (0 until bands).map(b => concat_ws(",",
           (0 until rows).map(r => col(s"m_${b}_$r").cast("string")): _*)): _*)))
         .toDF("doc_id", "band_idx", "band_key")
-      bucketPairs(banded, $"band_idx", $"band_key")
+      fanOut(bucketPairs(banded, $"band_idx", $"band_key"), members,
+        "shared_bands", lit(bands.toLong))
         .orderBy("doc_a", "doc_b")
     }),
 

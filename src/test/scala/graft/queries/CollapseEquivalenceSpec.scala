@@ -93,6 +93,37 @@ class CollapseEquivalenceSpec extends SparkTestBase {
     assert(bands(111L) !== bands(3L), "fixture lost its band straddle")
   }
 
+  test("minhash-lsh collapse is row-for-row the uncollapsed all-pairs form") {
+    // uncollapsed reference: 32 seeded-xxhash64 mins per doc (no
+    // collapse), band hash, plain banded self-join
+    val bands = 8
+    val rows = 4
+    val k = bands * rows
+    val exploded = docsWithGrams
+      .select($"doc_id", explode($"grams").as("shingle"))
+    val sig = exploded.groupBy($"doc_id")
+      .agg(min(xxhash64(lit(0), $"shingle")).as("m0"),
+        (1 until k).map(i => min(xxhash64(lit(i), $"shingle")).as(s"m$i")): _*)
+    val banded = sig.select($"doc_id", posexplode(array(
+      (0 until bands).map(b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val x = banded.select($"doc_id".as("doc_a"), $"band_idx", $"band_hash")
+    val y = banded.select($"doc_id".as("doc_b"), $"band_idx", $"band_hash")
+    val want = x.join(y, Seq("band_idx", "band_hash"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val got = DedupQueries.queries("q_dedup_minhash_lsh")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(got === want)
+    assert(want.exists { case (a, b, n) => a == 0L && b == 110L && n == 8L },
+      "whitespace variant must share all bands with its original")
+  }
+
   test("simhash collapse is row-for-row the uncollapsed all-pairs form") {
     // brute-force reference: per-doc 64-bit signature computed WITHOUT
     // collapse, banded self-join, distinct, hamming <= 3
