@@ -101,7 +101,7 @@ object DedupQueries {
   private def simhashPairs(docs0: DataFrame, tokenHash: Column => Column,
       bits: Int, bandCount: Int, bandWidth: Int): DataFrame = {
     import docs0.sparkSession.implicits._
-    val (members, reps) = collapseExact(docs0)
+    val (grouped, reps) = collapseExact(docs0)
     val tok = reps
       .repartition($"doc_id")
       .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("t"))
@@ -120,26 +120,29 @@ object DedupQueries {
       posexplode(array((0 until bandCount).map(b =>
         shiftright($"simhash", b * bandWidth).bitwiseAND(lit(mask))): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
-    fanOut(simhashBandPairs(banded), members, "hamming", lit(0))
+    fanOut(simhashBandPairs(banded), grouped, "hamming", lit(0))
   }
 
   /** One representative (min doc_id) per whitespace-normalized-text
-    * fingerprint group: returns (members: rep_id -> doc_id, reps: the
-    * representative docs with their original columns). The collapse that
+    * fingerprint group: returns (grouped: one row per fingerprint with
+    * rep_id + the member-id list, reps: the representative docs with
+    * their original columns). The collapse that
     * keeps every near-dup pipeline's pair work independent of corpus copy
     * count — identical normalized text means identical tokens, shingles,
     * and signatures, so representative-level verdicts extend to members
     * exactly (see [[fanOut]]). */
   private def collapseExact(docs0: DataFrame): (DataFrame, DataFrame) = {
     import docs0.sparkSession.implicits._
-    val docs = docs0.withColumn("fp",
-      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
-    val groups = docs.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
-    val members = docs.select($"doc_id", $"fp")
-      .join(groups, Seq("fp")).select($"rep_id", $"doc_id")
-    val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
-      .drop("fp")
-    (members, reps)
+    // ONE aggregation carries both the representative id and the member
+    // list — deriving members by joining docs back to groups would add a
+    // join to every fan-out branch's (re-executed) lineage
+    val grouped = docs0
+      .select($"doc_id", md5(regexp_replace(lower(trim($"text")), "\\s+", " "))
+        .as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"))
+    val reps = docs0.join(grouped.select($"rep_id".as("doc_id")), Seq("doc_id"))
+    (grouped, reps)
   }
 
   /** Fan representative-level pair verdicts back out to all member pairs:
@@ -147,11 +150,13 @@ object DedupQueries {
     * verbatim (exact, because group members share the representative's
     * signature); within-group pairs get `withinValue` (hamming 0 /
     * all-bands-shared — what the uncollapsed computation yields for
-    * identical docs). Two hash joins on the group key — the fan-out is
-    * the (necessary) output size, never pairwise verification work. */
-  private def fanOut(repPairs: DataFrame, members: DataFrame,
+    * identical docs). Two hash joins on the group key plus one pair
+    * explode over the (small) duplicate groups — the fan-out is the
+    * (necessary) output size, never pairwise verification work. */
+  private def fanOut(repPairs: DataFrame, grouped: DataFrame,
       payload: String, withinValue: Column): DataFrame = {
     import repPairs.sparkSession.implicits._
+    val members = grouped.select($"rep_id", explode($"ids").as("doc_id"))
     val cross = repPairs
       .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
         Seq("doc_a"))
@@ -159,8 +164,11 @@ object DedupQueries {
         Seq("doc_b"))
       .select(least($"mem_a", $"mem_b").as("doc_a"),
         greatest($"mem_a", $"mem_b").as("doc_b"), col(payload))
-    val within = members.select($"rep_id", $"doc_id".as("doc_a"))
-      .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
+    // within-group pairs straight off the member lists (one lineage pass,
+    // not a members self-join that re-executes the grouping twice)
+    val within = grouped.filter(size($"ids") > 1)
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode($"ids").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b", withinValue.as(payload))
     cross.union(within)
@@ -317,8 +325,8 @@ object DedupQueries {
     // the 100 TB-first choice.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val (members, reps) = collapseExact(Tables.table(s, dir, "documents"))
-      fanOut(minhashLshPairs(reps.select($"doc_id", $"text")), members,
+      val (grouped, reps) = collapseExact(Tables.table(s, dir, "documents"))
+      fanOut(minhashLshPairs(reps.select($"doc_id", $"text")), grouped,
         "shared_bands", lit(8L))
         .orderBy("doc_a", "doc_b")
     }),
@@ -339,7 +347,7 @@ object DedupQueries {
       import s.implicits._
       val bands = 8
       val rows = 4
-      val (members, reps) =
+      val (grouped, reps) =
         collapseExact(Tables.table(s, dir, "documents"))
       val exploded = withShingles(reps.select($"doc_id", $"text"), 3)
         .select($"doc_id", explode_outer($"grams").as("shingle"))
@@ -374,7 +382,7 @@ object DedupQueries {
         (0 until bands).map(b => concat_ws(",",
           (0 until rows).map(r => col(s"m_${b}_$r").cast("string")): _*)): _*)))
         .toDF("doc_id", "band_idx", "band_key")
-      fanOut(bucketPairs(banded, $"band_idx", $"band_key"), members,
+      fanOut(bucketPairs(banded, $"band_idx", $"band_key"), grouped,
         "shared_bands", lit(bands.toLong))
         .orderBy("doc_a", "doc_b")
     }),
