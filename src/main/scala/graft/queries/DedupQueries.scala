@@ -133,15 +133,24 @@ object DedupQueries {
     * exactly (see [[fanOut]]). */
   private def collapseExact(docs0: DataFrame): (DataFrame, DataFrame) = {
     import docs0.sparkSession.implicits._
+    // Degenerate documents — null, empty, or whitespace-only text — are
+    // excluded from near-dup candidate generation entirely: they all
+    // normalize to the same empty token content, which would give every
+    // such doc an identical signature and pair null docs with empty docs
+    // as "near-duplicates" (caught by NullTextSpec; real corpora contain
+    // these even though the oracle testdata doesn't). Exact dedup
+    // (q_dedup_exact) still groups them by fingerprint; near-dup scoring
+    // requires content. The SQL-twin oracles carry the same filter.
+    val docs = docs0.filter(length(trim($"text")) > 0)
     // ONE aggregation carries both the representative id and the member
     // list — deriving members by joining docs back to groups would add a
     // join to every fan-out branch's (re-executed) lineage
-    val grouped = docs0
+    val grouped = docs
       .select($"doc_id", md5(regexp_replace(lower(trim($"text")), "\\s+", " "))
         .as("fp"))
       .groupBy($"fp")
       .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"))
-    val reps = docs0.join(grouped.select($"rep_id".as("doc_id")), Seq("doc_id"))
+    val reps = docs.join(grouped.select($"rep_id".as("doc_id")), Seq("doc_id"))
     (grouped, reps)
   }
 
@@ -535,7 +544,7 @@ object DedupQueries {
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    string_split(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' '))) AS t
-       |  FROM documents),
+       |  FROM documents WHERE length(trim(text)) > 0),
        |hashed AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 16), j ->
        |    CAST(strpos('0123456789abcdef', substring(md5(t), CAST(j AS INT), 1)) - 1
@@ -604,7 +613,8 @@ object DedupQueries {
         |  FROM (SELECT doc_id,
         |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
         |            AS toks
-        |        FROM documents)),
+        |        FROM documents
+        |        WHERE length(trim(text)) > 0)),
         |ex AS (SELECT doc_id, unnest(grams) AS shingle FROM docs),
         |hashed AS (
         |  SELECT doc_id, b.b AS band_idx,
