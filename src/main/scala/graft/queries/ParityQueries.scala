@@ -308,6 +308,24 @@ object ParityQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate percentiles (Greenwald-Khanna sketch): the
+    // constant-memory quantile path at 100 TB, where exact percentile's
+    // per-group value buffer is unbounded. accuracy=10000 bounds the RANK
+    // error at n/10000. (No SQL oracle — DuckDB's approx_quantile is a
+    // t-digest, a different sketch; PlanSpec pins the rank-error bound
+    // against exact percentile instead, the same treatment as the HLL
+    // approx-distinct query.)
+    "q_agg_approx_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 10000)")
+            .as("qty_median_approx"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("price_median_approx"))
+        .orderBy("l_returnflag")
+    }),
+
     // Hierarchical subtotals: ROLLUP over region -> nation with a grand
     // total row; subtotal key levels are null on both engines.
     "q_agg_rollup" -> ((s, dir) => {

@@ -59,6 +59,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("approx_percentile stays within its rank-error bound") {
+    // accuracy=10000 bounds rank error at n/10000; assert the approximate
+    // median lies between the exact p45 and p55 values — a rank window
+    // hundreds of times wider than the guarantee, so a sketch regression
+    // fails loudly while legitimate approximation never does
+    val approx = SparkEntry.queries("q_agg_approx_quantiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val bounds = Tables.table(spark, sf0001, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.45)"),
+        expr("percentile(l_quantity, 0.55)"),
+        expr("percentile(l_extendedprice, 0.45)"),
+        expr("percentile(l_extendedprice, 0.55)"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    bounds.foreach { case (flag, (qLo, qHi, pLo, pHi)) =>
+      val (q, p) = approx(flag)
+      assert(q >= qLo && q <= qHi, s"$flag qty median $q outside [$qLo,$qHi]")
+      assert(p >= pLo && p <= pHi, s"$flag price median $p outside [$pLo,$pHi]")
+    }
+  }
+
   test("Bench's count() eliminates the presentation sorts") {
     val counted = SparkEntry.queries("q_scan_project")(spark, sf0001)
       .groupBy().count().queryExecution.executedPlan.toString
