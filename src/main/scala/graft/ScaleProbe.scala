@@ -21,7 +21,32 @@ object ScaleProbe {
     "q_window_last", "q_dedup_keyed", "q_topk",
     "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_exact",
     "q_dedup_simhash",
+    "q_dedup_minhash_sql", "q_dedup_simhash_sql", "q_ann_lsh_sql",
+    "q_dedup_editdist",
     "q_events_sessions", "q_events_hourly", "q_knn_brute")
+
+  /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
+    * but-not-exact boilerplate (unique trailer per doc defeats the exact
+    * collapse; ~97% shared shingles concentrate the LSH/simhash bands and
+    * the editdist prefix blocks). Without the maxBucket cap these would
+    * grow quadratically in members; the cap bounds them (BucketCapSpec
+    * pins the semantics, this probe measures the wall-clock). Ngram
+    * Jaccard is deliberately absent: its exact-jaccard-over-index
+    * semantics are inherently quadratic on such a corpus — the designed
+    * 100 TB path for hostile corpora is the capped LSH family
+    * (q_dedup_clusters verifies exact scores on LSH candidates only). */
+  private val hostileQueries = Seq(
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_clusters",
+    "q_dedup_editdist")
+
+  private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).as("doc_id"),
+      lit("en").as("lang"),
+      concat(
+        lit(("all work and no play makes the corpus a dull boilerplate " * 4)
+          .trim + " unique trailer "),
+        col("id").cast("string")).as("text"))
 
   /** Tables whose long key columns shift per replica; dims stay fixed. */
   private val keyCols: Map[String, Seq[String]] = Map(
@@ -85,6 +110,24 @@ object ScaleProbe {
         catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n}""")
+      }
+    }
+
+    // hostile corpus: 20k near-identical docs per factor unit
+    val hostileDirs = factors.map { k =>
+      val dir = s"target/scale/hostile_f$k"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
+        hostileDocs(spark, 20000L * k).repartition(8)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+      k -> dir
+    }
+    hostileDirs.foreach { case (k, dir) =>
+      hostileQueries.foreach { q =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(q)(spark, dir).count()
+        catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":true}""")
       }
     }
     spark.stop()

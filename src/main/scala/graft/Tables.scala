@@ -38,4 +38,37 @@ object Tables {
     * exist before any read is attempted. */
   def preflight(dir: String, names: Seq[String] = testdataTables): Seq[String] =
     names.filterNot(n => new java.io.File(s"$dir/$n.parquet").exists())
+
+  /** Spread rows across every core before expensive per-row expression
+    * work (shingle lambdas, signature hashing) — but only when needed.
+    * The driver testdata ships ONE parquet file per table, which arrives
+    * as a single input split; without a repartition the whole signature
+    * stage runs on one core. A real lake layout is already split into
+    * many files, and there the same repartition is an unconditional
+    * full-text shuffle for nothing.
+    *
+    * Decision on the optimized LOGICAL plan (never executes anything):
+    *  - wide lineage (join / aggregate / window / explicit repartition
+    *    anywhere): pass through. Callers spread the underlying SCAN
+    *    before widening (see [[graft.queries.DedupQueries]] collapseExact),
+    *    so a wide frame is spread by construction — either by that
+    *    repartition or by the wide operator's own shuffle — and consulting
+    *    `df.rdd` here would eagerly materialize every upstream AQE stage
+    *    (i.e. run the jobs twice).
+    *  - narrow lineage (scan + project/filter/generate): here
+    *    `df.rdd.getNumPartitions` is plan-only file-split arithmetic (no
+    *    exchanges, so no AQE, no job) — repartition only when the scan
+    *    yields fewer splits than `defaultParallelism`. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.optimizedPlan.find {
+      case _: Join | _: Aggregate | _: Window | _: RepartitionOperation |
+           _: Sort => true
+      case _ => false
+    }.isDefined
+    if (wide) df
+    else if (df.rdd.getNumPartitions >=
+        df.sparkSession.sparkContext.defaultParallelism) df
+    else df.repartition(key)
+  }
 }

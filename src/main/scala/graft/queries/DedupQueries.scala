@@ -15,9 +15,14 @@ import graft.{Clean, Tables}
   *    band, simhash band) so the only shuffles are hash-partitions on
   *    bucket keys and pair-joins happen within buckets — never an
   *    all-pairs cross join;
-  *  - worst-case bucket skew is bounded by construction (band width);
-  *    a salted re-bucket would slot in at the exchange if a hostile
-  *    corpus concentrated one band value.
+  *  - worst-case bucket skew is bounded by an ENFORCED membership cap
+  *    ([[capPerKey]], `spark.graft.dedup.maxBucket`, default 1000): a
+  *    hostile boilerplate corpus that concentrates one band value (or
+  *    one fingerprint group) gets its buckets truncated to the cap's
+  *    min-doc_id members, with the drop count surfaced as an observed
+  *    metric — never an unbounded collect_list row or an N² pair
+  *    explosion. Measured under an adversarial near-identical corpus in
+  *    ScaleProbe (SCALING.md).
   */
 object DedupQueries {
 
@@ -25,17 +30,72 @@ object DedupQueries {
   private def toks(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
+  /** Hard ceiling on per-bucket (and per-fingerprint-group) membership
+    * during candidate generation — `spark.graft.dedup.maxBucket`,
+    * default 1000. A bucket that exceeds it is not a near-dup
+    * neighborhood, it is degenerate template boilerplate: emitting its
+    * pairs would be quadratic in members (10M members = 10^14 pairs — no
+    * engine ships that output), and collecting its member list is an
+    * unbounded single row. Truncation keeps the cap's MIN-doc_id members
+    * (deterministic), consistent with how production corpus-curation
+    * pipelines treat degenerate clusters (drop or keep-one); the oracle
+    * corpora never approach the cap (max fingerprint group = 2 at sf0.1),
+    * so hash-matches are unaffected. */
+  /** Modulus of the 2-universal affine minhash family used by the
+    * oracle twin: the Mersenne prime 2^31−1. With the base hash reduced
+    * below p, every a·h + b stays under 2^62, so Spark longs and DuckDB
+    * BIGINTs compute bit-identical values. */
+  private[queries] val MersenneP: Long = (1L << 31) - 1
+
+  /** Fixed (a_i, b_i) pairs for the 32 affine row-hash functions —
+    * deterministic (seeded) so the generated DuckDB oracle embeds the
+    * SAME constants; a_i is forced non-zero to keep each function
+    * injective mod p. */
+  private[queries] val affineConsts: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(20260812L)
+    Seq.fill(32)((1L + rng.nextInt((MersenneP - 1).toInt).toLong,
+      rng.nextInt(MersenneP.toInt).toLong))
+  }
+
+  private def maxBucket(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("spark.graft.dedup.maxBucket")
+      .map(_.toInt).getOrElse(1000)
+
+  /** Enforce [[maxBucket]] on `df` BEFORE a per-key collect_list: a
+    * row_number window keyed like the collect bounds both the pair
+    * explosion AND the agg buffer (the window's sort spills to disk;
+    * a giant collect_list row cannot). The window's exchange doubles as
+    * the aggregation's exchange (same key), so the normal-corpus plan
+    * gains only a per-partition sort of (key, doc_id) pairs. The number
+    * of members dropped by the cap (0 on a sane corpus) is surfaced as
+    * observed metric `hot_buckets_<tag>` (dropped_members, max_bucket). */
+  private[queries] def capPerKey(df: DataFrame, tag: String,
+      keys: Column*): DataFrame = {
+    import df.sparkSession.implicits._
+    val cap = maxBucket(df)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy($"doc_id")
+    df.withColumn("__rn", row_number().over(w))
+      .observe(s"hot_buckets_$tag",
+        coalesce(sum(when($"__rn" > cap, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_members"),
+        coalesce(max($"__rn".cast("long")), lit(0L)).as("max_bucket"))
+      .filter($"__rn" <= cap)
+      .drop("__rn")
+  }
+
   /** Distinct word w-shingles — see [[Shingles]] for the shared
     * definition and the bound-column requirement. */
   private def shinglesOf(t: Column, w: Int): Column = Shingles.of(t, w)
 
   /** documents -> (doc_id, lang, grams) with tokens materialized first.
-    * The input is repartitioned on doc_id before the (interpreted,
-    * per-row expensive) shingle lambda: the testdata arrives as a single
-    * parquet split, and a 100 TB corpus wants the signature work spread
-    * over every core regardless of input file layout. */
+    * The input is spread on doc_id before the (interpreted, per-row
+    * expensive) shingle lambda — conditionally ([[Tables.spread]]): the
+    * testdata arrives as a single parquet split that must fan out, but a
+    * pre-split lake input (or a post-join lineage, already hash-spread)
+    * skips the extra full-text exchange. */
   private def withShingles(df: DataFrame, w: Int): DataFrame =
-    df.repartition(col("doc_id"))
+    Tables.spread(df, col("doc_id"))
       .withColumn("__toks", toks(col("text")))
       .withColumn("grams", shinglesOf(col("__toks"), w))
       .drop("__toks")
@@ -57,6 +117,11 @@ object DedupQueries {
   private def minhashLshPairs(docs: DataFrame, bands: Int = 8,
       rows: Int = 4): DataFrame =
     minhashLshPairsFromShingled(withShingles(docs, 3), bands, rows)
+
+  /** Test seam for [[BucketCapSpec]]: the raw MinHash-LSH pair stage on
+    * an arbitrary (doc_id, text) frame, cap and all. */
+  private[queries] def minhashLshPairsForTest(docs: DataFrame): DataFrame =
+    minhashLshPairs(docs)
 
   /** LSH pairs over an already-shingled (doc_id, grams) frame — callers
     * that also need the gram arrays for verification (q_dedup_clusters)
@@ -102,8 +167,7 @@ object DedupQueries {
       bits: Int, bandCount: Int, bandWidth: Int): DataFrame = {
     import docs0.sparkSession.implicits._
     val (grouped, reps) = collapseExact(docs0)
-    val tok = reps
-      .repartition($"doc_id")
+    val tok = Tables.spread(reps, $"doc_id")
       .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("t"))
       .select($"doc_id", tokenHash($"t").as("h"))
     val bitSums = tok.groupBy($"doc_id")
@@ -141,13 +205,19 @@ object DedupQueries {
     // these even though the oracle testdata doesn't). Exact dedup
     // (q_dedup_exact) still groups them by fingerprint; near-dup scoring
     // requires content. The SQL-twin oracles carry the same filter.
-    val docs = docs0.filter(length(trim($"text")) > 0)
+    // Spread the raw scan HERE, before any widening: reps (a join off this
+    // frame) then inherits the fan-out through the join — broadcast joins
+    // preserve stream-side partitioning, shuffle joins re-spread anyway —
+    // so the downstream signature stages never need their own exchange
+    // (Tables.spread is a deliberate no-op on their wide lineages).
+    val docs = Tables.spread(docs0.filter(length(trim($"text")) > 0), $"doc_id")
     // ONE aggregation carries both the representative id and the member
     // list — deriving members by joining docs back to groups would add a
     // join to every fan-out branch's (re-executed) lineage
-    val grouped = docs
-      .select($"doc_id", md5(regexp_replace(lower(trim($"text")), "\\s+", " "))
-        .as("fp"))
+    val grouped = capPerKey(
+      docs.select($"doc_id",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp")),
+      "collapse", $"fp")
       .groupBy($"fp")
       .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"))
     val reps = docs.join(grouped.select($"rep_id".as("doc_id")), Seq("doc_id"))
@@ -190,7 +260,8 @@ object DedupQueries {
     * Hamming verify needs no join back. */
   private def simhashBandPairs(banded: DataFrame): DataFrame = {
     import banded.sparkSession.implicits._
-    banded.groupBy($"band_idx", $"band_val")
+    capPerKey(banded, "simhash_band", $"band_idx", $"band_val")
+      .groupBy($"band_idx", $"band_val")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("xs"))
       .filter(size($"xs") > 1)
       .select(explode($"xs").as("a"), $"xs")
@@ -219,7 +290,8 @@ object DedupQueries {
   private[queries] def bucketPairs(banded: DataFrame,
       bucketCols: Column*): DataFrame = {
     import banded.sparkSession.implicits._
-    banded.groupBy(bucketCols: _*)
+    capPerKey(banded, "bucket", bucketCols: _*)
+      .groupBy(bucketCols: _*)
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
       .select(explode($"ids").as("doc_a"), $"ids")
@@ -342,13 +414,21 @@ object DedupQueries {
 
     // MinHash-LSH with md5-DERIVED hash functions — the oracle-reproducible
     // twin of q_dedup_minhash_lsh (same banding pipeline, same plan shape;
-    // only the hash family differs). One md5 per (band, shingle); each
-    // band's 4 row-hashes are 28-bit values cut from its 32-hex digest
-    // (substring -> conv base16), so DuckDB can replay every hash with
-    // string arithmetic and the whole signature+banding pipeline gets a
-    // hard hash-match oracle. The production path keeps seeded xxhash64
-    // (cheaper, 64-bit); this twin exists to pin the PIPELINE semantics —
-    // banding, min-aggregation, bucket join — with an external engine.
+    // only the hash family differs). The 32 row-hash functions are the
+    // textbook 2-universal affine family h_i(x) = (a_i·x + b_i) mod p
+    // (p = 2^31−1, fixed-seed constants in [[affineConsts]]) over ONE
+    // md5-derived base hash per shingle — r4's 8 per-band digests cost 8
+    // md5/shingle and were the suite's slowest query (3.8–4.1s); the
+    // VERDICT-suggested 7-digest concatenation measured SLOWER still
+    // (8.9s — slicing 32 windows off a 224-char concat beats codegen out
+    // of the project), while one digest + 32 integer multiply-mods is
+    // 8× less digest work and pure codegen'd long arithmetic. Every
+    // operand stays below 2^62, so DuckDB replays the family exactly with
+    // BIGINT arithmetic and the whole signature+banding pipeline keeps
+    // its hard hash-match oracle. The production path keeps seeded
+    // xxhash64 (one 64-bit hash per (seed, shingle)); this twin exists to
+    // pin the PIPELINE semantics — banding, min-aggregation, bucket
+    // join — with an external engine.
     // Collapse-first like the production path; the DuckDB oracle computes
     // the uncollapsed all-pairs form, so a green hash-match doubles as an
     // external proof of the collapse/fan-out equivalence.
@@ -360,36 +440,26 @@ object DedupQueries {
         collapseExact(Tables.table(s, dir, "documents"))
       val exploded = withShingles(reps.select($"doc_id", $"text"), 3)
         .select($"doc_id", explode_outer($"grams").as("shingle"))
-      // Each md5 is BOUND to a column, and the 4 row windows are sliced
-      // into their own columns, BEFORE the aggregate — feeding
-      // conv(substring(md5(...))) straight into 32 min-aggregates lets the
-      // optimizer inline the md5 into each of its 4 consumers (4x the
-      // digest work). The min itself runs on the raw 7-char hex windows:
-      // fixed-width lowercase hex is lexicographically ordered exactly by
-      // its numeric value, so string-min == numeric-min, and the base-16
-      // decode runs on 32 values per DOC after aggregation instead of 32
-      // values per SHINGLE before it (profiled: per-row conv was ~1.3s of
-      // the 8.6s first cut at sf0.1). Considered and rejected: hashing
-      // only DISTINCT shingles and joining back (10x md5 reuse on this
-      // corpus) measured no faster at sf0.1 — the distinct+join shuffles
-      // eat the savings; on a Zipf-heavy 100 TB corpus that variant
-      // becomes the right trade and slots in at the explode without
-      // changing semantics.
-      val withMd5 = exploded.select(($"doc_id" +:
-        (0 until bands).map(b =>
-          md5(concat(lit(b.toString), lit("|"), $"shingle")).as(s"mh$b"))): _*)
-      val sliced = withMd5.select(($"doc_id" +:
-        (for { b <- 0 until bands; r <- 0 until rows } yield
-          substring(col(s"mh$b"), r * 7 + 1, 7).as(s"x_${b}_$r"))): _*)
-      val aggs = for { b <- 0 until bands; r <- 0 until rows } yield
-        min(col(s"x_${b}_$r")).as(s"h_${b}_$r")
-      val sig = sliced.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-        .select(($"doc_id" +:
-          (for { b <- 0 until bands; r <- 0 until rows } yield
-            conv(col(s"h_${b}_$r"), 16, 10).cast("long").as(s"m_${b}_$r"))): _*)
+      // The base hash is BOUND to a column BEFORE its 32 affine consumers
+      // — feeding pmod(conv(substring(md5(...))), p) straight into 32
+      // expressions would let CollapseProject duplicate the digest work
+      // into each consumer (measured 4x digest work in the r3 first
+      // cut). Considered and rejected: hashing only DISTINCT shingles
+      // and joining back (10x md5 reuse on this corpus) measured no
+      // faster at sf0.1 — the distinct+join shuffles eat the savings; on
+      // a Zipf-heavy 100 TB corpus that variant becomes the right trade
+      // and slots in at the explode without changing semantics.
+      val base = exploded.select($"doc_id",
+        pmod(conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long"),
+          lit(MersenneP)).as("h"))
+      val hashed = base.select(($"doc_id" +:
+        affineConsts.zipWithIndex.map { case ((a, b), i) =>
+          pmod($"h" * a + b, lit(MersenneP)).as(s"x_$i") }): _*)
+      val aggs = (0 until bands * rows).map(i => min(col(s"x_$i")).as(s"m_$i"))
+      val sig = hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
       val banded = sig.select($"doc_id", posexplode(array(
         (0 until bands).map(b => concat_ws(",",
-          (0 until rows).map(r => col(s"m_${b}_$r").cast("string")): _*)): _*)))
+          (0 until rows).map(r => col(s"m_${b * rows + r}").cast("string")): _*)): _*)))
         .toDF("doc_id", "band_idx", "band_key")
       fanOut(bucketPairs(banded, $"band_idx", $"band_key"), grouped,
         "shared_bands", lit(bands.toLong))
@@ -493,25 +563,94 @@ object DedupQueries {
     // levenshtein DP, the textbook cost control for edit-distance dedup.
     "q_dedup_editdist" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
+      // Collapse-first like every other near-dup pipeline (ScaleProbe
+      // measured 13x superlinear growth at 8x on a verbatim-copy corpus
+      // before this — editdist was the one near-dup path without it):
+      // identical normalized text ⇒ identical norm, prefix and length, so
+      // representative-level distances extend to members exactly, and
+      // within-group pairs are distance 0, which always passes the
+      // ≤ max_len/10 filter. The collapse key includes lang — identical
+      // texts under different langs must NOT pair (the blocked join never
+      // pairs across langs, and the DuckDB oracle computes the
+      // uncollapsed form, so the hash-match externally proves this
+      // equivalence). Prefix blocks are additionally the same
+      // hostile-skew family as LSH buckets (a boilerplate corpus shares
+      // one 16-char prefix): capPerKey bounds each block to its cap's
+      // min-doc_id members, so the blocked self-join is at most cap²
+      // levenshteins per block.
+      // null texts can never pair in the uncollapsed form (levenshtein
+      // against NULL is NULL, which fails the filter) — exclude them
+      // BEFORE grouping or the null-fp group would emit distance-0
+      // within-group pairs the oracle never produces
+      val all = Tables.table(s, dir, "documents")
         .select($"doc_id", $"lang",
           regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
-        .withColumn("prefix", substring($"norm", 1, 16))
+        .filter($"norm".isNotNull)
+      val groups = all
+        .select($"doc_id", $"lang", md5($"norm").as("fp"),
+          length($"norm").as("norm_len"))
+        .groupBy($"lang", $"fp")
+        .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"),
+          first($"norm_len").as("norm_len"))
+      val docs = capPerKey(
+        all.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
+          .withColumn("prefix", substring($"norm", 1, 16)),
+        "editdist", $"lang", $"prefix")
       val a = docs.select($"doc_id".as("doc_a"), $"lang", $"prefix",
         $"norm".as("norm_a"))
       val b = docs.select($"doc_id".as("doc_b"), $"lang", $"prefix",
         $"norm".as("norm_b"))
-      a.join(b, Seq("lang", "prefix"))
+      // enumerate pairs FIRST, spread them, THEN score. A hot block is
+      // one join key = one partition, so scoring fused into the join
+      // stage serializes every levenshtein of a boilerplate block on a
+      // single core (measured 282s on the hostile probe corpus). Two
+      // traps make the obvious fix not work: repartition(cols) alone
+      // lets AQE re-coalesce by shuffle BYTES (near-identical text
+      // compresses so well that 500k pending levenshteins look "tiny" —
+      // still one core), and CollapseProject sinks ANY deterministic
+      // projection below a RepartitionOperation, so a levenshtein
+      // projection placed after the exchange is quietly computed before
+      // it (jstack-verified: the DP ran inside the join's shuffle-map
+      // stage). The scoring therefore runs as a TYPED map — the one
+      // stage the optimizer cannot reorder — calling the same
+      // UTF8String.levenshteinDistance the SQL expression lowers to,
+      // with codepoint-counted lengths to match SQL length().
+      val repPairs = a.join(b, Seq("lang", "prefix"))
         .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          levenshtein($"norm_a", $"norm_b").as("edit_distance"),
-          greatest(length($"norm_a"), length($"norm_b")).as("max_len"))
+        .select($"doc_a", $"doc_b", $"norm_a", $"norm_b")
+        .repartition(s.sparkContext.defaultParallelism, $"doc_a", $"doc_b")
+        .as[(Long, Long, String, String)]
+        .map { case (da, db, na, nb) =>
+          val d = org.apache.spark.unsafe.types.UTF8String.fromString(na)
+            .levenshteinDistance(
+              org.apache.spark.unsafe.types.UTF8String.fromString(nb))
+          (da, db, d, math.max(na.codePointCount(0, na.length),
+            nb.codePointCount(0, nb.length)))
+        }
+        .toDF("doc_a", "doc_b", "edit_distance", "max_len")
         .filter($"edit_distance" <= $"max_len" / 10)
-        .orderBy("doc_a", "doc_b")
+      val members = groups.select($"rep_id", explode($"ids").as("m"))
+      val cross = repPairs
+        .join(members.select($"rep_id".as("doc_a"), $"m".as("ma")), Seq("doc_a"))
+        .join(members.select($"rep_id".as("doc_b"), $"m".as("mb")), Seq("doc_b"))
+        .select(least($"ma", $"mb").as("doc_a"),
+          greatest($"ma", $"mb").as("doc_b"), $"edit_distance", $"max_len")
+      val within = groups.filter(size($"ids") > 1)
+        .select($"norm_len", explode($"ids").as("doc_a"), $"ids")
+        .select($"doc_a", explode($"ids").as("doc_b"), $"norm_len")
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", lit(0).as("edit_distance"),
+          $"norm_len".as("max_len"))
+      cross.union(within).orderBy("doc_a", "doc_b")
     }),
 
     // Embedding cosine near-dup: same-label blocking, pairwise cosine via
     // the codegen'd CosineSim expression (graft.functions), threshold.
+    // Threshold 0.3, not the 0.8 a production near-dup filter would use:
+    // the synthetic embeddings' same-label cosine tops out at ~0.47 at
+    // sf0.01, so 0.8 made the oracle compare two empty results — a green
+    // hash-match that verified nothing (r4 VERDICT). 0.3 yields ~111 real
+    // pairs; the pair-generation and scoring logic is unchanged.
     "q_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       graft.functions.VectorFunctions.register(s)
@@ -525,7 +664,7 @@ object DedupQueries {
           Clean.roundHalfUp(
             graft.functions.VectorFunctions.cosineSim($"va", $"vb"), 4)
             .as("cosine"))
-        .filter($"cosine" >= 0.8)
+        .filter($"cosine" >= 0.3)
         .orderBy("vec_a", "vec_b")
     })
   )
@@ -567,6 +706,51 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB replay of q_dedup_minhash_sql: the 32 affine constants are
+    * embedded from [[affineConsts]] (generated, so both engines share one
+    * source of truth), the md5 base hash is parsed with the same string
+    * arithmetic as the simhash oracle, and everything after is BIGINT
+    * multiply-mod — bit-identical to Spark's long arithmetic because all
+    * operands stay below 2^62. */
+  private def minhashSqlOracle: String = {
+    val funcs = affineConsts.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .grouped(3).map(_.mkString(", ")).mkString(",\n    ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN length(toks) >= 3
+       |      THEN list_transform(range(1, length(toks) - 1),
+       |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+       |      ELSE [array_to_string(toks, ' ')] END) AS grams
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' ')
+       |            AS toks
+       |        FROM documents
+       |        WHERE length(trim(text)) > 0)),
+       |ex AS (SELECT doc_id, unnest(grams) AS shingle FROM docs),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(1, 16), j ->
+       |      CAST(strpos('0123456789abcdef',
+       |             substring(md5(shingle), CAST(j AS INT), 1)) - 1 AS BIGINT)
+       |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) % $MersenneP AS h
+       |  FROM ex),
+       |funcs(i, a, b) AS (VALUES
+       |    $funcs),
+       |vals AS (SELECT doc_id, f.i AS i, (h * f.a + f.b) % $MersenneP AS v
+       |         FROM hashed, funcs f),
+       |sig AS (SELECT doc_id, i, min(v) AS m FROM vals GROUP BY 1, 2),
+       |banded AS (SELECT doc_id, i // 4 AS band_idx,
+       |             string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
+       |           FROM sig GROUP BY 1, 2)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_bands
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_simhash_sql" -> simhashSqlOracle,
     "q_dedup_exact" ->
@@ -603,41 +787,7 @@ object DedupQueries {
         |        * 10000 + 0.5) / 10000 >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_minhash_sql" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN length(toks) >= 3
-        |      THEN list_transform(range(1, length(toks) - 1),
-        |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
-        |      ELSE [array_to_string(toks, ' ')] END) AS grams
-        |  FROM (SELECT doc_id,
-        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
-        |            AS toks
-        |        FROM documents
-        |        WHERE length(trim(text)) > 0)),
-        |ex AS (SELECT doc_id, unnest(grams) AS shingle FROM docs),
-        |hashed AS (
-        |  SELECT doc_id, b.b AS band_idx,
-        |    md5(concat(CAST(b.b AS VARCHAR), '|', shingle)) AS mh
-        |  FROM ex, range(0, 8) b(b)),
-        |hashrows AS (
-        |  SELECT doc_id, band_idx, r.r AS row_idx,
-        |    CAST(list_sum(list_transform(range(1, 8), j ->
-        |      CAST(strpos('0123456789abcdef',
-        |             substring(mh, CAST(r.r * 7 + j AS INT), 1)) - 1 AS BIGINT)
-        |      * (CAST(1 AS BIGINT) << CAST(4 * (7 - j) AS INT)))) AS BIGINT) AS h
-        |  FROM hashed, range(0, 4) r(r)),
-        |sig AS (SELECT doc_id, band_idx, row_idx, min(h) AS m
-        |        FROM hashrows GROUP BY 1, 2, 3),
-        |banded AS (SELECT doc_id, band_idx,
-        |             string_agg(CAST(m AS VARCHAR), ',' ORDER BY row_idx) AS band_key
-        |           FROM sig GROUP BY 1, 2)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(count(*) AS BIGINT) AS shared_bands
-        |FROM banded a JOIN banded b
-        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-        |  AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash_sql" -> minhashSqlOracle,
 
     "q_dedup_clusters_sql" ->
       """WITH RECURSIVE docs AS (
@@ -701,7 +851,7 @@ object DedupQueries {
         |FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE floor(list_sum(list_transform(range(1, 65),
         |          i -> a.v[i] * b.v[i])) / (a.norm * b.norm)
-        |        * 10000 + 0.5) / 10000 >= 0.8
+        |        * 10000 + 0.5) / 10000 >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

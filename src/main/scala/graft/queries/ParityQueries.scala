@@ -353,15 +353,49 @@ object ParityQueries {
         .orderBy("user_id")
     }),
 
-    // S3: per-table volume stats as a unioned count query.
+    // S3: per-table volume stats from parquet FOOTER metadata. A count(*)
+    // that scans data pages does distributed row-iteration for an answer
+    // the storage layer already wrote down: even as a single tagged-union
+    // job (tried first for r4 VERDICT #8) the 7 scans cost ~0.65s of
+    // tiny-task scheduling at sf0.1. Instead: list each table's files
+    // (driver-side, as Spark's own FileIndex does), read the footers'
+    // record counts in a distributed map over the file list — at 100 TB
+    // with millions of files that job parallelizes over files and moves
+    // only (table, count) pairs — and sum per table.
     "q_volume_counts" -> ((s, dir) => {
+      import s.implicits._
       val names = Seq("customer", "lineitem", "nation", "orders", "part",
         "region", "supplier")
-      names.map { n =>
-        Tables.table(s, dir, n)
-          .agg(count(lit(1)).as("row_count"))
-          .select(lit(n).as("table_name"), col("row_count"))
-      }.reduce(_ union _).orderBy("table_name")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val files: Seq[(String, String)] = names.flatMap { n =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+        val fs = p.getFileSystem(hconf)
+        val st = fs.getFileStatus(p)
+        val parts =
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+          else Seq(st)
+        parts.map(f => n -> f.getPath.toString)
+      }
+      files.toDF("table_name", "path")
+        .as[(String, String)]
+        .mapPartitions { it =>
+          // executor-side footer reads; a fresh Configuration suffices
+          // for the schemes in play (file/hdfs defaults) — the driver's
+          // Hadoop conf is not serializable to ship here
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { case (n, path) =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try (n, r.getRecordCount) finally r.close()
+          }
+        }
+        .toDF("table_name", "cnt")
+        .groupBy($"table_name")
+        .agg(sum($"cnt").as("row_count"))
+        .orderBy("table_name")
     })
   )
 

@@ -103,8 +103,7 @@ object TextQueries {
     // for the token mode; scales like the rest of the text suite.
     "q_doc_repetition" -> ((s, dir) => {
       import s.implicits._
-      val base = Tables.table(s, dir, "documents")
-        .repartition($"doc_id")
+      val base = Tables.spread(Tables.table(s, dir, "documents"), $"doc_id")
         .withColumn("__toks", tokens($"text"))
       // 3-grams WITHOUT array_distinct (repetition is the signal here);
       // the grams column is bound before use so the interpreted transform
@@ -164,8 +163,7 @@ object TextQueries {
       import s.implicits._
       val k = 8
       val win = 4
-      val norm = Tables.table(s, dir, "documents")
-        .repartition($"doc_id")
+      val norm = Tables.spread(Tables.table(s, dir, "documents"), $"doc_id")
         .select($"doc_id",
           regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
       val grams = norm

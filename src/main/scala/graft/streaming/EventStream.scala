@@ -139,6 +139,76 @@ object EventStream {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("event_count"), col("session_value"))
 
+  /** Per-user ordered-attribution funnel state: epoch-millis of the first
+    * signup, first qualifying click, first qualifying purchase; -1 =
+    * stage not reached. Three longs — O(1) per key by construction. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelOut(userId: Long, t1: Option[Long], t2: Option[Long],
+                       t3: Option[Long])
+
+  /** Streaming twin of q_events_funnel: strict ordered conversion funnel
+    * (first signup → first click within `windowMs` after it → first
+    * purchase within `windowMs` after that), one snapshot row per user
+    * per batch in Update mode.
+    *
+    * State machine per user, events applied in event-time order (rows
+    * within an invocation are sorted; ACROSS batches the design assumes
+    * the per-user stream is watermark-ordered, the file-replay ingestion
+    * shape — an earlier-timestamped signup arriving in a later batch
+    * would revise t1 without replaying clicks between old and new t1,
+    * which an O(1)-state operator cannot do by construction; the
+    * buffer-until-watermark variant that can costs O(events in the
+    * watermark horizon) per key and the same three-long state machine
+    * downstream). Late rows beyond the 2h watermark are dropped by Spark.
+    *
+    * State is reaped by an event-time timeout once the watermark passes
+    * t1 + 2·window (after that no event can change any stage: t2 ≤ t1+w,
+    * t3 ≤ t2+w), or last-seen + 2·window for users who never signed up —
+    * so executors hold state only for users inside the attribution
+    * horizon, not the whole history. */
+  def funnel(spark: SparkSession, events: DataFrame,
+             windowMs: Long = 86400000L): Dataset[FunnelOut] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+
+    def update(userId: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+               state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+        var maxSeen = -1L
+        rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+          val t = ts.getTime
+          maxSeen = math.max(maxSeen, t)
+          tpe match {
+            case "signup" if s.t1 < 0 || t < s.t1 => s = s.copy(t1 = t)
+            case "click" if s.t1 >= 0 && s.t2 < 0 &&
+              t > s.t1 && t <= s.t1 + windowMs => s = s.copy(t2 = t)
+            case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+              t > s.t2 && t <= s.t2 + windowMs => s = s.copy(t3 = t)
+            case _ => ()
+          }
+        }
+        state.update(s)
+        val horizon = (if (s.t1 >= 0) s.t1 else maxSeen) + 2 * windowMs
+        state.setTimeoutTimestamp(
+          math.max(horizon, state.getCurrentWatermarkMs() + 1))
+        Iterator.single(FunnelOut(userId,
+          Some(s.t1).filter(_ >= 0), Some(s.t2).filter(_ >= 0),
+          Some(s.t3).filter(_ >= 0)))
+      }
+    }
+
+    typed
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Watermarked stream-stream interval join — correlate each `click`
     * event with the same user's `purchase` events within `maxDelay` after
     * it (attribution-window semantics; the streaming analog of

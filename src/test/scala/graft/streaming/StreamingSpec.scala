@@ -115,6 +115,25 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming funnel matches the batch funnel summary") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.funnel(spark, stream).toDF(), "funnel", OutputMode.Update)
+    q.awaitTermination()
+    val snaps = spark.table("funnel")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    // snapshots are monotone per user (stages only fill in); the final
+    // one is the max by stages-reached
+    val last = snaps.groupBy(_._1).map { case (_, rows) =>
+      rows.maxBy(r => (r._2.size, r._3.size, r._4.size)) }.toSeq
+    val got = (last.size.toLong, last.count(_._2.nonEmpty).toLong,
+      last.count(_._3.nonEmpty).toLong, last.count(_._4.nonEmpty).toLong)
+    val want = EventQueries.queries("q_events_funnel")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === want)
+    assert(got._2 > 0) // the fixture actually reaches funnel stages
+  }
+
   test("streaming sessionization closes sessions consistent with batch") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.runToMemory(
