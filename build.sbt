@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's default forked-run outputStrategy is LoggedOutput, which prefixes
+// every program stdout line with "[info] " — that prefix breaks any
+// consumer that expects graft.Bench's raw one-line JSON on stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

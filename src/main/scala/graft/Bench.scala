@@ -88,19 +88,26 @@ object Bench {
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e") }
     val ok = timed.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + v }
+    // ms precision: nanosecond digits bloat the line, and the stdout line
+    // must stay well under 2000 chars — consumers that tail the run
+    // capture only the last ~2000 chars of output, and a line that long
+    // gets its head (the headline total!) truncated away
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
-    // both passes in the record so drift between them is diagnosable
-    // after the fact (a timed number far from its warm twin flags a
-    // contended measurement even when the median logic didn't fire)
+    // both passes stay diagnosable, but the warm dict goes to stderr as its
+    // own line: two per-query dicts on the stdout line pushed it past the
+    // 2000-char tail window (the r5 record lost the total and the first
+    // half of the per-query numbers to exactly that truncation)
     val warmJson = warm.filter(_._3.isEmpty)
-      .map { case (k, v, _) => JsonUtil.quote(k) + ":" + v }
+      .map { case (k, v, _) => JsonUtil.quote(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
+    System.err.println(s"""[bench] {"warm_queries":$warmJson}""")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, e) => JsonUtil.quote(k) + ":" + JsonUtil.quote(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_queries":$warmJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
