@@ -12,6 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    SimHash / embedding dedup
   *  - [[graft.queries.SimilarityQueries]] — brute-force + LSH ANN search
   *  - [[graft.queries.EventQueries]]      — event-time windows, sessions
+  *  - [[graft.queries.CurationQueries]]   — corpus curation (decontamination,
+  *    leakage audit, embedding stats, retention)
   */
 object SparkEntry {
 
@@ -26,7 +28,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (minhash/simhash/LSH — seeded
@@ -37,5 +40,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
-      graft.queries.EventQueries.oracleSql
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -89,17 +89,74 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L2 norm of an ARRAY<DOUBLE> column — same codegen rationale as
+  * [[CosineSim]] (one fused loop instead of an interpreted
+  * `aggregate(transform(...))` fold). Accumulation is a single
+  * left-to-right pass, so the value matches a sequential
+  * `list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)` replay bit
+  * for bit. Null array -> null; null elements skipped; empty -> 0.0. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects an ARRAY<DOUBLE> argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) { val x = a.getDouble(i); acc += x * x }
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $x = $a.getDouble($i);
+         |    $acc += $x * $x;
+         |  }
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API (built on the function registry
   * so no private Column constructors are needed). */
 object VectorFunctions {
 
-  /** Idempotently register `cosine_sim` on this session. Query builders
-    * call this with the session they receive. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register `cosine_sim` + `vec_norm` on this session.
+    * Query builders call this with the session they receive. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", exprs => VecNorm(exprs.head), "internal")
+  }
 
   /** cosine_sim(a, b) — callers must have invoked [[register]] on the
     * session that will analyze the plan. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** vec_norm(v) — callers must have invoked [[register]] on the session
+    * that will analyze the plan. */
+  def vecNorm(v: Column): Column = call_function("vec_norm", v)
 }

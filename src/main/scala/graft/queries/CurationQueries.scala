@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Clean, Tables}
+import graft.functions.VectorFunctions
+
+/** Training-data curation operators a 100 TB LLM corpus pipeline runs
+  * between raw ingestion and tokenization: benchmark decontamination,
+  * train/test leakage auditing, embedding-table health stats, and cohort
+  * retention over the event stream.
+  *
+  * Everything here is exact and oracle-checkable (no seeded randomness):
+  * n-gram machinery is the shared [[Shingles]] definition the dedup
+  * family already replays in DuckDB, splits are arithmetic-hash
+  * deterministic (same device as q_sample_stratified), and vector norms
+  * go through the codegen'd [[graft.functions.VecNorm]] whose
+  * left-to-right fold DuckDB mirrors with `list_reduce`.
+  */
+object CurationQueries {
+
+  /** Word w-gram inventory per doc: (doc_id + carried cols, exploded
+    * distinct grams). Degenerate (null/empty/whitespace) texts are
+    * excluded with the same `length(trim(text)) > 0` guard the dedup
+    * collapse uses — content-free docs share one vacuous gram and would
+    * cross-match every other content-free doc. */
+  private def gramInventory(docs: DataFrame, w: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val withToks = Tables.spread(docs.filter(length(trim($"text")) > 0), $"doc_id")
+      .withColumn("__toks", split(trim($"text"), "\\s+"))
+    withToks
+      .withColumn("gram", explode(Shingles.of($"__toks", w)))
+      .drop("__toks")
+  }
+
+  /** DuckDB replay of [[Shingles.of]] (distinct word w-grams with the
+    * whole-text fallback for short docs) — the same expression the
+    * jaccard/minhash oracles inline, factored once for this file. */
+  private def gramSql(w: Int): String =
+    s"""list_distinct(CASE WHEN length(toks) >= $w
+       |      THEN list_transform(range(1, length(toks) - ${w - 2}),
+       |           i -> array_to_string(toks[i:i+${w - 1}], ' '))
+       |      ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+
+  /** The deterministic split bucket shared by q_split_leakage and
+    * q_sample_stratified: arithmetic hash of doc_id in [0, 100). */
+  private def splitBucket = (col("doc_id") % 1000003L) * 31L + 7L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination (GPT-3 appendix C / Dolma-style): find
+    // corpus documents sharing any word 4-gram with a held-out benchmark
+    // set (here: the `src0` source). The benchmark gram set is tiny by
+    // construction (eval suites are KBs, corpora are TBs), so it
+    // broadcasts — the corpus side streams through map-side, no shuffle
+    // of corpus grams at all; the only exchange is the final per-doc
+    // count aggregation.
+    "q_doc_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val grams = gramInventory(docs.select($"doc_id", $"source", $"text"), 4)
+      val bench = grams.filter($"source" === "src0").select($"gram").distinct()
+      grams.filter($"source" =!= "src0")
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("shared_gram_count"))
+        .orderBy("doc_id")
+    }),
+
+    // Train/test leakage audit: deterministic 10% test split, then every
+    // test doc that shares any word 5-gram with ANY train doc is flagged
+    // with its shared-gram count. Unlike decontamination the reference
+    // set (train) is the BIG side, so it cannot broadcast: the join
+    // shuffles both gram inventories on `gram` — the shape Dolma/C4 run
+    // at corpus scale — and the distinct() on train grams is a partial
+    // (map-side) aggregation before that exchange.
+    "q_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val grams = gramInventory(docs.select($"doc_id", $"text"), 5)
+        .withColumn("is_test", splitBucket % 100L < 10L)
+      val train = grams.filter(!$"is_test").select($"gram").distinct()
+      grams.filter($"is_test")
+        .join(train, Seq("gram"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("shared_gram_count"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-table health stats: per-label count and L2-norm
+    // min/avg/max — the sanity report a pipeline prints before ANN
+    // indexing (all-zero vectors, norm drift between label shards).
+    // Norms are snapped to 1e-4 fixed point BEFORE aggregation so the
+    // group sums are exact integer arithmetic in both engines (a double
+    // sum's value depends on partial-aggregation order; a long sum
+    // doesn't).
+    "q_emb_label_stats" -> ((s, dir) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      Tables.table(s, dir, "embeddings")
+        .select($"label",
+          floor(VectorFunctions.vecNorm($"embedding".cast("array<double>"))
+            * 10000d + 0.5d).cast("long").as("norm_e4"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("vec_count"),
+          (min($"norm_e4") / 10000d).as("min_norm"),
+          Clean.roundHalfUp(sum($"norm_e4") / 10000d / count(lit(1)), 4)
+            .as("avg_norm"),
+          (max($"norm_e4") / 10000d).as("max_norm"))
+        .orderBy("label")
+    }),
+
+    // Weekly cohort retention over the event stream: users bucketed by
+    // first-activity week, active-user counts per (cohort, weeks-since)
+    // cell. Two shuffles on user_id (first-week agg + distinct activity
+    // weeks) then one on the small cohort grid; countDistinct's partial
+    // de-dup keeps the final exchange tiny at any scale.
+    "q_events_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+      val cohorts = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+      val activity = ev
+        .select($"user_id", date_trunc("week", $"ts").as("act_week"))
+        .distinct()
+      activity.join(cohorts, Seq("user_id"))
+        .groupBy($"cohort_week",
+          (datediff($"act_week", $"cohort_week") / 7).cast("int")
+            .as("week_offset"))
+        .agg(countDistinct($"user_id").as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_decontaminate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |g AS (
+         |  SELECT doc_id, source, unnest(${gramSql(4)}) AS gram
+         |  FROM docs),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_gram_count
+         |FROM g JOIN bench USING (gram)
+         |WHERE source <> 'src0'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    ((doc_id % 1000003) * 31 + 7) % 100 < 10 AS is_test,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |g AS (
+         |  SELECT doc_id, is_test, unnest(${gramSql(5)}) AS gram
+         |  FROM docs),
+         |train AS (SELECT DISTINCT gram FROM g WHERE NOT is_test)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_gram_count
+         |FROM g JOIN train USING (gram)
+         |WHERE is_test
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_emb_label_stats" ->
+      """WITH norms AS (
+        |  SELECT label,
+        |    CAST(floor(sqrt(list_reduce(
+        |      list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b)) * 10000 + 0.5) AS BIGINT) AS norm_e4
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS vec_count,
+        |  min(norm_e4) / 10000.0 AS min_norm,
+        |  floor(CAST(sum(norm_e4) AS DOUBLE) / 10000.0 / count(*)
+        |        * 10000 + 0.5) / 10000 AS avg_norm,
+        |  max(norm_e4) / 10000.0 AS max_norm
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, act_week) / 7 AS INT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM activity JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -341,6 +341,35 @@ object ParityQueries {
         .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
     }),
 
+    // Cube: all four grouping combinations of (status, priority) in one
+    // pass — the full-lattice sibling of q_agg_rollup's hierarchy. Spark
+    // expands the lattice BELOW the partial aggregate, so each combination
+    // still map-side combines before the single shuffle.
+    "q_agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"),
+          Clean.roundHalfUp(sum($"o_totalprice"), 2).as("total_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // Skew-salted aggregation (operators/Skew.scala) surfaced as a query:
+    // two-phase (key, salt) pre-aggregation whose merged result is
+    // provably the plain groupBy — which is exactly what the oracle
+    // checks. The salt spreads one hostile hot key over 16 reducers; the
+    // phase-2 shuffle carries at most |keys|x16 partial rows.
+    "q_agg_salted" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Skew
+        .saltedCountSum(Tables.table(s, dir, "events"),
+          $"event_type", $"event_id", $"value")
+        .select($"key".as("event_type"), $"cnt".as("event_count"),
+          Clean.roundHalfUp($"total", 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // Pivot: event types to columns via conditional aggregation (the
     // oracle spells out the CASE sums the pivot lowers to).
     "q_pivot_events" -> ((s, dir) => {
@@ -595,6 +624,20 @@ object ParityQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS order_count,
+        |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS event_count,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_pivot_events" ->
       """SELECT user_id,

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.VectorFunctions
+
+/** Pins the curation-suite semantics on hand-built fixtures the sf
+  * testdata can't isolate: planted contamination, degenerate-text
+  * exclusion, fixed-point norm stats, and retention's week arithmetic. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(name: String, dir: String = sf0001) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q_doc_decontaminate flags only docs sharing a 4-gram with src0") {
+    val out = run("q_doc_decontaminate")
+    val schema = out.columns.toSeq
+    assert(schema === Seq("doc_id", "shared_gram_count"))
+    // every flagged doc genuinely shares a distinct 4-gram inventory entry
+    // with some benchmark doc: spot-check via a brute-force recompute
+    val docs = graft.Tables.table(spark, sf0001, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"source",
+        Shingles.of(split(trim($"text"), "\\s+"), 4).as("grams"))
+    val bench = docs.filter($"source" === "src0")
+      .select(explode($"grams").as("g")).distinct()
+      .as[String].collect().toSet
+    val brute = docs.filter($"source" =!= "src0")
+      .select($"doc_id", explode($"grams").as("g"))
+      .filter($"g".isInCollection(bench.toSeq))
+      .groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got === brute)
+  }
+
+  test("leakage audit: degenerate texts are excluded, test rows only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toString
+    // doc_ids chosen so bucket = ((id%1000003)*31+7)%100: id=3 -> bucket 0
+    // (test); id=17 -> bucket 34 (train). Null/whitespace docs carry a
+    // gram-able twin id in the test split to prove exclusion.
+    Seq(
+      (3L, "a b c d e f", "en", "s1", 11L),     // test
+      (103L, null.asInstanceOf[String], "en", "s1", 0L), // test bucket, null
+      (203L, "   ", "en", "s1", 3L),            // test bucket, whitespace
+      (17L, "a b c d e f g", "en", "s2", 13L),  // train, shares 5-grams
+      (18L, "x y z w v u", "en", "s2", 11L))    // train, disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val buckets = Seq(3L, 103L, 203L, 17L, 18L)
+      .map(id => id -> ((id % 1000003L) * 31L + 7L) % 100L).toMap
+    assert(buckets(3L) < 10 && buckets(103L) < 10 && buckets(203L) < 10)
+    assert(buckets(17L) >= 10 && buckets(18L) >= 10)
+    val out = run("q_split_leakage", tmp).as[(Long, Long)].collect().toMap
+    // doc 3's distinct 5-grams {"a b c d e","b c d e f"} both appear in
+    // doc 17's inventory; null/whitespace docs must NOT leak (their
+    // "empty gram" would otherwise match nothing anyway, but the filter
+    // is what guarantees it at scale)
+    assert(out === Map(3L -> 2L))
+  }
+
+  test("q_emb_label_stats: fixed-point norms, exact group arithmetic") {
+    VectorFunctions.register(spark)
+    val out = run("q_emb_label_stats")
+    assert(out.columns.toSeq ===
+      Seq("label", "vec_count", "min_norm", "avg_norm", "max_norm"))
+    val rows = out.collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val (mn, av, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= av && av <= mx)
+      assert(mn > 0.0) // no zero vectors in the synthetic embeddings
+    }
+    // counts partition the table
+    val total = rows.map(_.getLong(1)).sum
+    assert(total ===
+      graft.Tables.table(spark, sf0001, "embeddings").count())
+  }
+
+  test("VecNorm: sequential fold semantics and edges") {
+    VectorFunctions.register(spark)
+    val out = Seq(
+      (1L, Some(Seq(3.0, 4.0))),       // 5.0
+      (2L, Some(Seq.empty[Double])),   // 0.0
+      (3L, None))                      // null
+      .toDF("id", "v")
+      .select($"id", VectorFunctions.vecNorm($"v").as("n"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(5.0))
+    assert(out(2L) === Some(0.0))
+    assert(out(3L) === None)
+  }
+
+  test("retention: offsets are whole weeks from each user's first week") {
+    val out = run("q_events_retention")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // week 0 of every cohort contains the cohort's own first activity, so
+    // offset 0 must exist for every cohort_week present
+    val byCohort = rows.groupBy(_.get(0))
+    byCohort.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).min === 0)
+    }
+    // active_users at offset 0 equals the cohort size (every user is
+    // active in their own first week by definition)
+    val cohortSizes = graft.Tables.table(spark, sf0001, "events")
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("w"))
+      .groupBy($"w").count()
+      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    byCohort.foreach { case (w, rs) =>
+      val zero = rs.find(_.getInt(1) == 0).get.getLong(2)
+      assert(zero === cohortSizes(w))
+    }
+  }
+}
