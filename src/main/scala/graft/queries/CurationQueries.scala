@@ -69,18 +69,24 @@ object CurationQueries {
     // Train/test leakage audit: deterministic 10% test split, then every
     // test doc that shares any word 5-gram with ANY train doc is flagged
     // with its shared-gram count. Unlike decontamination the reference
-    // set (train) is the BIG side, so it cannot broadcast: the join
-    // shuffles both gram inventories on `gram` — the shape Dolma/C4 run
-    // at corpus scale — and the distinct() on train grams is a partial
-    // (map-side) aggregation before that exchange.
+    // set (train) is the BIG side, so it cannot broadcast. A
+    // train-distinct + join formulation would execute the gram-explode
+    // lineage once per branch (the round-4 self-join lesson); instead ONE
+    // aggregation over the single gram stream carries both sides — a
+    // train-presence flag and the (tiny: none for ~all grams, the 10%
+    // sample of rare 5-grams otherwise) test-member list — so the corpus
+    // is exploded once and shuffled on `gram` once.
     "q_split_leakage" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
       val grams = gramInventory(docs.select($"doc_id", $"text"), 5)
         .withColumn("is_test", splitBucket % 100L < 10L)
-      val train = grams.filter(!$"is_test").select($"gram").distinct()
-      grams.filter($"is_test")
-        .join(train, Seq("gram"))
+      grams
+        .groupBy($"gram")
+        .agg(max(!$"is_test").as("in_train"),
+          collect_list(when($"is_test", $"doc_id")).as("test_ids"))
+        .filter($"in_train" && size($"test_ids") > 0)
+        .select(explode($"test_ids").as("doc_id"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("shared_gram_count"))
         .orderBy("doc_id")

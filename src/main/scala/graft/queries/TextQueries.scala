@@ -154,6 +154,78 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top terms per document. The idf is the BM25-style rational
+    // (N - df + 0.5) / (df + 0.5) rather than a logarithm: every term of
+    // the score is then built from integer counts with IEEE-exact
+    // +,-,*,/ only, so Spark and any other engine produce bit-identical
+    // doubles — a log() would tie the ranking to libm ulp behavior.
+    // Plan: one shuffle each for tf (doc,term), df (term), the tf<-df
+    // join (term), and the per-doc top-k window; N joins in as a 1-row
+    // broadcast.
+    "q_doc_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.spread(
+        Tables.table(s, dir, "documents")
+          .filter(length(trim($"text")) > 0), $"doc_id")
+      val terms = base.select($"doc_id",
+        explode(tokens(lower($"text"))).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = base.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"term",
+          ($"tf" * (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+            .as("score"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"term".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"doc_id", $"rank", $"term",
+          Clean.roundHalfUp($"score", 4).as("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Token-window chunking — the step that turns documents into
+    // training sequences: width-20 windows at stride 15 (5-token
+    // overlap), each chunk identified by its md5 so downstream chunk
+    // dedup can run without carrying text. Pure per-row explode work, no
+    // shuffle at all until a consumer aggregates.
+    "q_doc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val width = 20
+      val stride = 15
+      Tables.spread(
+        Tables.table(s, dir, "documents")
+          .filter(length(trim($"text")) > 0), $"doc_id")
+        .select($"doc_id", tokens($"text").as("__toks"))
+        .select($"doc_id", $"__toks",
+          explode(sequence(lit(1), size($"__toks"), lit(stride))).as("s"))
+        .select($"doc_id",
+          expr(s"CAST((s - 1) div $stride AS INT)").as("chunk_index"),
+          size(slice($"__toks", $"s", lit(width))).as("chunk_tokens"),
+          md5(concat_ws(" ", slice($"__toks", $"s", lit(width)))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    // Corpus vocabulary report: top-50 tokens by total frequency with
+    // document frequency — the Zipf sanity check before tokenizer
+    // training. Exact integer counts; the top-k is a TakeOrdered (per-
+    // partition heap + driver merge of 50-row partials), never a full
+    // sort at scale.
+    "q_doc_vocab" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("freq"),
+          countDistinct($"doc_id").as("doc_freq"))
+        .orderBy($"freq".desc, $"term".asc)
+        .limit(50)
+    }),
+
     // Winnowing fingerprints (rolling-hash document sketch): md5 of every
     // 8-char gram of the normalized text, sliding-window (w=4) minimum,
     // distinct survivors summarized per doc. Position explosion + window
@@ -296,6 +368,50 @@ object TextQueries {
           |WHERE ((doc_id % 1000003) * 31 + 7) % 100
           |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
           |ORDER BY doc_id""".stripMargin,
+
+      "q_doc_tfidf" ->
+        """WITH base AS (
+          |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+          |toks AS (
+          |  SELECT doc_id,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          |  FROM base),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM base),
+          |scored AS (
+          |  SELECT doc_id, term,
+          |    tf * ((n_docs - df + 0.5) / (df + 0.5)) AS score
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT doc_id, term, score,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY score DESC, term) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, CAST(rnk AS INT) AS rank, term,
+          |  floor(score * 10000 + 0.5) / 10000 AS tfidf
+          |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+      "q_doc_chunks" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |starts AS (
+          |  SELECT doc_id, t, unnest(range(1, length(t) + 1, 15)) AS s
+          |  FROM toks)
+          |SELECT doc_id,
+          |  CAST((s - 1) // 15 AS INT) AS chunk_index,
+          |  CAST(length(t[s:s+19]) AS INT) AS chunk_tokens,
+          |  md5(array_to_string(t[s:s+19], ' ')) AS chunk_hash
+          |FROM starts ORDER BY doc_id, chunk_index""".stripMargin,
+
+      "q_doc_vocab" ->
+        """SELECT term, CAST(count(*) AS BIGINT) AS freq,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          |FROM (SELECT doc_id,
+          |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          |      FROM documents WHERE length(trim(text)) > 0)
+          |GROUP BY term ORDER BY freq DESC, term LIMIT 50""".stripMargin,
 
       "q_doc_winnow" ->
         """WITH norm AS (

@@ -94,6 +94,60 @@ class CurationSpec extends SparkTestBase {
     assert(out(3L) === None)
   }
 
+  test("q_doc_tfidf: ranks are dense per doc and scores non-increasing") {
+    val rows = run("q_doc_tfidf")
+      .select($"doc_id", $"rank", $"tfidf")
+      .as[(Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.length <= 5)
+      // score ordering must agree with rank ordering
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_doc_chunks: stride-15/width-20 windows tile each document") {
+    val chunks = run("q_doc_chunks")
+      .select($"doc_id", $"chunk_index", $"chunk_tokens")
+      .as[(Long, Int, Int)].collect()
+    val nToks = graft.Tables.table(spark, sf0001, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk_index is dense from 0; starts are 1, 16, 31, ... <= n
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq)
+      assert(sorted.length === (n - 1) / 15 + 1)
+      // every chunk is full-width except possibly the tail ones
+      sorted.foreach { case (_, idx, ct) =>
+        assert(ct === math.min(20, n - idx * 15))
+      }
+    }
+  }
+
+  test("q_doc_vocab: exact counts, frequency-ordered top 50") {
+    val rows = run("q_doc_vocab")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 50 ||
+      rows.length < 50) // tiny sf may have < 50 distinct tokens
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ =>
+    }
+    rows.foreach { case (_, freq, docFreq) =>
+      assert(docFreq <= freq && docFreq >= 1)
+    }
+  }
+
   test("retention: offsets are whole weeks from each user's first week") {
     val out = run("q_events_retention")
     val rows = out.collect()
