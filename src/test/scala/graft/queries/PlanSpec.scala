@@ -53,6 +53,41 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination broadcasts the benchmark gram set") {
+    // the benchmark side is small by construction (eval suites vs a
+    // corpus); a sort-merge here would shuffle the full corpus gram
+    // inventory at 100 TB
+    val p = plan("q_doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("leakage audit and curation joins never plan an all-pairs join") {
+    // q_doc_tfidf's 1-row N frame is exempt: a single-row broadcast
+    // nested-loop join is the canonical scalar-subquery plan and carries
+    // no scale risk
+    Seq("q_split_leakage", "q_doc_decontaminate", "q_events_retention",
+      "q_doc_chunks", "q_doc_vocab", "q_emb_label_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("salted aggregation plans two exchanges, key-only on the outside") {
+    // phase 1 shuffles on (key, salt); phase 2 merges partials on key —
+    // the plan must contain BOTH hashpartitioning exchanges or the salt
+    // collapsed and the hot-key protection is gone
+    val p = plan("q_agg_salted")
+    assert(p.contains("hashpartitioning(key"), p)
+    // the salt's alias is inlined to _groupingexpression by the optimizer;
+    // what matters is that the phase-1 exchange partitions on BOTH the key
+    // and the pmod(xxhash64(...)) salt column
+    assert("hashpartitioning\\(event_type[^)]*_groupingexpression"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
   test("ann_lsh_sql probes via a broadcast bucket join") {
     val p = plan("q_ann_lsh_sql")
     assert(p.contains("BroadcastHashJoin"), p)
