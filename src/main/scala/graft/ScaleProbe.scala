@@ -23,7 +23,9 @@ object ScaleProbe {
     "q_dedup_simhash",
     "q_dedup_minhash_sql", "q_dedup_simhash_sql", "q_ann_lsh_sql",
     "q_dedup_editdist",
-    "q_events_sessions", "q_events_hourly", "q_knn_brute")
+    "q_events_sessions", "q_events_hourly", "q_knn_brute",
+    "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
+    "q_doc_chunks", "q_events_retention")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

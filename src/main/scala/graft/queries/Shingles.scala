@@ -1,24 +1,42 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.WordShingles
 
 /** The single source of the word w-shingle definition shared by the
-  * dedup family (distinct shingles for Jaccard/MinHash) and the text
-  * quality metrics (non-distinct for repetition rates) — one place to fix
-  * means both consumers stay in sync with each other and with the DuckDB
-  * oracles' `list_transform(range(...))` replay.
+  * dedup family (distinct shingles for Jaccard/MinHash), the text
+  * quality metrics (non-distinct for repetition rates), and the curation
+  * suite (decontamination / leakage grams) — one place to fix means all
+  * consumers stay in sync with each other and with the DuckDB oracles'
+  * `list_transform(range(...))` replay.
   *
-  * `t` MUST be a bound column (not an expression tree): `element_at`
-  * inside the lambda repeats its argument per element, so passing the
-  * tokenizer expression directly would re-run regexp+split per shingle
-  * (~10x query cost, measured). Documents with fewer than `w` tokens
-  * fall back to one whole-text shingle, so the output is never empty. */
+  * The windowing itself is the codegen'd [[graft.functions.WordShingles]]
+  * expression (registered idempotently on the active session): the
+  * composable `transform(sequence(...), i -> concat_ws(...))` it
+  * replaced is an interpreted higher-order function — per-element lambda
+  * dispatch on the hottest path of seven queries (measured before/after
+  * in the round-6 commit). Documents with fewer than `w` tokens fall
+  * back to one whole-text shingle, so the output is never empty; null
+  * token arrays keep the old `when(...)` semantics (size(null) = -1
+  * takes the fallback branch, yielding `[""]`).
+  */
 object Shingles {
+
+  private def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => exprs match {
+        case Seq(arr, Literal(v, IntegerType)) =>
+          WordShingles(arr, v.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(tokens, literal width)")
+      }, "internal")
+
   def of(t: Column, w: Int, distinct: Boolean = true): Column = {
-    val grams = when(size(t) >= w,
-      transform(sequence(lit(0), size(t) - w),
-        i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o + 1)): _*)))
+    register(SparkSession.active)
+    val grams = when(size(t) >= w, call_function("word_shingles", t, lit(w)))
       .otherwise(array(concat_ws(" ", t)))
     if (distinct) array_distinct(grams) else grams
   }
