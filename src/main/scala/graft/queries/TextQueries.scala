@@ -226,6 +226,47 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Collocation mining: top-30 word bigrams by a PMI-monotone lift
+    // score. Like q_doc_tfidf the score avoids log(): lift =
+    // (c_xy * N) / (c_x * c_y) is monotone in PMI = log(lift) and is
+    // built from exact long counts with one IEEE-exact division, so the
+    // ranking is bit-identical in any engine. A min-count floor (>= 5)
+    // keeps one-off pairs from dominating, as in the classic collocation
+    // setup. Two shuffles (bigram counts, unigram counts) + two
+    // broadcast-able joins; top-k is a TakeOrdered.
+    "q_doc_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.spread(
+        Tables.table(s, dir, "documents")
+          .filter(length(trim($"text")) > 0), $"doc_id")
+        .select($"doc_id", tokens(lower($"text")).as("__toks"))
+      val bigrams = base
+        .select(explode(Shingles.of($"__toks", 2, distinct = false)).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+        .withColumn("x", substring_index($"bg", " ", 1))
+        .withColumn("y", substring_index($"bg", " ", -1))
+      val unigrams = base
+        .select(explode($"__toks").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      val n = base.select(sum(size($"__toks")).as("n_tokens"))
+      bigrams
+        .join(unigrams.select($"t".as("x"), $"c".as("c_x")), Seq("x"))
+        .join(unigrams.select($"t".as("y"), $"c".as("c_y")), Seq("y"))
+        .crossJoin(broadcast(n))
+        .select($"bg".as("bigram"), $"c_xy",
+          // both products in double from the start: long*long silently
+          // wraps in Spark (and errors in ANSI engines) once corpus-scale
+          // counts multiply; double*double is IEEE-exact-rounded the same
+          // way everywhere
+          Clean.roundHalfUp(
+            ($"c_xy".cast("double") * $"n_tokens")
+              / ($"c_x".cast("double") * $"c_y"), 6)
+            .as("lift"))
+        .orderBy($"lift".desc, $"bigram".asc)
+        .limit(30)
+    }),
+
     // Winnowing fingerprints (rolling-hash document sketch): md5 of every
     // 8-char gram of the normalized text, sliding-window (w=4) minimum,
     // distinct survivors summarized per doc. Position explosion + window
@@ -412,6 +453,33 @@ object TextQueries {
           |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
           |      FROM documents WHERE length(trim(text)) > 0)
           |GROUP BY term ORDER BY freq DESC, term LIMIT 50""".stripMargin,
+
+      "q_doc_collocations" ->
+        """WITH base AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |bg AS (
+          |  SELECT unnest(CASE WHEN length(toks) >= 2
+          |    THEN list_transform(range(1, length(toks)),
+          |         i -> concat(toks[i], ' ', toks[i+1]))
+          |    ELSE [array_to_string(toks, ' ')] END) AS bg
+          |  FROM base),
+          |bgc AS (
+          |  SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg
+          |  HAVING count(*) >= 5),
+          |uni AS (
+          |  SELECT t, count(*) AS c
+          |  FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
+          |n AS (SELECT CAST(sum(length(toks)) AS BIGINT) AS n_tokens FROM base)
+          |SELECT bg AS bigram, CAST(c_xy AS BIGINT) AS c_xy,
+          |  floor((CAST(c_xy AS DOUBLE) * n_tokens)
+          |        / (CAST(ux.c AS DOUBLE) * uy.c) * 1000000 + 0.5) / 1000000
+          |    AS lift
+          |FROM bgc
+          |JOIN uni ux ON ux.t = split_part(bg, ' ', 1)
+          |JOIN uni uy ON uy.t = split_part(bg, ' ', -1)
+          |CROSS JOIN n
+          |ORDER BY lift DESC, bigram LIMIT 30""".stripMargin,
 
       "q_doc_winnow" ->
         """WITH norm AS (

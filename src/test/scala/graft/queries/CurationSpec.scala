@@ -148,6 +148,32 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_doc_collocations: lift-ordered, floor respected, parts real") {
+    val rows = run("q_doc_collocations")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { case (_, cxy, lift) =>
+      assert(cxy >= 5)
+      assert(lift > 0.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ =>
+    }
+    // every bigram's parts are corpus tokens with at least c_xy occurrences
+    val vocab = graft.Tables.table(spark, sf0001, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("t"))
+      .groupBy($"t").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (bg, cxy, _) =>
+      bg.split(" ").foreach { part =>
+        assert(vocab.getOrElse(part, 0L) >= cxy, s"$bg / $part")
+      }
+    }
+  }
+
   test("retention: offsets are whole weeks from each user's first week") {
     val out = run("q_events_retention")
     val rows = out.collect()
