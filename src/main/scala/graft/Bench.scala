@@ -92,7 +92,11 @@ object Bench {
     // must stay well under 2000 chars — consumers that tail the run
     // capture only the last ~2000 chars of output, and a line that long
     // gets its head (the headline total!) truncated away
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // renders a comma decimal separator under e.g. LANG=de_DE — invalid
+    // JSON on the one line a machine parses
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     // both passes stay diagnosable, but the warm dict goes to stderr as its

@@ -27,9 +27,9 @@ object CurationQueries {
   private def gramInventory(docs: DataFrame, w: Int): DataFrame = {
     import docs.sparkSession.implicits._
     val withToks = Tables.spread(docs.filter(length(trim($"text")) > 0), $"doc_id")
-      .withColumn("__toks", split(trim($"text"), "\\s+"))
+      .withColumn("__toks", TextQueries.tokens($"text"))
     withToks
-      .withColumn("gram", explode(Shingles.of($"__toks", w)))
+      .withColumn("gram", explode(Shingles.of(docs.sparkSession, $"__toks", w)))
       .drop("__toks")
   }
 
@@ -42,9 +42,9 @@ object CurationQueries {
        |           i -> array_to_string(toks[i:i+${w - 1}], ' '))
        |      ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
-  /** The deterministic split bucket shared by q_split_leakage and
-    * q_sample_stratified: arithmetic hash of doc_id in [0, 100). */
-  private def splitBucket = (col("doc_id") % 1000003L) * 31L + 7L
+  /** The deterministic split bucket in [0, 100) — the ONE definition
+    * shared with q_sample_stratified ([[TextQueries.sampleBucket]]). */
+  private def splitBucket = TextQueries.sampleBucket(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination (GPT-3 appendix C / Dolma-style): find
@@ -80,8 +80,15 @@ object CurationQueries {
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
       val grams = gramInventory(docs.select($"doc_id", $"text"), 5)
-        .withColumn("is_test", splitBucket % 100L < 10L)
-      grams
+        .withColumn("is_test", splitBucket < 10L)
+      // hot-gram guard: a boilerplate stop-gram groups ~10% of all docs
+      // (the whole test split) into ONE collect_list buffer. Cap members
+      // per (gram, side) with the dedup family's capPerKey — train rows
+      // only need presence, so capping them can't flip in_train, and the
+      // test list is bounded at maxBucket with dropped counts surfaced
+      // via the hot_buckets_leakage observed metric (0 on sane corpora,
+      // so the DuckDB oracle is unaffected at test scale)
+      DedupQueries.capPerKey(grams, "leakage", $"gram", $"is_test")
         .groupBy($"gram")
         .agg(max(!$"is_test").as("in_train"),
           collect_list(when($"is_test", $"doc_id")).as("test_ids"))
@@ -168,13 +175,19 @@ object CurationQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_emb_label_stats" ->
-      """WITH norms AS (
+      """WITH sq AS (
         |  SELECT label,
-        |    CAST(floor(sqrt(list_reduce(
-        |      list_transform(embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |      (a, b) -> a + b)) * 10000 + 0.5) AS BIGINT) AS norm_e4
-        |  FROM embeddings)
+        |    list_transform(list_filter(embedding, x -> x IS NOT NULL),
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sqs
+        |  FROM embeddings),
+        |norms AS (
+        |  -- mirrors VecNorm exactly: null elements skipped, empty -> 0.0
+        |  -- (list_reduce errors on an empty list, hence the CASE)
+        |  SELECT label,
+        |    CAST(floor(sqrt(CASE WHEN length(sqs) = 0 THEN 0.0
+        |      ELSE list_reduce(sqs, (a, b) -> a + b) END)
+        |      * 10000 + 0.5) AS BIGINT) AS norm_e4
+        |  FROM sq)
         |SELECT label, CAST(count(*) AS BIGINT) AS vec_count,
         |  min(norm_e4) / 10000.0 AS min_norm,
         |  floor(CAST(sum(norm_e4) AS DOUBLE) / 10000.0 / count(*)

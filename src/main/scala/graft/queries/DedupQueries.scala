@@ -86,7 +86,8 @@ object DedupQueries {
 
   /** Distinct word w-shingles — see [[Shingles]] for the shared
     * definition and the bound-column requirement. */
-  private def shinglesOf(t: Column, w: Int): Column = Shingles.of(t, w)
+  private def shinglesOf(spark: org.apache.spark.sql.SparkSession,
+      t: Column, w: Int): Column = Shingles.of(spark, t, w)
 
   /** documents -> (doc_id, lang, grams) with tokens materialized first.
     * The input is spread on doc_id before the (interpreted, per-row
@@ -97,7 +98,7 @@ object DedupQueries {
   private def withShingles(df: DataFrame, w: Int): DataFrame =
     Tables.spread(df, col("doc_id"))
       .withColumn("__toks", toks(col("text")))
-      .withColumn("grams", shinglesOf(col("__toks"), w))
+      .withColumn("grams", shinglesOf(df.sparkSession, col("__toks"), w))
       .drop("__toks")
 
   // NOTE on formulation: higher-order functions (transform/aggregate) are
@@ -523,7 +524,7 @@ object DedupQueries {
       // instead of once per branch.
       val grams = reps
         .withColumn("__toks", toks($"text"))
-        .select($"doc_id", shinglesOf($"__toks", 3).as("grams"))
+        .select($"doc_id", shinglesOf(reps.sparkSession, $"__toks", 3).as("grams"))
         .repartition($"doc_id")
       val nearPairs = minhashLshPairsFromShingled(grams)
         .select($"doc_a", $"doc_b")

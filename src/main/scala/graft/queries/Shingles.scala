@@ -34,8 +34,13 @@ object Shingles {
           "word_shingles(tokens, literal width)")
       }, "internal")
 
-  def of(t: Column, w: Int, distinct: Boolean = true): Column = {
-    register(SparkSession.active)
+  /** Callers pass the session that will ANALYZE the plan (same contract
+    * as [[graft.functions.VectorFunctions.register]]) — the thread-local
+    * active session is the wrong one whenever plans are built for a
+    * different/new session or off-thread. */
+  def of(spark: SparkSession, t: Column, w: Int,
+         distinct: Boolean = true): Column = {
+    register(spark)
     val grams = when(size(t) >= w, call_function("word_shingles", t, lit(w)))
       .otherwise(array(concat_ws(" ", t)))
     if (distinct) array_distinct(grams) else grams

@@ -15,9 +15,17 @@ import graft.{Clean, Tables}
   */
 object TextQueries {
 
-  /** Whitespace tokenizer shared by all text ops (oracle:
+  /** Whitespace tokenizer shared by all text + curation ops (oracle:
     * `string_split_regex(trim(text), '\s+')`). */
-  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+  private[queries] def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Deterministic per-doc bucket in [0, 100) — the ONE arithmetic-hash
+    * split device behind q_sample_stratified's keep rates and
+    * q_split_leakage's train/test split (oracle:
+    * `((doc_id % 1000003) * 31 + 7) % 100`). Overflow-safe, engine-
+    * independent, no rand(). */
+  private[queries] def sampleBucket(id: Column): Column =
+    ((id % 1000003L) * 31L + 7L) % 100L
 
   /** Tiny per-language stopword lists for the n-gram-free language-ID
     * heuristic. Deterministic, ASCII, and easy to mirror in SQL. */
@@ -108,7 +116,7 @@ object TextQueries {
       // 3-grams WITHOUT array_distinct (repetition is the signal here);
       // the grams column is bound before use so the interpreted transform
       // runs once, not once per consumer (see Shingles scaladoc)
-      val gramsCol = Shingles.of($"__toks", 3, distinct = false)
+      val gramsCol = Shingles.of(s, $"__toks", 3, distinct = false)
       val perRow = base.withColumn("__grams", gramsCol)
         .select($"doc_id",
           Clean.roundHalfUp(lit(1.0) -
@@ -146,7 +154,7 @@ object TextQueries {
     // sample is reproducible and oracle-checkable; no rand() anywhere.
     "q_sample_stratified" -> ((s, dir) => {
       import s.implicits._
-      val bucket = (($"doc_id" % 1000003L) * 31L + 7L) % 100L
+      val bucket = sampleBucket($"doc_id")
       val keepRate = when($"lang" === "en", 50).otherwise(20)
       Tables.table(s, dir, "documents")
         .select($"doc_id", $"lang", bucket.as("sample_bucket"))
@@ -190,8 +198,12 @@ object TextQueries {
     // Token-window chunking — the step that turns documents into
     // training sequences: width-20 windows at stride 15 (5-token
     // overlap), each chunk identified by its md5 so downstream chunk
-    // dedup can run without carrying text. Pure per-row explode work, no
-    // shuffle at all until a consumer aggregates.
+    // dedup can run without carrying text. A start only qualifies while
+    // its window adds tokens the previous window didn't cover (s <=
+    // n - (width - stride)): without that bound, any doc with
+    // n mod stride in 1..width-stride got a tail chunk wholly contained
+    // in its predecessor — pure duplicate training content. Pure per-row
+    // explode work, no shuffle at all until a consumer aggregates.
     "q_doc_chunks" -> ((s, dir) => {
       import s.implicits._
       val width = 20
@@ -201,7 +213,9 @@ object TextQueries {
           .filter(length(trim($"text")) > 0), $"doc_id")
         .select($"doc_id", tokens($"text").as("__toks"))
         .select($"doc_id", $"__toks",
-          explode(sequence(lit(1), size($"__toks"), lit(stride))).as("s"))
+          explode(sequence(lit(1),
+            greatest(size($"__toks") - (width - stride), lit(1)),
+            lit(stride))).as("s"))
         .select($"doc_id",
           expr(s"CAST((s - 1) div $stride AS INT)").as("chunk_index"),
           size(slice($"__toks", $"s", lit(width))).as("chunk_tokens"),
@@ -236,12 +250,18 @@ object TextQueries {
     // broadcast-able joins; top-k is a TakeOrdered.
     "q_doc_collocations" -> ((s, dir) => {
       import s.implicits._
+      // docs need >= 2 tokens: Shingles' whole-text fallback would turn a
+      // single-token doc into a spaceless pseudo-"bigram" whose lift
+      // (c_xy*N)/(c_x*c_x) = N/c_x dominates the ranking despite being no
+      // collocation at all. One consistent universe (bigrams, unigram
+      // counts, and N all over the same docs) keeps the score a real
+      // in-corpus lift.
       val base = Tables.spread(
         Tables.table(s, dir, "documents")
-          .filter(length(trim($"text")) > 0), $"doc_id")
+          .filter(size(split(trim($"text"), "\\s+")) >= 2), $"doc_id")
         .select($"doc_id", tokens(lower($"text")).as("__toks"))
       val bigrams = base
-        .select(explode(Shingles.of($"__toks", 2, distinct = false)).as("bg"))
+        .select(explode(Shingles.of(s, $"__toks", 2, distinct = false)).as("bg"))
         .groupBy($"bg").agg(count(lit(1)).as("c_xy"))
         .filter($"c_xy" >= 5)
         .withColumn("x", substring_index($"bg", " ", 1))
@@ -438,7 +458,8 @@ object TextQueries {
           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
           |  FROM documents WHERE length(trim(text)) > 0),
           |starts AS (
-          |  SELECT doc_id, t, unnest(range(1, length(t) + 1, 15)) AS s
+          |  SELECT doc_id, t,
+          |    unnest(range(1, greatest(length(t) - 5, 1) + 1, 15)) AS s
           |  FROM toks)
           |SELECT doc_id,
           |  CAST((s - 1) // 15 AS INT) AS chunk_index,
@@ -457,12 +478,11 @@ object TextQueries {
       "q_doc_collocations" ->
         """WITH base AS (
           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-          |  FROM documents WHERE length(trim(text)) > 0),
+          |  FROM documents
+          |  WHERE length(string_split_regex(trim(text), '\s+')) >= 2),
           |bg AS (
-          |  SELECT unnest(CASE WHEN length(toks) >= 2
-          |    THEN list_transform(range(1, length(toks)),
-          |         i -> concat(toks[i], ' ', toks[i+1]))
-          |    ELSE [array_to_string(toks, ' ')] END) AS bg
+          |  SELECT unnest(list_transform(range(1, length(toks)),
+          |         i -> concat(toks[i], ' ', toks[i+1]))) AS bg
           |  FROM base),
           |bgc AS (
           |  SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg

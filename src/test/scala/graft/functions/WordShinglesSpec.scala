@@ -21,14 +21,14 @@ class WordShinglesSpec extends SparkTestBase {
       val docs = Tables.table(spark, sf0001, "documents")
         .select(split(trim($"text"), "\\s+").as("t"))
       val rows = docs.select(
-        Shingles.of($"t", w, distinct = false).as("native"),
+        Shingles.of(spark, $"t", w, distinct = false).as("native"),
         hofShingles($"t", w).as("hof"))
         .as[(Seq[String], Seq[String])].collect()
       assert(rows.nonEmpty)
       rows.foreach { case (n, h) => assert(n === h, s"w=$w") }
       // and the distinct variant agrees with array_distinct over the HOF
       val distinctRows = docs.select(
-        Shingles.of($"t", w).as("native"),
+        Shingles.of(spark, $"t", w).as("native"),
         array_distinct(hofShingles($"t", w)).as("hof"))
         .as[(Seq[String], Seq[String])].collect()
       distinctRows.foreach { case (n, h) => assert(n === h, s"w=$w distinct") }
@@ -41,7 +41,7 @@ class WordShinglesSpec extends SparkTestBase {
       (2L, Seq("a", "b", "c")),        // exactly w -> one shingle
       (3L, Seq("a", "b", "c", "d")))   // w+1 -> two shingles
       .toDF("id", "t")
-    val out = df.select($"id", Shingles.of($"t", 3, distinct = false).as("g"))
+    val out = df.select($"id", Shingles.of(spark, $"t", 3, distinct = false).as("g"))
       .as[(Long, Seq[String])].collect().toMap
     assert(out(1L) === Seq("a"))
     assert(out(2L) === Seq("a b c"))
@@ -49,7 +49,7 @@ class WordShinglesSpec extends SparkTestBase {
     // null elements are skipped inside a window like concat_ws
     val withNull = Seq((4L, Seq(Some("a"), None, Some("c"), Some("d"))))
       .toDF("id", "t")
-      .select($"id", Shingles.of($"t", 3, distinct = false).as("g"))
+      .select($"id", Shingles.of(spark, $"t", 3, distinct = false).as("g"))
       .as[(Long, Seq[String])].collect().toMap
     assert(withNull(4L) === Seq("a c", "c d"))
   }

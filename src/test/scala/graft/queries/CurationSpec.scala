@@ -22,7 +22,7 @@ class CurationSpec extends SparkTestBase {
     val docs = graft.Tables.table(spark, sf0001, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", $"source",
-        Shingles.of(split(trim($"text"), "\\s+"), 4).as("grams"))
+        Shingles.of(spark, split(trim($"text"), "\\s+"), 4).as("grams"))
     val bench = docs.filter($"source" === "src0")
       .select(explode($"grams").as("g")).distinct()
       .as[String].collect().toSet
@@ -59,6 +59,26 @@ class CurationSpec extends SparkTestBase {
     // "empty gram" would otherwise match nothing anyway, but the filter
     // is what guarantees it at scale)
     assert(out === Map(3L -> 2L))
+  }
+
+  test("leakage cap bounds a hot-gram test-member list") {
+    // 20 test docs (ids = 3 mod 100 -> bucket 0) and one train doc all
+    // share the same two 5-grams; with maxBucket=3 only the first 3 test
+    // members per (gram, side) survive into the collect_list, so the
+    // audit reports 3 leaked docs instead of 20 — the buffer is bounded
+    // by construction, not by corpus luck
+    val tmp = java.nio.file.Files.createTempDirectory("leakcap").toString
+    val text = "a b c d e f"
+    val docs = (0 until 20).map(i => (3L + 100L * i, text)) :+ (17L, text)
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    spark.conf.set("spark.graft.dedup.maxBucket", "3")
+    try {
+      val out = run("q_split_leakage", tmp).as[(Long, Long)].collect().toMap
+      assert(out === Map(3L -> 2L, 103L -> 2L, 203L -> 2L))
+    } finally spark.conf.unset("spark.graft.dedup.maxBucket")
   }
 
   test("q_emb_label_stats: fixed-point norms, exact group arithmetic") {
@@ -123,13 +143,17 @@ class CurationSpec extends SparkTestBase {
     chunks.groupBy(_._1).foreach { case (doc, cs) =>
       val n = nToks(doc)
       val sorted = cs.sortBy(_._2)
-      // chunk_index is dense from 0; starts are 1, 16, 31, ... <= n
+      // chunk_index is dense from 0; starts are 1, 16, 31, ... but only
+      // while the window adds uncovered tokens (start <= n - 5)
       assert(sorted.map(_._2).toSeq === sorted.indices.toSeq)
-      assert(sorted.length === (n - 1) / 15 + 1)
-      // every chunk is full-width except possibly the tail ones
+      assert(sorted.length === (math.max(n - 5, 1) - 1) / 15 + 1)
       sorted.foreach { case (_, idx, ct) =>
         assert(ct === math.min(20, n - idx * 15))
+        // no chunk is wholly contained in its predecessor
+        if (idx > 0) assert(ct > 5)
       }
+      // the windows jointly cover every token exactly
+      assert(sorted.map { case (_, idx, ct) => idx * 15 + ct }.max === n)
     }
   }
 
