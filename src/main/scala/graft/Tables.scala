@@ -61,6 +61,9 @@ object Tables {
     *    yields fewer splits than `defaultParallelism`. */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // streaming frames: micro-batch parallelism is the source's business
+    // (maxFilesPerTrigger etc.), and df.rdd is illegal on them anyway
+    if (df.isStreaming) return df
     val wide = df.queryExecution.optimizedPlan.find {
       case _: Join | _: Aggregate | _: Window | _: RepartitionOperation |
            _: Sort => true

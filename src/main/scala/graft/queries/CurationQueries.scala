@@ -24,7 +24,7 @@ object CurationQueries {
     * excluded with the same `length(trim(text)) > 0` guard the dedup
     * collapse uses — content-free docs share one vacuous gram and would
     * cross-match every other content-free doc. */
-  private def gramInventory(docs: DataFrame, w: Int): DataFrame = {
+  private[graft] def gramInventory(docs: DataFrame, w: Int): DataFrame = {
     import docs.sparkSession.implicits._
     val withToks = Tables.spread(docs.filter(length(trim($"text")) > 0), $"doc_id")
       .withColumn("__toks", TextQueries.tokens($"text"))

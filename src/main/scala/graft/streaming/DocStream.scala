@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.CurationQueries
+
+/** Structured Streaming faces of the corpus-curation operators: the
+  * ingestion-time twin of [[graft.queries.CurationQueries]]'s batch
+  * decontamination, for pipelines that screen documents as they arrive
+  * rather than in a nightly sweep.
+  *
+  * Scale shape: the stream side is stateless — a stream-static join
+  * probes the static benchmark gram set per micro-batch, and the
+  * benchmark side broadcasts (eval suites are KBs; corpora are TBs), so
+  * there is no streaming state store at all, no watermark bookkeeping,
+  * and per-batch work is linear in batch size exactly like the batch
+  * query's per-partition work.
+  */
+object DocStream {
+
+  /** The documents schema as shipped in the testdata parquet. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Source: replay a parquet documents directory as a stream, one file
+    * per micro-batch at most. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Streaming decontamination: every (doc_id, gram) hit of an incoming
+    * document against the static benchmark gram set — the quarantine log
+    * an ingestion pipeline writes before admitting a document to the
+    * corpus. Append-mode safe: the exploded stream side semi-probes the
+    * broadcast static side with no aggregation, so rows finalize
+    * immediately.
+    *
+    * @param docs       streaming documents (schema: [[docSchema]])
+    * @param benchGrams static frame with a `gram` column (e.g.
+    *                   [[graft.queries.CurationQueries.gramInventory]]
+    *                   over the benchmark slice, projected + distinct)
+    */
+  def contaminationHits(docs: DataFrame, benchGrams: DataFrame,
+                        w: Int = 4): DataFrame =
+    CurationQueries.gramInventory(docs, w)
+      .join(broadcast(benchGrams.select("gram").distinct()), Seq("gram"))
+      .select(col("doc_id"), col("gram"))
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** MERGE semantics: matched update, unmatched survive, insert, null-out,
+  * last-writer-wins, tombstone delete, misaligned-schema rejection. */
+class UpsertSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "alice", 10),
+    (2L, "bob", 20),
+    (3L, "carol", 30))
+    .toDF("id", "name", "score")
+
+  test("matched rows update, unmatched target rows survive, new keys insert") {
+    val updates = Seq(
+      (2L, "bobby", 25),   // update
+      (4L, "dave", 40))    // insert
+      .toDF("id", "name", "score")
+    val out = Upsert.upsert(target, updates, Seq("id"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, "alice", 10), (2L, "bobby", 25),
+      (3L, "carol", 30), (4L, "dave", 40)))
+  }
+
+  test("an update can null a column out (matched marker, not value, decides)") {
+    val updates = Seq((2L, Option.empty[String], Some(21)))
+      .toDF("id", "name", "score")
+    val out = Upsert.upsert(target, updates, Seq("id"))
+      .as[(Long, Option[String], Option[Int])].collect().sortBy(_._1)
+    assert(out(1) === ((2L, None, Some(21))))
+    assert(out(0) === ((1L, Some("alice"), Some(10))))
+  }
+
+  test("last-writer-wins via versionCol") {
+    val updates = Seq(
+      (2L, "old", 1, 100L),
+      (2L, "new", 2, 200L))
+      .toDF("id", "name", "score", "version")
+    val out = Upsert.upsert(target, updates, Seq("id"),
+      versionCol = Some("version"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(1) === ((2L, "new", 2)))
+    assert(out.length === 3)
+  }
+
+  test("tombstone deletes the key") {
+    val updates = Seq(
+      (2L, "bob", 20, true),
+      (4L, "dave", 40, false))
+      .toDF("id", "name", "score", "is_deleted")
+    val out = Upsert.upsert(target, updates, Seq("id"),
+      deleteCol = Some("is_deleted"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("misaligned update schema is rejected eagerly") {
+    val updates = Seq((2L, "bobby")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsert(target, updates, Seq("id"))
+    }
+    assert(e.getMessage.contains("score"))
+  }
+}

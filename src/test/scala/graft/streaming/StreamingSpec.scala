@@ -21,6 +21,32 @@ class StreamingSpec extends SparkTestBase {
     dir.toString
   }
 
+  lazy val docsStreamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      dir.resolve("part-000.parquet"))
+    dir.toString
+  }
+
+  test("streaming decontamination hits match the batch query's doc set") {
+    val batchDocs = Tables.table(spark, sf0001, "documents")
+    val bench = graft.queries.CurationQueries.gramInventory(
+      batchDocs.filter($"source" === "src0").select($"doc_id", $"text"), 4)
+    val hits = DocStream.contaminationHits(
+      DocStream.readDocs(spark, docsStreamDir)
+        .filter($"source" =!= "src0"),
+      bench)
+    val q = EventStream.runToMemory(hits, "doc_hits", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("doc_hits")
+      .groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.SparkEntry.queries("q_doc_decontaminate")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.runToMemory(
