@@ -370,6 +370,27 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // Keyed MERGE surfaced as a query: split the per-user event profile
+    // by event_id parity, then upsert the odd-half profile into the
+    // even-half one — users in both halves take the update row, even-only
+    // users survive, odd-only users insert. The oracle spells out the
+    // FULL OUTER + CASE the merge lowers to; operators/Upsert owns the
+    // combinator (marker-based null-out, versioning, tombstones are
+    // spec-tested in UpsertSpec).
+    "q_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+      def profile(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Clean.roundHalfUp(sum($"value"), 2).as("total_value"))
+      graft.operators.Upsert.upsert(
+        profile($"event_id" % 2 === 0),
+        profile($"event_id" % 2 === 1),
+        Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
     // Pivot: event types to columns via conditional aggregation (the
     // oracle spells out the CASE sums the pivot lowers to).
     "q_pivot_events" -> ((s, dir) => {
@@ -624,6 +645,23 @@ object ParityQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+        |SELECT COALESCE(u.user_id, t.user_id) AS user_id,
+        |  CASE WHEN u.user_id IS NOT NULL THEN u.n_events
+        |       ELSE t.n_events END AS n_events,
+        |  CASE WHEN u.user_id IS NOT NULL THEN u.total_value
+        |       ELSE t.total_value END AS total_value
+        |FROM t FULL OUTER JOIN u ON t.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -38,6 +38,29 @@ object TextQueries {
   private def hits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(lower(text)), x => x.isInCollection(words)))
 
+  /** Width-20/stride-15 token windows per content document — shared by
+    * q_doc_chunks (the chunk inventory) and q_chunk_dedup (cross-doc
+    * repeated passages). A start only qualifies while its window adds
+    * tokens the previous window didn't cover (s <= n - (width - stride));
+    * otherwise docs with n mod stride in 1..width-stride got a tail
+    * chunk wholly contained in its predecessor — duplicate training
+    * content. Pure per-row explode work, no shuffle. */
+  private def chunked(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val width = 20
+    val stride = 15
+    Tables.spread(docs.filter(length(trim($"text")) > 0), $"doc_id")
+      .select($"doc_id", tokens($"text").as("__toks"))
+      .select($"doc_id", $"__toks",
+        explode(sequence(lit(1),
+          greatest(size($"__toks") - (width - stride), lit(1)),
+          lit(stride))).as("s"))
+      .select($"doc_id",
+        expr(s"CAST((s - 1) div $stride AS INT)").as("chunk_index"),
+        size(slice($"__toks", $"s", lit(width))).as("chunk_tokens"),
+        md5(concat_ws(" ", slice($"__toks", $"s", lit(width)))).as("chunk_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish "word pieces" proxy
     // (runs of letters / digits / single other chars).
@@ -196,31 +219,24 @@ object TextQueries {
     }),
 
     // Token-window chunking — the step that turns documents into
-    // training sequences: width-20 windows at stride 15 (5-token
-    // overlap), each chunk identified by its md5 so downstream chunk
-    // dedup can run without carrying text. A start only qualifies while
-    // its window adds tokens the previous window didn't cover (s <=
-    // n - (width - stride)): without that bound, any doc with
-    // n mod stride in 1..width-stride got a tail chunk wholly contained
-    // in its predecessor — pure duplicate training content. Pure per-row
-    // explode work, no shuffle at all until a consumer aggregates.
-    "q_doc_chunks" -> ((s, dir) => {
+    // training sequences (window/tiling semantics: see [[chunked]]).
+    "q_doc_chunks" -> ((s, dir) =>
+      chunked(Tables.table(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_index")),
+
+    // Chunk-level exact dedup — the cross-document sibling of q_doc_chunks:
+    // identical width-20 windows appearing in more than one place (the
+    // repeated-passage shape paragraph dedup targets at corpus scale).
+    // One hash aggregation on chunk_hash; the md5 identity means no chunk
+    // text ever shuffles.
+    "q_chunk_dedup" -> ((s, dir) => {
       import s.implicits._
-      val width = 20
-      val stride = 15
-      Tables.spread(
-        Tables.table(s, dir, "documents")
-          .filter(length(trim($"text")) > 0), $"doc_id")
-        .select($"doc_id", tokens($"text").as("__toks"))
-        .select($"doc_id", $"__toks",
-          explode(sequence(lit(1),
-            greatest(size($"__toks") - (width - stride), lit(1)),
-            lit(stride))).as("s"))
-        .select($"doc_id",
-          expr(s"CAST((s - 1) div $stride AS INT)").as("chunk_index"),
-          size(slice($"__toks", $"s", lit(width))).as("chunk_tokens"),
-          md5(concat_ws(" ", slice($"__toks", $"s", lit(width)))).as("chunk_hash"))
-        .orderBy("doc_id", "chunk_index")
+      chunked(Tables.table(s, dir, "documents"))
+        .groupBy($"chunk_hash")
+        .agg(count(lit(1)).as("n_copies"),
+          min($"doc_id").as("first_doc"))
+        .filter($"n_copies" > 1)
+        .orderBy("chunk_hash")
     }),
 
     // Corpus vocabulary report: top-50 tokens by total frequency with
@@ -466,6 +482,22 @@ object TextQueries {
           |  CAST(length(t[s:s+19]) AS INT) AS chunk_tokens,
           |  md5(array_to_string(t[s:s+19], ' ')) AS chunk_hash
           |FROM starts ORDER BY doc_id, chunk_index""".stripMargin,
+
+      "q_chunk_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |starts AS (
+          |  SELECT doc_id, t,
+          |    unnest(range(1, greatest(length(t) - 5, 1) + 1, 15)) AS s
+          |  FROM toks),
+          |chunks AS (
+          |  SELECT doc_id, md5(array_to_string(t[s:s+19], ' ')) AS chunk_hash
+          |  FROM starts)
+          |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+          |  min(doc_id) AS first_doc
+          |FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
+          |ORDER BY chunk_hash""".stripMargin,
 
       "q_doc_vocab" ->
         """SELECT term, CAST(count(*) AS BIGINT) AS freq,
