@@ -25,7 +25,9 @@ object ScaleProbe {
     "q_dedup_editdist",
     "q_events_sessions", "q_events_hourly", "q_knn_brute",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
-    "q_doc_chunks", "q_events_retention")
+    "q_doc_chunks", "q_events_retention",
+    "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",
+    "q_window_running")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

@@ -370,6 +370,29 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // Running totals: per-user cumulative event value over an explicit
+    // ROWS frame — the §2.8 window family beyond lag/last/row_number.
+    // The frame order is a TOTAL order ((ts, event_id) — ts alone has
+    // duplicates), so the sequential in-frame summation is deterministic
+    // and bit-identical in any engine despite being floating-point.
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      // second-truncated ts (the events-suite convention: nanos don't
+      // survive the cross-engine timestamp normalization); event_id
+      // restores the total order the frame needs
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"sec", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .withColumn("sec", date_trunc("second", $"ts"))
+        .select($"user_id", $"event_id", $"sec",
+          Clean.roundHalfUp(sum($"value").over(w), 2)
+            .as("running_value"),
+          count(lit(1)).over(w).as("running_count"))
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
     // Keyed MERGE surfaced as a query: split the per-user event profile
     // by event_id parity, then upsert the odd-half profile into the
     // even-half one — users in both halves take the update row, even-only
@@ -645,6 +668,16 @@ object ParityQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, date_trunc('second', ts) AS sec,
+        |  floor(sum(value) OVER w * 100 + 0.5) / 100 AS running_value,
+        |  CAST(count(*) OVER w AS BIGINT) AS running_count
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY date_trunc('second', ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, sec, event_id""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH t AS (
