@@ -29,6 +29,23 @@ object EventQueries {
         .orderBy("hour_ts", "event_type")
     }),
 
+    // Hopping (sliding) windows: 1-hour windows every 30 minutes via
+    // Spark's native window() generator — each event lands in exactly two
+    // windows, expanded BELOW the partial aggregate so the per-event
+    // fan-out map-side combines before the one shuffle. The oracle
+    // expands the same two candidate starts by hand (trunc30(ts) and
+    // trunc30(ts) - 30min).
+    "q_events_hopping" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("event_count"),
+          Clean.roundHalfUp(sum($"value"), 2).as("total_value"))
+        .select($"window.start".as("window_start"), $"event_type",
+          $"event_count", $"total_value")
+        .orderBy("window_start", "event_type")
+    }),
+
     // Gap-based sessionization (30-minute inactivity); one shuffle on
     // user_id, session boundaries via lag + running sum.
     "q_events_sessions" -> ((s, dir) => {
@@ -194,6 +211,23 @@ object EventQueries {
         |LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_events_hopping" ->
+      """WITH base AS (
+        |  SELECT event_type, value,
+        |    date_trunc('hour', ts)
+        |      + CASE WHEN extract(minute FROM ts) >= 30
+        |          THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s30
+        |  FROM events),
+        |cand AS (
+        |  SELECT event_type, value,
+        |    unnest([s30, s30 - INTERVAL 30 MINUTE]) AS window_start
+        |  FROM base)
+        |SELECT window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS event_count,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM cand
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,

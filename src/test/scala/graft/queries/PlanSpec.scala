@@ -67,7 +67,8 @@ class PlanSpec extends SparkTestBase {
     // nested-loop join is the canonical scalar-subquery plan and carries
     // no scale risk
     Seq("q_split_leakage", "q_doc_decontaminate", "q_events_retention",
-      "q_doc_chunks", "q_doc_vocab", "q_emb_label_stats").foreach { q =>
+      "q_doc_chunks", "q_doc_vocab", "q_emb_label_stats",
+      "q_chunk_dedup", "q_merge_upsert", "q_window_running").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
