@@ -23,10 +23,11 @@ object Upsert {
   /** Merge `updates` into `target` by `keys`.
     *
     * @param versionCol when several update rows share a key, the row with
-    *                   the highest value wins (ties: arbitrary-but-
-    *                   deterministic via the key sort); None = updates
-    *                   must be key-unique (enforced lazily by the join
-    *                   blowing up row counts, checked in specs)
+    *                   the highest value wins (ties break on a value hash
+    *                   of the data columns — deterministic across runs);
+    *                   None = updates must be key-unique (enforced lazily
+    *                   by the join blowing up row counts, checked in
+    *                   specs)
     * @param deleteCol  boolean column on `updates`: true = drop the key
     *                   from the result entirely (tombstone)
     */
@@ -41,13 +42,24 @@ object Upsert {
         "(align with a select before merging)")
     val latest = versionCol match {
       case Some(v) =>
+        // version ties break on a hash of the data columns: deterministic
+        // w.r.t. row VALUES (never partition/fetch order), and when two
+        // tied rows are full duplicates either choice is the same row
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(v).desc)
+          .orderBy(col(v).desc, xxhash64(dataCols.map(col): _*))
         updates.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case None => updates
     }
-    val u = dataCols.foldLeft(latest.withColumn("__u_matched", lit(true))) {
+    // capture the tombstone flag BEFORE the data-column renames: reading
+    // deleteCol after the merge would pick up a same-named TARGET column
+    // for update-less rows and delete soft-flagged survivors
+    val flagged = deleteCol match {
+      case Some(d) =>
+        latest.withColumn("__u_delete", coalesce(col(d), lit(false)))
+      case None => latest
+    }
+    val u = dataCols.foldLeft(flagged.withColumn("__u_matched", lit(true))) {
       (df, c) => df.withColumnRenamed(c, s"__u_$c")
     }
     val joined = target.join(u, keys, "full_outer")
@@ -60,10 +72,10 @@ object Upsert {
         when(coalesce(col("__u_matched"), lit(false)), col(s"__u_$c"))
           .otherwise(col(c)))
     }
-    val deleted = deleteCol match {
-      case Some(d) => merged.filter(!coalesce(col(d), lit(false)))
-      case None => merged
-    }
+    val deleted =
+      if (deleteCol.isDefined)
+        merged.filter(!coalesce(col("__u_delete"), lit(false)))
+      else merged
     deleted.select(target.columns.map(col): _*)
   }
 }

@@ -47,8 +47,16 @@ object DocStream {
     *                   over the benchmark slice, projected + distinct)
     */
   def contaminationHits(docs: DataFrame, benchGrams: DataFrame,
-                        w: Int = 4): DataFrame =
+                        w: Int = 4): DataFrame = {
+    // stream-static joins re-evaluate the static lineage EVERY micro-batch
+    // — cache the (small) distinct gram set so batch N pays a cached scan,
+    // not a re-tokenize + re-shingle + re-aggregate of the benchmark
+    // corpus. The cache lives for the stream's lifetime, which is the
+    // benchmark set's lifetime; callers managing many streams can
+    // unpersist via spark.catalog.clearCache()
+    val bench = benchGrams.select("gram").distinct().cache()
     CurationQueries.gramInventory(docs, w)
-      .join(broadcast(benchGrams.select("gram").distinct()), Seq("gram"))
+      .join(broadcast(bench), Seq("gram"))
       .select(col("doc_id"), col("gram"))
+  }
 }

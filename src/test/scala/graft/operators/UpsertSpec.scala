@@ -57,6 +57,35 @@ class UpsertSpec extends SparkTestBase {
     assert(out.map(_._1).toSeq === Seq(1L, 3L, 4L))
   }
 
+  test("version ties resolve by value hash, identically across runs") {
+    val updates = Seq(
+      (2L, "zed", 9, 100L),
+      (2L, "amy", 7, 100L)) // same version: winner fixed by value hash
+      .toDF("id", "name", "score", "version")
+    val winners = (1 to 3).map { _ =>
+      Upsert.upsert(target, updates.repartition(4), Seq("id"),
+        versionCol = Some("version"))
+        .as[(Long, String, Int)].collect().sortBy(_._1).apply(1)
+    }
+    assert(winners.distinct.length === 1)
+  }
+
+  test("tombstone named like a target column never deletes survivors") {
+    // target carries its own soft-delete flag; a same-named deleteCol on
+    // updates must only act on rows the UPDATE tombstones
+    val t = Seq((1L, "alice", true), (2L, "bob", false))
+      .toDF("id", "name", "is_deleted")
+    val updates = Seq((2L, "bob", false, true))
+      .toDF("id", "name", "is_deleted", "tomb")
+      .select($"id", $"name", $"tomb".as("is_deleted"))
+    // ambiguous shape on purpose: deleteCol IS a target data column
+    val out = Upsert.upsert(t, updates, Seq("id"),
+      deleteCol = Some("is_deleted"))
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    // row 1 (soft-flagged in TARGET, no update) survives; row 2 deleted
+    assert(out.toSeq === Seq((1L, "alice", true)))
+  }
+
   test("misaligned update schema is rejected eagerly") {
     val updates = Seq((2L, "bobby")).toDF("id", "name")
     val e = intercept[IllegalArgumentException] {
