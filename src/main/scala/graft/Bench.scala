@@ -95,9 +95,13 @@ object Bench {
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders a comma decimal separator under e.g. LANG=de_DE — invalid
     // JSON on the one line a machine parses
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + ms(v) }
+    def fmt(digits: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    def ms(v: Double): String = fmt(3)(v)
+    // per-query at centisecond precision: the 70-query dict is the bulk
+    // of the line and must stay inside the ~2000-char tail budget; the
+    // stderr warm line keeps ms precision for diagnosis
+    val qs = ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + fmt(2)(v) }
       .mkString("{", ",", "}")
     // both passes stay diagnosable, but the warm dict goes to stderr as its
     // own line: two per-query dicts on the stdout line pushed it past the

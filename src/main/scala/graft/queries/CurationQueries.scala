@@ -122,6 +122,26 @@ object CurationQueries {
         .orderBy("label")
     }),
 
+    // Distributed per-label centroids: element-wise mean vectors computed
+    // the way a 100 TB embedding table must — posexplode to (label, dim,
+    // value) rows and ONE hash aggregation, never a driver-side collect
+    // (contrast: the IVF query's K-row centroid literal is the one
+    // legitimate collect, and only because k-means needs driver
+    // iteration). Output is (label, dim, mean) ROWS, not arrays: exact
+    // fixed-point group sums and no cross-engine list-ordering concerns.
+    "q_emb_centroids" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding".cast("array<double>")))
+        .toDF("label", "dim", "v")
+        .select($"label", $"dim",
+          floor($"v" * 10000d + 0.5d).cast("long").as("v_e4"))
+        .groupBy($"label", $"dim")
+        .agg(Clean.roundHalfUp(sum($"v_e4") / 10000d / count(lit(1)), 4)
+          .as("mean_value"))
+        .orderBy("label", "dim")
+    }),
+
     // Weekly cohort retention over the event stream: users bucketed by
     // first-activity week, active-user counts per (cohort, weeks-since)
     // cell. Two shuffles on user_id (first-week agg + distinct activity
@@ -173,6 +193,18 @@ object CurationQueries {
          |FROM g JOIN train USING (gram)
          |WHERE is_test
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_emb_centroids" ->
+      """WITH vals AS (
+        |  SELECT label, dim - 1 AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v_e4
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings))
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |  floor(CAST(sum(v_e4) AS DOUBLE) / 10000.0 / count(*)
+        |        * 10000 + 0.5) / 10000 AS mean_value
+        |FROM vals GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "q_emb_label_stats" ->
       """WITH sq AS (

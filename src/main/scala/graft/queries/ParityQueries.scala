@@ -370,6 +370,30 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // Column profiling — the DQ suite's fourth face (after completeness /
+    // accuracy / referential): per-column row, null, and distinct counts
+    // over customer in ONE scan. All profile aggregates compute in a
+    // single aggregation row (count + count(col) + countDistinct per
+    // column), then unpivot to rows via stack — no per-column rescans.
+    "q_dq_profile" -> ((s, dir) => {
+      import s.implicits._
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"d_$c")))
+      val stackExpr = cols.map(c => s"'$c', nn_$c, d_$c").mkString(", ")
+      val allAggs = count(lit(1)).as("n_rows") +: aggs
+      Tables.table(s, dir, "customer")
+        .agg(allAggs.head, allAggs.tail: _*)
+        .select($"n_rows", expr(
+          s"stack(${cols.length}, $stackExpr) AS (column_name, non_null_count, distinct_count)"))
+        .select($"column_name", $"n_rows",
+          $"non_null_count",
+          ($"n_rows" - $"non_null_count").as("null_count"),
+          $"distinct_count")
+        .orderBy("column_name")
+    }),
+
     // Running totals: per-user cumulative event value over an explicit
     // ROWS frame — the §2.8 window family beyond lag/last/row_number.
     // The frame order is a TOTAL order ((ts, event_id) — ts alone has
@@ -668,6 +692,34 @@ object ParityQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_dq_profile" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(c_custkey) AS BIGINT) AS nn_c_custkey,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS d_c_custkey,
+        |    CAST(count(c_name) AS BIGINT) AS nn_c_name,
+        |    CAST(count(DISTINCT c_name) AS BIGINT) AS d_c_name,
+        |    CAST(count(c_nationkey) AS BIGINT) AS nn_c_nationkey,
+        |    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS d_c_nationkey,
+        |    CAST(count(c_acctbal) AS BIGINT) AS nn_c_acctbal,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS d_c_acctbal,
+        |    CAST(count(c_mktsegment) AS BIGINT) AS nn_c_mktsegment,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS d_c_mktsegment
+        |  FROM customer)
+        |SELECT column_name, n_rows, non_null_count,
+        |  n_rows - non_null_count AS null_count, distinct_count
+        |FROM (
+        |  SELECT 'c_custkey' AS column_name, n_rows,
+        |    nn_c_custkey AS non_null_count, d_c_custkey AS distinct_count FROM a
+        |  UNION ALL SELECT 'c_name', n_rows, nn_c_name, d_c_name FROM a
+        |  UNION ALL SELECT 'c_nationkey', n_rows, nn_c_nationkey,
+        |    d_c_nationkey FROM a
+        |  UNION ALL SELECT 'c_acctbal', n_rows, nn_c_acctbal,
+        |    d_c_acctbal FROM a
+        |  UNION ALL SELECT 'c_mktsegment', n_rows, nn_c_mktsegment,
+        |    d_c_mktsegment FROM a)
+        |ORDER BY column_name""".stripMargin,
 
     "q_window_running" ->
       """SELECT user_id, event_id, date_trunc('second', ts) AS sec,
