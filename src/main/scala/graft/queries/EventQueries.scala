@@ -29,6 +29,28 @@ object EventQueries {
         .orderBy("hour_ts", "event_type")
     }),
 
+    // Gap-filled hourly series per event type: the resample step of any
+    // time-series pipeline — a dense hour grid generated with sequence()
+    // (explode of one row per type, never a driver loop) left-joined to
+    // the sparse hourly aggregate, missing hours coalesced to zero. The
+    // grid spans each type's own [min, max] hour so the query stays
+    // data-defined and deterministic.
+    "q_events_gapfill" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = Tables.table(s, dir, "events")
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour_ts"))
+        .agg(count(lit(1)).as("event_count"))
+      val grid = hourly.groupBy($"event_type")
+        .agg(min($"hour_ts").as("lo"), max($"hour_ts").as("hi"))
+        .select($"event_type",
+          explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR")))
+            .as("hour_ts"))
+      grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+        .select($"event_type", $"hour_ts",
+          coalesce($"event_count", lit(0L)).as("event_count"))
+        .orderBy("event_type", "hour_ts")
+    }),
+
     // Hopping (sliding) windows: 1-hour windows every 30 minutes via
     // Spark's native window() generator — each event lands in exactly two
     // windows, expanded BELOW the partial aggregate so the per-event
@@ -211,6 +233,22 @@ object EventQueries {
         |LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_events_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |    CAST(count(*) AS BIGINT) AS event_count
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM (SELECT event_type, min(hour_ts) AS lo, max(hour_ts) AS hi
+        |        FROM hourly GROUP BY 1))
+        |SELECT g.event_type, g.hour_ts,
+        |  COALESCE(h.event_count, 0) AS event_count
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.event_type = h.event_type AND g.hour_ts = h.hour_ts
+        |ORDER BY g.event_type, g.hour_ts""".stripMargin,
 
     "q_events_hopping" ->
       """WITH base AS (
