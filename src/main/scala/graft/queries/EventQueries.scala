@@ -29,6 +29,33 @@ object EventQueries {
         .orderBy("hour_ts", "event_type")
     }),
 
+    // Per-type z-score anomaly detection. Values snap to 1e-2 fixed
+    // point FIRST, so n / sum / sum-of-squares are exact integers in any
+    // engine and mean/variance/z derive from them with identical IEEE
+    // ops — the usual float-sum nondeterminism (partial-agg order) never
+    // enters. The per-type stats row broadcasts; the fact scan streams
+    // through map-side.
+    "q_events_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.table(s, dir, "events")
+        .select($"event_id", $"event_type",
+          floor($"value" * 100d + 0.5d).cast("long").as("v2"))
+      val stats = e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"v2").cast("double").as("sv"),
+          sum($"v2" * $"v2").cast("double").as("sq"))
+      val mean = $"sv" / 100d / $"n"
+      val variance =
+        ($"sq" / 10000d - ($"sv" / 100d) * ($"sv" / 100d) / $"n") / $"n"
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", ($"v2" / 100d - mean) / sqrt(variance))
+        .filter(abs($"z") >= 3.0)
+        .select($"event_id", $"event_type",
+          ($"v2" / 100d).as("value_snapped"),
+          Clean.roundHalfUp($"z", 3).as("z_score"))
+        .orderBy("event_id")
+    }),
+
     // Gap-filled hourly series per event type: the resample step of any
     // time-series pipeline — a dense hour grid generated with sequence()
     // (explode of one row per type, never a driver loop) left-joined to
@@ -233,6 +260,27 @@ object EventQueries {
         |LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v2) AS DOUBLE) AS sv,
+        |    CAST(sum(v2 * v2) AS DOUBLE) AS sq
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, event_type,
+        |  v2 / 100.0 AS value_snapped,
+        |  floor((v2 / 100.0 - sv / 100.0 / n)
+        |        / sqrt((sq / 10000.0 - (sv / 100.0) * (sv / 100.0) / n) / n)
+        |        * 1000 + 0.5) / 1000 AS z_score
+        |FROM e JOIN s USING (event_type)
+        |WHERE abs((v2 / 100.0 - sv / 100.0 / n)
+        |      / sqrt((sq / 10000.0 - (sv / 100.0) * (sv / 100.0) / n) / n))
+        |      >= 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "q_events_gapfill" ->
       """WITH hourly AS (
