@@ -27,7 +27,9 @@ object ScaleProbe {
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",
-    "q_window_running")
+    "q_window_running",
+    "q_events_hopping", "q_events_gapfill", "q_events_anomaly",
+    "q_emb_centroids", "q_dq_profile")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
