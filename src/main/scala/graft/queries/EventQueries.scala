@@ -48,6 +48,12 @@ object EventQueries {
       val variance =
         ($"sq" / 10000d - ($"sv" / 100d) * ($"sv" / 100d) / $"n") / $"n"
       e.join(broadcast(stats), Seq("event_type"))
+        // zero/degenerate variance guard: a constant series must yield NO
+        // anomalies — without it z = 0/0 = NaN and Spark's NaN-is-greatest
+        // ordering turns EVERY row of the type into an "anomaly" (and an
+        // ulp-negative variance from cancellation would make sqrt NaN
+        // here but an error in engines that range-check sqrt)
+        .filter(variance > 0d)
         .withColumn("z", ($"v2" / 100d - mean) / sqrt(variance))
         .filter(abs($"z") >= 3.0)
         .select($"event_id", $"event_type",
@@ -58,23 +64,30 @@ object EventQueries {
 
     // Gap-filled hourly series per event type: the resample step of any
     // time-series pipeline — a dense hour grid generated with sequence()
-    // (explode of one row per type, never a driver loop) left-joined to
-    // the sparse hourly aggregate, missing hours coalesced to zero. The
-    // grid spans each type's own [min, max] hour so the query stays
-    // data-defined and deterministic.
+    // (explode of one row per type, never a driver loop), missing hours
+    // coalesced to zero. ONE pass: the per-type aggregation carries the
+    // grid bounds AND the sparse (hour -> count) map together, and each
+    // grid row fills by map lookup — a grid-from-hourly join would
+    // execute the events scan + hourly shuffle once per join branch (the
+    // round-4 derived-frame lesson). The per-type map is bounded by the
+    // TIME SPAN (hours), not the corpus size, so the agg buffer stays
+    // small at any data scale.
     "q_events_gapfill" -> ((s, dir) => {
       import s.implicits._
-      val hourly = Tables.table(s, dir, "events")
+      Tables.table(s, dir, "events")
         .groupBy($"event_type", date_trunc("hour", $"ts").as("hour_ts"))
         .agg(count(lit(1)).as("event_count"))
-      val grid = hourly.groupBy($"event_type")
-        .agg(min($"hour_ts").as("lo"), max($"hour_ts").as("hi"))
+        .groupBy($"event_type")
+        .agg(min($"hour_ts").as("lo"), max($"hour_ts").as("hi"),
+          map_from_entries(collect_list(struct($"hour_ts", $"event_count")))
+            .as("counts"))
         .select($"event_type",
           explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR")))
-            .as("hour_ts"))
-      grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+            .as("hour_ts"),
+          $"counts")
         .select($"event_type", $"hour_ts",
-          coalesce($"event_count", lit(0L)).as("event_count"))
+          coalesce(element_at($"counts", $"hour_ts"), lit(0L))
+            .as("event_count"))
         .orderBy("event_type", "hour_ts")
     }),
 
@@ -277,7 +290,8 @@ object EventQueries {
         |        / sqrt((sq / 10000.0 - (sv / 100.0) * (sv / 100.0) / n) / n)
         |        * 1000 + 0.5) / 1000 AS z_score
         |FROM e JOIN s USING (event_type)
-        |WHERE abs((v2 / 100.0 - sv / 100.0 / n)
+        |WHERE (sq / 10000.0 - (sv / 100.0) * (sv / 100.0) / n) / n > 0
+        |  AND abs((v2 / 100.0 - sv / 100.0 / n)
         |      / sqrt((sq / 10000.0 - (sv / 100.0) * (sv / 100.0) / n) / n))
         |      >= 3.0
         |ORDER BY event_id""".stripMargin,
