@@ -43,7 +43,10 @@ object ScaleProbe {
     * (q_dedup_clusters verifies exact scores on LSH candidates only). */
   private val hostileQueries = Seq(
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_clusters",
-    "q_dedup_editdist")
+    "q_dedup_editdist",
+    // every boilerplate 5-gram is a hot gram shared by ~all docs — the
+    // exact stop-gram shape q_split_leakage's capPerKey exists to bound
+    "q_split_leakage")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
