@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Clean, Tables}
 import graft.functions.VectorFunctions
@@ -161,6 +162,62 @@ object CurationQueries {
             .as("week_offset"))
         .agg(countDistinct($"user_id").as("active_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Sequence packing: assign every document a context-window id from
+    // the running token count of its (lang, shard) stream — the batch
+    // construction step between curation and tokenization. The shard key
+    // is what makes this a 100 TB operator: each (lang, shard) stream
+    // packs independently, so the only wide stage (the running-sum
+    // window sort) is bounded by shard size, not corpus size, and 1000
+    // executors pack 1000 streams with zero cross-talk. 8 shards here
+    // mirrors the local core budget; a cluster raises the modulus, not
+    // the algorithm. Output is the per-window manifest a trainer reads.
+    "q_doc_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", ($"doc_id" % 8).cast("int").as("shard"),
+          size(TextQueries.tokens($"text")).cast("long").as("tok_count"))
+      val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("start_tok",
+          coalesce(sum($"tok_count").over(stream), lit(0L)))
+        .groupBy($"lang", $"shard",
+          expr("start_tok div 2048").as("window_id"))
+        .agg(count(lit(1)).as("doc_count"), sum($"tok_count").as("token_sum"))
+        .orderBy("lang", "shard", "window_id")
+    }),
+
+    // Mixture rebalance report: per-source token mass plus the
+    // up/down-sampling weight that equalizes the mixture to a uniform
+    // target share — the knob a domain-mixing pipeline (Pile/Dolma-style
+    // source weighting) feeds back into its sampler. weight_e6 is the
+    // exact-integer-ratio fixed point floor(total·1e6/(S·tokens)+0.5):
+    // every operand is an integer-valued double well under 2^53, so the
+    // one division is the only rounding and both engines share it
+    // bit-for-bit. Per-source state is two longs — the final exchange is
+    // S rows regardless of corpus size — and the 1-row totals frame
+    // joins in as the canonical broadcast scalar subquery (same device
+    // as q_doc_tfidf's N).
+    "q_doc_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val perSource = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"source",
+          size(TextQueries.tokens($"text")).cast("long").as("tok_count"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("doc_count"), sum($"tok_count").as("token_sum"))
+      val totals = perSource.agg(
+        sum($"token_sum").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(broadcast(totals))
+        .select($"source", $"doc_count", $"token_sum",
+          floor($"total_tokens".cast("double") * 1000000d /
+            ($"n_sources" * $"token_sum").cast("double") + 0.5d)
+            .cast("long").as("weight_e6"))
+        .orderBy("source")
     })
   )
 
@@ -239,6 +296,40 @@ object CurationQueries {
         |    AS week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
         |FROM activity JOIN cohorts USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_doc_pack" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS tok_count
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |packed AS (
+        |  SELECT lang, shard, tok_count,
+        |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM docs)
+        |SELECT lang, shard, CAST(start_tok // 2048 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(sum(tok_count) AS BIGINT) AS token_sum
+        |FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_doc_mixture" ->
+      """WITH per_source AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
+        |    CAST(sum(length(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS token_sum
+        |  FROM documents WHERE length(trim(text)) > 0
+        |  GROUP BY source),
+        |totals AS (
+        |  SELECT CAST(sum(token_sum) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_sources FROM per_source)
+        |SELECT source, doc_count, token_sum,
+        |  CAST(floor(CAST(total_tokens AS DOUBLE) * 1000000 /
+        |       CAST(n_sources * token_sum AS DOUBLE) + 0.5) AS BIGINT)
+        |    AS weight_e6
+        |FROM per_source, totals ORDER BY source""".stripMargin
   )
 }

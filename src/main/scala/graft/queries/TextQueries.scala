@@ -331,6 +331,36 @@ object TextQueries {
           min($"fp").as("min_fingerprint"),
           max($"fp").as("max_fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // PII scrub — the hygiene pass every public-web corpus runs before
+    // tokenization: redact emails and IPv4 addresses, report per-doc hit
+    // counts plus an md5 of the redacted text. The synthetic corpus
+    // carries no PII, so a deterministic doc_id-derived contact trailer
+    // is appended identically on both sides (1–3 repeats, so counts
+    // vary); the verified artifact is the CROSS-ENGINE REGEX CONTRACT —
+    // leftmost-first, all-occurrences, ASCII \b/\d — pinned by the md5
+    // of the full redacted string, not the injection itself. Plan is a
+    // narrow map-only projection: no shuffle, no UDF, whole-stage
+    // codegen end to end; at 100 TB this is a pure scan-bound pass.
+    "q_doc_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      Tables.table(s, dir, "documents")
+        .select($"doc_id", concat(coalesce($"text", lit("")),
+          expr("""repeat(' contact user' || cast(doc_id as string) ||
+                 |'@mail.example.com from 10.' ||
+                 |cast(doc_id % 200 as string) || '.0.' ||
+                 |cast(doc_id % 250 as string),
+                 |cast(doc_id % 3 + 1 as int))""".stripMargin.replace("\n", " ")))
+          .as("aug"))
+        .select($"doc_id",
+          regexp_count($"aug", lit(email)).cast("long").as("email_count"),
+          regexp_count($"aug", lit(ip)).cast("long").as("ip_count"),
+          md5(regexp_replace(regexp_replace($"aug", email, "<EMAIL>"),
+            ip, "<IP>")).as("redacted_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -550,7 +580,30 @@ object TextQueries {
           |  FROM hashed)
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS fingerprint_count,
           |  min(fp) AS min_fingerprint, max(fp) AS max_fingerprint
-          |FROM winnowed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |FROM winnowed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_doc_pii_redact" ->
+        """WITH aug AS (
+          |  SELECT doc_id, COALESCE(text, '') ||
+          |    repeat(' contact user' || CAST(doc_id AS VARCHAR) ||
+          |           '@mail.example.com from 10.' ||
+          |           CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+          |           CAST(doc_id % 250 AS VARCHAR),
+          |           CAST(doc_id % 3 + 1 AS INT)) AS aug
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(length(regexp_extract_all(aug,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          |    AS email_count,
+          |  CAST(length(regexp_extract_all(aug,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+          |    AS ip_count,
+          |  md5(regexp_replace(regexp_replace(aug,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+          |    'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+          |    AS redacted_md5
+          |FROM aug ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -76,6 +76,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_doc_pii_redact is a map-only pass: the only exchange is its sort") {
+    // regex scrub over 100 TB must stay scan-bound: per-row work only,
+    // no shuffle beyond the presentation ORDER BY's range partitioning
+    val p = plan("q_doc_pii_redact")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_doc_pack shuffles only on its (lang, shard) stream key") {
+    // the packing window must partition by the shard key — a global or
+    // per-lang-only sort would serialize the corpus through one task
+    val p = plan("q_doc_pack")
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("salted aggregation plans two exchanges, key-only on the outside") {
     // phase 1 shuffles on (key, salt); phase 2 merges partials on key —
     // the plan must contain BOTH hashpartitioning exchanges or the salt
