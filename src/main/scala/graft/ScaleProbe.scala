@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * time representative queries at 1x/2x/4x/8x to measure how each plan's
   * runtime actually grows. Output: one JSON line per (factor, query).
   *
-  * Usage: runMain graft.ScaleProbe [maxFactor]
+  * Usage: runMain graft.ScaleProbe [maxFactor [queryName...]]
+  * Trailing query names restrict the probe (same fail-loudly contract as
+  * [[Bench]]: a typo'd name errors instead of silently probing nothing).
   * Scaled data is materialized once under target/scale/f<K>/.
   */
 object ScaleProbe {
@@ -29,7 +31,8 @@ object ScaleProbe {
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",
     "q_window_running",
     "q_events_hopping", "q_events_gapfill", "q_events_anomaly",
-    "q_emb_centroids", "q_dq_profile")
+    "q_emb_centroids", "q_dq_profile",
+    "q_doc_pack", "q_doc_mixture", "q_doc_pii_redact")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
@@ -78,6 +81,14 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
+    val qFilter = args.drop(1).toSet
+    val unknownQ = qFilter.diff((probeQueries ++ hostileQueries).toSet)
+    require(unknownQ.isEmpty,
+      s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
+    val pickedProbes =
+      if (qFilter.isEmpty) probeQueries else probeQueries.filter(qFilter)
+    val pickedHostile =
+      if (qFilter.isEmpty) hostileQueries else hostileQueries.filter(qFilter)
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -113,7 +124,7 @@ object ScaleProbe {
     // warm up
     spark.range(1000).selectExpr("sum(id)").collect()
     dirs.foreach { case (k, dir) =>
-      probeQueries.foreach { q =>
+      pickedProbes.foreach { q =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(q)(spark, dir).count()
         catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
@@ -131,7 +142,7 @@ object ScaleProbe {
       k -> dir
     }
     hostileDirs.foreach { case (k, dir) =>
-      hostileQueries.foreach { q =>
+      pickedHostile.foreach { q =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(q)(spark, dir).count()
         catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }

@@ -52,6 +52,21 @@ object EventStream {
       .select(col("window.start").cast("timestamp_ntz").as("hour_ts"),
         col("event_type"), col("event_count"), col("total_value"))
 
+  /** Hopping (sliding) 1-hour/30-minute windowed aggregation — the
+    * streaming twin of q_events_hopping. Identical shape to
+    * [[hourlyCounts]]: the native window() generator expands each event
+    * into its two overlapping windows BELOW the partial aggregate, so
+    * the fan-out combines map-side and state is one row per open
+    * (window, type) cell, closed by the same 2-hour watermark. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("event_count"), col("total_value"))
+
   /** One finalized session per user per inactivity gap — the streaming twin
     * of q_events_sessions, via flatMapGroupsWithState with an event-time
     * timeout. State per user is O(1) (count + bounds), so executors hold

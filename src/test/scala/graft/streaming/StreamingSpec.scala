@@ -67,6 +67,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming hopping windows match the batch hopping aggregation") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.hoppingCounts(stream), "hopping", OutputMode.Complete)
+    q.awaitTermination()
+
+    // counts only: the float total_value is summed in a different order
+    // on the streaming side (same reason the hourly twin skips it)
+    val got = spark.table("hopping")
+      .select($"window_start".cast("timestamp_ntz").as("window_start"),
+        $"event_type", $"event_count")
+      .orderBy("window_start", "event_type")
+      .as[(java.time.LocalDateTime, String, Long)].collect()
+
+    val want = EventQueries.queries("q_events_hopping")(spark, sf0001)
+      .select($"window_start", $"event_type", $"event_count")
+      .orderBy("window_start", "event_type")
+      .as[(java.time.LocalDateTime, String, Long)].collect()
+
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("streaming dedup passes distinct event_ids through unchanged") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.runToMemory(
