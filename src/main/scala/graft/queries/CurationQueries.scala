@@ -218,6 +218,61 @@ object CurationQueries {
             ($"n_sources" * $"token_sum").cast("double") + 0.5d)
             .cast("long").as("weight_e6"))
         .orderBy("source")
+    }),
+
+    // Per-group top-N, two-phase: the naive rank-window over `lang`
+    // shuffles the ENTIRE corpus onto #lang partitions — a skew disaster
+    // when groups are few and data is 100 TB. Phase 1 ranks within
+    // (lang, input-partition) — fully parallel, emitting at most
+    // N x partitions candidate rows — and phase 2 ranks that tiny set.
+    // Correct under ANY physical partitioning (a partition's local top-N
+    // is a superset of its contribution to the global top-N), so the
+    // output is deterministic even though spark_partition_id() isn't.
+    "q_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+        .withColumn("pid", spark_partition_id())
+      val local = Window.partitionBy($"lang", $"pid")
+        .orderBy($"n_chars".desc_nulls_last, $"doc_id")
+      val global = Window.partitionBy($"lang")
+        .orderBy($"n_chars".desc_nulls_last, $"doc_id")
+      docs
+        .withColumn("lrk", row_number().over(local))
+        .filter($"lrk" <= 3)
+        .withColumn("rk", row_number().over(global).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"lang", $"n_chars", $"rk")
+        .orderBy("lang", "rk")
+    }),
+
+    // End-to-end curation manifest: the survivor report a corpus pipeline
+    // emits after (1) degenerate-text drop, (2) exact dedup keeping the
+    // lowest doc_id per normalized fingerprint, (3) a >= 10-token quality
+    // guard, (4) deterministic stratified sampling. Every stage is an
+    // operator verified on its own elsewhere; this query pins their
+    // COMPOSITION (order matters: dedup before sampling, so a duplicate
+    // pair can never survive twice via different sample buckets). One
+    // shuffle total — the fingerprint window — then map-side filters
+    // into a tiny (lang, source) aggregate.
+    "q_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val keeper = Window.partitionBy($"fp").orderBy($"doc_id")
+      Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+        .withColumn("rk", row_number().over(keeper))
+        .filter($"rk" === 1)
+        .withColumn("tok_count",
+          size(TextQueries.tokens($"text")).cast("long"))
+        .filter($"tok_count" >= 10)
+        .filter(TextQueries.sampleBucket($"doc_id") <
+          when($"lang" === "en", 50).otherwise(20))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum($"tok_count").as("kept_tokens"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -330,6 +385,37 @@ object CurationQueries {
         |  CAST(floor(CAST(total_tokens AS DOUBLE) * 1000000 /
         |       CAST(n_sources * token_sum AS DOUBLE) + 0.5) AS BIGINT)
         |    AS weight_e6
-        |FROM per_source, totals ORDER BY source""".stripMargin
+        |FROM per_source, totals ORDER BY source""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars, rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC NULLS LAST, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |kept AS (
+        |  SELECT doc_id, lang, source, text,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |  FROM base),
+        |quality AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS tok_count
+        |  FROM kept WHERE rk = 1),
+        |sampled AS (
+        |  SELECT * FROM quality
+        |  WHERE tok_count >= 10
+        |    AND ((doc_id % 1000003) * 31 + 7) % 100
+        |        < CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS kept_docs,
+        |  CAST(sum(tok_count) AS BIGINT) AS kept_tokens
+        |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -94,6 +94,26 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_topk_per_group ranks locally before the per-group exchange") {
+    // phase 1 must partition on (lang, pid) — parallel local top-N — and
+    // only the pruned candidate set may reach the lang-only exchange; a
+    // single lang-partitioned window would funnel the corpus through
+    // #lang tasks
+    val p = plan("q_topk_per_group")
+    assert("hashpartitioning\\(lang#\\d+, pid#\\d+".r.findFirstIn(p).isDefined, p)
+    assert("hashpartitioning\\(lang#\\d+, \\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q_curation_pipeline shuffles once on the dedup fingerprint") {
+    // the composed pipeline's only wide stage is the keep-first window;
+    // quality guard + sampling are map-side and the (lang, source) agg
+    // partials combine before its exchange
+    val p = plan("q_curation_pipeline")
+    assert("hashpartitioning\\(fp#\\d+".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("salted aggregation plans two exchanges, key-only on the outside") {
     // phase 1 shuffles on (key, salt); phase 2 merges partials on key —
     // the plan must contain BOTH hashpartitioning exchanges or the salt
