@@ -622,14 +622,20 @@ object DedupQueries {
         .repartition(s.sparkContext.defaultParallelism, $"doc_a", $"doc_b")
         .as[(Long, Long, String, String)]
         .map { case (da, db, na, nb) =>
+          val ml = math.max(na.codePointCount(0, na.length),
+            nb.codePointCount(0, nb.length))
+          // bounded DP: early-exits (returning -1) once the distance
+          // provably exceeds the acceptance threshold. For integer d,
+          // d <= ml/10.0 ⇔ d <= floor(ml/10), so the bound drops exactly
+          // the pairs the filter below would — dissimilar candidates (the
+          // overwhelming majority) cost O(threshold·len), not O(len²).
           val d = org.apache.spark.unsafe.types.UTF8String.fromString(na)
             .levenshteinDistance(
-              org.apache.spark.unsafe.types.UTF8String.fromString(nb))
-          (da, db, d, math.max(na.codePointCount(0, na.length),
-            nb.codePointCount(0, nb.length)))
+              org.apache.spark.unsafe.types.UTF8String.fromString(nb), ml / 10)
+          (da, db, d, ml)
         }
         .toDF("doc_a", "doc_b", "edit_distance", "max_len")
-        .filter($"edit_distance" <= $"max_len" / 10)
+        .filter($"edit_distance" >= 0 && $"edit_distance" <= $"max_len" / 10)
       val members = groups.select($"rep_id", explode($"ids").as("m"))
       val cross = repPairs
         .join(members.select($"rep_id".as("doc_a"), $"m".as("ma")), Seq("doc_a"))
