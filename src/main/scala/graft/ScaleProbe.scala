@@ -106,7 +106,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxFactor).toSeq
-    val dirs = factors.map { k =>
+    // a filtered run must only materialize the corpora it will probe —
+    // a hostile-only filter skips the f<K> replicas and vice versa
+    val dirs = if (pickedProbes.isEmpty) Seq.empty else factors.map { k =>
       if (k == 1) k -> base
       else {
         val dir = s"target/scale/f$k"
@@ -135,7 +137,7 @@ object ScaleProbe {
     }
 
     // hostile corpus: 20k near-identical docs per factor unit
-    val hostileDirs = factors.map { k =>
+    val hostileDirs = if (pickedHostile.isEmpty) Seq.empty else factors.map { k =>
       val dir = s"target/scale/hostile_f$k"
       if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
         hostileDocs(spark, 20000L * k).repartition(8)

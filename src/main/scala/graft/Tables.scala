@@ -35,9 +35,24 @@ object Tables {
   }
 
   /** Source pre-flight check (reference main.py:41-45): all expected files
-    * exist before any read is attempted. */
-  def preflight(dir: String, names: Seq[String] = testdataTables): Seq[String] =
-    names.filterNot(n => new java.io.File(s"$dir/$n.parquet").exists())
+    * exist before any read is attempted. Resolved through the Hadoop
+    * filesystem of the path's scheme (same fix as HrPipeline.stage, r3
+    * ADVICE): a java.io.File probe is always false on hdfs://-style dirs,
+    * which would report every table missing on a real lake. The contract
+    * is "return the missing list", so an unservable path (no connector
+    * for the scheme, malformed URI) REPORTS the table missing rather
+    * than throwing — same graceful degradation the old File probe had. */
+  def preflight(dir: String, names: Seq[String] = testdataTables): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    names.filterNot { n =>
+      scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+        p.getFileSystem(conf).exists(p)
+      }.getOrElse(false)
+    }
+  }
 
   /** Spread rows across every core before expensive per-row expression
     * work (shingle lambdas, signature hashing) — but only when needed.

@@ -194,13 +194,15 @@ object CurationQueries {
     // up/down-sampling weight that equalizes the mixture to a uniform
     // target share — the knob a domain-mixing pipeline (Pile/Dolma-style
     // source weighting) feeds back into its sampler. weight_e6 is the
-    // exact-integer-ratio fixed point floor(total·1e6/(S·tokens)+0.5):
-    // every operand is an integer-valued double well under 2^53, so the
-    // one division is the only rounding and both engines share it
-    // bit-for-bit. Per-source state is two longs — the final exchange is
-    // S rows regardless of corpus size — and the 1-row totals frame
-    // joins in as the canonical broadcast scalar subquery (same device
-    // as q_doc_tfidf's N).
+    // fixed point floor(total·1e6/(S·tokens)+0.5); the ratio is exact
+    // while total_tokens·1e6 stays an exact double (total <= ~9e9
+    // tokens — beyond that the product itself rounds, though BOTH
+    // engines evaluate the identical IEEE expression so the cross-engine
+    // hash match holds at any size; a 100 TB deployment would lift this
+    // one ratio into int128/decimal). Per-source state is two longs —
+    // the final exchange is S rows regardless of corpus size — and the
+    // 1-row totals frame joins in as the canonical broadcast scalar
+    // subquery (same device as q_doc_tfidf's N).
     "q_doc_mixture" -> ((s, dir) => {
       import s.implicits._
       val perSource = Tables.table(s, dir, "documents")
