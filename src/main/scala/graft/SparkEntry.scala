@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.SimilarityQueries]] — brute-force + LSH ANN search
   *  - [[graft.queries.EventQueries]]      — event-time windows, sessions
   *  - [[graft.queries.CurationQueries]]   — corpus curation (decontamination,
-  *    leakage audit, embedding stats, retention)
+  *    leakage audit, embedding stats, retention, packing, mixture)
+  *  - [[graft.queries.MediaQueries]]      — multimodal binary-column
+  *    metadata + codec-seam histograms
   */
 object SparkEntry {
 
@@ -29,7 +31,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (minhash/simhash/LSH — seeded
@@ -41,5 +44,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.MediaQueries.oracleSql
 }
