@@ -33,7 +33,8 @@ object ScaleProbe {
     "q_events_hopping", "q_events_gapfill", "q_events_anomaly",
     "q_emb_centroids", "q_dq_profile",
     "q_doc_pack", "q_doc_mixture", "q_doc_pii_redact",
-    "q_topk_per_group", "q_curation_pipeline")
+    "q_topk_per_group", "q_curation_pipeline",
+    "q_media_meta", "q_media_histogram")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

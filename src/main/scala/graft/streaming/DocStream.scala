@@ -59,4 +59,18 @@ object DocStream {
       .join(broadcast(bench), Seq("gram"))
       .select(col("doc_id"), col("gram"))
   }
+
+  /** Streaming exact dedup over document fingerprints — the streaming
+    * face of the batch collapse (the keeper selection inside every
+    * near-dup query): the first arrival per normalized-text md5 passes,
+    * later duplicates drop. State is one fingerprint per DISTINCT text
+    * (bounded by distinct content, not stream length); a production
+    * ingest would add `withWatermark` on an event-time column so
+    * fingerprints age out with the dedup horizon. */
+  def dedupDocs(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .dropDuplicates("fp")
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
 }

@@ -47,6 +47,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("streaming doc dedup keeps exactly one doc per batch fingerprint group") {
+    val deduped = DocStream.dedupDocs(DocStream.readDocs(spark, docsStreamDir))
+    val q = EventStream.runToMemory(deduped, "doc_dedup", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("doc_dedup")
+      .select($"fp", $"doc_id").as[(String, Long)].collect()
+
+    val batch = Tables.table(spark, sf0001, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      .as[(Long, String)].collect()
+    val groups = batch.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+
+    // exactly one survivor per distinct fingerprint, and each survivor is
+    // a genuine member of its group (WHICH member is partition-order
+    // dependent, same as any first-arrival dedup)
+    assert(streamed.length === groups.size)
+    assert(streamed.map(_._1).toSet === groups.keySet)
+    streamed.foreach { case (fp, id) => assert(groups(fp).contains(id)) }
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.runToMemory(
