@@ -377,6 +377,26 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // Bounded-state per-group top-k values via the custom TopKLongs
+    // aggregate (graft.functions): k-element heap per group however hot
+    // the key — where the composable collect_list formulation buffers
+    // the whole group (executor OOM on a 100 TB hot key) — and it
+    // partial-aggregates map-side, so each scan task contributes at most
+    // k values per group to the exchange. Exploded to (lang, rk, value)
+    // rows; the oracle replays it as a rank window over the raw table.
+    "q_agg_topk_bounded" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TopKFunctions.register(s)
+      Tables.table(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(graft.functions.TopKFunctions.topkLongs($"n_chars", 5)
+          .as("top_chars"))
+        .select($"lang", posexplode($"top_chars"))
+        .toDF("lang", "pos", "n_chars")
+        .select($"lang", ($"pos" + 1).cast("int").as("rk"), $"n_chars")
+        .orderBy("lang", "rk")
+    }),
+
     // Column profiling — the DQ suite's fourth face (after completeness /
     // accuracy / referential): per-column row, null, and distinct counts
     // over customer in ONE scan. All profile aggregates compute in a
@@ -768,6 +788,13 @@ object ParityQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS event_count,
         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_topk_bounded" ->
+      """SELECT lang, CAST(rk AS INT) AS rk, n_chars FROM (
+        |  SELECT lang, n_chars, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "q_pivot_events" ->
       """SELECT user_id,
