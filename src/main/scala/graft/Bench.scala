@@ -105,16 +105,32 @@ object Bench {
       ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + fmt(digits)(v) }
         .mkString("{", ",", "}")
     val qs = qDict(2)
-    // both passes stay diagnosable, but the warm dict goes to stderr as its
-    // own line: two per-query dicts on the stdout line pushed it past the
-    // 2000-char tail window (the r5 record lost the total and the first
-    // half of the per-query numbers to exactly that truncation)
+    // both passes stay diagnosable at FULL precision on stderr (their own
+    // lines — two per-query dicts on the stdout line pushed it past the
+    // 2000-char tail window, and the r5 record lost the total and half
+    // the per-query numbers to exactly that truncation); the timed line
+    // also means nothing is lost if the stdout ladder below has to drop
+    // its per-query dict
     val warmJson = warm.filter(_._3.isEmpty)
       .map { case (k, v, _) => JsonUtil.quote(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench] {"warm_queries":$warmJson}""")
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, e) => JsonUtil.quote(k) + ":" + JsonUtil.quote(e) }
+    val timedJson = ok
+      .map { case (k, v, _) => JsonUtil.quote(k) + ":" + ms(v) }
+      .mkString("{", ",", "}")
+    System.err.println(s"""[bench] {"timed_queries":$timedJson}""")
+    // the stdout errors dict is BOUNDED (5 entries x 60-char messages):
+    // full messages are already on stderr as [bench] FAILED lines, and an
+    // unbounded dict (~230 chars/failure) could push even a dict-less
+    // stdout line past the tail window — the exact failure mode this
+    // ladder exists to prevent
+    val errSeq = errors.toSeq.sortBy(_._1)
+    val errJson = (errSeq.take(5)
+      .map { case (k, e) => JsonUtil.quote(k) + ":" + JsonUtil.quote(e.take(60)) } ++
+      (if (errSeq.length > 5)
+        Seq(JsonUtil.quote("__more__") + ":" + JsonUtil.quote(
+          s"${errSeq.length - 5} additional failures on stderr"))
+      else Nil))
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     def line(dict: String): String =
@@ -126,6 +142,9 @@ object Bench {
     // full ms precision always remains on the stderr warm line.
     val out = Seq(qs, qDict(1)).map(line).find(_.length <= 1900)
       .getOrElse(line("{}"))
+    if (out != line(qs))
+      System.err.println("[bench] stdout line over the tail budget — " +
+        "per-query precision degraded (full ms dicts on stderr above)")
     println(out)
     spark.stop()
   }

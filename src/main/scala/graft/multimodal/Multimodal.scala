@@ -20,10 +20,12 @@ object Multimodal {
   /** One media item: opaque payload + typed metadata (the schema a
     * 100 TB media lake would carry per row). */
   case class MediaItem(item_id: Long, payload: Array[Byte], mime: String,
-                       width: Int, height: Int, durationMs: Long)
+                       source: String, width: Int, height: Int,
+                       durationMs: Long)
 
-  case class MediaFeatures(item_id: Long, mime: String, byteSize: Long,
-                           byteEntropyMilli: Long, histogram: Array[Long])
+  case class MediaFeatures(item_id: Long, mime: String, source: String,
+                           byteSize: Long, byteEntropyMilli: Long,
+                           histogram: Array[Long])
 
   /** Deterministic decode stub. A real implementation would call an image/
     * audio library here; everything around it is production-shaped. */
@@ -65,9 +67,10 @@ object Multimodal {
   def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     graft.Tables.table(spark, dir, "documents")
+      .filter($"text".isNotNull) // a media row without a payload is unreadable
       .select($"doc_id".as("item_id"),
         encode($"text", "UTF-8").as("payload"),
-        lit("text/plain").as("mime"),
+        lit("text/plain").as("mime"), $"source",
         lit(0).as("width"), lit(0).as("height"), lit(0L).as("durationMs"))
       .as[MediaItem]
   }
@@ -80,7 +83,7 @@ object Multimodal {
     items.mapPartitions { it =>
       it.map { m =>
         val hist = FakeCodec.decodeHistogram(m.payload)
-        MediaFeatures(m.item_id, m.mime, m.payload.length.toLong,
+        MediaFeatures(m.item_id, m.mime, m.source, m.payload.length.toLong,
           FakeCodec.entropyMilli(hist), hist)
       }
     }

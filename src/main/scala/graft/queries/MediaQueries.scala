@@ -25,35 +25,29 @@ object MediaQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-item binary metadata: byte size + content digest over the
     // opaque payload column — the manifest row a media lake keeps per
-    // object. Map-only, scan-bound; the digest doubles as the exact-dedup
-    // key for binary payloads (same role `fp` plays for text).
+    // object. Built on the ONE payload seam (Multimodal.documentsAsMedia)
+    // so a real ingestion swap carries every query with it. Map-only,
+    // scan-bound; the digest doubles as the exact-dedup key for binary
+    // payloads (same role `fp` plays for text).
     "q_media_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.table(s, dir, "documents")
-        .filter($"text".isNotNull)
-        .select($"doc_id".as("item_id"), lit("text/plain").as("mime"),
-          length(encode($"text", "UTF-8")).cast("long").as("byte_size"),
-          md5(encode($"text", "UTF-8")).as("payload_md5"))
+      Multimodal.documentsAsMedia(s, dir)
+        .select($"item_id", $"mime",
+          length($"payload").cast("long").as("byte_size"),
+          md5($"payload").as("payload_md5"))
         .orderBy("item_id")
     }),
 
     // Per-source byte histogram THROUGH the codec seam: payloads decode
-    // via FakeCodec.decodeHistogram inside mapPartitions (one iterator
-    // per partition, vectorizable inside, no per-row driver round trips —
-    // exactly how a real decoder runs), then the per-item histograms
-    // aggregate distributedly. The typed stage is the one part Catalyst
-    // can't see through; everything around it stays codegen'd.
+    // via Multimodal.extractFeatures — FakeCodec inside mapPartitions,
+    // one iterator per partition, no per-row driver round trips, exactly
+    // how a real decoder runs — then the per-item histograms aggregate
+    // distributedly. The typed stage is the one part Catalyst can't see
+    // through; everything around it stays codegen'd.
     "q_media_histogram" -> ((s, dir) => {
       import s.implicits._
-      Tables.table(s, dir, "documents")
-        .filter($"text".isNotNull)
-        .select($"source", encode($"text", "UTF-8").as("payload"))
-        .as[(String, Array[Byte])]
-        .mapPartitions(_.map { case (src, payload) =>
-          (src, Multimodal.FakeCodec.decodeHistogram(payload))
-        })
-        .toDF("source", "hist")
-        .select($"source", posexplode($"hist"))
+      Multimodal.extractFeatures(Multimodal.documentsAsMedia(s, dir))
+        .select($"source", posexplode($"histogram"))
         .toDF("source", "bucket", "cnt")
         .groupBy($"source", $"bucket")
         .agg(sum($"cnt").as("byte_count"))

@@ -793,7 +793,9 @@ object ParityQueries {
       """SELECT lang, CAST(rk AS INT) AS rk, n_chars FROM (
         |  SELECT lang, n_chars, row_number() OVER (PARTITION BY lang
         |    ORDER BY n_chars DESC) AS rk
-        |  FROM documents)
+        |  -- the aggregate skips nulls (SQL convention); mirror it, or a
+        |  -- corpus with null n_chars would rank them into the window
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "q_pivot_events" ->
