@@ -34,7 +34,8 @@ object ScaleProbe {
     "q_emb_centroids", "q_dq_profile",
     "q_doc_pack", "q_doc_mixture", "q_doc_pii_redact",
     "q_topk_per_group", "q_curation_pipeline",
-    "q_media_meta", "q_media_histogram", "q_agg_topk_bounded")
+    "q_media_meta", "q_media_histogram", "q_agg_topk_bounded",
+    "q_events_moving_avg")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

@@ -234,6 +234,33 @@ object EventQueries {
             .as("purchase_value"),
           max(date_trunc("second", $"ts")).as("last_seen"))
         .orderBy("user_id")
+    }),
+
+    // Trailing 3-hour moving average per event type over the hourly
+    // series — the RANGE(interval) window face the running-total query's
+    // ROWS frame doesn't cover. Hour totals snap to e2 fixed point per
+    // EVENT first (the anomaly query's device), so the frame sums are
+    // exact longs in both engines and the one rounded division is the
+    // output itself. Two exchanges: the hourly aggregation, then the
+    // per-type window whose partition is bounded by the TIME SPAN in
+    // hours, not the corpus size.
+    "q_events_moving_avg" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = Tables.table(s, dir, "events")
+        .select($"ts", $"event_type",
+          floor($"value" * 100d + 0.5d).cast("long").as("v2"))
+        .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+        .agg(sum($"v2").as("value_e2"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"epoch").rangeBetween(-10800L, Window.currentRow)
+      hourly
+        .withColumn("epoch", unix_timestamp($"hour_ts".cast("timestamp")))
+        .select($"hour_ts", $"event_type",
+          Clean.roundHalfUp(
+            sum($"value_e2").over(w) / 100d / count(lit(1)).over(w), 2)
+            .as("moving_avg_value"),
+          count(lit(1)).over(w).as("window_hours"))
+        .orderBy("event_type", "hour_ts")
     })
   )
 
@@ -396,6 +423,26 @@ object EventQueries {
         |  floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
         |        * 100 + 0.5) / 100 AS purchase_value,
         |  max(date_trunc('second', ts)) AS last_seen
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_moving_avg" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS value_e2
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT hour_ts, event_type,
+        |    sum(value_e2) OVER w AS mov_e2,
+        |    count(*) OVER w AS mov_hours
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY CAST(epoch(hour_ts) AS BIGINT)
+        |    RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW))
+        |SELECT hour_ts, event_type,
+        |  floor(CAST(mov_e2 AS DOUBLE) / 100 / mov_hours * 100 + 0.5) / 100
+        |    AS moving_avg_value,
+        |  CAST(mov_hours AS BIGINT) AS window_hours
+        |FROM win ORDER BY event_type, hour_ts""".stripMargin
   )
 }
