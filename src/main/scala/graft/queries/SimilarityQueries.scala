@@ -178,24 +178,33 @@ object SimilarityQueries {
       val vecs = Tables.table(s, dir, "embeddings")
         .select($"vec_id", dvec($"embedding").as("v"))
       val centroids = ivfCentroids(vecs, k = 16, iters = 2)
-      val assigned = assignCells(vecs, centroids)
-      val probes = vecs.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"v".as("qv"))
-      // nprobe nearest cells per probe: the centroid scores are already a
-      // literal array expression — slice its top-nprobe indices
-      val probedCells = probes
-        .withColumn("cell", explode(nearestCells(centroids, $"qv", nprobe)))
-        .select($"query_id", $"qv", $"cell")
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"cosine".desc, $"neighbor_id")
-      assigned.join(broadcast(probedCells), Seq("cell"))
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"rank", $"neighbor_id", $"cosine")
-        .orderBy("query_id", "rank")
+      // empty corpus -> empty result in the query's shape (a zero-element
+      // centroid literal would not even analyze: array_position over an
+      // empty array() is a NULL_TYPE mismatch)
+      if (centroids.isEmpty) {
+        vecs.limit(0).select($"vec_id".as("query_id"),
+          lit(1).as("rank"), $"vec_id".as("neighbor_id"),
+          lit(0.0).as("cosine"))
+      } else {
+        val assigned = assignCells(vecs, centroids)
+        val probes = vecs.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        // nprobe nearest cells per probe: the centroid scores are already a
+        // literal array expression — slice its top-nprobe indices
+        val probedCells = probes
+          .withColumn("cell", explode(nearestCells(centroids, $"qv", nprobe)))
+          .select($"query_id", $"qv", $"cell")
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id")
+        assigned.join(broadcast(probedCells), Seq("cell"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+          .orderBy("query_id", "rank")
+      }
     })
   )
 
@@ -233,6 +242,7 @@ object SimilarityQueries {
     var cents = vecs.filter($"vec_id" < k)
       .select($"vec_id".cast("int").as("cell"), $"v".as("cv"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    if (cents.isEmpty) return cents // empty corpus: nothing to seed from
     (0 until iters).foreach { _ =>
       cents = assignCells(vecs, cents)
         .select($"cell", posexplode($"v"))
