@@ -361,6 +361,26 @@ object TextQueries {
           md5(regexp_replace(regexp_replace($"aug", email, "<EMAIL>"),
             ip, "<IP>")).as("redacted_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Per-language quality quartiles via ntile — the tier label a curation
+    // pipeline uses to sample "highest-quality quartile first". The
+    // window partitions by lang (parallel across languages; within one
+    // language ntile is a single ordered pass — the scale path for a
+    // monster language shards first like q_doc_pack and assigns tiers per
+    // shard). Total order (n_chars, doc_id) makes tier assignment
+    // deterministic and engine-identical: both engines deal ntile
+    // remainder rows to the leading tiles.
+    "q_doc_quality_tiers" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"n_chars".desc_nulls_last, $"doc_id")
+      Tables.table(s, dir, "documents")
+        .filter($"n_chars".isNotNull)
+        .withColumn("tier", ntile(4).over(w))
+        .groupBy($"lang", $"tier")
+        .agg(count(lit(1)).as("doc_count"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .orderBy("lang", "tier")
     })
   )
 
@@ -603,7 +623,17 @@ object TextQueries {
           |    'g'),
           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
           |    AS redacted_md5
-          |FROM aug ORDER BY doc_id""".stripMargin
+          |FROM aug ORDER BY doc_id""".stripMargin,
+
+      "q_doc_quality_tiers" ->
+        """WITH tiers AS (
+          |  SELECT lang, n_chars, ntile(4) OVER (PARTITION BY lang
+          |    ORDER BY n_chars DESC NULLS LAST, doc_id) AS tier
+          |  FROM documents WHERE n_chars IS NOT NULL)
+          |SELECT lang, CAST(tier AS INT) AS tier,
+          |  CAST(count(*) AS BIGINT) AS doc_count,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          |FROM tiers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }
