@@ -47,6 +47,14 @@ object Clean {
     floor(c * p + 0.5) / p
   }
 
+  /** Snap a 2-decimal money/metric double to exact e2 fixed-point LONG —
+    * the one definition of the cross-engine contract the event queries
+    * (z-score anomaly, moving average) and their oracle SQL share as
+    * `CAST(floor(value * 100 + 0.5) AS BIGINT)`. Group sums over the
+    * snapped longs are exact integers in any engine. */
+  def snapE2(c: Column): Column =
+    floor(c * 100d + 0.5d).cast("long")
+
   /** E4: tenure in years vs an injected as-of date (reference
     * transform.py:24-26). */
   def tenureYears(hireDate: Column, asOf: Column): Column =

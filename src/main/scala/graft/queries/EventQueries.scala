@@ -38,8 +38,7 @@ object EventQueries {
     "q_events_anomaly" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.table(s, dir, "events")
-        .select($"event_id", $"event_type",
-          floor($"value" * 100d + 0.5d).cast("long").as("v2"))
+        .select($"event_id", $"event_type", Clean.snapE2($"value").as("v2"))
       val stats = e.groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"v2").cast("double").as("sv"),
@@ -238,7 +237,10 @@ object EventQueries {
 
     // Trailing 3-hour moving average per event type over the hourly
     // series — the RANGE(interval) window face the running-total query's
-    // ROWS frame doesn't cover. Hour totals snap to e2 fixed point per
+    // ROWS frame doesn't cover. Over hour-aligned buckets a 3-hour
+    // trailing window is THREE buckets: RANGE is inclusive at both ends,
+    // so the bound is 7200 (two full hours back + the current bucket) —
+    // 10800 would silently include a fourth. Hour totals snap to e2 fixed point per
     // EVENT first (the anomaly query's device), so the frame sums are
     // exact longs in both engines and the one rounded division is the
     // output itself. Two exchanges: the hourly aggregation, then the
@@ -247,12 +249,11 @@ object EventQueries {
     "q_events_moving_avg" -> ((s, dir) => {
       import s.implicits._
       val hourly = Tables.table(s, dir, "events")
-        .select($"ts", $"event_type",
-          floor($"value" * 100d + 0.5d).cast("long").as("v2"))
+        .select($"ts", $"event_type", Clean.snapE2($"value").as("v2"))
         .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
         .agg(sum($"v2").as("value_e2"))
       val w = Window.partitionBy($"event_type")
-        .orderBy($"epoch").rangeBetween(-10800L, Window.currentRow)
+        .orderBy($"epoch").rangeBetween(-7200L, Window.currentRow)
       hourly
         .withColumn("epoch", unix_timestamp($"hour_ts".cast("timestamp")))
         .select($"hour_ts", $"event_type",
@@ -438,7 +439,7 @@ object EventQueries {
         |  FROM hourly
         |  WINDOW w AS (PARTITION BY event_type
         |    ORDER BY CAST(epoch(hour_ts) AS BIGINT)
-        |    RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW))
+        |    RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW))
         |SELECT hour_ts, event_type,
         |  floor(CAST(mov_e2 AS DOUBLE) / 100 / mov_hours * 100 + 0.5) / 100
         |    AS moving_avg_value,
