@@ -98,13 +98,24 @@ object Bench {
     def fmt(digits: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def ms(v: Double): String = fmt(3)(v)
+    // trailing zeros carry no information at these precisions ("0.30" ->
+    // "0.3") and the tail budget is counted in single characters
+    def trim(digits: Int)(v: Double): String = {
+      val s = fmt(digits)(v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty) "0" else t
+      } else s
+    }
     // per-query at centisecond precision: the ~80-query dict is the bulk
     // of the line and must stay inside the ~2000-char tail budget; the
     // stderr warm line keeps ms precision for diagnosis
-    def qDict(digits: Int): String =
-      ok.map { case (k, v, _) => JsonUtil.quote(k) + ":" + fmt(digits)(v) }
-        .mkString("{", ",", "}")
-    val qs = qDict(2)
+    def qDict(digits: Int, stripPrefix: Boolean): String =
+      ok.map { case (k, v, _) =>
+        val key = if (stripPrefix) k.stripPrefix("q_") else k
+        JsonUtil.quote(key) + ":" + trim(digits)(v)
+      }.mkString("{", ",", "}")
+    val qs = qDict(2, stripPrefix = false)
     // both passes stay diagnosable at FULL precision on stderr (their own
     // lines — two per-query dicts on the stdout line pushed it past the
     // 2000-char tail window, and the r5 record lost the total and half
@@ -133,14 +144,22 @@ object Bench {
       else Nil))
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    def line(dict: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$dict,"errors":$errJson,"sf":"$sfDir"}"""
+    def line(dict: String, marker: String = ""): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",$marker"queries":$dict,"errors":$errJson,"sf":"$sfDir"}"""
     // the consumer tails ~2000 chars of output: a longer line loses its
     // HEAD — the headline total — and fails to parse (the r5 record).
-    // The suite has grown to ~80 queries (1942 chars at centi precision),
-    // so degrade per-query precision before ever crossing the window;
-    // full ms precision always remains on the stderr warm line.
-    val out = Seq(qs, qDict(1)).map(line).find(_.length <= 1900)
+    // At 84 queries even the 1-decimal full-name dict is ~1940 chars —
+    // the redundant "q_" key prefix alone is 250+ of them — so the ladder
+    // now degrades key VERBOSITY before value precision: full names at
+    // centi precision first, then prefix-stripped keys (self-described by
+    // queries_key_prefix so no consumer has to guess), then coarser
+    // values. Full ms precision always remains on the stderr lines above.
+    val pfx = """"queries_key_prefix":"q_","""
+    val out = Seq(
+      line(qDict(2, stripPrefix = false)),
+      line(qDict(2, stripPrefix = true), pfx),
+      line(qDict(1, stripPrefix = true), pfx))
+      .find(_.length <= 1900)
       .getOrElse(line("{}"))
     if (out != line(qs))
       System.err.println("[bench] stdout line over the tail budget — " +
