@@ -392,6 +392,88 @@ object DedupQueries {
       cross.union(within).orderBy("doc_a", "doc_b")
     }),
 
+    // N-gram CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) over distinct
+    // word 3-grams — the asymmetric complement of q_dedup_ngram_jaccard.
+    // Jaccard's length-band blocking deliberately never pairs a short
+    // document with a long one, but the highest-value curation dup is
+    // exactly that shape: the same content re-wrapped in boilerplate
+    // (nav chrome, license headers, forum quoting). Containment scores
+    // the smaller side's coverage, so a wrapped copy still scores ~1.0.
+    //
+    // Without a length band the inverted-index join needs a different
+    // scale guard: a DOCUMENT-FREQUENCY cap on the join grams
+    // (`spark.graft.dedup.maxGramDf`, default 100). A gram shared by
+    // more than D documents is template boilerplate, not near-dup
+    // evidence, and it is precisely the gram whose index bucket explodes
+    // (pairs per gram grow as df²); dropping it bounds per-gram fan-out
+    // at df²/2 BY CONSTRUCTION — a hard cap the length band never gave.
+    // Both the intersection AND the per-doc denominators are defined over
+    // the sub-cap gram universe, so the score is self-consistent and the
+    // DuckDB oracle replays it exactly (HAVING count(*) <= D).
+    //
+    // Collapse-first like the other near-dup pipelines, keyed (lang, fp):
+    // df is the UNCOLLAPSED document frequency (each representative
+    // contributes its group's copy count), so the capped gram universe —
+    // and therefore every score — is identical to the all-pairs form the
+    // oracle computes. Within-group pairs are 1.0 by construction, but
+    // only for groups whose representative retains >=1 sub-cap gram: a
+    // doc whose every gram is boilerplate shares no JOINABLE gram in the
+    // uncollapsed form and must not pair at all.
+    "q_dedup_containment" -> ((s, dir) => {
+      import s.implicits._
+      val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
+        .map(_.toInt).getOrElse(100)
+      val docs = Tables.spread(
+        Tables.table(s, dir, "documents")
+          .filter(length(trim($"text")) > 0), $"doc_id")
+        .select($"doc_id", $"lang", $"text",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      val grouped = capPerKey(docs.select($"doc_id", $"lang", $"fp"),
+        "containment_collapse", $"lang", $"fp")
+        .groupBy($"lang", $"fp")
+        .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"),
+          count(lit(1)).as("copies"))
+      val reps = docs.join(grouped.select($"rep_id".as("doc_id")), Seq("doc_id"))
+      val inv = withShingles(reps, 3)
+        .select($"doc_id", $"lang", explode_outer($"grams").as("gram"))
+      val gramDf = inv
+        .join(grouped.select($"rep_id".as("doc_id"), $"copies"), Seq("doc_id"))
+        .groupBy($"lang", $"gram")
+        .agg(sum($"copies").as("df"))
+      val capped = inv.join(gramDf.filter($"df" <= dfCap), Seq("lang", "gram"))
+        .select($"doc_id", $"lang", $"gram")
+      val counts = capped.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val a = capped.select($"doc_id".as("doc_a"), $"lang", $"gram")
+      val b = capped.select($"doc_id".as("doc_b"), $"lang", $"gram")
+      val repPairs = a.join(b, Seq("lang", "gram"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("common"))
+        .join(counts.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
+        .join(counts.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          Clean.roundHalfUp(
+            $"common".cast("double") / least($"n_a", $"n_b"), 4)
+            .as("containment"))
+        .filter($"containment" >= 0.5)
+      val members = grouped.select($"rep_id", explode($"ids").as("doc_id"))
+      val cross = repPairs
+        .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
+          Seq("doc_a"))
+        .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
+          Seq("doc_b"))
+        .select(least($"mem_a", $"mem_b").as("doc_a"),
+          greatest($"mem_a", $"mem_b").as("doc_b"), $"containment")
+      val within = grouped
+        .join(counts.select($"doc_id".as("rep_id")), Seq("rep_id"))
+        .filter(size($"ids") > 1)
+        .select(explode($"ids").as("doc_a"), $"ids")
+        .select($"doc_a", explode($"ids").as("doc_b"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", lit(1.0).as("containment"))
+      cross.union(within).orderBy("doc_a", "doc_b")
+    }),
+
     // MinHash + LSH banding: signature k=32, 8 bands x 4 rows; docs
     // sharing >=1 band bucket become candidate pairs. (No SQL oracle —
     // seeded xxhash64 is not reproducible in DuckDB; correctness is
@@ -792,6 +874,40 @@ object DedupQueries {
         |        / (length(a.grams) + length(b.grams)
         |           - length(list_intersect(a.grams, b.grams)))
         |        * 10000 + 0.5) / 10000 >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The UNCOLLAPSED all-pairs form of the containment pipeline — a green
+    // hash-match doubles as an equivalence proof for the (lang, fp)
+    // collapse and the uncollapsed-df bookkeeping.
+    "q_dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN length(toks) >= 3
+        |      THEN list_transform(range(1, length(toks) - 1),
+        |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS grams
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |            AS toks
+        |        FROM documents WHERE length(trim(text)) > 0)),
+        |exp AS (SELECT doc_id, lang, unnest(grams) AS gram FROM docs),
+        |df AS (SELECT lang, gram FROM exp GROUP BY lang, gram
+        |       HAVING count(*) <= 100),
+        |capped AS (SELECT e.doc_id, e.lang, e.gram
+        |           FROM exp e JOIN df USING (lang, gram)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM capped a JOIN capped b
+        |    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  floor(CAST(common AS DOUBLE) / least(ca.n, cb.n) * 10000 + 0.5)
+        |    / 10000 AS containment
+        |FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+        |           JOIN counts cb ON doc_b = cb.doc_id
+        |WHERE floor(CAST(common AS DOUBLE) / least(ca.n, cb.n) * 10000 + 0.5)
+        |      / 10000 >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_minhash_sql" -> minhashSqlOracle,

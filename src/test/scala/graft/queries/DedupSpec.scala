@@ -88,6 +88,58 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 3L)))          // disjoint vocab -> no bands
   }
 
+  /** Containment corpus: doc 1 is doc 0's core content wrapped in 20-word
+    * header/footer boilerplate — >64 chars longer, so Jaccard's length-band
+    * blocking never pairs them; containment must. Doc 2 shares nothing. */
+  lazy val containFixtureDir: String = {
+    val dir = Files.createTempDirectory("contain_fixture").toString
+    val core = (1 to 40).map(i => s"word$i").mkString(" ")
+    val hdr = (1 to 20).map(i => s"nav$i").mkString(" ")
+    val ftr = (1 to 20).map(i => s"legal$i").mkString(" ")
+    val docs = Seq(
+      (0L, core, "en", "src0", core.length.toLong),
+      (1L, s"$hdr $core $ftr", "en", "src1", 400L),
+      (2L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "src2", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("containment pairs a doc with its boilerplate-wrapped copy; jaccard's banding cannot") {
+    val contain = DedupQueries.queries("q_dedup_containment")(spark, containFixtureDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    // all 38 of doc 0's shingles appear verbatim inside doc 1
+    assert(contain((0L, 1L)) === 1.0)
+    assert(!contain.contains((0L, 2L)))
+    val jaccard = DedupQueries.queries("q_dedup_ngram_jaccard")(spark, containFixtureDir)
+      .collect()
+    assert(jaccard.isEmpty) // wrapped copy straddles the 64-char length band
+  }
+
+  test("gram-df cap drops boilerplate grams; an all-boilerplate group emits no pairs") {
+    val dir = Files.createTempDirectory("dfcap_fixture").toString
+    val boiler = (1 to 30).map(i => s"tpl$i").mkString(" ")
+    // docs 0-3 identical boilerplate (one fp group of 4); 4/5 a real near-dup
+    // pair with private vocabulary
+    val real = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "changed" else s"word$i").mkString(" ")
+    val docs = ((0L to 3L).map(i => (i, boiler, "en", s"src$i", 100L)) ++
+      Seq((4L, real, "en", "src4", 100L), (5L, near, "en", "src5", 100L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.dedup.maxGramDf", "3")
+    try {
+      val pairs = DedupQueries.queries("q_dedup_containment")(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      // every gram of the 4-copy boilerplate group has df=4 > cap, so its
+      // representative retains no joinable gram: no pairs, not even
+      // within-group — exactly what the uncollapsed all-pairs form yields
+      assert(!pairs.exists { case (a, b) => a <= 3L && b <= 3L })
+      assert(pairs.contains((4L, 5L))) // sub-cap content still pairs
+    } finally spark.conf.unset("spark.graft.dedup.maxGramDf")
+  }
+
   test("no persisted RDDs survive a clustering query's action") {
     // the iteration's materialized rounds and the result label table must
     // all be freed once the query's terminal action completes (judge r3:

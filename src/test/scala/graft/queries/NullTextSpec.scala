@@ -32,7 +32,8 @@ class NullTextSpec extends SparkTestBase {
   }
 
   private val textQueries = Seq(
-    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_containment",
+    "q_dedup_minhash_lsh",
     "q_dedup_minhash_sql", "q_dedup_simhash", "q_dedup_simhash_sql",
     "q_dedup_clusters", "q_dedup_editdist", "q_doc_tokens",
     "q_doc_quality", "q_doc_repetition", "q_doc_fingerprint",
@@ -52,7 +53,7 @@ class NullTextSpec extends SparkTestBase {
     // spec caught); collapseExact filters them before banding
     val degenerate = Set(2L, 3L, 4L, 5L)
     Seq("q_dedup_minhash_lsh", "q_dedup_minhash_sql", "q_dedup_simhash",
-      "q_dedup_simhash_sql").foreach { q =>
+      "q_dedup_simhash_sql", "q_dedup_containment").foreach { q =>
       val pairs = graft.SparkEntry.queries(q)(spark, fixtureDir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val bad = pairs.filter { case (a, b) =>

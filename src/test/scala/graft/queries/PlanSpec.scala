@@ -43,7 +43,8 @@ class PlanSpec extends SparkTestBase {
     // anywhere in these plans is a 100 TB scale-killer even if results
     // stay correct
     Seq("q_dedup_minhash_lsh", "q_dedup_minhash_sql", "q_dedup_simhash",
-      "q_dedup_simhash_sql", "q_dedup_ngram_jaccard", "q_dedup_editdist",
+      "q_dedup_simhash_sql", "q_dedup_ngram_jaccard", "q_dedup_containment",
+      "q_dedup_editdist",
       "q_ann_lsh", "q_ann_lsh_sql", "q_ann_ivf", "q_events_funnel",
       "q_doc_repetition").foreach { q =>
       val p = plan(q)

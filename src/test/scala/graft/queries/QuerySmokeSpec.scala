@@ -21,7 +21,8 @@ class QuerySmokeSpec extends SparkTestBase {
       assert(df.columns.nonEmpty)
       // near-dup candidate queries may legitimately return zero pairs
       val mayBeEmpty = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-        "q_dedup_simhash", "q_dedup_embedding", "q_anti_fk")
+        "q_dedup_simhash", "q_dedup_embedding", "q_anti_fk",
+        "q_dedup_containment")
       if (!mayBeEmpty.contains(name)) assert(df.count() > 0, s"$name empty")
       else assert(df.count() >= 0)
     }
