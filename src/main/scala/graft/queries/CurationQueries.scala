@@ -100,6 +100,41 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Symmetric int8 per-vector quantization audit — the compression step
+    // a 100 TB embedding lake runs before ANN indexing (float32 -> int8 is
+    // a 4x memory/scan cut; IVF/HNSW serving layers hold the int8 copy).
+    // scale = max|v|/127, q_i = floor(v_i/scale + 0.5) in [-127, 127],
+    // reported per vector: scale plus max/mean absolute reconstruction
+    // error. Plan: one explode, ONE exchange on vec_id — the scale comes
+    // from a whole-partition window max, and the final per-vector
+    // aggregation reuses the window's hash partitioning (vec_id is a
+    // subset of the grouping key, so EnsureRequirements adds no second
+    // exchange). Cross-engine determinism: max and the element-wise
+    // ops are order-independent IEEE arithmetic on identical doubles;
+    // the one accumulation (mean) sums e9-snapped LONGS, the same
+    // fixed-point device as the anomaly/centroid queries. Zero vectors
+    // (scale 0) quantize to all-zero with zero error by definition.
+    "q_emb_quantize" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+      Tables.table(s, dir, "embeddings")
+        .select($"vec_id", $"label",
+          explode($"embedding".cast("array<double>")).as("v"))
+        .withColumn("scale", max(abs($"v")).over(w) / 127d)
+        .withColumn("qv",
+          when($"scale" === 0d, 0d)
+            .otherwise(floor($"v" / $"scale" + 0.5d)))
+        .withColumn("err", abs($"v" - $"qv" * $"scale"))
+        .groupBy($"vec_id", $"label")
+        .agg(count(lit(1)).as("n_dims"),
+          Clean.roundHalfUp(max($"scale"), 6).as("scale"),
+          Clean.roundHalfUp(max($"err"), 6).as("max_abs_err"),
+          Clean.roundHalfUp(
+            sum(floor($"err" * 1e9 + 0.5d).cast("long")) / 1e9
+              / count(lit(1)), 6).as("mean_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-table health stats: per-label count and L2-norm
     // min/avg/max — the sanity report a pipeline prints before ANN
     // indexing (all-zero vectors, norm drift between label shards).
@@ -307,6 +342,28 @@ object CurationQueries {
          |FROM g JOIN train USING (gram)
          |WHERE is_test
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v
+        |        FROM embeddings)),
+        |s AS (
+        |  SELECT vec_id, label, v,
+        |    max(abs(v)) OVER (PARTITION BY vec_id) / 127 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, label, scale,
+        |    abs(v - (CASE WHEN scale = 0 THEN 0
+        |             ELSE floor(v / scale + 0.5) END) * scale) AS err
+        |  FROM s)
+        |SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_dims,
+        |  floor(max(scale) * 1000000 + 0.5) / 1000000 AS scale,
+        |  floor(max(err) * 1000000 + 0.5) / 1000000 AS max_abs_err,
+        |  floor(CAST(sum(CAST(floor(err * 1000000000 + 0.5) AS BIGINT))
+        |             AS DOUBLE) / 1000000000 / count(*)
+        |        * 1000000 + 0.5) / 1000000 AS mean_abs_err
+        |FROM q GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
 
     "q_emb_centroids" ->
       """WITH vals AS (

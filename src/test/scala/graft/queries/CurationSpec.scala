@@ -35,6 +35,30 @@ class CurationSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("int8 quantization: error bounded by scale/2, zero vectors exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("quant").toString
+    Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 127f), "a"),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), "a"),      // zero vector
+      (2L, Array(-2.0f, 2.0f, 1.9999f, -0.0001f), "b"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = run("q_emb_quantize", tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Double]("max_abs_err"),
+          r.getAs[Double]("mean_abs_err"))).toMap
+    // scale = max|v|/127; worst-case rounding error is half a step
+    val (s0, max0, mean0) = rows(0L)
+    assert(math.abs(s0 - 1.0) < 1e-6)               // 127/127
+    assert(max0 <= s0 / 2 + 1e-6 && mean0 <= max0)
+    // the max element itself quantizes exactly (q = +-127)
+    val (s2, max2, _) = rows(2L)
+    assert(math.abs(s2 - 2.0 / 127) < 1e-6)
+    assert(max2 <= s2 / 2 + 1e-6)
+    // zero vector: scale 0, all-zero reconstruction, zero error
+    assert(rows(1L) === ((0.0, 0.0, 0.0)))
+  }
+
   test("leakage audit: degenerate texts are excluded, test rows only") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("curation").toString
