@@ -397,6 +397,48 @@ object ParityQueries {
         .orderBy("lang", "rk")
     }),
 
+    // Z-order (Morton) layout index over (o_custkey, o_orderdate) — the
+    // multi-dimensional clustering key a 100 TB lake sorts files by so
+    // parquet min/max stats prune on BOTH dimensions (a single-column
+    // sort gives locality on one dim and destroys it on the other; bit
+    // interleaving bounds the spread on each). The write path is
+    // repartitionByRange(z) + sortWithinPartitions(z) (sources/Layout
+    // owns physical layout); this query is the index computation plus
+    // the per-tile locality report that PROVES the clustering: each
+    // 16-z-value tile's min/max span on both raw dimensions. Plan: one
+    // scalar aggregate broadcast back onto the scan (1-row build side),
+    // then the z value is pure codegen'd bit arithmetic — bx/by are
+    // 8-bit range-normalized buckets, z interleaves them into 16 bits.
+    // Integer DIV and bit shifts replay exactly in DuckDB.
+    "q_layout_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          datediff(to_date($"o_orderdate"),
+            lit("1992-01-01").cast("date")).as("day"))
+      val stats = o.agg(
+        min($"o_custkey").as("min_c"), max($"o_custkey").as("max_c"),
+        min($"day").as("min_d"), max($"day").as("max_d"))
+      val bucketed = o.join(broadcast(stats))
+        .select($"o_custkey", $"day",
+          floor(($"o_custkey" - $"min_c") * 256d / ($"max_c" - $"min_c" + 1))
+            .cast("long").as("bx"),
+          floor(($"day" - $"min_d") * 256d / ($"max_d" - $"min_d" + 1))
+            .cast("long").as("by"))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright($"bx", i).bitwiseAND(1L), 2 * i) +
+          shiftleft(shiftright($"by", i).bitwiseAND(1L), 2 * i + 1)
+      }.reduce(_ + _)
+      bucketed
+        .select($"o_custkey", $"day", (z / 16).cast("long").as("z_tile"))
+        .groupBy($"z_tile")
+        .agg(count(lit(1)).as("rows"),
+          min($"o_custkey").as("min_custkey"),
+          max($"o_custkey").as("max_custkey"),
+          min($"day").as("min_day"), max($"day").as("max_day"))
+        .orderBy("z_tile")
+    }),
+
     // Column profiling — the DQ suite's fourth face (after completeness /
     // accuracy / referential): per-column row, null, and distinct counts
     // over customer in ONE scan. All profile aggregates compute in a
@@ -523,7 +565,33 @@ object ParityQueries {
     })
   )
 
+  /** The 16 bit-interleave terms of the Morton z value, generated so the
+    * DuckDB replay and the Spark expression share one definition. */
+  private def zInterleaveSql: String =
+    (0 until 8).map(i =>
+      s"(((bx >> $i) & 1) << ${2 * i}) + (((by >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      s"""WITH o AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS day
+        |  FROM orders),
+        |s AS (SELECT min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+        |             min(day) AS min_d, max(day) AS max_d FROM o),
+        |b AS (SELECT o_custkey, day,
+        |        ((o_custkey - min_c) * 256) // (max_c - min_c + 1) AS bx,
+        |        ((day - min_d) * 256) // (max_d - min_d + 1) AS by
+        |      FROM o, s),
+        |z AS (SELECT o_custkey, day, ($zInterleaveSql) // 16 AS z_tile
+        |      FROM b)
+        |SELECT z_tile, CAST(count(*) AS BIGINT) AS rows,
+        |  min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+        |  CAST(min(day) AS INT) AS min_day, CAST(max(day) AS INT) AS max_day
+        |FROM z GROUP BY z_tile ORDER BY z_tile""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

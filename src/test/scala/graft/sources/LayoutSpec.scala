@@ -34,6 +34,28 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("z-order tiles bound the spread on BOTH dimensions") {
+    // z_tile fixes the top 6 bits of each 8-bit bucket (z >> 4 drops two
+    // interleaved bit pairs), so within a tile each raw dimension spans at
+    // most 4 buckets — the two-dimensional locality a single-column sort
+    // cannot give. Verify the bound on real data: no tile's custkey (or
+    // day) spread may exceed 4 bucket widths.
+    val tiles = graft.SparkEntry.queries("q_layout_zorder")(spark, sf0001)
+      .collect()
+    assert(tiles.nonEmpty)
+    val o = Tables.table(spark, sf0001, "orders")
+      .agg(min($"o_custkey"), max($"o_custkey")).collect()(0)
+    val ckWidth = (o.getLong(1) - o.getLong(0) + 1 + 255) / 256
+    tiles.foreach { t =>
+      val ckSpread = t.getAs[Long]("max_custkey") - t.getAs[Long]("min_custkey")
+      assert(ckSpread <= 4 * ckWidth,
+        s"tile ${t.getAs[Long]("z_tile")}: custkey spread $ckSpread > ${4 * ckWidth}")
+    }
+    // tiles must partition the table: row counts sum to the order count
+    val total = tiles.map(_.getAs[Long]("rows")).sum
+    assert(total === Tables.table(spark, sf0001, "orders").count())
+  }
+
   test("date-partitioned sink prunes partitions on read") {
     val out = Files.createTempDirectory("events_part").toString
     val events = Tables.table(spark, sf0001, "events")
