@@ -35,7 +35,8 @@ object ScaleProbe {
     "q_doc_pack", "q_doc_mixture", "q_doc_pii_redact",
     "q_topk_per_group", "q_curation_pipeline",
     "q_media_meta", "q_media_histogram", "q_agg_topk_bounded",
-    "q_events_moving_avg")
+    "q_events_moving_avg", "q_doc_quality_tiers",
+    "q_dedup_containment", "q_emb_quantize", "q_layout_zorder")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
@@ -52,7 +53,11 @@ object ScaleProbe {
     "q_dedup_editdist",
     // every boilerplate 5-gram is a hot gram shared by ~all docs — the
     // exact stop-gram shape q_split_leakage's capPerKey exists to bound
-    "q_split_leakage")
+    "q_split_leakage",
+    // every boilerplate 3-gram's document frequency is ~the corpus size,
+    // so the maxGramDf cap must drop the whole index — near-constant
+    // time, zero pairs — instead of joining 20k docs on shared grams
+    "q_dedup_containment")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
