@@ -32,6 +32,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_emb_quantize computes scale and stats on one vec_id exchange") {
+    // the scale is a whole-partition window max and the final aggregation
+    // groups by (vec_id, label): HashPartitioning(vec_id) satisfies the
+    // grouping's clustering requirement, so a second exchange between the
+    // window and the aggregate would be a plan regression
+    val p = plan("q_emb_quantize")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
   test("q_anti_fk plans the referential check as a broadcast anti join") {
     val p = plan("q_anti_fk")
     assert(p.contains("LeftAnti"), p)
