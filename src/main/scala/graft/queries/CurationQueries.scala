@@ -114,24 +114,30 @@ object CurationQueries {
     // the one accumulation (mean) sums e9-snapped LONGS, the same
     // fixed-point device as the anomaly/centroid queries. Zero vectors
     // (scale 0) quantize to all-zero with zero error by definition.
+    // explode_outer, and n_dims counts NON-NULL elements: a corrupt row
+    // (null/empty embedding, or null elements inside one) is exactly the
+    // vector this audit exists to flag — inner explode would silently
+    // drop it from the report. Degenerate vectors surface as n_dims 0
+    // with zero scale/error rather than vanishing.
     "q_emb_quantize" -> ((s, dir) => {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
       Tables.table(s, dir, "embeddings")
         .select($"vec_id", $"label",
-          explode($"embedding".cast("array<double>")).as("v"))
+          explode_outer($"embedding".cast("array<double>")).as("v"))
         .withColumn("scale", max(abs($"v")).over(w) / 127d)
         .withColumn("qv",
           when($"scale" === 0d, 0d)
             .otherwise(floor($"v" / $"scale" + 0.5d)))
         .withColumn("err", abs($"v" - $"qv" * $"scale"))
         .groupBy($"vec_id", $"label")
-        .agg(count(lit(1)).as("n_dims"),
-          Clean.roundHalfUp(max($"scale"), 6).as("scale"),
-          Clean.roundHalfUp(max($"err"), 6).as("max_abs_err"),
-          Clean.roundHalfUp(
+        .agg(count($"v").as("n_dims"),
+          coalesce(Clean.roundHalfUp(max($"scale"), 6), lit(0d)).as("scale"),
+          coalesce(Clean.roundHalfUp(max($"err"), 6), lit(0d))
+            .as("max_abs_err"),
+          coalesce(Clean.roundHalfUp(
             sum(floor($"err" * 1e9 + 0.5d).cast("long")) / 1e9
-              / count(lit(1)), 6).as("mean_abs_err"))
+              / count($"v"), 6), lit(0d)).as("mean_abs_err"))
         .orderBy("vec_id")
     }),
 
@@ -345,24 +351,33 @@ object CurationQueries {
 
     "q_emb_quantize" ->
       """WITH e AS (
+        |  -- mirrors explode_outer: a null/empty embedding contributes one
+        |  -- null-element row so the vector still appears in the audit
         |  SELECT vec_id, label, CAST(v AS DOUBLE) AS v
         |  FROM (SELECT vec_id, label, unnest(embedding) AS v
-        |        FROM embeddings)),
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) > 0)
+        |  UNION ALL
+        |  SELECT vec_id, label, NULL AS v FROM embeddings
+        |  WHERE embedding IS NULL OR len(embedding) = 0),
         |s AS (
         |  SELECT vec_id, label, v,
         |    max(abs(v)) OVER (PARTITION BY vec_id) / 127 AS scale
         |  FROM e),
         |q AS (
-        |  SELECT vec_id, label, scale,
+        |  SELECT vec_id, label, v, scale,
         |    abs(v - (CASE WHEN scale = 0 THEN 0
         |             ELSE floor(v / scale + 0.5) END) * scale) AS err
         |  FROM s)
-        |SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_dims,
-        |  floor(max(scale) * 1000000 + 0.5) / 1000000 AS scale,
-        |  floor(max(err) * 1000000 + 0.5) / 1000000 AS max_abs_err,
-        |  floor(CAST(sum(CAST(floor(err * 1000000000 + 0.5) AS BIGINT))
-        |             AS DOUBLE) / 1000000000 / count(*)
-        |        * 1000000 + 0.5) / 1000000 AS mean_abs_err
+        |SELECT vec_id, label, CAST(count(v) AS BIGINT) AS n_dims,
+        |  coalesce(floor(max(scale) * 1000000 + 0.5) / 1000000, 0)
+        |    AS scale,
+        |  coalesce(floor(max(err) * 1000000 + 0.5) / 1000000, 0)
+        |    AS max_abs_err,
+        |  CASE WHEN count(v) = 0 THEN 0 ELSE
+        |    floor(CAST(sum(CAST(floor(err * 1000000000 + 0.5) AS BIGINT))
+        |               AS DOUBLE) / 1000000000 / count(v)
+        |          * 1000000 + 0.5) / 1000000 END AS mean_abs_err
         |FROM q GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
 
     "q_emb_centroids" ->

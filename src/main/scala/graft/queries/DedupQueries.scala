@@ -30,6 +30,22 @@ object DedupQueries {
   private def toks(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
+  /** THE normalized-text content fingerprint — the one definition every
+    * collapse/exact-dedup site and every oracle's
+    * `md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))` replay
+    * share. A normalization tweak applied to one collapse but not
+    * another would silently desynchronize their groups and surface only
+    * as an oracle hash mismatch. */
+  private def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Default gram document-frequency cap for q_dedup_containment — the
+    * value its DuckDB oracle is generated with (`HAVING count(*) <=`).
+    * The `spark.graft.dedup.maxGramDf` conf overrides it for production
+    * corpora and the hostile ScaleProbe, but a non-default cap moves the
+    * query OFF the oracle contract: Verify must run at the default. */
+  private[queries] val DefaultMaxGramDf = 100
+
   /** Hard ceiling on per-bucket (and per-fingerprint-group) membership
     * during candidate generation — `spark.graft.dedup.maxBucket`,
     * default 1000. A bucket that exceeds it is not a near-dup
@@ -217,7 +233,7 @@ object DedupQueries {
     // join to every fan-out branch's (re-executed) lineage
     val grouped = capPerKey(
       docs.select($"doc_id",
-        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp")),
+        fingerprint($"text").as("fp")),
       "collapse", $"fp")
       .groupBy($"fp")
       .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"))
@@ -308,7 +324,7 @@ object DedupQueries {
       import s.implicits._
       Tables.table(s, dir, "documents")
         .select($"doc_id",
-          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fingerprint"))
+          fingerprint($"text").as("fingerprint"))
         .groupBy($"fingerprint")
         .agg(min($"doc_id").as("keep_doc_id"),
           count(lit(1)).as("copy_count"))
@@ -340,7 +356,7 @@ object DedupQueries {
       val docs = Tables.table(s, dir, "documents")
         .select($"doc_id", $"lang", $"text",
           (length($"text") / 64).cast("int").as("len_band"),
-          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+          fingerprint($"text").as("fp"))
       val groups = docs.groupBy($"lang", $"len_band", $"fp")
         .agg(min($"doc_id").as("rep_id"))
       val members = docs.select($"doc_id", $"lang", $"len_band", $"fp")
@@ -422,12 +438,12 @@ object DedupQueries {
     "q_dedup_containment" -> ((s, dir) => {
       import s.implicits._
       val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
-        .map(_.toInt).getOrElse(100)
+        .map(_.toInt).getOrElse(DefaultMaxGramDf)
       val docs = Tables.spread(
         Tables.table(s, dir, "documents")
           .filter(length(trim($"text")) > 0), $"doc_id")
         .select($"doc_id", $"lang", $"text",
-          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+          fingerprint($"text").as("fp"))
       val grouped = capPerKey(docs.select($"doc_id", $"lang", $"fp"),
         "containment_collapse", $"lang", $"fp")
         .groupBy($"lang", $"fp")
@@ -593,7 +609,7 @@ object DedupQueries {
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
         .select($"doc_id", $"text",
-          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+          fingerprint($"text").as("fp"))
       val groups = docs.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
       val members = docs.select($"doc_id", $"fp")
         .join(groups, Seq("fp")).select($"rep_id", $"doc_id")
@@ -880,19 +896,19 @@ object DedupQueries {
     // hash-match doubles as an equivalence proof for the (lang, fp)
     // collapse and the uncollapsed-df bookkeeping.
     "q_dedup_containment" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, lang,
         |    list_distinct(CASE WHEN length(toks) >= 3
         |      THEN list_transform(range(1, length(toks) - 1),
         |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
         |      ELSE [array_to_string(toks, ' ')] END) AS grams
         |  FROM (SELECT doc_id, lang, text,
-        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+        |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
         |            AS toks
         |        FROM documents WHERE length(trim(text)) > 0)),
         |exp AS (SELECT doc_id, lang, unnest(grams) AS gram FROM docs),
         |df AS (SELECT lang, gram FROM exp GROUP BY lang, gram
-        |       HAVING count(*) <= 100),
+        |       HAVING count(*) <= $DefaultMaxGramDf),
         |capped AS (SELECT e.doc_id, e.lang, e.gram
         |           FROM exp e JOIN df USING (lang, gram)),
         |counts AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),

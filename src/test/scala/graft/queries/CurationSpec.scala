@@ -40,13 +40,22 @@ class CurationSpec extends SparkTestBase {
     Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 127f), "a"),
       (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), "a"),      // zero vector
-      (2L, Array(-2.0f, 2.0f, 1.9999f, -0.0001f), "b"))
+      (2L, Array(-2.0f, 2.0f, 1.9999f, -0.0001f), "b"),
+      (3L, null.asInstanceOf[Array[Float]], "b"),    // corrupt row
+      (4L, Array.empty[Float], "b"))                 // empty vector
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val rows = run("q_emb_quantize", tmp).collect()
+    val out = run("q_emb_quantize", tmp).collect()
+    // degenerate vectors must APPEAR (n_dims 0, zero stats), not vanish —
+    // they are the rows the pre-ANN audit exists to flag
+    val dims = out.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Long]("n_dims")).toMap
+    assert(dims(3L) === 0L && dims(4L) === 0L && dims(0L) === 4L)
+    val rows = out
       .map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Double]("scale"), r.getAs[Double]("max_abs_err"),
           r.getAs[Double]("mean_abs_err"))).toMap
+    assert(rows(3L) === ((0.0, 0.0, 0.0)) && rows(4L) === ((0.0, 0.0, 0.0)))
     // scale = max|v|/127; worst-case rounding error is half a step
     val (s0, max0, mean0) = rows(0L)
     assert(math.abs(s0 - 1.0) < 1e-6)               // 127/127
