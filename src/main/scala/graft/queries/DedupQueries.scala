@@ -459,12 +459,14 @@ object DedupQueries {
       val capped = inv.join(gramDf.filter($"df" <= dfCap), Seq("lang", "gram"))
         .select($"doc_id", $"lang", $"gram")
       val counts = capped.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val a = capped.select($"doc_id".as("doc_a"), $"lang", $"gram")
-      val b = capped.select($"doc_id".as("doc_b"), $"lang", $"gram")
-      val repPairs = a.join(b, Seq("lang", "gram"))
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).as("common"))
+      // shared-gram counts via the one-pass bucketPairs device (collect
+      // each gram's ≤dfCap doc list, explode ordered pairs) rather than a
+      // capped-self-join: the self-join would read the whole scan→shingle→
+      // df-join lineage into BOTH branches and execute it twice — and here
+      // the df cap already bounds every bucket, so the collect_list row is
+      // ≤dfCap ids by construction (capPerKey inside is a second belt).
+      val repPairs = bucketPairs(capped, $"lang", $"gram")
+        .withColumnRenamed("shared_bands", "common")
         .join(counts.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
         .join(counts.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
         .select($"doc_a", $"doc_b",
