@@ -224,6 +224,68 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Running e2 fixed-point moments per event type — exact long sums,
+    * the same device as batch q_events_anomaly's aggregation, so the
+    * mean/variance arithmetic is identical on both paths. */
+  case class MomentState(n: Long, sv: Long, sq: Long)
+  case class AnomalyOut(eventId: Long, eventType: String,
+                        valueSnapped: Double, zScore: Double)
+
+  /** Streaming ONLINE anomaly detection — the streaming face of
+    * q_events_anomaly, with the one semantic change streaming forces:
+    * each event is scored against the moments of the history seen so
+    * far (the online contract: you cannot z-score against a global mean
+    * you have not finished observing; the batch query retro-scores
+    * against full-series moments). Events inside the `minCount` warm-up
+    * or in a zero-variance prefix are never flagged — the same
+    * degenerate-variance guard as batch, prefix-wise.
+    *
+    * State per event_type is three longs (exact e2 fixed-point count /
+    * sum / sum-of-squares), and the key cardinality is the event-type
+    * vocabulary — bounded by the schema, not the stream — so unlike the
+    * per-user funnel there is nothing to reap: no timeout by design.
+    * Rows within a batch apply in (ts, event_id) order; across batches
+    * the design assumes watermark-ordered replay (the file-ingestion
+    * shape, same note as [[funnel]]). */
+  def onlineAnomaly(spark: SparkSession, events: DataFrame,
+                    threshold: Double = 3.0,
+                    minCount: Long = 30L): Dataset[AnomalyOut] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[(Long, String, java.sql.Timestamp, Double)]
+
+    def update(eventType: String,
+               rows: Iterator[(Long, String, java.sql.Timestamp, Double)],
+               state: GroupState[MomentState]): Iterator[AnomalyOut] = {
+      var s = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+      val out = Seq.newBuilder[AnomalyOut]
+      rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
+        case (id, _, _, value) =>
+          val v2 = math.floor(value * 100d + 0.5d).toLong // Clean.snapE2
+          if (s.n >= minCount) {
+            val mean = s.sv / 100d / s.n
+            val variance =
+              (s.sq / 10000d - (s.sv / 100d) * (s.sv / 100d) / s.n) / s.n
+            if (variance > 0d) {
+              val z = (v2 / 100d - mean) / math.sqrt(variance)
+              if (math.abs(z) >= threshold)
+                out += AnomalyOut(id, eventType, v2 / 100d,
+                  math.floor(z * 1000d + 0.5d) / 1000d)
+            }
+          }
+          s = MomentState(s.n + 1, s.sv + v2, s.sq + v2 * v2)
+      }
+      state.update(s)
+      out.result().iterator
+    }
+
+    typed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Watermarked stream-stream interval join — correlate each `click`
     * event with the same user's `purchase` events within `maxDelay` after
     * it (attribution-window semantics; the streaming analog of

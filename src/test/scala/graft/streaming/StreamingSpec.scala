@@ -227,4 +227,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
     got.foreach(k => assert(batchKeys.contains(k), s"session $k not in batch"))
   }
+
+  test("online anomaly flags a spike after warm-up, never inside it") {
+    // crafted series, one event type, strictly increasing ts: a steadily
+    // alternating 9.9/10.1 baseline (stddev ~0.1 from the first scored
+    // event, so in-pattern swings sit at |z| ~1), one 1000.0 spike, then
+    // a return to baseline scored against spike-inflated moments
+    val dir = java.nio.file.Files.createTempDirectory("anomaly_stream")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = ((1 to 60).map(i =>
+      (i.toLong, if (i % 2 == 0) 9.9 else 10.1)) ++
+      Seq((61L, 1000.0), (62L, 10.0))).map { case (i, v) =>
+      (i, new java.sql.Timestamp(base + i * 60000L), 7L, "metric", v, "{}")
+    }
+    // file-stream sources read top-level files: write the frame out, then
+    // stage its single part file into the watched directory
+    val staging = java.nio.file.Files.createTempDirectory("anomaly_staging")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_timestamp($"ts") * 1000000000L) // raw nanos
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).iterator()
+    val it = new scala.collection.Iterator[java.nio.file.Path] {
+      def hasNext = part.hasNext; def next() = part.next()
+    }
+    it.filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.copy(p, dir.resolve(p.getFileName)))
+
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.runToMemory(
+      EventStream.onlineAnomaly(spark, stream).toDF(), "online_anomaly")
+    q.awaitTermination()
+    val got = spark.table("online_anomaly")
+      .as[(Long, String, Double, Double)].collect().toSeq
+
+    // exactly the spike: minCount shields the first 30 events, the
+    // alternating baseline scores |z| ~1, and 62 scores against moments
+    // the spike has already inflated (z far below 3)
+    assert(got.map(_._1) === Seq(61L))
+    val z = got.head._4
+    assert(z > 3.0, s"spike z=$z")
+    assert(got.head._3 === 1000.0)
+  }
 }
