@@ -47,6 +47,17 @@ object Clean {
     floor(c * p + 0.5) / p
   }
 
+  /** THE normalized-text content fingerprint — the one definition every
+    * batch collapse/exact-dedup site, the streaming first-arrival dedup,
+    * and every oracle's
+    * `md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))` replay
+    * share. A normalization tweak applied to one consumer but not
+    * another would silently desynchronize their fingerprint groups and
+    * surface only as an oracle hash mismatch (or a batch/stream dedup
+    * disagreement). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Snap a 2-decimal money/metric double to exact e2 fixed-point LONG —
     * the one definition of the cross-engine contract the event queries
     * (z-score anomaly, moving average) and their oracle SQL share as

@@ -304,7 +304,7 @@ object CurationQueries {
       Tables.table(s, dir, "documents")
         .filter(length(trim($"text")) > 0)
         .withColumn("fp",
-          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+          Clean.fingerprint($"text"))
         .withColumn("rk", row_number().over(keeper))
         .filter($"rk" === 1)
         .withColumn("tok_count",

@@ -30,14 +30,9 @@ object DedupQueries {
   private def toks(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
-  /** THE normalized-text content fingerprint — the one definition every
-    * collapse/exact-dedup site and every oracle's
-    * `md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))` replay
-    * share. A normalization tweak applied to one collapse but not
-    * another would silently desynchronize their groups and surface only
-    * as an oracle hash mismatch. */
-  private def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+  /** Normalized-text content fingerprint — [[graft.Clean.fingerprint]],
+    * the engine-wide shared definition. */
+  private def fingerprint(text: Column): Column = Clean.fingerprint(text)
 
   /** Default gram document-frequency cap for q_dedup_containment — the
     * value its DuckDB oracle is generated with (`HAVING count(*) <=`).
@@ -439,6 +434,17 @@ object DedupQueries {
       import s.implicits._
       val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
         .map(_.toInt).getOrElse(DefaultMaxGramDf)
+      // Pair generation runs through bucketPairs, whose capPerKey bounds
+      // each gram bucket at maxBucket — but the per-doc denominators are
+      // computed EXACTLY from the df-capped index. If dfCap exceeded
+      // maxBucket, a gram legal under the df filter would have its pair
+      // list truncated while denominators stayed full: `common` biases
+      // low and real near-dups silently fall under the threshold. Fail
+      // loudly on the inconsistent configuration instead.
+      require(dfCap <= s.conf.getOption("spark.graft.dedup.maxBucket")
+        .map(_.toInt).getOrElse(1000),
+        s"maxGramDf ($dfCap) must not exceed maxBucket: bucket pairing " +
+          "would truncate gram buckets the df filter admitted")
       val docs = Tables.spread(
         Tables.table(s, dir, "documents")
           .filter(length(trim($"text")) > 0), $"doc_id")

@@ -167,7 +167,7 @@ object TextQueries {
       import s.implicits._
       Tables.table(s, dir, "documents")
         .select($"doc_id",
-          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fingerprint"))
+          Clean.fingerprint($"text").as("fingerprint"))
         .orderBy("doc_id")
     }),
 

@@ -70,7 +70,7 @@ object DocStream {
   def dedupDocs(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .withColumn("fp",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        graft.Clean.fingerprint(col("text")))
       .dropDuplicates("fp")
       .select(col("doc_id"), col("lang"), col("source"), col("fp"))
 }

@@ -224,10 +224,17 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
-  /** Running e2 fixed-point moments per event type — exact long sums,
-    * the same device as batch q_events_anomaly's aggregation, so the
-    * mean/variance arithmetic is identical on both paths. */
-  case class MomentState(n: Long, sv: Long, sq: Long)
+  /** Running moments per event type as Welford accumulators (count,
+    * mean, M2). The batch query's integer-sum device exists for DuckDB
+    * oracle exactness over a BOUNDED corpus; an unbounded stream would
+    * overflow a long sum-of-squares (v2² ~1e10 per event wraps after
+    * ~1e9 events — and once wrapped, variance goes negative and the
+    * degenerate-variance guard silently disables detection forever).
+    * Welford is the standard overflow-free online form: mean/M2 stay in
+    * the data's own magnitude at any stream length, and population
+    * variance = M2/n matches the batch formula. Inputs are still
+    * e2-snapped first, so both paths score the same snapped values. */
+  case class MomentState(n: Long, mean: Double, m2: Double)
   case class AnomalyOut(eventId: Long, eventType: String,
                         valueSnapped: Double, zScore: Double)
 
@@ -240,41 +247,46 @@ object EventStream {
     * or in a zero-variance prefix are never flagged — the same
     * degenerate-variance guard as batch, prefix-wise.
     *
-    * State per event_type is three longs (exact e2 fixed-point count /
-    * sum / sum-of-squares), and the key cardinality is the event-type
-    * vocabulary — bounded by the schema, not the stream — so unlike the
-    * per-user funnel there is nothing to reap: no timeout by design.
-    * Rows within a batch apply in (ts, event_id) order; across batches
-    * the design assumes watermark-ordered replay (the file-ingestion
-    * shape, same note as [[funnel]]). */
+    * State per event_type is three numbers, and the key cardinality is
+    * the event-type vocabulary — bounded by the schema, not the
+    * stream — so unlike the per-user funnel there is nothing to reap:
+    * no timeout by design. Rows within a batch apply in (ts, event_id)
+    * order, and the 2-hour watermark drops later-than-that stragglers
+    * (without it, an hours-late row would be scored against moments
+    * that already include its successors — retro-scoring, violating
+    * the online contract). Across batches the design assumes
+    * watermark-ordered replay (the file-ingestion shape, same note as
+    * [[funnel]]). */
   def onlineAnomaly(spark: SparkSession, events: DataFrame,
                     threshold: Double = 3.0,
                     minCount: Long = 30L): Dataset[AnomalyOut] = {
     import spark.implicits._
     val typed = events
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withWatermark("ts", "2 hours")
       .as[(Long, String, java.sql.Timestamp, Double)]
 
     def update(eventType: String,
                rows: Iterator[(Long, String, java.sql.Timestamp, Double)],
                state: GroupState[MomentState]): Iterator[AnomalyOut] = {
-      var s = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+      var s = state.getOption.getOrElse(MomentState(0L, 0d, 0d))
       val out = Seq.newBuilder[AnomalyOut]
       rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
         case (id, _, _, value) =>
-          val v2 = math.floor(value * 100d + 0.5d).toLong // Clean.snapE2
+          val v = math.floor(value * 100d + 0.5d) / 100d // snapE2 value
           if (s.n >= minCount) {
-            val mean = s.sv / 100d / s.n
-            val variance =
-              (s.sq / 10000d - (s.sv / 100d) * (s.sv / 100d) / s.n) / s.n
+            val variance = s.m2 / s.n
             if (variance > 0d) {
-              val z = (v2 / 100d - mean) / math.sqrt(variance)
+              val z = (v - s.mean) / math.sqrt(variance)
               if (math.abs(z) >= threshold)
-                out += AnomalyOut(id, eventType, v2 / 100d,
+                out += AnomalyOut(id, eventType, v,
                   math.floor(z * 1000d + 0.5d) / 1000d)
             }
           }
-          s = MomentState(s.n + 1, s.sv + v2, s.sq + v2 * v2)
+          val n1 = s.n + 1
+          val d = v - s.mean
+          val mean1 = s.mean + d / n1
+          s = MomentState(n1, mean1, s.m2 + d * (v - mean1))
       }
       state.update(s)
       out.result().iterator

@@ -140,6 +140,19 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.dedup.maxGramDf")
   }
 
+  test("containment rejects a df cap above the bucket cap") {
+    // bucket pairing truncates gram buckets at maxBucket while the
+    // denominators stay exact — an inconsistent config must fail loudly,
+    // not bias scores low
+    spark.conf.set("spark.graft.dedup.maxGramDf", "5000")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.queries("q_dedup_containment")(spark, containFixtureDir)
+      }
+      assert(e.getMessage.contains("maxGramDf"))
+    } finally spark.conf.unset("spark.graft.dedup.maxGramDf")
+  }
+
   test("no persisted RDDs survive a clustering query's action") {
     // the iteration's materialized rounds and the result label table must
     // all be freed once the query's terminal action completes (judge r3:

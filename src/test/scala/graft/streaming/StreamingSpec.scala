@@ -246,12 +246,13 @@ class StreamingSpec extends SparkTestBase {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", unix_timestamp($"ts") * 1000000000L) // raw nanos
       .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = java.nio.file.Files.list(staging).iterator()
-    val it = new scala.collection.Iterator[java.nio.file.Path] {
-      def hasNext = part.hasNext; def next() = part.next()
-    }
-    it.filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(p => java.nio.file.Files.copy(p, dir.resolve(p.getFileName)))
+    val listing = java.nio.file.Files.list(staging)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p, dir.resolve(p.getFileName)))
+    } finally listing.close()
 
     val stream = EventStream.readEvents(spark, dir.toString)
     val q = EventStream.runToMemory(
