@@ -326,6 +326,25 @@ object DedupQueries {
         .orderBy("keep_doc_id")
     }),
 
+    // Incremental ingest dedup: the "new batch vs existing corpus" shape —
+    // at 100 TB nobody re-dedups the world per ingest; the increment is
+    // anti-joined against the historical fingerprint index. Here the
+    // split is arithmetic (doc_id % 10 == 0 is the increment) so the
+    // oracle replays it; the SCALE half of the story is the storage
+    // layout: with the history fingerprint table bucketed on fp
+    // (sources/Layout), the anti-join shuffles ONLY the increment —
+    // LayoutSpec pins that plan (one exchange, on the incoming side).
+    "q_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", fingerprint($"text").as("fp"))
+      val history = docs.filter($"doc_id" % 10 =!= 0)
+      val incoming = docs.filter($"doc_id" % 10 === 0)
+      incoming.join(history, Seq("fp"), "left_anti")
+        .select($"doc_id", $"fp")
+        .orderBy("doc_id")
+    }),
+
     // N-gram Jaccard near-dup: candidates bucketed by (lang, length band);
     // |A∩B| via an inverted-index join on individual grams (codegen'd
     // hash join + count, no per-pair array intersection), then
@@ -899,6 +918,17 @@ object DedupQueries {
         |           - length(list_intersect(a.grams, b.grams)))
         |        * 10000 + 0.5) / 10000 >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |h AS (SELECT fp FROM d WHERE doc_id % 10 <> 0),
+        |i AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 = 0)
+        |SELECT doc_id, fp FROM i
+        |WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = i.fp)
+        |ORDER BY doc_id""".stripMargin,
 
     // The UNCOLLAPSED all-pairs form of the containment pipeline — a green
     // hash-match doubles as an equivalence proof for the (lang, fp)

@@ -34,6 +34,34 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup against a bucketed history shuffles only the increment") {
+    // the q_dedup_incremental scale story: the historical fingerprint
+    // index is written bucketed on fp, so the per-ingest anti-join plans
+    // exactly ONE exchange — on the (small) incoming batch — while the
+    // (huge) history is read in place. Re-dedup-the-world is one shuffle
+    // of the world; this is one shuffle of the day's increment.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.table(spark, sf0001, "documents")
+        .select($"doc_id", graft.Clean.fingerprint($"text").as("fp"))
+      Layout.writeBucketed(docs.filter($"doc_id" % 10 =!= 0),
+        "fp_history", "fp")
+      val incoming = docs.filter($"doc_id" % 10 === 0)
+      val survivors = incoming
+        .join(spark.table("fp_history"), Seq("fp"), "left_anti")
+      val plan = survivors.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected 1 exchange (incoming only):\n$plan")
+      // same survivors as the unbucketed anti-join the oracle certifies
+      val expected = graft.SparkEntry.queries("q_dedup_incremental")(
+        spark, sf0001).count()
+      assert(survivors.count() === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS fp_history")
+    }
+  }
+
   test("z-order tiles bound the spread on BOTH dimensions") {
     // z_tile fixes the top 6 bits of each 8-bit bucket (z >> 4 drops two
     // interleaved bit pairs), so within a tile each raw dimension spans at
