@@ -88,33 +88,6 @@ object Bench {
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e") }
     val ok = timed.filter(_._3.isEmpty)
-    // ms precision: nanosecond digits bloat the line, and the stdout line
-    // must stay well under 2000 chars — consumers that tail the run
-    // capture only the last ~2000 chars of output, and a line that long
-    // gets its head (the headline total!) truncated away
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
-    // renders a comma decimal separator under e.g. LANG=de_DE — invalid
-    // JSON on the one line a machine parses
-    def fmt(digits: Int)(v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    def ms(v: Double): String = fmt(3)(v)
-    // trailing zeros carry no information at these precisions ("0.30" ->
-    // "0.3") and the tail budget is counted in single characters
-    def trim(digits: Int)(v: Double): String = {
-      val s = fmt(digits)(v)
-      if (s.contains('.')) {
-        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-        if (t.isEmpty) "0" else t
-      } else s
-    }
-    // per-query at centisecond precision: the ~80-query dict is the bulk
-    // of the line and must stay inside the ~2000-char tail budget; the
-    // stderr warm line keeps ms precision for diagnosis
-    def qDict(digits: Int, stripPrefix: Boolean): String =
-      ok.map { case (k, v, _) =>
-        val key = if (stripPrefix) k.stripPrefix("q_") else k
-        JsonUtil.quote(key) + ":" + trim(digits)(v)
-      }.mkString("{", ",", "}")
     // both passes stay diagnosable at FULL precision on stderr (their own
     // lines — two per-query dicts on the stdout line pushed it past the
     // 2000-char tail window, and the r5 record lost the total and half
@@ -142,17 +115,54 @@ object Bench {
           s"${errSeq.length - 5} additional failures on stderr"))
       else Nil))
       .mkString("{", ",", "}")
+    val (out, note) = stdoutLine(ok.map(t => (t._1, t._2)), errJson, sfDir)
+    note.foreach(n =>
+      System.err.println(s"[bench] stdout line over the tail budget — $n"))
+    println(out)
+    spark.stop()
+  }
+
+  // ms precision: nanosecond digits bloat the line, and the stdout line
+  // must stay well under 2000 chars — consumers that tail the run
+  // capture only the last ~2000 chars of output, and a line that long
+  // gets its head (the headline total!) truncated away
+  // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+  // renders a comma decimal separator under e.g. LANG=de_DE — invalid
+  // JSON on the one line a machine parses
+  private def fmt(digits: Int)(v: Double): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+  private def ms(v: Double): String = fmt(3)(v)
+  // trailing zeros carry no information at these precisions ("0.30" ->
+  // "0.3") and the tail budget is counted in single characters
+  private def trim(digits: Int)(v: Double): String = {
+    val s = fmt(digits)(v)
+    if (s.contains('.')) {
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    } else s
+  }
+
+  /** The one stdout JSON line the driver parses, plus the degradation
+    * note (if any) for stderr. The consumer tails ~2000 chars of output:
+    * a longer line loses its HEAD — the headline total — and fails to
+    * parse (the r5 record died exactly that way). At 84+ queries even
+    * the 1-decimal full-name dict is ~1940 chars — the redundant "q_"
+    * key prefix alone is 250+ of them — so the ladder degrades key
+    * VERBOSITY before value precision: full names at centi precision,
+    * then prefix-stripped keys (self-described by queries_key_prefix so
+    * no consumer has to guess), then decisecond values, then no dict at
+    * all. Full ms precision always remains on the stderr dict lines.
+    * Pure — BenchLineSpec pins the ≤1900-char budget at any suite size. */
+  private[graft] def stdoutLine(ok: Seq[(String, Double)],
+      errJson: String, sfDir: String): (String, Option[String]) = {
+    def qDict(digits: Int, stripPrefix: Boolean): String =
+      ok.map { case (k, v) =>
+        val key = if (stripPrefix) k.stripPrefix("q_") else k
+        JsonUtil.quote(key) + ":" + trim(digits)(v)
+      }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     def line(dict: String, marker: String = ""): String =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",$marker"queries":$dict,"errors":$errJson,"sf":"$sfDir"}"""
-    // the consumer tails ~2000 chars of output: a longer line loses its
-    // HEAD — the headline total — and fails to parse (the r5 record).
-    // At 84 queries even the 1-decimal full-name dict is ~1940 chars —
-    // the redundant "q_" key prefix alone is 250+ of them — so the ladder
-    // now degrades key VERBOSITY before value precision: full names at
-    // centi precision first, then prefix-stripped keys (self-described by
-    // queries_key_prefix so no consumer has to guess), then coarser
-    // values. Full ms precision always remains on the stderr lines above.
     val pfx = """"queries_key_prefix":"q_","""
     val ladder = Seq(
       line(qDict(2, stripPrefix = false)) -> None,
@@ -162,11 +172,7 @@ object Bench {
       line(qDict(1, stripPrefix = true), pfx) ->
         Some("q_ key prefix stripped AND per-query precision reduced to " +
           "deciseconds (full ms dicts on stderr above)"))
-    val (out, note) = ladder.find(_._1.length <= 1900)
+    ladder.find(_._1.length <= 1900)
       .getOrElse(line("{}") -> Some("per-query dict dropped entirely"))
-    note.foreach(n =>
-      System.err.println(s"[bench] stdout line over the tail budget — $n"))
-    println(out)
-    spark.stop()
   }
 }
