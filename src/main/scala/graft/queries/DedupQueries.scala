@@ -68,8 +68,8 @@ object DedupQueries {
       rng.nextInt(MersenneP.toInt).toLong))
   }
 
-  private def maxBucket(df: DataFrame): Int =
-    df.sparkSession.conf.getOption("spark.graft.dedup.maxBucket")
+  private def maxBucket(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.maxBucket")
       .map(_.toInt).getOrElse(1000)
 
   /** Enforce [[maxBucket]] on `df` BEFORE a per-key collect_list: a
@@ -83,7 +83,7 @@ object DedupQueries {
   private[queries] def capPerKey(df: DataFrame, tag: String,
       keys: Column*): DataFrame = {
     import df.sparkSession.implicits._
-    val cap = maxBucket(df)
+    val cap = maxBucket(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy($"doc_id")
     df.withColumn("__rn", row_number().over(w))
@@ -460,8 +460,7 @@ object DedupQueries {
       // list truncated while denominators stayed full: `common` biases
       // low and real near-dups silently fall under the threshold. Fail
       // loudly on the inconsistent configuration instead.
-      require(dfCap <= s.conf.getOption("spark.graft.dedup.maxBucket")
-        .map(_.toInt).getOrElse(1000),
+      require(dfCap <= maxBucket(s),
         s"maxGramDf ($dfCap) must not exceed maxBucket: bucket pairing " +
           "would truncate gram buckets the df filter admitted")
       val docs = Tables.spread(

@@ -250,13 +250,20 @@ object EventStream {
     * State per event_type is three numbers, and the key cardinality is
     * the event-type vocabulary — bounded by the schema, not the
     * stream — so unlike the per-user funnel there is nothing to reap:
-    * no timeout by design. Rows within a batch apply in (ts, event_id)
-    * order, and the 2-hour watermark drops later-than-that stragglers
-    * (without it, an hours-late row would be scored against moments
-    * that already include its successors — retro-scoring, violating
-    * the online contract). Across batches the design assumes
+    * no per-group timeout is ever set and state lives forever. The
+    * timeout CONF is still EventTimeTimeout: flatMapGroupsWithState
+    * only drops later-than-watermark rows under that conf
+    * (FlatMapGroupsWithStateExecBase applies
+    * applyRemovingRowsOlderThanWatermark only when
+    * timeoutConf == EventTimeTimeout — under NoTimeout the watermark
+    * would be inert and an hours-late row would be scored against
+    * moments that already include its successors, retro-scoring in
+    * violation of the online contract). Rows within a batch apply in
+    * (ts, event_id) order; across batches the design assumes
     * watermark-ordered replay (the file-ingestion shape, same note as
-    * [[funnel]]). */
+    * [[funnel]]). State schema is the Welford triple from first
+    * release — the integer-sum draft never shipped, so there are no
+    * checkpoints to migrate. */
   def onlineAnomaly(spark: SparkSession, events: DataFrame,
                     threshold: Double = 3.0,
                     minCount: Long = 30L): Dataset[AnomalyOut] = {
@@ -269,6 +276,9 @@ object EventStream {
     def update(eventType: String,
                rows: Iterator[(Long, String, java.sql.Timestamp, Double)],
                state: GroupState[MomentState]): Iterator[AnomalyOut] = {
+      // unreachable (no timeout is ever set), present for GroupState
+      // contract completeness
+      if (state.hasTimedOut) return Iterator.empty
       var s = state.getOption.getOrElse(MomentState(0L, 0d, 0d))
       val out = Seq.newBuilder[AnomalyOut]
       rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
@@ -295,7 +305,7 @@ object EventStream {
     typed
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Watermarked stream-stream interval join — correlate each `click`

@@ -156,9 +156,15 @@ class DedupSpec extends SparkTestBase {
   test("no persisted RDDs survive a clustering query's action") {
     // the iteration's materialized rounds and the result label table must
     // all be freed once the query's terminal action completes (judge r3:
-    // two leaked label tables accumulated per bench session)
+    // two leaked label tables accumulated per bench session). Assert on
+    // NEW persisted RDDs, not an empty global set: the shared test
+    // session legitimately carries other suites' caches (e.g. the
+    // stream-static decontamination side), and suite order must not
+    // decide this test
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     DedupQueries.queries("q_dedup_clusters")(spark, fixtureDir).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"clustering leaked persisted RDDs: $leaked")
   }
 
   test("connected components handle chains and isolated pairs") {
