@@ -37,7 +37,7 @@ object ScaleProbe {
     "q_media_meta", "q_media_histogram", "q_agg_topk_bounded",
     "q_events_moving_avg", "q_doc_quality_tiers",
     "q_dedup_containment", "q_emb_quantize", "q_layout_zorder",
-    "q_dedup_incremental")
+    "q_dedup_incremental", "q_doc_mixture_temp")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

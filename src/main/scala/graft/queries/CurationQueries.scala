@@ -263,6 +263,41 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Temperature-based mixture reweighting at α = 0.5 — the standard
+    // multilingual/multi-source rebalance (mT5, XLM-R): target share
+    // ∝ tokens^α upweights small sources less aggressively than the
+    // uniform target (q_doc_mixture) and never ignores size entirely.
+    // α = 0.5 is the one temperature whose power is cross-engine
+    // bit-exact: IEEE sqrt is correctly rounded in both the JVM and
+    // DuckDB (a general pow() is not). Determinism device: sqrt values
+    // snap to e6 longs BEFORE the Σ√ total so the only accumulation is
+    // an exact integer sum; the final weight is a fixed parenthesization
+    // of single-rounding double ops both engines evaluate identically.
+    // weight_i = target_share_i / natural_share_i
+    //          = (√t_i / Σ√t) / (t_i / Σt) — upweights the tail, caps
+    // the head, and Σ(weight_i · natural_share_i) = 1 by construction.
+    "q_doc_mixture_temp" -> ((s, dir) => {
+      import s.implicits._
+      val perSource = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"source",
+          size(TextQueries.tokens($"text")).cast("long").as("tok_count"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("doc_count"), sum($"tok_count").as("token_sum"))
+        .withColumn("sqrt_e6",
+          floor(sqrt($"token_sum".cast("double")) * 1000000d + 0.5d)
+            .cast("long"))
+      val totals = perSource.agg(
+        sum($"token_sum").as("total_tokens"),
+        sum($"sqrt_e6").as("sum_sqrt_e6"))
+      perSource.crossJoin(broadcast(totals))
+        .select($"source", $"doc_count", $"token_sum", $"sqrt_e6",
+          floor(($"sqrt_e6".cast("double") * $"total_tokens".cast("double"))
+            / ($"sum_sqrt_e6".cast("double") * $"token_sum".cast("double"))
+            * 1000000d + 0.5d).cast("long").as("weight_e6"))
+        .orderBy("source")
+    }),
+
     // Per-group top-N, two-phase: the naive rank-window over `lang`
     // shuffles the ENTIRE corpus onto #lang partitions — a skew disaster
     // when groups are few and data is 100 TB. Phase 1 ranks within
@@ -460,6 +495,27 @@ object CurationQueries {
         |       CAST(n_sources * token_sum AS DOUBLE) + 0.5) AS BIGINT)
         |    AS weight_e6
         |FROM per_source, totals ORDER BY source""".stripMargin,
+
+    "q_doc_mixture_temp" ->
+      """WITH per_source AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
+        |    CAST(sum(length(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS token_sum
+        |  FROM documents WHERE length(trim(text)) > 0
+        |  GROUP BY source),
+        |snapped AS (
+        |  SELECT source, doc_count, token_sum,
+        |    CAST(floor(sqrt(CAST(token_sum AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS sqrt_e6
+        |  FROM per_source),
+        |totals AS (
+        |  SELECT CAST(sum(token_sum) AS BIGINT) AS total_tokens,
+        |    CAST(sum(sqrt_e6) AS BIGINT) AS sum_sqrt_e6 FROM snapped)
+        |SELECT source, doc_count, token_sum, sqrt_e6,
+        |  CAST(floor((CAST(sqrt_e6 AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+        |       / (CAST(sum_sqrt_e6 AS DOUBLE) * CAST(token_sum AS DOUBLE))
+        |       * 1000000 + 0.5) AS BIGINT) AS weight_e6
+        |FROM snapped, totals ORDER BY source""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT doc_id, lang, n_chars, rk FROM (

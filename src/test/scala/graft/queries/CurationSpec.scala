@@ -35,6 +35,20 @@ class CurationSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("temperature mixture upweights small sources and conserves mass") {
+    val rows = run("q_doc_mixture_temp").collect()
+      .map(r => (r.getAs[Long]("token_sum"), r.getAs[Long]("weight_e6")))
+    assert(rows.length > 1)
+    // α = 0.5 < 1: weight must be non-increasing in source size
+    val bySize = rows.sortBy(_._1)
+    bySize.sliding(2).foreach { case Array((t1, w1), (t2, w2)) =>
+      assert(w1 >= w2, s"weight not monotone: ($t1,$w1) vs ($t2,$w2)") }
+    // resampling conserves total mass: Σ weight_i · natural_share_i = 1
+    val total = rows.map(_._1).sum.toDouble
+    val mass = rows.map { case (t, w) => w / 1e6 * (t / total) }.sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass")
+  }
+
   test("int8 quantization: error bounded by scale/2, zero vectors exact") {
     val tmp = java.nio.file.Files.createTempDirectory("quant").toString
     Seq(
