@@ -164,6 +164,21 @@ object Bench {
     def line(dict: String, marker: String = ""): String =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",$marker"queries":$dict,"errors":$errJson,"sf":"$sfDir"}"""
     val pfx = """"queries_key_prefix":"q_","""
+    // last informative rung: when even decisecond stripped keys overflow,
+    // keep the SLOWEST queries (the ones any performance reading needs)
+    // up to the largest count that fits, self-described by queries_top —
+    // sub-threshold uniform fast queries are the compressible part of the
+    // dict, and their full values remain on the stderr ms lines
+    def topDict: (String, Int) = {
+      val entries = ok.sortBy(-_._2).map { case (k, v) =>
+        JsonUtil.quote(k.stripPrefix("q_")) + ":" + trim(2)(v)
+      }
+      val budget = 1900 - line("{}", pfx).length - 24 // marker + slack
+      val lens = entries.map(_.length + 1).scanLeft(0)(_ + _).tail
+      val keep = lens.takeWhile(_ <= budget).length
+      (entries.take(keep).mkString("{", ",", "}"), keep)
+    }
+    val (td, keep) = topDict
     val ladder = Seq(
       line(qDict(2, stripPrefix = false)) -> None,
       line(qDict(2, stripPrefix = true), pfx) ->
@@ -171,7 +186,10 @@ object Bench {
           "values still centisecond"),
       line(qDict(1, stripPrefix = true), pfx) ->
         Some("q_ key prefix stripped AND per-query precision reduced to " +
-          "deciseconds (full ms dicts on stderr above)"))
+          "deciseconds (full ms dicts on stderr above)"),
+      line(td, pfx + s""""queries_top":$keep,""") ->
+        Some(s"per-query dict truncated to the $keep slowest queries " +
+          "(queries_top on the line; full ms dicts on stderr above)"))
     ladder.find(_._1.length <= 1900)
       .getOrElse(line("{}") -> Some("per-query dict dropped entirely"))
   }

@@ -13,8 +13,9 @@ class BenchLineSpec extends AnyFunSuite {
   private def suite(n: Int, nameLen: Int = 18): Seq[(String, Double)] =
     (1 to n).map(i => (s"q_${"x" * (nameLen - 2)}$i", i * 0.037))
 
-  test("the current-size suite keeps full q_ names at centi precision") {
-    // 88 queries, realistic name lengths (current suite averages ~16)
+  test("the current-size suite always emits a non-empty per-query dict") {
+    // the real query inventory, realistic timings: whatever rung fires,
+    // the line must carry per-query data and stay parseable
     val names = SparkEntry.queries.keys.toSeq.sorted
     val (line, note) = Bench.stdoutLine(
       names.map(_ -> 0.27), """{}""", "/root/testdata/sf0.1")
