@@ -67,16 +67,20 @@ object Bench {
     // its own warm pass by >2x (and >1s absolute — sub-second queries
     // jitter multiplicatively for free), that is machine noise, not the
     // query: take a third measurement and report the median of the three.
+    // retry triples are carried structurally (not just a stderr line) so
+    // the full-precision sidecar below can record them: a median-reported
+    // number whose raw measurements are lost is exactly the
+    // "4.0s — jitter or real?" ambiguity the r6 verdict could not resolve
     val timed = ordered.map { case (name, fn) =>
       val (sec, err) = runOnce(fn)
       val w = warmSecs(name)
       val suspicious = err.isEmpty && sec > 2 * w && sec > w + 1.0
-      if (!suspicious) (name, sec, err)
+      if (!suspicious) (name, sec, err, None)
       else {
         val (sec3, err3) = runOnce(fn)
         System.err.println(f"[bench] outlier retry $name: warm=$w%.2f timed=$sec%.2f retry=$sec3%.2f")
-        if (err3.isDefined) (name, sec, err) // keep the valid measurement
-        else (name, Seq(w, sec, sec3).sorted.apply(1), err)
+        if (err3.isDefined) (name, sec, err, None) // keep the valid measurement
+        else (name, Seq(w, sec, sec3).sorted.apply(1), err, Some((w, sec, sec3)))
       }
     }
     // only a TIMED-pass failure disqualifies a measurement (its elapsed
@@ -84,7 +88,7 @@ object Bench {
     // failure still gets reported but must not drop a valid steady-state
     // number from the total — that would skew cross-round comparisons
     val errors = (warm.collect { case (n, _, Some(e)) => n -> s"warm: $e" } ++
-      timed.collect { case (n, _, Some(e)) => n -> e }).toMap
+      timed.collect { case (n, _, Some(e), _) => n -> e }).toMap
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e") }
     val ok = timed.filter(_._3.isEmpty)
@@ -99,7 +103,7 @@ object Bench {
       .mkString("{", ",", "}")
     System.err.println(s"""[bench] {"warm_queries":$warmJson}""")
     val timedJson = ok
-      .map { case (k, v, _) => JsonUtil.quote(k) + ":" + ms(v) }
+      .map { case (k, v, _, _) => JsonUtil.quote(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench] {"timed_queries":$timedJson}""")
     // the stdout errors dict is BOUNDED (5 entries x 60-char messages):
@@ -119,7 +123,55 @@ object Bench {
     note.foreach(n =>
       System.err.println(s"[bench] stdout line over the tail budget — $n"))
     println(out)
+    // Full-precision AUDIT record, written to a committed file: the stdout
+    // line is the driver contract but its tail budget quantizes 89 queries
+    // to deciseconds, and the stderr ms dicts fall outside the driver's
+    // 2000-char capture — per-query regression analysis was blind below
+    // ±0.1s (r6 verdict). The sidecar carries everything at ms precision:
+    // both passes, every outlier-retry triple with the reported median,
+    // and untruncated error messages. A write failure must not fail the
+    // bench — the stdout record already went out.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", SidecarPath)
+    try {
+      val json = sidecarJson(sfDir, warm, timed, errors)
+      val p = java.nio.file.Paths.get(sidecar)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full-precision record written to $sidecar")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN sidecar write failed ($sidecar): $e") }
     spark.stop()
+  }
+
+  /** Committed per-round audit record (see main). Pure; one key per line
+    * so round-over-round git diffs read as per-query deltas. */
+  private[graft] def sidecarJson(sfDir: String,
+      warm: Seq[(String, Double, Option[String])],
+      timed: Seq[(String, Double, Option[String], Option[(Double, Double, Double)])],
+      errors: Map[String, String]): String = {
+    def dict(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s"    ${JsonUtil.quote(k)}: $v" }
+        .mkString("{\n", ",\n", "\n  }")
+    val ok = timed.filter(_._3.isEmpty)
+    val total = ok.map(_._2).sum
+    val warmD = dict(warm.collect { case (n, s, None) => n -> ms(s) })
+    val timedD = dict(ok.map { case (n, s, _, _) => n -> ms(s) })
+    val retryD = dict(timed.collect { case (n, rep, _, Some((w, t, r))) =>
+      n -> s"""{"warm": ${ms(w)}, "timed": ${ms(t)}, "retry": ${ms(r)}, "reported": ${ms(rep)}}"""
+    })
+    val errD = dict(errors.toSeq.sortBy(_._1)
+      .map { case (n, e) => n -> JsonUtil.quote(e) })
+    s"""{
+       |  "sf": ${JsonUtil.quote(sfDir)},
+       |  "suite_size": ${timed.length},
+       |  "total_sec": ${ms(total)},
+       |  "warm_sec": $warmD,
+       |  "timed_sec": $timedD,
+       |  "outlier_retries": $retryD,
+       |  "errors": $errD
+       |}
+       |""".stripMargin
   }
 
   // ms precision: nanosecond digits bloat the line, and the stdout line
@@ -164,6 +216,10 @@ object Bench {
     def line(dict: String, marker: String = ""): String =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",$marker"queries":$dict,"errors":$errJson,"sf":"$sfDir"}"""
     val pfx = """"queries_key_prefix":"q_","""
+    // degraded rungs also point at the committed full-precision sidecar —
+    // a consumer holding only the truncated stdout record knows where the
+    // complete warm/timed/retry dicts live
+    val ptr = s""""queries_file":${JsonUtil.quote(SidecarPath)},"""
     // last informative rung: when even decisecond stripped keys overflow,
     // keep the SLOWEST queries (the ones any performance reading needs)
     // up to the largest count that fits, self-described by queries_top —
@@ -173,7 +229,7 @@ object Bench {
       val entries = ok.sortBy(-_._2).map { case (k, v) =>
         JsonUtil.quote(k.stripPrefix("q_")) + ":" + trim(2)(v)
       }
-      val budget = 1900 - line("{}", pfx).length - 24 // marker + slack
+      val budget = 1900 - line("{}", pfx + ptr).length - 24 // marker + slack
       val lens = entries.map(_.length + 1).scanLeft(0)(_ + _).tail
       val keep = lens.takeWhile(_ <= budget).length
       (entries.take(keep).mkString("{", ",", "}"), keep)
@@ -187,10 +243,16 @@ object Bench {
       line(qDict(1, stripPrefix = true), pfx) ->
         Some("q_ key prefix stripped AND per-query precision reduced to " +
           "deciseconds (full ms dicts on stderr above)"),
-      line(td, pfx + s""""queries_top":$keep,""") ->
+      line(td, pfx + s""""queries_top":$keep,""" + ptr) ->
         Some(s"per-query dict truncated to the $keep slowest queries " +
-          "(queries_top on the line; full ms dicts on stderr above)"))
+          s"(queries_top on the line; full record in $SidecarPath)"))
     ladder.find(_._1.length <= 1900)
-      .getOrElse(line("{}") -> Some("per-query dict dropped entirely"))
+      .getOrElse(line("{}", ptr) ->
+        Some(s"per-query dict dropped entirely (full record in $SidecarPath)"))
   }
+
+  /** Repo-relative path of the committed full-precision bench record —
+    * referenced from the stdout line's degraded rungs, overridable for
+    * local runs via SPARK_GRAFT_BENCH_OUT. */
+  private[graft] val SidecarPath = "tools/bench_last.json"
 }

