@@ -534,7 +534,10 @@ object DedupQueries {
     // (whose 5000 docs contain only 8 exact dups, so the collapse is pure
     // overhead there) for flat wall-clock on copy-heavy corpora
     // (ScaleProbe 8x verbatim-copy: 1.96s vs unbounded bucket growth) —
-    // the 100 TB-first choice.
+    // the 100 TB-first choice. The r6 record's 4.0s was decisecond-era
+    // measurement noise, not the collapse: the r7 ms-precision sidecar
+    // (tools/bench_last.json) times the identical code at 0.93s in the
+    // full suite and 1.14s in a 4-query session.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val (grouped, reps) = collapseExact(Tables.table(s, dir, "documents"))
