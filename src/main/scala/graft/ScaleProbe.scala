@@ -37,7 +37,9 @@ object ScaleProbe {
     "q_media_meta", "q_media_histogram", "q_agg_topk_bounded",
     "q_events_moving_avg", "q_doc_quality_tiers",
     "q_dedup_containment", "q_emb_quantize", "q_layout_zorder",
-    "q_dedup_incremental", "q_doc_mixture_temp")
+    "q_dedup_incremental", "q_doc_mixture_temp",
+    "q_doc_vocab", "q_doc_langid", "q_doc_winnow", "q_events_range",
+    "q_agg_cube", "q_agg_rollup", "q_scd2_history")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
@@ -45,13 +47,14 @@ object ScaleProbe {
     * the editdist prefix blocks). Without the maxBucket cap these would
     * grow quadratically in members; the cap bounds them (BucketCapSpec
     * pins the semantics, this probe measures the wall-clock). Ngram
-    * Jaccard is deliberately absent: its exact-jaccard-over-index
-    * semantics are inherently quadratic on such a corpus — the designed
-    * 100 TB path for hostile corpora is the capped LSH family
-    * (q_dedup_clusters verifies exact scores on LSH candidates only). */
+    * Jaccard joined the probe in r7: its intersection now runs through
+    * the capPerKey-bounded bucketPairs device, so each hot gram bucket
+    * truncates to the cap's min-doc_id members — bounded pair work per
+    * gram instead of df² growth (previously exempted as
+    * quadratic-by-construction). */
   private val hostileQueries = Seq(
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_clusters",
-    "q_dedup_editdist",
+    "q_dedup_editdist", "q_dedup_ngram_jaccard",
     // every boilerplate 5-gram is a hot gram shared by ~all docs — the
     // exact stop-gram shape q_split_leakage's capPerKey exists to bound
     "q_split_leakage",

@@ -562,6 +562,43 @@ object ParityQueries {
         .groupBy($"table_name")
         .agg(sum($"cnt").as("row_count"))
         .orderBy("table_name")
+    }),
+
+    // SCD2 history maintenance surfaced as a query (etl/Scd2 owns the
+    // full-outer + hash-compare combinator; Scd2Spec pins close/append/
+    // delete semantics). One snapshot of customer is initialized as
+    // history, then a deterministic update batch is applied:
+    //   - custkey % 3 == 0: acctbal bumped +100 -> close + new version
+    //   - custkey % 3 == 1: identical row resubmitted -> untouched (the
+    //     hash compare must NOT churn a version for a no-op update)
+    //   - custkey % 100 == 0: re-keyed +10M -> brand-new key, appended
+    // The oracle derives the same history DIRECTLY by case analysis
+    // (changed iff %3==0 and acctbal non-null — a null bumps to null,
+    // which the tracked-column hash treats as unchanged), so a green
+    // hash-match is an independent proof of the merge lowering, not a
+    // replay of it. Dates surface as day-truncated timestamps (the
+    // cross-engine date convention suite-wide).
+    "q_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+          $"c_mktsegment")
+      val t0 = java.sql.Date.valueOf("2026-01-01")
+      val t1 = java.sql.Date.valueOf("2026-06-01")
+      val history = graft.etl.Scd2.init(dim, t0)
+      val updates = dim.filter($"c_custkey" % 3 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        .unionByName(dim.filter($"c_custkey" % 3 === 1))
+        .unionByName(dim.filter($"c_custkey" % 100 === 0)
+          .withColumn("c_custkey", $"c_custkey" + 10000000L))
+      graft.etl.Scd2.applyChanges(history, updates, "c_custkey", t1,
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+          $"c_mktsegment",
+          $"valid_from".cast("timestamp").as("valid_from"),
+          $"valid_to".cast("timestamp").as("valid_to"),
+          $"is_current")
+        .orderBy("c_custkey", "valid_from")
     })
   )
 
@@ -883,6 +920,32 @@ object ParityQueries {
         |UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
         |UNION ALL SELECT 'region', CAST(count(*) AS BIGINT) FROM region
         |UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
-        |ORDER BY table_name""".stripMargin
+        |ORDER BY table_name""".stripMargin,
+
+    // Direct case-analysis derivation of the SCD2 result (NOT a replay of
+    // the full-outer merge): changed iff custkey%3=0 AND acctbal non-null.
+    "q_scd2_history" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |changed AS (
+        |  SELECT * FROM dim WHERE c_custkey % 3 = 0 AND c_acctbal IS NOT NULL)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  TIMESTAMP '2026-01-01' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |FROM dim WHERE NOT (c_custkey % 3 = 0 AND c_acctbal IS NOT NULL)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  TIMESTAMP '2026-01-01', TIMESTAMP '2026-06-01', FALSE
+        |FROM changed
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment,
+        |  TIMESTAMP '2026-06-01', CAST(NULL AS TIMESTAMP), TRUE
+        |FROM changed
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+        |  c_mktsegment, TIMESTAMP '2026-06-01', CAST(NULL AS TIMESTAMP), TRUE
+        |FROM dim WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
 }
