@@ -63,14 +63,33 @@ object DocStream {
   /** Streaming exact dedup over document fingerprints — the streaming
     * face of the batch collapse (the keeper selection inside every
     * near-dup query): the first arrival per normalized-text md5 passes,
-    * later duplicates drop. State is one fingerprint per DISTINCT text
-    * (bounded by distinct content, not stream length); a production
-    * ingest would add `withWatermark` on an event-time column so
-    * fingerprints age out with the dedup horizon. */
-  def dedupDocs(docs: DataFrame): DataFrame =
-    docs.filter(length(trim(col("text"))) > 0)
+    * later duplicates drop.
+    *
+    * With `eventTimeCol` set (the production shape), the column is
+    * watermarked with `horizon` and carried THROUGH the projection, and
+    * the dedup is `dropDuplicatesWithinWatermark` — fingerprints age out
+    * of the state store once the watermark passes their horizon, so
+    * state is bounded by distinct content per horizon window, not by the
+    * life of the query. Without it (the testdata shape — documents
+    * carry no timestamp) the dedup falls back to plain `dropDuplicates`,
+    * whose state grows with distinct content for the query's lifetime:
+    * acceptable for bounded replays, unbounded ingests must pass the
+    * event-time column. (Earlier revisions only documented the
+    * production shape while the emitted schema dropped every event-time
+    * column — a caller could not actually reach it.) */
+  def dedupDocs(docs: DataFrame, eventTimeCol: Option[String] = None,
+                horizon: String = "24 hours"): DataFrame = {
+    val fp = docs.filter(length(trim(col("text"))) > 0)
       .withColumn("fp",
         graft.Clean.fingerprint(col("text")))
-      .dropDuplicates("fp")
-      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+    eventTimeCol match {
+      case Some(c) =>
+        fp.withWatermark(c, horizon)
+          .dropDuplicatesWithinWatermark("fp")
+          .select(col("doc_id"), col("lang"), col("source"), col("fp"), col(c))
+      case None =>
+        fp.dropDuplicates("fp")
+          .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+    }
+  }
 }

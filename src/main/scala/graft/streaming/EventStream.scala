@@ -250,7 +250,13 @@ object EventStream {
     * State per event_type is three numbers, and the key cardinality is
     * the event-type vocabulary — bounded by the schema, not the
     * stream — so unlike the per-user funnel there is nothing to reap:
-    * no per-group timeout is ever set and state lives forever. The
+    * no per-group timeout is ever set and state lives forever. The O(1)
+    * bound is on PERSISTED state only: each invocation buffers and sorts
+    * its (event_type, micro-batch) slice in memory (`rows.toSeq.sortBy`,
+    * the same idiom as funnel/sessions), so peak task memory is the hot
+    * type's share of one micro-batch and a skewed type concentrates that
+    * batch on one task — size micro-batches (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger) with that in mind on a production ingest. The
     * timeout CONF is still EventTimeTimeout: flatMapGroupsWithState
     * only drops later-than-watermark rows under that conf
     * (FlatMapGroupsWithStateExecBase applies
@@ -304,6 +310,194 @@ object EventStream {
 
     typed
       .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  // referenced from flatMapGroupsWithState closures via a LOCAL copy in
+  // each method: a direct module-field reference captures the whole
+  // (non-serializable) EventStream$ module into the task closure
+  private val HourMs = 3600000L
+
+  /** Per-type gap-filled hourly grid state: the next grid hour to emit
+    * (MaxValue until the first event fixes the grid origin) and the
+    * not-yet-final hour counts. `pending` is bounded by the hours inside
+    * the watermark horizon (a 2h watermark holds ≤ ~3 open hours) — rows
+    * later than the watermark are dropped, rows at or after it land in
+    * hours that are still open, so a closed hour can never reopen. */
+  case class GapfillState(nextHour: Long, pending: Map[Long, Long])
+  case class HourCountOut(eventType: String, hourTs: java.sql.Timestamp,
+                          eventCount: Long)
+
+  /** Streaming twin of q_events_gapfill — the TIMER-driven operator the
+    * declarative twins can't express: a windowed aggregation only emits
+    * windows that saw data, but a gap-filled series must emit a ZERO row
+    * for every silent hour. flatMapGroupsWithState per event_type keeps
+    * the dense-grid cursor as state; each invocation (data-driven or the
+    * event-time timeout firing on a silent key) finalizes every grid hour
+    * whose end the watermark has passed — present hours with their
+    * counts, silent hours with 0 — and re-arms the timer at the next
+    * unfinalized hour end, so the grid keeps advancing even when the key
+    * itself never sees another event (the watermark advances on OTHER
+    * keys' data; that is what makes this timer-driven rather than
+    * data-driven). Unlike the batch query, the live grid has no max
+    * hour: a type that goes quiet keeps emitting zeros each time the
+    * watermark passes another hour — exactly what a downstream
+    * dashboard/alerting consumer wants from a resampler. Key cardinality
+    * is the event-type vocabulary (schema-bounded, the onlineAnomaly
+    * note), so state is never reaped. */
+  def gapfillHourly(spark: SparkSession, events: DataFrame): Dataset[HourCountOut] = {
+    import spark.implicits._
+    val typed = events.select(col("event_type"), col("ts"))
+      .withWatermark("ts", "2 hours")
+      .as[(String, java.sql.Timestamp)]
+    val hourMs = HourMs // local copy: keep the module out of the closure
+
+    def update(tpe: String, rows: Iterator[(String, java.sql.Timestamp)],
+               state: GroupState[GapfillState]): Iterator[HourCountOut] = {
+      var s = state.getOption.getOrElse(GapfillState(Long.MaxValue, Map.empty))
+      rows.foreach { case (_, ts) =>
+        val h = Math.floorDiv(ts.getTime, hourMs) * hourMs
+        s = GapfillState(math.min(s.nextHour, h),
+          s.pending.updated(h, s.pending.getOrElse(h, 0L) + 1L))
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val out = Seq.newBuilder[HourCountOut]
+      if (s.nextHour != Long.MaxValue) {
+        var h = s.nextHour
+        while (h + hourMs <= wm) {
+          out += HourCountOut(tpe, new java.sql.Timestamp(h),
+            s.pending.getOrElse(h, 0L))
+          s = GapfillState(h + hourMs, s.pending - h)
+          h += hourMs
+        }
+      }
+      state.update(s)
+      // re-arm at the next hour end; a timeout timestamp must sit beyond
+      // the current watermark or Spark rejects it
+      if (s.nextHour != Long.MaxValue)
+        state.setTimeoutTimestamp(math.max(s.nextHour + hourMs, wm + 1))
+      out.result().iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Per-type trailing moving-average state: open hour sums in e2
+    * fixed-point (same bound as [[GapfillState]].pending) plus the ≤2
+    * most recent CLOSED hours — all a 3-hour trailing window can reach.
+    * O(1) per key by construction. */
+  case class MovingAvgState(pending: Map[Long, Long],
+                            recent: List[(Long, Long)])
+  case class MovingAvgOut(eventType: String, hourTs: java.sql.Timestamp,
+                          movingAvgValue: Double, windowHours: Long)
+
+  /** Streaming twin of q_events_moving_avg: per-event values snap to e2
+    * fixed-point ([[graft.Clean.snapE2]]'s floor formula) and accumulate
+    * into open hour buckets; when the watermark closes an hour, its
+    * trailing ≤3-bucket average emits — computed over the hours PRESENT
+    * in the series, silent hours absent, exactly the batch RANGE-interval
+    * frame (inclusive 7200s lookback). The long sums make the streaming
+    * emission bit-identical to the batch window: same integer
+    * accumulation, same single rounded division at the end. Hours close
+    * in ascending order (the `sorted`), so each closed hour sees exactly
+    * the recent-closed list the batch frame would. Timer-driven like
+    * [[gapfillHourly]] — a quiet key still closes its last open hours
+    * when the watermark passes them — but with no dense grid there is
+    * nothing to emit after the backlog closes, so the timer only re-arms
+    * while hours are pending. */
+  def movingAvgHourly(spark: SparkSession, events: DataFrame): Dataset[MovingAvgOut] = {
+    import spark.implicits._
+    val typed = events.select(col("event_type"), col("ts"), col("value"))
+      .withWatermark("ts", "2 hours")
+      .as[(String, java.sql.Timestamp, Double)]
+    val hourMs = HourMs // local copy: keep the module out of the closure
+
+    def update(tpe: String,
+               rows: Iterator[(String, java.sql.Timestamp, Double)],
+               state: GroupState[MovingAvgState]): Iterator[MovingAvgOut] = {
+      var s = state.getOption.getOrElse(MovingAvgState(Map.empty, Nil))
+      rows.foreach { case (_, ts, v) =>
+        val h = Math.floorDiv(ts.getTime, hourMs) * hourMs
+        val e2 = math.floor(v * 100d + 0.5d).toLong // snapE2, scalar form
+        s = s.copy(pending = s.pending.updated(h, s.pending.getOrElse(h, 0L) + e2))
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val out = Seq.newBuilder[MovingAvgOut]
+      s.pending.keys.filter(_ + hourMs <= wm).toSeq.sorted.foreach { h =>
+        val sum = s.pending(h)
+        val inWindow = s.recent.filter(_._1 >= h - 2 * hourMs)
+        val n = inWindow.size + 1L
+        val avg = (inWindow.map(_._2).sum + sum) / 100d / n
+        out += MovingAvgOut(tpe, new java.sql.Timestamp(h),
+          math.floor(avg * 100d + 0.5d) / 100d, n) // roundHalfUp(_, 2)
+        s = MovingAvgState(s.pending - h, ((h, sum) :: inWindow).take(2))
+      }
+      state.update(s)
+      if (s.pending.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(s.pending.keys.min + hourMs, wm + 1))
+      out.result().iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Per-user cohort state: the first-activity week (epoch ms) and the
+    * week offsets already reported. The offset set grows with the user's
+    * active weeks inside the stream's lifetime — a production deployment
+    * caps the tracked horizon (retention reports rarely read past week
+    * 12) to keep the state strictly O(1); the replay fixture spans weeks,
+    * not years, so the cap is left out of the local shape. */
+  case class CohortState(cohortWeek: Long, seen: Set[Int])
+  case class RetentionHit(cohortWeek: java.sql.Timestamp, weekOffset: Int)
+
+  /** Streaming twin of q_events_retention, emitting INCREMENTS: one
+    * (cohort_week, week_offset) row the first time each user is active
+    * in a week — the downstream `groupBy.count` of those rows is the
+    * batch query's active_users grid. The cohort week is fixed by the
+    * user's first-seen event (within-batch rows apply in event-time
+    * order; across batches the design assumes watermark-ordered replay,
+    * the [[funnel]] note). The week bucket is computed by the SAME
+    * `date_trunc("week")` column expression the batch query uses —
+    * reimplementing ISO-week arithmetic in scalar code would be a
+    * desynchronization bug waiting to happen. Unlike the windowed twins
+    * nothing waits for the watermark: an increment is final the moment
+    * it is first observed (a set can only gain a member once), so this
+    * emits data-driven in Append mode with no timers. */
+  def retentionHits(spark: SparkSession, events: DataFrame): Dataset[RetentionHit] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts"),
+        date_trunc("week", col("ts")).cast("timestamp").as("week_ts"))
+      .withWatermark("ts", "2 hours")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+
+    def update(userId: Long,
+               rows: Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp)],
+               state: GroupState[CohortState]): Iterator[RetentionHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = Seq.newBuilder[RetentionHit]
+      var s = state.getOption.orNull
+      rows.toSeq.sortBy(_._2.getTime).foreach { case (_, _, week) =>
+        val w = week.getTime
+        if (s == null) s = CohortState(w, Set.empty)
+        // integer weeks-since-cohort; ms week starts make this exact
+        val off = ((w - s.cohortWeek) / (7 * 86400000L)).toInt
+        if (!s.seen(off)) {
+          s = s.copy(seen = s.seen + off)
+          out += RetentionHit(new java.sql.Timestamp(s.cohortWeek), off)
+        }
+      }
+      state.update(s)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }

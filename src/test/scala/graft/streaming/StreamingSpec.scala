@@ -228,6 +228,111 @@ class StreamingSpec extends SparkTestBase {
     got.foreach(k => assert(batchKeys.contains(k), s"session $k not in batch"))
   }
 
+  /** Final watermark of an AvailableNow replay of the fixture: max event
+    * time (ms, micros truncate) minus the 2h delay — what every
+    * timer-driven twin's emission horizon is measured against. */
+  private lazy val fixtureWatermarkMs: Long = {
+    val maxTs = Tables.table(spark, sf0001, "events")
+      .agg(max($"ts".cast("timestamp"))).as[java.sql.Timestamp].collect().head
+    maxTs.getTime - 2 * 3600000L
+  }
+
+  test("streaming gapfill emits the batch grid, zeros included, up to the watermark") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.gapfillHourly(spark, stream).toDF(), "gapfill")
+    q.awaitTermination()
+    val got = spark.table("gapfill")
+      .select($"eventType", $"hourTs".cast("long") * 1000, $"eventCount")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+
+    // expected: the batch gap-filled grid truncated to closed hours
+    // (hour end <= final watermark), EXTENDED with the trailing zeros the
+    // live grid keeps emitting after a type's last event — the batch grid
+    // stops at each type's max hour, the stream's only stops at the
+    // watermark
+    val wm = fixtureWatermarkMs
+    val batch = EventQueries.queries("q_events_gapfill")(spark, sf0001)
+      .select($"event_type", $"hour_ts".cast("timestamp").cast("long") * 1000,
+        $"event_count")
+      .as[(String, Long, Long)].collect().toSeq
+    val closed = batch.filter { case (_, h, _) => h + 3600000L <= wm }
+    val trailing = batch.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val maxH = rows.map(_._2).max
+      Iterator.iterate(maxH + 3600000L)(_ + 3600000L)
+        .takeWhile(_ + 3600000L <= wm).map((tpe, _, 0L)).toSeq
+    }
+    val want = (closed ++ trailing).sorted
+    assert(got === want)
+    // the fixture must actually exercise the zero-fill path
+    assert(got.exists(_._3 == 0L), "no silent hours in the emitted grid")
+  }
+
+  test("streaming moving average matches the batch RANGE window on closed hours") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.movingAvgHourly(spark, stream).toDF(), "moving_avg")
+    q.awaitTermination()
+    val got = spark.table("moving_avg")
+      .select($"eventType", $"hourTs".cast("long") * 1000,
+        $"movingAvgValue", $"windowHours")
+      .as[(String, Long, Double, Long)].collect().toSeq.sorted
+
+    // the e2 fixed-point device makes this an EXACT comparison: both
+    // sides sum identical snapped longs and round one division
+    val wm = fixtureWatermarkMs
+    val want = EventQueries.queries("q_events_moving_avg")(spark, sf0001)
+      .select($"event_type", $"hour_ts".cast("timestamp").cast("long") * 1000,
+        $"moving_avg_value", $"window_hours")
+      .as[(String, Long, Double, Long)].collect().toSeq
+      .filter { case (_, h, _, _) => h + 3600000L <= wm }
+      .sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming retention increments aggregate to the batch cohort grid") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.retentionHits(spark, stream).toDF(), "retention")
+    q.awaitTermination()
+    // increments are final on first observation (no watermark horizon),
+    // so the aggregated grid matches the batch EXACTLY, not a prefix
+    val got = spark.table("retention")
+      .groupBy($"cohortWeek", $"weekOffset").count()
+      .select($"cohortWeek".cast("long") * 1000, $"weekOffset", $"count")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val want = graft.SparkEntry.queries("q_events_retention")(spark, sf0001)
+      .select($"cohort_week".cast("timestamp").cast("long") * 1000,
+        $"week_offset", $"active_users")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("watermarked doc dedup keeps one survivor per fingerprint and carries event time") {
+    // the production shape the ADVICE flagged as unreachable: an
+    // event-time column must survive the projection so the watermark is
+    // actually applied to the emitted frame
+    val stream = DocStream.readDocs(spark, docsStreamDir)
+      .withColumn("ingest_ts",
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000))
+    val deduped = DocStream.dedupDocs(stream, Some("ingest_ts"))
+    assert(deduped.columns.contains("ingest_ts"))
+    val q = EventStream.runToMemory(deduped, "doc_dedup_wm", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("doc_dedup_wm")
+      .select($"fp", $"doc_id").as[(String, Long)].collect()
+    val groups = Tables.table(spark, sf0001, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      .as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(streamed.length === groups.size)
+    streamed.foreach { case (fp, id) => assert(groups(fp).contains(id)) }
+  }
+
   test("online anomaly flags a spike after warm-up, never inside it") {
     // crafted series, one event type, strictly increasing ts: a steadily
     // alternating 9.9/10.1 baseline (stddev ~0.1 from the first scored
