@@ -351,6 +351,38 @@ object CurationQueries {
         .agg(count(lit(1)).as("kept_docs"),
           sum($"tok_count").as("kept_tokens"))
         .orderBy("lang", "source")
+    }),
+
+    // Corpus health report — the observability face of the curation
+    // suite: per (source, lang) cell, document and token mass, the
+    // exact-duplicate rate (1 − distinct fingerprints / content docs),
+    // and the degenerate-document count. The numbers every 100 TB ingest
+    // dashboard alerts on (a source whose dup_rate jumps is a crawler
+    // re-fetching; a cell whose degenerate share grows is an extractor
+    // regression). ONE scan, one exchange: fingerprints and token counts
+    // are per-row expression work, countDistinct's partial de-dup keeps
+    // the (source, lang) exchange tiny at any corpus size. Fingerprints
+    // are NULL for degenerate (empty/whitespace) texts so countDistinct
+    // skips them (SQL convention, both engines) and the dup-rate
+    // denominator subtracts them explicitly.
+    "q_corpus_health" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"source", $"lang", $"n_chars",
+          when(length(trim($"text")) > 0, Clean.fingerprint($"text")).as("fp"),
+          size(TextQueries.tokens($"text")).cast("long").as("tok"))
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("distinct_texts"),
+          sum(when($"fp".isNull, 1L).otherwise(0L)).as("degenerate_docs"),
+          Clean.roundHalfUp(avg($"n_chars"), 2).as("avg_chars"),
+          sum($"tok").as("total_tokens"))
+        .withColumn("dup_rate",
+          when($"n_docs" - $"degenerate_docs" > 0,
+            Clean.roundHalfUp(lit(1.0) - $"distinct_texts".cast("double")
+              / ($"n_docs" - $"degenerate_docs"), 4))
+            .otherwise(lit(0.0)))
+        .orderBy("source", "lang")
     })
   )
 
@@ -546,6 +578,30 @@ object CurationQueries {
         |        < CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS kept_docs,
         |  CAST(sum(tok_count) AS BIGINT) AS kept_tokens
-        |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_corpus_health" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CASE WHEN length(trim(text)) > 0
+        |         THEN md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    END AS fp,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS tok
+        |  FROM documents)
+        |SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS distinct_texts,
+        |  CAST(sum(CASE WHEN fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS degenerate_docs,
+        |  floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CASE WHEN count(*) - sum(CASE WHEN fp IS NULL THEN 1 ELSE 0 END) > 0
+        |       THEN floor((1 - CAST(count(DISTINCT fp) AS DOUBLE)
+        |              / (count(*) - sum(CASE WHEN fp IS NULL THEN 1 ELSE 0 END)))
+        |            * 10000 + 0.5) / 10000
+        |       ELSE 0.0 END AS dup_rate
+        |FROM d GROUP BY source, lang
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
   )
 }
