@@ -345,6 +345,57 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // The Bloom-prefiltered face of incremental ingest dedup — same
+    // semantics, same oracle, the other 100 TB plan: a Bloom filter over
+    // the history fingerprints is built once (one scan, sketch merged
+    // driver-side — the same bounded-driver-object budget as the IVF
+    // centroids) and broadcast; increment rows the filter rejects are
+    // DEFINITELY new (no false negatives) and bypass the join entirely,
+    // so the exact anti-join — the only shuffle-bearing stage — processes
+    // just the might-be-duplicate sliver. On a typical ingest (most
+    // arrivals new), that turns the anti-join's left side from the whole
+    // increment into ~fpp of it; with the history side bucketed
+    // (LayoutSpec's device) the two compose. The fpp misses (false
+    // positives) are resolved by the exact join, so output equals
+    // q_dedup_incremental row-for-row — which is why this query can
+    // carry the SAME hard DuckDB oracle despite the probabilistic
+    // prefilter. Sketch sizing: `spark.graft.dedup.bloomItems` (default
+    // 1e5 fits the testdata; a deployment sizes it from the history
+    // count — at 1e9 keys / 1% fpp the sketch is ~1.2 GB, the scale at
+    // which one graduates to partition-range blooms). Null fingerprints
+    // (degenerate docs) route through the exact join: an anti-join never
+    // matches a null key, so they survive — identical to the unfiltered
+    // form.
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", fingerprint($"text").as("fp"))
+      val history = docs.filter($"doc_id" % 10 =!= 0)
+      val incoming = docs.filter($"doc_id" % 10 === 0)
+      val items = s.conf.getOption("spark.graft.dedup.bloomItems")
+        .map(_.toLong).getOrElse(100000L)
+      // sentinel row: Spark's bloomFilter aggregate returns a null buffer
+      // on EMPTY input (NPE in readFrom — caught by EmptyInputSpec) and
+      // would NPE on null fps; the sentinel is no 32-hex md5 so it can
+      // never alias a real fingerprint, and it costs no extra job (an
+      // isEmpty pre-check would)
+      val bloom = history.select($"fp").na.drop()
+        .unionByName(Seq(" empty-history-sentinel").toDF("fp"))
+        .stat.bloomFilter("fp", items, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val typed = incoming.as[(Long, String)]
+      val definitelyNew = typed
+        .filter(r => r._2 != null && !bc.value.mightContainString(r._2))
+        .toDF("doc_id", "fp")
+      val maybeDup = typed
+        .filter(r => r._2 == null || bc.value.mightContainString(r._2))
+        .toDF("doc_id", "fp")
+      definitelyNew
+        .unionByName(maybeDup.join(history, Seq("fp"), "left_anti")
+          .select($"doc_id", $"fp"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram Jaccard near-dup: candidates bucketed by (lang, length band);
     // |A∩B| via an inverted-index join on individual grams (codegen'd
     // hash join + count, no per-pair array intersection), then
@@ -928,6 +979,21 @@ object DedupQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |h AS (SELECT fp FROM d WHERE doc_id % 10 <> 0),
+        |i AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 = 0)
+        |SELECT doc_id, fp FROM i
+        |WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = i.fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // IDENTICAL SQL to q_dedup_incremental: the Bloom prefilter is a plan
+    // optimization with no semantic surface (false positives resolved by
+    // the exact join, no false negatives), so the hash-match doubles as
+    // the proof of that claim.
+    "q_dedup_incremental_bloom" ->
       """WITH d AS (
         |  SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
