@@ -313,6 +313,74 @@ object DedupQueries {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** The q_dedup_ngram_jaccard pair set WITHOUT the final presentation
+    * sort: q_dedup_clusters_sql consumes these pairs as graph edges, and
+    * paying jaccard's global orderBy exchange just to feed an unordered
+    * edge set into connected components was pure waste. The query map
+    * entry adds the orderBy for the driver contract. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+      .select($"doc_id", $"lang", $"text",
+        (length($"text") / 64).cast("int").as("len_band"),
+        fingerprint($"text").as("fp"))
+    val groups = docs.groupBy($"lang", $"len_band", $"fp")
+      .agg(min($"doc_id").as("rep_id"))
+    val members = docs.select($"doc_id", $"lang", $"len_band", $"fp")
+      .join(groups, Seq("lang", "len_band", "fp"))
+      .select($"rep_id", $"doc_id")
+    val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
+    val shingled = withShingles(reps, 3)
+      .select($"doc_id", $"lang", $"len_band", $"grams")
+    // explode_outer, not explode: InferFiltersFromGenerate would add a
+    // size(grams)>0 filter that predicate pushdown re-expands into three
+    // more per-row evaluations of the whole shingle expression (measured
+    // ~8x query cost). shinglesOf never yields an empty array, so the
+    // outer variant is semantically identical here.
+    val inv = shingled.select($"doc_id", $"lang", $"len_band",
+      explode_outer($"grams").as("gram"))
+    // per-doc gram counts COUNTED from the index rather than size(grams):
+    // a size() column in the join lineage lets the final threshold
+    // filter's not-null constraint drag the whole shingle expression into
+    // the scan filters via constraint propagation.
+    val counts = inv.groupBy($"doc_id").agg(count(lit(1)).as("gram_count"))
+    // shared-gram counts via the one-pass [[bucketPairs]] device: each
+    // (lang, len_band, gram) bucket's doc list is collected once and its
+    // ordered pairs exploded, so the scan→shingle→explode lineage runs
+    // ONCE — the previous inv-self-join read it into BOTH branches (the
+    // exact double-execution the bucketPairs scaladoc documents), and
+    // left gram buckets uncapped (one hot gram = df² pairs). capPerKey
+    // inside bucketPairs now bounds every gram bucket; the oracle corpus
+    // never nears the cap (max gram df ≪ 1000 at sf0.1), so the
+    // hash-match is unaffected. Measured at sf0.1: 4.2s → ~1.5s, and
+    // q_dedup_clusters_sql (which consumes these pairs) drops with it.
+    val repPairs = bucketPairs(inv, $"lang", $"len_band", $"gram")
+      .withColumnRenamed("shared_bands", "common")
+      // no broadcast hint: counts is O(#documents) — let AQE pick
+      // (broadcast at toy scale, shuffle join on the pair keys at 100 TB)
+      .join(counts.select($"doc_id".as("doc_a"),
+        $"gram_count".as("count_a")), Seq("doc_a"))
+      .join(counts.select($"doc_id".as("doc_b"),
+        $"gram_count".as("count_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        Clean.roundHalfUp($"common".cast("double")
+          / ($"count_a" + $"count_b" - $"common"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+    // fan the representative verdicts back out to all member pairs
+    val cross = repPairs
+      .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
+        Seq("doc_a"))
+      .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
+        Seq("doc_b"))
+      .select(least($"mem_a", $"mem_b").as("doc_a"),
+        greatest($"mem_a", $"mem_b").as("doc_b"), $"jaccard")
+    val within = members.select($"rep_id", $"doc_id".as("doc_a"))
+      .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", lit(1.0).as("jaccard"))
+    cross.union(within)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on a content fingerprint; keep min doc_id.
     "q_dedup_exact" -> ((s, dir) => {
@@ -376,11 +444,11 @@ object DedupQueries {
         .map(_.toLong).getOrElse(100000L)
       // sentinel row: Spark's bloomFilter aggregate returns a null buffer
       // on EMPTY input (NPE in readFrom — caught by EmptyInputSpec) and
-      // would NPE on null fps; the sentinel is no 32-hex md5 so it can
-      // never alias a real fingerprint, and it costs no extra job (an
+      // would NPE on null fps; the sentinel is not 32 hex chars so it can
+      // never alias a real md5 fingerprint, and it costs no extra job (an
       // isEmpty pre-check would)
       val bloom = history.select($"fp").na.drop()
-        .unionByName(Seq(" empty-history-sentinel").toDF("fp"))
+        .unionByName(Seq("empty-history-sentinel").toDF("fp"))
         .stat.bloomFilter("fp", items, 0.01)
       val bc = s.sparkContext.broadcast(bloom)
       val typed = incoming.as[(Long, String)]
@@ -416,68 +484,8 @@ object DedupQueries {
     // cross-group member pairs inherit their representatives' jaccard
     // exactly and within-group pairs are 1.0 by construction — row-for-row
     // equal to the uncollapsed all-pairs form.
-    "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .select($"doc_id", $"lang", $"text",
-          (length($"text") / 64).cast("int").as("len_band"),
-          fingerprint($"text").as("fp"))
-      val groups = docs.groupBy($"lang", $"len_band", $"fp")
-        .agg(min($"doc_id").as("rep_id"))
-      val members = docs.select($"doc_id", $"lang", $"len_band", $"fp")
-        .join(groups, Seq("lang", "len_band", "fp"))
-        .select($"rep_id", $"doc_id")
-      val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
-      val shingled = withShingles(reps, 3)
-        .select($"doc_id", $"lang", $"len_band", $"grams")
-      // explode_outer, not explode: InferFiltersFromGenerate would add a
-      // size(grams)>0 filter that predicate pushdown re-expands into three
-      // more per-row evaluations of the whole shingle expression (measured
-      // ~8x query cost). shinglesOf never yields an empty array, so the
-      // outer variant is semantically identical here.
-      val inv = shingled.select($"doc_id", $"lang", $"len_band",
-        explode_outer($"grams").as("gram"))
-      // per-doc gram counts COUNTED from the index rather than size(grams):
-      // a size() column in the join lineage lets the final threshold
-      // filter's not-null constraint drag the whole shingle expression into
-      // the scan filters via constraint propagation.
-      val counts = inv.groupBy($"doc_id").agg(count(lit(1)).as("gram_count"))
-      // shared-gram counts via the one-pass [[bucketPairs]] device: each
-      // (lang, len_band, gram) bucket's doc list is collected once and its
-      // ordered pairs exploded, so the scan→shingle→explode lineage runs
-      // ONCE — the previous inv-self-join read it into BOTH branches (the
-      // exact double-execution the bucketPairs scaladoc documents), and
-      // left gram buckets uncapped (one hot gram = df² pairs). capPerKey
-      // inside bucketPairs now bounds every gram bucket; the oracle corpus
-      // never nears the cap (max gram df ≪ 1000 at sf0.1), so the
-      // hash-match is unaffected. Measured at sf0.1: 4.2s → ~1.5s, and
-      // q_dedup_clusters_sql (which consumes these pairs) drops with it.
-      val repPairs = bucketPairs(inv, $"lang", $"len_band", $"gram")
-        .withColumnRenamed("shared_bands", "common")
-        // no broadcast hint: counts is O(#documents) — let AQE pick
-        // (broadcast at toy scale, shuffle join on the pair keys at 100 TB)
-        .join(counts.select($"doc_id".as("doc_a"),
-          $"gram_count".as("count_a")), Seq("doc_a"))
-        .join(counts.select($"doc_id".as("doc_b"),
-          $"gram_count".as("count_b")), Seq("doc_b"))
-        .select($"doc_a", $"doc_b",
-          Clean.roundHalfUp($"common".cast("double")
-            / ($"count_a" + $"count_b" - $"common"), 4).as("jaccard"))
-        .filter($"jaccard" >= 0.2)
-      // fan the representative verdicts back out to all member pairs
-      val cross = repPairs
-        .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
-          Seq("doc_a"))
-        .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
-          Seq("doc_b"))
-        .select(least($"mem_a", $"mem_b").as("doc_a"),
-          greatest($"mem_a", $"mem_b").as("doc_b"), $"jaccard")
-      val within = members.select($"rep_id", $"doc_id".as("doc_a"))
-        .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
-        .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b", lit(1.0).as("jaccard"))
-      cross.union(within).orderBy("doc_a", "doc_b")
-    }),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // N-gram CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) over distinct
     // word 3-grams — the asymmetric complement of q_dedup_ngram_jaccard.
@@ -735,7 +743,7 @@ object DedupQueries {
     // computes the same min-id components.
     "q_dedup_clusters_sql" -> ((s, dir) => {
       import s.implicits._
-      val pairs = queries("q_dedup_ngram_jaccard")(s, dir)
+      val pairs = ngramJaccardPairs(s, dir)
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
       graft.operators.ConnectedComponents.components(pairs)
         .select($"id".as("doc_id"), $"component".as("keep_doc_id"))
