@@ -539,8 +539,16 @@ object DedupQueries {
         .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"),
           count(lit(1)).as("copies"))
       val reps = docs.join(grouped.select($"rep_id".as("doc_id")), Seq("doc_id"))
+      // The explicit (lang, gram) repartition makes the exploded index a
+      // SHARED exchange subtree: without it inv ends in narrow ops and
+      // its two consumers (the df aggregation and the capped join) each
+      // re-execute the scan→shingle→explode lineage; with it the lambda
+      // runs once into shuffle files, the df groupBy's clustering is
+      // already satisfied, and the capped join reads both sides
+      // co-partitioned (the q_dedup_clusters exchange-sharing device).
       val inv = withShingles(reps, 3)
         .select($"doc_id", $"lang", explode_outer($"grams").as("gram"))
+        .repartition($"lang", $"gram")
       val gramDf = inv
         .join(grouped.select($"rep_id".as("doc_id"), $"copies"), Seq("doc_id"))
         .groupBy($"lang", $"gram")
