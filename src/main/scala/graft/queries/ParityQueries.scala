@@ -599,6 +599,36 @@ object ParityQueries {
           $"valid_to".cast("timestamp").as("valid_to"),
           $"is_current")
         .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Point-in-time view through the SAME merge pipeline as
+    // q_scd2_history, read back as of a date BETWEEN the snapshot and
+    // the update batch: closed versions are still valid, fresh versions
+    // not yet, new keys absent — so the as-of read must reconstruct the
+    // ORIGINAL dimension snapshot exactly. The oracle is therefore just
+    // `SELECT * FROM customer`: deliberately trivial on the oracle side
+    // and maximally demanding on the Spark side, where one wrong
+    // validity bound anywhere in init/applyChanges/asOf breaks the
+    // identity (the time-travel invariant every SCD2 consumer relies
+    // on).
+    "q_scd2_asof" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables.table(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+          $"c_mktsegment")
+      val t0 = java.sql.Date.valueOf("2026-01-01")
+      val t1 = java.sql.Date.valueOf("2026-06-01")
+      val updates = dim.filter($"c_custkey" % 3 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        .unionByName(dim.filter($"c_custkey" % 100 === 0)
+          .withColumn("c_custkey", $"c_custkey" + 10000000L))
+      val hist = graft.etl.Scd2.applyChanges(
+        graft.etl.Scd2.init(dim, t0), updates, "c_custkey", t1,
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      graft.etl.Scd2.asOf(hist, java.sql.Date.valueOf("2026-03-15"))
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+          $"c_mktsegment")
+        .orderBy("c_custkey")
     })
   )
 
@@ -946,6 +976,12 @@ object ParityQueries {
         |SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
         |  c_mktsegment, TIMESTAMP '2026-06-01', CAST(NULL AS TIMESTAMP), TRUE
         |FROM dim WHERE c_custkey % 100 = 0
-        |ORDER BY c_custkey, valid_from""".stripMargin
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // The time-travel identity: as-of a date before the update batch,
+    // the history must read back as the untouched original snapshot.
+    "q_scd2_asof" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
