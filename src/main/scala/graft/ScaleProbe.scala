@@ -73,6 +73,32 @@ object ScaleProbe {
           .trim + " unique trailer "),
         col("id").cast("string")).as("text"))
 
+  /** Event queries re-probed under HOSTILE USER SKEW: one user owns half
+    * the stream (the bot/monitor account every real event table has).
+    * Per-user window/session operators put that user's whole history in
+    * ONE window partition — the sort spills rather than breaks, but the
+    * hot task's runtime is the floor; these rows measure how far that
+    * floor actually moves at 8x. Hourly/typed aggregations are immune by
+    * construction (their keys are time buckets / event types). */
+  private val hostileEventQueries = Seq(
+    "q_events_sessions", "q_events_user_profile", "q_window_running",
+    "q_events_hourly", "q_merge_upsert")
+
+  private def hostileEvents(spark: SparkSession, n: Long): DataFrame = {
+    val types = array(lit("click"), lit("purchase"), lit("view"),
+      lit("signup"), lit("error"))
+    spark.range(n).select(
+      (col("id") + 1).as("event_id"),
+      // nanos over a ~28h span regardless of n: constant time range,
+      // growing density — the ingest-rate growth shape
+      (lit(1700000000000000000L) + (col("id") % 100000L) * 1000000000L)
+        .as("ts"),
+      when(col("id") % 2 === 0, 1L).otherwise(col("id")).as("user_id"),
+      element_at(types, (col("id") % 5 + 1).cast("int")).as("event_type"),
+      (col("id") % 1000).cast("double").as("value"),
+      lit("{}").as("props"))
+  }
+
   /** Tables whose long key columns shift per replica; dims stay fixed. */
   private val keyCols: Map[String, Seq[String]] = Map(
     "lineitem" -> Seq("l_orderkey"),
@@ -95,13 +121,17 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
     val qFilter = args.drop(1).toSet
-    val unknownQ = qFilter.diff((probeQueries ++ hostileQueries).toSet)
+    val unknownQ = qFilter.diff(
+      (probeQueries ++ hostileQueries ++ hostileEventQueries).toSet)
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
       if (qFilter.isEmpty) probeQueries else probeQueries.filter(qFilter)
     val pickedHostile =
       if (qFilter.isEmpty) hostileQueries else hostileQueries.filter(qFilter)
+    val pickedHostileEvents =
+      if (qFilter.isEmpty) hostileEventQueries
+      else hostileEventQueries.filter(qFilter)
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -163,6 +193,25 @@ object ScaleProbe {
         catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":true}""")
+      }
+    }
+
+    // hostile user skew: 100k events per factor unit, half on one user
+    val skewDirs = if (pickedHostileEvents.isEmpty) Seq.empty
+    else factors.map { k =>
+      val dir = s"target/scale/skewev_f$k"
+      if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists())
+        hostileEvents(spark, 100000L * k).repartition(8)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+      k -> dir
+    }
+    skewDirs.foreach { case (k, dir) =>
+      pickedHostileEvents.foreach { q =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(q)(spark, dir).count()
+        catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":"user_skew"}""")
       }
     }
     spark.stop()
