@@ -13,6 +13,17 @@ import json
 import sys
 
 
+def normalize(obj):
+    """Restore stripped q_ prefixes so ladder-degraded stdout records and
+    full-key sidecars diff against each other."""
+    pfx = obj.get("queries_key_prefix")
+    if pfx:
+        obj["queries"] = {
+            (k if k.startswith(pfx) else pfx + k): v
+            for k, v in obj.get("queries", {}).items()}
+    return obj
+
+
 def load(path):
     with open(path) as f:
         text = f.read()
@@ -20,15 +31,21 @@ def load(path):
     for line in text.splitlines():
         idx = line.find('{"metric"')
         if idx >= 0:
-            return json.loads(line[idx:])
+            return normalize(json.loads(line[idx:]))
     obj = json.loads(text)
     if "queries" in obj:
-        return obj
+        return normalize(obj)
+    if "timed_sec" in obj:
+        # graft.Bench full-precision sidecar (tools/bench_last.json, r7+):
+        # prefer it over the decisecond stdout record whenever available
+        return {"value": obj.get("total_sec", 0.0),
+                "queries": obj["timed_sec"],
+                "errors": obj.get("errors", {}), "sf": obj.get("sf")}
     # driver BENCH_r{N}.json wrapper: the Bench line is embedded in "tail"
     tail = obj.get("tail", "")
     idx = tail.rfind('{"metric"')
     if idx >= 0:
-        return json.loads(tail[idx:].splitlines()[0])
+        return normalize(json.loads(tail[idx:].splitlines()[0]))
     raise SystemExit(f"{path}: no Bench JSON line found")
 
 
