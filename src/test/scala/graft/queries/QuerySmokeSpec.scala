@@ -15,6 +15,31 @@ class QuerySmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query carries an oracle or is on the documented rows-only list") {
+    // The driver records only a weak rows>0 check for oracle-less queries,
+    // so shipping one by OMISSION must fail here. Additions to this list
+    // need what its members have: seeded hashing that no external engine
+    // replays, plus an external anchor (a *_sql twin running the same
+    // pipeline under an oracle-able hash family, a recursive-CTE twin, or
+    // a quantitative error-bound spec).
+    val rowsOnly = Set(
+      "q_dedup_minhash_lsh",   // twin: q_dedup_minhash_sql (green)
+      "q_dedup_simhash",       // twin: q_dedup_simhash_sql (green)
+      "q_dedup_clusters",      // twin: q_dedup_clusters_sql (green)
+      "q_ann_lsh",             // twin: q_ann_lsh_sql (green)
+      "q_ann_ivf",             // documented infeasibility + score/recall pins
+      "q_agg_approx_distinct", // HLL: 3*rsd error-bound spec
+      "q_agg_approx_quantiles" // GK: rank-error-bound spec
+    )
+    val unanchored = SparkEntry.queries.keySet
+      .diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
+    assert(unanchored.isEmpty,
+      s"queries with neither oracle nor rows-only rationale: $unanchored")
+    val stale = rowsOnly.diff(SparkEntry.queries.keySet) ++
+      rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(stale.isEmpty, s"stale rows-only entries: $stale")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
