@@ -448,11 +448,10 @@ object EventStream {
   }
 
   /** Per-user cohort state: the first-activity week (epoch ms) and the
-    * week offsets already reported. The offset set grows with the user's
-    * active weeks inside the stream's lifetime — a production deployment
-    * caps the tracked horizon (retention reports rarely read past week
-    * 12) to keep the state strictly O(1); the replay fixture spans weeks,
-    * not years, so the cap is left out of the local shape. */
+    * week offsets already reported. `maxOffset` bounds the set — and
+    * therefore per-user state — at maxOffset+1 members: offsets past the
+    * horizon are neither emitted nor remembered (retention reports
+    * rarely read past week 12; the default keeps a decade). */
   case class CohortState(cohortWeek: Long, seen: Set[Int])
   case class RetentionHit(cohortWeek: java.sql.Timestamp, weekOffset: Int)
 
@@ -469,7 +468,8 @@ object EventStream {
     * nothing waits for the watermark: an increment is final the moment
     * it is first observed (a set can only gain a member once), so this
     * emits data-driven in Append mode with no timers. */
-  def retentionHits(spark: SparkSession, events: DataFrame): Dataset[RetentionHit] = {
+  def retentionHits(spark: SparkSession, events: DataFrame,
+                    maxOffset: Int = 520): Dataset[RetentionHit] = {
     import spark.implicits._
     val typed = events
       .select(col("user_id"), col("ts"),
@@ -488,7 +488,7 @@ object EventStream {
         if (s == null) s = CohortState(w, Set.empty)
         // integer weeks-since-cohort; ms week starts make this exact
         val off = ((w - s.cohortWeek) / (7 * 86400000L)).toInt
-        if (!s.seen(off)) {
+        if (off <= maxOffset && !s.seen(off)) {
           s = s.copy(seen = s.seen + off)
           out += RetentionHit(new java.sql.Timestamp(s.cohortWeek), off)
         }
