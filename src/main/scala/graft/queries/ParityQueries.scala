@@ -564,6 +564,29 @@ object ParityQueries {
         .orderBy("table_name")
     }),
 
+    // JSONL ingest face: documents serialized to JSON-lines text and read
+    // back through the schema'd PERMISSIVE json reader — the third source
+    // format next to parquet/CSV, and the interchange format most raw
+    // text-corpus drops actually arrive in. The oracle never touches the
+    // staged file: it is a plain SELECT over the parquet table, so the
+    // hash-match proves WRITE→READ IDENTITY (escaping round-trips
+    // newlines/quotes/unicode inside text; ignoreNullFields drops null
+    // fields on write and PERMISSIVE restores them as nulls on read).
+    // Corrupt-line tolerance is pinned separately in JsonlSourceSpec —
+    // injecting corruption here would break the identity by design.
+    "q_scan_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      val stage = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_jsonl_stage").getAbsolutePath
+      Tables.table(s, dir, "documents")
+        .select(to_json(struct($"doc_id", $"text", $"lang", $"source",
+          $"n_chars")).as("value"))
+        .write.mode("overwrite").text(stage)
+      s.read.schema(graft.streaming.DocStream.docSchema).json(stage)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .orderBy("doc_id")
+    }),
+
     // SCD2 history maintenance surfaced as a query (etl/Scd2 owns the
     // full-outer + hash-compare combinator; Scd2Spec pins close/append/
     // delete semantics). One snapshot of customer is initialized as
@@ -982,6 +1005,11 @@ object ParityQueries {
     // the history must read back as the untouched original snapshot.
     "q_scd2_asof" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Round-trip identity: the staged JSONL must read back as the table.
+    "q_scan_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
