@@ -576,8 +576,16 @@ object ParityQueries {
     // injecting corruption here would break the identity by design.
     "q_scan_jsonl" -> ((s, dir) => {
       import s.implicits._
-      val stage = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_jsonl_stage").getAbsolutePath
+      // staging path keyed by INPUT dir: concurrent invocations on
+      // different inputs (QuerySmokeSpec at sf0.001 races EmptyInputSpec
+      // under sbt's parallel suite execution) must not overwrite each
+      // other's stage mid-read; same-input invocations are sequential
+      // (Verify/Bench run queries one at a time), and the bounded set of
+      // distinct inputs keeps tmp accumulation at a handful of dirs
+      val stage = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_stage_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
+          .mkString).getAbsolutePath
       Tables.table(s, dir, "documents")
         .select(to_json(struct($"doc_id", $"text", $"lang", $"source",
           $"n_chars")).as("value"))
