@@ -502,6 +502,66 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Per-user as-of state: the latest click seen, as (epoch-sec ms,
+    * event_id, value) — one triple per user, O(1) by construction. The
+    * value is an Option so a click whose VALUE is null still counts as a
+    * match (mirroring the batch operator's presence-struct device). */
+  case class AsOfState(sec: Long, eventId: Long, value: Option[Double])
+  case class AsOfOut(eventId: Long, userId: Long, sec: java.sql.Timestamp,
+                     value: Option[Double], lastClickValue: Option[Double])
+
+  /** Streaming twin of q_events_asof — the stateful temporal-enrichment
+    * join (each purchase annotated with the user's latest click value
+    * at-or-before it) that batch expresses as
+    * [[graft.operators.AsOfJoin]]'s union + ignore-nulls window. Here
+    * the "right side" collapses to one triple of state per user: rows
+    * apply in (sec, kind, event_id) order — clicks sort before purchases
+    * at the same second (the ≤ visibility rule) and a same-second click
+    * with a greater event_id supersedes (the latestPerKeyTs tiebreak),
+    * so a single replayed batch reproduces the batch join EXACTLY
+    * (AsOfStreamSpec pins row-set equality). Across micro-batches the
+    * watermark-ordered-replay caveat of [[funnel]] applies. State is one
+    * triple per user and lives for the user's lifetime — the enrichment
+    * contract itself is unbounded-horizon; a deployment that can bound
+    * "how stale may a click be" should add an event-time timeout at
+    * lastClick + horizon. */
+  def asofEnrich(spark: SparkSession, events: DataFrame): Dataset[AsOfOut] = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), date_trunc("second", col("ts")).cast("timestamp").as("sec"),
+        col("value"))
+      .withWatermark("ts", "2 hours")
+      .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Option[Double])]
+
+    def update(userId: Long,
+               rows: Iterator[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Option[Double])],
+               state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = Seq.newBuilder[AsOfOut]
+      var s = state.getOption.orNull
+      rows.toSeq.sortBy(r => (r._5.getTime, if (r._3 == "click") 0 else 1, r._1))
+        .foreach { case (id, _, kind, _, sec, v) =>
+          val t = sec.getTime
+          if (kind == "click") {
+            // greatest (sec, event_id) wins — the batch tiebreak
+            if (s == null || s.sec < t || (s.sec == t && s.eventId < id))
+              s = AsOfState(t, id, v)
+          } else {
+            val last = if (s != null && s.sec <= t) s.value else None
+            out += AsOfOut(id, userId, sec, v, last)
+          }
+        }
+      if (s != null) state.update(s)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Watermarked stream-stream interval join — correlate each `click`
     * event with the same user's `purchase` events within `maxDelay` after
     * it (attribution-window semantics; the streaming analog of

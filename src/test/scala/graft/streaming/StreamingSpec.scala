@@ -333,6 +333,29 @@ class StreamingSpec extends SparkTestBase {
     streamed.foreach { case (fp, id) => assert(groups(fp).contains(id)) }
   }
 
+  test("streaming as-of enrichment matches the batch as-of join exactly") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.runToMemory(
+      EventStream.asofEnrich(spark, stream).toDF(), "asof")
+    q.awaitTermination()
+    // emission is data-driven (no watermark wait), so the whole batch
+    // result must appear — including purchases with no prior click
+    // (null enrichment) and clicks carrying null values
+    val got = spark.table("asof")
+      .select($"eventId", $"userId", $"sec".cast("long"), $"value",
+        $"lastClickValue")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq.sorted
+    val want = EventQueries.queries("q_events_asof")(spark, sf0001)
+      .select($"event_id", $"user_id",
+        $"purchase_ts".cast("timestamp").cast("long"),
+        $"purchase_value", $"last_click_value")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq.sorted
+    assert(got === want)
+    assert(want.exists(_._5.nonEmpty), "fixture never enriches")
+  }
+
   test("online anomaly flags a spike after warm-up, never inside it") {
     // crafted series, one event type, strictly increasing ts: a steadily
     // alternating 9.9/10.1 baseline (stddev ~0.1 from the first scored
