@@ -464,6 +464,41 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus version diff — the "what changed in this drop" report an
+    // ingest operator reads before promoting a new corpus version: per
+    // (source, status) document counts for added / removed / changed /
+    // unchanged, where "changed" is a content-fingerprint mismatch on the
+    // same doc_id. The two versions here are arithmetic slices of one
+    // table (v1 lacks doc_id%7==0, v2 lacks %5==0 and rewrites %11==0
+    // texts) so the oracle replays them; a real deployment passes two
+    // snapshot paths. ONE full-outer join on doc_id then a tiny
+    // classification aggregate — with both snapshots bucketed on doc_id
+    // (sources/Layout) the join is exchange-free, the same layout story
+    // as q_dedup_incremental. Null fingerprints coalesce to '' so a
+    // missing row (join miss) is distinguishable from a degenerate text.
+    "q_corpus_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      val v1 = docs.filter($"doc_id" % 7 =!= 0)
+        .select($"doc_id", $"source",
+          coalesce(fingerprint($"text"), lit("")).as("fp1"))
+      val v2 = docs.filter($"doc_id" % 5 =!= 0)
+        .withColumn("text", when($"doc_id" % 11 === 0,
+          concat(coalesce($"text", lit("")), lit(" v2"))).otherwise($"text"))
+        .select($"doc_id", $"source".as("source2"),
+          coalesce(fingerprint($"text"), lit("")).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full")
+        .select(coalesce($"source", $"source2").as("source"),
+          when($"fp1".isNull, "added")
+            .when($"fp2".isNull, "removed")
+            .when($"fp1" =!= $"fp2", "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy($"source", $"status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    }),
+
     // N-gram Jaccard near-dup: candidates bucketed by (lang, length band);
     // |A∩B| via an inverted-index join on individual grams (codegen'd
     // hash join + count, no per-pair array intersection), then
@@ -1004,6 +1039,28 @@ object DedupQueries {
         |SELECT doc_id, fp FROM i
         |WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = i.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    coalesce(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '')
+        |      AS fp1
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    coalesce(md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 11 = 0 THEN concat(coalesce(text, ''), ' v2')
+        |           ELSE text END)), '\s+', ' ', 'g')), '') AS fp2
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(v1.source, v2.source) AS source,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN fp1 <> fp2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY source ASC NULLS FIRST, status""".stripMargin,
 
     // IDENTICAL SQL to q_dedup_incremental: the Bloom prefilter is a plan
     // optimization with no semantic surface (false positives resolved by
