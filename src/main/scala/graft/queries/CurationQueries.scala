@@ -353,6 +353,41 @@ object CurationQueries {
         .orderBy("lang", "source")
     }),
 
+    // Per-cell ingestion quota — the enforcement counterpart of the
+    // mixture REPORTS (q_doc_mixture computes weights; this actually
+    // bounds a cell): keep at most N docs per (source, lang), lowest
+    // doc_id first (first-crawled wins, deterministic), and emit the
+    // kept/dropped manifest with the quota boundary (the Nth doc_id).
+    // Same two-phase device as q_topk_per_group: a local rank prunes each
+    // input partition to ≤N candidates per cell BEFORE the per-cell
+    // exchange, so the wide stage sees ≤ N·partitions rows however big
+    // the corpus — the quota that makes a dominating crawl source unable
+    // to flood a 100 TB mixture.
+    "q_doc_quota" -> ((s, dir) => {
+      import s.implicits._
+      val n = 40
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", $"source", $"lang")
+        .withColumn("pid", spark_partition_id())
+      val local = Window.partitionBy($"source", $"lang", $"pid")
+        .orderBy($"doc_id")
+      val global = Window.partitionBy($"source", $"lang").orderBy($"doc_id")
+      val kept = docs
+        .withColumn("lrk", row_number().over(local)).filter($"lrk" <= n)
+        .withColumn("rk", row_number().over(global)).filter($"rk" <= n)
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          max($"doc_id").as("max_kept_doc_id"))
+      val totals = docs.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"))
+      totals.join(kept, Seq("source", "lang"), "left")
+        .select($"source", $"lang",
+          coalesce($"kept_docs", lit(0L)).as("kept_docs"),
+          ($"n_docs" - coalesce($"kept_docs", lit(0L))).as("dropped_docs"),
+          $"max_kept_doc_id")
+        .orderBy("source", "lang")
+    }),
+
     // Corpus health report — the observability face of the curation
     // suite: per (source, lang) cell, document and token mass, the
     // exact-duplicate rate (1 − distinct fingerprints / content docs),
@@ -579,6 +614,23 @@ object CurationQueries {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS kept_docs,
         |  CAST(sum(tok_count) AS BIGINT) AS kept_tokens
         |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_doc_quota" ->
+      """WITH ranked AS (
+        |  SELECT source, lang, doc_id,
+        |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |k AS (SELECT source, lang, count(*) AS kept_docs,
+        |        max(doc_id) AS max_kept_doc_id
+        |      FROM ranked WHERE rk <= 40 GROUP BY 1, 2),
+        |t AS (SELECT source, lang, count(*) AS n_docs
+        |      FROM documents GROUP BY 1, 2)
+        |SELECT t.source, t.lang,
+        |  CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+        |  CAST(t.n_docs - coalesce(kept_docs, 0) AS BIGINT) AS dropped_docs,
+        |  max_kept_doc_id
+        |FROM t LEFT JOIN k USING (source, lang)
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
 
     "q_corpus_health" ->
       """WITH d AS (
