@@ -64,9 +64,9 @@ object Bench {
     // The r4 record logged one query at 11.08s that two independent
     // re-measurements put at 1.6-1.8s: a single contended timed pass went
     // straight into the official number. When the timed pass disagrees with
-    // its own warm pass by >2x (and >1s absolute — sub-second queries
-    // jitter multiplicatively for free), that is machine noise, not the
-    // query: take a third measurement and report the median of the three.
+    // its own warm pass badly enough (retryTrigger below — ratio and
+    // absolute shapes), that is machine noise, not the query: take a third
+    // measurement and report the median of the three.
     // retry triples are carried structurally (not just a stderr line) so
     // the full-precision sidecar below can record them: a median-reported
     // number whose raw measurements are lost is exactly the
@@ -74,7 +74,7 @@ object Bench {
     val timed = ordered.map { case (name, fn) =>
       val (sec, err) = runOnce(fn)
       val w = warmSecs(name)
-      val suspicious = err.isEmpty && sec > 2 * w && sec > w + 1.0
+      val suspicious = err.isEmpty && retryTrigger(w, sec)
       if (!suspicious) (name, sec, err, None)
       else {
         val (sec3, err3) = runOnce(fn)
@@ -250,6 +250,23 @@ object Bench {
       .getOrElse(line("{}", ptr) ->
         Some(s"per-query dict dropped entirely (full record in $SidecarPath)"))
   }
+
+  /** Outlier-retry predicate: does a timed measurement disagree with its
+    * own warm pass badly enough that a third run must adjudicate? Two
+    * shapes qualify: (a) multiplicative — timed > 2× warm AND > warm + 1s
+    * (sub-second queries jitter multiplicatively for free); (b) absolute —
+    * timed > warm + 1.5s, regardless of ratio. Shape (b) exists because
+    * the r7 record carried q_dedup_simhash at 4.61s against its own
+    * same-session 2.60s warm (zero code change that round): 4.61 < 2×2.60
+    * slipped the ratio trigger, and a 2-second discrepancy stood
+    * unexplained in the official record for a round. A 1.5s absolute gap
+    * is machine noise or a real regression — either way worth one extra
+    * measurement; the fastest real query that could false-positive here
+    * would have to drift 1.5s between two same-session runs, which IS the
+    * anomaly the retry exists to catch. Pure — BenchLineSpec pins both
+    * shapes and the non-firing neighborhoods. */
+  private[graft] def retryTrigger(warm: Double, timed: Double): Boolean =
+    (timed > 2 * warm && timed > warm + 1.0) || timed > warm + 1.5
 
   /** Repo-relative path of the committed full-precision bench record —
     * referenced from the stdout line's degraded rungs, overridable for

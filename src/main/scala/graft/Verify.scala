@@ -21,6 +21,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast if any dedup bucket cap engages on the verify corpus: the
+    // capped queries carry EXACT DuckDB oracles, so a silent truncation
+    // would surface as an unexplained hash mismatch — an explicit
+    // "cap engaged" error names the actual cause (capPerKey scaladoc)
+    spark.conf.set("spark.graft.dedup.failOnCapExceeded", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -79,19 +79,44 @@ object DedupQueries {
     * the aggregation's exchange (same key), so the normal-corpus plan
     * gains only a per-partition sort of (key, doc_id) pairs. The number
     * of members dropped by the cap (0 on a sane corpus) is surfaced as
-    * observed metric `hot_buckets_<tag>` (dropped_members, max_bucket). */
+    * observed metric `hot_buckets_<tag>` (dropped_members, max_bucket).
+    *
+    * ORACLE CONTRACT (the fail-fast flag): several hard-oracle queries
+    * route candidate generation through this cap while their DuckDB
+    * oracles compute the EXACT answer (q_dedup_ngram_jaccard and the
+    * clusters twins since r7) — the hash-match therefore only holds
+    * while every bucket stays under the cap, which the Verify corpora do
+    * by a wide margin (max gram df ≪ 1000 at sf0.1). On a hotter corpus
+    * the truncation would surface as an unexplained red. So Verify sets
+    * `spark.graft.dedup.failOnCapExceeded`, and under that flag a row
+    * past the cap raises a distributed assert_true error naming the tag
+    * and cap instead of being silently dropped: the correctness record
+    * shows an explicit "cap engaged" failure, never a mystery mismatch.
+    * Bench and the hostile ScaleProbe runs leave the flag unset — the
+    * production contract stays cap-and-continue with the drop observed. */
   private[queries] def capPerKey(df: DataFrame, tag: String,
       keys: Column*): DataFrame = {
     import df.sparkSession.implicits._
     val cap = maxBucket(df.sparkSession)
+    val failOnCap = df.sparkSession.conf
+      .getOption("spark.graft.dedup.failOnCapExceeded").contains("true")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy($"doc_id")
+    val keep =
+      if (!failOnCap) $"__rn" <= cap
+      // Or short-circuits: assert_true only evaluates (and throws, with
+      // the diagnostic message) on a row that actually exceeds the cap
+      else $"__rn" <= cap || isnull(assert_true(lit(false),
+        concat(lit(s"[graft] bucket cap engaged in '$tag': member rank "),
+          $"__rn", lit(s" > spark.graft.dedup.maxBucket=$cap under " +
+            "failOnCapExceeded — truncation would diverge from the exact " +
+            "oracle, failing fast instead"))))
     df.withColumn("__rn", row_number().over(w))
       .observe(s"hot_buckets_$tag",
         coalesce(sum(when($"__rn" > cap, 1L).otherwise(0L)), lit(0L))
           .as("dropped_members"),
         coalesce(max($"__rn".cast("long")), lit(0L)).as("max_bucket"))
-      .filter($"__rn" <= cap)
+      .filter(keep)
       .drop("__rn")
   }
 
@@ -350,9 +375,14 @@ object DedupQueries {
     // ONCE — the previous inv-self-join read it into BOTH branches (the
     // exact double-execution the bucketPairs scaladoc documents), and
     // left gram buckets uncapped (one hot gram = df² pairs). capPerKey
-    // inside bucketPairs now bounds every gram bucket; the oracle corpus
-    // never nears the cap (max gram df ≪ 1000 at sf0.1), so the
-    // hash-match is unaffected. Measured at sf0.1: 4.2s → ~1.5s, and
+    // inside bucketPairs now bounds every gram bucket. ORACLE CONTRACT:
+    // the DuckDB oracle computes the exact uncapped intersection, so the
+    // hash-match holds only while max gram df < maxBucket — true by a
+    // wide margin on the verify corpora (max gram df ≪ 1000 at sf0.1),
+    // and enforced rather than assumed: Verify runs with
+    // failOnCapExceeded, so a hotter corpus fails loudly with a
+    // "cap engaged" error instead of an unexplained red (capPerKey
+    // scaladoc). Measured at sf0.1: 4.2s → ~1.5s, and
     // q_dedup_clusters_sql (which consumes these pairs) drops with it.
     val repPairs = bucketPairs(inv, $"lang", $"len_band", $"gram")
       .withColumnRenamed("shared_bands", "common")

@@ -576,14 +576,19 @@ object ParityQueries {
     // injecting corruption here would break the identity by design.
     "q_scan_jsonl" -> ((s, dir) => {
       import s.implicits._
-      // staging path keyed by INPUT dir: concurrent invocations on
-      // different inputs (QuerySmokeSpec at sf0.001 races EmptyInputSpec
-      // under sbt's parallel suite execution) must not overwrite each
-      // other's stage mid-read; same-input invocations are sequential
-      // (Verify/Bench run queries one at a time), and the bounded set of
-      // distinct inputs keeps tmp accumulation at a handful of dirs
+      // staging path keyed by INPUT dir AND by JVM: the input-dir hash
+      // stops concurrent invocations on different inputs (QuerySmokeSpec
+      // at sf0.001 races EmptyInputSpec under sbt's parallel suite
+      // execution) from overwriting each other; the pid discriminator
+      // stops two JVMs on the SAME input (parallel CI shards, a Verify
+      // run overlapping a Bench run) from overwriting a stage mid-read —
+      // within one JVM same-input invocations are sequential (Verify/
+      // Bench run queries one at a time). Both keys are bounded, so tmp
+      // accumulation stays at a handful of dirs per process lifetime.
+      val pid = java.lang.ProcessHandle.current().pid()
       val stage = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_stage_" + java.security.MessageDigest.getInstance("MD5")
+        "graft_jsonl_stage_" + pid + "_" +
+          java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
           .mkString).getAbsolutePath
       Tables.table(s, dir, "documents")

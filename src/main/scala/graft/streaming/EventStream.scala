@@ -325,7 +325,8 @@ object EventStream {
     * the watermark horizon (a 2h watermark holds ≤ ~3 open hours) — rows
     * later than the watermark are dropped, rows at or after it land in
     * hours that are still open, so a closed hour can never reopen. */
-  case class GapfillState(nextHour: Long, pending: Map[Long, Long])
+  case class GapfillState(nextHour: Long, pending: Map[Long, Long],
+                          lastDataHour: Long)
   case class HourCountOut(eventType: String, hourTs: java.sql.Timestamp,
                           eventCount: Long)
 
@@ -345,38 +346,63 @@ object EventStream {
     * watermark passes another hour — exactly what a downstream
     * dashboard/alerting consumer wants from a resampler. Key cardinality
     * is the event-type vocabulary (schema-bounded, the onlineAnomaly
-    * note), so state is never reaped. */
-  def gapfillHourly(spark: SparkSession, events: DataFrame): Dataset[HourCountOut] = {
+    * note) — but the PER-KEY lifetime is not: with no horizon, a
+    * permanently retired event type keeps a timer armed and emits a zero
+    * row every hour forever, so output rows and timer churn grow
+    * linearly per dead type. `maxSilentHours` is the retirement path:
+    * once a key has zero-filled that many hours past its last data hour
+    * it stops re-arming and removes its state (mirroring the funnel
+    * reaper). A type that later revives re-registers as a fresh key
+    * whose grid restarts at the new first hour — the retired gap is NOT
+    * backfilled (by then the zeros would be stale history, not a live
+    * signal). None (the default) keeps the emit-forever resampler
+    * contract. */
+  def gapfillHourly(spark: SparkSession, events: DataFrame,
+                    maxSilentHours: Option[Int] = None): Dataset[HourCountOut] = {
     import spark.implicits._
     val typed = events.select(col("event_type"), col("ts"))
       .withWatermark("ts", "2 hours")
       .as[(String, java.sql.Timestamp)]
     val hourMs = HourMs // local copy: keep the module out of the closure
+    val silentCap = maxSilentHours
 
     def update(tpe: String, rows: Iterator[(String, java.sql.Timestamp)],
                state: GroupState[GapfillState]): Iterator[HourCountOut] = {
-      var s = state.getOption.getOrElse(GapfillState(Long.MaxValue, Map.empty))
+      var s = state.getOption.getOrElse(
+        GapfillState(Long.MaxValue, Map.empty, Long.MinValue))
       rows.foreach { case (_, ts) =>
         val h = Math.floorDiv(ts.getTime, hourMs) * hourMs
         s = GapfillState(math.min(s.nextHour, h),
-          s.pending.updated(h, s.pending.getOrElse(h, 0L) + 1L))
+          s.pending.updated(h, s.pending.getOrElse(h, 0L) + 1L),
+          math.max(s.lastDataHour, h))
       }
       val wm = state.getCurrentWatermarkMs()
       val out = Seq.newBuilder[HourCountOut]
+      var retired = false
       if (s.nextHour != Long.MaxValue) {
         var h = s.nextHour
-        while (h + hourMs <= wm) {
-          out += HourCountOut(tpe, new java.sql.Timestamp(h),
-            s.pending.getOrElse(h, 0L))
-          s = GapfillState(h + hourMs, s.pending - h)
-          h += hourMs
+        while (!retired && h + hourMs <= wm) {
+          // pending keys are data hours (all <= lastDataHour), so every
+          // grid hour past lastDataHour is a zero-fill; past the horizon,
+          // retire instead of emitting
+          if (silentCap.exists(m => h > s.lastDataHour + m.toLong * hourMs))
+            retired = true
+          else {
+            out += HourCountOut(tpe, new java.sql.Timestamp(h),
+              s.pending.getOrElse(h, 0L))
+            s = s.copy(nextHour = h + hourMs, pending = s.pending - h)
+            h += hourMs
+          }
         }
       }
-      state.update(s)
-      // re-arm at the next hour end; a timeout timestamp must sit beyond
-      // the current watermark or Spark rejects it
-      if (s.nextHour != Long.MaxValue)
-        state.setTimeoutTimestamp(math.max(s.nextHour + hourMs, wm + 1))
+      if (retired) state.remove() // also clears the armed timer
+      else {
+        state.update(s)
+        // re-arm at the next hour end; a timeout timestamp must sit beyond
+        // the current watermark or Spark rejects it
+        if (s.nextHour != Long.MaxValue)
+          state.setTimeoutTimestamp(math.max(s.nextHour + hourMs, wm + 1))
+      }
       out.result().iterator
     }
 
@@ -461,7 +487,10 @@ object EventStream {
     * batch query's active_users grid. The cohort week is fixed by the
     * user's first-seen event (within-batch rows apply in event-time
     * order; across batches the design assumes watermark-ordered replay,
-    * the [[funnel]] note). The week bucket is computed by the SAME
+    * the [[funnel]] note — and when that assumption breaks, a pre-cohort
+    * week arriving late is DROPPED by the off >= 0 guard in `update`
+    * rather than emitted as an impossible negative offset: in Append
+    * mode the cohort cannot rewind). The week bucket is computed by the SAME
     * `date_trunc("week")` column expression the batch query uses —
     * reimplementing ISO-week arithmetic in scalar code would be a
     * desynchronization bug waiting to happen. Unlike the windowed twins
@@ -486,9 +515,17 @@ object EventStream {
       rows.toSeq.sortBy(_._2.getTime).foreach { case (_, _, week) =>
         val w = week.getTime
         if (s == null) s = CohortState(w, Set.empty)
-        // integer weeks-since-cohort; ms week starts make this exact
+        // integer weeks-since-cohort; ms week starts make this exact.
+        // off >= 0 matters: an event inside the watermark but arriving in
+        // a LATER micro-batch with a week before the stored cohortWeek
+        // would yield a negative offset — a row the batch retention grid
+        // can never contain, silently corrupting the downstream
+        // groupBy.count. Cohorts cannot rewind in Append mode (the
+        // already-emitted offsets are final against the old cohort), so
+        // the late pre-cohort week is dropped, not re-anchored — the
+        // same degrade-by-dropping shape as the funnel caveat.
         val off = ((w - s.cohortWeek) / (7 * 86400000L)).toInt
-        if (off <= maxOffset && !s.seen(off)) {
+        if (off >= 0 && off <= maxOffset && !s.seen(off)) {
           s = s.copy(seen = s.seen + off)
           out += RetentionHit(new java.sql.Timestamp(s.cohortWeek), off)
         }

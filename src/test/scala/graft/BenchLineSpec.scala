@@ -96,6 +96,24 @@ class BenchLineSpec extends AnyFunSuite {
       .get("e").asText == "ok 😀")
   }
 
+  test("outlier-retry trigger fires on both the ratio and absolute shapes") {
+    // ratio shape (r4: 11.08s vs 1.7s warm)
+    assert(Bench.retryTrigger(warm = 1.7, timed = 11.08))
+    // absolute shape (r7: q_dedup_simhash timed 4.61s vs warm 2.60s slipped
+    // the ratio trigger — 4.61 < 2×2.60 — and a 2s discrepancy shipped
+    // unexplained; the widened trigger must catch exactly this)
+    assert(Bench.retryTrigger(warm = 2.60, timed = 4.61))
+    // non-firing neighborhoods: normal agreement, sub-second multiplicative
+    // jitter, and a gap under the 1.5s absolute threshold
+    assert(!Bench.retryTrigger(warm = 2.60, timed = 2.80))
+    assert(!Bench.retryTrigger(warm = 0.10, timed = 0.45))
+    assert(!Bench.retryTrigger(warm = 3.00, timed = 4.40))
+    // boundary: just past the absolute threshold fires even at low ratio
+    assert(Bench.retryTrigger(warm = 10.0, timed = 11.51))
+    // a fast timed pass never retries, no matter how slow the warm was
+    assert(!Bench.retryTrigger(warm = 30.0, timed = 1.9))
+  }
+
   test("locale independence: values always use a dot decimal separator") {
     val prev = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.GERMANY)

@@ -41,6 +41,30 @@ class BucketCapSpec extends SparkTestBase {
     }
   }
 
+  test("failOnCapExceeded turns a cap engagement into a loud error (the Verify tripwire)") {
+    // the capped queries carry exact oracles: under Verify's flag a hot
+    // bucket must FAIL with a diagnostic naming the device, never be
+    // silently truncated into an unexplained hash mismatch
+    withCap(10) {
+      spark.conf.set("spark.graft.dedup.failOnCapExceeded", "true")
+      try {
+        val e = intercept[Exception] {
+          DedupQueries.bucketPairs(hotBanded, $"band_idx", $"band_val").count()
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else String.valueOf(t.getMessage) +: messages(t.getCause)
+        assert(messages(e).exists(_.contains("bucket cap engaged in 'bucket'")),
+          s"unexpected error chain: ${messages(e).mkString(" | ")}")
+        // a corpus under the cap must still run clean with the flag on
+        val under = (1L to 5L).toDF("doc_id")
+          .select($"doc_id", lit(0).as("band_idx"), lit(7L).as("band_val"))
+        assert(DedupQueries.bucketPairs(under, $"band_idx", $"band_val")
+          .count() == 10L)
+      } finally spark.conf.unset("spark.graft.dedup.failOnCapExceeded")
+    }
+  }
+
   test("a near-identical boilerplate corpus stays bounded through the full pipeline") {
     // defeats collapseExact (every text unique) and concentrates LSH
     // bands (95% shared shingles) — the corpus shape the cap exists for
