@@ -113,6 +113,20 @@ object ScaleProbe {
     "nation" -> Seq(),
     "region" -> Seq())
 
+  /** Render a DataFrame's observed metrics (e.g. capPerKey's
+    * `hot_buckets_<tag>` drop counters) as extra JSON fields, empty
+    * string when the plan observes nothing. Long/numeric fields only —
+    * that is all the graft observers emit. */
+  private def observedJson(df: DataFrame): String = {
+    val om = df.queryExecution.observedMetrics
+    if (om.isEmpty) ""
+    else om.toSeq.sortBy(_._1).map { case (name, row) =>
+      row.schema.fields.zipWithIndex.map { case (f, i) =>
+        s""""${name}_${f.name}":${row.get(i)}"""
+      }.mkString(",")
+    }.mkString(",", ",", "")
+  }
+
   private def replicate(df: DataFrame, cols: Seq[String], k: Int): DataFrame =
     if (cols.isEmpty) df // dimension: stays fixed, never duplicated
     else (0 until k).map { i =>
@@ -190,10 +204,20 @@ object ScaleProbe {
     hostileDirs.foreach { case (k, dir) =>
       pickedHostile.foreach { q =>
         val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(q)(spark, dir).count()
-        catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
+        // keep the DataFrame and count through its OWN queryExecution:
+        // df.count() plans a separate aggregate whose execution never
+        // runs this plan's observe accumulators, so hot_buckets_* would
+        // read 0 even when the cap dropped millions of members — and on
+        // the hostile corpus the DROP COUNT is the probe's whole point
+        // (how much degenerate pair work the cap refused to do)
+        val (n, om) = try {
+          val df = SparkEntry.queries(q)(spark, dir)
+          val c = df.queryExecution.toRdd.count()
+          (c, observedJson(df))
+        } catch { case e: Throwable =>
+          System.err.println(s"$q@$k: $e"); (-1L, "") }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":true}""")
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":true}""")
       }
     }
 
