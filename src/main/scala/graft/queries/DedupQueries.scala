@@ -571,6 +571,13 @@ object DedupQueries {
     // the sub-cap gram universe, so the score is self-consistent and the
     // DuckDB oracle replays it exactly (HAVING count(*) <= D).
     //
+    // First-execution note: this query's warm/timed gap is the suite's
+    // largest (fresh-session warm ~11.7s vs steady-state ~2s) — the
+    // first run Janino-compiles the shingle-lambda and multi-join
+    // codegen units and materializes the shared (lang, gram) exchange;
+    // jstack-attributed in SCALING.md's round-8 addendum. Not a cache:
+    // both bench passes re-execute the full lineage.
+    //
     // Collapse-first like the other near-dup pipelines, keyed (lang, fp):
     // df is the UNCOLLAPSED document frequency (each representative
     // contributes its group's copy count), so the capped gram universe —
