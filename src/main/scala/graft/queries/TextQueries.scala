@@ -15,9 +15,9 @@ import graft.{Clean, Tables}
   */
 object TextQueries {
 
-  /** Whitespace tokenizer shared by all text + curation ops (oracle:
-    * `string_split_regex(trim(text), '\s+')`). */
-  private[queries] def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenizer shared by all text + curation ops and their
+    * streaming twins (oracle: `string_split_regex(trim(text), '\s+')`). */
+  private[graft] def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Deterministic per-doc bucket in [0, 100) — the ONE arithmetic-hash
     * split device behind q_sample_stratified's keep rates and

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
 import org.apache.spark.sql.types._
 import graft.queries.CurationQueries
 
@@ -91,5 +92,147 @@ object DocStream {
         fp.dropDuplicates("fp")
           .select(col("doc_id"), col("lang"), col("source"), col("fp"))
     }
+  }
+
+  /** Streaming face of `q_dedup_incremental` — the engine's flagship
+    * 100 TB ingest shape, live: each arriving document's fingerprint is
+    * anti-probed against the STATIC fingerprint history, and only
+    * never-seen content passes. The stream side is stateless (the
+    * history carries the memory), so this composes with [[dedupDocs]]
+    * upstream when the increment must also be deduped against itself —
+    * exactly like the batch twin, a document duplicated WITHIN the
+    * increment passes here (history doesn't know it yet).
+    *
+    * Scale shape: the history is the corpus-scale side — never
+    * broadcast. A stream-static join re-plans the static lineage every
+    * micro-batch, so the caller hands us the fingerprint INDEX (just
+    * `fp`), not the corpus, and we cache it: batch N pays a cached
+    * columnar scan, not a re-read + re-fingerprint of history (the
+    * [[contaminationHits]] cache note; callers managing many streams
+    * unpersist via spark.catalog.clearCache()). At 100 TB the index is
+    * the `Layout.writeBucketed`-on-fp table of the batch story, so the
+    * per-batch anti-join shuffles ONLY the micro-batch — the same
+    * one-exchange plan LayoutSpec pins for `q_dedup_incremental` — and
+    * the cache becomes optional (a bucketed scan is already
+    * shuffle-free; cache if cluster storage memory allows).
+    *
+    * @param docs       streaming documents ([[docSchema]])
+    * @param historyFps static frame with an `fp` column —
+    *                   `Clean.fingerprint` values of the existing corpus */
+  def incrementalDedup(docs: DataFrame, historyFps: DataFrame): DataFrame = {
+    val history = historyFps.select(col("fp")).cache()
+    docs.withColumn("fp", graft.Clean.fingerprint(col("text")))
+      .join(history, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Running per-(source, lang) health counters — the live-state twin of
+    * batch `q_corpus_health`'s report row. charsN counts non-null
+    * n_chars so the average matches SQL `avg` (null-skipping) exactly. */
+  case class HealthState(nDocs: Long, degenerate: Long, sumChars: Long,
+                         charsN: Long, sumTok: Long, fps: Map[String, Long])
+  case class HealthOut(source: String, lang: String, nDocs: Long,
+                       distinctTexts: Long, degenerateDocs: Long,
+                       avgChars: Option[Double], totalTokens: Long,
+                       dupRate: Double)
+
+  /** Streaming observability twin of `q_corpus_health`: the per-(source,
+    * lang) doc/token/dup-rate counters a 100 TB ingest watches LIVE
+    * instead of recomputing in a nightly sweep. Update-mode
+    * flatMapGroupsWithState: each micro-batch emits the refreshed report
+    * row for every cell it touched; after a full replay the latest row
+    * per cell equals the batch report exactly (same fingerprint, token
+    * and rounding expressions — CorpusHealthStreamSpec pins it).
+    *
+    * State: the counter part is O(1) per cell (key cardinality =
+    * sources × langs, a dashboard-sized grid). The EXACT dup_rate is
+    * the expensive member: it requires remembering every fingerprint
+    * seen per cell — intrinsic to exact distinct counting, not an
+    * implementation artifact, and the same size class as the
+    * `dropDuplicates` state an exact-dedup ingest already carries
+    * (32-hex-char key per distinct text, RocksDB-backed in production).
+    * A deployment that only needs alerting precision swaps the map for
+    * an HLL sketch (the `q_agg_approx_distinct` family) and gets
+    * bounded state at ±2% dup_rate — the counters are unaffected. */
+  def corpusHealth(spark: SparkSession, docs: DataFrame): Dataset[HealthOut] = {
+    import spark.implicits._
+    val typed = docs.select(col("source"), col("lang"), col("n_chars"),
+      when(length(trim(col("text"))) > 0,
+        graft.Clean.fingerprint(col("text"))).as("fp"),
+      size(graft.queries.TextQueries.tokens(col("text"))).cast("long").as("tok"))
+      .as[(String, String, Option[Long], Option[String], Option[Long])]
+
+    def update(key: (String, String),
+               rows: Iterator[(String, String, Option[Long], Option[String], Option[Long])],
+               state: GroupState[HealthState]): Iterator[HealthOut] = {
+      var s = state.getOption.getOrElse(
+        HealthState(0L, 0L, 0L, 0L, 0L, Map.empty))
+      rows.foreach { case (_, _, chars, fp, tok) =>
+        s = HealthState(s.nDocs + 1,
+          s.degenerate + (if (fp.isEmpty) 1L else 0L),
+          s.sumChars + chars.getOrElse(0L),
+          s.charsN + (if (chars.isDefined) 1L else 0L),
+          s.sumTok + tok.getOrElse(0L),
+          fp.fold(s.fps)(f => s.fps.updated(f, 1L)))
+      }
+      state.update(s)
+      // same half-up floor rounding as the batch report (Clean.roundHalfUp)
+      val content = s.nDocs - s.degenerate
+      val dup = if (content > 0)
+        math.floor((1.0 - s.fps.size.toDouble / content) * 10000d + 0.5d) / 10000d
+      else 0.0
+      val avg =
+        if (s.charsN == 0) None // SQL avg over all-null is null
+        else Some(math.floor(s.sumChars.toDouble / s.charsN * 100d + 0.5d) / 100d)
+      Iterator.single(HealthOut(key._1, key._2, s.nDocs, s.fps.size.toLong,
+        s.degenerate, avg, s.sumTok, dup))
+    }
+
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Per-cell admission state for [[docQuota]]: O(1) by construction. */
+  case class QuotaState(kept: Long, total: Long, maxKept: Long)
+  case class QuotaOut(source: String, lang: String, keptDocs: Long,
+                      droppedDocs: Long, maxKeptDocId: Option[Long])
+
+  /** Streaming observability/enforcement twin of `q_doc_quota`: admit at
+    * most `n` documents per (source, lang) cell and keep the live
+    * kept/dropped manifest in update mode. Admission is FIRST-ARRIVAL —
+    * which is precisely the "first-crawled wins" semantics the batch
+    * query approximates with its lowest-doc_id-first rank, so on a
+    * replay in doc_id order (rows applied doc_id-sorted within each
+    * batch) the final manifest equals the batch one exactly; under true
+    * out-of-order arrival the streaming face is the more faithful one.
+    * State is three longs per cell — the grid itself — so this face,
+    * unlike the batch two-phase prune, needs no per-cell exchange
+    * bounding at all: the flood guard IS the state update. */
+  def docQuota(spark: SparkSession, docs: DataFrame,
+               n: Int = 40): Dataset[QuotaOut] = {
+    import spark.implicits._
+    val typed = docs.select(col("source"), col("lang"), col("doc_id"))
+      .as[(String, String, Long)]
+    val cap = n.toLong
+
+    def update(key: (String, String),
+               rows: Iterator[(String, String, Long)],
+               state: GroupState[QuotaState]): Iterator[QuotaOut] = {
+      var s = state.getOption.getOrElse(QuotaState(0L, 0L, Long.MinValue))
+      rows.toSeq.sortBy(_._3).foreach { case (_, _, id) =>
+        s =
+          if (s.kept < cap)
+            QuotaState(s.kept + 1, s.total + 1, math.max(s.maxKept, id))
+          else s.copy(total = s.total + 1)
+      }
+      state.update(s)
+      Iterator.single(QuotaOut(key._1, key._2, s.kept, s.total - s.kept,
+        if (s.kept > 0) Some(s.maxKept) else None))
+    }
+
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
   }
 }

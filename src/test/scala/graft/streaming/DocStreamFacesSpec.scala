@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.{Clean, SparkTestBase, Tables}
+
+/** The round-8 DocStream faces must agree with their batch twins when
+  * the stream is the replayed batch corpus:
+  *  - incrementalDedup == q_dedup_incremental on the replayed increment
+  *    split (the flagship 100 TB ingest shape, live);
+  *  - corpusHealth's final update-mode state == the q_corpus_health
+  *    report (exact distinct fingerprints included);
+  *  - docQuota's final manifest == q_doc_quota on an ordered replay,
+  *    and drops actually engage at a small cap.
+  * Documents are staged as TWO files in doc_id order (mtime-ordered, one
+  * file per micro-batch) so the update path — state surviving across
+  * micro-batches — is genuinely exercised, not just a one-batch fold. */
+class DocStreamFacesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stageFile(df: DataFrame, dir: Path, name: String,
+                        mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("stage_half")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator()
+    var src: Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    val dest = dir.resolve(name)
+    Files.copy(src, dest)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+  }
+
+  /** Full documents table split into two doc_id-ordered files. */
+  lazy val twoBatchDir: String = {
+    val dir = Files.createTempDirectory("docs_stream_2b")
+    val docs = Tables.table(spark, sf0001, "documents")
+    val mid = docs.agg((min($"doc_id") + max($"doc_id")) / 2)
+      .as[Double].collect().head.toLong
+    stageFile(docs.filter($"doc_id" <= mid), dir, "b0.parquet", 1700000000000L)
+    stageFile(docs.filter($"doc_id" > mid), dir, "b1.parquet", 1700000100000L)
+    dir.toString
+  }
+
+  test("streaming incremental dedup equals the batch anti-join on the replayed increment") {
+    val dir = Files.createTempDirectory("docs_stream_inc")
+    val docs = Tables.table(spark, sf0001, "documents")
+    val inc = docs.filter($"doc_id" % 10 === 0)
+    val mid = inc.agg((min($"doc_id") + max($"doc_id")) / 2)
+      .as[Double].collect().head.toLong
+    stageFile(inc.filter($"doc_id" <= mid), dir, "b0.parquet", 1700000000000L)
+    stageFile(inc.filter($"doc_id" > mid), dir, "b1.parquet", 1700000100000L)
+
+    val history = docs.filter($"doc_id" % 10 =!= 0)
+      .select(Clean.fingerprint($"text").as("fp"))
+    val out = DocStream.incrementalDedup(
+      DocStream.readDocs(spark, dir.toString), history)
+    val q = EventStream.runToMemory(out, "inc_dedup", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("inc_dedup")
+      .select($"doc_id", $"fp").as[(Long, String)].collect().toSet
+    val want = graft.SparkEntry.queries("q_dedup_incremental")(spark, sf0001)
+      .as[(Long, String)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming corpus health's final state equals the batch report, across batches") {
+    val out = DocStream.corpusHealth(spark,
+      DocStream.readDocs(spark, twoBatchDir))
+    val q = EventStream.runToMemory(out.toDF(), "health", OutputMode.Update())
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("health")
+      .select($"source", $"lang", $"nDocs", $"distinctTexts",
+        $"degenerateDocs", $"avgChars", $"totalTokens", $"dupRate")
+      .as[(String, String, Long, Long, Long, Option[Double], Long, Double)]
+      .collect().toSeq
+    // update mode re-emits a refreshed row per touched cell per batch:
+    // the FINAL state per cell is the row with the largest nDocs
+    // (monotonic counter); more rows than cells proves the cross-batch
+    // update path actually ran
+    val fin = rows.groupBy(r => (r._1, r._2)).values
+      .map(_.maxBy(_._3)).toSeq.sortBy(r => (r._1, r._2))
+    assert(rows.size > fin.size, "expected per-batch update emissions")
+
+    val want = graft.SparkEntry.queries("q_corpus_health")(spark, sf0001)
+      .select($"source", $"lang", $"n_docs", $"distinct_texts",
+        $"degenerate_docs", $"avg_chars", $"total_tokens", $"dup_rate")
+      .as[(String, String, Long, Long, Long, Option[Double], Long, Double)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(fin === want)
+    assert(want.nonEmpty)
+  }
+
+  test("streaming quota manifest equals the batch manifest on an ordered replay") {
+    val out = DocStream.docQuota(spark,
+      DocStream.readDocs(spark, twoBatchDir), n = 40)
+    val q = EventStream.runToMemory(out.toDF(), "quota40", OutputMode.Update())
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("quota40")
+      .select($"source", $"lang", $"keptDocs", $"droppedDocs", $"maxKeptDocId")
+      .as[(String, String, Long, Long, Option[Long])].collect().toSeq
+    val fin = rows.groupBy(r => (r._1, r._2)).values
+      .map(_.maxBy(r => r._3 + r._4)).toSeq.sortBy(r => (r._1, r._2))
+
+    val want = graft.SparkEntry.queries("q_doc_quota")(spark, sf0001)
+      .select($"source", $"lang", $"kept_docs", $"dropped_docs",
+        $"max_kept_doc_id")
+      .as[(String, String, Long, Long, Option[Long])]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(fin === want)
+    assert(want.nonEmpty)
+  }
+
+  test("streaming quota actually drops past a small cap, first-arrival wins") {
+    val out = DocStream.docQuota(spark,
+      DocStream.readDocs(spark, twoBatchDir), n = 5)
+    val q = EventStream.runToMemory(out.toDF(), "quota5", OutputMode.Update())
+    q.processAllAvailable(); q.stop()
+
+    val fin = spark.table("quota5")
+      .select($"source", $"lang", $"keptDocs", $"droppedDocs", $"maxKeptDocId")
+      .as[(String, String, Long, Long, Option[Long])].collect().toSeq
+      .groupBy(r => (r._1, r._2)).values
+      .map(_.maxBy(r => r._3 + r._4)).toSeq.sortBy(r => (r._1, r._2))
+
+    // independent derivation: per cell, the 5 smallest doc_ids are kept
+    // (the replay is doc_id-ordered, so first-arrival == lowest-id)
+    val want = Tables.table(spark, sf0001, "documents")
+      .select($"source", $"lang", $"doc_id")
+      .as[(String, String, Long)].collect().toSeq
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((src, lang), rs) =>
+        val ids = rs.map(_._3).sorted
+        val kept = ids.take(5)
+        (src, lang, kept.size.toLong, (ids.size - kept.size).toLong,
+          Some(kept.max))
+      }.sortBy(r => (r._1, r._2))
+    assert(fin === want)
+    // the cap must actually have engaged somewhere
+    assert(want.exists(_._4 > 0L), "n=5 never dropped — fixture too small?")
+  }
+}
