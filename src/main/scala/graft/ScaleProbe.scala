@@ -85,6 +85,40 @@ object ScaleProbe {
     "q_events_sessions", "q_events_user_profile", "q_window_running",
     "q_events_hourly", "q_merge_upsert")
 
+  /** The per-user STATEFUL streaming faces replayed over the same
+    * skewed corpus (AvailableNow, memory sink): each
+    * flatMapGroupsWithState twin buffers one group's micro-batch slice
+    * with `rows.toSeq.sortBy` before applying it — under 50%-one-user
+    * skew the hot user's slice IS half the batch, materialized on one
+    * task. The probe measures how far that floor moves as the slice
+    * doubles; the batch rows above measure the analogous window-sort
+    * floor. gapfill/moving-avg/anomaly are keyed by event_type
+    * (schema-bounded vocabulary) and immune by construction. */
+  private val hostileStreamFaces = Seq(
+    "s_sessionize", "s_funnel", "s_retention", "s_asof")
+
+  /** (stream, sink output mode) — funnel declares Update-mode
+    * flatMapGroupsWithState, so its memory sink must match. */
+  private def streamFace(name: String, spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.OutputMode) = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ev = graft.streaming.EventStream.readEvents(spark, dir)
+    name match {
+      case "s_sessionize" =>
+        (graft.streaming.EventStream.sessionize(spark, ev).toDF(),
+          OutputMode.Append)
+      case "s_funnel" =>
+        (graft.streaming.EventStream.funnel(spark, ev).toDF(),
+          OutputMode.Update)
+      case "s_retention" =>
+        (graft.streaming.EventStream.retentionHits(spark, ev).toDF(),
+          OutputMode.Append)
+      case "s_asof" =>
+        (graft.streaming.EventStream.asofEnrich(spark, ev).toDF(),
+          OutputMode.Append)
+    }
+  }
+
   private def hostileEvents(spark: SparkSession, n: Long): DataFrame = {
     val types = array(lit("click"), lit("purchase"), lit("view"),
       lit("signup"), lit("error"))
@@ -137,7 +171,8 @@ object ScaleProbe {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
     val qFilter = args.drop(1).toSet
     val unknownQ = qFilter.diff(
-      (probeQueries ++ hostileQueries ++ hostileEventQueries).toSet)
+      (probeQueries ++ hostileQueries ++ hostileEventQueries ++
+        hostileStreamFaces).toSet)
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -147,6 +182,9 @@ object ScaleProbe {
     val pickedHostileEvents =
       if (qFilter.isEmpty) hostileEventQueries
       else hostileEventQueries.filter(qFilter)
+    val pickedStreamFaces =
+      if (qFilter.isEmpty) hostileStreamFaces
+      else hostileStreamFaces.filter(qFilter)
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -222,14 +260,15 @@ object ScaleProbe {
     }
 
     // hostile user skew: 100k events per factor unit, half on one user
-    val skewDirs = if (pickedHostileEvents.isEmpty) Seq.empty
-    else factors.map { k =>
-      val dir = s"target/scale/skewev_f$k"
-      if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists())
-        hostileEvents(spark, 100000L * k).repartition(8)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
-      k -> dir
-    }
+    val skewDirs =
+      if (pickedHostileEvents.isEmpty && pickedStreamFaces.isEmpty) Seq.empty
+      else factors.map { k =>
+        val dir = s"target/scale/skewev_f$k"
+        if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists())
+          hostileEvents(spark, 100000L * k).repartition(8)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+        k -> dir
+      }
     skewDirs.foreach { case (k, dir) =>
       pickedHostileEvents.foreach { q =>
         val t0 = System.nanoTime()
@@ -237,6 +276,22 @@ object ScaleProbe {
         catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":"user_skew"}""")
+      }
+      // streaming faces: AvailableNow replay into a memory sink (row
+      // count doubles as the work check); timing covers the whole
+      // drain, micro-batch machinery included
+      pickedStreamFaces.foreach { q =>
+        val table = s"probe_${q}_f$k"
+        val t0 = System.nanoTime()
+        val n = try {
+          val (df, mode) = streamFace(q, spark, s"$dir/events.parquet")
+          val sq = graft.streaming.EventStream.runToMemory(df, table, mode)
+          sq.awaitTermination()
+          spark.table(table).count()
+        } catch { case e: Throwable =>
+          System.err.println(s"$q@$k: $e"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":"user_skew_stream"}""")
       }
     }
     spark.stop()
