@@ -205,8 +205,82 @@ object SimilarityQueries {
           .select($"query_id", $"rank", $"neighbor_id", $"cosine")
           .orderBy("query_id", "rank")
       }
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // quantize embeddings into K cells, then mark as duplicate any vector
+    // with an EARLIER (lower vec_id) same-cell neighbor whose cosine
+    // clears tau — cluster-then-pairwise, never all-pairs. The drop rule
+    // is the scalable monotone variant (a dup'd keeper still suppresses
+    // its own dups): one pairing join + one EXISTS-shaped left join, no
+    // sequential within-cluster chain, so the plan distributes. Output is
+    // ONE row per vector (kept rows carry null dup_of), so the result
+    // hash pins the keep/drop decision for the whole corpus, not just the
+    // dropped tail.
+    //
+    // Scale shape: cell assignment is the same pure projection as
+    // q_ann_ivf (K codegen'd cosines + argmax, no shuffle); the pairing
+    // self-join shuffles on cell — the table's partition key at 100 TB,
+    // where K grows with N to hold cell population ~constant (K=16 here
+    // only because the test corpus is 500 vectors). capPerKey bounds a
+    // degenerate hot cell (all-same-embedding corpora) exactly as the
+    // text dedup family bounds hot buckets: pair work is capped,
+    // dropped members surface in hot_buckets_semcell, and Verify's
+    // failOnCapExceeded turns silent truncation into a named error
+    // (the hard oracle below computes the UNCAPPED answer, so the
+    // hash-match contract holds while every cell stays under the cap —
+    // max cell ≈ 50 ≪ 1000 on the Verify corpus). The final left join
+    // re-reads the (column-pruned) assignment lineage; production
+    // materializes cell as a layout column (q_layout_zorder-style) and
+    // skips all re-computation.
+    "q_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      val tau = 0.3
+      val vecs = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", dvec($"embedding").as("v"))
+      val assigned = assignCells(vecs, semCentroids(16, 64))
+      val capped = DedupQueries.capPerKey(
+          assigned.withColumnRenamed("vec_id", "doc_id"), "semcell", $"cell")
+        .withColumnRenamed("doc_id", "vec_id")
+      val sims = capped.select($"cell", $"vec_id".as("a_id"), $"v".as("av"))
+        .join(capped.select($"cell", $"vec_id".as("b_id"), $"v".as("bv")),
+          Seq("cell"))
+        .filter($"a_id" < $"b_id")
+        .select($"b_id", $"a_id",
+          Clean.roundHalfUp(VectorFunctions.cosineSim($"av", $"bv"), 4)
+            .as("cos"))
+        .filter($"cos" >= tau)
+      // blame assignment: the most-similar earlier neighbor wins the
+      // dup_of edge (ties on the 4-dp cosine break to the smallest id)
+      val w = Window.partitionBy($"b_id").orderBy($"cos".desc, $"a_id")
+      val dupOf = sims.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"b_id", $"a_id".as("dup_of"), $"cos".as("dup_cos"))
+      assigned.join(dupOf, $"vec_id" === $"b_id", "left")
+        .select($"vec_id", $"cell",
+          when($"dup_of".isNotNull, 1).otherwise(0).as("is_dup"),
+          $"dup_of", $"dup_cos")
+        .orderBy("vec_id")
     })
   )
+
+  /** SemDeDup centroids: K fixed ±1 corner vectors whose sign at
+    * dimension p is the md5("c|p") parity — the [[rhpParities]] device
+    * reused as a coarse quantizer instead of a hyperplane family. Every
+    * centroid has norm sqrt(dims), so nearest-by-cosine equals
+    * nearest-by-signed-sum, and the DuckDB oracle can re-derive the
+    * identical quantizer from md5 string arithmetic (what the iterative
+    * k-means of [[ivfCentroids]] structurally cannot offer — see the
+    * q_ann_ivf note). Data-independent corners partition direction space
+    * evenly enough for a dedup PARTITIONING (only pairs in one cell are
+    * compared); a production run would swap in trained centroids and keep
+    * every downstream stage unchanged. */
+  private def semCentroids(k: Int, dims: Int): Seq[(Int, Seq[Double])] = {
+    val par = rhpParities(k, dims)
+    (0 until k).map(c =>
+      c -> par(c).map(b => if (b == 1) 1.0 else -1.0).toSeq)
+  }
 
   /** Multi-probe flip masks over an 8-bit signature: the home bucket plus
     * every 1-bit and 2-bit flip (1 + 8 + 28 buckets of 256). */
@@ -342,8 +416,63 @@ object SimilarityQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of q_semdedup: the md5("c|p") parity table gives the
+    * identical ±1 centroids; cell = argmax cosine (signed sum / (|v|·8),
+    * ties to the smallest cell — the same first-match tiebreak as
+    * [[assignCells]]'s array_position); then the same within-cell
+    * pairing, 4-dp-rounded threshold, and blame window as the Spark
+    * plan. Computes the UNCAPPED pairing — see the capPerKey contract
+    * note at the query. */
+  private def semDedupOracle: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                 x -> x * x))) AS n
+      |  FROM embeddings),
+      |par AS (
+      |  SELECT j.j AS c, p.p AS p,
+      |    (CAST(list_sum(list_transform(range(1, 16), h ->
+      |       CAST(strpos('0123456789abcdef',
+      |              substring(md5(concat(CAST(j.j AS VARCHAR), '|',
+      |                                   CAST(p.p AS VARCHAR))),
+      |                        CAST(h AS INT), 1)) - 1 AS BIGINT)
+      |       << CAST(4 * (15 - h) AS INT))) AS BIGINT) & 1) AS b
+      |  FROM range(0, 16) j(j), range(0, 64) p(p)),
+      |scores AS (
+      |  SELECT vv.vec_id, par.c,
+      |    sum(CASE WHEN par.b = 1 THEN vv.v[CAST(par.p + 1 AS INT)]
+      |             ELSE -vv.v[CAST(par.p + 1 AS INT)] END)
+      |      / (vv.n * 8) AS s
+      |  FROM vecs vv, par GROUP BY vv.vec_id, par.c, vv.n),
+      |cells AS (
+      |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
+      |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY s DESC, c) AS rn
+      |    FROM scores) t WHERE rn = 1),
+      |sims AS (
+      |  SELECT cb.vec_id AS b_id, ca.vec_id AS a_id,
+      |    floor(list_sum(list_transform(range(1, 65),
+      |            i -> va.v[i] * vb.v[i])) / (va.n * vb.n)
+      |          * 10000 + 0.5) / 10000 AS cos
+      |  FROM cells ca JOIN cells cb
+      |    ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      |  JOIN vecs va ON va.vec_id = ca.vec_id
+      |  JOIN vecs vb ON vb.vec_id = cb.vec_id),
+      |dup AS (
+      |  SELECT b_id, a_id AS dup_of, cos AS dup_cos FROM (
+      |    SELECT b_id, a_id, cos,
+      |      row_number() OVER (PARTITION BY b_id
+      |        ORDER BY cos DESC, a_id) AS rn
+      |    FROM sims WHERE cos >= 0.3) t WHERE rn = 1)
+      |SELECT c.vec_id, c.cell,
+      |  CASE WHEN d.b_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+      |  d.dup_of, d.dup_cos
+      |FROM cells c LEFT JOIN dup d ON d.b_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh_sql" -> annLshSqlOracle,
+    "q_semdedup" -> semDedupOracle,
     "q_knn_brute" ->
       """WITH vecs AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
