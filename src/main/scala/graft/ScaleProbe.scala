@@ -85,6 +85,22 @@ object ScaleProbe {
     "q_events_sessions", "q_events_user_profile", "q_window_running",
     "q_events_hourly", "q_merge_upsert")
 
+  /** q_semdedup re-probed on the degenerate corpus its cap exists for:
+    * every embedding IDENTICAL, so every pair's cosine is exactly 1.0,
+    * all N vectors land in ONE cell, and uncapped within-cell pairing
+    * would be C(N,2). capPerKey truncates the cell to its 1000
+    * min-vec_id members: pair work stays constant in N while the
+    * one-row-per-vector output grows linearly, and the refused work
+    * surfaces as the hot_buckets_semcell drop count. */
+  private val hostileVecQueries = Seq("q_semdedup")
+
+  private def hostileVecs(spark: SparkSession, n: Long): DataFrame = {
+    // one fixed direction, float-typed to match the embeddings schema
+    val v = array((0 until 64).map(p =>
+      lit(((p % 7) + 1).toFloat / 7f)): _*)
+    spark.range(n).select((col("id") + 1).as("vec_id"), v.as("embedding"))
+  }
+
   /** The per-user STATEFUL streaming faces replayed over the same
     * skewed corpus (AvailableNow, memory sink): each
     * flatMapGroupsWithState twin buffers one group's micro-batch slice
@@ -172,7 +188,7 @@ object ScaleProbe {
     val qFilter = args.drop(1).toSet
     val unknownQ = qFilter.diff(
       (probeQueries ++ hostileQueries ++ hostileEventQueries ++
-        hostileStreamFaces).toSet)
+        hostileStreamFaces ++ hostileVecQueries).toSet)
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -185,6 +201,9 @@ object ScaleProbe {
     val pickedStreamFaces =
       if (qFilter.isEmpty) hostileStreamFaces
       else hostileStreamFaces.filter(qFilter)
+    val pickedHostileVecs =
+      if (qFilter.isEmpty) hostileVecQueries
+      else hostileVecQueries.filter(qFilter)
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -292,6 +311,32 @@ object ScaleProbe {
           System.err.println(s"$q@$k: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":"user_skew_stream"}""")
+      }
+    }
+
+    // hostile embeddings: 20k identical vectors per factor unit — one
+    // cell, every pair at cosine 1.0; the cap bounds the pairing
+    val vecDirs = if (pickedHostileVecs.isEmpty) Seq.empty
+    else factors.map { k =>
+      val dir = s"target/scale/hostvec_f$k"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
+        hostileVecs(spark, 20000L * k).repartition(8)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+      k -> dir
+    }
+    vecDirs.foreach { case (k, dir) =>
+      pickedHostileVecs.foreach { q =>
+        val t0 = System.nanoTime()
+        // count through the plan's own queryExecution so the observe
+        // accumulators run (same reason as the hostile-docs loop above)
+        val (n, om) = try {
+          val df = SparkEntry.queries(q)(spark, dir)
+          val c = df.queryExecution.toRdd.count()
+          (c, observedJson(df))
+        } catch { case e: Throwable =>
+          System.err.println(s"$q@$k: $e"); (-1L, "") }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":"same_embedding"}""")
       }
     }
     spark.stop()
