@@ -239,7 +239,7 @@ object SimilarityQueries {
       val tau = 0.3
       val vecs = Tables.table(s, dir, "embeddings")
         .select($"vec_id", dvec($"embedding").as("v"))
-      val assigned = assignCells(vecs, semCentroids(16, 64))
+      val assigned = semAssign(vecs)
       val capped = DedupQueries.capPerKey(
           assigned.withColumnRenamed("vec_id", "doc_id"), "semcell", $"cell")
         .withColumnRenamed("doc_id", "vec_id")
@@ -262,6 +262,40 @@ object SimilarityQueries {
           when($"dup_of".isNotNull, 1).otherwise(0).as("is_dup"),
           $"dup_of", $"dup_cos")
         .orderBy("vec_id")
+    }),
+
+    // Incremental semantic dedup: the ingest-time face of q_semdedup,
+    // mirroring q_dedup_incremental's history-vs-increment shape — an
+    // arriving vector (vec_id >= 250, the increment) is admitted iff NO
+    // historical vector (vec_id < 250) in its quantizer cell clears
+    // cosine 0.3. One anti-join probing only the history index (cell
+    // equi-key + cosine predicate), so each arriving row is evaluated
+    // independently: no within-increment pairing, no window, and the
+    // plan is the same stream-static anti-join DocStream.semanticDedup
+    // runs live (spec-pinned equal on a replayed split). The history
+    // side routes through semHistoryIndex (capPerKey, tag semhist):
+    // probe work per cell is bounded on degenerate corpora, with the
+    // same uncapped-oracle contract as q_semdedup. At 100 TB the
+    // history index is a materialized cell-bucketed table, so the
+    // anti-join shuffles ONLY the increment — the q_dedup_incremental
+    // layout story with cell as the bucket key.
+    "q_semdedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      val tau = 0.3
+      val split = 250L
+      val vecs = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", dvec($"embedding").as("v"))
+      val assigned = semAssign(vecs)
+      val hist = semHistoryIndex(assigned.filter($"vec_id" < split))
+        .select($"cell", $"v".as("hv"))
+      val incoming = assigned.filter($"vec_id" >= split)
+      incoming.join(hist, incoming("cell") === hist("cell") &&
+          Clean.roundHalfUp(
+            VectorFunctions.cosineSim(incoming("v"), $"hv"), 4) >= tau,
+          "left_anti")
+        .select($"vec_id", $"cell")
+        .orderBy("vec_id")
     })
   )
 
@@ -281,6 +315,26 @@ object SimilarityQueries {
     (0 until k).map(c =>
       c -> par(c).map(b => if (b == 1) 1.0 else -1.0).toSeq)
   }
+
+  /** Adds the SemDeDup quantizer cell to a (vec_id, v) frame — a pure
+    * projection (16 codegen'd cosines + argmax), safe on streaming
+    * frames too; [[graft.streaming.DocStream.semanticDedup]] shares it
+    * so the live and batch faces quantize identically. */
+  private[graft] def semAssign(vecs: DataFrame): DataFrame =
+    assignCells(vecs, semCentroids(16, 64))
+
+  /** The history side of incremental semantic dedup: cell-assigned
+    * vectors with per-cell membership bounded by the shared capPerKey
+    * device (tag `semhist`) — probe work against a degenerate hot cell
+    * stays constant while the drop count surfaces as an observed
+    * metric. Deterministic min-vec_id membership, so the batch query
+    * and the stream face keep identical indexes even when the cap
+    * engages. */
+  private[graft] def semHistoryIndex(assigned: DataFrame): DataFrame =
+    DedupQueries.capPerKey(
+        assigned.withColumnRenamed("vec_id", "doc_id"), "semhist",
+        org.apache.spark.sql.functions.col("cell"))
+      .withColumnRenamed("doc_id", "vec_id")
 
   /** Multi-probe flip masks over an 8-bit signature: the home bucket plus
     * every 1-bit and 2-bit flip (1 + 8 + 28 buckets of 256). */
@@ -470,9 +524,51 @@ object SimilarityQueries {
       |FROM cells c LEFT JOIN dup d ON d.b_id = c.vec_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** DuckDB replay of q_semdedup_incremental: same quantizer CTEs as
+    * [[semDedupOracle]], then a NOT EXISTS against the (uncapped)
+    * history half — see the capPerKey contract note at the query. */
+  private def semDedupIncrementalOracle: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                 x -> x * x))) AS n
+      |  FROM embeddings),
+      |par AS (
+      |  SELECT j.j AS c, p.p AS p,
+      |    (CAST(list_sum(list_transform(range(1, 16), h ->
+      |       CAST(strpos('0123456789abcdef',
+      |              substring(md5(concat(CAST(j.j AS VARCHAR), '|',
+      |                                   CAST(p.p AS VARCHAR))),
+      |                        CAST(h AS INT), 1)) - 1 AS BIGINT)
+      |       << CAST(4 * (15 - h) AS INT))) AS BIGINT) & 1) AS b
+      |  FROM range(0, 16) j(j), range(0, 64) p(p)),
+      |scores AS (
+      |  SELECT vv.vec_id, par.c,
+      |    sum(CASE WHEN par.b = 1 THEN vv.v[CAST(par.p + 1 AS INT)]
+      |             ELSE -vv.v[CAST(par.p + 1 AS INT)] END)
+      |      / (vv.n * 8) AS s
+      |  FROM vecs vv, par GROUP BY vv.vec_id, par.c, vv.n),
+      |cells AS (
+      |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
+      |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY s DESC, c) AS rn
+      |    FROM scores) t WHERE rn = 1)
+      |SELECT b.vec_id, b.cell
+      |FROM cells b
+      |WHERE b.vec_id >= 250 AND NOT EXISTS (
+      |  SELECT 1 FROM cells a
+      |  JOIN vecs va ON va.vec_id = a.vec_id
+      |  JOIN vecs vb ON vb.vec_id = b.vec_id
+      |  WHERE a.vec_id < 250 AND a.cell = b.cell
+      |    AND floor(list_sum(list_transform(range(1, 65),
+      |          i -> va.v[i] * vb.v[i])) / (va.n * vb.n)
+      |        * 10000 + 0.5) / 10000 >= 0.3)
+      |ORDER BY b.vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh_sql" -> annLshSqlOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_semdedup_incremental" -> semDedupIncrementalOracle,
     "q_knn_brute" ->
       """WITH vecs AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -126,6 +126,64 @@ object DocStream {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** The embeddings schema as shipped in the testdata parquet. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Source: replay a parquet embeddings directory as a stream. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Streaming SEMANTIC dedup — the live face of
+    * `q_semdedup_incremental`: an arriving embedding is admitted iff no
+    * historical vector in its quantizer cell clears the cosine
+    * threshold. The quantizer (md5-derived ±1 corner centroids, shared
+    * via [[graft.queries.SimilarityQueries.semAssign]]) is a pure
+    * projection, so the stream side stays STATELESS: one stream-static
+    * anti-join per micro-batch (cell equi-key + cosine predicate), no
+    * state store, no watermark. The history side is cell-assigned once,
+    * capPerKey-bounded (semHistoryIndex — identical min-vec_id
+    * membership as the batch query, so live and nightly answers agree
+    * even when a degenerate cell engages the cap), and CACHED — the
+    * same stream-static re-evaluation trap as [[contaminationHits]]:
+    * without the cache every micro-batch would re-scan and re-quantize
+    * the whole history.
+    *
+    * At 100 TB the cached frame becomes a cell-bucketed materialized
+    * index (the Layout story), so each micro-batch shuffles only the
+    * increment and probes only the cells it touches. Within-increment
+    * duplicates are NOT collapsed here (same contract as the batch
+    * twin and as fingerprint [[incrementalDedup]]): admitted vectors
+    * join the history index at the next compaction, which is when
+    * same-batch dups resolve.
+    *
+    * @param newVecs streaming embeddings (schema: [[embSchema]])
+    * @param historyVecs static embeddings frame with vec_id + embedding
+    */
+  def semanticDedup(newVecs: DataFrame, historyVecs: DataFrame,
+                    tau: Double = 0.3): DataFrame = {
+    import graft.queries.SimilarityQueries
+    // cosineSim resolves through the session's function registry
+    graft.functions.VectorFunctions.register(newVecs.sparkSession)
+    val hist = SimilarityQueries.semHistoryIndex(
+        SimilarityQueries.semAssign(historyVecs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
+      .select(col("cell"), col("v").as("hv"))
+      .cache()
+    val incoming = SimilarityQueries.semAssign(newVecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    incoming.join(hist, incoming("cell") === hist("cell") &&
+        graft.Clean.roundHalfUp(
+          graft.functions.VectorFunctions.cosineSim(incoming("v"),
+            col("hv")), 4) >= tau,
+        "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Running per-(source, lang) health counters — the live-state twin of
     * batch `q_corpus_health`'s report row. charsN counts non-null
     * n_chars so the average matches SQL `avg` (null-skipping) exactly. */
