@@ -339,6 +339,26 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":"same_embedding"}""")
       }
+      // the ONLINE greedy face on the same corpus: every vector lands in
+      // one hot cell, but the admitted index holds exactly ONE member
+      // (everything else is its duplicate), so per-arrival work is O(1)
+      // — the probe confirms the state bound is the ADMITTED set, not
+      // the arrival count
+      if (pickedHostileVecs.nonEmpty) {
+        val table = s"probe_semonline_f$k"
+        val t0 = System.nanoTime()
+        val n = try {
+          val out = graft.streaming.DocStream.semanticDedupOnline(spark,
+            graft.streaming.DocStream.readEmbeddings(
+              spark, s"$dir/embeddings.parquet")).toDF()
+          val sq = graft.streaming.EventStream.runToMemory(out, table)
+          sq.awaitTermination()
+          spark.table(table).count()
+        } catch { case e: Throwable =>
+          System.err.println(s"semonline@$k: $e"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"s_semdedup_online","sec":$sec%.3f,"rows":$n,"hostile":"same_embedding_stream"}""")
+      }
     }
     spark.stop()
   }

@@ -184,6 +184,87 @@ object DocStream {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Per-cell admitted-vector index for [[semanticDedupOnline]]: ids in
+    * admission (= vec_id) order, vectors parallel to ids. */
+  case class SemCellState(ids: List[Long], vecs: List[Seq[Double]])
+  case class SemAdmit(vecId: Long, cell: Int, admitted: Boolean,
+                      dupOf: Option[Long], dupCos: Option[Double])
+
+  /** ONLINE greedy semantic dedup — the exact-greedy SemDeDup semantics
+    * the batch q_semdedup deliberately over-approximates: a vector is
+    * rejected iff an earlier ADMITTED same-cell vector clears the
+    * threshold (a rejected vector never suppresses anyone), so the
+    * admitted set IS the dedup'd corpus index, built incrementally as
+    * the stream arrives. This ordering-dependent recurrence is what the
+    * batch face cannot express as one declarative join — it lives here,
+    * as keyed state: flatMapGroupsWithState on the quantizer cell, state
+    * = the cell's admitted vectors in admission order.
+    *
+    * Greedy admits a superset of the monotone batch rule's keepers
+    * (monotone rejects on ANY earlier neighbor, greedy only on an
+    * admitted one) — SemDedupStreamSpec pins both the exact greedy
+    * answer and that inclusion.
+    *
+    * Bounds: state per cell is capped at `spark.graft.dedup.maxBucket`
+    * admitted members (the first cap in admission order — the same
+    * min-vec_id membership capPerKey keeps), so state memory is at most
+    * cap × dims doubles per cell and per-arrival work is ≤ cap cosines.
+    * Vectors admitted past the cap are still emitted as admitted but no
+    * longer suppress later arrivals — bounded-work cap-and-continue,
+    * exactly the batch contract. Each micro-batch's group slice is
+    * buffered and sorted (vec_id order = deterministic replay); the
+    * event-skew analogue is probed for the event faces in SCALING.md,
+    * and a hot CELL here is bounded by the cap itself: past cap members
+    * the per-arrival work stops growing. */
+  def semanticDedupOnline(spark: SparkSession, newVecs: DataFrame,
+                          tau: Double = 0.3): Dataset[SemAdmit] = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // local copies: the nested function must not capture the module
+    val tauL = tau
+    val cap = spark.conf.getOption("spark.graft.dedup.maxBucket")
+      .map(_.toInt).getOrElse(1000)
+    val assigned = graft.queries.SimilarityQueries.semAssign(
+        newVecs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")))
+      .select(col("cell"), col("vec_id"), col("v"))
+      .as[(Int, Long, Seq[Double])]
+    def update(cell: Int, rows: Iterator[(Int, Long, Seq[Double])],
+               state: GroupState[SemCellState]): Iterator[SemAdmit] = {
+      def cos4(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5) / 10000
+      }
+      val st = state.getOption.getOrElse(SemCellState(Nil, Nil))
+      val ids = st.ids.to(scala.collection.mutable.ListBuffer)
+      val vecs = st.vecs.to(scala.collection.mutable.ListBuffer)
+      val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
+        // best admitted neighbor >= tau; insertion order is vec_id
+        // order, so strict > keeps the smallest id among cosine ties
+        var bestId = -1L
+        var bestCos = -2.0
+        ids.iterator.zip(vecs.iterator).foreach { case (aid, av) =>
+          val c = cos4(av, v)
+          if (c >= tauL && c > bestCos) { bestId = aid; bestCos = c }
+        }
+        if (bestId >= 0)
+          SemAdmit(id, cell, admitted = false, Some(bestId), Some(bestCos))
+        else {
+          if (ids.length < cap) { ids += id; vecs += v }
+          SemAdmit(id, cell, admitted = true, None, None)
+        }
+      }
+      state.update(SemCellState(ids.toList, vecs.toList))
+      out.iterator
+    }
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Running per-(source, lang) health counters — the live-state twin of
     * batch `q_corpus_health`'s report row. charsN counts non-null
     * n_chars so the average matches SQL `avg` (null-skipping) exactly. */
