@@ -42,7 +42,7 @@ object ScaleProbe {
     "q_agg_cube", "q_agg_rollup", "q_scd2_history", "q_corpus_health",
     "q_dedup_incremental_bloom", "q_scd2_asof", "q_scan_jsonl",
     "q_corpus_diff", "q_doc_quota", "q_semdedup",
-    "q_semdedup_incremental")
+    "q_semdedup_incremental", "q_shard_assign")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

@@ -418,10 +418,57 @@ object CurationQueries {
               / ($"n_docs" - $"degenerate_docs"), 4))
             .otherwise(lit(0.0)))
         .orderBy("source", "lang")
+    }),
+
+    // Deterministic global shuffle + shard assignment — the reproducible
+    // corpus-shuffle step a training-data export runs before packing:
+    // every document gets a shard and a position within it, derived
+    // ONLY from doc_id, so any two runs (or engines) produce the
+    // identical training order. The shuffle key is the md5-derived
+    // 60-bit integer (the dedup family's oracle-replayable hash device);
+    // an affine hash like sampleBucket would preserve doc_id locality —
+    // adjacent crawl records would stay adjacent in the training stream,
+    // exactly what a shuffle must destroy. shard = key mod 16; pos =
+    // rank of key within the shard (doc_id tiebreak for hash
+    // collisions).
+    //
+    // Scale shape: ONE exchange on shard + a per-shard sort — the
+    // canonical distributed-shuffle plan. At 100 TB, S is thousands
+    // (bounding each shard's sort to one task's spillable slice), the
+    // window becomes write-time `sortWithinPartitions(key)` into
+    // per-shard files, and pos is implicit in file order — nothing
+    // about the assignment changes, only where the sort runs. No
+    // global total-order anywhere.
+    "q_shard_assign" -> ((s, dir) => {
+      import s.implicits._
+      val shards = 16
+      val key = conv(substring(md5(concat(lit("shuffle|"),
+        $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long")
+      val w = Window.partitionBy($"shard").orderBy($"key", $"doc_id")
+      Tables.table(s, dir, "documents")
+        .select($"doc_id", key.as("key"))
+        .withColumn("shard", pmod($"key", lit(shards.toLong)).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy("doc_id")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_shard_assign" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 16), j ->
+        |      CAST(strpos('0123456789abcdef',
+        |             substring(md5(concat('shuffle|',
+        |                                  CAST(doc_id AS VARCHAR))),
+        |                       CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(key % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 16
+        |    ORDER BY key, doc_id) AS INT) AS pos
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     "q_doc_decontaminate" ->
       s"""WITH docs AS (
          |  SELECT doc_id, source,
