@@ -10,10 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    quality, fingerprint)
   *  - [[graft.queries.DedupQueries]]      — exact / Jaccard / MinHash-LSH /
   *    SimHash / embedding dedup
-  *  - [[graft.queries.SimilarityQueries]] — brute-force + LSH ANN search
+  *  - [[graft.queries.SimilarityQueries]] — brute-force + LSH/IVF ANN
+  *    search, SemDeDup-style semantic dedup (batch + incremental)
   *  - [[graft.queries.EventQueries]]      — event-time windows, sessions
   *  - [[graft.queries.CurationQueries]]   — corpus curation (decontamination,
-  *    leakage audit, embedding stats, retention, packing, mixture)
+  *    leakage audit, embedding stats, retention, packing, mixture,
+  *    deterministic shuffle/shard assignment)
   *  - [[graft.queries.MediaQueries]]      — multimodal binary-column
   *    metadata + codec-seam histograms
   */

@@ -56,12 +56,25 @@ class PlanSpec extends SparkTestBase {
       "q_dedup_simhash_sql", "q_dedup_ngram_jaccard", "q_dedup_containment",
       "q_dedup_editdist",
       "q_ann_lsh", "q_ann_lsh_sql", "q_ann_ivf", "q_events_funnel",
-      "q_doc_repetition").foreach { q =>
+      "q_doc_repetition",
+      // the semantic dedup family: the within-cell pairing and the
+      // history anti-probe must stay cell-equi-keyed hash joins (the
+      // cosine predicate is a residual, never the join strategy)
+      "q_semdedup", "q_semdedup_incremental").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q plans a nested-loop join")
     }
+  }
+
+  test("q_shard_assign prunes the scan to doc_id and keeps one exchange") {
+    // the shuffle key derives from doc_id alone: a scan that drags text
+    // along shuffles the whole corpus body through the shard exchange
+    val p = plan("q_shard_assign")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"expected 1 hash exchange, got $shuffles:\n$p")
   }
 
   test("decontamination broadcasts the benchmark gram set") {
