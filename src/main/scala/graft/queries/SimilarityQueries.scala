@@ -237,8 +237,7 @@ object SimilarityQueries {
       import s.implicits._
       VectorFunctions.register(s)
       val tau = 0.3
-      val vecs = Tables.table(s, dir, "embeddings")
-        .select($"vec_id", dvec($"embedding").as("v"))
+      val vecs = semDedupInput(s, dir)
       val assigned = semAssign(vecs)
       val capped = DedupQueries.capPerKey(
           assigned.withColumnRenamed("vec_id", "doc_id"), "semcell", $"cell")
@@ -284,8 +283,7 @@ object SimilarityQueries {
       VectorFunctions.register(s)
       val tau = 0.3
       val split = 250L
-      val vecs = Tables.table(s, dir, "embeddings")
-        .select($"vec_id", dvec($"embedding").as("v"))
+      val vecs = semDedupInput(s, dir)
       val assigned = semAssign(vecs)
       val hist = semHistoryIndex(assigned.filter($"vec_id" < split))
         .select($"cell", $"v".as("hv"))
@@ -322,6 +320,27 @@ object SimilarityQueries {
     * so the live and batch faces quantize identically. */
   private[graft] def semAssign(vecs: DataFrame): DataFrame =
     assignCells(vecs, semCentroids(16, 64))
+
+  /** Null/zero-embedding guard shared by every semantic-dedup face
+    * (batch, incremental, stream, online): a NULL embedding has no
+    * direction and a ZERO vector's cosine is 0/0 — both are
+    * failed-embedding-job rows in a real corpus, and cross-engine NaN
+    * ordering makes their cell assignment undefined, so the contract
+    * EXCLUDES them (they cannot be semantically deduplicated; route
+    * them to the fingerprint family instead). The oracles carry the
+    * identical WHERE clause; NullVecSpec pins the behavior on a
+    * corpus that actually contains both. */
+  private[graft] def semDedupGuard(vecs: DataFrame): DataFrame =
+    vecs.filter(col("v").isNotNull &&
+      exists(col("v"), x => x =!= 0.0 && x.isNotNull))
+
+  /** The guarded (vec_id, v) input every semantic-dedup query starts
+    * from. */
+  private def semDedupInput(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semDedupGuard(Tables.table(s, dir, "embeddings")
+      .select($"vec_id", dvec($"embedding").as("v")))
+  }
 
   /** The history side of incremental semantic dedup: cell-assigned
     * vectors with per-cell membership bounded by the shared capPerKey
@@ -482,7 +501,10 @@ object SimilarityQueries {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                 x -> x * x))) AS n
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
       |par AS (
       |  SELECT j.j AS c, p.p AS p,
       |    (CAST(list_sum(list_transform(range(1, 16), h ->
@@ -532,7 +554,10 @@ object SimilarityQueries {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                 x -> x * x))) AS n
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
       |par AS (
       |  SELECT j.j AS c, p.p AS p,
       |    (CAST(list_sum(list_transform(range(1, 16), h ->

@@ -170,12 +170,14 @@ object DocStream {
     // cosineSim resolves through the session's function registry
     graft.functions.VectorFunctions.register(newVecs.sparkSession)
     val hist = SimilarityQueries.semHistoryIndex(
-        SimilarityQueries.semAssign(historyVecs
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
+        SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
+          historyVecs.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v")))))
       .select(col("cell"), col("v").as("hv"))
       .cache()
-    val incoming = SimilarityQueries.semAssign(newVecs
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val incoming = SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
+      newVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))))
     incoming.join(hist, incoming("cell") === hist("cell") &&
         graft.Clean.roundHalfUp(
           graft.functions.VectorFunctions.cosineSim(incoming("v"),
@@ -225,8 +227,9 @@ object DocStream {
     val cap = spark.conf.getOption("spark.graft.dedup.maxBucket")
       .map(_.toInt).getOrElse(1000)
     val assigned = graft.queries.SimilarityQueries.semAssign(
-        newVecs.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v")))
+        graft.queries.SimilarityQueries.semDedupGuard(
+          newVecs.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))))
       .select(col("cell"), col("vec_id"), col("v"))
       .as[(Int, Long, Seq[Double])]
     def update(cell: Int, rows: Iterator[(Int, Long, Seq[Double])],
