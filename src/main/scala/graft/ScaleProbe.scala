@@ -95,6 +95,11 @@ object ScaleProbe {
     * surfaces as the hot_buckets_semcell drop count. */
   private val hostileVecQueries = Seq("q_semdedup")
 
+  /** The online greedy stream face probed over the same corpora (its
+    * emitted row name in the jsonl record — filterable like any other
+    * probe name). */
+  private val hostileVecStreamFaces = Seq("s_semdedup_online")
+
   private def hostileVecs(spark: SparkSession, n: Long): DataFrame = {
     // one fixed direction, float-typed to match the embeddings schema
     val v = array((0 until 64).map(p =>
@@ -178,6 +183,21 @@ object ScaleProbe {
     }.mkString(",", ",", "")
   }
 
+  /** Count a query's result through its OWN queryExecution and collect
+    * the plan's observed metrics: a plain df.count() plans a separate
+    * aggregate whose execution never runs this plan's observe
+    * accumulators, so hot_buckets_* would read 0 even when the cap
+    * dropped millions of members — and on a hostile corpus the DROP
+    * COUNT is the probe's whole point. Errors surface as (-1, ""). */
+  private def countWithObserved(spark: SparkSession, q: String,
+                                dir: String, tag: String): (Long, String) =
+    try {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val c = df.queryExecution.toRdd.count()
+      (c, observedJson(df))
+    } catch { case e: Throwable =>
+      System.err.println(s"$tag: $e"); (-1L, "") }
+
   private def replicate(df: DataFrame, cols: Seq[String], k: Int): DataFrame =
     if (cols.isEmpty) df // dimension: stays fixed, never duplicated
     else (0 until k).map { i =>
@@ -189,7 +209,8 @@ object ScaleProbe {
     val qFilter = args.drop(1).toSet
     val unknownQ = qFilter.diff(
       (probeQueries ++ hostileQueries ++ hostileEventQueries ++
-        hostileStreamFaces ++ hostileVecQueries).toSet)
+        hostileStreamFaces ++ hostileVecQueries ++
+        hostileVecStreamFaces).toSet)
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -205,6 +226,9 @@ object ScaleProbe {
     val pickedHostileVecs =
       if (qFilter.isEmpty) hostileVecQueries
       else hostileVecQueries.filter(qFilter)
+    val pickedVecStreamFaces =
+      if (qFilter.isEmpty) hostileVecStreamFaces
+      else hostileVecStreamFaces.filter(qFilter)
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -262,18 +286,7 @@ object ScaleProbe {
     hostileDirs.foreach { case (k, dir) =>
       pickedHostile.foreach { q =>
         val t0 = System.nanoTime()
-        // keep the DataFrame and count through its OWN queryExecution:
-        // df.count() plans a separate aggregate whose execution never
-        // runs this plan's observe accumulators, so hot_buckets_* would
-        // read 0 even when the cap dropped millions of members — and on
-        // the hostile corpus the DROP COUNT is the probe's whole point
-        // (how much degenerate pair work the cap refused to do)
-        val (n, om) = try {
-          val df = SparkEntry.queries(q)(spark, dir)
-          val c = df.queryExecution.toRdd.count()
-          (c, observedJson(df))
-        } catch { case e: Throwable =>
-          System.err.println(s"$q@$k: $e"); (-1L, "") }
+        val (n, om) = countWithObserved(spark, q, dir, s"$q@$k")
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":true}""")
       }
@@ -317,25 +330,20 @@ object ScaleProbe {
 
     // hostile embeddings: 20k identical vectors per factor unit — one
     // cell, every pair at cosine 1.0; the cap bounds the pairing
-    val vecDirs = if (pickedHostileVecs.isEmpty) Seq.empty
-    else factors.map { k =>
-      val dir = s"target/scale/hostvec_f$k"
-      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
-        hostileVecs(spark, 20000L * k).repartition(8)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
-      k -> dir
-    }
+    val vecDirs =
+      if (pickedHostileVecs.isEmpty && pickedVecStreamFaces.isEmpty)
+        Seq.empty
+      else factors.map { k =>
+        val dir = s"target/scale/hostvec_f$k"
+        if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
+          hostileVecs(spark, 20000L * k).repartition(8)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+        k -> dir
+      }
     vecDirs.foreach { case (k, dir) =>
       pickedHostileVecs.foreach { q =>
         val t0 = System.nanoTime()
-        // count through the plan's own queryExecution so the observe
-        // accumulators run (same reason as the hostile-docs loop above)
-        val (n, om) = try {
-          val df = SparkEntry.queries(q)(spark, dir)
-          val c = df.queryExecution.toRdd.count()
-          (c, observedJson(df))
-        } catch { case e: Throwable =>
-          System.err.println(s"$q@$k: $e"); (-1L, "") }
+        val (n, om) = countWithObserved(spark, q, dir, s"$q@$k")
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":"same_embedding"}""")
       }
@@ -344,7 +352,7 @@ object ScaleProbe {
       // (everything else is its duplicate), so per-arrival work is O(1)
       // — the probe confirms the state bound is the ADMITTED set, not
       // the arrival count
-      if (pickedHostileVecs.nonEmpty) {
+      if (pickedVecStreamFaces.nonEmpty) {
         val table = s"probe_semonline_f$k"
         val t0 = System.nanoTime()
         val n = try {

@@ -583,18 +583,29 @@ object ParityQueries {
       // stops two JVMs on the SAME input (parallel CI shards, a Verify
       // run overlapping a Bench run) from overwriting a stage mid-read —
       // within one JVM same-input invocations are sequential (Verify/
-      // Bench run queries one at a time). Both keys are bounded, so tmp
-      // accumulation stays at a handful of dirs per process lifetime.
+      // Bench run queries one at a time). The pid key means the dir
+      // name never repeats across JVMs, so each process must remove its
+      // own stages on exit (deleteOnExit below) — without that, every
+      // CI/test JVM would orphan one corpus dump in tmp forever.
       val pid = java.lang.ProcessHandle.current().pid()
-      val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      val stageFile = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_jsonl_stage_" + pid + "_" +
           java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
-          .mkString).getAbsolutePath
+          .mkString)
+      val stage = stageFile.getAbsolutePath
       Tables.table(s, dir, "documents")
         .select(to_json(struct($"doc_id", $"text", $"lang", $"source",
           $"n_chars")).as("value"))
         .write.mode("overwrite").text(stage)
+      // deleteOnExit runs in reverse registration order: dir first,
+      // then its contents — registering parent-before-children makes
+      // the children delete first, leaving the dir empty for its turn
+      def registerCleanup(f: java.io.File): Unit = {
+        f.deleteOnExit()
+        Option(f.listFiles()).foreach(_.foreach(registerCleanup))
+      }
+      registerCleanup(stageFile)
       s.read.schema(graft.streaming.DocStream.docSchema).json(stage)
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .orderBy("doc_id")

@@ -175,8 +175,13 @@ object SimilarityQueries {
       import s.implicits._
       VectorFunctions.register(s)
       val nprobe = 4
-      val vecs = Tables.table(s, dir, "embeddings")
-        .select($"vec_id", dvec($"embedding").as("v"))
+      // degenerate embeddings (null / partial-null / zero) are excluded
+      // like the semantic-dedup family: a null element inside a seed
+      // vector breaks the k-means centroid collection outright
+      // (non-nullable Seq[Double] decode), and a zero vector has no
+      // direction to quantize — NullVecSpec pins the no-crash contract
+      val vecs = semDedupGuard(Tables.table(s, dir, "embeddings")
+        .select($"vec_id", dvec($"embedding").as("v")))
       val centroids = ivfCentroids(vecs, k = 16, iters = 2)
       // empty corpus -> empty result in the query's shape (a zero-element
       // centroid literal would not even analyze: array_position over an
@@ -321,18 +326,20 @@ object SimilarityQueries {
   private[graft] def semAssign(vecs: DataFrame): DataFrame =
     assignCells(vecs, semCentroids(16, 64))
 
-  /** Null/zero-embedding guard shared by every semantic-dedup face
+  /** Degenerate-embedding guard shared by every semantic-dedup face
     * (batch, incremental, stream, online): a NULL embedding has no
-    * direction and a ZERO vector's cosine is 0/0 — both are
-    * failed-embedding-job rows in a real corpus, and cross-engine NaN
-    * ordering makes their cell assignment undefined, so the contract
-    * EXCLUDES them (they cannot be semantically deduplicated; route
-    * them to the fingerprint family instead). The oracles carry the
-    * identical WHERE clause; NullVecSpec pins the behavior on a
-    * corpus that actually contains both. */
+    * direction, a ZERO vector's cosine is 0/0, and a vector with SOME
+    * null elements scores differently per engine (Spark's cosine_sim
+    * skips null positions pairwise — dropping the partner's
+    * contribution from the norm — while the oracle's per-vector norms
+    * keep it), so all three are excluded: they are failed-embedding-job
+    * rows a real corpus routes to the fingerprint family instead. The
+    * oracles carry the identical WHERE clause; NullVecSpec pins the
+    * behavior on a corpus that actually contains every shape. */
   private[graft] def semDedupGuard(vecs: DataFrame): DataFrame =
     vecs.filter(col("v").isNotNull &&
-      exists(col("v"), x => x =!= 0.0 && x.isNotNull))
+      forall(col("v"), x => x.isNotNull) &&
+      exists(col("v"), x => x =!= 0.0))
 
   /** The guarded (vec_id, v) input every semantic-dedup query starts
     * from. */
@@ -503,6 +510,8 @@ object SimilarityQueries {
       |                                 x -> x * x))) AS n
       |  FROM embeddings
       |  WHERE embedding IS NOT NULL
+      |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+      |                        x -> x IS NULL)) = 0
       |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                x -> x * x)) > 0),
       |par AS (
@@ -556,6 +565,8 @@ object SimilarityQueries {
       |                                 x -> x * x))) AS n
       |  FROM embeddings
       |  WHERE embedding IS NOT NULL
+      |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+      |                        x -> x IS NULL)) = 0
       |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                x -> x * x)) > 0),
       |par AS (

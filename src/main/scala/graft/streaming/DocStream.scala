@@ -272,7 +272,7 @@ object DocStream {
     * batch `q_corpus_health`'s report row. charsN counts non-null
     * n_chars so the average matches SQL `avg` (null-skipping) exactly. */
   case class HealthState(nDocs: Long, degenerate: Long, sumChars: Long,
-                         charsN: Long, sumTok: Long, fps: Map[String, Long])
+                         charsN: Long, sumTok: Long, fps: Set[String])
   case class HealthOut(source: String, lang: String, nDocs: Long,
                        distinctTexts: Long, degenerateDocs: Long,
                        avgChars: Option[Double], totalTokens: Long,
@@ -308,14 +308,14 @@ object DocStream {
                rows: Iterator[(String, String, Option[Long], Option[String], Option[Long])],
                state: GroupState[HealthState]): Iterator[HealthOut] = {
       var s = state.getOption.getOrElse(
-        HealthState(0L, 0L, 0L, 0L, 0L, Map.empty))
+        HealthState(0L, 0L, 0L, 0L, 0L, Set.empty))
       rows.foreach { case (_, _, chars, fp, tok) =>
         s = HealthState(s.nDocs + 1,
           s.degenerate + (if (fp.isEmpty) 1L else 0L),
           s.sumChars + chars.getOrElse(0L),
           s.charsN + (if (chars.isDefined) 1L else 0L),
           s.sumTok + tok.getOrElse(0L),
-          fp.fold(s.fps)(f => s.fps.updated(f, 1L)))
+          fp.fold(s.fps)(s.fps + _))
       }
       state.update(s)
       // same half-up floor rounding as the batch report (Clean.roundHalfUp)

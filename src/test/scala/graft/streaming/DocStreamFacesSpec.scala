@@ -1,12 +1,12 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
-import java.nio.file.attribute.FileTime
+import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.{Clean, SparkTestBase, Tables}
+import graft.streaming.StageFiles.stageFile
 
 /** The round-8 DocStream faces must agree with their batch twins when
   * the stream is the replayed batch corpus:
@@ -21,21 +21,6 @@ import graft.{Clean, SparkTestBase, Tables}
   * micro-batches — is genuinely exercised, not just a one-batch fold. */
 class DocStreamFacesSpec extends SparkTestBase {
   import spark.implicits._
-
-  private def stageFile(df: DataFrame, dir: Path, name: String,
-                        mtime: Long): Unit = {
-    val tmp = Files.createTempDirectory("stage_half")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator()
-    var src: Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) src = p
-    }
-    val dest = dir.resolve(name)
-    Files.copy(src, dest)
-    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
-  }
 
   /** Full documents table split into two doc_id-ordered files. */
   lazy val twoBatchDir: String = {

@@ -1,12 +1,11 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
-import java.nio.file.attribute.FileTime
+import java.nio.file.Files
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.{SparkTestBase, Tables}
+import graft.streaming.StageFiles.stageFile
 
 /** The streaming semantic dedup face must agree with its batch twin
   * when the stream is the replayed increment: every arriving embedding
@@ -17,21 +16,6 @@ import graft.{SparkTestBase, Tables}
   * two-file mtime-ordered staging forces. */
 class SemDedupStreamSpec extends SparkTestBase {
   import spark.implicits._
-
-  private def stageFile(df: DataFrame, dir: Path, name: String,
-                        mtime: Long): Unit = {
-    val tmp = Files.createTempDirectory("stage_vec_half")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator()
-    var src: Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) src = p
-    }
-    val dest = dir.resolve(name)
-    Files.copy(src, dest)
-    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
-  }
 
   test("streaming semantic dedup equals the batch anti-join on the " +
       "replayed increment, across micro-batches") {
