@@ -155,7 +155,9 @@ object DocStream {
     *
     * At 100 TB the cached frame becomes a cell-bucketed materialized
     * index (the Layout story), so each micro-batch shuffles only the
-    * increment and probes only the cells it touches. Within-increment
+    * increment and probes only the cells it touches — LayoutSpec
+    * PROVES that plan (one exchange, survivors identical to the
+    * oracle-certified anti-join) rather than asserting it. Within-increment
     * duplicates are NOT collapsed here (same contract as the batch
     * twin and as fingerprint [[incrementalDedup]]): admitted vectors
     * join the history index at the next compaction, which is when

@@ -62,6 +62,45 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("semantic incremental dedup against a cell-bucketed history " +
+      "shuffles only the increment") {
+    // the q_semdedup_incremental scale story, proven the same way as the
+    // fingerprint one above: the history embedding index is materialized
+    // bucketed on its quantizer cell, so the per-ingest anti-join (cell
+    // equi-key + cosine residual) plans exactly ONE exchange — the
+    // incoming batch — while the corpus-scale history reads in place.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.functions.VectorFunctions.register(spark)
+      val assigned = graft.queries.SimilarityQueries.semAssign(
+        graft.queries.SimilarityQueries.semDedupGuard(
+          Tables.table(spark, sf0001, "embeddings")
+            .select($"vec_id",
+              $"embedding".cast("array<double>").as("v"))))
+      Layout.writeBucketed(assigned.filter($"vec_id" < 250),
+        "cell_history", "cell")
+      val incoming = assigned.filter($"vec_id" >= 250)
+      val hist = spark.table("cell_history")
+        .select($"cell", $"v".as("hv"))
+      val survivors = incoming.join(hist,
+        incoming("cell") === hist("cell") &&
+          graft.Clean.roundHalfUp(
+            graft.functions.VectorFunctions.cosineSim(incoming("v"),
+              $"hv"), 4) >= 0.3,
+        "left_anti")
+      val plan = survivors.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected 1 exchange (incoming only):\n$plan")
+      // same survivors as the oracle-certified unbucketed anti-join
+      val expected = graft.SparkEntry.queries("q_semdedup_incremental")(
+        spark, sf0001).count()
+      assert(survivors.count() === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS cell_history")
+    }
+  }
+
   test("z-order tiles bound the spread on BOTH dimensions") {
     // z_tile fixes the top 6 bits of each 8-bit bucket (z >> 4 drops two
     // interleaved bit pairs), so within a tile each raw dimension spans at
