@@ -93,7 +93,8 @@ object ScaleProbe {
     * min-vec_id members: pair work stays constant in N while the
     * one-row-per-vector output grows linearly, and the refused work
     * surfaces as the hot_buckets_semcell drop count. */
-  private val hostileVecQueries = Seq("q_semdedup")
+  private val hostileVecQueries =
+    Seq("q_semdedup", "q_semdedup_incremental")
 
   /** The online greedy stream face probed over the same corpora (its
     * emitted row name in the jsonl record — filterable like any other
