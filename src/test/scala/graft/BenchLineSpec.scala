@@ -18,8 +18,12 @@ class BenchLineSpec extends AnyFunSuite {
     // the line must carry per-query data and stay parseable
     val names = SparkEntry.queries.keys.toSeq.sorted
     val (line, note) = Bench.stdoutLine(
-      names.map(_ -> 0.27), """{}""", "/root/testdata/sf0.1")
-    assert(line.length <= 1900, s"len ${line.length}")
+      names.map(_ -> 0.27), """{}""", "/root/testdata/sf0.1",
+      """"canary":{"start":0.012,"end":0.014},""")
+    assert(line.length <= Bench.MaxLine, s"len ${line.length}")
+    // the canary stamp must survive every rung — it is how a reader of
+    // the record alone tells a contended session from a regression
+    assert(line.contains(""""canary":{"start":0.012,"end":0.014}"""))
     assert(line.startsWith("""{"metric":"total","value":"""))
     // whichever rung fired, the dict must be present and non-empty
     assert(line.contains(""""queries":{""") && !line.contains(""""queries":{}"""))
@@ -31,10 +35,18 @@ class BenchLineSpec extends AnyFunSuite {
     // grow the suite until even the dict-less envelope is the only fit;
     // the line must NEVER exceed the budget at any size
     Seq(10, 50, 88, 120, 200, 400).foreach { n =>
-      val (line, _) = Bench.stdoutLine(suite(n), "{}", "/root/testdata/sf0.1")
-      assert(line.length <= 1900, s"n=$n len=${line.length}")
+      val (line, _) = Bench.stdoutLine(suite(n), "{}", "/root/testdata/sf0.1",
+        """"canary":{"start":0.012,"end":0.014},""")
+      assert(line.length <= Bench.MaxLine, s"n=$n len=${line.length}")
       assert(line.startsWith("""{"metric":"total","value":"""))
     }
+  }
+
+  test("the budget leaves real slack inside the consumer's 2000-char tail") {
+    // the r8 record fit the old 1900 budget and STILL lost its head:
+    // ~140 chars of trailing output (sidecar stderr line + sbt trailer)
+    // shared the tail window. The budget itself must price that in.
+    assert(Bench.MaxLine <= 1600)
   }
 
   test("a small suite reports full names with no degradation note") {
@@ -51,7 +63,7 @@ class BenchLineSpec extends AnyFunSuite {
     // must point at the committed full-precision record
     Seq(120, 200, 400).foreach { n =>
       val (line, note) = Bench.stdoutLine(suite(n), "{}", "sf")
-      assert(line.length <= 1900, s"n=$n len=${line.length}")
+      assert(line.length <= Bench.MaxLine, s"n=$n len=${line.length}")
       assert(note.isDefined)
       if (!line.contains(""""queries_key_prefix"""") ||
           line.contains(""""queries_top"""") || line.contains(""""queries":{}"""))
@@ -63,25 +75,59 @@ class BenchLineSpec extends AnyFunSuite {
   private def parse(json: String) =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
 
-  test("sidecar record is valid JSON carrying both passes, retries, errors") {
+  test("sidecar record is valid JSON carrying both passes, escalations, errors") {
     val warm = Seq(("q_a", 0.1234567, None), ("q_b", 2.0, None),
       ("q_c", 0.5, Some("warm: Boom")))
     val timed = Seq(
       ("q_a", 0.111, None, None),
-      ("q_b", 2.1, None, Some((2.0, 9.7, 2.1))),
+      ("q_b", 2.05, None, Some((2.0, Seq(9.7, 4.3, 2.1)))),
       ("q_c", 0.01, Some("Boom: \"quoted\"\nnewline"), None))
     val json = Bench.sidecarJson("/root/testdata/sf0.1", warm, timed,
-      Map("q_c" -> "Boom: \"quoted\"\nnewline"))
+      Map("q_c" -> "Boom: \"quoted\"\nnewline"), 0.011, 0.0136)
     val node = parse(json)
     assert(node.get("suite_size").asInt == 3)
     // ms precision survives (the stdout line would have quantized this)
     assert(node.get("warm_sec").get("q_a").asDouble == 0.123)
-    assert(node.get("timed_sec").get("q_b").asDouble == 2.1)
+    assert(node.get("timed_sec").get("q_b").asDouble == 2.05)
     assert(!node.get("timed_sec").has("q_c")) // failed query: no timing
-    val r = node.get("outlier_retries").get("q_b")
-    assert(r.get("timed").asDouble == 9.7 && r.get("reported").asDouble == 2.1)
+    // the FULL raw sample ladder survives — a reported value whose raw
+    // measurements are lost is unfalsifiable in the next round's forensics
+    val r = node.get("outlier_escalations").get("q_b")
+    assert(r.get("warm").asDouble == 2.0)
+    assert(r.get("samples").size == 3 && r.get("samples").get(0).asDouble == 9.7)
+    assert(r.get("reported").asDouble == 2.05)
+    assert(node.get("canary_sec").get("start").asDouble == 0.011)
+    assert(node.get("canary_sec").get("end").asDouble == 0.014)
     assert(node.get("errors").get("q_c").asText.contains("quoted"))
-    assert(node.get("total_sec").asDouble == 2.211) // ms-rounded 0.111+2.1
+    assert(node.get("total_sec").asDouble == 2.161) // ms-rounded 0.111+2.05
+  }
+
+  test("escalation must not report the r8 contaminated median") {
+    // the exact r8 failure: q_dedup_minhash_lsh warm 1.45 / timed 7.68 /
+    // retry 4.17 — median-of-three reported the contaminated 4.17. Two
+    // defenses, both pinned here. First: 4.17 still trips the trigger vs
+    // warm, so the escalation loop in main KEEPS measuring instead of
+    // reporting it.
+    assert(Bench.retryTrigger(warm = 1.45, timed = 4.17))
+    // Second: whatever ladder the escalation ends with, the fastest-
+    // agreeing-pair rule never lands on 4.17. A clean fourth sample
+    // pairs with the warm (mean ≈ 1.49):
+    val rep = Bench.reportFromSamples(1.45, Seq(7.68, 4.17, 1.52))
+    assert(math.abs(rep - 1.485) < 1e-9, s"reported $rep")
+    // and even a fully-contended ladder (cap reached, nothing agrees)
+    // falls back to the pool minimum, not a contaminated middle value
+    assert(Bench.reportFromSamples(1.45, Seq(7.68, 4.17)) == 1.45)
+  }
+
+  test("a reproduced slow number is a regression and reports as one") {
+    // escalation must not hide REAL slowdowns: when retries reproduce the
+    // slow number, the fastest agreeing pair is two slow samples and the
+    // lone fast warm agrees with nothing
+    val rep = Bench.reportFromSamples(1.45, Seq(7.7, 7.5))
+    assert(math.abs(rep - 7.6) < 1e-9, s"reported $rep")
+    // an untripped timed pass never reaches reportFromSamples, but the
+    // degenerate one-sample ladder must still behave: warm+timed agree
+    assert(math.abs(Bench.reportFromSamples(2.0, Seq(2.2)) - 2.1) < 1e-9)
   }
 
   test("a lone surrogate in an error message still yields parseable JSON") {
@@ -110,6 +156,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.retryTrigger(warm = 3.00, timed = 4.40))
     // boundary: just past the absolute threshold fires even at low ratio
     assert(Bench.retryTrigger(warm = 10.0, timed = 11.51))
+    // the absolute threshold scales with warm: 5% drift on a long query
+    // is scheduler noise, not an anomaly — a fixed 1.5s gate would
+    // re-measure every long query every round (r8 ADVICE)
+    assert(!Bench.retryTrigger(warm = 40.0, timed = 42.0))
+    // but a >10%-of-warm gap on the same long query still fires
+    assert(Bench.retryTrigger(warm = 40.0, timed = 44.5))
     // a fast timed pass never retries, no matter how slow the warm was
     assert(!Bench.retryTrigger(warm = 30.0, timed = 1.9))
   }
