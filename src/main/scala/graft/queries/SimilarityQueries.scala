@@ -238,34 +238,29 @@ object SimilarityQueries {
     // re-reads the (column-pruned) assignment lineage; production
     // materializes cell as a layout column (q_layout_zorder-style) and
     // skips all re-computation.
-    "q_semdedup" -> ((s, dir) => {
-      import s.implicits._
+    "q_semdedup" -> ((s, dir) =>
+      semDedupPipeline(semDedupInput(s, dir), semCentroids(16, 64), 0.3)),
+
+    // q_semdedup with TRAINED centroids: the scaladoc's production claim
+    // ("swap in trained centroids, keep every downstream stage
+    // unchanged"), wired. The quantizer is [[ivfCentroids]] — the same
+    // deterministic mini-Lloyd q_ann_ivf runs — and everything after
+    // cell assignment is literally the same [[semDedupPipeline]] the
+    // md5-corner query executes: capPerKey cell bounding (tag semcell),
+    // pairwise tau threshold, blame window, one row per vector.
+    //
+    // Rows-only, deliberately, for exactly the q_ann_ivf reason: the
+    // iterative k-means fixed point is not faithfully SQL-replayable
+    // (recursive CTEs cannot aggregate vectors in the recursive term,
+    // and the float summation order would differ anyway). The anchors
+    // instead: q_semdedup pins the ENTIRE downstream with a hard oracle
+    // under corner centroids, and SemDedupTrainedSpec re-verifies the
+    // downstream under the trained assignment with a from-scratch JVM
+    // recomputation (pairing, tau, blame) plus the cap-shrink contract.
+    "q_semdedup_trained" -> ((s, dir) => {
       VectorFunctions.register(s)
-      val tau = 0.3
       val vecs = semDedupInput(s, dir)
-      val assigned = semAssign(vecs)
-      val capped = DedupQueries.capPerKey(
-          assigned.withColumnRenamed("vec_id", "doc_id"), "semcell", $"cell")
-        .withColumnRenamed("doc_id", "vec_id")
-      val sims = capped.select($"cell", $"vec_id".as("a_id"), $"v".as("av"))
-        .join(capped.select($"cell", $"vec_id".as("b_id"), $"v".as("bv")),
-          Seq("cell"))
-        .filter($"a_id" < $"b_id")
-        .select($"b_id", $"a_id",
-          Clean.roundHalfUp(VectorFunctions.cosineSim($"av", $"bv"), 4)
-            .as("cos"))
-        .filter($"cos" >= tau)
-      // blame assignment: the most-similar earlier neighbor wins the
-      // dup_of edge (ties on the 4-dp cosine break to the smallest id)
-      val w = Window.partitionBy($"b_id").orderBy($"cos".desc, $"a_id")
-      val dupOf = sims.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"b_id", $"a_id".as("dup_of"), $"cos".as("dup_cos"))
-      assigned.join(dupOf, $"vec_id" === $"b_id", "left")
-        .select($"vec_id", $"cell",
-          when($"dup_of".isNotNull, 1).otherwise(0).as("is_dup"),
-          $"dup_of", $"dup_cos")
-        .orderBy("vec_id")
+      semDedupPipeline(vecs, ivfCentroids(vecs, k = 16, iters = 2), 0.3)
     }),
 
     // Incremental semantic dedup: the ingest-time face of q_semdedup,
@@ -283,24 +278,93 @@ object SimilarityQueries {
     // history index is a materialized cell-bucketed table, so the
     // anti-join shuffles ONLY the increment — the q_dedup_incremental
     // layout story with cell as the bucket key.
-    "q_semdedup_incremental" -> ((s, dir) => {
+    "q_semdedup_incremental" -> ((s, dir) =>
+      semDedupIncrementalPipeline(semDedupInput(s, dir),
+        semCentroids(16, 64), 0.3, 250L)),
+
+    // Ingest-time semantic dedup with TRAINED centroids — the production
+    // composition: the quantizer trains on the HISTORY side only (the
+    // increment must be assignable with the centroids that built the
+    // history index, or the cell equi-join keys would not line up), and
+    // the downstream is the same [[semDedupIncrementalPipeline]] as the
+    // corner-centroid query: semHistoryIndex capping (tag semhist), one
+    // anti-join, only the increment shuffles against a cell-bucketed
+    // history (SemDedupTrainedSpec re-pins the one-exchange plan under
+    // the trained assignment). Rows-only for the q_semdedup_trained
+    // reason; the spec recomputes the expected survivor set from the
+    // collected trained assignment as the external anchor.
+    "q_semdedup_incremental_trained" -> ((s, dir) => {
       import s.implicits._
       VectorFunctions.register(s)
-      val tau = 0.3
       val split = 250L
       val vecs = semDedupInput(s, dir)
-      val assigned = semAssign(vecs)
-      val hist = semHistoryIndex(assigned.filter($"vec_id" < split))
-        .select($"cell", $"v".as("hv"))
-      val incoming = assigned.filter($"vec_id" >= split)
-      incoming.join(hist, incoming("cell") === hist("cell") &&
-          Clean.roundHalfUp(
-            VectorFunctions.cosineSim(incoming("v"), $"hv"), 4) >= tau,
-          "left_anti")
-        .select($"vec_id", $"cell")
-        .orderBy("vec_id")
+      semDedupIncrementalPipeline(vecs,
+        ivfCentroids(vecs.filter($"vec_id" < split), k = 16, iters = 2),
+        0.3, split)
     })
   )
+
+  /** Everything of SemDeDup AFTER quantizer choice: cell assignment via
+    * the given centroids, capPerKey cell bounding, within-cell pairing
+    * with the 4-dp tau threshold, most-similar-earlier-neighbor blame,
+    * one output row per vector. Parameterizing the centroids (md5
+    * corners for the hard-oracle query, [[ivfCentroids]] output for the
+    * trained one) is what makes "swap in trained centroids, keep every
+    * downstream stage unchanged" a checked property instead of a
+    * scaladoc promise. Empty `cents` (an empty corpus trained nothing)
+    * short-circuits to an empty result in the query's shape — an empty
+    * centroid literal would not even analyze. */
+  private[graft] def semDedupPipeline(vecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
+    import vecs.sparkSession.implicits._
+    if (cents.isEmpty)
+      return vecs.limit(0).select($"vec_id", lit(0).as("cell"),
+        lit(0).as("is_dup"), $"vec_id".as("dup_of"), lit(0.0).as("dup_cos"))
+    val assigned = assignCells(vecs, cents)
+    val capped = DedupQueries.capPerKey(
+        assigned.withColumnRenamed("vec_id", "doc_id"), "semcell", $"cell")
+      .withColumnRenamed("doc_id", "vec_id")
+    val sims = capped.select($"cell", $"vec_id".as("a_id"), $"v".as("av"))
+      .join(capped.select($"cell", $"vec_id".as("b_id"), $"v".as("bv")),
+        Seq("cell"))
+      .filter($"a_id" < $"b_id")
+      .select($"b_id", $"a_id",
+        Clean.roundHalfUp(VectorFunctions.cosineSim($"av", $"bv"), 4)
+          .as("cos"))
+      .filter($"cos" >= tau)
+    // blame assignment: the most-similar earlier neighbor wins the
+    // dup_of edge (ties on the 4-dp cosine break to the smallest id)
+    val w = Window.partitionBy($"b_id").orderBy($"cos".desc, $"a_id")
+    val dupOf = sims.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"b_id", $"a_id".as("dup_of"), $"cos".as("dup_cos"))
+    assigned.join(dupOf, $"vec_id" === $"b_id", "left")
+      .select($"vec_id", $"cell",
+        when($"dup_of".isNotNull, 1).otherwise(0).as("is_dup"),
+        $"dup_of", $"dup_cos")
+      .orderBy("vec_id")
+  }
+
+  /** The ingest-time face, parameterized the same way: history =
+    * vec_id < split quantized and capped through [[semHistoryIndex]],
+    * increment = the rest, admitted iff NO same-cell history member
+    * clears tau — one anti-join, each arrival judged independently. */
+  private[graft] def semDedupIncrementalPipeline(vecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])], tau: Double, split: Long): DataFrame = {
+    import vecs.sparkSession.implicits._
+    if (cents.isEmpty)
+      return vecs.limit(0).select($"vec_id", lit(0).as("cell"))
+    val assigned = assignCells(vecs, cents)
+    val hist = semHistoryIndex(assigned.filter($"vec_id" < split))
+      .select($"cell", $"v".as("hv"))
+    val incoming = assigned.filter($"vec_id" >= split)
+    incoming.join(hist, incoming("cell") === hist("cell") &&
+        Clean.roundHalfUp(
+          VectorFunctions.cosineSim(incoming("v"), $"hv"), 4) >= tau,
+        "left_anti")
+      .select($"vec_id", $"cell")
+      .orderBy("vec_id")
+  }
 
   /** SemDeDup centroids: K fixed ±1 corner vectors whose sign at
     * dimension p is the md5("c|p") parity — the [[rhpParities]] device
@@ -311,9 +375,9 @@ object SimilarityQueries {
     * k-means of [[ivfCentroids]] structurally cannot offer — see the
     * q_ann_ivf note). Data-independent corners partition direction space
     * evenly enough for a dedup PARTITIONING (only pairs in one cell are
-    * compared); a production run would swap in trained centroids and keep
-    * every downstream stage unchanged. */
-  private def semCentroids(k: Int, dims: Int): Seq[(Int, Seq[Double])] = {
+    * compared); q_semdedup_trained IS that swap — [[ivfCentroids]] output
+    * through the identical [[semDedupPipeline]]. */
+  private[graft] def semCentroids(k: Int, dims: Int): Seq[(Int, Seq[Double])] = {
     val par = rhpParities(k, dims)
     (0 until k).map(c =>
       c -> par(c).map(b => if (b == 1) 1.0 else -1.0).toSeq)
@@ -390,7 +454,7 @@ object SimilarityQueries {
     * reference the centroids (the round-2 bench paid the whole quantizer
     * twice: 1.98s -> 5.54s). Returns the (cell, centroid) pairs sorted by
     * cell. */
-  private def ivfCentroids(vecs: DataFrame, k: Int, iters: Int)
+  private[graft] def ivfCentroids(vecs: DataFrame, k: Int, iters: Int)
       : Seq[(Int, Seq[Double])] = {
     import vecs.sparkSession.implicits._
     var cents = vecs.filter($"vec_id" < k)
@@ -422,7 +486,7 @@ object SimilarityQueries {
     * tiebreak the former broadcast-join + row_number plan used, without
     * its per-row window shuffle). The score array is bound to a column
     * first so the K cosines evaluate once, not once per argmax operand. */
-  private def assignCells(vecs: DataFrame,
+  private[graft] def assignCells(vecs: DataFrame,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
     import vecs.sparkSession.implicits._
     vecs.withColumn("__scores", centroidScores(cents, $"v"))

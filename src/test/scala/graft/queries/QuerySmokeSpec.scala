@@ -29,7 +29,13 @@ class QuerySmokeSpec extends SparkTestBase {
       "q_ann_lsh",             // twin: q_ann_lsh_sql (green)
       "q_ann_ivf",             // documented infeasibility + score/recall pins
       "q_agg_approx_distinct", // HLL: 3*rsd error-bound spec
-      "q_agg_approx_quantiles" // GK: rank-error-bound spec
+      "q_agg_approx_quantiles", // GK: rank-error-bound spec
+      // trained-quantizer semantic dedup: the iterative k-means fixed
+      // point is not SQL-replayable (the q_ann_ivf rationale); anchors =
+      // q_semdedup's hard oracle over the IDENTICAL downstream pipeline
+      // + SemDedupTrainedSpec's from-scratch downstream recomputation
+      "q_semdedup_trained",
+      "q_semdedup_incremental_trained"
     )
     val unanchored = SparkEntry.queries.keySet
       .diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
