@@ -41,6 +41,15 @@ object DedupQueries {
     * query OFF the oracle contract: Verify must run at the default. */
   private[queries] val DefaultMaxGramDf = 100
 
+  /** q_dedup_substring's shingle width (tokens per positional k-shingle)
+    * and minimum shared-run length in tokens. A run of R consecutive
+    * matched shingle positions means R + k - 1 verbatim shared tokens,
+    * so the detector fires at MinRunTokens - k + 1 consecutive matches.
+    * Both constants are baked into the generated DuckDB oracle — change
+    * them in ONE place or the hash-match breaks. */
+  private[queries] val SubstringShingleTokens = 5
+  private[queries] val MinRunTokens = 15
+
   /** Hard ceiling on per-bucket (and per-fingerprint-group) membership
     * during candidate generation — `spark.graft.dedup.maxBucket`,
     * default 1000. A bucket that exceeds it is not a near-dup
@@ -661,6 +670,104 @@ object DedupQueries {
       cross.union(within).orderBy("doc_a", "doc_b")
     }),
 
+    // EXACT SUBSTRING-RUN dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"-style): flag every document sharing a
+    // VERBATIM run of >= MinRunTokens consecutive normalized tokens with
+    // an earlier document. Doc-level twins (fingerprint/MinHash/SimHash)
+    // miss this shape entirely — a 15-token plagiarized paragraph inside
+    // two otherwise-unrelated documents — and chunk dedup only catches it
+    // when the copy happens to align with the fixed stride-15 tiling.
+    //
+    // No suffix array needed: positional k-token shingles turn "shared
+    // substring of length R" into "R-k+1 matches along one DIAGONAL"
+    // (b_pos - a_pos constant, positions consecutive), and diagonals are
+    // detected with the classic gaps-and-islands window (island id =
+    // b_pos - row_number) — everything stays declarative and shuffles
+    // only on shingle-hash and pair keys.
+    //
+    // Scale guards, both established dedup-family devices: (1) a shingle
+    // occurring in more than maxGramDf documents is template boilerplate
+    // (license headers, nav chrome) and is dropped from the match
+    // universe BEFORE pairing — pairing on it would build a near-clique
+    // across the corpus (df² pairs per shingle); the oracle replays the
+    // same HAVING filter, so the score universe is self-consistent.
+    // Ubiquitous-boilerplate SPAN REMOVAL is a different operator
+    // (template stripping) — this one flags pairwise verbatim overlap.
+    // (2) [[capPerKey]] bounds each surviving hash bucket at maxBucket
+    // members with drop counts observed (`hot_buckets_substring`) and
+    // fail-fast under Verify — cap ordering is made deterministic by
+    // packing (doc_id, p) into one sortable long (positions < 1e6/doc;
+    // the pack is ordering-only, real columns ride alongside).
+    //
+    // Within one diagonal each b_pos appears at most once (a_pos is
+    // determined by b_pos - d), so the islands window needs no
+    // tiebreakers and the (a_id, b_id, d, b_pos) match set is exactly
+    // the set of equal-shingle position pairs — the collapsed run length
+    // + k-1 is the length in TOKENS of the longest shared verbatim run.
+    // Output: one row per flagged LATER doc with blame assigned to the
+    // earlier doc sharing the longest run (ties -> smallest id).
+    "q_dedup_substring" -> ((s, dir) => {
+      import s.implicits._
+      val k = SubstringShingleTokens
+      val minRun = MinRunTokens - k + 1
+      val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
+        .map(_.toInt).getOrElse(DefaultMaxGramDf)
+      require(dfCap <= maxBucket(s),
+        s"maxGramDf ($dfCap) must not exceed maxBucket: bucket pairing " +
+          "would truncate shingle buckets the df filter admitted")
+      val docs = Tables.spread(Tables.table(s, dir, "documents"), $"doc_id")
+        .select($"doc_id", toks($"text").as("t"))
+        .filter(size($"t") >= k)
+      // the explicit repartition makes the positional-shingle lineage a
+      // SHARED exchange: the df aggregation and the df-filter join both
+      // consume it clustered on h (the containment device)
+      val hashed = docs
+        .select($"doc_id",
+          explode(sequence(lit(1), size($"t") - (k - 1))).as("p"), $"t")
+        .select($"doc_id", $"p",
+          md5(concat_ws(" ", slice($"t", $"p", lit(k)))).as("h"))
+        .repartition($"h")
+      val gramDf = hashed.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" <= dfCap).select($"h")
+      val kept = hashed.join(gramDf, Seq("h"))
+      val capped = capPerKey(
+          kept.withColumn("__doc", $"doc_id")
+            .withColumn("doc_id", $"doc_id" * 1000000L + $"p"),
+          "substring", $"h")
+        .select($"h", $"__doc".as("doc_id"), $"p")
+      // one-pass pairing (the bucketPairs shape, carrying positions):
+      // collect each bucket's <= maxBucket (doc, pos) occurrences, explode
+      // ordered pairs — never a capped self-join that would re-execute
+      // the scan->shingle->df lineage into both branches
+      val matches = capped
+        .groupBy($"h")
+        .agg(collect_list(struct($"doc_id", $"p")).as("occ"))
+        .filter(size($"occ") > 1)
+        .select(explode($"occ").as("a"), $"occ")
+        .select($"a", explode($"occ").as("b"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+          ($"b.p" - $"a.p").as("d"), $"b.p".as("b_p"))
+      val islands = org.apache.spark.sql.expressions.Window
+        .partitionBy($"a_id", $"b_id", $"d").orderBy($"b_p")
+      val pairs = matches
+        .withColumn("island", $"b_p" - row_number().over(islands))
+        .groupBy($"a_id", $"b_id", $"d", $"island")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy($"a_id", $"b_id")
+        .agg((max($"run_len") + (k - 1)).as("run_tokens"))
+        .filter($"run_tokens" >= MinRunTokens)
+      val blame = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"run_tokens".desc, $"dup_of")
+      pairs
+        .select($"b_id".as("doc_id"), $"a_id".as("dup_of"), $"run_tokens")
+        .withColumn("rn", row_number().over(blame))
+        .filter($"rn" === 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH banding: signature k=32, 8 bands x 4 rows; docs
     // sharing >=1 band bucket become candidate pairs. (No SQL oracle —
     // seeded xxhash64 is not reproducible in DuckDB; correctness is
@@ -1065,6 +1172,55 @@ object DedupQueries {
         |           - length(list_intersect(a.grams, b.grams)))
         |        * 10000 + 0.5) / 10000 >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact replay of q_dedup_substring: same normalized tokenization,
+    // same positional k=5 md5 shingles, same df <= 100 boilerplate
+    // filter, gaps-and-islands run detection, and longest-run blame.
+    // The oracle computes the UNCAPPED bucket pairing (no maxBucket);
+    // Verify's failOnCapExceeded turns any cap engagement into a named
+    // error instead of a silent mismatch — the capPerKey contract.
+    "q_dedup_substring" -> {
+      val k = SubstringShingleTokens
+      val minTok = MinRunTokens
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+         |                 ' ') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(range(1, (length(t) - ${k - 1}) + 1)) AS p, t
+         |  FROM toks WHERE length(t) >= $k),
+         |hashed AS (
+         |  SELECT doc_id, p,
+         |    md5(array_to_string(t[p:p+${k - 1}], ' ')) AS h
+         |  FROM sh),
+         |kept AS (
+         |  SELECT hashed.doc_id, hashed.p, hashed.h FROM hashed
+         |  JOIN (SELECT h FROM hashed GROUP BY h
+         |        HAVING count(DISTINCT doc_id) <= 100) ok USING (h)),
+         |m AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    b.p - a.p AS d, b.p AS bp
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT a_id, b_id, count(*) AS run_len
+         |  FROM (SELECT a_id, b_id, d, bp,
+         |          bp - row_number() OVER (PARTITION BY a_id, b_id, d
+         |            ORDER BY bp) AS island
+         |        FROM m)
+         |  GROUP BY a_id, b_id, d, island),
+         |pairs AS (
+         |  SELECT a_id, b_id,
+         |    CAST(max(run_len) + ${k - 1} AS BIGINT) AS run_tokens
+         |  FROM runs GROUP BY a_id, b_id
+         |  HAVING max(run_len) + ${k - 1} >= $minTok)
+         |SELECT doc_id, dup_of, run_tokens FROM (
+         |  SELECT b_id AS doc_id, a_id AS dup_of, run_tokens,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY run_tokens DESC, a_id) AS rn
+         |  FROM pairs)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
 
     "q_dedup_incremental" ->
       """WITH d AS (

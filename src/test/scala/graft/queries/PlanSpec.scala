@@ -60,7 +60,12 @@ class PlanSpec extends SparkTestBase {
       // the semantic dedup family: the within-cell pairing and the
       // history anti-probe must stay cell-equi-keyed hash joins (the
       // cosine predicate is a residual, never the join strategy)
-      "q_semdedup", "q_semdedup_incremental").foreach { q =>
+      "q_semdedup", "q_semdedup_incremental",
+      "q_semdedup_trained", "q_semdedup_incremental_trained",
+      // substring-run detection: bucket pairing on shingle hash plus
+      // window islands — a cartesian would mean the df filter or the
+      // one-pass pairing shape regressed
+      "q_dedup_substring").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -1,0 +1,137 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import graft.SparkTestBase
+
+/** Pins q_dedup_substring's exact semantics: a document is flagged iff it
+  * shares a verbatim run of >= 15 consecutive normalized tokens with an
+  * earlier document, blamed on the earlier doc with the longest run
+  * (ties -> smallest id). The hard DuckDB oracle checks the corpus
+  * answer; this spec checks the SEMANTICS on crafted threshold/interrupt
+  * cases the corpus cannot guarantee to contain, plus a from-scratch JVM
+  * recomputation on real data as a third witness.
+  */
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(dir: String) =
+    DedupQueries.queries("q_dedup_substring")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_of"), r.getAs[Long]("run_tokens"))).toMap
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("substring_fixture").toString
+    rows.map { case (id, text) => (id, text, "en", s"src$id", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(r: Range, tag: String = "w"): String =
+    r.map(i => s"$tag$i").mkString(" ")
+
+  test("fires at exactly 15 shared tokens and not at 14") {
+    // doc 0: w1..w40. doc 1 embeds w1..w15 (15 tokens) in foreign text;
+    // doc 2 embeds w1..w14 (14 tokens) the same way.
+    val dir = writeDocs(Seq(
+      0L -> words(1 to 40),
+      1L -> s"${words(1 to 10, "x")} ${words(1 to 15)} ${words(11 to 20, "x")}",
+      2L -> s"${words(1 to 10, "y")} ${words(1 to 14)} ${words(11 to 20, "y")}"))
+    val got = run(dir)
+    assert(got(1L) === (0L, 15L))
+    assert(!got.contains(2L))
+  }
+
+  test("an interrupted run splits: two 14-token halves do not fire") {
+    // doc 1 copies w1..w29 of doc 0 but swaps the middle token w15:
+    // the longest verbatim runs are w1..w14 and w16..w29, both 14 < 15
+    val dir = writeDocs(Seq(
+      0L -> words(1 to 40),
+      1L -> (words(1 to 14) + " CHANGED " + words(16 to 29))))
+    assert(run(dir).isEmpty)
+  }
+
+  test("identical docs share their full token length; normalization " +
+      "ignores case and whitespace") {
+    val dir = writeDocs(Seq(
+      0L -> words(1 to 30),
+      1L -> ("  " + words(1 to 30).toUpperCase.replace(" ", "   ") + " ")))
+    assert(run(dir)(1L) === (0L, 30L))
+  }
+
+  test("blame picks the longest run, then the smallest earlier id") {
+    // doc 2 shares 20 tokens with doc 0 and 25 with doc 1 -> blame 1;
+    // doc 5 shares the same 16 tokens with docs 3 and 4 -> blame 3
+    val dir = writeDocs(Seq(
+      0L -> (words(1 to 20) + " " + words(1 to 10, "a")),
+      1L -> (words(31 to 55) + " " + words(1 to 10, "b")),
+      2L -> (words(1 to 20) + " " + words(1 to 5, "c") + " " + words(31 to 55)),
+      3L -> (words(1 to 16, "p") + " " + words(1 to 10, "q")),
+      4L -> (words(1 to 16, "p") + " " + words(1 to 10, "r")),
+      5L -> (words(1 to 16, "p") + " " + words(1 to 10, "s"))))
+    val got = run(dir)
+    assert(got(2L) === (1L, 25L))
+    assert(got(5L) === (3L, 16L))
+    // 4 also shares p1..p16 with 3 (plus nothing longer)
+    assert(got(4L) === (3L, 16L))
+    // 1 shares nothing >= 15 with 0 (disjoint vocab)
+    assert(!got.contains(1L) && !got.contains(0L))
+  }
+
+  test("shingles above the df cap are boilerplate and never pair") {
+    // five docs share one 20-token run; with maxGramDf = 3 every shingle
+    // of the run lives in 5 > 3 docs -> dropped, nothing flagged. At the
+    // default cap (100) the same corpus flags docs 1..4 against doc 0.
+    val shared = words(1 to 20, "boiler")
+    val dir = writeDocs((0L to 4L).map(i =>
+      i -> s"${words(1 to 6, s"u$i")} $shared ${words(1 to 6, s"v$i")}"))
+    spark.conf.set("spark.graft.dedup.maxGramDf", "3")
+    try assert(run(dir).isEmpty)
+    finally spark.conf.unset("spark.graft.dedup.maxGramDf")
+    val got = run(dir)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_ === (0L, 20L)))
+  }
+
+  test("sf0.001 output matches a from-scratch JVM recomputation") {
+    val k = 5
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> Option(t).map(_.trim.toLowerCase.split("\\s+").toSeq)
+          .getOrElse(Seq.empty) }
+      .filter(_._2.size >= k)
+    val shingles = docs.flatMap { case (id, t) =>
+      t.sliding(k).zipWithIndex.map { case (sh, i) =>
+        (id, i + 1, sh.mkString(" ")) } }
+    val df = shingles.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.size).toMap
+    val kept = shingles.filter(s => df(s._3) <= 100)
+    val byShingle = kept.toSeq.groupBy(_._3)
+    val matches = byShingle.values.toSeq.flatMap { occ =>
+      for {
+        a <- occ; b <- occ if a._1 < b._1
+      } yield (a._1, b._1, b._2 - a._2, b._2)
+    }
+    val runs = matches.groupBy { case (a, b, d, _) => (a, b, d) }.flatMap {
+      case ((a, b, _), ms) =>
+        val ps = ms.map(_._4).sorted
+        // gaps-and-islands: consecutive positions share (p - rank)
+        ps.zipWithIndex.groupBy { case (p, i) => p - i }
+          .map { case (_, run) => (a, b, run.size) }
+    }
+    val want = runs.groupBy { case (a, b, _) => (a, b) }.view
+      .mapValues(_.map(_._3).max + k - 1).toSeq
+      .map { case ((a, b), rt) => (a, b, rt.toLong) }
+      .filter(_._3 >= 15)
+      .groupBy(_._2).view.mapValues { cands =>
+        val best = cands.minBy { case (a, _, rt) => (-rt, a) }
+        (best._1, best._3)
+      }.toMap
+    val got = run(sf0001)
+    assert(got === want)
+    assert(got.nonEmpty) // the corpus contains real substring dups
+  }
+}
