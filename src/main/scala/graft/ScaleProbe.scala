@@ -42,7 +42,11 @@ object ScaleProbe {
     "q_agg_cube", "q_agg_rollup", "q_scd2_history", "q_corpus_health",
     "q_dedup_incremental_bloom", "q_scd2_asof", "q_scan_jsonl",
     "q_corpus_diff", "q_doc_quota", "q_semdedup",
-    "q_semdedup_incremental", "q_shard_assign")
+    "q_semdedup_incremental", "q_shard_assign", "q_dedup_substring",
+    // replica-corpus rows for the heavy pairing family (they also run on
+    // the hostile corpora below): the 16x/32x knee hunt needs them on
+    // verbatim-copy replicas, where exact-collapse does the bounding
+    "q_dedup_clusters")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
@@ -64,7 +68,12 @@ object ScaleProbe {
     // every boilerplate 3-gram's document frequency is ~the corpus size,
     // so the maxGramDf cap must drop the whole index — near-constant
     // time, zero pairs — instead of joining 20k docs on shared grams
-    "q_dedup_containment")
+    "q_dedup_containment",
+    // same shape one level down: every POSITIONAL 5-shingle of the
+    // shared boilerplate run lives in ~every doc, so the df filter
+    // drops the whole match universe before any diagonal pairing —
+    // the probe pins near-constant time and zero flagged docs
+    "q_dedup_substring")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
@@ -177,11 +186,43 @@ object ScaleProbe {
   private def observedJson(df: DataFrame): String = {
     val om = df.queryExecution.observedMetrics
     if (om.isEmpty) ""
-    else om.toSeq.sortBy(_._1).map { case (name, row) =>
-      row.schema.fields.zipWithIndex.map { case (f, i) =>
-        s""""${name}_${f.name}":${row.get(i)}"""
-      }.mkString(",")
-    }.mkString(",", ",", "")
+    else {
+      // null values are skipped and anything non-numeric is quoted (with
+      // control/quote/backslash escaping): a surprise metric type must
+      // never emit unparseable JSONL and lose the whole probe row
+      val fields = om.toSeq.sortBy(_._1).flatMap { case (name, row) =>
+        row.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          row.get(i) match {
+            case null => None
+            case n: java.lang.Number => Some(s""""${name}_${f.name}":$n""")
+            case b: java.lang.Boolean => Some(s""""${name}_${f.name}":$b""")
+            case other =>
+              val esc = other.toString.flatMap {
+                case '"' => "\\\""
+                case '\\' => "\\\\"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"
+                case c => c.toString
+              }
+              Some(s""""${name}_${f.name}":"$esc"""")
+          }
+        }
+      }
+      if (fields.isEmpty) "" else fields.mkString(",", ",", "")
+    }
+  }
+
+  /** Peak state-store footprint over a drained stream's progress history:
+    * (max total state rows, max total state memory bytes) summed across
+    * the query's stateful operators per micro-batch. This is the MEASURED
+    * form of the stateful faces' claimed memory bound — wall-clock alone
+    * cannot distinguish "buffered the hot group's slice" from "buffered
+    * the whole stream". Stateless faces report (0, 0). */
+  private def stateMetrics(
+      sq: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    val progs = sq.recentProgress
+    def peak(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+      progs.map(p => p.stateOperators.map(f).sum).foldLeft(0L)(math.max)
+    (peak(_.numRowsTotal), peak(_.memoryUsedBytes))
   }
 
   /** Count a query's result through its OWN queryExecution and collect
@@ -317,15 +358,16 @@ object ScaleProbe {
       pickedStreamFaces.foreach { q =>
         val table = s"probe_${q}_f$k"
         val t0 = System.nanoTime()
-        val n = try {
+        val (n, stRows, stMem) = try {
           val (df, mode) = streamFace(q, spark, s"$dir/events.parquet")
           val sq = graft.streaming.EventStream.runToMemory(df, table, mode)
           sq.awaitTermination()
-          spark.table(table).count()
+          val (r, m) = stateMetrics(sq)
+          (spark.table(table).count(), r, m)
         } catch { case e: Throwable =>
-          System.err.println(s"$q@$k: $e"); -1L }
+          System.err.println(s"$q@$k: $e"); (-1L, 0L, 0L) }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":"user_skew_stream"}""")
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"state_rows":$stRows,"state_mem_bytes":$stMem,"hostile":"user_skew_stream"}""")
       }
     }
 
@@ -356,17 +398,18 @@ object ScaleProbe {
       if (pickedVecStreamFaces.nonEmpty) {
         val table = s"probe_semonline_f$k"
         val t0 = System.nanoTime()
-        val n = try {
+        val (n, stRows, stMem) = try {
           val out = graft.streaming.DocStream.semanticDedupOnline(spark,
             graft.streaming.DocStream.readEmbeddings(
               spark, s"$dir/embeddings.parquet")).toDF()
           val sq = graft.streaming.EventStream.runToMemory(out, table)
           sq.awaitTermination()
-          spark.table(table).count()
+          val (r, m) = stateMetrics(sq)
+          (spark.table(table).count(), r, m)
         } catch { case e: Throwable =>
-          System.err.println(s"semonline@$k: $e"); -1L }
+          System.err.println(s"semonline@$k: $e"); (-1L, 0L, 0L) }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"factor":$k,"query":"s_semdedup_online","sec":$sec%.3f,"rows":$n,"hostile":"same_embedding_stream"}""")
+        println(f"""{"factor":$k,"query":"s_semdedup_online","sec":$sec%.3f,"rows":$n,"state_rows":$stRows,"state_mem_bytes":$stMem,"hostile":"same_embedding_stream"}""")
       }
     }
     spark.stop()

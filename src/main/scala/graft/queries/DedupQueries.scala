@@ -727,8 +727,17 @@ object DedupQueries {
         .select($"doc_id", $"p",
           md5(concat_ws(" ", slice($"t", $"p", lit(k)))).as("h"))
         .repartition($"h")
+      // the df filter is this query's first-line scale guard, so ITS
+      // drop count is the observable (the capPerKey observe downstream
+      // sees zero rows — and therefore never materializes its metrics —
+      // exactly when the filter dropped everything, the hostile-corpus
+      // case the probe wants to see)
       val gramDf = hashed.groupBy($"h")
         .agg(countDistinct($"doc_id").as("df"))
+        .observe("df_filter_substring",
+          coalesce(sum(when($"df" > dfCap, 1L).otherwise(0L)), lit(0L))
+            .as("dropped_grams"),
+          coalesce(max($"df".cast("long")), lit(0L)).as("max_gram_df"))
         .filter($"df" <= dfCap).select($"h")
       val kept = hashed.join(gramDf, Seq("h"))
       val capped = capPerKey(

@@ -588,7 +588,25 @@ object ParityQueries {
       // own stages on exit (deleteOnExit below) — without that, every
       // CI/test JVM would orphan one corpus dump in tmp forever.
       val pid = java.lang.ProcessHandle.current().pid()
-      val stageFile = new java.io.File(sys.props("java.io.tmpdir"),
+      val tmpDir = new java.io.File(sys.props("java.io.tmpdir"))
+      // deleteOnExit never runs on SIGKILL/OOM: a killed JVM orphans its
+      // pid-keyed stage forever. Best-effort-prune dead siblings here —
+      // the pid embedded in the name makes "owner is gone" checkable, so
+      // each healthy run garbage-collects the crashed ones' leavings.
+      val StageName = raw"graft_jsonl_stage_(\d+)_[0-9a-f]+".r
+      Option(tmpDir.listFiles()).foreach(_.foreach { f =>
+        f.getName match {
+          case StageName(p) if p.toLong != pid &&
+              !java.lang.ProcessHandle.of(p.toLong)
+                .map[Boolean](_.isAlive).orElse(false) =>
+            def rm(g: java.io.File): Unit = {
+              Option(g.listFiles()).foreach(_.foreach(rm)); g.delete()
+            }
+            rm(f)
+          case _ => ()
+        }
+      })
+      val stageFile = new java.io.File(tmpDir,
         "graft_jsonl_stage_" + pid + "_" +
           java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))

@@ -109,7 +109,8 @@ object DocStream {
     * `fp`), not the corpus, and we cache it: batch N pays a cached
     * columnar scan, not a re-read + re-fingerprint of history (the
     * [[contaminationHits]] cache note; callers managing many streams
-    * unpersist via spark.catalog.clearCache()). At 100 TB the index is
+    * build the index once via [[prepareFpIndex]], pass `prepared =
+    * true`, and own the unpersist handle). At 100 TB the index is
     * the `Layout.writeBucketed`-on-fp table of the batch story, so the
     * per-batch anti-join shuffles ONLY the micro-batch — the same
     * one-exchange plan LayoutSpec pins for `q_dedup_incremental` — and
@@ -119,12 +120,26 @@ object DocStream {
     * @param docs       streaming documents ([[docSchema]])
     * @param historyFps static frame with an `fp` column —
     *                   `Clean.fingerprint` values of the existing corpus */
-  def incrementalDedup(docs: DataFrame, historyFps: DataFrame): DataFrame = {
-    val history = historyFps.select(col("fp")).cache()
+  def incrementalDedup(docs: DataFrame, historyFps: DataFrame,
+                       prepared: Boolean = false): DataFrame = {
+    // prepared=true: the caller built the index with [[prepareFpIndex]]
+    // (cached once, shared across streams, unpersisted when retired) —
+    // caching again here would stack one storage copy per stream setup
+    val history =
+      if (prepared) historyFps.select(col("fp"))
+      else prepareFpIndex(historyFps)
     docs.withColumn("fp", graft.Clean.fingerprint(col("text")))
       .join(history, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
   }
+
+  /** Build + cache the fingerprint history index ONCE for any number of
+    * [[incrementalDedup]] stream setups (pass `prepared = true`), and
+    * hand the caller the unpersist handle the inline-cache path cannot
+    * give: `idx.unpersist()` when the streams are retired, instead of a
+    * global `spark.catalog.clearCache()`. */
+  def prepareFpIndex(historyFps: DataFrame): DataFrame =
+    historyFps.select(col("fp")).cache()
 
   /** The embeddings schema as shipped in the testdata parquet. */
   val embSchema: StructType = StructType(Seq(
@@ -167,16 +182,16 @@ object DocStream {
     * @param historyVecs static embeddings frame with vec_id + embedding
     */
   def semanticDedup(newVecs: DataFrame, historyVecs: DataFrame,
-                    tau: Double = 0.3): DataFrame = {
+                    tau: Double = 0.3, prepared: Boolean = false)
+      : DataFrame = {
     import graft.queries.SimilarityQueries
     // cosineSim resolves through the session's function registry
     graft.functions.VectorFunctions.register(newVecs.sparkSession)
-    val hist = SimilarityQueries.semHistoryIndex(
-        SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
-          historyVecs.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v")))))
-      .select(col("cell"), col("v").as("hv"))
-      .cache()
+    // prepared=true: historyVecs IS the [[prepareSemIndex]] output
+    // (cell, hv) — cached once by the caller, who also owns unpersist
+    val hist =
+      if (prepared) historyVecs.select(col("cell"), col("hv"))
+      else prepareSemIndex(historyVecs)
     val incoming = SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
       newVecs.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))))
@@ -186,6 +201,22 @@ object DocStream {
             col("hv")), 4) >= tau,
         "left_anti")
       .select(col("vec_id"), col("cell"))
+  }
+
+  /** Build + cache the cell-assigned, capPerKey-bounded semantic history
+    * index `(cell, hv)` ONCE for any number of [[semanticDedup]] stream
+    * setups (pass `prepared = true`), returning the unpersist handle —
+    * the inline-cache path stacks one storage copy per setup and can
+    * only be cleared globally. */
+  def prepareSemIndex(historyVecs: DataFrame): DataFrame = {
+    import graft.queries.SimilarityQueries
+    graft.functions.VectorFunctions.register(historyVecs.sparkSession)
+    SimilarityQueries.semHistoryIndex(
+        SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
+          historyVecs.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v")))))
+      .select(col("cell"), col("v").as("hv"))
+      .cache()
   }
 
   /** Per-cell admitted-vector index for [[semanticDedupOnline]]: ids in
@@ -219,7 +250,16 @@ object DocStream {
     * buffered and sorted (vec_id order = deterministic replay); the
     * event-skew analogue is probed for the event faces in SCALING.md,
     * and a hot CELL here is bounded by the cap itself: past cap members
-    * the per-arrival work stops growing. */
+    * the per-arrival work stops growing. The one bound the cap does NOT
+    * give is the arrival buffer: `rows.toSeq.sortBy` materializes the
+    * hot cell's whole micro-batch slice on its task before admission
+    * runs, so a hot cell's memory floor is its slice size (state and
+    * per-arrival work stay capped — the identical-embedding probe
+    * measures state_rows=1 at every factor while arrivals grow 8×).
+    * If production slices outgrow that floor, pre-sort with
+    * sortWithinPartitions upstream or shrink maxFilesPerTrigger —
+    * admission order is vec_id, not arrival, so the answer is
+    * unchanged. */
   def semanticDedupOnline(spark: SparkSession, newVecs: DataFrame,
                           tau: Double = 0.3): Dataset[SemAdmit] = {
     import spark.implicits._
