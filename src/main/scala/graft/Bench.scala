@@ -146,7 +146,17 @@ object Bench {
     // each spent a forensic round-trip proving "the code didn't change,
     // the driver session was contended" from indirect evidence
     val canaryEnd = canarySec(spark)
-    val canaryJson = s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},"""
+    // session-wide contention verdict: computed from the FIRST raw timed
+    // sample of every error-free query (an escalated query's reported
+    // minimum is by construction clean — using it would hide the very
+    // signal this stamp exists to surface)
+    val contended = contendedStamp(timed.collect {
+      case (n, rep, None, esc) =>
+        (warmSecs(n), esc.map(_._2.head).getOrElse(rep))
+    })
+    val contendedJson = if (contended) """"contended":true,""" else ""
+    val canaryJson =
+      s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},$contendedJson"""
     // Full-precision AUDIT record, written to a committed file: the stdout
     // line is the driver contract but its tail budget quantizes 89 queries
     // to deciseconds, and the stderr ms dicts fall outside the driver's
@@ -160,7 +170,8 @@ object Bench {
     // 2000-char tail window AFTER a line that fit the budget on its own.
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", SidecarPath)
     try {
-      val json = sidecarJson(sfDir, warm, timed, errors, canaryStart, canaryEnd)
+      val json = sidecarJson(sfDir, warm, timed, errors, canaryStart, canaryEnd,
+        contended)
       val p = java.nio.file.Paths.get(sidecar)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
@@ -192,34 +203,25 @@ object Bench {
 
   /** Escalation cap: warm + up to MaxTimedSamples timed measurements is
     * five samples of one query — beyond that a still-disagreeing ladder
-    * is a contended session, and reportFromSamples' fastest-pair rule
-    * (falling back to the minimum) is the right reading of it. */
+    * is a contended session, and reportFromSamples' pool minimum is the
+    * right reading of it. */
   private[graft] val MaxTimedSamples = 4
 
-  /** Two samples "agree" when the slower is within 20% of the faster. */
-  private[graft] val AgreeRatio = 1.2
-
-  /** The reported value for an escalated query: the mean of the FASTEST
-    * agreeing pair among {warm} ∪ samples, else the pool minimum.
+  /** The reported value for an escalated query: the MINIMUM of
+    * {warm} ∪ samples.
     *
-    * Fastest, not closest: contention is one-sided (it only ever ADDS
-    * time), so the lowest measurements are the least contaminated and an
-    * agreeing pair at the bottom of the pool is the steady state. The
-    * closest pair can be two inflated samples — in the r8 pool
-    * {1.45, 7.68, 4.17, 9.1-ish} the tightest ratio is between the two
-    * big numbers. A REAL regression still reports honestly: its retries
-    * reproduce the slow number, the fast lone warm agrees with nothing,
-    * and the fastest agreeing pair is two slow samples. Scanning adjacent
-    * sorted pairs from the bottom suffices: if any a≤b≤c has (a,c)
-    * agreeing then (a,b) agrees too. Pure — BenchLineSpec pins the exact
-    * r8 failure (warm 1.45, samples starting 7.68, 4.17 must NOT report
-    * 4.17) and the real-regression case. */
-  private[graft] def reportFromSamples(warm: Double, samples: Seq[Double]): Double = {
-    val pool = (warm +: samples).sorted
-    pool.sliding(2).collectFirst {
-      case Seq(a, b) if b <= a * AgreeRatio => (a + b) / 2
-    }.getOrElse(pool.head)
-  }
+    * Within a session code and data are fixed, so the warm pass already
+    * proved the query CAN run at its warm time — a timed sample above it
+    * is contention (one-sided: contention only ever ADDS time), never a
+    * faster truth. The r9 record showed why anything subtler loses: in a
+    * persistently contended session all four timed samples agree with
+    * EACH OTHER (warm 0.163, samples 1.65/1.69/1.90/2.03) and any
+    * agreeing-pair rule reports the contaminated cluster over the lone
+    * clean warm. A real cross-round regression still reports honestly:
+    * its WARM pass is slow too, so the minimum is the slow steady state.
+    * Pure — BenchLineSpec pins the r8 and r9 contaminated ladders. */
+  private[graft] def reportFromSamples(warm: Double, samples: Seq[Double]): Double =
+    (warm +: samples).min
 
   /** Committed per-round audit record (see main). Pure; one key per line
     * so round-over-round git diffs read as per-query deltas. */
@@ -227,7 +229,8 @@ object Bench {
       warm: Seq[(String, Double, Option[String])],
       timed: Seq[(String, Double, Option[String], Option[(Double, Seq[Double])])],
       errors: Map[String, String],
-      canaryStart: Double = -1, canaryEnd: Double = -1): String = {
+      canaryStart: Double = -1, canaryEnd: Double = -1,
+      contended: Boolean = false): String = {
     def dict(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"    ${JsonUtil.quote(k)}: $v" }
         .mkString("{\n", ",\n", "\n  }")
@@ -246,6 +249,7 @@ object Bench {
        |  "suite_size": ${timed.length},
        |  "total_sec": ${ms(total)},
        |  "canary_sec": {"start": ${ms(canaryStart)}, "end": ${ms(canaryEnd)}},
+       |  "contended": $contended,
        |  "warm_sec": $warmD,
        |  "timed_sec": $timedD,
        |  "outlier_escalations": $retryD,
@@ -341,10 +345,11 @@ object Bench {
   }
 
   /** Outlier-retry predicate: does a timed measurement disagree with its
-    * own warm pass badly enough that another run must adjudicate? Two
+    * own warm pass badly enough that another run must adjudicate? Three
     * shapes qualify: (a) multiplicative — timed > 2× warm AND > warm + 1s
     * (sub-second queries jitter multiplicatively for free); (b) absolute —
-    * timed > warm + max(1.5s, 10% of warm), regardless of ratio. Shape
+    * timed > warm + max(1.5s, 10% of warm), regardless of ratio;
+    * (c) short-query ratio — timed > 3× warm AND > warm + 0.3s. Shape
     * (b) exists because the r7 record carried q_dedup_simhash at 4.61s
     * against its own same-session 2.60s warm (zero code change that
     * round): 4.61 < 2×2.60 slipped the ratio trigger, and a 2-second
@@ -352,11 +357,26 @@ object Bench {
     * The 10%-of-warm floor keeps the absolute shape honest as query
     * durations grow: a 42s-vs-40s drift is 5% scheduler noise on a long
     * query, not an anomaly, and a fixed 1.5s gate would re-measure every
-    * long query every round. Pure — BenchLineSpec pins both shapes and
-    * the non-firing neighborhoods. */
+    * long query every round. Shape (c) exists because the r9 record
+    * shipped q_derive_dates at 1.22s against its 0.27s warm — a 4.5×
+    * inflation that slipped BOTH earlier shapes (gap 0.95s < 1.0s and
+    * < 1.5s); with ~100 sub-second queries, sub-1.5s inflations summed
+    * to a 27s phantom in the official total. Pure — BenchLineSpec pins
+    * all three shapes and the non-firing neighborhoods. */
   private[graft] def retryTrigger(warm: Double, timed: Double): Boolean =
     (timed > 2 * warm && timed > warm + 1.0) ||
-      timed > warm + math.max(1.5, 0.1 * warm)
+      timed > warm + math.max(1.5, 0.1 * warm) ||
+      (timed > 3 * warm && timed > warm + 0.3)
+
+  /** Session-level contention verdict from (warm, first raw timed) pairs:
+    * more than 5 queries with the timed pass >1.5× its own warm is not
+    * per-query jitter, it is the whole session competing for cores (the
+    * r9 record had 12 entries >2× their clean twins; no single-query
+    * escalation can express that). The 50ms absolute floor keeps pure
+    * timer jitter on ~30ms queries from counting. Pure — BenchLineSpec
+    * pins the threshold and the floor. */
+  private[graft] def contendedStamp(pairs: Seq[(Double, Double)]): Boolean =
+    pairs.count { case (w, t) => t > 1.5 * w && t - w > 0.05 } > 5
 
   /** Repo-relative path of the committed full-precision bench record —
     * referenced from the stdout line's degraded rungs, overridable for

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe [maxFactor [queryName...]]
   * Trailing query names restrict the probe (same fail-loudly contract as
   * [[Bench]]: a typo'd name errors instead of silently probing nothing).
-  * Scaled data is materialized once under target/scale/f<K>/.
+  * SPARK_GRAFT_MIN_FACTOR skips factors below it (the 16x/32x knee hunt
+  * re-probes only the top factors; 1x-8x data already exists from prior
+  * rounds). Scaled data is materialized once under target/scale/f<K>/.
   */
 object ScaleProbe {
 
@@ -282,11 +284,21 @@ object ScaleProbe {
       // would otherwise evict and recompile every stage per factor,
       // polluting the growth ratios with compile noise
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // stateMetrics derives peak state from sq.recentProgress, which
+      // retains only the last numRecentProgressUpdates micro-batches
+      // (default 100): a maxFilesPerTrigger=1 source replaying >100
+      // files would silently understate the peak — the exact number the
+      // state-bound claims rest on. Retention is raised far above any
+      // probe's possible micro-batch count so the peak is a true max.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxFactor).toSeq
+    val minFactor =
+      sys.env.get("SPARK_GRAFT_MIN_FACTOR").map(_.toInt).getOrElse(1)
+    val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxFactor)
+      .filter(_ >= minFactor).toSeq
     // a filtered run must only materialize the corpora it will probe —
     // a hostile-only filter skips the f<K> replicas and vice versa
     val dirs = if (pickedProbes.isEmpty) Seq.empty else factors.map { k =>

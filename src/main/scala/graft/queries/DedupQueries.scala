@@ -712,9 +712,19 @@ object DedupQueries {
       val minRun = MinRunTokens - k + 1
       val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
         .map(_.toInt).getOrElse(DefaultMaxGramDf)
+      // NOTE this guard covers CROSS-DOCUMENT frequency only: df counts
+      // distinct docs while the bucket cap bounds (doc, position) rows,
+      // so a degenerate doc repeating one k-gram more than maxBucket
+      // times passes df<=cap yet still engages the cap. That shape is
+      // within-doc repetition (the cap then drops positional rows, a
+      // fail-fast named failure under Verify, a counted drop in bench
+      // mode) — not the silent cross-corpus truncation this require
+      // exists to preclude.
       require(dfCap <= maxBucket(s),
         s"maxGramDf ($dfCap) must not exceed maxBucket: bucket pairing " +
-          "would truncate shingle buckets the df filter admitted")
+          "would truncate cross-document shingle buckets the df filter " +
+          "admitted (within-doc positional repetition can still engage " +
+          "the cap; it fail-fasts under Verify)")
       val docs = Tables.spread(Tables.table(s, dir, "documents"), $"doc_id")
         .select($"doc_id", toks($"text").as("t"))
         .filter(size($"t") >= k)

@@ -594,16 +594,22 @@ object ParityQueries {
       // the pid embedded in the name makes "owner is gone" checkable, so
       // each healthy run garbage-collects the crashed ones' leavings.
       val StageName = raw"graft_jsonl_stage_(\d+)_[0-9a-f]+".r
+      // each per-file prune rides inside a Try: /tmp is world-writable,
+      // so a crafted or garbage sibling name (>19-digit "pid" overflowing
+      // toLong, pid 0 rejected by ProcessHandle.of) must never escalate
+      // from "unprunable litter" to failing the query itself
       Option(tmpDir.listFiles()).foreach(_.foreach { f =>
-        f.getName match {
-          case StageName(p) if p.toLong != pid &&
-              !java.lang.ProcessHandle.of(p.toLong)
-                .map[Boolean](_.isAlive).orElse(false) =>
-            def rm(g: java.io.File): Unit = {
-              Option(g.listFiles()).foreach(_.foreach(rm)); g.delete()
-            }
-            rm(f)
-          case _ => ()
+        scala.util.Try {
+          f.getName match {
+            case StageName(p) if p.toLong != pid &&
+                !java.lang.ProcessHandle.of(p.toLong)
+                  .map[Boolean](_.isAlive).orElse(false) =>
+              def rm(g: java.io.File): Unit = {
+                Option(g.listFiles()).foreach(_.foreach(rm)); g.delete()
+              }
+              rm(f)
+            case _ => ()
+          }
         }
       })
       val stageFile = new java.io.File(tmpDir,

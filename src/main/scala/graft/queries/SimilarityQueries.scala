@@ -384,11 +384,15 @@ object SimilarityQueries {
   }
 
   /** Adds the SemDeDup quantizer cell to a (vec_id, v) frame — a pure
-    * projection (16 codegen'd cosines + argmax), safe on streaming
+    * projection (K codegen'd cosines + argmax), safe on streaming
     * frames too; [[graft.streaming.DocStream.semanticDedup]] shares it
-    * so the live and batch faces quantize identically. */
-  private[graft] def semAssign(vecs: DataFrame): DataFrame =
-    assignCells(vecs, semCentroids(16, 64))
+    * so the live and batch faces quantize identically. Centroids are
+    * parameterized exactly like [[semDedupPipeline]]'s: the md5-corner
+    * default for oracle-replayable runs, [[ivfCentroids]] output for a
+    * trained quantizer — every streaming face accepts the same swap. */
+  private[graft] def semAssign(vecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])] = semCentroids(16, 64)): DataFrame =
+    assignCells(vecs, cents)
 
   /** Degenerate-embedding guard shared by every semantic-dedup face
     * (batch, incremental, stream, online): a NULL embedding has no
@@ -453,7 +457,16 @@ object SimilarityQueries {
     * runs exactly once per round and never re-executes when consumers
     * reference the centroids (the round-2 bench paid the whole quantizer
     * twice: 1.98s -> 5.54s). Returns the (cell, centroid) pairs sorted by
-    * cell. */
+    * cell.
+    *
+    * Production staging at 100 TB: centroids are TRAINED ONCE on a
+    * corpus sample and materialized as a tiny table (K × dims doubles),
+    * then read back as literals by every consumer — batch dedup,
+    * incremental anti-join, and the streaming faces — exactly like the
+    * cell-bucketed history index the incremental query materializes.
+    * Re-training per query would re-scan the corpus per quantizer round
+    * AND silently re-shuffle cell assignments between runs; a staged
+    * centroid set keeps live and nightly answers quantizer-identical. */
   private[graft] def ivfCentroids(vecs: DataFrame, k: Int, iters: Int)
       : Seq[(Int, Seq[Double])] = {
     import vecs.sparkSession.implicits._

@@ -180,21 +180,30 @@ object DocStream {
     *
     * @param newVecs streaming embeddings (schema: [[embSchema]])
     * @param historyVecs static embeddings frame with vec_id + embedding
+    * @param cents quantizer centroids — md5 corners by default, a
+    *   TRAINED [[graft.queries.SimilarityQueries.ivfCentroids]] set for
+    *   production (trained once on a history sample, materialized, then
+    *   shared by this face and the nightly batch so both quantize
+    *   identically); with `prepared = true` the caller must have built
+    *   the index with the SAME centroids
     */
   def semanticDedup(newVecs: DataFrame, historyVecs: DataFrame,
-                    tau: Double = 0.3, prepared: Boolean = false)
+                    tau: Double = 0.3, prepared: Boolean = false,
+                    cents: Seq[(Int, Seq[Double])] =
+                      graft.queries.SimilarityQueries.semCentroids(16, 64))
       : DataFrame = {
     import graft.queries.SimilarityQueries
+    require(cents.nonEmpty, "semanticDedup needs at least one centroid")
     // cosineSim resolves through the session's function registry
     graft.functions.VectorFunctions.register(newVecs.sparkSession)
     // prepared=true: historyVecs IS the [[prepareSemIndex]] output
     // (cell, hv) — cached once by the caller, who also owns unpersist
     val hist =
       if (prepared) historyVecs.select(col("cell"), col("hv"))
-      else prepareSemIndex(historyVecs)
+      else prepareSemIndex(historyVecs, cents)
     val incoming = SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
       newVecs.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))))
+        col("embedding").cast("array<double>").as("v"))), cents)
     incoming.join(hist, incoming("cell") === hist("cell") &&
         graft.Clean.roundHalfUp(
           graft.functions.VectorFunctions.cosineSim(incoming("v"),
@@ -208,13 +217,15 @@ object DocStream {
     * setups (pass `prepared = true`), returning the unpersist handle —
     * the inline-cache path stacks one storage copy per setup and can
     * only be cleared globally. */
-  def prepareSemIndex(historyVecs: DataFrame): DataFrame = {
+  def prepareSemIndex(historyVecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])] =
+        graft.queries.SimilarityQueries.semCentroids(16, 64)): DataFrame = {
     import graft.queries.SimilarityQueries
     graft.functions.VectorFunctions.register(historyVecs.sparkSession)
     SimilarityQueries.semHistoryIndex(
         SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
           historyVecs.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v")))))
+            col("embedding").cast("array<double>").as("v"))), cents))
       .select(col("cell"), col("v").as("hv"))
       .cache()
   }
@@ -261,8 +272,12 @@ object DocStream {
     * admission order is vec_id, not arrival, so the answer is
     * unchanged. */
   def semanticDedupOnline(spark: SparkSession, newVecs: DataFrame,
-                          tau: Double = 0.3): Dataset[SemAdmit] = {
+                          tau: Double = 0.3,
+                          cents: Seq[(Int, Seq[Double])] =
+                            graft.queries.SimilarityQueries
+                              .semCentroids(16, 64)): Dataset[SemAdmit] = {
     import spark.implicits._
+    require(cents.nonEmpty, "semanticDedupOnline needs at least one centroid")
     graft.functions.VectorFunctions.register(spark)
     // local copies: the nested function must not capture the module
     val tauL = tau
@@ -271,7 +286,7 @@ object DocStream {
     val assigned = graft.queries.SimilarityQueries.semAssign(
         graft.queries.SimilarityQueries.semDedupGuard(
           newVecs.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))))
+            col("embedding").cast("array<double>").as("v"))), cents)
       .select(col("cell"), col("vec_id"), col("v"))
       .as[(Int, Long, Seq[Double])]
     def update(cell: Int, rows: Iterator[(Int, Long, Seq[Double])],

@@ -31,6 +31,17 @@ class BenchLineSpec extends AnyFunSuite {
     if (note.isDefined) assert(line.contains(""""queries_key_prefix":"q_""""))
   }
 
+  test("the contended stamp survives every ladder rung") {
+    // main splices the stamp into the canary segment; whatever rung
+    // fires, a contended record must SAY so on the one machine-read line
+    val stamp = """"canary":{"start":0.012,"end":1.4},"contended":true,"""
+    Seq(10, 102, 400).foreach { n =>
+      val (line, _) = Bench.stdoutLine(suite(n), "{}", "sf", stamp)
+      assert(line.length <= Bench.MaxLine, s"n=$n len=${line.length}")
+      assert(line.contains(""""contended":true"""), s"n=$n")
+    }
+  }
+
   test("every rung of the ladder stays inside the tail budget") {
     // grow the suite until even the dict-less envelope is the only fit;
     // the line must NEVER exceed the budget at any size
@@ -83,9 +94,11 @@ class BenchLineSpec extends AnyFunSuite {
       ("q_b", 2.05, None, Some((2.0, Seq(9.7, 4.3, 2.1)))),
       ("q_c", 0.01, Some("Boom: \"quoted\"\nnewline"), None))
     val json = Bench.sidecarJson("/root/testdata/sf0.1", warm, timed,
-      Map("q_c" -> "Boom: \"quoted\"\nnewline"), 0.011, 0.0136)
+      Map("q_c" -> "Boom: \"quoted\"\nnewline"), 0.011, 0.0136,
+      contended = true)
     val node = parse(json)
     assert(node.get("suite_size").asInt == 3)
+    assert(node.get("contended").asBoolean)
     // ms precision survives (the stdout line would have quantized this)
     assert(node.get("warm_sec").get("q_a").asDouble == 0.123)
     assert(node.get("timed_sec").get("q_b").asDouble == 2.05)
@@ -109,25 +122,43 @@ class BenchLineSpec extends AnyFunSuite {
     // warm, so the escalation loop in main KEEPS measuring instead of
     // reporting it.
     assert(Bench.retryTrigger(warm = 1.45, timed = 4.17))
-    // Second: whatever ladder the escalation ends with, the fastest-
-    // agreeing-pair rule never lands on 4.17. A clean fourth sample
-    // pairs with the warm (mean ≈ 1.49):
-    val rep = Bench.reportFromSamples(1.45, Seq(7.68, 4.17, 1.52))
-    assert(math.abs(rep - 1.485) < 1e-9, s"reported $rep")
-    // and even a fully-contended ladder (cap reached, nothing agrees)
-    // falls back to the pool minimum, not a contaminated middle value
+    // Second: the pool-minimum rule never lands on a contaminated sample
+    assert(Bench.reportFromSamples(1.45, Seq(7.68, 4.17, 1.52)) == 1.45)
     assert(Bench.reportFromSamples(1.45, Seq(7.68, 4.17)) == 1.45)
   }
 
-  test("a reproduced slow number is a regression and reports as one") {
-    // escalation must not hide REAL slowdowns: when retries reproduce the
-    // slow number, the fastest agreeing pair is two slow samples and the
-    // lone fast warm agrees with nothing
-    val rep = Bench.reportFromSamples(1.45, Seq(7.7, 7.5))
-    assert(math.abs(rep - 7.6) < 1e-9, s"reported $rep")
+  test("escalation must not report the r9 agreeing-contaminated cluster") {
+    // the exact r9 failure: in a persistently contended session all FOUR
+    // timed samples agreed with each other (warm 0.163, samples
+    // 1.65/1.69/1.90/2.03) and the fastest-agreeing-pair rule reported
+    // the contaminated 1.67 — the cluster outvoted the lone clean warm.
+    // Within a session code and data are fixed: the warm pass PROVED the
+    // query runs at 0.163, so the report must be ≤0.2, never 1.67.
+    val rep = Bench.reportFromSamples(0.163, Seq(1.65, 1.69, 1.90, 2.03))
+    assert(rep <= 0.2, s"reported $rep")
+    assert(rep == 0.163)
+  }
+
+  test("a real regression reports honestly: its warm pass is slow too") {
+    // the pool minimum cannot hide a REAL slowdown, because a genuine
+    // regression is in the code: the same-session warm pass already runs
+    // slow, and the minimum of an all-slow pool is the slow steady state
+    assert(Bench.reportFromSamples(7.4, Seq(7.7, 7.5)) == 7.4)
     // an untripped timed pass never reaches reportFromSamples, but the
-    // degenerate one-sample ladder must still behave: warm+timed agree
-    assert(math.abs(Bench.reportFromSamples(2.0, Seq(2.2)) - 2.1) < 1e-9)
+    // degenerate one-sample ladder must still behave
+    assert(Bench.reportFromSamples(2.0, Seq(2.2)) == 2.0)
+  }
+
+  test("contended stamp fires on session-wide inflation, not jitter") {
+    // >5 queries with timed >1.5× warm (and >50ms absolute) = contended
+    val inflated = Seq.fill(6)((0.3, 0.9))
+    assert(Bench.contendedStamp(inflated ++ Seq.fill(90)((0.3, 0.31))))
+    // exactly 5 is below the threshold
+    assert(!Bench.contendedStamp(inflated.take(5) ++ Seq.fill(90)((0.3, 0.31))))
+    // ratio trips on ~30ms queries are pure timer jitter: absolute floor
+    assert(!Bench.contendedStamp(Seq.fill(20)((0.03, 0.06))))
+    // a clean suite never stamps
+    assert(!Bench.contendedStamp(Seq.fill(100)((0.5, 0.52))))
   }
 
   test("a lone surrogate in an error message still yields parseable JSON") {
@@ -149,10 +180,16 @@ class BenchLineSpec extends AnyFunSuite {
     // the ratio trigger — 4.61 < 2×2.60 — and a 2s discrepancy shipped
     // unexplained; the widened trigger must catch exactly this)
     assert(Bench.retryTrigger(warm = 2.60, timed = 4.61))
-    // non-firing neighborhoods: normal agreement, sub-second multiplicative
+    // short-query ratio shape (r9: q_derive_dates timed 1.22s vs warm
+    // 0.27s — 4.5× inflated, yet gap 0.95s slipped both the 1.0s and
+    // 1.5s absolute gates and the record shipped it with no ladder)
+    assert(Bench.retryTrigger(warm = 0.27, timed = 1.22))
+    // the r9 q_doc_lang_stats shape (warm 0.163 → 1.65) fires too
+    assert(Bench.retryTrigger(warm = 0.163, timed = 1.65))
+    // non-firing neighborhoods: normal agreement, sub-300ms multiplicative
     // jitter, and a gap under the 1.5s absolute threshold
     assert(!Bench.retryTrigger(warm = 2.60, timed = 2.80))
-    assert(!Bench.retryTrigger(warm = 0.10, timed = 0.45))
+    assert(!Bench.retryTrigger(warm = 0.10, timed = 0.38))
     assert(!Bench.retryTrigger(warm = 3.00, timed = 4.40))
     // boundary: just past the absolute threshold fires even at low ratio
     assert(Bench.retryTrigger(warm = 10.0, timed = 11.51))

@@ -100,7 +100,15 @@ class SubstringDedupSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect()
       .map { case (id, t) =>
-        id -> Option(t).map(_.trim.toLowerCase.split("\\s+").toSeq)
+        // mirror the query's toks() EXACTLY: SQL trim strips spaces only
+        // (U+0020), then whitespace runs collapse to one space, then a
+        // single-space split keeping empties. Java String.trim would also
+        // strip tabs/newlines (chars <= U+0020), producing different
+        // first tokens and shifted shingle positions on a doc with a
+        // leading tab — a spurious failure of the query, which is right.
+        id -> Option(t).map(s =>
+            s.toLowerCase.replaceAll("^ +| +$", "")
+              .replaceAll("\\s+", " ").split(" ", -1).toSeq)
           .getOrElse(Seq.empty) }
       .filter(_._2.size >= k)
     val shingles = docs.flatMap { case (id, t) =>

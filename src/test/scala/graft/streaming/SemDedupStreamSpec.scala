@@ -53,14 +53,16 @@ class SemDedupStreamSpec extends SparkTestBase {
   /** Exact greedy reference, computed independently: per cell in vec_id
     * order, reject iff an ADMITTED earlier member clears tau (best
     * rounded cosine, insertion order breaks ties to the smallest id).
-    * Cells come from the oracle-verified batch q_semdedup output. */
-  private lazy val greedyWant: Set[(Long, Int, Boolean, Option[Long], Option[Double])] = {
-    val cells = graft.SparkEntry.queries("q_semdedup")(spark, sf0001)
-      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    * Parameterized on the cell assignment so the corner-quantizer and
+    * trained-quantizer replays share one reference. */
+  private def greedyRef(cells: Map[Long, Int])
+      : Set[(Long, Int, Boolean, Option[Long], Option[Double])] = {
     val vecs = Tables.table(spark, sf0001, "embeddings")
       .select($"vec_id", $"embedding").collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      // degenerate embeddings never reach the online face (semDedupGuard)
+      .filter { case (id, _) => cells.contains(id) }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = (0 until 64).map(i => a(i) * b(i)).sum
       val n = (v: Array[Double]) => math.sqrt(v.map(x => x * x).sum)
@@ -88,6 +90,12 @@ class SemDedupStreamSpec extends SparkTestBase {
       }
     }.toSet
   }
+
+  /** Corner-quantizer reference: cells from the oracle-verified batch
+    * q_semdedup output. */
+  private lazy val greedyWant: Set[(Long, Int, Boolean, Option[Long], Option[Double])] =
+    greedyRef(graft.SparkEntry.queries("q_semdedup")(spark, sf0001)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap)
 
   test("online greedy face equals the independent greedy reference " +
       "across micro-batches, and greedy dups are a subset of the batch " +
@@ -164,5 +172,84 @@ class SemDedupStreamSpec extends SparkTestBase {
     // the restart must actually exercise cross-run suppression: some
     // post-restart vector must blame a pre-restart admitted one
     assert(got.exists(r => r._1 >= 250 && !r._3 && r._4.exists(_ < 250)))
+  }
+
+  // ---- trained-quantizer replays: the same faces, centroids swapped ----
+
+  /** The q_semdedup_incremental_trained quantizer: mini-Lloyd trained on
+    * the HISTORY split only (the increment must probe the quantizer the
+    * history was indexed under, not one that saw the future). */
+  private lazy val trainedCents: Seq[(Int, Seq[Double])] = {
+    import graft.queries.SimilarityQueries
+    SimilarityQueries.ivfCentroids(
+      SimilarityQueries.semDedupGuard(
+        Tables.table(spark, sf0001, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+        .filter($"vec_id" < 250),
+      k = 16, iters = 2)
+  }
+
+  test("streaming semantic dedup under TRAINED centroids equals the " +
+      "trained batch anti-join on the replayed increment") {
+    val dir = Files.createTempDirectory("vecs_stream_inc_tr")
+    val vecs = Tables.table(spark, sf0001, "embeddings")
+    stageFile(vecs.filter($"vec_id" >= 250 && $"vec_id" < 375),
+      dir, "b0.parquet", 1700000000000L)
+    stageFile(vecs.filter($"vec_id" >= 375),
+      dir, "b1.parquet", 1700000100000L)
+
+    val out = DocStream.semanticDedup(
+      DocStream.readEmbeddings(spark, dir.toString),
+      vecs.filter($"vec_id" < 250), cents = trainedCents)
+    val q = EventStream.runToMemory(out, "sem_dedup_tr", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sem_dedup_tr")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    val want = graft.SparkEntry.queries("q_semdedup_incremental_trained")(
+        spark, sf0001)
+      .as[(Long, Int)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 250)
+    // the swap must be REAL: the trained assignment disagrees with the
+    // corner assignment somewhere, or this replay pins nothing new
+    val corner = graft.SparkEntry.queries("q_semdedup_incremental")(
+        spark, sf0001)
+      .as[(Long, Int)].collect().toSet
+    assert(got != corner)
+  }
+
+  test("online greedy face under TRAINED centroids equals the greedy " +
+      "reference on the trained assignment") {
+    import graft.queries.SimilarityQueries
+    val dir = Files.createTempDirectory("vecs_stream_online_tr")
+    val vecs = Tables.table(spark, sf0001, "embeddings")
+    stageFile(vecs.filter($"vec_id" < 250), dir, "b0.parquet",
+      1700000000000L)
+    stageFile(vecs.filter($"vec_id" >= 250), dir, "b1.parquet",
+      1700000100000L)
+
+    val out = DocStream.semanticDedupOnline(spark,
+      DocStream.readEmbeddings(spark, dir.toString),
+      cents = trainedCents).toDF()
+    val q = EventStream.runToMemory(out, "sem_online_tr", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sem_online_tr")
+      .select($"vecId", $"cell", $"admitted", $"dupOf", $"dupCos")
+      .collect()
+      .map(r => (r.getAs[Long]("vecId"), r.getAs[Int]("cell"),
+        r.getAs[Boolean]("admitted"),
+        Option(r.getAs[java.lang.Long]("dupOf")).map(_.longValue),
+        Option(r.getAs[java.lang.Double]("dupCos")).map(_.doubleValue)))
+      .toSet
+    val trainedCells = SimilarityQueries.semAssign(
+        SimilarityQueries.semDedupGuard(
+          vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))),
+        trainedCents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(got === greedyRef(trainedCells))
+    // the trained replay must differ from the corner replay somewhere
+    assert(got != greedyWant)
   }
 }

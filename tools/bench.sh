@@ -1,0 +1,55 @@
+#!/usr/bin/env bash
+# The ONLY sanctioned way to produce an official BENCH record.
+#
+# Rounds 6-9 showed the bench's worst enemy is its own driver session:
+# an sbt compile or test run sharing the 32 cores inflates per-query
+# timings 2-14x, and sbt rewrites classfiles UNDER the running JVM.
+# This wrapper removes both hazards:
+#   1. no sbt anywhere in the timing window — plain `java` against a
+#      classpath staged BEFORE launch (Spark jars are unmanaged at
+#      /opt/spark/jars, so the full runtime classpath is just
+#      classes + jars);
+#   2. the compiled classes are COPIED to tools/.bench_stage/ first, so
+#      a concurrent compile cannot touch what the bench JVM loads;
+#   3. it refuses to start while another sbt/ScaleProbe JVM is alive
+#      (override: SPARK_GRAFT_BENCH_FORCE=1), because a contended
+#      record is worthless no matter how it was launched.
+#
+# Usage: tools/bench.sh [queryName...]        (compile first: sbt compile)
+# Env:   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_OUT,
+#        SPARK_DRIVER_MEM — same contract as `runMain graft.Bench`.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CLASSES=target/scala-2.13/classes
+STAGE=tools/.bench_stage/classes
+[ -d "$CLASSES" ] || { echo "bench.sh: no $CLASSES — run 'sbt compile' first" >&2; exit 1; }
+
+if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
+  busy=$(pgrep -f 'sbt-launch|xsbt.boot.Boot|graft.ScaleProbe' || true)
+  if [ -n "$busy" ]; then
+    echo "bench.sh: refusing to bench while sbt/ScaleProbe runs (pids: $busy)" >&2
+    echo "bench.sh: wait for them or set SPARK_GRAFT_BENCH_FORCE=1" >&2
+    exit 2
+  fi
+fi
+
+rm -rf "$STAGE"
+mkdir -p "$(dirname "$STAGE")"
+cp -a "$CLASSES" "$STAGE"
+
+# JDK17 module opens: what spark-submit injects and build.sbt mirrors
+# (org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions)
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
+done
+
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  "-Xmx${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$STAGE:/opt/spark/jars/*" \
+  graft.Bench "$@"
