@@ -326,30 +326,50 @@ object CurationQueries {
 
     // End-to-end curation manifest: the survivor report a corpus pipeline
     // emits after (1) degenerate-text drop, (2) exact dedup keeping the
-    // lowest doc_id per normalized fingerprint, (3) a >= 10-token quality
-    // guard, (4) deterministic stratified sampling. Every stage is an
-    // operator verified on its own elsewhere; this query pins their
-    // COMPOSITION (order matters: dedup before sampling, so a duplicate
-    // pair can never survive twice via different sample buckets). One
-    // shuffle total — the fingerprint window — then map-side filters
-    // into a tiny (lang, source) aggregate.
+    // lowest doc_id per normalized fingerprint, (3) substring-run dedup
+    // — the [[DedupQueries.substringFlags]] detector over the exact-dedup
+    // SURVIVORS, dropping every later doc sharing a >= 15-token verbatim
+    // run (the partial-overlap shape fingerprints can't see), (4) a
+    // >= 10-token quality guard, (5) deterministic stratified sampling.
+    // Every stage is an operator verified on its own elsewhere; this
+    // query pins their COMPOSITION (order matters: exact dedup before the
+    // substring stage so verbatim full copies never reach the pairing
+    // machinery — they'd flag as trivial self-runs — and both dedups
+    // before sampling, so a duplicate pair can never survive twice via
+    // different sample buckets). The manifest carries the drop REASON:
+    // per (lang, source) cell, kept docs/tokens plus how many exact-
+    // survivors the substring stage removed — the observability a 100 TB
+    // ingest dashboard needs to spot a source whose partial-copy rate
+    // jumps. Wide stages: the fingerprint window + the substring
+    // detector's own bounded machinery (shared h-exchange, df cap,
+    // capPerKey); the flag set joining back is a few rows — broadcast-
+    // sized at any corpus scale because flags are capPerKey-bounded.
     "q_curation_pipeline" -> ((s, dir) => {
       import s.implicits._
       val keeper = Window.partitionBy($"fp").orderBy($"doc_id")
-      Tables.table(s, dir, "documents")
+      val survivors = Tables.table(s, dir, "documents")
         .filter(length(trim($"text")) > 0)
         .withColumn("fp",
           Clean.fingerprint($"text"))
         .withColumn("rk", row_number().over(keeper))
         .filter($"rk" === 1)
+        .select($"doc_id", $"lang", $"source", $"text")
+      val flagged = DedupQueries
+        .substringFlags(survivors.select($"doc_id", $"text"))
+        .select($"doc_id", lit(true).as("sub_flag"))
+      val keep = $"sub_flag".isNull && $"tok_count" >= 10 &&
+        TextQueries.sampleBucket($"doc_id") <
+          when($"lang" === "en", 50).otherwise(20)
+      survivors
+        .join(flagged, Seq("doc_id"), "left")
         .withColumn("tok_count",
           size(TextQueries.tokens($"text")).cast("long"))
-        .filter($"tok_count" >= 10)
-        .filter(TextQueries.sampleBucket($"doc_id") <
-          when($"lang" === "en", 50).otherwise(20))
         .groupBy($"lang", $"source")
-        .agg(count(lit(1)).as("kept_docs"),
-          sum($"tok_count").as("kept_tokens"))
+        .agg(sum(when(keep, 1L).otherwise(0L)).as("kept_docs"),
+          coalesce(sum(when(keep, $"tok_count")), lit(0L))
+            .as("kept_tokens"),
+          sum(when($"sub_flag".isNotNull, 1L).otherwise(0L))
+            .as("dropped_substring"))
         .orderBy("lang", "source")
     }),
 
@@ -639,28 +659,74 @@ object CurationQueries {
         |  FROM documents)
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
 
-    "q_curation_pipeline" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang, source, text,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |kept AS (
-        |  SELECT doc_id, lang, source, text,
-        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
-        |  FROM base),
-        |quality AS (
-        |  SELECT doc_id, lang, source,
-        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS tok_count
-        |  FROM kept WHERE rk = 1),
-        |sampled AS (
-        |  SELECT * FROM quality
-        |  WHERE tok_count >= 10
-        |    AND ((doc_id % 1000003) * 31 + 7) % 100
-        |        < CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
-        |SELECT lang, source, CAST(count(*) AS BIGINT) AS kept_docs,
-        |  CAST(sum(tok_count) AS BIGINT) AS kept_tokens
-        |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The substring stage replays the q_dedup_substring oracle CTE chain
+    // (same shared k / min-run / df-cap constants, interpolated from the
+    // ONE Scala definition) over the exact-dedup survivor set — the
+    // composition witness the standalone query's oracle can't give.
+    "q_curation_pipeline" -> {
+      val k = DedupQueries.SubstringShingleTokens
+      val minTok = DedupQueries.MinRunTokens
+      val dfCap = DedupQueries.DefaultMaxGramDf
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |kept AS (
+         |  SELECT doc_id, lang, source, text,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+         |  FROM base),
+         |surv AS (SELECT doc_id, lang, source, text FROM kept WHERE rk = 1),
+         |stoks AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+         |                 ' ') AS t
+         |  FROM surv),
+         |ssh AS (
+         |  SELECT doc_id, unnest(range(1, (length(t) - ${k - 1}) + 1)) AS p, t
+         |  FROM stoks WHERE length(t) >= $k),
+         |shashed AS (
+         |  SELECT doc_id, p,
+         |    md5(array_to_string(t[p:p+${k - 1}], ' ')) AS h
+         |  FROM ssh),
+         |skept AS (
+         |  SELECT shashed.doc_id, shashed.p, shashed.h FROM shashed
+         |  JOIN (SELECT h FROM shashed GROUP BY h
+         |        HAVING count(DISTINCT doc_id) <= $dfCap) ok USING (h)),
+         |sm AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    b.p - a.p AS d, b.p AS bp
+         |  FROM skept a JOIN skept b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |sruns AS (
+         |  SELECT a_id, b_id, count(*) AS run_len
+         |  FROM (SELECT a_id, b_id, d, bp,
+         |          bp - row_number() OVER (PARTITION BY a_id, b_id, d
+         |            ORDER BY bp) AS island
+         |        FROM sm)
+         |  GROUP BY a_id, b_id, d, island),
+         |flagged AS (
+         |  SELECT DISTINCT b_id AS doc_id FROM sruns
+         |  GROUP BY a_id, b_id
+         |  HAVING max(run_len) + ${k - 1} >= $minTok),
+         |quality AS (
+         |  SELECT s.doc_id, s.lang, s.source,
+         |    CAST(length(string_split_regex(trim(s.text), '\\s+')) AS BIGINT)
+         |      AS tok_count,
+         |    f.doc_id IS NOT NULL AS sub
+         |  FROM surv s LEFT JOIN flagged f ON s.doc_id = f.doc_id),
+         |marked AS (
+         |  SELECT lang, source, tok_count, sub,
+         |    (NOT sub AND tok_count >= 10
+         |     AND ((doc_id % 1000003) * 31 + 7) % 100
+         |         < CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS keep
+         |  FROM quality)
+         |SELECT lang, source,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN tok_count END), 0) AS BIGINT)
+         |    AS kept_tokens,
+         |  CAST(sum(CASE WHEN sub THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dropped_substring
+         |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q_doc_quota" ->
       """WITH ranked AS (

@@ -420,6 +420,96 @@ object DedupQueries {
     cross.union(within)
   }
 
+  /** The q_dedup_substring detector over an ARBITRARY (doc_id, text)
+    * frame — factored out so composed pipelines run the identical
+    * machinery on their own survivor sets (q_curation_pipeline's
+    * substring drop stage flags among exact-dedup survivors; the
+    * standalone query flags the whole corpus). One row per flagged
+    * LATER doc: (doc_id, dup_of, run_tokens), blame = longest shared
+    * run, ties -> smallest earlier id. Full design rationale at the
+    * q_dedup_substring entry; scale guards (df cap, capPerKey, shared
+    * h-exchange) identical wherever it is composed. */
+  private[queries] def substringFlags(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val k = SubstringShingleTokens
+    val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
+      .map(_.toInt).getOrElse(DefaultMaxGramDf)
+    // NOTE this guard covers CROSS-DOCUMENT frequency only: df counts
+    // distinct docs while the bucket cap bounds (doc, position) rows,
+    // so a degenerate doc repeating one k-gram more than maxBucket
+    // times passes df<=cap yet still engages the cap. That shape is
+    // within-doc repetition (the cap then drops positional rows, a
+    // fail-fast named failure under Verify, a counted drop in bench
+    // mode) — not the silent cross-corpus truncation this require
+    // exists to preclude.
+    require(dfCap <= maxBucket(s),
+      s"maxGramDf ($dfCap) must not exceed maxBucket: bucket pairing " +
+        "would truncate cross-document shingle buckets the df filter " +
+        "admitted (within-doc positional repetition can still engage " +
+        "the cap; it fail-fasts under Verify)")
+    val docs = Tables.spread(docs0, $"doc_id")
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= k)
+    // the explicit repartition makes the positional-shingle lineage a
+    // SHARED exchange: the df aggregation and the df-filter join both
+    // consume it clustered on h (the containment device)
+    val hashed = docs
+      .select($"doc_id",
+        explode(sequence(lit(1), size($"t") - (k - 1))).as("p"), $"t")
+      .select($"doc_id", $"p",
+        md5(concat_ws(" ", slice($"t", $"p", lit(k)))).as("h"))
+      .repartition($"h")
+    // the df filter is this query's first-line scale guard, so ITS
+    // drop count is the observable (the capPerKey observe downstream
+    // sees zero rows — and therefore never materializes its metrics —
+    // exactly when the filter dropped everything, the hostile-corpus
+    // case the probe wants to see)
+    val gramDf = hashed.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"))
+      .observe("df_filter_substring",
+        coalesce(sum(when($"df" > dfCap, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_grams"),
+        coalesce(max($"df".cast("long")), lit(0L)).as("max_gram_df"))
+      .filter($"df" <= dfCap).select($"h")
+    val kept = hashed.join(gramDf, Seq("h"))
+    val capped = capPerKey(
+        kept.withColumn("__doc", $"doc_id")
+          .withColumn("doc_id", $"doc_id" * 1000000L + $"p"),
+        "substring", $"h")
+      .select($"h", $"__doc".as("doc_id"), $"p")
+    // one-pass pairing (the bucketPairs shape, carrying positions):
+    // collect each bucket's <= maxBucket (doc, pos) occurrences, explode
+    // ordered pairs — never a capped self-join that would re-execute
+    // the scan->shingle->df lineage into both branches
+    val matches = capped
+      .groupBy($"h")
+      .agg(collect_list(struct($"doc_id", $"p")).as("occ"))
+      .filter(size($"occ") > 1)
+      .select(explode($"occ").as("a"), $"occ")
+      .select($"a", explode($"occ").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        ($"b.p" - $"a.p").as("d"), $"b.p".as("b_p"))
+    val islands = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a_id", $"b_id", $"d").orderBy($"b_p")
+    val pairs = matches
+      .withColumn("island", $"b_p" - row_number().over(islands))
+      .groupBy($"a_id", $"b_id", $"d", $"island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"a_id", $"b_id")
+      .agg((max($"run_len") + (k - 1)).as("run_tokens"))
+      .filter($"run_tokens" >= MinRunTokens)
+    val blame = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"run_tokens".desc, $"dup_of")
+    pairs
+      .select($"b_id".as("doc_id"), $"a_id".as("dup_of"), $"run_tokens")
+      .withColumn("rn", row_number().over(blame))
+      .filter($"rn" === 1)
+      .drop("rn")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on a content fingerprint; keep min doc_id.
     "q_dedup_exact" -> ((s, dir) => {
@@ -706,86 +796,8 @@ object DedupQueries {
     // + k-1 is the length in TOKENS of the longest shared verbatim run.
     // Output: one row per flagged LATER doc with blame assigned to the
     // earlier doc sharing the longest run (ties -> smallest id).
-    "q_dedup_substring" -> ((s, dir) => {
-      import s.implicits._
-      val k = SubstringShingleTokens
-      val minRun = MinRunTokens - k + 1
-      val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
-        .map(_.toInt).getOrElse(DefaultMaxGramDf)
-      // NOTE this guard covers CROSS-DOCUMENT frequency only: df counts
-      // distinct docs while the bucket cap bounds (doc, position) rows,
-      // so a degenerate doc repeating one k-gram more than maxBucket
-      // times passes df<=cap yet still engages the cap. That shape is
-      // within-doc repetition (the cap then drops positional rows, a
-      // fail-fast named failure under Verify, a counted drop in bench
-      // mode) — not the silent cross-corpus truncation this require
-      // exists to preclude.
-      require(dfCap <= maxBucket(s),
-        s"maxGramDf ($dfCap) must not exceed maxBucket: bucket pairing " +
-          "would truncate cross-document shingle buckets the df filter " +
-          "admitted (within-doc positional repetition can still engage " +
-          "the cap; it fail-fasts under Verify)")
-      val docs = Tables.spread(Tables.table(s, dir, "documents"), $"doc_id")
-        .select($"doc_id", toks($"text").as("t"))
-        .filter(size($"t") >= k)
-      // the explicit repartition makes the positional-shingle lineage a
-      // SHARED exchange: the df aggregation and the df-filter join both
-      // consume it clustered on h (the containment device)
-      val hashed = docs
-        .select($"doc_id",
-          explode(sequence(lit(1), size($"t") - (k - 1))).as("p"), $"t")
-        .select($"doc_id", $"p",
-          md5(concat_ws(" ", slice($"t", $"p", lit(k)))).as("h"))
-        .repartition($"h")
-      // the df filter is this query's first-line scale guard, so ITS
-      // drop count is the observable (the capPerKey observe downstream
-      // sees zero rows — and therefore never materializes its metrics —
-      // exactly when the filter dropped everything, the hostile-corpus
-      // case the probe wants to see)
-      val gramDf = hashed.groupBy($"h")
-        .agg(countDistinct($"doc_id").as("df"))
-        .observe("df_filter_substring",
-          coalesce(sum(when($"df" > dfCap, 1L).otherwise(0L)), lit(0L))
-            .as("dropped_grams"),
-          coalesce(max($"df".cast("long")), lit(0L)).as("max_gram_df"))
-        .filter($"df" <= dfCap).select($"h")
-      val kept = hashed.join(gramDf, Seq("h"))
-      val capped = capPerKey(
-          kept.withColumn("__doc", $"doc_id")
-            .withColumn("doc_id", $"doc_id" * 1000000L + $"p"),
-          "substring", $"h")
-        .select($"h", $"__doc".as("doc_id"), $"p")
-      // one-pass pairing (the bucketPairs shape, carrying positions):
-      // collect each bucket's <= maxBucket (doc, pos) occurrences, explode
-      // ordered pairs — never a capped self-join that would re-execute
-      // the scan->shingle->df lineage into both branches
-      val matches = capped
-        .groupBy($"h")
-        .agg(collect_list(struct($"doc_id", $"p")).as("occ"))
-        .filter(size($"occ") > 1)
-        .select(explode($"occ").as("a"), $"occ")
-        .select($"a", explode($"occ").as("b"))
-        .filter($"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-          ($"b.p" - $"a.p").as("d"), $"b.p".as("b_p"))
-      val islands = org.apache.spark.sql.expressions.Window
-        .partitionBy($"a_id", $"b_id", $"d").orderBy($"b_p")
-      val pairs = matches
-        .withColumn("island", $"b_p" - row_number().over(islands))
-        .groupBy($"a_id", $"b_id", $"d", $"island")
-        .agg(count(lit(1)).as("run_len"))
-        .groupBy($"a_id", $"b_id")
-        .agg((max($"run_len") + (k - 1)).as("run_tokens"))
-        .filter($"run_tokens" >= MinRunTokens)
-      val blame = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"run_tokens".desc, $"dup_of")
-      pairs
-        .select($"b_id".as("doc_id"), $"a_id".as("dup_of"), $"run_tokens")
-        .withColumn("rn", row_number().over(blame))
-        .filter($"rn" === 1)
-        .drop("rn")
-        .orderBy("doc_id")
-    }),
+    "q_dedup_substring" -> ((s, dir) =>
+      substringFlags(Tables.table(s, dir, "documents"))),
 
     // MinHash + LSH banding: signature k=32, 8 bands x 4 rows; docs
     // sharing >=1 band bucket become candidate pairs. (No SQL oracle —

@@ -317,6 +317,12 @@ object SimilarityQueries {
   private[graft] def semDedupPipeline(vecs: DataFrame,
       cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
     import vecs.sparkSession.implicits._
+    // register here, not only in the query-map closures: a caller that
+    // reaches the pipeline directly (ScaleProbe's filtered runs, library
+    // users) must not depend on some OTHER query having registered the
+    // vector functions on this session first — the r10 knee hunt hit
+    // exactly that latent ordering bug (cosine_sim unresolved)
+    VectorFunctions.register(vecs.sparkSession)
     if (cents.isEmpty)
       return vecs.limit(0).select($"vec_id", lit(0).as("cell"),
         lit(0).as("is_dup"), $"vec_id".as("dup_of"), lit(0.0).as("dup_cos"))
@@ -352,6 +358,7 @@ object SimilarityQueries {
   private[graft] def semDedupIncrementalPipeline(vecs: DataFrame,
       cents: Seq[(Int, Seq[Double])], tau: Double, split: Long): DataFrame = {
     import vecs.sparkSession.implicits._
+    VectorFunctions.register(vecs.sparkSession) // see semDedupPipeline
     if (cents.isEmpty)
       return vecs.limit(0).select($"vec_id", lit(0).as("cell"))
     val assigned = assignCells(vecs, cents)

@@ -245,6 +245,42 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_curation_pipeline: substring stage drops partial copies among " +
+      "exact-dedup survivors, with the drop reason counted per cell") {
+    // Pins the composed pipeline's stage ORDER and the drop-reason
+    // column: (1) the exact stage removes verbatim full copies BEFORE
+    // the substring detector runs (so they never count as substring
+    // drops), (2) a >= 15-token partial copy among the exact survivors
+    // is flagged and excluded with its reason counted, (3) quality and
+    // sampling drops remain reason-less map-side filters.
+    val dir = java.nio.file.Files.createTempDirectory("curation_fixture")
+      .toString
+    def words(r: Range, tag: String = "w") =
+      r.map(i => s"$tag$i").mkString(" ")
+    Seq(
+      1L -> words(1 to 20),                    // survives every stage
+      2L -> words(1 to 20),                    // exact dup of 1: dropped first
+      3L -> (words(1 to 15) + " " + words(1 to 9, "z")), // 15-run vs 1
+      4L -> words(1 to 5, "q"),                // < 10 tokens: quality drop
+      5L -> words(1 to 20, "m"))               // bucket 62 >= 50: sampled out
+      .map { case (id, text) => (id, text, "en", "srcA", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val rows = run("q_curation_pipeline", dir).collect()
+    assert(rows.length === 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[String]("source") === "srcA")
+    assert(r.getAs[Long]("kept_docs") === 1L)
+    assert(r.getAs[Long]("kept_tokens") === 20L)
+    // doc 3 is the ONLY substring drop: doc 2, a verbatim full copy of
+    // doc 1, was collapsed by the exact stage and never reached the
+    // pairing machinery — had the stages run in the other order it
+    // would flag too and this count would read 2
+    assert(r.getAs[Long]("dropped_substring") === 1L)
+  }
+
   test("retention: offsets are whole weeks from each user's first week") {
     val out = run("q_events_retention")
     val rows = out.collect()

@@ -133,12 +133,16 @@ class PlanSpec extends SparkTestBase {
     assert("hashpartitioning\\(lang#\\d+, \\d+\\)".r.findFirstIn(p).isDefined, p)
   }
 
-  test("q_curation_pipeline shuffles once on the dedup fingerprint") {
-    // the composed pipeline's only wide stage is the keep-first window;
-    // quality guard + sampling are map-side and the (lang, source) agg
-    // partials combine before its exchange
+  test("q_curation_pipeline keeps its bounded wide stages only") {
+    // the composed pipeline's wide stages are the keep-first fingerprint
+    // window plus the substring drop stage's own machinery — the shared
+    // h-exchange the detector clusters its positional shingles on; the
+    // quality guard + sampling stay map-side and the (lang, source) agg
+    // partials combine before its exchange. No stage may plan an
+    // all-pairs join: the substring flag set joins back by doc_id
     val p = plan("q_curation_pipeline")
     assert("hashpartitioning\\(fp#\\d+".r.findFirstIn(p).isDefined, p)
+    assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }

@@ -26,9 +26,15 @@ STAGE=tools/.bench_stage/classes
 [ -d "$CLASSES" ] || { echo "bench.sh: no $CLASSES — run 'sbt compile' first" >&2; exit 1; }
 
 if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
-  busy=$(pgrep -f 'sbt-launch|xsbt.boot.Boot|graft.ScaleProbe' || true)
+  # only a real JVM counts: pgrep -f also matches non-java processes that
+  # merely mention these class names in their argv (e.g. an orchestration
+  # shell whose prompt text cites graft.Bench), so filter by process name
+  busy=""
+  for p in $(pgrep -f 'sbt-launch|xsbt.boot.Boot|graft.ScaleProbe' || true); do
+    [ "$(cat /proc/"$p"/comm 2>/dev/null)" = "java" ] && busy="$busy $p"
+  done
   if [ -n "$busy" ]; then
-    echo "bench.sh: refusing to bench while sbt/ScaleProbe runs (pids: $busy)" >&2
+    echo "bench.sh: refusing to bench while sbt/ScaleProbe runs (pids:$busy)" >&2
     echo "bench.sh: wait for them or set SPARK_GRAFT_BENCH_FORCE=1" >&2
     exit 2
   fi
