@@ -18,9 +18,12 @@ import org.apache.spark.sql.Row
   */
 object EventStream {
 
-  /** The events schema as read from the testdata (ts normalized to
-    * microsecond TIMESTAMP_NTZ by [[graft.Tables.table]]; streams read the
-    * raw long nanos and convert the same way). */
+  /** The events schema when the testdata stores ts as parquet
+    * TIMESTAMP(NANOS), which Spark 4 reads only as a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (ts normalized to
+    * microsecond TIMESTAMP_NTZ by [[graft.Tables.table]]; streams convert
+    * the same way). Newer testdata drops stamp ts as plain timestamp[us];
+    * [[readEvents]] probes the staged directory's footer and handles both. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // parquet TIMESTAMP(NANOS) under nanosAsLong
@@ -33,12 +36,25 @@ object EventStream {
     * column must stay TIMESTAMP (LTZ) — Spark rejects TIMESTAMP_NTZ as a
     * watermark column — so run with the session timezone pinned to UTC
     * (as Verify/Bench/tests do) to make window boundaries agree with the
-    * NTZ batch twins; [[hourlyCounts]] converts its output back to NTZ. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * NTZ batch twins; [[hourlyCounts]] converts its output back to NTZ.
+    *
+    * File streams require an explicit schema, and the testdata has shipped
+    * ts two ways (TIMESTAMP(NANOS) → raw long under the legacy flag;
+    * later drops: plain timestamp[us]) — so probe the directory's parquet
+    * footer once at stream-definition time (callers stage files before
+    * defining the stream) and branch the normalization, exactly like the
+    * batch reader [[graft.Tables.table]]. Feeding the micros value through
+    * the nanos `div 1000` path is the 1970-01-20 failure mode this guards. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(onDisk).parquet(dir)
+    onDisk("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
     * the streaming twin of q_events_hourly. Late rows beyond the
