@@ -428,7 +428,31 @@ object DedupQueries {
     * LATER doc: (doc_id, dup_of, run_tokens), blame = longest shared
     * run, ties -> smallest earlier id. Full design rationale at the
     * q_dedup_substring entry; scale guards (df cap, capPerKey, shared
-    * h-exchange) identical wherever it is composed. */
+    * h-exchange) identical wherever it is composed.
+    *
+    * COLLAPSE-FIRST like every other near-dup family member, with the
+    * containment query's uncollapsed-df bookkeeping so the DuckDB
+    * oracle stays the verbatim uncollapsed replay and the hash-match
+    * doubles as the equivalence proof:
+    *  - identical normalized text ⇒ identical token sequence ⇒
+    *    identical positional shingles, so shingling/df/pairing run over
+    *    one representative per fingerprint and verdicts extend to
+    *    members EXACTLY (the r10 knee hunt measured the uncollapsed
+    *    form's 2.10× time per 2× data on verbatim replicas — C(K,2)
+    *    within-bucket pair growth this collapse removes outright);
+    *  - df keeps counting DOCUMENTS, not representatives: each rep
+    *    carries its `copies` count and df = Σ copies over the distinct
+    *    docs containing the shingle, so copy-inflated boilerplate is
+    *    dropped exactly where the uncollapsed pipeline drops it (both
+    *    aggregations sit on the shared h-clustered exchange —
+    *    HashPartitioning(h) satisfies the (h, doc) grouping, zero
+    *    extra shuffles);
+    *  - a within-group pair's longest shared run is the longest
+    *    consecutive island of df-SURVIVING positions + k-1: the d=0
+    *    diagonal dominates every other diagonal (a d≠0 run of length L
+    *    needs L consecutive kept b-side positions, which is itself a
+    *    d=0 island ≥ L), so within-group runs come from one window
+    *    over each duplicated rep's kept positions — no pairing work. */
   private[queries] def substringFlags(docs0: DataFrame): DataFrame = {
     val s = docs0.sparkSession
     import s.implicits._
@@ -436,7 +460,7 @@ object DedupQueries {
     val dfCap = s.conf.getOption("spark.graft.dedup.maxGramDf")
       .map(_.toInt).getOrElse(DefaultMaxGramDf)
     // NOTE this guard covers CROSS-DOCUMENT frequency only: df counts
-    // distinct docs while the bucket cap bounds (doc, position) rows,
+    // distinct docs while the bucket cap bounds (rep, position) rows,
     // so a degenerate doc repeating one k-gram more than maxBucket
     // times passes df<=cap yet still engages the cap. That shape is
     // within-doc repetition (the cap then drops positional rows, a
@@ -448,38 +472,54 @@ object DedupQueries {
         "would truncate cross-document shingle buckets the df filter " +
         "admitted (within-doc positional repetition can still engage " +
         "the cap; it fail-fasts under Verify)")
-    val docs = Tables.spread(docs0, $"doc_id")
-      .select($"doc_id", toks($"text").as("t"))
+    val all = Tables.spread(docs0, $"doc_id")
+      .select($"doc_id", $"text", fingerprint($"text").as("fp"))
+    // one aggregation carries rep id, member list AND copy count (the
+    // collapseExact shape; null-text docs group under the null fp and
+    // never shingle, so they fall out exactly as uncollapsed)
+    val grouped = capPerKey(all.select($"doc_id", $"fp"),
+        "substring_collapse", $"fp")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"),
+        count(lit(1)).as("copies"))
+    val reps = all.join(
+      grouped.select($"rep_id".as("doc_id"), $"copies"), Seq("doc_id"))
+    val docs = reps
+      .select($"doc_id", $"copies", toks($"text").as("t"))
       .filter(size($"t") >= k)
     // the explicit repartition makes the positional-shingle lineage a
     // SHARED exchange: the df aggregation and the df-filter join both
     // consume it clustered on h (the containment device)
     val hashed = docs
-      .select($"doc_id",
+      .select($"doc_id", $"copies",
         explode(sequence(lit(1), size($"t") - (k - 1))).as("p"), $"t")
-      .select($"doc_id", $"p",
+      .select($"doc_id", $"copies", $"p",
         md5(concat_ws(" ", slice($"t", $"p", lit(k)))).as("h"))
       .repartition($"h")
     // the df filter is this query's first-line scale guard, so ITS
     // drop count is the observable (the capPerKey observe downstream
     // sees zero rows — and therefore never materializes its metrics —
     // exactly when the filter dropped everything, the hostile-corpus
-    // case the probe wants to see)
-    val gramDf = hashed.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("df"))
+    // case the probe wants to see). Two stacked aggregations, both
+    // satisfied by the h-clustering above: per-(h, rep) first, then
+    // Σ copies per h = the uncollapsed count-distinct-docs.
+    val gramDf = hashed.groupBy($"h", $"doc_id")
+      .agg(first($"copies").as("copies"))
+      .groupBy($"h")
+      .agg(sum($"copies").as("df"))
       .observe("df_filter_substring",
         coalesce(sum(when($"df" > dfCap, 1L).otherwise(0L)), lit(0L))
           .as("dropped_grams"),
         coalesce(max($"df".cast("long")), lit(0L)).as("max_gram_df"))
       .filter($"df" <= dfCap).select($"h")
-    val kept = hashed.join(gramDf, Seq("h"))
+    val kept = hashed.select($"doc_id", $"p", $"h").join(gramDf, Seq("h"))
     val capped = capPerKey(
         kept.withColumn("__doc", $"doc_id")
           .withColumn("doc_id", $"doc_id" * 1000000L + $"p"),
         "substring", $"h")
       .select($"h", $"__doc".as("doc_id"), $"p")
     // one-pass pairing (the bucketPairs shape, carrying positions):
-    // collect each bucket's <= maxBucket (doc, pos) occurrences, explode
+    // collect each bucket's <= maxBucket (rep, pos) occurrences, explode
     // ordered pairs — never a capped self-join that would re-execute
     // the scan->shingle->df lineage into both branches
     val matches = capped
@@ -493,16 +533,46 @@ object DedupQueries {
         ($"b.p" - $"a.p").as("d"), $"b.p".as("b_p"))
     val islands = org.apache.spark.sql.expressions.Window
       .partitionBy($"a_id", $"b_id", $"d").orderBy($"b_p")
-    val pairs = matches
+    val repPairs = matches
       .withColumn("island", $"b_p" - row_number().over(islands))
       .groupBy($"a_id", $"b_id", $"d", $"island")
       .agg(count(lit(1)).as("run_len"))
       .groupBy($"a_id", $"b_id")
       .agg((max($"run_len") + (k - 1)).as("run_tokens"))
       .filter($"run_tokens" >= MinRunTokens)
+    // within-group runs: per duplicated rep, the longest consecutive
+    // island of df-surviving positions (the dominant d=0 diagonal)
+    val posWin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val withinRuns = capped
+      .join(grouped.filter($"copies" > 1)
+        .select($"rep_id".as("doc_id")), Seq("doc_id"))
+      .select($"doc_id", $"p")
+      .withColumn("island", $"p" - row_number().over(posWin))
+      .groupBy($"doc_id", $"island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"doc_id")
+      .agg((max($"run_len") + (k - 1)).as("run_tokens"))
+      .filter($"run_tokens" >= MinRunTokens)
+    // fan representative verdicts back out to member pairs (the fanOut
+    // device, carrying run_tokens)
+    val members = grouped.select($"rep_id", explode($"ids").as("doc_id"))
+    val cross = repPairs
+      .join(members.select($"rep_id".as("a_id"), $"doc_id".as("mem_a")),
+        Seq("a_id"))
+      .join(members.select($"rep_id".as("b_id"), $"doc_id".as("mem_b")),
+        Seq("b_id"))
+      .select(least($"mem_a", $"mem_b").as("a_id"),
+        greatest($"mem_a", $"mem_b").as("b_id"), $"run_tokens")
+    val within = grouped.filter(size($"ids") > 1)
+      .join(withinRuns.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(explode($"ids").as("a_id"), $"ids", $"run_tokens")
+      .select($"a_id", explode($"ids").as("b_id"), $"run_tokens")
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"run_tokens")
     val blame = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"run_tokens".desc, $"dup_of")
-    pairs
+    cross.unionByName(within)
       .select($"b_id".as("doc_id"), $"a_id".as("dup_of"), $"run_tokens")
       .withColumn("rn", row_number().over(blame))
       .filter($"rn" === 1)

@@ -95,6 +95,54 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(got.values.forall(_ === (0L, 20L)))
   }
 
+  test("verbatim copies collapse: members inherit cross flags and " +
+      "within-group pairs carry the full-text run") {
+    // group {0, 3, 4}: verbatim copies (4 only differs by case, which
+    // normalization folds); doc 1 shares w1..w18 with the group; doc 2
+    // is unrelated. Uncollapsed truth the collapsed pipeline must
+    // reproduce: 3 and 4 flagged against 0 with the full 24-token run,
+    // 1 flagged against 0 with the 18-token embedded run.
+    val base = words(1 to 18) + " " + words(1 to 6, "z") // 24 tokens
+    val dir = writeDocs(Seq(
+      0L -> base,
+      1L -> (words(1 to 10, "m") + " " + words(1 to 18)),
+      2L -> words(1 to 30, "q"),
+      3L -> base,
+      4L -> base.toUpperCase))
+    val got = run(dir)
+    assert(got(3L) === (0L, 24L))
+    assert(got(4L) === (0L, 24L))
+    assert(got(1L) === (0L, 18L))
+    assert(!got.contains(2L) && !got.contains(0L))
+  }
+
+  test("df counts documents, not representatives: verbatim copies " +
+      "still inflate a shingle over the boilerplate cap") {
+    // one 20-token run shared by doc 0 (plus verbatim copies 2, 3, 4)
+    // and doc 1: every shingle inside the run lives in 5 DISTINCT docs.
+    // With maxGramDf = 4 the df filter must drop the run — a collapsed
+    // pipeline that counted representatives would see df = 2 and
+    // wrongly keep it. (The copies' kept prefix islands are then 5
+    // positions -> 9-token runs < 15, so NOTHING fires.) At the default
+    // cap the same corpus flags all of 1..4 against 0.
+    val shared = words(1 to 20, "b")
+    val d0 = words(1 to 5, "h") + " " + shared // 25 tokens
+    val dir = writeDocs(Seq(
+      0L -> d0,
+      1L -> (words(1 to 5, "x") + " " + shared),
+      2L -> d0,
+      3L -> d0,
+      4L -> d0))
+    spark.conf.set("spark.graft.dedup.maxGramDf", "4")
+    try assert(run(dir).isEmpty)
+    finally spark.conf.unset("spark.graft.dedup.maxGramDf")
+    val got = run(dir)
+    assert(got(1L) === (0L, 20L))
+    assert(got(2L) === (0L, 25L))
+    assert(got(3L) === (0L, 25L))
+    assert(got(4L) === (0L, 25L))
+  }
+
   test("sf0.001 output matches a from-scratch JVM recomputation") {
     val k = 5
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
