@@ -155,8 +155,23 @@ object Bench {
         (warmSecs(n), esc.map(_._2.head).getOrElse(rep))
     })
     val contendedJson = if (contended) """"contended":true,""" else ""
+    // cross-SESSION calibration: the contended stamp above compares timed
+    // vs warm WITHIN this session and is structurally blind to
+    // whole-machine slowdowns that inflate both together (the late-r10
+    // hypervisor-contention window: every query uniformly 2-5x, warm and
+    // timed alike, stamp silent — only the canary vs its quiet-band twin
+    // showed it, 0.346 vs 0.118). So before overwriting the sidecar, read
+    // the PREVIOUS record's canary and stamp the ratio: a consumer holding
+    // only this record knows how this session's machine compares to the
+    // last one that produced a record, no forensics required. The ratio
+    // uses each record's canary MINIMUM (the cleanest sample either
+    // session saw); > CanaryInflatedRatio additionally raises an explicit
+    // flag. Ratio < 1 just means this session is cleaner — never flagged.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", SidecarPath)
+    val driftJson = canaryDriftJson(
+      math.min(canaryStart, canaryEnd), prevCanaryMin(sidecar))
     val canaryJson =
-      s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},$contendedJson"""
+      s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},$driftJson$contendedJson"""
     // Full-precision AUDIT record, written to a committed file: the stdout
     // line is the driver contract but its tail budget quantizes 89 queries
     // to deciseconds, and the stderr ms dicts fall outside the driver's
@@ -168,10 +183,9 @@ object Bench {
     // stream) must precede the stdout line: the r8 record lost its head
     // because ~140 chars of trailing output ate into the consumer's
     // 2000-char tail window AFTER a line that fit the budget on its own.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", SidecarPath)
     try {
       val json = sidecarJson(sfDir, warm, timed, errors, canaryStart, canaryEnd,
-        contended)
+        contended, driftJson)
       val p = java.nio.file.Paths.get(sidecar)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
@@ -230,7 +244,7 @@ object Bench {
       timed: Seq[(String, Double, Option[String], Option[(Double, Seq[Double])])],
       errors: Map[String, String],
       canaryStart: Double = -1, canaryEnd: Double = -1,
-      contended: Boolean = false): String = {
+      contended: Boolean = false, driftJson: String = ""): String = {
     def dict(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"    ${JsonUtil.quote(k)}: $v" }
         .mkString("{\n", ",\n", "\n  }")
@@ -249,7 +263,7 @@ object Bench {
        |  "suite_size": ${timed.length},
        |  "total_sec": ${ms(total)},
        |  "canary_sec": {"start": ${ms(canaryStart)}, "end": ${ms(canaryEnd)}},
-       |  "contended": $contended,
+       |  $driftJson"contended": $contended,
        |  "warm_sec": $warmD,
        |  "timed_sec": $timedD,
        |  "outlier_escalations": $retryD,
@@ -382,4 +396,44 @@ object Bench {
     * referenced from the stdout line's degraded rungs, overridable for
     * local runs via SPARK_GRAFT_BENCH_OUT. */
   private[graft] val SidecarPath = "tools/bench_last.json"
+
+  /** Cross-session canary ratio above which the record carries an
+    * explicit "canary_inflated" flag. 2.5 splits the observed bands by
+    * a wide margin either side: quiet-band canary minima vary ~0.05-0.12
+    * across sessions (≤ ~2×), while the measured contention window read
+    * 0.346/0.506 against a 0.058 quiet twin (~6×). */
+  private[graft] val CanaryInflatedRatio = 2.5
+
+  /** The previous record's cleanest canary sample, parsed from the
+    * sidecar this run is about to overwrite. Regex, not a JSON library:
+    * the field is machine-written on one line, and a malformed/absent/
+    * partial sidecar must degrade to "no baseline" rather than fail the
+    * bench. -1 sentinels (canary never ran) are filtered out. */
+  private[graft] def prevCanaryMin(path: String): Option[Double] =
+    scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val re =
+        """"canary_sec":\s*\{"start":\s*(-?[0-9.]+),\s*"end":\s*(-?[0-9.]+)\}""".r
+      re.findFirstMatchIn(txt).map(m =>
+        math.min(m.group(1).toDouble, m.group(2).toDouble))
+    }.toOption.flatten.filter(_ > 1e-3)
+
+  /** JSON fragment (trailing comma included, empty when no baseline
+    * exists) stamping this session's machine speed against the previous
+    * record's: "canary_vs_prev" is cur/prev of the two records' canary
+    * minima, plus "canary_inflated" above [[CanaryInflatedRatio]]. Pure —
+    * BenchLineSpec pins both sides of the threshold and the no-baseline
+    * and sentinel cases. */
+  private[graft] def canaryDriftJson(cur: Double,
+      prev: Option[Double]): String =
+    prev match {
+      case Some(p) if cur > 0 =>
+        val r = cur / p
+        val flag =
+          if (r > CanaryInflatedRatio) """"canary_inflated":true,""" else ""
+        s""""canary_vs_prev":${fmt(2)(r)},$flag"""
+      case _ => ""
+    }
 }

@@ -212,4 +212,52 @@ class BenchLineSpec extends AnyFunSuite {
       assert(!line.contains("1,25"))
     } finally java.util.Locale.setDefault(prev)
   }
+
+  test("canary drift stamps the cross-session ratio and flags the " +
+      "measured contention window, not quiet-band variance") {
+    // the late-r10 window: current canary min 0.346 vs the quiet-band
+    // sidecar's 0.058 — ~6×, must flag (the within-session contended
+    // stamp was silent here: warm and timed inflated together)
+    val windowJson = Bench.canaryDriftJson(0.346, Some(0.058))
+    assert(windowJson.contains(""""canary_vs_prev":5.97"""), windowJson)
+    assert(windowJson.contains(""""canary_inflated":true"""), windowJson)
+    // quiet-band session-to-session variance (0.058 vs 0.118, ~2×)
+    // stamps the ratio but must NOT flag
+    val quietJson = Bench.canaryDriftJson(0.118, Some(0.058))
+    assert(quietJson.contains(""""canary_vs_prev":2.03"""), quietJson)
+    assert(!quietJson.contains("canary_inflated"), quietJson)
+    // a cleaner-than-baseline session is never flagged
+    val cleaner = Bench.canaryDriftJson(0.058, Some(0.346))
+    assert(cleaner.contains(""""canary_vs_prev":0.17"""), cleaner)
+    assert(!cleaner.contains("canary_inflated"), cleaner)
+    // no baseline / sentinel baselines degrade to an empty fragment
+    assert(Bench.canaryDriftJson(0.346, None) === "")
+    assert(Bench.canaryDriftJson(-1.0, Some(0.058)) === "")
+  }
+
+  test("prevCanaryMin parses the committed sidecar shape and degrades " +
+      "on absence, corruption, and sentinels") {
+    val dir = java.nio.file.Files.createTempDirectory("canary_prev")
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    }
+    // the exact sidecarJson rendering round-trips
+    val rendered = Bench.sidecarJson("sf", Seq(("q_a", 0.2, None)),
+      Seq(("q_a", 0.1, None, None)), Map.empty, 0.346, 0.506)
+    assert(Bench.prevCanaryMin(write("real.json", rendered))
+      === Some(0.346))
+    // min of the two bookends, either order
+    assert(Bench.prevCanaryMin(write("m.json",
+      """{"canary_sec": {"start": 0.118, "end": 0.058},""")) === Some(0.058))
+    // -1 sentinels (canary never ran) are not a baseline
+    assert(Bench.prevCanaryMin(write("s.json",
+      """{"canary_sec": {"start": -1.000, "end": -1.000},""")) === None)
+    // absent file / no canary field / garbage all degrade quietly
+    assert(Bench.prevCanaryMin(dir.resolve("nope.json").toString) === None)
+    assert(Bench.prevCanaryMin(write("e.json", """{"total_sec": 3}""")) === None)
+    assert(Bench.prevCanaryMin(write("g.json", "not json at all")) === None)
+  }
 }
