@@ -18,9 +18,18 @@ object Bench {
       // hold the whole suite (steady-state cost is what a long-lived
       // cluster session sees)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // the library's production posture: every graft function + the HOF
+      // fusion rule (plans/GraftExtensions scaladoc)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for the injected optimizer rules: exclude by rule name to
+    // measure a query with and without a fusion (the SCALING.md round-11
+    // addendum's FuseVectorHofs off/on pair is produced exactly this way).
+    // Local-iteration only — the driver invokes Bench without this env.
+    sys.env.get("SPARK_GRAFT_EXCLUDE_RULES").foreach(r =>
+      spark.conf.set("spark.sql.optimizer.excludedRules", r))
     // optional args = query-name filter for local single-query iteration
     // (the driver always invokes with no args -> full suite). A typo'd name
     // must fail loudly: silently filtering it out would print a near-empty

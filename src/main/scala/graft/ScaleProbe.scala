@@ -291,6 +291,9 @@ object ScaleProbe {
       // state-bound claims rest on. Retention is raised far above any
       // probe's possible micro-batch count so the peak is a true max.
       .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
+      // the library's production posture: every graft function + the HOF
+      // fusion rule (plans/GraftExtensions scaladoc)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

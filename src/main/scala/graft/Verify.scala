@@ -18,6 +18,9 @@ object Verify {
       // testdata ships one parquet file per table; small split size keeps
       // local scans parallel (a real lake has many files instead)
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // the library's production posture: every graft function + the HOF
+      // fusion rule (plans/GraftExtensions scaladoc)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -94,24 +94,28 @@ case class TopKLongs(child: Expression, k: Int,
 /** Session registration + Column API (same pattern as [[VectorFunctions]]). */
 object TopKFunctions {
 
+  /** Registry builder, shared between [[register]] and the
+    * [[graft.plans.GraftExtensions]] session-extension injection. */
+  private[graft] val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"topk_longs(col, k) takes 2 arguments, got ${exprs.length}")
+    require(exprs(1).foldable,
+      "topk_longs k must be a literal (it bounds the aggregation state)")
+    val k = exprs(1).eval(null) match {
+      case i: Int => i
+      case l: Long => java.lang.Math.toIntExact(l) // throws on overflow
+      case other => throw new IllegalArgumentException(
+        s"topk_longs k must be an integer literal, got $other")
+    }
+    TopKLongs(exprs.head, k)
+  }
+
   /** Idempotently register `topk_longs(col, k)` on this session. The `k`
     * argument must be a foldable integer literal — k IS the state bound,
     * so a silently wrapped or runaway value defeats the whole point. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_longs", exprs => {
-        require(exprs.length == 2,
-          s"topk_longs(col, k) takes 2 arguments, got ${exprs.length}")
-        require(exprs(1).foldable,
-          "topk_longs k must be a literal (it bounds the aggregation state)")
-        val k = exprs(1).eval(null) match {
-          case i: Int => i
-          case l: Long => java.lang.Math.toIntExact(l) // throws on overflow
-          case other => throw new IllegalArgumentException(
-            s"topk_longs k must be an integer literal, got $other")
-        }
-        TopKLongs(exprs.head, k)
-      }, "internal")
+      "topk_longs", builder, "internal")
 
   /** topk_longs(col, k) — callers must have invoked [[register]] on the
     * session that will analyze the plan. */

@@ -139,17 +139,94 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Dot product of two ARRAY<DOUBLE> columns as a fused codegen loop.
+  *
+  * This expression exists as the REWRITE TARGET of
+  * [[graft.plans.FuseVectorHofs]]: the declarative formulation
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0D, (acc,x) -> acc+x)` is
+  * evaluated interpreted per element by Spark's higher-order functions,
+  * and the injected optimizer rule replaces that exact pattern with this
+  * expression. The rewrite is only sound because the semantics here
+  * mirror the HOF chain bit for bit:
+  *
+  *  - either array null -> null (`BinaryExpression` default);
+  *  - length mismatch -> null (zip_with pads the shorter side with null,
+  *    the padded product is null, and `Add` propagates null through the
+  *    fold);
+  *  - any null ELEMENT pair-position -> null (same propagation) — unlike
+  *    [[CosineSim]], which skips null positions, this expression must NOT
+  *    skip: the HOF form it replaces does not;
+  *  - both empty -> 0.0 (the fold's zero);
+  *  - accumulation is a single left-to-right pass, matching the
+  *    sequential fold order, so the double value is identical.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects two ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration + Column-level API (built on the function registry
   * so no private Column constructors are needed). */
 object VectorFunctions {
 
-  /** Idempotently register `cosine_sim` + `vec_norm` on this session.
-    * Query builders call this with the session they receive. */
+  /** Idempotently register `cosine_sim` + `vec_norm` + `dot_product` on
+    * this session. Query builders call this with the session they receive. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm", exprs => VecNorm(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "internal")
   }
 
   /** cosine_sim(a, b) — callers must have invoked [[register]] on the
@@ -159,4 +236,20 @@ object VectorFunctions {
   /** vec_norm(v) — callers must have invoked [[register]] on the session
     * that will analyze the plan. */
   def vecNorm(v: Column): Column = call_function("vec_norm", v)
+
+  /** dot_product(a, b) — callers must have invoked [[register]] on the
+    * session that will analyze the plan. */
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** The declarative higher-order-function dot product —
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — exactly the shape
+    * [[graft.plans.FuseVectorHofs]] rewrites to [[DotProduct]]. Queries
+    * use THIS form (not [[dotProduct]]) to witness that a user writing
+    * plain declarative Spark gets the fused loop from the injected rule;
+    * without the extension the plan still runs, interpreted. */
+  def dotHof(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
 }

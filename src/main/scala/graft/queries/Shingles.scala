@@ -25,14 +25,20 @@ import graft.functions.WordShingles
   */
 object Shingles {
 
+  /** Registry builder, shared between [[register]] and the
+    * [[graft.plans.GraftExtensions]] session-extension injection. */
+  private[graft] val builder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(arr, Literal(v, IntegerType)) =>
+      WordShingles(arr, v.asInstanceOf[Int])
+    case _ => throw new IllegalArgumentException(
+      "word_shingles(tokens, literal width)")
+  }
+
   private def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => exprs match {
-        case Seq(arr, Literal(v, IntegerType)) =>
-          WordShingles(arr, v.asInstanceOf[Int])
-        case _ => throw new IllegalArgumentException(
-          "word_shingles(tokens, literal width)")
-      }, "internal")
+      "word_shingles", builder, "internal")
 
   /** Callers pass the session that will ANALYZE the plan (same contract
     * as [[graft.functions.VectorFunctions.register]]) — the thread-local

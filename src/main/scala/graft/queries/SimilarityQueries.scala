@@ -74,6 +74,41 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Maximum-inner-product search (MIPS) top-5: the retrieval scoring
+    // used when embeddings arrive pre-normalized with learned magnitudes
+    // (dot, not cosine, is the model's similarity). DELIBERATELY written
+    // as the declarative higher-order-function dot product
+    // (VectorFunctions.dotHof) rather than the fused expression: this
+    // query is the end-to-end witness that plans/FuseVectorHofs rewrites
+    // the user-shaped formulation into the codegen'd DotProduct — PlanSpec
+    // pins `dot_product` (and no ArrayAggregate) in the optimized plan,
+    // and the DuckDB oracle hash-matches the fused result. Without the
+    // extension the same code still runs, interpreted (FuseDotSpec pins
+    // value equality both ways). Guard: null embeddings and null ELEMENTS
+    // are excluded on both sides — the HOF/DotProduct null-propagates a
+    // null element (faithfully to zip_with+aggregate) while DuckDB's
+    // list_sum skips nulls, so such failed-embedding rows are routed out
+    // exactly as the semantic family does (semDedupGuard scaladoc); zero
+    // vectors stay (dot 0.0 is well-defined — no 0/0 hazard here).
+    "q_knn_dot" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", dvec($"embedding").as("v"))
+        .filter($"v".isNotNull && forall($"v", x => x.isNotNull))
+      val probes = vecs.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      val scored = vecs.join(broadcast(probes), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          Clean.roundHalfUp(
+            VectorFunctions.dotHof($"qv", $"v"), 4).as("dot"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"dot".desc, $"neighbor_id")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"neighbor_id", $"dot")
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN: the database side keeps ONE bucket per vector (so
     // the bucket id can be the table's partition key at scale); each probe
     // multi-probes its home bucket plus all 1-bit and 2-bit signature
@@ -708,6 +743,33 @@ object SimilarityQueries {
         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The MIPS witness replays with the same guard the Spark side applies
+    // (no null embeddings, no null elements; zero vectors stay — see the
+    // query comment). list_sum's null-skipping never engages because the
+    // guard removes every null element first, so the sequential replay
+    // equals the fused DotProduct loop bit for bit.
+    "q_knn_dot" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+        |                        x -> x IS NULL)) = 0),
+        |scored AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor(list_sum(list_transform(range(1, 65),
+        |            i -> p.v[i] * c.v[i]))
+        |          * 10000 + 0.5) / 10000 AS dot
+        |  FROM vecs p JOIN vecs c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, dot FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

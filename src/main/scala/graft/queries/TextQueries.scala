@@ -109,6 +109,52 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-LM log-probability scoring, the perplexity-proxy quality
+    // signal of CCNet-style curation (Wenzek et al. 2020, "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    // the public technique: score each document under a language model
+    // and drop the tail). The LM here is the corpus's own add-α unigram
+    // model (α = 0.5): p(w) = (c_w + α) / (N + α·V), and the score is the
+    // token-frequency-weighted mean ln p(w); documents full of
+    // corpus-rare tokens (mojibake, hash spam, OCR noise) sit far below
+    // fluent text. Fully SQL-replayable, so this carries a hard oracle.
+    //
+    // Scale shape (100 TB): one explode feeds a (doc_id, token) count
+    // aggregation — the pre-aggregation that BOUNDS hot-token skew: after
+    // it, a stopword like "the" occupies at most one row per document, so
+    // the token-keyed exchange that follows holds ≤ n_docs rows for the
+    // hottest key instead of the corpus's full occurrence count. The
+    // explicit repartition($"t") is the shared-exchange device (the
+    // containment/clusters pattern): the vocabulary aggregation and the
+    // score join both consume the SAME token-clustered shuffle files, so
+    // the count lineage runs once. The LM itself stays fully distributed
+    // (vocabulary is a DataFrame, never collected); the only broadcast is
+    // the 1-row (N, V) totals. At 100 TB you would materialize the LM
+    // table once and reuse it across scoring runs rather than re-derive
+    // it per query — same staging note as ivfCentroids.
+    "q_doc_unigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val tok = docs
+        .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+        .repartition($"t")
+      val uni = tok.groupBy($"t").agg(sum($"c").as("cw"))
+      val tot = uni.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+      val lm = uni.crossJoin(broadcast(tot))
+        .select($"t",
+          log(($"cw" + lit(0.5)) / ($"n" + lit(0.5) * $"v")).as("lp"))
+      val scored = tok.join(lm, Seq("t"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("token_count"),
+          (sum($"c" * $"lp") / sum($"c")).as("mlp"))
+      docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"token_count", lit(0L)).as("token_count"),
+          Clean.roundHalfUp($"mlp", 4).as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID heuristic: argmax of stopword hits with deterministic
     // precedence (list order) and an 'und' floor when nothing matches.
     "q_doc_langid" -> ((s, dir) => {
@@ -462,6 +508,33 @@ object TextQueries {
            |        string_split_regex(trim(lower(text)), '\\s+') AS toks
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin,
+
+      // Replays the add-0.5 unigram LM end to end: same lowercased
+      // whitespace tokens, same (doc, token) pre-aggregation, same
+      // (c_w + α)/(N + α·V) smoothing, same frequency-weighted mean ln.
+      // NULL-text docs produce no token rows and surface with
+      // token_count 0 / NULL score through the left join, both engines.
+      "q_doc_unigram_logprob" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+          |uni AS (SELECT t, sum(c) AS cw FROM tok GROUP BY t),
+          |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+          |lm AS (
+          |  SELECT t, ln((cw + 0.5) / (n + 0.5 * v)) AS lp
+          |  FROM uni, tot),
+          |scored AS (
+          |  SELECT doc_id, sum(c) AS token_count,
+          |    sum(c * lp) / sum(c) AS mlp
+          |  FROM tok JOIN lm USING (t) GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(s.token_count, 0) AS BIGINT) AS token_count,
+          |  floor(s.mlp * 10000 + 0.5) / 10000 AS mean_logprob
+          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       "q_doc_langid" -> {
         val hitExprs = StopwordLists.map { case (l, words) =>

@@ -13,6 +13,9 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // match Verify/Bench: specs run under the session extension, so the
+    // whole suite doubles as the no-regression witness for its rule
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

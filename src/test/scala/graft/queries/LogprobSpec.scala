@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.scalatest.BeforeAndAfterAll
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** From-scratch JVM recomputation of `q_doc_unigram_logprob` on a fixture
+  * that hits every tokenizer and smoothing edge: repeated tokens within a
+  * doc, a corpus-hot token ("the"), a singleton rare token, NULL text,
+  * empty text (one "" token — the whitespace tokenizer's documented
+  * shape), and mixed case/padding. The recomputation mirrors the query's
+  * normalization EXACTLY — SQL trim strips spaces only, split keeps
+  * leading/trailing empties (the SubstringDedupSpec r9 lesson) — and
+  * re-derives the add-0.5 unigram LM with plain Scala Maps, so a drift in
+  * either the tokenization or the smoothing arithmetic fails here even
+  * though the DuckDB oracle (being a replay of the same SQL shapes) might
+  * drift in lockstep. */
+class LogprobSpec extends SparkTestBase with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val docs: Seq[(Long, String)] = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the the the"),
+    (3L, "zzzqqq"),
+    (4L, null),
+    (5L, ""),
+    (6L, "  The CAT  "))
+
+  private lazy val dir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft_logprob_fx")
+    docs.map { case (id, t) =>
+      (id, t, "en", "fixture", Option(t).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Spark's `split(trim(lower(text)), "\s+")`: SQL trim strips SPACES
+    * only; Spark's split keeps empty leading/trailing fields (Java split
+    * with limit -1). */
+  private def toks(t: String): Seq[String] =
+    t.toLowerCase.replaceAll("^ +| +$", "").split("\\s+", -1).toSeq
+
+  private def round4(x: Double): Double =
+    math.floor(x * 10000 + 0.5) / 10000
+
+  test("the query matches an independent Scala recomputation") {
+    val perDoc: Map[Long, Map[String, Long]] = docs.collect {
+      case (id, t) if t != null =>
+        id -> toks(t).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val corpus: Map[String, Long] =
+      perDoc.values.flatten.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap
+    val n = corpus.values.sum.toDouble
+    val v = corpus.size.toDouble
+    def lp(w: String): Double =
+      math.log((corpus(w) + 0.5) / (n + 0.5 * v))
+    val expect: Seq[(Long, Long, Option[Double])] = docs.map { case (id, t) =>
+      perDoc.get(id) match {
+        case None => (id, 0L, None)
+        case Some(cs) =>
+          val tc = cs.values.sum
+          val mean = cs.map { case (w, c) => c * lp(w) }.sum / tc
+          (id, tc, Some(round4(mean)))
+      }
+    }.sortBy(_._1)
+
+    val got = SparkEntry.queries("q_doc_unigram_logprob")(spark, dir.toString)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got === expect)
+    // spot-pin the shape: the singleton-rare-token doc scores strictly
+    // below the all-stopword doc (the CCNet tail-drop signal), and "" IS
+    // a counted token for the empty-text doc
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(3L)._3.get < byId(2L)._3.get)
+    assert(byId(5L)._2 === 1L)
+    assert(byId(4L)._2 === 0L && byId(4L)._3.isEmpty)
+  }
+
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
+}

@@ -73,6 +73,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_knn_dot's HOF formulation executes as the fused dot_product") {
+    // the query deliberately writes the interpreted aggregate(zip_with(..))
+    // shape; plans/FuseVectorHofs must deliver the codegen'd expression —
+    // if zip_with survives into the physical plan the fusion regressed and
+    // the MIPS scan pays interpreted per-element evaluation at 100 TB
+    val p = plan("q_knn_dot")
+    assert(p.contains("dot_product"), p)
+    assert(!p.contains("zip_with"), p)
+  }
+
   test("q_shard_assign prunes the scan to doc_id and keeps one exchange") {
     // the shuffle key derives from doc_id alone: a scan that drags text
     // along shuffles the whole corpus body through the shard exchange
