@@ -78,6 +78,10 @@ object Bench {
       (name, sec, err)
     }
     val warmSecs = warm.map { case (n, s, _) => n -> s }.toMap
+    // warm-pass failures: their "duration" is time-to-throw, which must
+    // never serve as a contention baseline (a 0.05s throw paired with a
+    // clean 2s timed run would read as a bogus 40x inflation)
+    val warmFailed = warm.collect { case (n, _, Some(_)) => n }.toSet
     // The r4 record logged one query at 11.08s that two independent
     // re-measurements put at 1.6-1.8s: a single contended timed pass went
     // straight into the official number. When the timed pass disagrees with
@@ -90,7 +94,9 @@ object Bench {
     // samples are inflated and a median cannot recover. So: keep
     // re-measuring while the LATEST sample still trips retryTrigger vs
     // warm (cap MaxTimedSamples), then report via reportFromSamples —
-    // the mean of the fastest agreeing pair. The full sample ladder is
+    // the MINIMUM of {warm} ∪ samples (within one session code and data
+    // are fixed, so a timed pass cannot legitimately exceed its own
+    // warm; see the reportFromSamples scaladoc). The full sample ladder is
     // carried structurally so the sidecar records every raw measurement:
     // a reported number whose raw samples are lost is exactly the
     // "4.0s — jitter or real?" ambiguity the r6 verdict could not resolve
@@ -156,11 +162,12 @@ object Bench {
     // the driver session was contended" from indirect evidence
     val canaryEnd = canarySec(spark)
     // session-wide contention verdict: computed from the FIRST raw timed
-    // sample of every error-free query (an escalated query's reported
-    // minimum is by construction clean — using it would hide the very
-    // signal this stamp exists to surface)
+    // sample of every query whose warm AND timed passes both succeeded
+    // (an escalated query's reported minimum is by construction clean —
+    // using it would hide the very signal this stamp exists to surface;
+    // a warm-FAILED query's baseline is time-to-throw, see warmFailed)
     val contended = contendedStamp(timed.collect {
-      case (n, rep, None, esc) =>
+      case (n, rep, None, esc) if !warmFailed(n) =>
         (warmSecs(n), esc.map(_._2.head).getOrElse(rep))
     })
     val contendedJson = if (contended) """"contended":true,""" else ""

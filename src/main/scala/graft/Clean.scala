@@ -37,11 +37,15 @@ object Clean {
     * pandas `Series.map` (reference transform.py:20-21). */
   def ynFlag(c: Column): Column = when(c === "Y", 1).when(c === "N", 0)
 
-  /** Deterministic cross-engine half-up rounding for non-negative values:
+  /** Deterministic cross-engine half-up rounding:
     * `floor(x*10^s + 0.5)/10^s` is the same IEEE op sequence in any engine,
     * unlike `round`, whose half-way tie-breaking differs between Spark
     * (exact-decimal HALF_UP) and scaled-multiply implementations — money
-    * amounts divided by integers hit exact `.xx5` quotients routinely. */
+    * amounts divided by integers hit exact `.xx5` quotients routinely.
+    * On NEGATIVE values (cosine/dot scores, log-probs) the formula rounds
+    * halves toward +∞, not away from zero — fine for the cross-engine
+    * contract, which only needs both engines to replay the identical
+    * formula, but not a drop-in for BigDecimal HALF_UP below zero. */
   def roundHalfUp(c: Column, scale: Int): Column = {
     val p = math.pow(10.0, scale)
     floor(c * p + 0.5) / p

@@ -28,6 +28,14 @@ object ScaleProbe {
     "q_dedup_minhash_sql", "q_dedup_simhash_sql", "q_ann_lsh_sql",
     "q_dedup_editdist",
     "q_events_sessions", "q_events_hourly", "q_knn_brute",
+    // MIPS twin: fixed probe set (replica-0 vec_ids only), candidates xK
+    // -> pair work must grow linearly; also the fused-DotProduct A/B
+    // subject (run with SPARK_GRAFT_EXCLUDE_RULES for the interpreted arm)
+    "q_knn_dot",
+    // unigram LM: token occurrences xK under a CONSTANT vocabulary
+    // (replicas duplicate texts verbatim), so the corpus-count aggregate
+    // and the score join must both stay linear
+    "q_doc_unigram_logprob",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",
@@ -75,7 +83,12 @@ object ScaleProbe {
     // shared boilerplate run lives in ~every doc, so the df filter
     // drops the whole match universe before any diagonal pairing —
     // the probe pins near-constant time and zero flagged docs
-    "q_dedup_substring")
+    "q_dedup_substring",
+    // the LM scorer's hostile shape: ~40 shared boilerplate tokens give
+    // maximal hot-token concentration. The (doc, token) pre-aggregation
+    // bounds each hot token to one row per doc, so the token-keyed join
+    // must stay linear in docs — this row is that claim, measured
+    "q_doc_unigram_logprob")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
@@ -196,6 +209,12 @@ object ScaleProbe {
         row.schema.fields.zipWithIndex.flatMap { case (f, i) =>
           row.get(i) match {
             case null => None
+            // non-finite doubles/floats would print as bare NaN/Infinity —
+            // invalid JSON, losing the whole probe row; quote them instead
+            case d: java.lang.Double if d.isNaN || d.isInfinite =>
+              Some(s""""${name}_${f.name}":"$d"""")
+            case fl: java.lang.Float if fl.isNaN || fl.isInfinite =>
+              Some(s""""${name}_${f.name}":"$fl"""")
             case n: java.lang.Number => Some(s""""${name}_${f.name}":$n""")
             case b: java.lang.Boolean => Some(s""""${name}_${f.name}":$b""")
             case other =>
@@ -297,6 +316,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same A/B hook as Bench: exclude an injected rule by name to probe
+    // a query's interpreted arm (see plans/GraftExtensions scaladoc)
+    sys.env.get("SPARK_GRAFT_EXCLUDE_RULES").foreach(r =>
+      spark.conf.set("spark.sql.optimizer.excludedRules", r))
 
     val minFactor =
       sys.env.get("SPARK_GRAFT_MIN_FACTOR").map(_.toInt).getOrElse(1)

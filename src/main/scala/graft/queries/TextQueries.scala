@@ -141,17 +141,26 @@ object TextQueries {
         .repartition($"t")
       val uni = tok.groupBy($"t").agg(sum($"c").as("cw"))
       val tot = uni.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+      // the snapE2 device one decade deeper: per-token log-probs snap to
+      // scaled LONGs (1e-6 ticks) before the weighted sum, so the
+      // doc-level aggregate is exact integer arithmetic — immune to
+      // Spark's partial-merge order vs DuckDB's sequential sum, and to a
+      // last-ulp ln() divergence flipping the 4-dp rounding at a
+      // boundary. Only the final (slp6/1e6)/token_count division is
+      // floating point, and it is the identical IEEE op sequence in both
+      // engines.
       val lm = uni.crossJoin(broadcast(tot))
         .select($"t",
-          log(($"cw" + lit(0.5)) / ($"n" + lit(0.5) * $"v")).as("lp"))
+          floor(log(($"cw" + lit(0.5)) / ($"n" + lit(0.5) * $"v")) * 1e6
+            + 0.5).cast("long").as("lp6"))
       val scored = tok.join(lm, Seq("t"))
         .groupBy($"doc_id")
-        .agg(sum($"c").as("token_count"),
-          (sum($"c" * $"lp") / sum($"c")).as("mlp"))
+        .agg(sum($"c").as("token_count"), sum($"c" * $"lp6").as("slp6"))
       docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"token_count", lit(0L)).as("token_count"),
-          Clean.roundHalfUp($"mlp", 4).as("mean_logprob"))
+          Clean.roundHalfUp(($"slp6" / lit(1e6)) / $"token_count", 4)
+            .as("mean_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -511,7 +520,10 @@ object TextQueries {
 
       // Replays the add-0.5 unigram LM end to end: same lowercased
       // whitespace tokens, same (doc, token) pre-aggregation, same
-      // (c_w + α)/(N + α·V) smoothing, same frequency-weighted mean ln.
+      // (c_w + α)/(N + α·V) smoothing. Per-token log-probs snap to
+      // 1e-6-tick BIGINTs before the weighted sum (the query comment's
+      // snap device), so the only cross-engine float op is the final
+      // division pair — identical IEEE sequence both sides.
       // NULL-text docs produce no token rows and surface with
       // token_count 0 / NULL score through the left join, both engines.
       "q_doc_unigram_logprob" ->
@@ -524,15 +536,16 @@ object TextQueries {
           |uni AS (SELECT t, sum(c) AS cw FROM tok GROUP BY t),
           |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
           |lm AS (
-          |  SELECT t, ln((cw + 0.5) / (n + 0.5 * v)) AS lp
+          |  SELECT t, CAST(floor(ln((cw + 0.5) / (n + 0.5 * v)) * 1000000
+          |                       + 0.5) AS BIGINT) AS lp6
           |  FROM uni, tot),
           |scored AS (
-          |  SELECT doc_id, sum(c) AS token_count,
-          |    sum(c * lp) / sum(c) AS mlp
+          |  SELECT doc_id, sum(c) AS token_count, sum(c * lp6) AS slp6
           |  FROM tok JOIN lm USING (t) GROUP BY doc_id)
           |SELECT d.doc_id,
           |  CAST(coalesce(s.token_count, 0) AS BIGINT) AS token_count,
-          |  floor(s.mlp * 10000 + 0.5) / 10000 AS mean_logprob
+          |  floor((s.slp6 / 1000000.0) / s.token_count * 10000 + 0.5)
+          |    / 10000 AS mean_logprob
           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
           |ORDER BY d.doc_id""".stripMargin,
 

@@ -54,15 +54,18 @@ class LogprobSpec extends SparkTestBase with BeforeAndAfterAll {
         .mapValues(_.map(_._2).sum).toMap
     val n = corpus.values.sum.toDouble
     val v = corpus.size.toDouble
-    def lp(w: String): Double =
-      math.log((corpus(w) + 0.5) / (n + 0.5 * v))
+    // the query's snap device: log-probs become 1e-6-tick longs BEFORE
+    // the weighted sum, so the aggregate is exact integer arithmetic
+    def lp6(w: String): Long =
+      math.floor(math.log((corpus(w) + 0.5) / (n + 0.5 * v)) * 1e6 + 0.5)
+        .toLong
     val expect: Seq[(Long, Long, Option[Double])] = docs.map { case (id, t) =>
       perDoc.get(id) match {
         case None => (id, 0L, None)
         case Some(cs) =>
           val tc = cs.values.sum
-          val mean = cs.map { case (w, c) => c * lp(w) }.sum / tc
-          (id, tc, Some(round4(mean)))
+          val slp6 = cs.map { case (w, c) => c * lp6(w) }.sum
+          (id, tc, Some(round4((slp6 / 1e6) / tc)))
       }
     }.sortBy(_._1)
 

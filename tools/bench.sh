@@ -30,11 +30,14 @@ if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
   # merely mention these class names in their argv (e.g. an orchestration
   # shell whose prompt text cites graft.Bench), so filter by process name
   busy=""
-  for p in $(pgrep -f 'sbt-launch|xsbt.boot.Boot|graft.ScaleProbe' || true); do
+  # graft.Bench itself is in the pattern: a SIBLING official run is the
+  # single worst contention source (this guard runs while we are still
+  # bash, so the current process never matches the java-comm filter)
+  for p in $(pgrep -f 'sbt-launch|xsbt.boot.Boot|graft.ScaleProbe|graft.Bench' || true); do
     [ "$(cat /proc/"$p"/comm 2>/dev/null)" = "java" ] && busy="$busy $p"
   done
   if [ -n "$busy" ]; then
-    echo "bench.sh: refusing to bench while sbt/ScaleProbe runs (pids:$busy)" >&2
+    echo "bench.sh: refusing to bench while sbt/ScaleProbe/another Bench runs (pids:$busy)" >&2
     echo "bench.sh: wait for them or set SPARK_GRAFT_BENCH_FORCE=1" >&2
     exit 2
   fi

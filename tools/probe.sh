@@ -19,11 +19,14 @@ if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
   # merely mention these class names in their argv (e.g. an orchestration
   # shell whose prompt text cites graft.Bench), so filter by process name
   busy=""
-  for p in $(pgrep -f 'sbt-launch|xsbt.boot.Boot|graft.Bench' || true); do
+  # graft.ScaleProbe itself is in the pattern: a sibling probe run would
+  # contaminate growth ratios just like a sibling bench (the guard runs
+  # while we are still bash, so the current process never matches)
+  for p in $(pgrep -f 'sbt-launch|xsbt.boot.Boot|graft.Bench|graft.ScaleProbe' || true); do
     [ "$(cat /proc/"$p"/comm 2>/dev/null)" = "java" ] && busy="$busy $p"
   done
   if [ -n "$busy" ]; then
-    echo "probe.sh: refusing to probe while sbt/Bench runs (pids:$busy)" >&2
+    echo "probe.sh: refusing to probe while sbt/Bench/another ScaleProbe runs (pids:$busy)" >&2
     exit 2
   fi
 fi
