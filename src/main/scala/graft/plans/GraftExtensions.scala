@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
-  Expression, ExpressionInfo, LambdaFunction, Literal,
+  ArrayTransform, Expression, ExpressionInfo, LambdaFunction, Literal,
   Multiply, NamedExpression, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -46,6 +46,10 @@ import graft.functions.{CosineSim, DotProduct, VecNorm}
   *  - an identity finish lambda (the shape the 3-arg `aggregate` DSL and
   *    SQL form always produce).
   *
+  * A second case fuses the squared-norm sibling
+  * `aggregate(transform(v, x -> x*x), 0.0D, (acc, x) -> acc + x)` into
+  * `DotProduct(v, v)` under the same audit (see the case comment).
+  *
   * Anything else — different seed, extra arithmetic, a finish that
   * transforms the fold — is left untouched. FuseDotSpec pins both the
   * firing shapes and the must-not-fire shapes, and replays a
@@ -79,6 +83,16 @@ object FuseVectorHofs extends Rule[LogicalPlan] {
       opIds.toSet.size == 2
   }
 
+  /** An Add/Multiply whose operands are both the single variable of a
+    * one-argument lambda (the `x -> x * x` squared-norm shape). */
+  private def squaresVar(ops: Seq[Expression],
+      args: Seq[NamedExpression]): Boolean = {
+    val opIds = ops.collect { case v: NamedLambdaVariable => v.exprId }
+    val argIds = args.collect { case v: NamedLambdaVariable => v.exprId }
+    opIds.length == 2 && argIds.length == 1 &&
+      opIds.forall(_ == argIds.head)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -92,6 +106,27 @@ object FuseVectorHofs extends Rule[LogicalPlan] {
             usesBothVars(Seq(m, n), mergeArgs) &&
             fin.exprId == finArg.exprId =>
         DotProduct(a, b)
+      // the squared-norm sibling: aggregate(transform(v, x -> x*x), 0.0D,
+      // (acc, x) -> acc + x) ≡ DotProduct(v, v). Sound for the same
+      // reason as the zip_with case and by the same audit: the transform
+      // chain null-propagates a null ELEMENT (x*x is null, Add folds it
+      // to null) exactly as DotProduct does — unlike VecNorm, which
+      // SKIPS null positions and therefore is NOT a faithful target —
+      // lengths trivially agree, empty folds to the same +0.0, and the
+      // self-product accumulates in the same left-to-right order. The
+      // duplicated `v` child is shared by Spark's subexpression
+      // elimination under whole-stage codegen.
+      case ArrayAggregate(
+            ArrayTransform(v, LambdaFunction(Multiply(x, y, _), tArgs, _)),
+            zero,
+            LambdaFunction(Add(m, n, _), mergeArgs, _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(finArg: NamedLambdaVariable), _))
+          if isDoubleArray(v) && isPlusZero(zero) &&
+            squaresVar(Seq(x, y), tArgs) &&
+            usesBothVars(Seq(m, n), mergeArgs) &&
+            fin.exprId == finArg.exprId =>
+        DotProduct(v, v)
     }
 }
 

@@ -20,6 +20,14 @@ import graft.functions.VectorFunctions
   */
 object CurationQueries {
 
+  /** The q_curation_pipeline LM-floor stage's margin, in nats: a doc is
+    * dropped when its mean log-prob is within this of the singleton-token
+    * floor `ln(1.5/(N+0.5·V))` — i.e. its average token is at most
+    * e^margin times more probable than one the corpus saw once. Shared
+    * with the oracle SQL (interpolated) so both engines replay one
+    * definition. */
+  private[queries] val LmFloorMargin = 0.5
+
   /** Word w-gram inventory per doc: (doc_id + carried cols, exploded
     * distinct grams). Degenerate (null/empty/whitespace) texts are
     * excluded with the same `length(trim(text)) > 0` guard the dedup
@@ -329,21 +337,36 @@ object CurationQueries {
     // lowest doc_id per normalized fingerprint, (3) substring-run dedup
     // — the [[DedupQueries.substringFlags]] detector over the exact-dedup
     // SURVIVORS, dropping every later doc sharing a >= 15-token verbatim
-    // run (the partial-overlap shape fingerprints can't see), (4) a
-    // >= 10-token quality guard, (5) deterministic stratified sampling.
+    // run (the partial-overlap shape fingerprints can't see), (4) an
+    // LM-floor quality drop — the CCNet-style absolute bar: an add-0.5
+    // unigram LM is trained on the substring SURVIVORS (the corpus that
+    // would ship) and any doc whose mean log-prob sits within
+    // LmFloorMargin nats of the SINGLETON-token floor ln(1.5/(N+0.5·V))
+    // is dropped: its average token is statistically indistinguishable
+    // from one the corpus has seen once — the all-rare-token hash-spam /
+    // mojibake shape. The threshold is ABSOLUTE (derived from two scalar
+    // corpus totals, not a percentile), so a clean corpus drops nothing
+    // and the stage is exactly SQL-replayable (the log-probs ride the
+    // q_doc_unigram_logprob 1e-6-tick snap, so scores are bit-identical
+    // cross-engine), (5) a >= 10-token guard, (6) deterministic
+    // stratified sampling.
     // Every stage is an operator verified on its own elsewhere; this
     // query pins their COMPOSITION (order matters: exact dedup before the
     // substring stage so verbatim full copies never reach the pairing
-    // machinery — they'd flag as trivial self-runs — and both dedups
-    // before sampling, so a duplicate pair can never survive twice via
-    // different sample buckets). The manifest carries the drop REASON:
-    // per (lang, source) cell, kept docs/tokens plus how many exact-
-    // survivors the substring stage removed — the observability a 100 TB
-    // ingest dashboard needs to spot a source whose partial-copy rate
-    // jumps. Wide stages: the fingerprint window + the substring
-    // detector's own bounded machinery (shared h-exchange, df cap,
-    // capPerKey); the flag set joining back is a few rows — broadcast-
-    // sized at any corpus scale because flags are capPerKey-bounded.
+    // machinery — they'd flag as trivial self-runs; both dedups before
+    // the LM stage so duplicate mass cannot inflate its own token counts
+    // into respectability; all drops before sampling). The manifest
+    // carries the drop REASONS: per (lang, source) cell, kept docs/tokens
+    // plus substring-run and LM-floor drop counts — the observability a
+    // 100 TB ingest dashboard needs to spot a source whose partial-copy
+    // or garbage rate jumps. Wide stages: the fingerprint window, the
+    // substring detector's own bounded machinery (shared h-exchange, df
+    // cap, capPerKey), one doc_id repartition making the flagged-join
+    // lineage a SHARED exchange (its three consumers — LM training, LM
+    // scoring, final manifest — would otherwise re-run the detector), and
+    // the LM's token-keyed shared exchange (the q_doc_unigram_logprob
+    // skew story: (doc, token) pre-aggregation bounds hot tokens to one
+    // row per doc).
     "q_curation_pipeline" -> ((s, dir) => {
       import s.implicits._
       val keeper = Window.partitionBy($"fp").orderBy($"doc_id")
@@ -357,11 +380,28 @@ object CurationQueries {
       val flagged = DedupQueries
         .substringFlags(survivors.select($"doc_id", $"text"))
         .select($"doc_id", lit(true).as("sub_flag"))
-      val keep = $"sub_flag".isNull && $"tok_count" >= 10 &&
+      val withSub = survivors.join(flagged, Seq("doc_id"), "left")
+        .repartition($"doc_id")
+      val lmTok = TextQueries.tokenCounts(
+        withSub.filter($"sub_flag".isNull).select($"doc_id", $"text"))
+        .repartition($"t")
+      val lm = TextQueries.lmFromTokenCounts(lmTok)
+      val thr = lmTok.groupBy($"t").agg(sum($"c").as("cw"))
+        .agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+        .select((floor(log(lit(1.5) / ($"n" + lit(0.5) * $"v")) * 1e6 + 0.5)
+          .cast("long") / lit(1e6) + lit(LmFloorMargin)).as("thr"))
+      val lowLm = lmTok.join(lm, Seq("t")).groupBy($"doc_id")
+        .agg((sum($"c" * $"lp6") / lit(1e6) / sum($"c")).as("mlp"))
+        // 1-row broadcast scalar attach — the lmFromTokenCounts note
+        .crossJoin(broadcast(thr))
+        .filter($"mlp" < $"thr")
+        .select($"doc_id", lit(true).as("low_lm"))
+      val keep = $"sub_flag".isNull && $"low_lm".isNull &&
+        $"tok_count" >= 10 &&
         TextQueries.sampleBucket($"doc_id") <
           when($"lang" === "en", 50).otherwise(20)
-      survivors
-        .join(flagged, Seq("doc_id"), "left")
+      withSub
+        .join(lowLm, Seq("doc_id"), "left")
         .withColumn("tok_count",
           size(TextQueries.tokens($"text")).cast("long"))
         .groupBy($"lang", $"source")
@@ -369,7 +409,9 @@ object CurationQueries {
           coalesce(sum(when(keep, $"tok_count")), lit(0L))
             .as("kept_tokens"),
           sum(when($"sub_flag".isNotNull, 1L).otherwise(0L))
-            .as("dropped_substring"))
+            .as("dropped_substring"),
+          sum(when($"sub_flag".isNull && $"low_lm".isNotNull, 1L)
+            .otherwise(0L)).as("dropped_low_lm"))
         .orderBy("lang", "source")
     }),
 
@@ -662,11 +704,15 @@ object CurationQueries {
     // The substring stage replays the q_dedup_substring oracle CTE chain
     // (same shared k / min-run / df-cap constants, interpolated from the
     // ONE Scala definition) over the exact-dedup survivor set — the
-    // composition witness the standalone query's oracle can't give.
+    // composition witness the standalone query's oracle can't give. The
+    // LM-floor stage replays the q_doc_unigram_logprob chain (1e-6-tick
+    // snapped log-probs, so scores are bit-identical) over the substring
+    // SURVIVORS, with the shared LmFloorMargin threshold.
     "q_curation_pipeline" -> {
       val k = DedupQueries.SubstringShingleTokens
       val minTok = DedupQueries.MinRunTokens
       val dfCap = DedupQueries.DefaultMaxGramDf
+      val margin = LmFloorMargin
       s"""WITH base AS (
          |  SELECT doc_id, lang, source, text,
          |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -707,15 +753,42 @@ object CurationQueries {
          |  SELECT DISTINCT b_id AS doc_id FROM sruns
          |  GROUP BY a_id, b_id
          |  HAVING max(run_len) + ${k - 1} >= $minTok),
+         |lmsurv AS (
+         |  SELECT s.doc_id, s.text FROM surv s
+         |  LEFT JOIN flagged f ON s.doc_id = f.doc_id
+         |  WHERE f.doc_id IS NULL),
+         |ltok AS (
+         |  SELECT doc_id, t, count(*) AS c
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |        FROM lmsurv)
+         |  GROUP BY doc_id, t),
+         |luni AS (SELECT t, sum(c) AS cw FROM ltok GROUP BY t),
+         |ltot AS (SELECT sum(cw) AS n, count(*) AS v FROM luni),
+         |llm AS (
+         |  SELECT t, CAST(floor(ln((cw + 0.5) / (n + 0.5 * v)) * 1000000
+         |                       + 0.5) AS BIGINT) AS lp6
+         |  FROM luni, ltot),
+         |lthr AS (
+         |  SELECT CAST(floor(ln(1.5 / (n + 0.5 * v)) * 1000000 + 0.5)
+         |           AS BIGINT) / 1000000.0 + $margin AS thr
+         |  FROM ltot),
+         |lowlm AS (
+         |  SELECT doc_id
+         |  FROM (SELECT doc_id, sum(c * lp6) / 1000000.0 / sum(c) AS mlp
+         |        FROM ltok JOIN llm USING (t) GROUP BY doc_id), lthr
+         |  WHERE mlp < thr),
          |quality AS (
          |  SELECT s.doc_id, s.lang, s.source,
          |    CAST(length(string_split_regex(trim(s.text), '\\s+')) AS BIGINT)
          |      AS tok_count,
-         |    f.doc_id IS NOT NULL AS sub
-         |  FROM surv s LEFT JOIN flagged f ON s.doc_id = f.doc_id),
+         |    f.doc_id IS NOT NULL AS sub,
+         |    l.doc_id IS NOT NULL AS low
+         |  FROM surv s LEFT JOIN flagged f ON s.doc_id = f.doc_id
+         |             LEFT JOIN lowlm l ON s.doc_id = l.doc_id),
          |marked AS (
-         |  SELECT lang, source, tok_count, sub,
-         |    (NOT sub AND tok_count >= 10
+         |  SELECT lang, source, tok_count, sub, low,
+         |    (NOT sub AND NOT low AND tok_count >= 10
          |     AND ((doc_id % 1000003) * 31 + 7) % 100
          |         < CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS keep
          |  FROM quality)
@@ -724,7 +797,9 @@ object CurationQueries {
          |  CAST(coalesce(sum(CASE WHEN keep THEN tok_count END), 0) AS BIGINT)
          |    AS kept_tokens,
          |  CAST(sum(CASE WHEN sub THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS dropped_substring
+         |    AS dropped_substring,
+         |  CAST(sum(CASE WHEN NOT sub AND low THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dropped_low_lm
          |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 

@@ -19,6 +19,31 @@ object TextQueries {
     * streaming twins (oracle: `string_split_regex(trim(text), '\s+')`). */
   private[graft] def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** (doc_id, t, c) lowercased token counts — the pre-aggregation that
+    * bounds hot-token skew (see the q_doc_unigram_logprob scaladoc).
+    * Shared by the batch query and the streaming LM trainer. */
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+
+  /** (t, lp6) add-0.5 unigram LM from a [[tokenCounts]] frame: log-probs
+    * snapped to 1e-6-tick LONGs (the cross-engine exactness device the
+    * q_doc_unigram_logprob comments explain). Stays fully distributed —
+    * the only broadcast is the 1-row (N, V) totals. */
+  private[graft] def lmFromTokenCounts(tok: DataFrame): DataFrame = {
+    val uni = tok.groupBy(col("t")).agg(sum(col("c")).as("cw"))
+    val tot = uni.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+    // the 1-row broadcast scalar attach (the tfidf/mixture idiom). It
+    // plans as BroadcastNestedLoopJoin with a single-row build side —
+    // bounded by construction; a constant-key equi-join doesn't help,
+    // Catalyst folds the literal condition away and plans BNLJ anyway.
+    // PlanSpec's pipeline ban counts these attaches explicitly.
+    uni.crossJoin(broadcast(tot))
+      .select(col("t"),
+        floor(log((col("cw") + lit(0.5)) / (col("n") + lit(0.5) * col("v")))
+          * 1e6 + 0.5).cast("long").as("lp6"))
+  }
+
   /** Deterministic per-doc bucket in [0, 100) — the ONE arithmetic-hash
     * split device behind q_sample_stratified's keep rates and
     * q_split_leakage's train/test split (oracle:
@@ -135,24 +160,16 @@ object TextQueries {
     "q_doc_unigram_logprob" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
-      val tok = docs
-        .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
-        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
-        .repartition($"t")
-      val uni = tok.groupBy($"t").agg(sum($"c").as("cw"))
-      val tot = uni.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+      val tok = tokenCounts(docs).repartition($"t")
       // the snapE2 device one decade deeper: per-token log-probs snap to
-      // scaled LONGs (1e-6 ticks) before the weighted sum, so the
-      // doc-level aggregate is exact integer arithmetic — immune to
-      // Spark's partial-merge order vs DuckDB's sequential sum, and to a
-      // last-ulp ln() divergence flipping the 4-dp rounding at a
-      // boundary. Only the final (slp6/1e6)/token_count division is
-      // floating point, and it is the identical IEEE op sequence in both
-      // engines.
-      val lm = uni.crossJoin(broadcast(tot))
-        .select($"t",
-          floor(log(($"cw" + lit(0.5)) / ($"n" + lit(0.5) * $"v")) * 1e6
-            + 0.5).cast("long").as("lp6"))
+      // scaled LONGs (1e-6 ticks) before the weighted sum
+      // (lmFromTokenCounts), so the doc-level aggregate is exact integer
+      // arithmetic — immune to Spark's partial-merge order vs DuckDB's
+      // sequential sum, and to a last-ulp ln() divergence flipping the
+      // 4-dp rounding at a boundary. Only the final
+      // (slp6/1e6)/token_count division is floating point, and it is the
+      // identical IEEE op sequence in both engines.
+      val lm = lmFromTokenCounts(tok)
       val scored = tok.join(lm, Seq("t"))
         .groupBy($"doc_id")
         .agg(sum($"c").as("token_count"), sum($"c" * $"lp6").as("slp6"))

@@ -434,4 +434,77 @@ object DocStream {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  // ---- streaming LM quality scoring ----
+
+  /** One scored arrival from [[scoreLogprob]]. */
+  case class ScoredDoc(doc_id: Long, token_count: Long, mean_logprob: Double)
+
+  /** Train the add-0.5 unigram LM on a static history corpus, for
+    * [[scoreLogprob]]: returns the cached (t, lp6) model table plus the
+    * out-of-vocabulary floor — the smoothing mass an unseen token
+    * receives, `ln(0.5 / (N + 0.5·V))` snapped to the same 1e-6 ticks.
+    * (N, V) are the one legitimate scalar collect (the ivfCentroids
+    * precedent: 2 numbers, never data). At 100 TB the LM is trained once
+    * on the history and MATERIALIZED — the staging note on the batch
+    * query — which is exactly the contract this trainer mirrors: callers
+    * own the returned table's unpersist handle. */
+  def trainLm(historyDocs: DataFrame): (DataFrame, Long) = {
+    val tok = graft.queries.TextQueries.tokenCounts(historyDocs)
+    val lm = graft.queries.TextQueries.lmFromTokenCounts(tok).cache()
+    val nv = tok.groupBy(col("t")).agg(sum(col("c")).as("cw"))
+      .agg(sum(col("cw")).cast("double"), count(lit(1)).cast("double"))
+      .head()
+    val floorLp6 = math.floor(
+      math.log(0.5 / (nv.getDouble(0) + 0.5 * nv.getDouble(1))) * 1e6 + 0.5)
+      .toLong
+    (lm, floorLp6)
+  }
+
+  /** Streaming face of `q_doc_unigram_logprob`'s scoring half: each
+    * arriving document is scored under the STATIC language model — the
+    * ingest-time CCNet-style quality gate (score on arrival, drop the
+    * tail before it ever lands in the corpus). Out-of-vocabulary tokens
+    * score at `floorLp6` (the batch twin has no OOV because it trains on
+    * the corpus it scores; a live model by definition lags arrivals).
+    *
+    * Scale shape: the token explode and the LM join are STATELESS
+    * stream-static work, and the per-doc mean runs as
+    * flatMapGroupsWithState that never stores state — a document's
+    * tokens all live in its own micro-batch (one doc = one source row),
+    * so the group fires exactly once and `state` is never written:
+    * state_rows stays 0 at any arrival count, which the spec pins from
+    * the progress metrics. The LM side is vocabulary-scale, not
+    * corpus-scale; it joins per micro-batch from the cached table
+    * ([[trainLm]]) or, at 100 TB, from a bucketed-on-t materialized
+    * table so only the micro-batch shuffles.
+    *
+    * Null-text docs produce no token rows and therefore no score row
+    * (the batch twin surfaces them with a NULL score through its left
+    * join — a stream has no "all docs" side to left-join from). */
+  def scoreLogprob(docs: DataFrame, lm: DataFrame, floorLp6: Long)
+      : Dataset[ScoredDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col("doc_id"),
+        explode(graft.queries.TextQueries.tokens(lower(col("text"))))
+          .as("t"))
+      .join(lm, Seq("t"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lp6"), lit(floorLp6)).as("lp6"))
+      .as[(Long, Long)]
+    def score(id: Long, rows: Iterator[(Long, Long)],
+              state: GroupState[Long]): Iterator[ScoredDoc] = {
+      var c = 0L
+      var slp6 = 0L
+      rows.foreach { r => c += 1; slp6 += r._2 }
+      // same op sequence as the batch twin: (slp6/1e6)/c, then 4-dp snap
+      Iterator.single(ScoredDoc(id, c,
+        math.floor((slp6 / 1e6) / c * 10000 + 0.5) / 10000))
+    }
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(score)
+  }
 }

@@ -17,6 +17,9 @@ object CleanPropsSpec extends Properties("Clean") {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // same static conf as SparkTestBase: whichever suite creates the
+    // shared test session first must carry the extension
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 
   import spark.implicits._

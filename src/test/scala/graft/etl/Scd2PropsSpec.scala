@@ -30,6 +30,9 @@ object Scd2PropsSpec extends Properties("Scd2") {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // same static conf as SparkTestBase: whichever suite creates the
+    // shared test session first must carry the extension
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 
   import spark.implicits._

@@ -74,6 +74,38 @@ class FuseDotSpec extends SparkTestBase {
     assert(fired(flipped), flipped.queryExecution.optimizedPlan.toString)
   }
 
+  test("the squared-norm HOF fuses to a self dot product, bit-equal " +
+      "with the interpreted form") {
+    fx.createOrReplaceTempView("fuse_fx")
+    val normSq =
+      "aggregate(transform(x, p -> p * p), 0.0D, (acc, v) -> acc + v)"
+    val df = spark.sql(s"SELECT id, $normSq AS n2 FROM fuse_fx")
+    assert(fired(df), df.queryExecution.optimizedPlan.toString)
+    assert(!stillHof(df))
+    def run(): Seq[(Long, Option[Long])] =
+      spark.sql(s"SELECT id, $normSq AS n2 FROM fuse_fx")
+        .collect().toSeq
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(1)))))
+        .sortBy(_._1)
+    val fusedRows = run()
+    val interpRows =
+      try { spark.conf.set(exclKey, ruleName); run() }
+      finally spark.conf.unset(exclKey)
+    assert(fusedRows === interpRows)
+    // null ELEMENT must null the whole norm (VecNorm's skip semantics
+    // would be unsound here — the rule targets DotProduct(v, v) instead)
+    assert(fusedRows.find(_._1 == 4L).get._2 === None)
+    assert(fusedRows.find(_._1 == 1L).get._2 ===
+      Some(java.lang.Double.doubleToRawLongBits(1.0 + 4.0 + 9.0)))
+    // a transform that is not x*x must not fuse
+    val scaled = spark.sql(
+      "SELECT aggregate(transform(x, p -> p * 2.0D), 0.0D," +
+        " (acc, v) -> acc + v) AS s FROM fuse_fx")
+    assert(!fired(scaled) && stillHof(scaled))
+  }
+
   test("near-miss shapes are left untouched") {
     fx.createOrReplaceTempView("fuse_fx")
     val nearMisses = Seq(

@@ -248,11 +248,17 @@ class CurationSpec extends SparkTestBase {
   test("q_curation_pipeline: substring stage drops partial copies among " +
       "exact-dedup survivors, with the drop reason counted per cell") {
     // Pins the composed pipeline's stage ORDER and the drop-reason
-    // column: (1) the exact stage removes verbatim full copies BEFORE
+    // columns: (1) the exact stage removes verbatim full copies BEFORE
     // the substring detector runs (so they never count as substring
     // drops), (2) a >= 15-token partial copy among the exact survivors
-    // is flagged and excluded with its reason counted, (3) quality and
-    // sampling drops remain reason-less map-side filters.
+    // is flagged and excluded with its reason counted, (3) the LM floor
+    // drops the all-singleton-token doc — and ONLY it: docs whose tokens
+    // repeat across the corpus clear the threshold, including the
+    // 5-token doc that must fall through to (4) the quality guard, while
+    // (5) sampling stays a reason-less map-side filter. The flagged doc's
+    // tokens must NOT train the LM (it is dropped before the stage), and
+    // a low-LM doc is counted whether or not sampling would also have
+    // dropped it (reason precedence is stage order).
     val dir = java.nio.file.Files.createTempDirectory("curation_fixture")
       .toString
     def words(r: Range, tag: String = "w") =
@@ -261,8 +267,15 @@ class CurationSpec extends SparkTestBase {
       1L -> words(1 to 20),                    // survives every stage
       2L -> words(1 to 20),                    // exact dup of 1: dropped first
       3L -> (words(1 to 15) + " " + words(1 to 9, "z")), // 15-run vs 1
-      4L -> words(1 to 5, "q"),                // < 10 tokens: quality drop
-      5L -> words(1 to 20, "m"))               // bucket 62 >= 50: sampled out
+      4L -> words(1 to 5),                     // < 10 tokens: quality drop
+                                               // (tokens shared with 1/5,
+                                               // so the LM floor passes it)
+      5L -> words(20 to 1 by -1),              // reversed: no exact dup, no
+                                               // 5-gram run; bucket 62 >= 50
+                                               // -> sampled out
+      6L -> words(1 to 12, "z2"))              // 12 singleton tokens >= 10:
+                                               // ONLY the LM floor can and
+                                               // must drop it
       .map { case (id, text) => (id, text, "en", "srcA", text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -279,6 +292,13 @@ class CurationSpec extends SparkTestBase {
     // pairing machinery — had the stages run in the other order it
     // would flag too and this count would read 2
     assert(r.getAs[Long]("dropped_substring") === 1L)
+    // doc 6 is the ONLY LM-floor drop: every one of its 12 tokens is a
+    // corpus singleton, so its mean log-prob IS the singleton floor —
+    // margin below threshold by construction. Docs 1/4/5 share tokens
+    // (corpus counts 2-3) and sit ~0.01-0.35 nats ABOVE the threshold:
+    // had the flagged doc 3's z-tokens leaked into training, or had the
+    // threshold drifted by more than the 1e-6 snap, these counts move
+    assert(r.getAs[Long]("dropped_low_lm") === 1L)
   }
 
   test("retention: offsets are whole weeks from each user's first week") {

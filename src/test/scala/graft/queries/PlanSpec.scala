@@ -145,16 +145,22 @@ class PlanSpec extends SparkTestBase {
 
   test("q_curation_pipeline keeps its bounded wide stages only") {
     // the composed pipeline's wide stages are the keep-first fingerprint
-    // window plus the substring drop stage's own machinery — the shared
-    // h-exchange the detector clusters its positional shingles on; the
-    // quality guard + sampling stay map-side and the (lang, source) agg
-    // partials combine before its exchange. No stage may plan an
-    // all-pairs join: the substring flag set joins back by doc_id
+    // window, the substring drop stage's own machinery — the shared
+    // h-exchange the detector clusters its positional shingles on — and
+    // the LM-floor stage's token exchange; the quality guard + sampling
+    // stay map-side and the (lang, source) agg partials combine before
+    // its exchange. No stage may plan an UNBOUNDED all-pairs join: the
+    // flag sets join back by doc_id, and the only nested-loop joins
+    // permitted are the LM stage's TWO single-row scalar attaches (the
+    // (N,V) totals behind lp6 and the floor threshold) — a third would
+    // mean a real pairing path regressed to a cross product
     val p = plan("q_curation_pipeline")
     assert("hashpartitioning\\(fp#\\d+".r.findFirstIn(p).isDefined, p)
     assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined, p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning\\(t#\\d+".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj === 2, s"expected exactly the 2 scalar attaches, got $bnlj:\n$p")
   }
 
   test("salted aggregation plans two exchanges, key-only on the outside") {

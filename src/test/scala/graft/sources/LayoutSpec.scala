@@ -101,6 +101,37 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("LM scoring against a token-bucketed model shuffles only the " +
+      "increment's tokens") {
+    // the q_doc_unigram_logprob staging story, pinned: at scale the LM
+    // table is trained once and MATERIALIZED bucketed on t, so the
+    // ingest-time scoring join (DocStream.scoreLogprob's core) plans
+    // exactly ONE exchange — the arriving batch's exploded tokens —
+    // while the vocabulary-scale model is read in place
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.table(spark, sf0001, "documents")
+      val lm = graft.queries.TextQueries.lmFromTokenCounts(
+        graft.queries.TextQueries.tokenCounts(
+          docs.filter($"doc_id" < 300)))
+      Layout.writeBucketed(lm, "lm_bucketed", "t")
+      val incomingToks = docs.filter($"doc_id" >= 300)
+        .select($"doc_id",
+          explode(split(trim(lower($"text")), "\\s+")).as("t"))
+      val scored = incomingToks
+        .join(spark.table("lm_bucketed"), Seq("t"), "left")
+        .select($"doc_id", $"lp6")
+      val plan = scored.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected 1 exchange (increment only):\n$plan")
+      // a left join must score every arriving token exactly once
+      assert(scored.count() === incomingToks.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS lm_bucketed")
+    }
+  }
+
   test("z-order tiles bound the spread on BOTH dimensions") {
     // z_tile fixes the top 6 bits of each 8-bit bucket (z >> 4 drops two
     // interleaved bit pairs), so within a tile each raw dimension spans at
