@@ -339,12 +339,19 @@ object CurationQueries {
     // SURVIVORS, dropping every later doc sharing a >= 15-token verbatim
     // run (the partial-overlap shape fingerprints can't see), (4) an
     // LM-floor quality drop — the CCNet-style absolute bar: an add-0.5
-    // unigram LM is trained on the substring SURVIVORS (the corpus that
-    // would ship) and any doc whose mean log-prob sits within
-    // LmFloorMargin nats of the SINGLETON-token floor ln(1.5/(N+0.5·V))
-    // is dropped: its average token is statistically indistinguishable
-    // from one the corpus has seen once — the all-rare-token hash-spam /
-    // mojibake shape. The threshold is ABSOLUTE (derived from two scalar
+    // unigram LM is trained on the EXACT-DEDUP survivors and any doc
+    // whose mean log-prob sits within LmFloorMargin nats of the
+    // SINGLETON-token floor ln(1.5/(N+0.5·V)) is dropped: its average
+    // token is statistically indistinguishable from one the corpus has
+    // seen once — the all-rare-token hash-spam / mojibake shape.
+    // Training deliberately happens BEFORE the substring flags join in:
+    // the flagged docs are verbatim-overlap copies of retained text, so
+    // their token mass is already represented and cannot rescue a
+    // garbage doc — while training on the post-flag set would make the
+    // expensive detector lineage a multi-consumer subtree (column
+    // pruning defeats exchange reuse across its consumers; measured at
+    // ~2.5s of re-run detector per extra consumer at sf0.1). The
+    // threshold is ABSOLUTE (derived from two scalar
     // corpus totals, not a percentile), so a clean corpus drops nothing
     // and the stage is exactly SQL-replayable (the log-probs ride the
     // q_doc_unigram_logprob 1e-6-tick snap, so scores are bit-identical
@@ -380,10 +387,8 @@ object CurationQueries {
       val flagged = DedupQueries
         .substringFlags(survivors.select($"doc_id", $"text"))
         .select($"doc_id", lit(true).as("sub_flag"))
-      val withSub = survivors.join(flagged, Seq("doc_id"), "left")
-        .repartition($"doc_id")
       val lmTok = TextQueries.tokenCounts(
-        withSub.filter($"sub_flag".isNull).select($"doc_id", $"text"))
+        survivors.select($"doc_id", $"text"))
         .repartition($"t")
       val lm = TextQueries.lmFromTokenCounts(lmTok)
       val thr = lmTok.groupBy($"t").agg(sum($"c").as("cw"))
@@ -400,7 +405,8 @@ object CurationQueries {
         $"tok_count" >= 10 &&
         TextQueries.sampleBucket($"doc_id") <
           when($"lang" === "en", 50).otherwise(20)
-      withSub
+      survivors
+        .join(flagged, Seq("doc_id"), "left")
         .join(lowLm, Seq("doc_id"), "left")
         .withColumn("tok_count",
           size(TextQueries.tokens($"text")).cast("long"))
@@ -753,15 +759,11 @@ object CurationQueries {
          |  SELECT DISTINCT b_id AS doc_id FROM sruns
          |  GROUP BY a_id, b_id
          |  HAVING max(run_len) + ${k - 1} >= $minTok),
-         |lmsurv AS (
-         |  SELECT s.doc_id, s.text FROM surv s
-         |  LEFT JOIN flagged f ON s.doc_id = f.doc_id
-         |  WHERE f.doc_id IS NULL),
          |ltok AS (
          |  SELECT doc_id, t, count(*) AS c
          |  FROM (SELECT doc_id,
          |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-         |        FROM lmsurv)
+         |        FROM surv)
          |  GROUP BY doc_id, t),
          |luni AS (SELECT t, sum(c) AS cw FROM ltok GROUP BY t),
          |ltot AS (SELECT sum(cw) AS n, count(*) AS v FROM luni),

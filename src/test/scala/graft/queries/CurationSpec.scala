@@ -255,10 +255,11 @@ class CurationSpec extends SparkTestBase {
     // drops the all-singleton-token doc — and ONLY it: docs whose tokens
     // repeat across the corpus clear the threshold, including the
     // 5-token doc that must fall through to (4) the quality guard, while
-    // (5) sampling stays a reason-less map-side filter. The flagged doc's
-    // tokens must NOT train the LM (it is dropped before the stage), and
-    // a low-LM doc is counted whether or not sampling would also have
-    // dropped it (reason precedence is stage order).
+    // (5) sampling stays a reason-less map-side filter. The LM trains on
+    // the exact-dedup survivors (including the substring-flagged doc —
+    // see the query comment for why that is both sound and the cheap
+    // plan), and a low-LM doc is counted whether or not sampling would
+    // also have dropped it (reason precedence is stage order).
     val dir = java.nio.file.Files.createTempDirectory("curation_fixture")
       .toString
     def words(r: Range, tag: String = "w") =
@@ -295,9 +296,9 @@ class CurationSpec extends SparkTestBase {
     // doc 6 is the ONLY LM-floor drop: every one of its 12 tokens is a
     // corpus singleton, so its mean log-prob IS the singleton floor —
     // margin below threshold by construction. Docs 1/4/5 share tokens
-    // (corpus counts 2-3) and sit ~0.01-0.35 nats ABOVE the threshold:
-    // had the flagged doc 3's z-tokens leaked into training, or had the
-    // threshold drifted by more than the 1e-6 snap, these counts move
+    // (corpus counts 2-4 with doc 3 training) and sit ~0.33-0.6 nats
+    // ABOVE the threshold; doc 3's own score is moot (already a
+    // substring drop, and reasons don't double-count)
     assert(r.getAs[Long]("dropped_low_lm") === 1L)
   }
 
