@@ -114,15 +114,20 @@ object FuseVectorHofs extends Rule[LogicalPlan] {
       // SKIPS null positions and therefore is NOT a faithful target —
       // lengths trivially agree, empty folds to the same +0.0, and the
       // self-product accumulates in the same left-to-right order. The
-      // duplicated `v` child is shared by Spark's subexpression
-      // elimination under whole-stage codegen.
+      // v.deterministic guard is load-bearing: this case DUPLICATES v,
+      // and a nondeterministic array (rand()-built, shuffle()d) would be
+      // evaluated independently per child — subexpression elimination
+      // never shares nondeterministic expressions — silently squaring
+      // two DIFFERENT arrays. (The zip_with case uses each input once,
+      // so it needs no such guard.) Deterministic duplicates are shared
+      // by subexpression elimination under whole-stage codegen.
       case ArrayAggregate(
             ArrayTransform(v, LambdaFunction(Multiply(x, y, _), tArgs, _)),
             zero,
             LambdaFunction(Add(m, n, _), mergeArgs, _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(finArg: NamedLambdaVariable), _))
-          if isDoubleArray(v) && isPlusZero(zero) &&
+          if isDoubleArray(v) && v.deterministic && isPlusZero(zero) &&
             squaresVar(Seq(x, y), tArgs) &&
             usesBothVars(Seq(m, n), mergeArgs) &&
             fin.exprId == finArg.exprId =>

@@ -368,12 +368,14 @@ object CurationQueries {
     // 100 TB ingest dashboard needs to spot a source whose partial-copy
     // or garbage rate jumps. Wide stages: the fingerprint window, the
     // substring detector's own bounded machinery (shared h-exchange, df
-    // cap, capPerKey), one doc_id repartition making the flagged-join
-    // lineage a SHARED exchange (its three consumers — LM training, LM
-    // scoring, final manifest — would otherwise re-run the detector), and
-    // the LM's token-keyed shared exchange (the q_doc_unigram_logprob
-    // skew story: (doc, token) pre-aggregation bounds hot tokens to one
-    // row per doc).
+    // cap, capPerKey), and the LM's token-keyed shared exchange (the
+    // q_doc_unigram_logprob skew story: (doc, token) pre-aggregation
+    // bounds hot tokens to one row per doc). The EXPENSIVE lineage —
+    // the detector — keeps exactly one consumer (the final flag join);
+    // the cheap survivors lineage (scan + fingerprint window) is the
+    // one consumed multiple times (detector, LM tokens, manifest),
+    // which is the right way around — see the training-set note above
+    // and the SCALING r11 multi-consumer lesson.
     "q_curation_pipeline" -> ((s, dir) => {
       import s.implicits._
       val keeper = Window.partitionBy($"fp").orderBy($"doc_id")
@@ -712,8 +714,10 @@ object CurationQueries {
     // ONE Scala definition) over the exact-dedup survivor set — the
     // composition witness the standalone query's oracle can't give. The
     // LM-floor stage replays the q_doc_unigram_logprob chain (1e-6-tick
-    // snapped log-probs, so scores are bit-identical) over the substring
-    // SURVIVORS, with the shared LmFloorMargin threshold.
+    // snapped log-probs, so scores are bit-identical) trained over the
+    // EXACT-DEDUP survivors — same set as the Scala side; see the query
+    // comment for why training precedes the substring flags — with the
+    // shared LmFloorMargin threshold.
     "q_curation_pipeline" -> {
       val k = DedupQueries.SubstringShingleTokens
       val minTok = DedupQueries.MinRunTokens

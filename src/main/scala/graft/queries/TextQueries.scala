@@ -26,6 +26,14 @@ object TextQueries {
     docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
 
+  /** The ONE definition of the add-0.5 unigram log-prob, snapped to
+    * 1e-6-tick LONGs: `floor(ln((cw+α)/(N+α·V))·1e6 + 0.5)` — shared by
+    * [[lmFromTokenCounts]] (column totals) and the streaming trainer
+    * (literal totals), so the two cannot drift. */
+  private[graft] def lp6Expr(cw: Column, n: Column, v: Column): Column =
+    floor(log((cw + lit(0.5)) / (n + lit(0.5) * v)) * 1e6 + 0.5)
+      .cast("long")
+
   /** (t, lp6) add-0.5 unigram LM from a [[tokenCounts]] frame: log-probs
     * snapped to 1e-6-tick LONGs (the cross-engine exactness device the
     * q_doc_unigram_logprob comments explain). Stays fully distributed —
@@ -39,9 +47,7 @@ object TextQueries {
     // Catalyst folds the literal condition away and plans BNLJ anyway.
     // PlanSpec's pipeline ban counts these attaches explicitly.
     uni.crossJoin(broadcast(tot))
-      .select(col("t"),
-        floor(log((col("cw") + lit(0.5)) / (col("n") + lit(0.5) * col("v")))
-          * 1e6 + 0.5).cast("long").as("lp6"))
+      .select(col("t"), lp6Expr(col("cw"), col("n"), col("v")).as("lp6"))
   }
 
   /** Deterministic per-doc bucket in [0, 100) — the ONE arithmetic-hash

@@ -448,16 +448,33 @@ object DocStream {
     * precedent: 2 numbers, never data). At 100 TB the LM is trained once
     * on the history and MATERIALIZED — the staging note on the batch
     * query — which is exactly the contract this trainer mirrors: callers
-    * own the returned table's unpersist handle. */
+    * own the returned table's unpersist handle.
+    *
+    * ONE pass over the history: the vocabulary aggregate is cached and
+    * materialized by the (N, V) collect, the model derives from that
+    * cache with (N, V) embedded as literals (same [[TextQueries.lp6Expr]]
+    * smoothing as the batch queries, so the two cannot drift), and the
+    * vocabulary cache is dropped once the model table is filled —
+    * without this the corpus would be tokenized twice, once for the
+    * totals and once for the model. */
   def trainLm(historyDocs: DataFrame): (DataFrame, Long) = {
     val tok = graft.queries.TextQueries.tokenCounts(historyDocs)
-    val lm = graft.queries.TextQueries.lmFromTokenCounts(tok).cache()
-    val nv = tok.groupBy(col("t")).agg(sum(col("c")).as("cw"))
+    val uni = tok.groupBy(col("t")).agg(sum(col("c")).as("cw")).cache()
+    val nv = uni
       .agg(sum(col("cw")).cast("double"), count(lit(1)).cast("double"))
       .head()
-    val floorLp6 = math.floor(
-      math.log(0.5 / (nv.getDouble(0) + 0.5 * nv.getDouble(1))) * 1e6 + 0.5)
-      .toLong
+    require(!nv.isNullAt(0),
+      "trainLm needs a non-empty history corpus: no tokens found " +
+        "(empty frame, or every text NULL)")
+    val n = nv.getDouble(0)
+    val v = nv.getDouble(1)
+    val lm = uni.select(col("t"),
+      graft.queries.TextQueries.lp6Expr(col("cw"), lit(n), lit(v))
+        .as("lp6")).cache()
+    lm.count() // fill the model cache from the vocabulary cache...
+    uni.unpersist() // ...then a single cached copy remains for callers
+    val floorLp6 =
+      math.floor(math.log(0.5 / (n + 0.5 * v)) * 1e6 + 0.5).toLong
     (lm, floorLp6)
   }
 

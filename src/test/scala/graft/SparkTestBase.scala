@@ -21,11 +21,15 @@ trait SparkTestBase extends AnyFunSuite {
       .getOrCreate()
     // getOrCreate may return a session an earlier suite created WITHOUT
     // the static extensions conf (suite order in the shared test JVM is
-    // nondeterministic): wire the same surface defensively — functions
-    // via the registry, the fusion rule via experimental
-    // extraOptimizations, which honors the same excludedRules protocol
+    // nondeterministic): wire the same surface defensively — ALL five
+    // injected functions via the registry, the fusion rule via
+    // experimental extraOptimizations, which honors the same
+    // excludedRules protocol
     if (!s.conf.get("spark.sql.extensions", "").contains("GraftExtensions")) {
       graft.functions.VectorFunctions.register(s)
+      graft.functions.TopKFunctions.register(s)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "word_shingles", graft.queries.Shingles.builder, "internal")
       if (!s.experimental.extraOptimizations
             .exists(_ eq graft.plans.FuseVectorHofs))
         s.experimental.extraOptimizations =

@@ -104,6 +104,13 @@ class FuseDotSpec extends SparkTestBase {
       "SELECT aggregate(transform(x, p -> p * 2.0D), 0.0D," +
         " (acc, v) -> acc + v) AS s FROM fuse_fx")
     assert(!fired(scaled) && stillHof(scaled))
+    // a NONDETERMINISTIC array must not fuse: the rewrite duplicates v,
+    // and two independent evaluations of rand() would square two
+    // different arrays — the guard keeps the HOF's evaluate-once shape
+    val nondet = spark.sql(
+      "SELECT aggregate(transform(array(rand(), rand()), p -> p * p)," +
+        " 0.0D, (acc, v) -> acc + v) AS s FROM fuse_fx")
+    assert(!fired(nondet) && stillHof(nondet))
   }
 
   test("near-miss shapes are left untouched") {

@@ -77,4 +77,20 @@ class LogprobStreamSpec extends SparkTestBase {
       s"the scorer must never store state, saw $peakState rows")
     lm.unpersist()
   }
+
+  test("trainLm refuses an empty or all-null-text history with a clear " +
+      "message") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e1 = intercept[IllegalArgumentException] {
+      DocStream.trainLm(empty)
+    }
+    assert(e1.getMessage.contains("non-empty history"))
+    val allNull = Seq((1L, null: String, "en", "fixture", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e2 = intercept[IllegalArgumentException] {
+      DocStream.trainLm(allNull)
+    }
+    assert(e2.getMessage.contains("non-empty history"))
+  }
 }
