@@ -34,8 +34,9 @@ object ScaleProbe {
     "q_knn_dot",
     // unigram LM: token occurrences xK under a CONSTANT vocabulary
     // (replicas duplicate texts verbatim), so the corpus-count aggregate
-    // and the score join must both stay linear
-    "q_doc_unigram_logprob",
+    // and the score join must both stay linear; the bigram conditional
+    // rides the same contract one gram wider
+    "q_doc_unigram_logprob", "q_doc_bigram_logprob",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",
@@ -84,11 +85,12 @@ object ScaleProbe {
     // drops the whole match universe before any diagonal pairing —
     // the probe pins near-constant time and zero flagged docs
     "q_dedup_substring",
-    // the LM scorer's hostile shape: ~40 shared boilerplate tokens give
-    // maximal hot-token concentration. The (doc, token) pre-aggregation
-    // bounds each hot token to one row per doc, so the token-keyed join
-    // must stay linear in docs — this row is that claim, measured
-    "q_doc_unigram_logprob")
+    // the LM scorers' hostile shape: ~40 shared boilerplate tokens give
+    // maximal hot-token (and hot-bigram) concentration. The (doc, gram)
+    // pre-aggregation bounds each hot key to one row per doc, so the
+    // gram-keyed join must stay linear in docs — these rows are that
+    // claim, measured
+    "q_doc_unigram_logprob", "q_doc_bigram_logprob")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

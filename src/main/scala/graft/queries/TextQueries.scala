@@ -187,6 +187,50 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Conditional bigram log-prob scoring — the next rung of the LM
+    // quality ladder (real CCNet filtering uses a 5-gram KenLM; the
+    // bigram conditional is the smallest model that sees WORD ORDER,
+    // catching shuffled-token spam the unigram score cannot):
+    // p(w2|w1) = (c(w1w2) + 0.5) / (c(w1·) + 0.5·V), scored as the
+    // count-weighted mean ln over a doc's bigram positions. V is the
+    // corpus UNIGRAM vocabulary (the conditional's outcome space).
+    // Shares the whole unigram machinery: the codegen'd word_shingles
+    // expression emits the bigrams (w=2, non-distinct, guarded to docs
+    // with >= 2 tokens so the short-doc fallback never fires), lp6Expr
+    // is the same snapped smoothing — (c(w1·) + 0.5·V) IS lp6Expr's
+    // (N + 0.5·V) with the context count as N — and the (doc, bigram)
+    // pre-aggregation bounds hot-bigram skew exactly as the unigram
+    // query's does. Docs with < 2 tokens surface with bigram_count 0
+    // and a NULL score through the left join.
+    "q_doc_bigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val toksDf = docs.select($"doc_id",
+        tokens(lower($"text")).as("toks"))
+      val tok2 = toksDf.filter(size($"toks") >= 2)
+        .select($"doc_id",
+          explode(Shingles.of(s, $"toks", 2, distinct = false)).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .repartition($"bg")
+      val big = tok2.groupBy($"bg").agg(sum($"c").as("cbg"))
+        .withColumn("w1", substring_index($"bg", " ", 1))
+      val ctx = big.groupBy($"w1").agg(sum($"cbg").as("cw1"))
+      val vocab = toksDf.select(explode($"toks").as("t"))
+        .agg(countDistinct($"t").as("v"))
+      val lm = big.join(ctx, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select($"bg", lp6Expr($"cbg", $"cw1", $"v").as("lp6"))
+      val scored = tok2.join(lm, Seq("bg"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("bigram_count"), sum($"c" * $"lp6").as("slp6"))
+      docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"bigram_count", lit(0L)).as("bigram_count"),
+          Clean.roundHalfUp(($"slp6" / lit(1e6)) / $"bigram_count", 4)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID heuristic: argmax of stopword hits with deterministic
     // precedence (list order) and an 'und' floor when nothing matches.
     "q_doc_langid" -> ((s, dir) => {
@@ -568,6 +612,43 @@ object TextQueries {
           |SELECT d.doc_id,
           |  CAST(coalesce(s.token_count, 0) AS BIGINT) AS token_count,
           |  floor((s.slp6 / 1000000.0) / s.token_count * 10000 + 0.5)
+          |    / 10000 AS mean_logprob
+          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // Replays the conditional-bigram chain: same 2-token guard, same
+      // single-space bigram keys, same context-count smoothing through
+      // the snapped lp6 form — only the final division pair is floating
+      // point, identical op sequence both engines.
+      "q_doc_bigram_logprob" ->
+        """WITH docs0 AS (
+          |  SELECT doc_id,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |vocab AS (
+          |  SELECT count(DISTINCT t) AS v
+          |  FROM (SELECT unnest(toks) AS t FROM docs0)),
+          |tok2 AS (
+          |  SELECT doc_id, bg, count(*) AS c
+          |  FROM (SELECT doc_id,
+          |          unnest(list_transform(range(1, length(toks)),
+          |            i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+          |        FROM docs0 WHERE length(toks) >= 2)
+          |  GROUP BY doc_id, bg),
+          |big AS (
+          |  SELECT bg, sum(c) AS cbg, split_part(bg, ' ', 1) AS w1
+          |  FROM tok2 GROUP BY bg),
+          |ctx AS (SELECT w1, sum(cbg) AS cw1 FROM big GROUP BY w1),
+          |lm AS (
+          |  SELECT bg, CAST(floor(ln((cbg + 0.5) / (cw1 + 0.5 * v))
+          |                        * 1000000 + 0.5) AS BIGINT) AS lp6
+          |  FROM big JOIN ctx USING (w1), vocab),
+          |scored AS (
+          |  SELECT doc_id, sum(c) AS bigram_count, sum(c * lp6) AS slp6
+          |  FROM tok2 JOIN lm USING (bg) GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(s.bigram_count, 0) AS BIGINT) AS bigram_count,
+          |  floor((s.slp6 / 1000000.0) / s.bigram_count * 10000 + 0.5)
           |    / 10000 AS mean_logprob
           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
           |ORDER BY d.doc_id""".stripMargin,

@@ -83,6 +83,48 @@ class LogprobSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(byId(4L)._2 === 0L && byId(4L)._3.isEmpty)
   }
 
+  test("the bigram query matches an independent Scala recomputation") {
+    // conditional p(w2|w1) with the context count as the smoothing N and
+    // the corpus UNIGRAM vocabulary as V; docs with < 2 tokens (the
+    // null-text doc, the empty-text doc whose single token is "", the
+    // single-token doc) surface as bigram_count 0 / NULL score
+    val perDoc: Map[Long, Seq[(String, String)]] = docs.collect {
+      case (id, t) if t != null && toks(t).length >= 2 =>
+        id -> toks(t).sliding(2).map(p => (p(0), p(1))).toSeq
+    }.toMap
+    val cbg: Map[(String, String), Long] =
+      perDoc.values.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+    val cw1: Map[String, Long] =
+      cbg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = docs.collect { case (_, t) if t != null => toks(t) }
+      .flatten.distinct.size.toDouble
+    def lp6(b: (String, String)): Long =
+      math.floor(math.log((cbg(b) + 0.5) / (cw1(b._1) + 0.5 * v)) * 1e6
+        + 0.5).toLong
+    val expect: Seq[(Long, Long, Option[Double])] = docs.map { case (id, t) =>
+      perDoc.get(id) match {
+        case None => (id, 0L, None)
+        case Some(bs) =>
+          val slp6 = bs.map(lp6).sum
+          (id, bs.size.toLong, Some(round4((slp6 / 1e6) / bs.size)))
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_doc_bigram_logprob")(spark, dir.toString)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got === expect)
+    // the pins must bite: word ORDER matters — "the cat" (doc 1/6) and
+    // "the the" (doc 2) are distinct bigram contexts under the same
+    // unigram multiset, and the <2-token shapes all emit no score
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(2L)._2 === 2L)           // "the the the" -> 2 bigrams
+    assert(byId(3L)._2 === 0L && byId(3L)._3.isEmpty) // single token
+    assert(byId(4L)._2 === 0L)           // null text
+    assert(byId(5L)._2 === 0L)           // "" -> one "" token, no bigram
+  }
+
   override def afterAll(): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(dir)) {
