@@ -36,7 +36,12 @@ object ScaleProbe {
     // (replicas duplicate texts verbatim), so the corpus-count aggregate
     // and the score join must both stay linear; the bigram conditional
     // rides the same contract one gram wider
+    // the held-out backoff scorer shares the bigram machinery with a
+    // 10x smaller scoring side; its hostile behavior is the bigram
+    // row's (heap-knee addendum) one level down, so it probes on
+    // replicas only
     "q_doc_unigram_logprob", "q_doc_bigram_logprob",
+    "q_doc_backoff_logprob",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",

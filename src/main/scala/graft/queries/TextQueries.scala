@@ -26,6 +26,14 @@ object TextQueries {
     docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
 
+  /** ln(0.4) snapped to 1e-6 ticks — the stupid-backoff multiplier as an
+    * integer tick ADDEND for q_doc_backoff_logprob (multiplying
+    * probabilities is adding log ticks, so backoff stays exact integer
+    * arithmetic). Interpolated into the oracle SQL from this ONE
+    * definition. */
+  private[queries] val BackoffLp6: Long =
+    math.floor(math.log(0.4) * 1e6 + 0.5).toLong
+
   /** The ONE definition of the add-0.5 unigram log-prob, snapped to
     * 1e-6-tick LONGs: `floor(ln((cw+α)/(N+α·V))·1e6 + 0.5)` — shared by
     * [[lmFromTokenCounts]] (column totals) and the streaming trainer
@@ -224,6 +232,72 @@ object TextQueries {
         .groupBy($"doc_id")
         .agg(sum($"c").as("bigram_count"), sum($"c" * $"lp6").as("slp6"))
       docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"bigram_count", lit(0L)).as("bigram_count"),
+          Clean.roundHalfUp(($"slp6" / lit(1e6)) / $"bigram_count", 4)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Held-out backoff scoring — the LM ladder's deployment rung: the
+    // two previous queries score the corpus under ITSELF (no token is
+    // ever unseen); a real CCNet-style filter scores NEW documents under
+    // a FIXED model, where out-of-vocabulary mass is the whole game.
+    // This query replays that shape end to end with the deterministic
+    // 90/10 split (the q_sample_stratified bucket device): unigram +
+    // bigram LMs train on the 90% split, and each TEST doc's bigram
+    // positions score under stupid backoff (Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — the public technique:
+    // p(w2|w1) = bigram if seen, else 0.4 · p(w2), else 0.4 · the
+    // unseen-unigram floor). EVERYTHING stays in 1e-6-tick integers —
+    // the backoff multiplier is ln(0.4) snapped once (BackoffLp6) and
+    // ADDED to the unigram tick, so the whole score pipeline remains
+    // exact integer arithmetic until the final division pair.
+    // Scale shape: same (doc, bigram) pre-aggregation skew bound as
+    // q_doc_bigram_logprob (hostile-probed there; this query's hostile
+    // behavior is the same machinery with a 10x smaller scoring side),
+    // two LEFT joins against vocabulary-scale LM tables, and the only
+    // broadcasts are the 1-row totals/floor scalars.
+    "q_doc_backoff_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val toksDf = docs.select($"doc_id", tokens(lower($"text")).as("toks"),
+        (sampleBucket($"doc_id") < 90).as("is_train"))
+      val uni = toksDf.filter($"is_train")
+        .select(explode($"toks").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+      val unilm = uni.crossJoin(broadcast(tot))
+        .select($"t".as("w2"), lp6Expr($"cw", $"n", $"v").as("ulp6"))
+      val trainBg = toksDf.filter($"is_train" && size($"toks") >= 2)
+        .select(explode(Shingles.of(s, $"toks", 2, distinct = false))
+          .as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("cbg"))
+        .withColumn("w1", substring_index($"bg", " ", 1))
+      val ctx = trainBg.groupBy($"w1").agg(sum($"cbg").as("cw1"))
+      val biglm = trainBg.join(ctx, Seq("w1")).crossJoin(broadcast(tot))
+        .select($"bg", lp6Expr($"cbg", $"cw1", $"v").as("blp6"))
+      // the unseen-unigram floor, snapped — trainLm's floor as a column
+      val floorF = tot.select(
+        floor(log(lit(0.5) / ($"n" + lit(0.5) * $"v")) * 1e6 + 0.5)
+          .cast("long").as("floor6"))
+      val testBg = toksDf.filter(!$"is_train" && size($"toks") >= 2)
+        .select($"doc_id",
+          explode(Shingles.of(s, $"toks", 2, distinct = false)).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .withColumn("w2", substring_index($"bg", " ", -1))
+      val scored = testBg
+        .join(biglm.select($"bg", $"blp6"), Seq("bg"), "left")
+        .join(unilm, Seq("w2"), "left")
+        .crossJoin(broadcast(floorF))
+        .select($"doc_id", $"c",
+          coalesce($"blp6",
+            lit(BackoffLp6) + coalesce($"ulp6", $"floor6")).as("lp6"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("bigram_count"), sum($"c" * $"lp6").as("slp6"))
+      docs.filter(sampleBucket($"doc_id") >= 90)
+        .select($"doc_id")
+        .join(scored, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"bigram_count", lit(0L)).as("bigram_count"),
           Clean.roundHalfUp(($"slp6" / lit(1e6)) / $"bigram_count", 4)
@@ -652,6 +726,65 @@ object TextQueries {
           |    / 10000 AS mean_logprob
           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // Replays the held-out stupid-backoff chain: same 90/10 bucket
+      // split, same train-side LMs through the snapped lp6 form, same
+      // integer-tick backoff addend (BackoffLp6, interpolated from the
+      // one Scala definition) — exact integer arithmetic until the
+      // final division pair.
+      "q_doc_backoff_logprob" ->
+        s"""WITH docs0 AS (
+           |  SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+           |    ((doc_id % 1000003) * 31 + 7) % 100 < 90 AS is_train
+           |  FROM documents),
+           |uni AS (
+           |  SELECT t, count(*) AS cw
+           |  FROM (SELECT unnest(toks) AS t FROM docs0 WHERE is_train)
+           |  GROUP BY t),
+           |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+           |unilm AS (
+           |  SELECT t AS w2, CAST(floor(ln((cw + 0.5) / (n + 0.5 * v))
+           |                             * 1000000 + 0.5) AS BIGINT) AS ulp6
+           |  FROM uni, tot),
+           |trainbg AS (
+           |  SELECT bg, count(*) AS cbg, split_part(bg, ' ', 1) AS w1
+           |  FROM (SELECT unnest(list_transform(range(1, length(toks)),
+           |            i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+           |        FROM docs0 WHERE is_train AND length(toks) >= 2)
+           |  GROUP BY bg),
+           |ctx AS (SELECT w1, sum(cbg) AS cw1 FROM trainbg GROUP BY w1),
+           |biglm AS (
+           |  SELECT bg, CAST(floor(ln((cbg + 0.5) / (cw1 + 0.5 * v))
+           |                        * 1000000 + 0.5) AS BIGINT) AS blp6
+           |  FROM trainbg JOIN ctx USING (w1), tot),
+           |floorf AS (
+           |  SELECT CAST(floor(ln(0.5 / (n + 0.5 * v)) * 1000000 + 0.5)
+           |           AS BIGINT) AS floor6
+           |  FROM tot),
+           |testbg AS (
+           |  SELECT doc_id, bg, count(*) AS c,
+           |    split_part(bg, ' ', 2) AS w2
+           |  FROM (SELECT doc_id,
+           |          unnest(list_transform(range(1, length(toks)),
+           |            i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+           |        FROM docs0 WHERE NOT is_train AND length(toks) >= 2)
+           |  GROUP BY doc_id, bg),
+           |scored AS (
+           |  SELECT doc_id, sum(c) AS bigram_count,
+           |    sum(c * coalesce(b.blp6,
+           |          $BackoffLp6 + coalesce(u.ulp6, f.floor6))) AS slp6
+           |  FROM testbg
+           |  LEFT JOIN biglm b USING (bg)
+           |  LEFT JOIN unilm u USING (w2), floorf f
+           |  GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(s.bigram_count, 0) AS BIGINT) AS bigram_count,
+           |  floor((s.slp6 / 1000000.0) / s.bigram_count * 10000 + 0.5)
+           |    / 10000 AS mean_logprob
+           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+           |WHERE ((d.doc_id % 1000003) * 31 + 7) % 100 >= 90
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q_doc_langid" -> {
         val hitExprs = StopwordLists.map { case (l, words) =>

@@ -18,13 +18,21 @@ import graft.{SparkEntry, SparkTestBase}
 class LogprobSpec extends SparkTestBase with BeforeAndAfterAll {
   import spark.implicits._
 
+  /** Split buckets ((id % 1000003) * 31 + 7) % 100: ids 1-5 land at
+    * 38/69/0/31/62 (train side of the backoff query's 90/10 split);
+    * ids 6/90/93 land at 93/97/90 (test side). Docs 90/93 exist to
+    * exercise every backoff path: seen bigram, unseen bigram with seen
+    * w2 (backoff + unigram), unseen bigram with unseen w2 (backoff +
+    * floor). */
   private val docs: Seq[(Long, String)] = Seq(
     (1L, "the cat sat on the mat"),
     (2L, "the the the"),
     (3L, "zzzqqq"),
     (4L, null),
     (5L, ""),
-    (6L, "  The CAT  "))
+    (6L, "  The CAT  "),
+    (90L, "the cat mat zzunseen"),
+    (93L, "sat on the"))
 
   private lazy val dir: java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory("graft_logprob_fx")
@@ -123,6 +131,54 @@ class LogprobSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(byId(3L)._2 === 0L && byId(3L)._3.isEmpty) // single token
     assert(byId(4L)._2 === 0L)           // null text
     assert(byId(5L)._2 === 0L)           // "" -> one "" token, no bigram
+  }
+
+  test("the held-out backoff query matches an independent Scala " +
+      "recomputation on every backoff path") {
+    def bucket(id: Long): Long = ((id % 1000003L) * 31 + 7) % 100
+    val train = docs.filter { case (id, t) => bucket(id) < 90 && t != null }
+    val test = docs.filter { case (id, _) => bucket(id) >= 90 }
+    // train-side LMs, plain Scala
+    val uniC: Map[String, Long] = train.flatMap(d => toks(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uniC.values.sum.toDouble
+    val v = uniC.size.toDouble
+    val bgC: Map[(String, String), Long] = train.map(_._2).filter(t =>
+        toks(t).length >= 2)
+      .flatMap(t => toks(t).sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cw1: Map[String, Long] =
+      bgC.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def snap(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val backoff6 = snap(math.log(0.4))
+    val floor6 = snap(math.log(0.5 / (n + 0.5 * v)))
+    def lp6(b: (String, String)): Long = bgC.get(b) match {
+      case Some(c) => snap(math.log((c + 0.5) / (cw1(b._1) + 0.5 * v)))
+      case None => backoff6 + (uniC.get(b._2) match {
+        case Some(cu) => snap(math.log((cu + 0.5) / (n + 0.5 * v)))
+        case None => floor6
+      })
+    }
+    val expect = test.map { case (id, t) =>
+      val bs = Option(t).map(toks).filter(_.length >= 2)
+        .map(_.sliding(2).map(p => (p(0), p(1))).toSeq).getOrElse(Nil)
+      if (bs.isEmpty) (id, 0L, None)
+      else {
+        val slp6 = bs.map(lp6).sum
+        (id, bs.size.toLong, Some(round4((slp6 / 1e6) / bs.size)))
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_doc_backoff_logprob")(spark, dir.toString)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got === expect)
+    // the pins must bite: only test-split docs appear, and the three
+    // backoff paths are all exercised by the fixture (doc 6 pure-seen,
+    // doc 90 mixes unseen-bigram/seen-w2 AND unseen-w2, doc 93 seen)
+    assert(got.map(_._1).toSet === Set(6L, 90L, 93L))
+    assert(bgC.contains(("the", "cat")) && !bgC.contains(("cat", "mat")))
+    assert(uniC.contains("mat") && !uniC.contains("zzunseen"))
   }
 
   override def afterAll(): Unit = {
