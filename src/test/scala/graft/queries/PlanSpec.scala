@@ -73,6 +73,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("the LM family keeps its gram exchanges and no cartesian products") {
+    // each scorer's wide stage is the shared gram-keyed exchange (the
+    // skew-bounding pre-aggregation rides it); the only nested-loop
+    // joins are the documented 1-row scalar attaches, and a cartesian
+    // anywhere would mean a scoring join lost its key
+    Seq("q_doc_unigram_logprob", "q_doc_bigram_logprob",
+      "q_doc_backoff_logprob").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    assert("hashpartitioning\\(t#\\d+".r
+      .findFirstIn(plan("q_doc_unigram_logprob")).isDefined)
+    assert("hashpartitioning\\(bg#\\d+".r
+      .findFirstIn(plan("q_doc_bigram_logprob")).isDefined)
+  }
+
   test("q_knn_dot's HOF formulation executes as the fused dot_product") {
     // the query deliberately writes the interpreted aggregate(zip_with(..))
     // shape; plans/FuseVectorHofs must deliver the codegen'd expression —
