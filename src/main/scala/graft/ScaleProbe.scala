@@ -42,6 +42,12 @@ object ScaleProbe {
     // replicas only
     "q_doc_unigram_logprob", "q_doc_bigram_logprob",
     "q_doc_backoff_logprob",
+    // DSIR importance weighting: two LMs off the unigram query's shared
+    // token exchange + a TakeOrdered top-K — must stay linear on
+    // replicas exactly as the unigram scorer does (constant vocabulary,
+    // token occurrences xK); the top-K merge is K rows per partition
+    // regardless of factor
+    "q_doc_dsir",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",

@@ -51,6 +51,12 @@ object CurationQueries {
        |           i -> array_to_string(toks[i:i+${w - 1}], ' '))
        |      ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
+  /** q_doc_dsir's target-distribution predicate value and selection
+    * size — one definition each, interpolated into the oracle SQL so
+    * the two engines replay the identical selection. */
+  private[queries] val DsirTargetLang = "en"
+  private[queries] val DsirTopK = 100
+
   /** The deterministic split bucket in [0, 100) — the ONE definition
     * shared with q_sample_stratified ([[TextQueries.sampleBucket]]). */
   private def splitBucket = TextQueries.sampleBucket(col("doc_id"))
@@ -521,6 +527,72 @@ object CurationQueries {
         .withColumn("pos", row_number().over(w))
         .select($"doc_id", $"shard", $"pos")
         .orderBy("doc_id")
+    }),
+
+    // DSIR-style targeted data selection (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling" — the
+    // public technique: estimate importance weights as the likelihood
+    // ratio of each raw document under a TARGET-distribution bag-of-
+    // ngrams LM vs the RAW-corpus LM, then resample the highest-weight
+    // documents). Here the target slice is lang = 'en' (any predicate
+    // works), both LMs are the suite's add-0.5 unigram model, and the
+    // Gumbel-noise resampling step is replaced by the deterministic
+    // top-K under (mean log-ratio DESC, doc_id) so both engines replay
+    // the identical selection. A token the target LM never saw scores
+    // at the target's snapped smoothing floor ln(0.5/(N_t + 0.5·V_t))
+    // — the q_doc_backoff_logprob floor device; the raw LM covers every
+    // token by construction (the raw corpus IS its training set).
+    //
+    // Everything stays in 1e-6-tick integer arithmetic (lp6Expr) until
+    // the final division pair, so the per-doc ratio sum is immune to
+    // partial-aggregation order, and the only cross-engine float ops
+    // are the identical IEEE division sequence both sides of the sort.
+    //
+    // Scale shape (100 TB): ONE token exchange — the explicit
+    // repartition($"t") is the shared-exchange device (the unigram
+    // query's pattern): the raw LM aggregate, the target LM aggregate
+    // (a filter on the same clustered stream), and the scoring join all
+    // consume the SAME shuffle files, so the tokenize-explode lineage
+    // runs once. The (doc, token) pre-aggregation bounds hot-token skew
+    // to one row per doc per token BEFORE that exchange; the only
+    // broadcasts are 1-row totals; and the selection is orderBy.limit —
+    // Spark's TakeOrderedAndProject (per-partition top-K, K-row merge
+    // on the driver), never a global sort or single-partition window.
+    // At 100 TB the target LM would be trained once on the target
+    // sample and materialized (DSIR's actual deployment: the target set
+    // is small — Wikipedia-scale — against a web-crawl raw corpus);
+    // same staging note as ivfCentroids and the unigram LM.
+    "q_doc_dsir" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val tok = docs.select($"doc_id", $"lang",
+          explode(TextQueries.tokens(lower($"text"))).as("t"))
+        .groupBy($"doc_id", $"lang", $"t").agg(count(lit(1)).as("c"))
+        .repartition($"t")
+      val raw = tok.groupBy($"t").agg(sum($"c").as("cw"))
+      val rtot = raw.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+      val rlm = raw.crossJoin(broadcast(rtot))
+        .select($"t", TextQueries.lp6Expr($"cw", $"n", $"v").as("rlp6"))
+      val tgt = tok.filter($"lang" === DsirTargetLang)
+        .groupBy($"t").agg(sum($"c").as("cw"))
+      val ttot = tgt.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+        .select($"n", $"v",
+          floor(log(lit(0.5) / ($"n" + lit(0.5) * $"v")) * 1e6 + 0.5)
+            .cast("long").as("floor6"))
+      val tlm = tgt.crossJoin(broadcast(ttot))
+        .select($"t", TextQueries.lp6Expr($"cw", $"n", $"v").as("tlp6"))
+      val score = ($"sr6" / lit(1e6)) / $"token_count"
+      tok.join(rlm, Seq("t"))
+        .join(tlm, Seq("t"), "left")
+        .crossJoin(broadcast(ttot.select($"floor6")))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"c").as("token_count"),
+          sum($"c" * (coalesce($"tlp6", $"floor6") - $"rlp6")).as("sr6"))
+        .orderBy(score.desc, $"doc_id")
+        .limit(DsirTopK)
+        .select($"doc_id", $"lang", $"token_count",
+          Clean.roundHalfUp(score, 4).as("mean_logratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -848,6 +920,52 @@ object CurationQueries {
         |            * 10000 + 0.5) / 10000
         |       ELSE 0.0 END AS dup_rate
         |FROM d GROUP BY source, lang
-        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
+    // Replays both add-0.5 unigram LMs tick for tick (the
+    // q_doc_unigram_logprob snap device), the target smoothing floor
+    // for out-of-target-vocabulary tokens, and the deterministic
+    // top-K selection under the identical IEEE division sequence.
+    "q_doc_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, lang, t, count(*) AS c
+         |  FROM toks GROUP BY doc_id, lang, t),
+         |raw AS (SELECT t, sum(c) AS cw FROM tok GROUP BY t),
+         |rtot AS (SELECT sum(cw) AS n, count(*) AS v FROM raw),
+         |rlm AS (
+         |  SELECT t, CAST(floor(ln((cw + 0.5) / (n + 0.5 * v)) * 1000000
+         |                       + 0.5) AS BIGINT) AS rlp6
+         |  FROM raw, rtot),
+         |tgt AS (SELECT t, sum(c) AS cw FROM tok
+         |        WHERE lang = '$DsirTargetLang' GROUP BY t),
+         |ttot AS (
+         |  SELECT sum(cw) AS n, count(*) AS v,
+         |    CAST(floor(ln(0.5 / (sum(cw) + 0.5 * count(*))) * 1000000
+         |               + 0.5) AS BIGINT) AS floor6
+         |  FROM tgt),
+         |tlm AS (
+         |  SELECT t, CAST(floor(ln((cw + 0.5) / (n + 0.5 * v)) * 1000000
+         |                       + 0.5) AS BIGINT) AS tlp6
+         |  FROM tgt, ttot),
+         |scored AS (
+         |  SELECT k.doc_id, k.lang, sum(k.c) AS token_count,
+         |    sum(k.c * (coalesce(l.tlp6, f.floor6) - r.rlp6)) AS sr6
+         |  FROM tok k
+         |  JOIN rlm r USING (t)
+         |  LEFT JOIN tlm l USING (t)
+         |  CROSS JOIN ttot f
+         |  GROUP BY k.doc_id, k.lang),
+         |top AS (
+         |  SELECT * FROM scored
+         |  ORDER BY (sr6 / 1000000.0) / token_count DESC, doc_id
+         |  LIMIT $DsirTopK)
+         |SELECT doc_id, lang, CAST(token_count AS BIGINT) AS token_count,
+         |  floor((sr6 / 1000000.0) / token_count * 10000 + 0.5) / 10000
+         |    AS mean_logratio
+         |FROM top ORDER BY doc_id""".stripMargin
   )
 }

@@ -79,13 +79,23 @@ class PlanSpec extends SparkTestBase {
     // joins are the documented 1-row scalar attaches, and a cartesian
     // anywhere would mean a scoring join lost its key
     Seq("q_doc_unigram_logprob", "q_doc_bigram_logprob",
-      "q_doc_backoff_logprob").foreach { q =>
+      "q_doc_backoff_logprob", "q_doc_dsir").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
     assert("hashpartitioning\\(t#\\d+".r
       .findFirstIn(plan("q_doc_unigram_logprob")).isDefined)
     assert("hashpartitioning\\(bg#\\d+".r
       .findFirstIn(plan("q_doc_bigram_logprob")).isDefined)
+  }
+
+  test("q_doc_dsir rides the token exchange and selects via TakeOrdered") {
+    // both LMs and the scoring join consume the ONE t-keyed exchange;
+    // the top-K must plan as TakeOrderedAndProject (per-partition heap,
+    // K-row driver merge) — a global Sort + Limit here would total-order
+    // every scored doc at 100 TB
+    val p = plan("q_doc_dsir")
+    assert("hashpartitioning\\(t#\\d+".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q_knn_dot's HOF formulation executes as the fused dot_product") {
