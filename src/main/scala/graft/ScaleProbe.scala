@@ -48,6 +48,11 @@ object ScaleProbe {
     // token occurrences xK); the top-K merge is K rows per partition
     // regardless of factor
     "q_doc_dsir",
+    // BPE training: the corpus-mass word-count aggregation must grow
+    // linearly; the 12 merge iterations run on the CONSTANT-size
+    // vocabulary table (replicas duplicate texts verbatim), so their
+    // cost must stay flat at any factor
+    "q_doc_bpe_train",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",

@@ -66,6 +66,11 @@ object TextQueries {
   private[queries] def sampleBucket(id: Column): Column =
     ((id % 1000003L) * 31L + 7L) % 100L
 
+  /** q_doc_bpe_train's merge budget — one definition, interpolated into
+    * the generated oracle CTE chain so both engines run the identical
+    * number of iterations. */
+  private[queries] val BpeMergeCount = 12
+
   /** Tiny per-language stopword lists for the n-gram-free language-ID
     * heuristic. Deterministic, ASCII, and easy to mirror in SQL. */
   private val StopwordLists: Seq[(String, Seq[String])] = Seq(
@@ -303,6 +308,79 @@ object TextQueries {
           Clean.roundHalfUp(($"slp6" / lit(1e6)) / $"bigram_count", 4)
             .as("mean_logprob"))
         .orderBy("doc_id")
+    }),
+
+    // Distributed BPE vocabulary training (Sennrich et al. 2016, "Neural
+    // Machine Translation of Rare Words with Subword Units" — the public
+    // algorithm behind GPT/Llama tokenizer vocabularies): learn the top
+    // BpeMergeCount merge rules by iterated most-frequent-adjacent-pair
+    // counting. The published scaling trick makes this tractable at
+    // 100 TB: BPE trains on the WORD-FREQUENCY TABLE, not the corpus —
+    // the one corpus-mass job is the word-count aggregation (one exchange
+    // on the word, the same shape as q_doc_vocab); every merge iteration
+    // then runs on the vocabulary table, whose size is bounded by
+    // distinct-word count (~10^7 at web scale) independent of corpus
+    // tokens. Each iteration is one distributed pair-count aggregation +
+    // a 1-row argmax collect (the ivfCentroids precedent: driver
+    // iteration is inherent to argmax-dependent state; only K=1 row ever
+    // crosses to the driver per round, and the vocabulary itself is
+    // never collected).
+    //
+    // Cross-engine exactness: segmentations are paren-wrapped symbol
+    // strings ("(c)(a)(t)"), so applying a merge is LITERAL left-to-right
+    // non-overlapping string replace — identical semantics in Spark
+    // (Java String.replace) and DuckDB (replace), and the paren framing
+    // makes adjacent occurrences non-overlapping BY CONSTRUCTION
+    // ("(a)(b)(a)(b)" -> "(ab)(ab)"; a space-separated encoding would
+    // drop the second merge because the shared separator overlaps).
+    // Words containing literal parens are excluded from the training
+    // sample in both engines (a real tokenizer trains on a filtered
+    // sample anyway); ties break on (count DESC, lhs, rhs) — both
+    // engines compare strings by codepoint. The generated oracle CTE
+    // chain materializes every seg_i (AS MATERIALIZED) because DuckDB
+    // inlines CTEs by default and each seg_i is referenced twice — the
+    // naive chain re-evaluates 2^12 times (measured: the runaway
+    // prototype SCALING.md's contended-stamp note records).
+    "q_doc_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.table(s, dir, "documents")
+        .select(explode(tokens(lower($"text"))).as("w"))
+        .filter(length($"w") >= 2 && !$"w".rlike("[()]"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt")
+        .persist()
+      try {
+        val merges =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        var seg = words
+        var i = 1
+        var exhausted = false
+        while (i <= BpeMergeCount && !exhausted) {
+          val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
+          val top = seg
+            .select($"cnt", explode(arrays_zip(
+              slice(syms, lit(1), size(syms) - 1).as("l"),
+              slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
+            .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
+            .agg(sum($"cnt").as("c"))
+            .orderBy($"c".desc, $"l", $"r")
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (l, r, c) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((i, l, r, c))
+            // lineage: iteration i replays i literal replaces over the
+            // CACHED word table — O(J^2) replace work total, trivial at
+            // J=12 and bounded by vocabulary size, not corpus size
+            seg = seg.select(
+              call_function("replace",
+                $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
+            i += 1
+          }
+        }
+        merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count").orderBy("rank")
+      } finally { words.unpersist(); () }
     }),
 
     // Language-ID heuristic: argmax of stopword hits with deterministic
@@ -785,6 +863,48 @@ object TextQueries {
            |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
            |WHERE ((d.doc_id % 1000003) * 31 + 7) % 100 >= 90
            |ORDER BY d.doc_id""".stripMargin,
+
+      // Generated CTE chain replaying the merge loop iteration for
+      // iteration: identical tokenization/filter, identical paren
+      // encoding, identical literal-replace merge application, identical
+      // (count DESC, lhs, rhs) argmax. Every chained CTE is MATERIALIZED
+      // — DuckDB inlines CTEs by default and seg_i is referenced twice
+      // (pair count + merge application), so the naive chain
+      // re-evaluates exponentially.
+      "q_doc_bpe_train" -> {
+        val iters = (1 to BpeMergeCount).map { i =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+             |        AS pr
+             |    FROM (SELECT cnt,
+             |            regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS syms
+             |          FROM seg${i - 1}) s) z
+             |  GROUP BY 1, 2),
+             |m$i AS MATERIALIZED (
+             |  SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+             |seg$i AS MATERIALIZED (
+             |  SELECT replace(seg, '('||l||')('||r||')', '('||l||r||')')
+             |           AS seg, cnt
+             |  FROM seg${i - 1}, m$i)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to BpeMergeCount).map { i =>
+          s"SELECT $i AS rank, l AS lhs, r AS rhs, " +
+            s"CAST(c AS BIGINT) AS pair_count FROM m$i"
+        }.mkString(" UNION ALL ")
+        s"""WITH words AS MATERIALIZED (
+           |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seg, cnt FROM (
+           |    SELECT t AS w, count(*) AS cnt FROM (
+           |      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+           |        AS t
+           |      FROM documents) u
+           |    WHERE length(t) >= 2 AND NOT regexp_matches(t, '[()]')
+           |    GROUP BY t) g),
+           |seg0 AS MATERIALIZED (SELECT seg, cnt FROM words),
+           |$iters
+           |$union ORDER BY rank""".stripMargin
+      },
 
       "q_doc_langid" -> {
         val hitExprs = StopwordLists.map { case (l, words) =>
