@@ -53,6 +53,10 @@ object ScaleProbe {
     // vocabulary table (replicas duplicate texts verbatim), so their
     // cost must stay flat at any factor
     "q_doc_bpe_train",
+    // BPE application adds the vocabulary join on top of training: the
+    // (doc, word) pre-agg and scoring join grow linearly, the 12-replace
+    // vocabulary chain is constant-size
+    "q_doc_bpe_apply",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",

@@ -71,6 +71,89 @@ object TextQueries {
     * number of iterations. */
   private[queries] val BpeMergeCount = 12
 
+  /** The generated DuckDB CTE chain replaying [[bpeMerges]] — shared
+    * prefix of BOTH bpe oracles (train's tail unions the m_i rows; apply's
+    * tail reuses `tok` and the m_i tables; DuckDB prunes the CTEs a tail
+    * never references). Every chained CTE is MATERIALIZED: seg_i is
+    * referenced twice, and DuckDB's default inlining re-evaluates the
+    * naive chain exponentially. */
+  private lazy val bpeTrainChainSql: String = {
+    val iters = (1 to BpeMergeCount).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT cnt,
+         |      unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+         |        AS pr
+         |    FROM (SELECT cnt,
+         |            regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS syms
+         |          FROM seg${i - 1}) s) z
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |seg$i AS MATERIALIZED (
+         |  SELECT replace(seg, '('||l||')('||r||')', '('||l||r||')')
+         |           AS seg, cnt
+         |  FROM seg${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, t AS w, count(*) AS c FROM toks GROUP BY 1, 2),
+       |words AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seg, cnt FROM (
+       |    SELECT w, sum(c) AS cnt FROM tok
+       |    WHERE length(w) >= 2 AND NOT regexp_matches(w, '[()]')
+       |    GROUP BY w) g),
+       |seg0 AS MATERIALIZED (SELECT seg, cnt FROM words),
+       |$iters""".stripMargin
+  }
+
+  /** The BPE training loop shared by q_doc_bpe_train and
+    * q_doc_bpe_apply: iterated most-frequent-adjacent-pair argmax over a
+    * (seg, cnt) paren-encoded word-frequency table. Each iteration is
+    * one distributed pair-count aggregation + a 1-row collect; the table
+    * is persisted for the loop's lifetime (iteration i replays i literal
+    * replaces over the cached base — O(J²) replace work, bounded by
+    * vocabulary size, not corpus size). Returns (rank, lhs, rhs,
+    * pair_count) in merge order. */
+  private[queries] def bpeMerges(
+      words: org.apache.spark.sql.DataFrame)
+      : Seq[(Int, String, String, Long)] = {
+    import words.sparkSession.implicits._
+    val cached = words.persist()
+    try {
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var seg = cached
+      var i = 1
+      var exhausted = false
+      while (i <= BpeMergeCount && !exhausted) {
+        val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
+        val top = seg
+          .select($"cnt", explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1).as("l"),
+            slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
+          .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
+          .agg(sum($"cnt").as("c"))
+          .orderBy($"c".desc, $"l", $"r")
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((i, l, r, c))
+          seg = seg.select(
+            call_function("replace",
+              $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
+          i += 1
+        }
+      }
+      merges.toSeq
+    } finally { cached.unpersist(); () }
+  }
+
   /** Tiny per-language stopword lists for the n-gram-free language-ID
     * heuristic. Deterministic, ASCII, and easy to mirror in SQL. */
   private val StopwordLists: Seq[(String, Seq[String])] = Seq(
@@ -348,39 +431,63 @@ object TextQueries {
         .filter(length($"w") >= 2 && !$"w".rlike("[()]"))
         .groupBy($"w").agg(count(lit(1)).as("cnt"))
         .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt")
-        .persist()
-      try {
-        val merges =
-          scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-        var seg = words
-        var i = 1
-        var exhausted = false
-        while (i <= BpeMergeCount && !exhausted) {
-          val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
-          val top = seg
-            .select($"cnt", explode(arrays_zip(
-              slice(syms, lit(1), size(syms) - 1).as("l"),
-              slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
-            .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
-            .agg(sum($"cnt").as("c"))
-            .orderBy($"c".desc, $"l", $"r")
-            .limit(1).collect()
-          if (top.isEmpty) exhausted = true
-          else {
-            val (l, r, c) =
-              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-            merges += ((i, l, r, c))
-            // lineage: iteration i replays i literal replaces over the
-            // CACHED word table — O(J^2) replace work total, trivial at
-            // J=12 and bounded by vocabulary size, not corpus size
-            seg = seg.select(
-              call_function("replace",
-                $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
-            i += 1
-          }
-        }
-        merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count").orderBy("rank")
-      } finally { words.unpersist(); () }
+      bpeMerges(words).toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy("rank")
+    }),
+
+    // BPE application — the trained artifact put to corpus-wide work:
+    // segment every document under the learned merge table and report
+    // per-doc whitespace vs BPE token counts (the real token budget a
+    // training run packs against; q_doc_tokens' regex count is the
+    // cheap proxy). The scale shape is the point: merges are trained on
+    // the vocabulary (q_doc_bpe_train's loop), then APPLIED to the
+    // vocabulary — the 12-replace chain runs once per DISTINCT word,
+    // and the corpus only pays a (doc, word) pre-aggregation and one
+    // w-keyed join against the applied vocabulary. A naive formulation
+    // would re-scan the corpus once per merge (12 full passes); this
+    // touches corpus mass exactly twice, and the explicit
+    // repartition($"w") is the shared-exchange device: the (doc, word)
+    // aggregation (w is a subset of its grouping key), the training
+    // word count, and the final scoring join all ride the ONE w-keyed
+    // shuffle. Words containing literal parens bypass the paren
+    // encoding (they are outside the trained vocabulary by the same
+    // filter) and count one BPE token per character — the documented
+    // fallback in both engines.
+    "q_doc_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val raw = docs
+        .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+        .repartition($"w")
+      val tok = raw.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      val trainWords = tok
+        .filter(length($"w") >= 2 && !$"w".rlike("[()]"))
+        .groupBy($"w").agg(sum($"c").as("cnt"))
+        .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt")
+      val merges = bpeMerges(trainWords)
+      val segCol = merges.foldLeft(regexp_replace($"w", "(.)", "($1)")) {
+        case (c, (_, l, r, _)) =>
+          call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+      val applied = tok.select($"w").distinct()
+        .filter(!$"w".rlike("[()]"))
+        .select($"w",
+          size(regexp_extract_all(segCol, lit("\\(([^()]*)\\)"), lit(1)))
+            .cast("long").as("ntok"))
+      val perdoc = tok.join(applied, Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("ws_tokens"),
+          sum($"c" * coalesce($"ntok", length($"w").cast("long")))
+            .as("bpe_tokens"))
+      docs.select($"doc_id").join(perdoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"ws_tokens", lit(0L)).as("ws_tokens"),
+          coalesce($"bpe_tokens", lit(0L)).as("bpe_tokens"),
+          when($"ws_tokens" > 0,
+            Clean.roundHalfUp(
+              $"bpe_tokens".cast("double") / $"ws_tokens", 4))
+            .as("compression"))
+        .orderBy("doc_id")
     }),
 
     // Language-ID heuristic: argmax of stopword hits with deterministic
@@ -872,38 +979,52 @@ object TextQueries {
       // (pair count + merge application), so the naive chain
       // re-evaluates exponentially.
       "q_doc_bpe_train" -> {
-        val iters = (1 to BpeMergeCount).map { i =>
-          s"""p$i AS MATERIALIZED (
-             |  SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
-             |    SELECT cnt,
-             |      unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
-             |        AS pr
-             |    FROM (SELECT cnt,
-             |            regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS syms
-             |          FROM seg${i - 1}) s) z
-             |  GROUP BY 1, 2),
-             |m$i AS MATERIALIZED (
-             |  SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-             |seg$i AS MATERIALIZED (
-             |  SELECT replace(seg, '('||l||')('||r||')', '('||l||r||')')
-             |           AS seg, cnt
-             |  FROM seg${i - 1}, m$i)""".stripMargin
-        }.mkString(",\n")
         val union = (1 to BpeMergeCount).map { i =>
           s"SELECT $i AS rank, l AS lhs, r AS rhs, " +
             s"CAST(c AS BIGINT) AS pair_count FROM m$i"
         }.mkString(" UNION ALL ")
-        s"""WITH words AS MATERIALIZED (
-           |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seg, cnt FROM (
-           |    SELECT t AS w, count(*) AS cnt FROM (
-           |      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
-           |        AS t
-           |      FROM documents) u
-           |    WHERE length(t) >= 2 AND NOT regexp_matches(t, '[()]')
-           |    GROUP BY t) g),
-           |seg0 AS MATERIALIZED (SELECT seg, cnt FROM words),
-           |$iters
+        s"""WITH $bpeTrainChainSql
            |$union ORDER BY rank""".stripMargin
+      },
+
+      // Same generated training chain, then the merge table applied to
+      // the DISTINCT-word vocabulary (vocab_i CTEs — LEFT JOIN ON TRUE
+      // so an exhausted merge budget degrades to identity instead of
+      // annihilating the chain) and joined back to the (doc, word)
+      // counts. Paren-bearing words fall through the left join to the
+      // one-token-per-character fallback, exactly as in the query.
+      "q_doc_bpe_apply" -> {
+        val vocabIters = (1 to BpeMergeCount).map { i =>
+          s"""vocab$i AS MATERIALIZED (
+             |  SELECT w, CASE WHEN l IS NULL THEN seg
+             |    ELSE replace(seg, '('||l||')('||r||')', '('||l||r||')')
+             |    END AS seg
+             |  FROM vocab${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $bpeTrainChainSql,
+           |vocab0 AS MATERIALIZED (
+           |  SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+           |  FROM (SELECT DISTINCT w FROM tok
+           |        WHERE NOT regexp_matches(w, '[()]')) v),
+           |$vocabIters,
+           |applied AS MATERIALIZED (
+           |  SELECT w,
+           |    CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1))
+           |      AS BIGINT) AS ntok
+           |  FROM vocab$BpeMergeCount),
+           |perdoc AS (
+           |  SELECT k.doc_id, sum(k.c) AS ws_tokens,
+           |    sum(k.c * coalesce(a.ntok, length(k.w))) AS bpe_tokens
+           |  FROM tok k LEFT JOIN applied a USING (w)
+           |  GROUP BY k.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(p.ws_tokens, 0) AS BIGINT) AS ws_tokens,
+           |  CAST(coalesce(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+           |  CASE WHEN p.ws_tokens > 0
+           |    THEN floor(p.bpe_tokens / p.ws_tokens * 10000 + 0.5) / 10000
+           |  END AS compression
+           |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
       },
 
       "q_doc_langid" -> {

@@ -98,4 +98,50 @@ class BpeSpec extends SparkTestBase {
     assert(got.forall(m => m._2 + m._3 != "z"))
     assert(got.exists(m => (m._2 + m._3) == "aé"))
   }
+
+  test("application matches per-word reference segmentation end to end") {
+    val merges = refBpe(trainWords, 12)
+    def applyMerges(w: String): Long =
+      if (w.exists(c => c == '(' || c == ')')) w.length.toLong
+      else merges.foldLeft(w.map(_.toString).toVector) {
+        case (s, (_, l, r, _)) =>
+          val b = Vector.newBuilder[String]
+          var k = 0
+          while (k < s.length) {
+            if (k + 1 < s.length && s(k) == l && s(k + 1) == r) {
+              b += (l + r); k += 2
+            } else { b += s(k); k += 1 }
+          }
+          b.result()
+      }.length.toLong
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("^ +| +$", "").split("\\s+", -1).toSeq
+    val expect: Seq[(Long, Long, Long, Option[Double])] =
+      docs.map { case (id, t) =>
+        if (t == null) (id, 0L, 0L, None)
+        else {
+          val ws = toks(t)
+          val bpe = ws.map(applyMerges).sum
+          (id, ws.size.toLong, bpe,
+            Some(math.floor(bpe.toDouble / ws.size * 10000 + 0.5) / 10000))
+        }
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("q_doc_bpe_apply")(spark, dir.toString)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got === expect)
+    // the pins must bite: compression < 1 nowhere (BPE can only merge,
+    // never split, so bpe_tokens <= char count but >= 1 per non-empty
+    // word — and ws_tokens <= bpe_tokens whenever no word fully merges
+    // to one symbol is NOT guaranteed, so pin the exact interesting
+    // cases instead): the all-"aaaa" doc fully merges (4 chars -> 1
+    // symbol per word -> compression 1.0), and the paren word costs its
+    // char count
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(2L)._4.contains(1.0))
+    assert(byId(3L)._2 === 3L)
+    val parenChars = "(x)y".length
+    assert(byId(3L)._3 === parenChars + 2L * applyMerges("paren"))
+  }
 }

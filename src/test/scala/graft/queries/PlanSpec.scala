@@ -88,6 +88,18 @@ class PlanSpec extends SparkTestBase {
       .findFirstIn(plan("q_doc_bigram_logprob")).isDefined)
   }
 
+  test("q_doc_bpe_apply shares the one w-keyed exchange corpus-side") {
+    // the (doc, word) aggregation, the distinct-word vocabulary, and the
+    // scoring join must all ride the explicit repartition($"w") — extra
+    // w-keyed exchanges would mean the vocabulary-join formulation
+    // regressed toward per-merge corpus passes
+    val p = plan("q_doc_bpe_apply")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(w#\\d+".r.findAllIn(p).toSeq.nonEmpty, p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("q_doc_dsir rides the token exchange and selects via TakeOrdered") {
     // both LMs and the scoring join consume the ONE t-keyed exchange;
     // the top-K must plan as TakeOrderedAndProject (per-partition heap,
