@@ -57,6 +57,11 @@ object ScaleProbe {
     // (doc, word) pre-agg and scoring join grow linearly, the 12-replace
     // vocabulary chain is constant-size
     "q_doc_bpe_apply",
+    // per-source KL drift: the (source, t) pre-agg and scoring join ride
+    // the t exchange like the LM family; constant vocabulary on replicas
+    // means the exchanged row count is constant and only the pre-agg
+    // input grows
+    "q_corpus_kl",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",

@@ -529,6 +529,56 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source distribution drift: KL(P_source || P_corpus) over the
+    // unigram token distributions — the drift metric a 100 TB ingest
+    // dashboard alerts on next to q_corpus_health's count-level stats (a
+    // crawler re-fetching boilerplate, an extractor regression, or a
+    // language shift all move a source's token distribution long before
+    // they move its row counts). P_source is the source's EMPIRICAL
+    // distribution (zero-count terms contribute zero, so the sum runs
+    // only over tokens the source actually has — no per-source x
+    // full-vocabulary blowup), P_corpus the corpus empirical
+    // distribution; both log-ratios snap to 1e-6 ticks per row (the LM
+    // family's exactness device), so the per-source aggregate is exact
+    // integer arithmetic and only the final division pair floats.
+    //
+    // Scale shape: the (source, t) pre-aggregation bounds hot-token skew
+    // (one row per source per token), the corpus LM and the scoring join
+    // share the ONE t-keyed exchange, the per-source totals are a
+    // broadcast (sources are few by construction), and the final
+    // aggregation exchanges |sources|·|vocab| rows at worst.
+    "q_corpus_kl" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val tok = docs
+        .select($"source", explode(TextQueries.tokens(lower($"text"))).as("t"))
+        .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+        .repartition($"t")
+      val corpus = tok.groupBy($"t").agg(sum($"c").as("cw"))
+      val ctot = corpus.agg(sum($"cw").as("n"))
+      val clm = corpus.crossJoin(broadcast(ctot))
+        .select($"t",
+          floor(log($"cw" / $"n") * 1e6 + 0.5).cast("long").as("clp6"))
+      val stot = tok.groupBy($"source").agg(sum($"c").as("ns"))
+      val scored = tok.join(clm, Seq("t"))
+        .join(broadcast(stot), Seq("source"))
+        .select($"source", $"c",
+          (floor(log($"c" / $"ns") * 1e6 + 0.5).cast("long") - $"clp6")
+            .as("d6"))
+        .groupBy($"source")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("distinct_tokens"),
+          sum($"c" * $"d6").as("skl6"))
+      docs.select($"source").distinct()
+        .join(scored, Seq("source"), "left")
+        .select($"source",
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          coalesce($"distinct_tokens", lit(0L)).as("distinct_tokens"),
+          Clean.roundHalfUp(($"skl6" / lit(1e6)) / $"n_tokens", 4)
+            .as("kl_nats"))
+        .orderBy("source")
+    }),
+
     // DSIR-style targeted data selection (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling" — the
     // public technique: estimate importance weights as the likelihood
@@ -921,6 +971,39 @@ object CurationQueries {
         |       ELSE 0.0 END AS dup_rate
         |FROM d GROUP BY source, lang
         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
+    // Replays the empirical-distribution KL tick for tick: same
+    // (source, token) pre-aggregation, same per-row 1e-6 log-ratio
+    // snaps, same final division pair.
+    "q_corpus_kl" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT source, t, count(*) AS c FROM toks GROUP BY source, t),
+        |corpus AS (SELECT t, sum(c) AS cw FROM tok GROUP BY t),
+        |ctot AS (SELECT sum(cw) AS n FROM corpus),
+        |clm AS (
+        |  SELECT t, CAST(floor(ln(cw / n) * 1000000 + 0.5) AS BIGINT)
+        |    AS clp6
+        |  FROM corpus, ctot),
+        |stot AS (SELECT source, sum(c) AS ns FROM tok GROUP BY source),
+        |scored AS (
+        |  SELECT k.source, sum(k.c) AS n_tokens,
+        |    count(*) AS distinct_tokens,
+        |    sum(k.c * (CAST(floor(ln(k.c / s.ns) * 1000000 + 0.5) AS BIGINT)
+        |               - l.clp6)) AS skl6
+        |  FROM tok k JOIN clm l USING (t) JOIN stot s USING (source)
+        |  GROUP BY k.source)
+        |SELECT d.source,
+        |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sc.distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
+        |  floor((sc.skl6 / 1000000.0) / sc.n_tokens * 10000 + 0.5) / 10000
+        |    AS kl_nats
+        |FROM (SELECT DISTINCT source FROM documents) d
+        |LEFT JOIN scored sc USING (source)
+        |ORDER BY source""".stripMargin,
 
     // Replays both add-0.5 unigram LMs tick for tick (the
     // q_doc_unigram_logprob snap device), the target smoothing floor
