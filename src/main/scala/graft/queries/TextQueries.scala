@@ -118,7 +118,7 @@ object TextQueries {
     * replaces over the cached base — O(J²) replace work, bounded by
     * vocabulary size, not corpus size). Returns (rank, lhs, rhs,
     * pair_count) in merge order. */
-  private[queries] def bpeMerges(
+  private[graft] def bpeMerges(
       words: org.apache.spark.sql.DataFrame)
       : Seq[(Int, String, String, Long)] = {
     import words.sparkSession.implicits._

@@ -524,4 +524,55 @@ object DocStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(score)
   }
+
+  /** One per-doc BPE token report from [[applyBpe]]. */
+  case class BpeDoc(doc_id: Long, ws_tokens: Long, bpe_tokens: Long,
+                    compression: Double)
+
+  /** Ingest-time BPE application — the deployment face of
+    * `q_doc_bpe_apply`: the merge table is trained OFFLINE (batch
+    * [[graft.queries.TextQueries.bpeMerges]] over the historical
+    * vocabulary; at 100 TB materialized once, like the LM/centroid
+    * artifacts) and arrives here as a literal rank-ordered list, so
+    * application is a pure stateless projection — the replace chain
+    * runs per arriving word, and per-doc counts aggregate inside the
+    * doc's own micro-batch (a flatMapGroupsWithState that never writes
+    * state: zero state rows at any arrival count, the scoreLogprob
+    * contract). Unlike the batch twin there is NO vocabulary join: a
+    * stream cannot pre-know its vocabulary, and the per-word replace
+    * chain handles out-of-vocabulary words exactly — they merge as far
+    * as trained pairs allow, the true BPE OOV semantics a static vocab
+    * join would only approximate. Divergences from the batch twin, by
+    * design: null-text docs emit no row (batch surfaces 0/0/NULL), and
+    * paren-bearing words take the same one-token-per-character fallback
+    * here via an explicit guard rather than a join miss. */
+  def applyBpe(docs: DataFrame,
+               merges: Seq[(String, String)]): Dataset[BpeDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segCol = merges.foldLeft(regexp_replace(col("w"), "(.)", "($1)")) {
+      case (c, (l, r)) =>
+        call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    val ntok = when(col("w").rlike("[()]"), length(col("w")).cast("long"))
+      .otherwise(
+        size(regexp_extract_all(segCol, lit("\\(([^()]*)\\)"), lit(1)))
+          .cast("long"))
+    val perWord = docs
+      .select(col("doc_id"), explode(
+        graft.queries.TextQueries.tokens(lower(col("text")))).as("w"))
+      .select(col("doc_id"), ntok.as("ntok")).as[(Long, Long)]
+    def report(id: Long, rows: Iterator[(Long, Long)],
+               state: GroupState[Long]): Iterator[BpeDoc] = {
+      var ws = 0L
+      var bpe = 0L
+      rows.foreach { r => ws += 1; bpe += r._2 }
+      // same op sequence as the batch twin: double(bpe)/ws, 4-dp snap
+      Iterator.single(BpeDoc(id, ws, bpe,
+        math.floor(bpe.toDouble / ws * 10000 + 0.5) / 10000))
+    }
+    perWord.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(report)
+  }
 }
