@@ -525,6 +525,91 @@ object DocStream {
         GroupStateTimeout.NoTimeout)(score)
   }
 
+  /** One scored arrival from [[scoreImportance]]. */
+  case class ImportanceDoc(doc_id: Long, token_count: Long,
+                           mean_logratio: Double)
+
+  /** Offline trainer for [[scoreImportance]] — both of `q_doc_dsir`'s
+    * add-0.5 unigram LMs (target slice vs raw corpus) derived from ONE
+    * token aggregation over the history and joined into a single
+    * (t, rlp6, tlp6) table, so ingest pays ONE stream-static join, not
+    * two. Returns the cached table plus BOTH snapped smoothing floors:
+    * the target floor (tokens the target slice never saw — the batch
+    * twin's coalesce path) and the raw floor, which only a live stream
+    * needs (the batch raw LM trains on the corpus it scores, so it has
+    * no OOV; a deployed model by definition lags arrivals). */
+  def trainImportance(historyDocs: DataFrame, targetLang: String)
+      : (DataFrame, Long, Long) = {
+    val byTok = historyDocs
+      .select(col("lang"),
+        explode(graft.queries.TextQueries.tokens(lower(col("text"))))
+          .as("t"))
+      .groupBy(col("t")).agg(
+        count(lit(1)).as("cw"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tcw"))
+      .cache()
+    val nv = byTok.agg(
+      sum(col("cw")).cast("double"),
+      count(lit(1)).cast("double"),
+      sum(col("tcw")).cast("double"),
+      sum(when(col("tcw") > 0, 1L).otherwise(0L)).cast("double")).head()
+    require(!nv.isNullAt(0),
+      "trainImportance needs a non-empty history corpus")
+    val (n, v, tn, tv) =
+      (nv.getDouble(0), nv.getDouble(1), nv.getDouble(2), nv.getDouble(3))
+    require(tn > 0,
+      s"trainImportance: history has no '$targetLang' target slice")
+    val lm = byTok.select(col("t"),
+      graft.queries.TextQueries.lp6Expr(col("cw"), lit(n), lit(v))
+        .as("rlp6"),
+      when(col("tcw") > 0,
+        graft.queries.TextQueries.lp6Expr(col("tcw"), lit(tn), lit(tv)))
+        .as("tlp6")).cache()
+    lm.count()
+    byTok.unpersist()
+    def floor6(fn: Double, fv: Double): Long =
+      math.floor(math.log(0.5 / (fn + 0.5 * fv)) * 1e6 + 0.5).toLong
+    (lm, floor6(n, v), floor6(tn, tv))
+  }
+
+  /** Ingest-time DSIR importance scoring — the deployment face of
+    * `q_doc_dsir`'s scoring half (the batch twin then top-K-selects;
+    * a stream GATES on the score instead, the caller's thresholding).
+    * Stateless stream-static join against the single trained LM table;
+    * per-doc mean log-ratio via the zero-state flatMapGroupsWithState
+    * device (a doc's tokens live in its own micro-batch). Tokens the
+    * target slice never saw score at the target floor (the batch
+    * coalesce path); tokens NEITHER model saw score at
+    * tgtFloor − rawFloor (stream-only — the batch raw side has no OOV).
+    * Null-text docs emit no row (the scoreLogprob convention). */
+  def scoreImportance(docs: DataFrame, lm: DataFrame,
+                      rawFloor6: Long, tgtFloor6: Long)
+      : Dataset[ImportanceDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col("doc_id"),
+        explode(graft.queries.TextQueries.tokens(lower(col("text"))))
+          .as("t"))
+      .join(lm, Seq("t"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("tlp6"), lit(tgtFloor6))
+          - coalesce(col("rlp6"), lit(rawFloor6))).as("d6"))
+      .as[(Long, Long)]
+    def score(id: Long, rows: Iterator[(Long, Long)],
+              state: GroupState[Long]): Iterator[ImportanceDoc] = {
+      var c = 0L
+      var sd6 = 0L
+      rows.foreach { r => c += 1; sd6 += r._2 }
+      // same op sequence as the batch twin: (sr6/1e6)/count, 4-dp snap
+      Iterator.single(ImportanceDoc(id, c,
+        math.floor((sd6 / 1e6) / c * 10000 + 0.5) / 10000))
+    }
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(score)
+  }
+
   /** One per-doc BPE token report from [[applyBpe]]. */
   case class BpeDoc(doc_id: Long, ws_tokens: Long, bpe_tokens: Long,
                     compression: Double)
