@@ -30,7 +30,13 @@ object Verify {
     // "cap engaged" error names the actual cause (capPerKey scaladoc)
     spark.conf.set("spark.graft.dedup.failOnCapExceeded", "true")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (builder tooling only; the driver never sets
+    // it): SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -188,6 +188,112 @@ object TextQueries {
         md5(concat_ws(" ", slice($"__toks", $"s", lit(width)))).as("chunk_hash"))
   }
 
+  // ── Learned quality classifier (logistic regression) ───────────────
+  //
+  // The fastText-style learned quality filter of LLM curation (Joulin et
+  // al. 2016; the GPT-3 appendix-A setup: score every document with a
+  // linear classifier over cheap features and keep the high tail). The
+  // synthetic corpus is feature-homogeneous across sources and its lang
+  // column is independent of the text (measured: en-stopword ratio
+  // 0.057-0.064 for EVERY lang), so the classic "curated reference vs
+  // crawl" label has no learnable signal here; instead a deterministic
+  // low-quality trailer is appended to a pseudo-random 30% of documents
+  // (the q_doc_pii_redact injection device, keyed by [[sampleBucket]])
+  // and the classifier is trained to recover exactly that label from
+  // token features — a real gradient path with a measurable convergence
+  // trajectory (150 -> 350 -> 420 -> ... -> 500/500 correct at sf0.01).
+  //
+  // Everything is EXACT integer-tick arithmetic end to end: features are
+  // 1e-4-tick longs, weights 1e-6-tick longs, and the link is the HARD
+  // sigmoid p = clip(0.5 + z/4, 0, 1) (the quantized-training surrogate),
+  // so no exp() is ever evaluated. Gradient accumulation is a sum of
+  // LONGS — order-independent, unlike a float sum, which is what makes
+  // the whole 12-iteration training loop hash-replayable as a DuckDB CTE
+  // chain (|e·x| ≤ 1e10/doc keeps the sum exact to ~9e8 docs; past that
+  // you train on a sample and broadcast the weights, exactly as the
+  // production note on [[graft.queries.SimilarityQueries]]'s centroids).
+  // The only float ops are divisions of exactly-representable longs —
+  // bit-identical in any IEEE-754 engine.
+  private[queries] val QlrSpamLex =
+    Seq("click", "free", "offer", "buy", "win", "subscribe")
+  private[queries] val QlrTrailer = " click here free offer buy now win free"
+  private[queries] val QlrIters = 12
+  private[queries] val QlrLr = 4L
+
+  /** (doc_id, y, x_spam, x_stop, x_dtr, x_bias) — injected label +
+    * 1e-4-tick features. x_spam is scaled ×8 and capped at 1.0 so the
+    * injected trailer (~13% of tokens) saturates the feature: unscaled,
+    * the bias gradient (x ≡ 1.0) outweighs the signal's (x ≈ 0.13) 8:1
+    * and full-batch descent parks in the majority-class corner (measured
+    * — accuracy stuck at 350/500 at every learning rate tried). */
+  private[graft] def qlrFeatures(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bucket = sampleBucket($"doc_id")
+    val aug = docs.filter($"text".isNotNull)
+      .select($"doc_id",
+        when(bucket < 30, 1L).otherwise(0L).as("y"),
+        when(bucket < 30, concat($"text", lit(QlrTrailer)))
+          .otherwise($"text").as("t"))
+    val toks = tokens(lower($"t"))
+    val nTok = greatest(size(toks), lit(1))
+    aug.select($"doc_id", $"y",
+      least(floor(size(filter(toks, x => x.isInCollection(QlrSpamLex)))
+          .cast("double") * 8.0 / nTok * 10000 + 0.5).cast("long"),
+        lit(10000L)).as("x_spam"),
+      floor(size(filter(toks,
+          x => x.isInCollection(StopwordLists.toMap.apply("en"))))
+          .cast("double") / nTok * 10000 + 0.5).cast("long").as("x_stop"),
+      floor(size(array_distinct(toks)).cast("double") / nTok * 10000 + 0.5)
+        .cast("long").as("x_dtr"),
+      lit(10000L).as("x_bias"))
+  }
+
+  /** [[QlrIters]] rounds of full-batch hard-sigmoid logistic descent.
+    * Returns one row per iteration: (iter, weights AFTER the update,
+    * correct-prediction count UNDER the pre-update weights — the loss
+    * trajectory). Per round the cluster work is ONE aggregation over the
+    * feature frame (six long sums); only that 1×6 row is ever collected
+    * — the ivfCentroids contract. The caller persists the feature frame
+    * (4 longs + label per doc; at 100 TB you materialize it once and, as
+    * with the k-means centroids, train on a sample rather than
+    * re-descend per query). */
+  private[graft] def qlrTrain(feat: DataFrame)
+      : Seq[(Int, Long, Long, Long, Long, Long)] = {
+    import feat.sparkSession.implicits._
+    val xs = Seq("x_spam", "x_stop", "x_dtr", "x_bias")
+    var w = Seq(0L, 0L, 0L, 0L)
+    (1 to QlrIters).map { it =>
+      val p6 = qlrScore6(w)
+      val e = p6 - $"y" * 1000000L
+      val row = feat.agg(
+        count(lit(1)).as("n"),
+        sum(when((p6 >= 500000L) === ($"y" === 1L), 1L).otherwise(0L))
+          .as("correct"),
+        sum(e * $"x_spam").as("gs"), sum(e * $"x_stop").as("gt"),
+        sum(e * $"x_dtr").as("gd"), sum(e * $"x_bias").as("gb")).head()
+      val n = row.getLong(0)
+      val correct = if (row.isNullAt(1)) 0L else row.getLong(1)
+      val g = (2 to 5).map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+      if (n > 0)
+        w = w.zip(g).map { case (wi, gi) =>
+          wi - math.floor((QlrLr * gi).toDouble / (n * 10000.0)).toLong }
+      (it, w(0), w(1), w(2), w(3), correct)
+    }
+  }
+
+  /** Hard-sigmoid score in 1e-6 ticks under literal weights `w` (order:
+    * x_spam, x_stop, x_dtr, x_bias): clip(500000 + z/4, 0, 1e6) where
+    * z = Σ wⱼxⱼ is an exact long in 1e-10 units. A pure projection —
+    * scoring under a trained model never joins or shuffles. */
+  private[graft] def qlrScore6(w: Seq[Long]): Column = {
+    val xs = Seq("x_spam", "x_stop", "x_dtr", "x_bias")
+    val z10 = xs.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+      .reduce(_ + _)
+    least(greatest(lit(500000L) +
+      floor(z10.cast("double") / 40000.0).cast("long"), lit(0L)),
+      lit(1000000L))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish "word pieces" proxy
     // (runs of letters / digits / single other chars).
@@ -762,15 +868,138 @@ object TextQueries {
         .agg(count(lit(1)).as("doc_count"),
           min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
         .orderBy("lang", "tier")
+    }),
+
+    // Quality-classifier TRAINING: the full 12-iteration descent
+    // trajectory (weights after each update + correct-prediction count
+    // under the pre-update weights). See the block comment on
+    // [[qlrFeatures]]; hard oracle = the generated DuckDB CTE chain
+    // replaying every iteration in the identical integer arithmetic.
+    "q_doc_quality_lr_train" -> ((s, dir) => {
+      import s.implicits._
+      val feat = qlrFeatures(Tables.table(s, dir, "documents")).persist()
+      try {
+        qlrTrain(feat)
+          .toDF("iter", "w_spam", "w_stop", "w_dtr", "w_bias", "n_correct")
+          .orderBy("iter")
+      } finally feat.unpersist()
+    }),
+
+    // Quality-classifier SCORING: train (driver loop over the persisted
+    // feature frame), then score every document under the final weights
+    // as a pure projection — the production shape (weights broadcast,
+    // no join, no shuffle; the ORDER BY is the oracle contract).
+    "q_doc_quality_lr" -> ((s, dir) => {
+      import s.implicits._
+      val feat = qlrFeatures(Tables.table(s, dir, "documents")).persist()
+      val w = try {
+        val hist = qlrTrain(feat)
+        Seq(hist.last._2, hist.last._3, hist.last._4, hist.last._5)
+      } finally feat.unpersist()
+      val p6 = qlrScore6(w)
+      qlrFeatures(Tables.table(s, dir, "documents"))
+        .select($"doc_id", $"y", p6.as("score6"),
+          when(p6 >= 500000L, 1L).otherwise(0L).as("pred"))
+        .orderBy("doc_id")
     })
   )
 
   private def stopSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
+  /** The generated DuckDB CTE chain replaying [[qlrTrain]] from the SAME
+    * constants: `feat` mirrors [[qlrFeatures]] expression for expression,
+    * `it0` holds the zero weights, and each step's `g_t` (gradient sums +
+    * pre-update accuracy under it_{t-1}'s weights) feeds `it_t` (the
+    * updated weights). Every CTE is MATERIALIZED — the bpe-chain lesson:
+    * each it_{t-1} is referenced twice (by g_t and it_t), and DuckDB's
+    * default inlining re-evaluates the naive chain exponentially. All
+    * arithmetic is integer except divisions of exactly-representable
+    * longs, so the replay is bit-exact by construction. */
+  private lazy val qlrChainSql: String = {
+    val spam = stopSql(QlrSpamLex)
+    val en = stopSql(StopwordLists.toMap.apply("en"))
+    val feat =
+      s"""feat AS MATERIALIZED (
+         |  SELECT doc_id, CAST(y AS BIGINT) AS y,
+         |    least(CAST(floor(CAST(length(list_filter(toks, x -> x IN ($spam)))
+         |        AS DOUBLE) * 8.0 / greatest(length(toks), 1) * 10000 + 0.5)
+         |        AS BIGINT), 10000) AS x_spam,
+         |    CAST(floor(CAST(length(list_filter(toks, x -> x IN ($en)))
+         |        AS DOUBLE) / greatest(length(toks), 1) * 10000 + 0.5)
+         |        AS BIGINT) AS x_stop,
+         |    CAST(floor(CAST(length(list_distinct(toks)) AS DOUBLE)
+         |        / greatest(length(toks), 1) * 10000 + 0.5) AS BIGINT)
+         |        AS x_dtr,
+         |    CAST(10000 AS BIGINT) AS x_bias
+         |  FROM (SELECT doc_id, y,
+         |          string_split_regex(trim(lower(t)), '\\s+') AS toks
+         |        FROM (SELECT doc_id,
+         |                CASE WHEN ((doc_id % 1000003) * 31 + 7) % 100 < 30
+         |                  THEN 1 ELSE 0 END AS y,
+         |                CASE WHEN ((doc_id % 1000003) * 31 + 7) % 100 < 30
+         |                  THEN text || '$QlrTrailer' ELSE text END AS t
+         |              FROM documents WHERE text IS NOT NULL))),
+         |it0 AS MATERIALIZED (
+         |  SELECT CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wt,
+         |         CAST(0 AS BIGINT) AS wd, CAST(0 AS BIGINT) AS wb)"""
+        .stripMargin
+    val steps = (1 to QlrIters).map { t =>
+      s"""g$t AS MATERIALIZED (
+         |  SELECT count(*) AS n,
+         |    COALESCE(sum(CASE WHEN (p6 >= 500000) = (y = 1)
+         |                 THEN 1 ELSE 0 END), 0) AS correct,
+         |    COALESCE(sum((p6 - y * 1000000) * x_spam), 0) AS gs,
+         |    COALESCE(sum((p6 - y * 1000000) * x_stop), 0) AS gt,
+         |    COALESCE(sum((p6 - y * 1000000) * x_dtr), 0) AS gd,
+         |    COALESCE(sum((p6 - y * 1000000) * x_bias), 0) AS gb
+         |  FROM (SELECT y, x_spam, x_stop, x_dtr, x_bias,
+         |          least(greatest(500000 + CAST(floor(
+         |            CAST(x_spam * ws + x_stop * wt + x_dtr * wd +
+         |                 x_bias * wb AS DOUBLE) / 40000.0) AS BIGINT),
+         |            0), 1000000) AS p6
+         |        FROM feat, it${t - 1})),
+         |it$t AS MATERIALIZED (
+         |  SELECT
+         |    w.ws - CASE WHEN g.n = 0 THEN 0 ELSE
+         |      CAST(floor(($QlrLr * g.gs) / (g.n * 10000.0)) AS BIGINT)
+         |      END AS ws,
+         |    w.wt - CASE WHEN g.n = 0 THEN 0 ELSE
+         |      CAST(floor(($QlrLr * g.gt) / (g.n * 10000.0)) AS BIGINT)
+         |      END AS wt,
+         |    w.wd - CASE WHEN g.n = 0 THEN 0 ELSE
+         |      CAST(floor(($QlrLr * g.gd) / (g.n * 10000.0)) AS BIGINT)
+         |      END AS wd,
+         |    w.wb - CASE WHEN g.n = 0 THEN 0 ELSE
+         |      CAST(floor(($QlrLr * g.gb) / (g.n * 10000.0)) AS BIGINT)
+         |      END AS wb,
+         |    g.correct AS correct
+         |  FROM it${t - 1} w, g$t g)""".stripMargin
+    }
+    (Seq("WITH " + feat) ++ steps).mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = {
     val en = stopSql(StopwordLists.toMap.apply("en"))
     Map(
+      "q_doc_quality_lr_train" -> (qlrChainSql + "\n" +
+        (1 to QlrIters).map { t =>
+          s"""SELECT CAST($t AS INT) AS iter, ws AS w_spam, wt AS w_stop,
+             |  wd AS w_dtr, wb AS w_bias, CAST(correct AS BIGINT)
+             |  AS n_correct FROM it$t""".stripMargin
+        }.mkString("\nUNION ALL\n") + "\nORDER BY iter"),
+
+      "q_doc_quality_lr" -> (qlrChainSql + s"""
+        |SELECT f.doc_id, f.y,
+        |  least(greatest(500000 + CAST(floor(
+        |    CAST(f.x_spam * w.ws + f.x_stop * w.wt + f.x_dtr * w.wd +
+        |         f.x_bias * w.wb AS DOUBLE) / 40000.0) AS BIGINT),
+        |    0), 1000000) AS score6,
+        |  CAST(CASE WHEN least(greatest(500000 + CAST(floor(
+        |    CAST(f.x_spam * w.ws + f.x_stop * w.wt + f.x_dtr * w.wd +
+        |         f.x_bias * w.wb AS DOUBLE) / 40000.0) AS BIGINT),
+        |    0), 1000000) >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM feat f, it$QlrIters w ORDER BY f.doc_id""".stripMargin),
       "q_doc_repetition" ->
         """WITH docs AS (
           |  SELECT doc_id, text,
