@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Clean, Tables}
 
 /** Deduplication operators for a training-data pipeline, over `documents`
@@ -721,6 +722,58 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // Quality-aware survivor selection over the near-dup graph: for each
+    // document with >= 1 jaccard neighbor, keep the highest-QUALITY copy
+    // of {self} ∪ neighbors instead of the min-id convention every other
+    // dedup query uses — the curation policy real pipelines want (keep
+    // the cleanest variant, drop the rest). Quality is an exact-tick
+    // key: distinct-token-ratio (1e-4 ticks) lexicographically extended
+    // by capped token count; ties break toward the smaller doc_id.
+    //
+    // Shapes: the jaccard edge lineage is consumed ONCE (both edge
+    // directions come from one explode — a union of two selects would
+    // re-execute the whole pair pipeline per branch, the r11
+    // multi-consumer lesson); the best-neighbor choice is a row_number
+    // window over per-doc neighbor groups (bounded by the pair graph's
+    // degree, itself capPerKey-bounded upstream); the self-vs-best
+    // comparison is a projection, so no self-rows ever join. The only
+    // extra shuffles over the pair set are the doc-keyed window and the
+    // two quality-scan joins.
+    "q_dedup_quality_rep" -> ((s, dir) => {
+      import s.implicits._
+      val toks = graft.queries.TextQueries.tokens(lower($"text"))
+      val qual = Tables.table(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"doc_id",
+          (floor(size(array_distinct(toks)).cast("double")
+              / greatest(size(toks), lit(1)) * 10000 + 0.5).cast("long")
+            * 1000000L +
+            least(size(toks).cast("long"), lit(999999L))).as("q"))
+      val edges = ngramJaccardPairs(s, dir)
+        .select(explode(array(
+          struct($"doc_a".as("doc_id"), $"doc_b".as("cand")),
+          struct($"doc_b".as("doc_id"), $"doc_a".as("cand")))).as("e"))
+        .select($"e.doc_id", $"e.cand")
+      val nb = edges
+        .join(qual.select($"doc_id".as("cand"), $"q".as("cand_q")),
+          Seq("cand"))
+      val byDoc = Window.partitionBy($"doc_id")
+      val best = nb
+        .withColumn("rn", row_number().over(
+          byDoc.orderBy($"cand_q".desc, $"cand".asc)))
+        .withColumn("n_dups", count(lit(1)).over(byDoc))
+        .filter($"rn" === 1)
+      val selfWins = $"q" > $"cand_q" ||
+        ($"q" === $"cand_q" && $"doc_id" < $"cand")
+      best.join(qual, Seq("doc_id"))
+        .select($"doc_id", $"q".as("q_doc"),
+          when(selfWins, $"doc_id").otherwise($"cand").as("keep_doc"),
+          when(selfWins, $"q").otherwise($"cand_q").as("keep_q"),
+          $"n_dups",
+          when(selfWins, 0L).otherwise(1L).as("dropped"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) over distinct
     // word 3-grams — the asymmetric complement of q_dedup_ngram_jaccard.
     // Jaccard's length-band blocking deliberately never pairs a short
@@ -1238,8 +1291,76 @@ object DedupQueries {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The exact all-pairs n-gram-jaccard edge set, shared by the
+    * q_dedup_ngram_jaccard oracle (plus its presentation sort) and the
+    * q_dedup_quality_rep oracle (as a nested-CTE edge source). */
+  private val ngramJaccardOracleBody: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(text) // 64 AS INT) AS len_band,
+      |    list_distinct(CASE WHEN length(toks) >= 3
+      |      THEN list_transform(range(1, length(toks) - 1),
+      |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+      |      ELSE [array_to_string(toks, ' ')] END) AS grams
+      |  FROM (SELECT doc_id, lang, text,
+      |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+      |            AS toks
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  floor(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / (length(a.grams) + length(b.grams)
+      |           - length(list_intersect(a.grams, b.grams)))
+      |        * 10000 + 0.5) / 10000 AS jaccard
+      |FROM docs a JOIN docs b
+      |  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+      |WHERE floor(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / (length(a.grams) + length(b.grams)
+      |           - length(list_intersect(a.grams, b.grams)))
+      |        * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_simhash_sql" -> simhashSqlOracle,
+
+    // Replays q_dedup_quality_rep: the jaccard edge set (nested CTE),
+    // the same exact-tick quality key, the same (quality DESC, id ASC)
+    // best-neighbor window, and the same self-vs-best final comparison.
+    "q_dedup_quality_rep" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |$ngramJaccardOracleBody
+         |),
+         |qual AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(floor(CAST(length(list_distinct(toks)) AS DOUBLE)
+         |        / greatest(length(toks), 1) * 10000 + 0.5) AS BIGINT)
+         |      * 1000000 + least(CAST(length(toks) AS BIGINT), 999999)
+         |      AS q
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents WHERE text IS NOT NULL)),
+         |edges AS (
+         |  SELECT doc_a AS doc_id, doc_b AS cand FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS cand FROM pairs),
+         |nb AS (
+         |  SELECT doc_id, cand, cand_q,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cand_q DESC, cand) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_dups
+         |  FROM (SELECT e.doc_id, e.cand, q.q AS cand_q
+         |        FROM edges e JOIN qual q ON q.doc_id = e.cand))
+         |SELECT n.doc_id, q.q AS q_doc,
+         |  CASE WHEN q.q > n.cand_q
+         |         OR (q.q = n.cand_q AND n.doc_id < n.cand)
+         |    THEN n.doc_id ELSE n.cand END AS keep_doc,
+         |  CASE WHEN q.q > n.cand_q
+         |         OR (q.q = n.cand_q AND n.doc_id < n.cand)
+         |    THEN q.q ELSE n.cand_q END AS keep_q,
+         |  CAST(n.n_dups AS BIGINT) AS n_dups,
+         |  CAST(CASE WHEN q.q > n.cand_q
+         |         OR (q.q = n.cand_q AND n.doc_id < n.cand)
+         |    THEN 0 ELSE 1 END AS BIGINT) AS dropped
+         |FROM nb n JOIN qual q ON q.doc_id = n.doc_id
+         |WHERE n.rn = 1 ORDER BY n.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT fingerprint, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS copy_count
@@ -1250,29 +1371,7 @@ object DedupQueries {
         |GROUP BY fingerprint ORDER BY keep_doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lang,
-        |    CAST(length(text) // 64 AS INT) AS len_band,
-        |    list_distinct(CASE WHEN length(toks) >= 3
-        |      THEN list_transform(range(1, length(toks) - 1),
-        |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
-        |      ELSE [array_to_string(toks, ' ')] END) AS grams
-        |  FROM (SELECT doc_id, lang, text,
-        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
-        |            AS toks
-        |        FROM documents))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  floor(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |        / (length(a.grams) + length(b.grams)
-        |           - length(list_intersect(a.grams, b.grams)))
-        |        * 10000 + 0.5) / 10000 AS jaccard
-        |FROM docs a JOIN docs b
-        |  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-        |WHERE floor(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |        / (length(a.grams) + length(b.grams)
-        |           - length(list_intersect(a.grams, b.grams)))
-        |        * 10000 + 0.5) / 10000 >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      (ngramJaccardOracleBody + "\nORDER BY doc_a, doc_b"),
 
     // Exact replay of q_dedup_substring: same normalized tokenization,
     // same positional k=5 md5 shingles, same df <= 100 boilerplate

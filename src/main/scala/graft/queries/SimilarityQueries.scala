@@ -23,6 +23,10 @@ object SimilarityQueries {
     * array cast, not a per-element transform lambda. */
   private def dvec(c: Column): Column = c.cast("array<double>")
 
+  /** q_knn_tfidf's champion-list size: postings kept per term, highest
+    * impact first. One definition, interpolated into the oracle SQL. */
+  private[queries] val ChampR = 1000
+
   /** Random-hyperplane signatures: bit j = sign of <v, h_j> where
     * h_j[d] = ±1 from xxhash64(j, d) — pseudo-random and deterministic.
     * Computed by exploding dimensions once and folding `bits` codegen'd
@@ -107,6 +111,72 @@ object SimilarityQueries {
         .filter($"rank" <= 5)
         .select($"query_id", $"rank", $"neighbor_id", $"dot")
         .orderBy("query_id", "rank")
+    }),
+
+    // Sparse retrieval: tf-idf cosine top-10 over an INVERTED INDEX —
+    // the lexical-search sibling of the dense knn family (probe docs =
+    // doc_id < 10, scored against the whole corpus). Candidate
+    // generation is bounded by CHAMPION LISTS (Manning et al., IIR §7.1:
+    // keep only the ChampR highest-impact postings per term), the
+    // standard impact-ordered truncation that keeps a hot term's posting
+    // list O(R) instead of O(n_docs) — the same job capPerKey does for
+    // dedup buckets, but here the cap is part of the OPERATOR'S
+    // semantics and the oracle replays it exactly, so nothing is
+    // silently dropped relative to the spec. Weights are 1e-2-tick longs
+    // (tf × the df-lift idf of q_doc_tfidf, snapped), so dots and
+    // squared norms are exact long sums — order-independent — and the
+    // only float ops are the final sqrt/divide on exactly-representable
+    // longs, identical in any IEEE engine. Zero-weight postings (terms
+    // in ~every doc) are dropped on BOTH sides: they carry no signal and
+    // would otherwise make a hot term's champion list arbitrary.
+    //
+    // Scale shape (100 TB): tf/df/norms are linear aggregations; the
+    // probe join touches ≤ |probe terms| × ChampR rows; the per-probe
+    // top-k is a window over that bounded candidate set. At production
+    // scale you materialize the weighted postings + norms once (an
+    // index BUILD, like the LM/centroid notes) and serve probe batches
+    // from it; the per-query recompute here is bench-scale convenience.
+    "q_knn_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.spread(Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0), $"doc_id")
+      val tf = base.select($"doc_id",
+          explode(TextQueries.tokens(lower($"text"))).as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+      val nDocs = base.agg(count(lit(1)).as("n_docs"))
+      val w = tf.join(dfreq, Seq("t")).crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"t",
+          floor($"tf" * (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+            * 100 + 0.5).cast("long").as("w"))
+        .filter($"w" > 0)
+      // conf override is test-only (lets a spec engage truncation on a
+      // tiny corpus); the oracle interpolates the default, which the
+      // driver always runs with
+      val champR = s.conf.get("spark.graft.knn.champR", ChampR.toString).toInt
+      val champ = w.withColumn("rn", row_number().over(
+          Window.partitionBy($"t").orderBy($"w".desc, $"doc_id")))
+        .filter($"rn" <= champR).drop("rn")
+      val norms = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+      val probes = w.filter($"doc_id" < 10)
+        .select($"doc_id".as("probe_id"), $"t", $"w".as("pw"))
+      val dots = probes.join(champ, Seq("t"))
+        .groupBy($"probe_id", $"doc_id")
+        .agg(sum($"pw" * $"w").as("dot"))
+      val scored = dots
+        .join(norms.select($"doc_id".as("probe_id"), $"n2".as("pn2")),
+          Seq("probe_id"))
+        .join(norms, Seq("doc_id"))
+        .select($"probe_id", $"doc_id",
+          floor($"dot".cast("double") /
+            (sqrt($"pn2".cast("double")) * sqrt($"n2".cast("double")))
+            * 1e6 + 0.5).cast("long").as("score6"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"probe_id")
+            .orderBy($"score6".desc, $"doc_id")))
+        .filter($"rank" <= 10)
+        .select($"probe_id", $"rank", $"doc_id", $"score6")
+        .orderBy("probe_id", "rank")
     }),
 
     // LSH-bucketed ANN: the database side keeps ONE bucket per vector (so
@@ -770,6 +840,51 @@ object SimilarityQueries {
         |      ORDER BY dot DESC, neighbor_id) AS INT) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, dot FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Replays the inverted index end to end: same tokens, same 1e-2-tick
+    // weights, same champion window, same exact long dots/norms; the
+    // final sqrt/divide is the identical IEEE sequence both sides.
+    "q_knn_tfidf" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+        |    AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        |  GROUP BY doc_id, t),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |nd AS (SELECT count(*) AS n_docs FROM base),
+        |wp AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, tf.t AS t,
+        |      CAST(floor(tf * ((n_docs - df + 0.5) / (df + 0.5)) * 100
+        |        + 0.5) AS BIGINT) AS w
+        |    FROM tf JOIN dfq ON tf.t = dfq.t, nd)
+        |  WHERE w > 0),
+        |champ AS (
+        |  SELECT doc_id, t, w FROM (
+        |    SELECT doc_id, t, w, row_number() OVER (PARTITION BY t
+        |      ORDER BY w DESC, doc_id) AS rn
+        |    FROM wp) WHERE rn <= $ChampR),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wp GROUP BY doc_id),
+        |dots AS (
+        |  SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+        |    sum(p.w * c.w) AS dot
+        |  FROM wp p JOIN champ c ON p.t = c.t
+        |  WHERE p.doc_id < 10 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT probe_id, d.doc_id,
+        |    CAST(floor(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(np.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT) AS score6
+        |  FROM dots d JOIN norms np ON np.doc_id = d.probe_id
+        |              JOIN norms nc ON nc.doc_id = d.doc_id)
+        |SELECT probe_id, CAST(rank AS INT) AS rank, doc_id, score6 FROM (
+        |  SELECT probe_id, doc_id, score6, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY score6 DESC, doc_id) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin
   )
 }
