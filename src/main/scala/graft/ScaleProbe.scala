@@ -62,6 +62,19 @@ object ScaleProbe {
     // means the exchanged row count is constant and only the pre-agg
     // input grows
     "q_corpus_kl",
+    // LR quality classifier: 12 fixed-size weight collects over a
+    // feature aggregation that grows linearly; replicas keep the
+    // trajectory identical (every gradient mean is replica-invariant:
+    // duplicating rows xK multiplies both the sum and n by K)
+    "q_doc_quality_lr_train", "q_doc_quality_lr",
+    // sparse tf-idf retrieval: tf/df/norm aggregations grow linearly;
+    // candidate generation is champion-bounded (<= |probe terms| x R
+    // join rows at ANY corpus size), so probe-side work must stay flat
+    "q_knn_tfidf",
+    // quality-aware survivor selection: the jaccard pair lineage plus a
+    // degree-bounded per-doc window — must track q_dedup_ngram_jaccard's
+    // growth, not exceed it
+    "q_dedup_quality_rep",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",
@@ -115,7 +128,14 @@ object ScaleProbe {
     // pre-aggregation bounds each hot key to one row per doc, so the
     // gram-keyed join must stay linear in docs — these rows are that
     // claim, measured
-    "q_doc_unigram_logprob", "q_doc_bigram_logprob")
+    "q_doc_unigram_logprob", "q_doc_bigram_logprob",
+    // sparse retrieval under maximal term concentration: shared
+    // boilerplate terms hit df ≈ n, their idf tick floors to ZERO, and
+    // the w > 0 filter drops them before the posting index exists —
+    // the same job the containment df-cap does, done by the weight
+    // floor itself. Residual postings are the per-doc unique trailers
+    // (tiny lists), so probe-side work must stay near-constant
+    "q_knn_tfidf")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

@@ -660,4 +660,34 @@ object DocStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(report)
   }
+
+  /** Offline trainer for [[scoreQuality]]: the batch hard-sigmoid
+    * descent ([[graft.queries.TextQueries.qlrTrain]]) run on a history
+    * frame; returns the final weight vector (x_spam, x_stop, x_dtr,
+    * x_bias order). Train once, embed the four longs into the standing
+    * stream — the literal-weights production staging the batch query's
+    * scaladoc describes. */
+  def trainQuality(historyDocs: DataFrame): Seq[Long] = {
+    val feat = graft.queries.TextQueries.qlrFeatures(historyDocs).persist()
+    try {
+      val h = graft.queries.TextQueries.qlrTrain(feat)
+      Seq(h.last._2, h.last._3, h.last._4, h.last._5)
+    } finally feat.unpersist()
+  }
+
+  /** Streaming face of q_doc_quality_lr's scoring half: every arriving
+    * document scored under STATIC trained weights. The whole face is a
+    * per-row projection — no state store, no watermark, not even a
+    * stream-static join (the feature vector and the hard-sigmoid score
+    * are plain column expressions), so stateOperators stays EMPTY and
+    * per-batch work is linear in batch size with zero cross-batch
+    * bookkeeping; the spec pins both the row-for-row batch agreement
+    * and the statelessness. Null-text docs emit no row (the batch twin
+    * also drops them — qlrFeatures filters before augmenting). */
+  def scoreQuality(docs: DataFrame, w: Seq[Long]): DataFrame = {
+    val p6 = graft.queries.TextQueries.qlrScore6(w)
+    graft.queries.TextQueries.qlrFeatures(docs)
+      .select(col("doc_id"), col("y"), p6.as("score6"),
+        when(p6 >= 500000L, 1L).otherwise(0L).as("pred"))
+  }
 }

@@ -134,4 +134,27 @@ class DocStreamFacesSpec extends SparkTestBase {
     // the cap must actually have engaged somewhere
     assert(want.exists(_._4 > 0L), "n=5 never dropped — fixture too small?")
   }
+
+  test("streaming quality scoring equals the batch scorer row for row, " +
+      "with an empty state store") {
+    val w = DocStream.trainQuality(Tables.table(spark, sf0001, "documents"))
+    val out = DocStream.scoreQuality(
+      DocStream.readDocs(spark, twoBatchDir), w)
+    val q = EventStream.runToMemory(out, "qlr_stream", OutputMode.Append())
+    q.processAllAvailable()
+    // pure projection: the face must not even register a state operator
+    // (the LM faces pin state_rows == 0; this one is stateless a level
+    // deeper — there is no stateful operator to report at all)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.prettyJson)
+    q.stop()
+
+    val got = spark.table("qlr_stream")
+      .select($"doc_id", $"y", $"score6", $"pred")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.SparkEntry.queries("q_doc_quality_lr")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
