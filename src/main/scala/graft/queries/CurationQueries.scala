@@ -409,13 +409,33 @@ object CurationQueries {
         .crossJoin(broadcast(thr))
         .filter($"mlp" < $"thr")
         .select($"doc_id", lit(true).as("low_lm"))
+      // learned-classifier stage: the LR quality filter trained on the
+      // SAME exact-dedup survivor set as the LM floor (the r11
+      // multi-consumer rule: training consumes the persisted feature
+      // frame, scoring is a pure projection, so the expensive detector
+      // lineages stay single-consumer; the survivors lineage — scan +
+      // fingerprint window — gains two cheap consumers, which the query
+      // comment above already sanctions). pred = 1 means the classifier
+      // recognizes the injected low-quality signature -> drop.
+      val qfeat = TextQueries.qlrFeatures(
+        survivors.select($"doc_id", $"text")).persist()
+      val qw = try {
+        val h = TextQueries.qlrTrain(qfeat)
+        Seq(h.last._2, h.last._3, h.last._4, h.last._5)
+      } finally qfeat.unpersist()
+      val lrFlag = TextQueries.qlrFeatures(
+          survivors.select($"doc_id", $"text"))
+        .filter(TextQueries.qlrScore6(qw) >= 500000L)
+        .select($"doc_id", lit(true).as("lr_flag"))
       val keep = $"sub_flag".isNull && $"low_lm".isNull &&
+        $"lr_flag".isNull &&
         $"tok_count" >= 10 &&
         TextQueries.sampleBucket($"doc_id") <
           when($"lang" === "en", 50).otherwise(20)
       survivors
         .join(flagged, Seq("doc_id"), "left")
         .join(lowLm, Seq("doc_id"), "left")
+        .join(lrFlag, Seq("doc_id"), "left")
         .withColumn("tok_count",
           size(TextQueries.tokens($"text")).cast("long"))
         .groupBy($"lang", $"source")
@@ -425,7 +445,9 @@ object CurationQueries {
           sum(when($"sub_flag".isNotNull, 1L).otherwise(0L))
             .as("dropped_substring"),
           sum(when($"sub_flag".isNull && $"low_lm".isNotNull, 1L)
-            .otherwise(0L)).as("dropped_low_lm"))
+            .otherwise(0L)).as("dropped_low_lm"),
+          sum(when($"sub_flag".isNull && $"low_lm".isNull &&
+            $"lr_flag".isNotNull, 1L).otherwise(0L)).as("dropped_lr"))
         .orderBy("lang", "source")
     }),
 
@@ -906,17 +928,23 @@ object CurationQueries {
          |  FROM (SELECT doc_id, sum(c * lp6) / 1000000.0 / sum(c) AS mlp
          |        FROM ltok JOIN llm USING (t) GROUP BY doc_id), lthr
          |  WHERE mlp < thr),
+         |${TextQueries.qlrCtes("surv")},
+         |lrflag AS (
+         |  SELECT f.doc_id FROM feat f, it${TextQueries.QlrIters} w
+         |  WHERE ${TextQueries.QlrScoreSql} >= 500000),
          |quality AS (
          |  SELECT s.doc_id, s.lang, s.source,
          |    CAST(length(string_split_regex(trim(s.text), '\\s+')) AS BIGINT)
          |      AS tok_count,
          |    f.doc_id IS NOT NULL AS sub,
-         |    l.doc_id IS NOT NULL AS low
+         |    l.doc_id IS NOT NULL AS low,
+         |    r.doc_id IS NOT NULL AS lr
          |  FROM surv s LEFT JOIN flagged f ON s.doc_id = f.doc_id
-         |             LEFT JOIN lowlm l ON s.doc_id = l.doc_id),
+         |             LEFT JOIN lowlm l ON s.doc_id = l.doc_id
+         |             LEFT JOIN lrflag r ON s.doc_id = r.doc_id),
          |marked AS (
-         |  SELECT lang, source, tok_count, sub, low,
-         |    (NOT sub AND NOT low AND tok_count >= 10
+         |  SELECT lang, source, tok_count, sub, low, lr,
+         |    (NOT sub AND NOT low AND NOT lr AND tok_count >= 10
          |     AND ((doc_id % 1000003) * 31 + 7) % 100
          |         < CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS keep
          |  FROM quality)
@@ -927,7 +955,9 @@ object CurationQueries {
          |  CAST(sum(CASE WHEN sub THEN 1 ELSE 0 END) AS BIGINT)
          |    AS dropped_substring,
          |  CAST(sum(CASE WHEN NOT sub AND low THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS dropped_low_lm
+         |    AS dropped_low_lm,
+         |  CAST(sum(CASE WHEN NOT sub AND NOT low AND lr THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS dropped_lr
          |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 

@@ -145,11 +145,22 @@ object SimilarityQueries {
         .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy($"t").agg(count(lit(1)).as("df"))
       val nDocs = base.agg(count(lit(1)).as("n_docs"))
+      // localCheckpoint, not a shared exchange: the weighted postings
+      // have FOUR differently-pruned consumers (champion lists, both
+      // norm joins, probe vectors — and the probe branch embeds the
+      // full-corpus df aggregation even though its tf side prunes to
+      // doc_id < 10), so exchange reuse can never kick in (the r11
+      // multi-consumer lesson) and the token explode + tf/df
+      // aggregations would execute once PER CONSUMER. Measured on the
+      // hostile boilerplate corpus at 8x: 25.2s -> checkpointed ~7s.
+      // This is the query-local form of the scaladoc's production note
+      // (build the index once, serve probe batches from it).
       val w = tf.join(dfreq, Seq("t")).crossJoin(broadcast(nDocs))
         .select($"doc_id", $"t",
           floor($"tf" * (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
             * 100 + 0.5).cast("long").as("w"))
         .filter($"w" > 0)
+        .localCheckpoint()
       // conf override is test-only (lets a spec engage truncation on a
       // tiny corpus); the oracle interpolates the default, which the
       // driver always runs with

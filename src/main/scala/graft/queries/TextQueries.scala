@@ -916,7 +916,12 @@ object TextQueries {
     * default inlining re-evaluates the naive chain exponentially. All
     * arithmetic is integer except divisions of exactly-representable
     * longs, so the replay is bit-exact by construction. */
-  private lazy val qlrChainSql: String = {
+  private lazy val qlrChainSql: String = "WITH " + qlrCtes("documents")
+
+  /** The chain as a spliceable CTE list (no leading WITH): the curation
+    * pipeline re-trains the classifier on ITS survivor set by passing a
+    * prior CTE name as `docsRel`. */
+  private[queries] def qlrCtes(docsRel: String): String = {
     val spam = stopSql(QlrSpamLex)
     val en = stopSql(StopwordLists.toMap.apply("en"))
     val feat =
@@ -939,7 +944,7 @@ object TextQueries {
          |                  THEN 1 ELSE 0 END AS y,
          |                CASE WHEN ((doc_id % 1000003) * 31 + 7) % 100 < 30
          |                  THEN text || '$QlrTrailer' ELSE text END AS t
-         |              FROM documents WHERE text IS NOT NULL))),
+         |              FROM $docsRel WHERE text IS NOT NULL))),
          |it0 AS MATERIALIZED (
          |  SELECT CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wt,
          |         CAST(0 AS BIGINT) AS wd, CAST(0 AS BIGINT) AS wb)"""
@@ -976,8 +981,17 @@ object TextQueries {
          |    g.correct AS correct
          |  FROM it${t - 1} w, g$t g)""".stripMargin
     }
-    (Seq("WITH " + feat) ++ steps).mkString(",\n")
+    (Seq(feat) ++ steps).mkString(",\n")
   }
+
+  /** The hard-sigmoid score expression in SQL, over `feat` row alias `f`
+    * and weight row alias `w` — the one definition both oracle tails and
+    * the pipeline's classifier stage splice in. */
+  private[queries] val QlrScoreSql: String =
+    """least(greatest(500000 + CAST(floor(
+      |    CAST(f.x_spam * w.ws + f.x_stop * w.wt + f.x_dtr * w.wd +
+      |         f.x_bias * w.wb AS DOUBLE) / 40000.0) AS BIGINT),
+      |    0), 1000000)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val en = stopSql(StopwordLists.toMap.apply("en"))

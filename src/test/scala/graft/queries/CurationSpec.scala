@@ -274,9 +274,17 @@ class CurationSpec extends SparkTestBase {
       5L -> words(20 to 1 by -1),              // reversed: no exact dup, no
                                                // 5-gram run; bucket 62 >= 50
                                                // -> sampled out
-      6L -> words(1 to 12, "z2"))              // 12 singleton tokens >= 10:
+      6L -> words(1 to 12, "z2"),              // 12 singleton tokens >= 10:
                                                // ONLY the LM floor can and
                                                // must drop it
+      7L -> ((2 to 20 by 2).map(i => s"w$i") ++ // interleaved shuffle of
+        (1 to 19 by 2).map(i => s"w$i"))        // doc 1's tokens: no exact
+        .mkString(" "))                         // dup, no 5-gram run, LM-
+                                                // shared tokens, bucket 24
+                                                // < 50 — bucket 24 is also
+                                                // < 30, so the classifier's
+                                                // injected label fires and
+                                                // ONLY the LR stage drops it
       .map { case (id, text) => (id, text, "en", "srcA", text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -295,11 +303,18 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("dropped_substring") === 1L)
     // doc 6 is the ONLY LM-floor drop: every one of its 12 tokens is a
     // corpus singleton, so its mean log-prob IS the singleton floor —
-    // margin below threshold by construction. Docs 1/4/5 share tokens
-    // (corpus counts 2-4 with doc 3 training) and sit ~0.33-0.6 nats
-    // ABOVE the threshold; doc 3's own score is moot (already a
-    // substring drop, and reasons don't double-count)
+    // margin below threshold by construction. Docs 1/4/5/7 share tokens
+    // (corpus counts 2-5 with doc 3 training) and sit well ABOVE the
+    // threshold; doc 3's own score is moot (already a substring drop,
+    // and reasons don't double-count)
     assert(r.getAs[Long]("dropped_low_lm") === 1L)
+    // doc 7 is the ONLY classifier drop: its injection bucket (24 < 30)
+    // carries the trained-label signature, and it clears every earlier
+    // stage (no exact dup, no 5-gram run, LM-shared tokens). Doc 3 is
+    // ALSO classifier-flagged (bucket 0), but stage precedence
+    // attributes it to the substring detector — were precedence broken,
+    // this would read 2
+    assert(r.getAs[Long]("dropped_lr") === 1L)
   }
 
   test("retention: offsets are whole weeks from each user's first week") {
