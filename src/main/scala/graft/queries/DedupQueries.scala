@@ -1092,6 +1092,37 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Cluster-safe train/val/test split — the leakage-free assignment
+    // real corpus preparation uses (Lee et al. 2022 §6; The Stack's
+    // dedup-then-split): a near-dup pair landing on both sides of a
+    // split boundary leaks training data into eval, so the split is
+    // assigned per CLUSTER, not per doc — every member inherits the
+    // arithmetic-hash bucket of its component representative (80/10/10).
+    // Unclustered docs are their own rep. Hard oracle: the recursive
+    // transitive closure q_dedup_clusters_sql already replays, extended
+    // with the rep-bucket assignment — a pair crossing splits would
+    // hash-mismatch, so transitivity is externally verified end to end.
+    //
+    // Shapes: the pair lineage + min-label propagation are the existing
+    // bounded clustering machinery (capPerKey-bounded candidates,
+    // checkpointed per-round state); the assignment adds one LEFT join
+    // of the component map against the doc universe and a projection.
+    "q_split_cluster_safe" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = ngramJaccardPairs(s, dir)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      val comp = graft.operators.ConnectedComponents.components(pairs)
+        .select($"id".as("doc_id"), $"component".as("comp_rep"))
+      val b = TextQueries.sampleBucket($"rep")
+      Tables.table(s, dir, "documents").select($"doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"comp_rep", $"doc_id").as("rep"))
+        .select($"doc_id", $"rep",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Edit-distance near-dup: candidates blocked on (lang, 16-char
     // normalized prefix) — only same-prefix docs pay the O(len^2)
     // levenshtein DP, the textbook cost control for edit-distance dedup.
@@ -1290,6 +1321,39 @@ object DedupQueries {
        |  AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** The recursive transitive-closure CTE chain over the jaccard edge
+    * set — shared by the q_dedup_clusters_sql oracle (its original home)
+    * and the q_split_cluster_safe oracle, which extends it with the
+    * rep-bucket split assignment. */
+  private val clusterReachCtes: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(text) // 64 AS INT) AS len_band,
+      |    list_distinct(CASE WHEN length(toks) >= 3
+      |      THEN list_transform(range(1, length(toks) - 1),
+      |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+      |      ELSE [array_to_string(toks, ' ')] END) AS grams
+      |  FROM (SELECT doc_id, lang, text,
+      |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+      |            AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM docs a JOIN docs b
+      |    ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+      |  WHERE floor(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |          / (length(a.grams) + length(b.grams)
+      |             - length(list_intersect(a.grams, b.grams)))
+      |          * 10000 + 0.5) / 10000 >= 0.2),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
   /** The exact all-pairs n-gram-jaccard edge set, shared by the
     * q_dedup_ngram_jaccard oracle (plus its presentation sort) and the
@@ -1507,37 +1571,32 @@ object DedupQueries {
     "q_dedup_minhash_sql" -> minhashSqlOracle,
 
     "q_dedup_clusters_sql" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, lang,
-        |    CAST(length(text) // 64 AS INT) AS len_band,
-        |    list_distinct(CASE WHEN length(toks) >= 3
-        |      THEN list_transform(range(1, length(toks) - 1),
-        |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
-        |      ELSE [array_to_string(toks, ' ')] END) AS grams
-        |  FROM (SELECT doc_id, lang, text,
-        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
-        |            AS toks
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM docs a JOIN docs b
-        |    ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-        |  WHERE floor(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |          / (length(a.grams) + length(b.grams)
-        |             - length(list_intersect(a.grams, b.grams)))
-        |          * 10000 + 0.5) / 10000 >= 0.2),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      (clusterReachCtes +
+        """
         |SELECT doc_id, keep_doc_id FROM (
         |  SELECT src AS doc_id, least(src, min(dst)) AS keep_doc_id
         |  FROM reach GROUP BY src)
-        |WHERE doc_id <> keep_doc_id ORDER BY doc_id""".stripMargin,
+        |WHERE doc_id <> keep_doc_id ORDER BY doc_id""".stripMargin),
+
+    // Replays q_split_cluster_safe over the SAME recursive closure:
+    // every doc's rep is its component minimum (itself when unclustered),
+    // and the split is the arithmetic-hash bucket of the REP — so the
+    // oracle proves transitivity end to end (a pair crossing splits
+    // would hash-mismatch).
+    "q_split_cluster_safe" ->
+      (clusterReachCtes +
+        """,
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, rep,
+        |  CASE WHEN ((rep % 1000003) * 31 + 7) % 100 < 80 THEN 'train'
+        |       WHEN ((rep % 1000003) * 31 + 7) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM assigned ORDER BY doc_id""".stripMargin),
 
     "q_dedup_editdist" ->
       """WITH docs AS (
