@@ -75,6 +75,9 @@ object ScaleProbe {
     // degree-bounded per-doc window — must track q_dedup_ngram_jaccard's
     // growth, not exceed it
     "q_dedup_quality_rep",
+    // cluster-safe splitting: the clustering machinery plus one left
+    // join — must track q_dedup_clusters' growth, not exceed it
+    "q_split_cluster_safe",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",

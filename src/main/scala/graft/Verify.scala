@@ -34,6 +34,14 @@ object Verify {
     // it): SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail loudly on a typo'd or empty filter: a no-match filter would
+    // dump nothing, leave stale parquet from a prior run under outDir,
+    // and let a downstream oracle compare false-green on old outputs
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

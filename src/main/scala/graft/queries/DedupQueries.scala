@@ -722,23 +722,26 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
-    // Quality-aware survivor selection over the near-dup graph: for each
-    // document with >= 1 jaccard neighbor, keep the highest-QUALITY copy
-    // of {self} ∪ neighbors instead of the min-id convention every other
-    // dedup query uses — the curation policy real pipelines want (keep
-    // the cleanest variant, drop the rest). Quality is an exact-tick
-    // key: distinct-token-ratio (1e-4 ticks) lexicographically extended
-    // by capped token count; ties break toward the smaller doc_id.
+    // Quality-aware survivor selection over the near-dup graph: within
+    // each connected COMPONENT of the jaccard graph, keep the
+    // highest-QUALITY member instead of the min-id convention every
+    // other dedup query uses — the curation policy real pipelines want
+    // (keep the cleanest variant, drop the rest). Component-closed by
+    // construction: every dropped doc's keep_doc is itself a survivor
+    // (a one-hop best-neighbor rule is NOT closed — on a chain A~B~C
+    // with rising quality, A would point at dropped B; the self-review
+    // that caught this is pinned by QualityRepSpec's chain fixture).
+    // Quality is an exact-tick key: distinct-token-ratio (1e-4 ticks)
+    // lexicographically extended by capped token count; ties break
+    // toward the smaller doc_id.
     //
-    // Shapes: the jaccard edge lineage is consumed ONCE (both edge
-    // directions come from one explode — a union of two selects would
-    // re-execute the whole pair pipeline per branch, the r11
-    // multi-consumer lesson); the best-neighbor choice is a row_number
-    // window over per-doc neighbor groups (bounded by the pair graph's
-    // degree, itself capPerKey-bounded upstream); the self-vs-best
-    // comparison is a projection, so no self-rows ever join. The only
-    // extra shuffles over the pair set are the doc-keyed window and the
-    // two quality-scan joins.
+    // Shapes: components come from the existing bounded clustering
+    // machinery (capPerKey-bounded candidates, checkpointed label
+    // propagation — the q_dedup_clusters path); the survivor choice is
+    // a row_number window over per-COMPONENT member groups (bounded by
+    // component size), plus one quality-scan join. Hard oracle: the
+    // shared recursive transitive-closure CTE extended with the same
+    // quality window.
     "q_dedup_quality_rep" -> ((s, dir) => {
       import s.implicits._
       val toks = graft.queries.TextQueries.tokens(lower($"text"))
@@ -749,28 +752,22 @@ object DedupQueries {
               / greatest(size(toks), lit(1)) * 10000 + 0.5).cast("long")
             * 1000000L +
             least(size(toks).cast("long"), lit(999999L))).as("q"))
-      val edges = ngramJaccardPairs(s, dir)
-        .select(explode(array(
-          struct($"doc_a".as("doc_id"), $"doc_b".as("cand")),
-          struct($"doc_b".as("doc_id"), $"doc_a".as("cand")))).as("e"))
-        .select($"e.doc_id", $"e.cand")
-      val nb = edges
-        .join(qual.select($"doc_id".as("cand"), $"q".as("cand_q")),
-          Seq("cand"))
-      val byDoc = Window.partitionBy($"doc_id")
-      val best = nb
-        .withColumn("rn", row_number().over(
-          byDoc.orderBy($"cand_q".desc, $"cand".asc)))
-        .withColumn("n_dups", count(lit(1)).over(byDoc))
-        .filter($"rn" === 1)
-      val selfWins = $"q" > $"cand_q" ||
-        ($"q" === $"cand_q" && $"doc_id" < $"cand")
-      best.join(qual, Seq("doc_id"))
-        .select($"doc_id", $"q".as("q_doc"),
-          when(selfWins, $"doc_id").otherwise($"cand").as("keep_doc"),
-          when(selfWins, $"q").otherwise($"cand_q").as("keep_q"),
+      val pairs = ngramJaccardPairs(s, dir)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      val members = graft.operators.ConnectedComponents.components(pairs)
+        .select($"id".as("doc_id"), $"component")
+        .join(qual, Seq("doc_id"))
+      val byComp = Window.partitionBy($"component")
+      val best = Window.partitionBy($"component")
+        .orderBy($"q".desc, $"doc_id".asc)
+      members
+        .withColumn("rn", row_number().over(best))
+        .withColumn("keep_doc", first($"doc_id").over(best))
+        .withColumn("keep_q", first($"q").over(best))
+        .withColumn("n_dups", count(lit(1)).over(byComp) - 1L)
+        .select($"doc_id", $"q".as("q_doc"), $"keep_doc", $"keep_q",
           $"n_dups",
-          when(selfWins, 0L).otherwise(1L).as("dropped"))
+          when($"rn" === 1, 0L).otherwise(1L).as("dropped"))
         .orderBy("doc_id")
     }),
 
@@ -1385,46 +1382,40 @@ object DedupQueries {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_simhash_sql" -> simhashSqlOracle,
 
-    // Replays q_dedup_quality_rep: the jaccard edge set (nested CTE),
-    // the same exact-tick quality key, the same (quality DESC, id ASC)
-    // best-neighbor window, and the same self-vs-best final comparison.
+    // Replays q_dedup_quality_rep: the shared recursive transitive
+    // closure, the same exact-tick quality key, and the same
+    // per-COMPONENT (quality DESC, id ASC) survivor window — so the
+    // component-closure property (every keep_doc is itself a survivor)
+    // is externally hash-verified.
     "q_dedup_quality_rep" ->
-      s"""WITH pairs AS MATERIALIZED (
-         |$ngramJaccardOracleBody
-         |),
+      (clusterReachCtes +
+        s""",
          |qual AS MATERIALIZED (
          |  SELECT doc_id,
-         |    CAST(floor(CAST(length(list_distinct(toks)) AS DOUBLE)
-         |        / greatest(length(toks), 1) * 10000 + 0.5) AS BIGINT)
-         |      * 1000000 + least(CAST(length(toks) AS BIGINT), 999999)
+         |    CAST(floor(CAST(length(list_distinct(qtoks)) AS DOUBLE)
+         |        / greatest(length(qtoks), 1) * 10000 + 0.5) AS BIGINT)
+         |      * 1000000 + least(CAST(length(qtoks) AS BIGINT), 999999)
          |      AS q
          |  FROM (SELECT doc_id,
-         |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |          string_split_regex(trim(lower(text)), '\\s+') AS qtoks
          |        FROM documents WHERE text IS NOT NULL)),
-         |edges AS (
-         |  SELECT doc_a AS doc_id, doc_b AS cand FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS doc_id, doc_a AS cand FROM pairs),
-         |nb AS (
-         |  SELECT doc_id, cand, cand_q,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY cand_q DESC, cand) AS rn,
-         |    count(*) OVER (PARTITION BY doc_id) AS n_dups
-         |  FROM (SELECT e.doc_id, e.cand, q.q AS cand_q
-         |        FROM edges e JOIN qual q ON q.doc_id = e.cand))
-         |SELECT n.doc_id, q.q AS q_doc,
-         |  CASE WHEN q.q > n.cand_q
-         |         OR (q.q = n.cand_q AND n.doc_id < n.cand)
-         |    THEN n.doc_id ELSE n.cand END AS keep_doc,
-         |  CASE WHEN q.q > n.cand_q
-         |         OR (q.q = n.cand_q AND n.doc_id < n.cand)
-         |    THEN q.q ELSE n.cand_q END AS keep_q,
-         |  CAST(n.n_dups AS BIGINT) AS n_dups,
-         |  CAST(CASE WHEN q.q > n.cand_q
-         |         OR (q.q = n.cand_q AND n.doc_id < n.cand)
-         |    THEN 0 ELSE 1 END AS BIGINT) AS dropped
-         |FROM nb n JOIN qual q ON q.doc_id = n.doc_id
-         |WHERE n.rn = 1 ORDER BY n.doc_id""".stripMargin,
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |ranked AS (
+         |  SELECT c.doc_id, c.component, q.q,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY q.q DESC, c.doc_id) AS rn,
+         |    first_value(c.doc_id) OVER (PARTITION BY c.component
+         |      ORDER BY q.q DESC, c.doc_id) AS keep_doc,
+         |    first_value(q.q) OVER (PARTITION BY c.component
+         |      ORDER BY q.q DESC, c.doc_id) AS keep_q,
+         |    count(*) OVER (PARTITION BY c.component) AS csize
+         |  FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
+         |SELECT doc_id, q AS q_doc, keep_doc, keep_q,
+         |  CAST(csize - 1 AS BIGINT) AS n_dups,
+         |  CAST(CASE WHEN rn = 1 THEN 0 ELSE 1 END AS BIGINT) AS dropped
+         |FROM ranked ORDER BY doc_id""".stripMargin),
     "q_dedup_exact" ->
       """SELECT fingerprint, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS copy_count

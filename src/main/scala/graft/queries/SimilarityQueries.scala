@@ -136,6 +136,14 @@ object SimilarityQueries {
     // scale you materialize the weighted postings + norms once (an
     // index BUILD, like the LM/centroid notes) and serve probe batches
     // from it; the per-query recompute here is bench-scale convenience.
+    //
+    // Exactness bound (the qlr classifier's contract, stated for this
+    // query too): the lift idf grows with n_docs, so a singleton term's
+    // weight is ~tf·n·100 ticks and w² must stay under 2^63 — exact to
+    // ~3e7 docs at tf=1. Past that, swap the lift for a log-idf tick
+    // (bounded ~log(n)·100, exact to any corpus size) — the lift form
+    // follows q_doc_tfidf's precedent because its ranking is
+    // PMI-monotone with one IEEE-exact division at bench scale.
     "q_knn_tfidf" -> ((s, dir) => {
       import s.implicits._
       val base = Tables.spread(Tables.table(s, dir, "documents")

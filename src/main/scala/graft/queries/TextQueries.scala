@@ -260,7 +260,6 @@ object TextQueries {
   private[graft] def qlrTrain(feat: DataFrame)
       : Seq[(Int, Long, Long, Long, Long, Long)] = {
     import feat.sparkSession.implicits._
-    val xs = Seq("x_spam", "x_stop", "x_dtr", "x_bias")
     var w = Seq(0L, 0L, 0L, 0L)
     (1 to QlrIters).map { it =>
       val p6 = qlrScore6(w)
