@@ -42,6 +42,10 @@ object ScaleProbe {
     // replicas only
     "q_doc_unigram_logprob", "q_doc_bigram_logprob",
     "q_doc_backoff_logprob",
+    // Kneser-Ney capstone: the bigram machinery plus two aggregations
+    // over the already-aggregated bigram-TYPE table (continuation
+    // counts, the B total) — must track the bigram rung's growth
+    "q_doc_kn_logprob",
     // DSIR importance weighting: two LMs off the unigram query's shared
     // token exchange + a TakeOrdered top-K — must stay linear on
     // replicas exactly as the unigram scorer does (constant vocabulary,

@@ -26,6 +26,10 @@ object TextQueries {
     docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
 
+  /** q_doc_kn_logprob's absolute discount — one definition, interpolated
+    * into the oracle so both engines subtract the identical d. */
+  private[queries] val KnDiscount = 0.75
+
   /** ln(0.4) snapped to 1e-6 ticks — the stupid-backoff multiplier as an
     * integer tick ADDEND for q_doc_backoff_logprob (multiplying
     * probabilities is adding log ticks, so backoff stays exact integer
@@ -429,6 +433,61 @@ object TextQueries {
           coalesce($"bigram_count", lit(0L)).as("bigram_count"),
           Clean.roundHalfUp(($"slp6" / lit(1e6)) / $"bigram_count", 4)
             .as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Interpolated Kneser–Ney scoring — the LM ladder's capstone rung
+    // (Kneser & Ney 1995; Chen & Goodman 1998 §2.7, the public
+    // technique): instead of add-α mass, the bigram discount d = 0.75
+    // is redistributed by CONTINUATION probability — p_cont(w) counts
+    // the distinct contexts w follows, not its raw frequency, which is
+    // what demotes high-count-but-single-context tokens ("Francisco"
+    // follows only "San"). Scores the corpus under its own model like
+    // the bigram rung, so every (u, w) is seen and max(c−d, 0) = c−d.
+    //
+    //   p(w|u) = (c(u,w) − d)/c(u) + (d·types(u)/c(u)) · (cont(w)/B)
+    //
+    // Every operand is an exact integer (bigram counts, per-context
+    // type counts, per-word continuation counts, the bigram-type total
+    // B), so the probability is a FIXED sequence of IEEE ops on
+    // exactly-representable longs — identical in any engine — and the
+    // per-bigram log snaps to the 1e-6-tick long of the whole ladder.
+    // Scale shape: identical to q_doc_bigram_logprob — the (doc, bg)
+    // pre-aggregation bounds hot-bigram skew, all model tables are
+    // vocabulary-scale and ride the shared bg exchange, and the two
+    // extra aggregations KN needs (continuation counts, the B total)
+    // group over the ALREADY-AGGREGATED bigram-type table, never the
+    // corpus.
+    "q_doc_kn_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val toksDf = docs.select($"doc_id",
+        tokens(lower($"text")).as("toks"))
+      val tok2 = toksDf.filter(size($"toks") >= 2)
+        .select($"doc_id",
+          explode(Shingles.of(s, $"toks", 2, distinct = false)).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .repartition($"bg")
+      val big = tok2.groupBy($"bg").agg(sum($"c").as("cbg"))
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .withColumn("w2", substring_index($"bg", " ", -1))
+      val ctx = big.groupBy($"w1")
+        .agg(sum($"cbg").as("cw1"), count(lit(1)).as("types1"))
+      val cont = big.groupBy($"w2").agg(count(lit(1)).as("cont2"))
+      val btypes = big.agg(count(lit(1)).as("b"))
+      val p = (($"cbg" - lit(KnDiscount)) / $"cw1") +
+        (((lit(KnDiscount) * $"types1") / $"cw1") * ($"cont2" / $"b"))
+      val lm = big.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+        .crossJoin(broadcast(btypes))
+        .select($"bg", floor(log(p) * 1e6 + 0.5).cast("long").as("lp6"))
+      val scored = tok2.join(lm, Seq("bg"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("bigram_count"), sum($"c" * $"lp6").as("slp6"))
+      docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"bigram_count", lit(0L)).as("bigram_count"),
+          Clean.roundHalfUp(($"slp6" / lit(1e6)) / $"bigram_count", 4)
+            .as("mean_kn_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -884,6 +943,44 @@ object TextQueries {
       } finally feat.unpersist()
     }),
 
+    // Quality-classifier EVALUATION: the calibration report an ML
+    // pipeline ships with a trained filter — score-decile histogram plus
+    // the threshold-sweep precision/recall curve (predict positive at
+    // score-bucket >= b, for b = 9..0). All counts are exact longs and
+    // the two ratios are single divisions of exactly-representable longs
+    // snapped to 1e-4 ticks, so the report hash-matches the oracle's
+    // replay of the same chain. The cumulative window runs over at most
+    // 10 bucket rows — a global window is bounded by construction here,
+    // not a scale hazard.
+    "q_doc_quality_lr_eval" -> ((s, dir) => {
+      import s.implicits._
+      val feat = qlrFeatures(Tables.table(s, dir, "documents")).persist()
+      val w = try {
+        val h = qlrTrain(feat)
+        Seq(h.last._2, h.last._3, h.last._4, h.last._5)
+      } finally feat.unpersist()
+      val p6 = qlrScore6(w)
+      val buckets = qlrFeatures(Tables.table(s, dir, "documents"))
+        .select($"y", least(floor(p6 / 100000L).cast("long"), lit(9L))
+          .as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"y").as("n_pos"))
+      val sweep = Window.orderBy($"bucket".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      buckets
+        .withColumn("cum_docs", sum($"n_docs").over(sweep))
+        .withColumn("cum_pos", sum($"n_pos").over(sweep))
+        .withColumn("tot_pos", sum($"n_pos").over(all))
+        .select($"bucket", $"n_docs", $"n_pos", $"cum_docs", $"cum_pos",
+          floor($"cum_pos".cast("double") / $"cum_docs" * 10000 + 0.5)
+            .cast("long").as("prec4"),
+          when($"tot_pos" > 0,
+            floor($"cum_pos".cast("double") / $"tot_pos" * 10000 + 0.5)
+              .cast("long")).as("recall4"))
+        .orderBy($"bucket".desc)
+    }),
+
     // Quality-classifier SCORING: train (driver loop over the persisted
     // feature frame), then score every document under the final weights
     // as a pure projection — the production shape (weights broadcast,
@@ -1001,6 +1098,29 @@ object TextQueries {
              |  wd AS w_dtr, wb AS w_bias, CAST(correct AS BIGINT)
              |  AS n_correct FROM it$t""".stripMargin
         }.mkString("\nUNION ALL\n") + "\nORDER BY iter"),
+
+      "q_doc_quality_lr_eval" -> (qlrChainSql + s"""
+        |, buckets AS (
+        |  SELECT least(CAST(floor(($QlrScoreSql) / 100000) AS BIGINT), 9)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(f.y) AS BIGINT) AS n_pos
+        |  FROM feat f, it$QlrIters w GROUP BY 1),
+        |cum AS (
+        |  SELECT bucket, n_docs, n_pos,
+        |    CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+        |    CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+        |  FROM buckets)
+        |SELECT bucket, n_docs, n_pos, cum_docs, cum_pos,
+        |  CAST(floor(CAST(cum_pos AS DOUBLE) / cum_docs * 10000 + 0.5)
+        |    AS BIGINT) AS prec4,
+        |  CASE WHEN tot_pos > 0 THEN
+        |    CAST(floor(CAST(cum_pos AS DOUBLE) / tot_pos * 10000 + 0.5)
+        |      AS BIGINT) END AS recall4
+        |FROM cum ORDER BY bucket DESC""".stripMargin),
 
       "q_doc_quality_lr" -> (qlrChainSql + s"""
         |SELECT f.doc_id, f.y,
@@ -1153,6 +1273,47 @@ object TextQueries {
           |    / 10000 AS mean_logprob
           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // Replays the Kneser–Ney chain: same tokenization and (doc, bg)
+      // pre-aggregation as the bigram rung, the same interpolated-KN
+      // probability as a FIXED IEEE op sequence on exact integer counts
+      // (discount interpolated from the one Scala definition), snapped
+      // per-bigram to 1e-6 ticks before the weighted doc sum.
+      "q_doc_kn_logprob" ->
+        s"""WITH docs0 AS (
+           |  SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |  FROM documents),
+           |tok2 AS (
+           |  SELECT doc_id, bg, count(*) AS c
+           |  FROM (SELECT doc_id,
+           |          unnest(list_transform(range(1, length(toks)),
+           |            i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+           |        FROM docs0 WHERE length(toks) >= 2)
+           |  GROUP BY doc_id, bg),
+           |big AS (
+           |  SELECT bg, sum(c) AS cbg, split_part(bg, ' ', 1) AS w1,
+           |    split_part(bg, ' ', 2) AS w2
+           |  FROM tok2 GROUP BY bg),
+           |ctx AS (SELECT w1, sum(cbg) AS cw1, count(*) AS types1
+           |        FROM big GROUP BY w1),
+           |cont AS (SELECT w2, count(*) AS cont2 FROM big GROUP BY w2),
+           |bt AS (SELECT count(*) AS b FROM big),
+           |lm AS (
+           |  SELECT bg, CAST(floor(ln(
+           |      ((cbg - $KnDiscount) / cw1) +
+           |      ((($KnDiscount * types1) / cw1) * (cont2 / b)))
+           |    * 1000000 + 0.5) AS BIGINT) AS lp6
+           |  FROM big JOIN ctx USING (w1) JOIN cont USING (w2), bt),
+           |scored AS (
+           |  SELECT doc_id, sum(c) AS bigram_count, sum(c * lp6) AS slp6
+           |  FROM tok2 JOIN lm USING (bg) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(s.bigram_count, 0) AS BIGINT) AS bigram_count,
+           |  floor((s.slp6 / 1000000.0) / s.bigram_count * 10000 + 0.5)
+           |    / 10000 AS mean_kn_logprob
+           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       // Replays the held-out stupid-backoff chain: same 90/10 bucket
       // split, same train-side LMs through the snapped lp6 form, same

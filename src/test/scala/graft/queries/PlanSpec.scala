@@ -79,13 +79,17 @@ class PlanSpec extends SparkTestBase {
     // joins are the documented 1-row scalar attaches, and a cartesian
     // anywhere would mean a scoring join lost its key
     Seq("q_doc_unigram_logprob", "q_doc_bigram_logprob",
-      "q_doc_backoff_logprob", "q_doc_dsir").foreach { q =>
-      assert(!plan(q).contains("CartesianProduct"), q)
-    }
+      "q_doc_backoff_logprob", "q_doc_dsir", "q_doc_kn_logprob")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), q)
+      }
     assert("hashpartitioning\\(t#\\d+".r
       .findFirstIn(plan("q_doc_unigram_logprob")).isDefined)
     assert("hashpartitioning\\(bg#\\d+".r
       .findFirstIn(plan("q_doc_bigram_logprob")).isDefined)
+    // KN rides the same shared bg exchange as the bigram rung
+    assert("hashpartitioning\\(bg#\\d+".r
+      .findFirstIn(plan("q_doc_kn_logprob")).isDefined)
   }
 
   test("q_doc_bpe_apply shares the one w-keyed exchange corpus-side") {

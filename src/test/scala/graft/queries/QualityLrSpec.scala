@@ -83,6 +83,26 @@ class QualityLrSpec extends SparkTestBase {
         (r.getAs[Long]("pred") == 1L)))
   }
 
+  test("the eval report is a coherent threshold sweep") {
+    val rows = SparkEntry.queries("q_doc_quality_lr_eval")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("cum_docs"),
+        r.getAs[Long]("cum_pos"), r.getAs[Long]("recall4"))).toSeq
+    // rows are ordered bucket DESC; cumulative totals must end at the
+    // corpus, and recall must be non-decreasing down the sweep
+    assert(rows.last._4 === feat.length.toLong)
+    assert(rows.map(_._6).sliding(2).forall(p => p.head <= p.last))
+    // the decision threshold (score6 >= 500000) is the bucket-5 edge:
+    // perfect final separation means buckets >= 5 hold ONLY positives
+    // and buckets < 5 only negatives
+    rows.foreach { case (b, n, pos, _, _, _) =>
+      if (b >= 5) assert(pos === n, s"bucket $b impure")
+      else assert(pos === 0L, s"bucket $b holds positives")
+    }
+    // and the sweep's positive mass is the training set's
+    assert(rows.map(_._3).sum === feat.count(_._1 == 1L).toLong)
+  }
+
   test("training is deterministic across runs") {
     val again = SparkEntry.queries("q_doc_quality_lr_train")(spark, sf0001)
       .orderBy("iter").collect()
