@@ -136,6 +136,12 @@ object ScaleProbe {
     // gram-keyed join must stay linear in docs — these rows are that
     // claim, measured
     "q_doc_unigram_logprob", "q_doc_bigram_logprob",
+    // KN shares the bigram rung's hostile shape (hot-bigram
+    // concentration bounded by the (doc, bg) pre-agg); its extra
+    // aggregations run over the bigram-TYPE table, which the
+    // boilerplate corpus makes TINY (~40 shared types + unique-trailer
+    // types), so KN must track the bigram row, not exceed it
+    "q_doc_kn_logprob",
     // sparse retrieval under maximal term concentration: shared
     // boilerplate terms hit df ≈ n, their idf tick floors to ZERO, and
     // the w > 0 filter drops them before the posting index exists —
