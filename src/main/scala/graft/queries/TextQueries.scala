@@ -28,7 +28,16 @@ object TextQueries {
 
   /** q_doc_kn_logprob's absolute discount — one definition, interpolated
     * into the oracle so both engines subtract the identical d. */
-  private[queries] val KnDiscount = 0.75
+  private[graft] val KnDiscount = 0.75
+
+  /** The ONE definition of the interpolated-KN bigram probability —
+    * shared by the batch query and the streaming trainer
+    * ([[graft.streaming.DocStream.trainKn]]), so the two cannot drift:
+    * a FIXED sequence of IEEE ops on exact integer counts. */
+  private[graft] def knP(cbg: Column, cw1: Column, types1: Column,
+      cont2: Column, b: Column): Column =
+    ((cbg - lit(KnDiscount)) / cw1) +
+      (((lit(KnDiscount) * types1) / cw1) * (cont2 / b))
 
   /** ln(0.4) snapped to 1e-6 ticks — the stupid-backoff multiplier as an
     * integer tick ADDEND for q_doc_backoff_logprob (multiplying
@@ -475,8 +484,7 @@ object TextQueries {
         .agg(sum($"cbg").as("cw1"), count(lit(1)).as("types1"))
       val cont = big.groupBy($"w2").agg(count(lit(1)).as("cont2"))
       val btypes = big.agg(count(lit(1)).as("b"))
-      val p = (($"cbg" - lit(KnDiscount)) / $"cw1") +
-        (((lit(KnDiscount) * $"types1") / $"cw1") * ($"cont2" / $"b"))
+      val p = knP($"cbg", $"cw1", $"types1", $"cont2", $"b")
       val lm = big.join(ctx, Seq("w1")).join(cont, Seq("w2"))
         .crossJoin(broadcast(btypes))
         .select($"bg", floor(log(p) * 1e6 + 0.5).cast("long").as("lp6"))

@@ -661,6 +661,111 @@ object DocStream {
         GroupStateTimeout.NoTimeout)(report)
   }
 
+  /** One scored arrival from [[scoreKn]]. */
+  case class KnDoc(doc_id: Long, bigram_count: Long,
+                   mean_kn_logprob: Double)
+
+  /** Offline trainer for [[scoreKn]] — the q_doc_kn_logprob model split
+    * into its deployment tables. Returns:
+    *  - `lmBg` (bg, lp6): the full interpolated-KN tick per SEEN bigram
+    *    (the identical [[graft.queries.TextQueries.knP]] expression the
+    *    batch query snaps, so stream and batch scores agree bit-exactly
+    *    on replayed corpora);
+    *  - `ctxBk` (w1, cb6): the context backoff factor
+    *    ln(d·types(u)/c(u)) as a tick ADDEND — for an UNSEEN bigram with
+    *    a seen context, interpolated KN's surviving term is
+    *    (d·types_u/c(u))·p_cont(w), and ln of a product is tick
+    *    addition (the BackoffLp6 device);
+    *  - `contLm` (w2, c6): the continuation unigram ln(cont(w)/B) — the
+    *    backoff target, and the WHOLE estimate when the context itself
+    *    is unseen;
+    *  - `floor6`: ln(0.5/B), the novel-continuation floor for words the
+    *    training corpus never saw.
+    * All tables are bigram-TYPE-scale (vocabulary-sized), cached like
+    * [[trainLm]]'s; at 100 TB they are materialized once, bucketed on
+    * their join keys. */
+  def trainKn(historyDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val s = historyDocs.sparkSession
+    import graft.queries.{Shingles, TextQueries}
+    val big = historyDocs
+      .filter(size(TextQueries.tokens(lower(col("text")))) >= 2)
+      .select(explode(Shingles.of(s,
+        TextQueries.tokens(lower(col("text"))), 2, distinct = false))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .cache()
+    val bRow = big.agg(count(lit(1))).head()
+    val b = bRow.getLong(0)
+    require(b > 0, "trainKn needs a history corpus with >= 1 bigram")
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("cbg")).as("cw1"), count(lit(1)).as("types1"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("cont2"))
+    val lmBg = big.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .select(col("bg"),
+        floor(log(TextQueries.knP(col("cbg"), col("cw1"), col("types1"),
+          col("cont2"), lit(b))) * 1e6 + 0.5).cast("long").as("lp6"))
+      .cache()
+    val ctxBk = ctx.select(col("w1"),
+      floor(log((lit(TextQueries.KnDiscount) * col("types1")) / col("cw1"))
+        * 1e6 + 0.5).cast("long").as("cb6")).cache()
+    val contLm = cont.select(col("w2"),
+      floor(log(col("cont2") / lit(b).cast("double")) * 1e6 + 0.5)
+        .cast("long").as("c6")).cache()
+    lmBg.count(); ctxBk.count(); contLm.count()
+    big.unpersist()
+    val floor6 = math.floor(math.log(0.5 / b) * 1e6 + 0.5).toLong
+    (lmBg, ctxBk, contLm, floor6)
+  }
+
+  /** Streaming face of q_doc_kn_logprob WITH the out-of-vocabulary
+    * paths the batch query (which scores the corpus under itself) can
+    * never take: seen bigram → the full interpolated tick; unseen
+    * bigram under a seen context → cb6(u) + c6(w) (tick addition = the
+    * product term of interpolated KN); unseen context → c6(w) alone
+    * (pure continuation probability); unseen word → the floor. Three
+    * stateless stream-static joins against bigram-type-scale tables,
+    * then the per-doc mean as the zero-state flatMapGroupsWithState of
+    * [[scoreLogprob]]. Docs with < 2 tokens emit no row (no bigram
+    * positions — the batch twin surfaces them with count 0 via its
+    * left join; a stream has no all-docs side). */
+  def scoreKn(docs: DataFrame, lmBg: DataFrame, ctxBk: DataFrame,
+              contLm: DataFrame, floor6: Long): Dataset[KnDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.queries.{Shingles, TextQueries}
+    val contOrFloor = coalesce(col("c6"), lit(floor6))
+    val ticks = docs
+      .filter(size(TextQueries.tokens(lower(col("text")))) >= 2)
+      .select(col("doc_id"), explode(Shingles.of(spark,
+        TextQueries.tokens(lower(col("text"))), 2, distinct = false))
+        .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(lmBg, Seq("bg"), "left")
+      .join(ctxBk, Seq("w1"), "left")
+      .join(contLm, Seq("w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lp6"),
+          when(col("cb6").isNotNull, col("cb6") + contOrFloor)
+            .otherwise(contOrFloor)).as("t6"))
+      .as[(Long, Long)]
+    def score(id: Long, rows: Iterator[(Long, Long)],
+              state: GroupState[Long]): Iterator[KnDoc] = {
+      var c = 0L
+      var s6 = 0L
+      rows.foreach { r => c += 1; s6 += r._2 }
+      // same op sequence as the batch twin's final rounding
+      Iterator.single(KnDoc(id, c,
+        math.floor((s6 / 1e6) / c * 10000 + 0.5) / 10000))
+    }
+    ticks.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(score)
+  }
+
   /** Offline trainer for [[scoreQuality]]: the batch hard-sigmoid
     * descent ([[graft.queries.TextQueries.qlrTrain]]) run on a history
     * frame; returns the final weight vector (x_spam, x_stop, x_dtr,
