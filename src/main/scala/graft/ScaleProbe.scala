@@ -80,8 +80,14 @@ object ScaleProbe {
     // growth, not exceed it
     "q_dedup_quality_rep",
     // cluster-safe splitting: the clustering machinery plus one left
-    // join — must track q_dedup_clusters' growth, not exceed it
+    // join — must track the MEMBER-level CC twin below, not the capped
+    // representative-level q_dedup_clusters (the r12 knee lesson:
+    // these consume the full jaccard edge fan-out, clusters does not)
     "q_split_cluster_safe",
+    // the member-level CC reference point the r12 knee hunt was
+    // missing: CC over the full jaccard edge set, the twin
+    // q_split_cluster_safe and q_dedup_quality_rep must track
+    "q_dedup_clusters_sql",
     "q_doc_decontaminate", "q_split_leakage", "q_doc_tfidf",
     "q_doc_chunks", "q_events_retention",
     "q_chunk_dedup", "q_merge_upsert", "q_doc_collocations",
