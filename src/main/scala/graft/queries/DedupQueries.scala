@@ -354,16 +354,48 @@ object DedupQueries {
     * edge set into connected components was pure waste. The query map
     * entry adds the orderBy for the driver contract. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val g = ngramJaccardGraph(s, dir)
+    import s.implicits._
+    val members = g.members.select($"rep_id", $"doc_id")
+    // fan the representative verdicts back out to all member pairs
+    val cross = g.repPairs
+      .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
+        Seq("doc_a"))
+      .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
+        Seq("doc_b"))
+      .select(least($"mem_a", $"mem_b").as("doc_a"),
+        greatest($"mem_a", $"mem_b").as("doc_b"), $"jaccard")
+    val within = members.select($"rep_id", $"doc_id".as("doc_a"))
+      .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", lit(1.0).as("jaccard"))
+    cross.union(within)
+  }
+
+  /** The collapsed n-gram-jaccard near-dup graph, exposed at BOTH levels:
+    * `repPairs` is the representative-level scored edge set (one node per
+    * (lang, len_band, fingerprint) group, `rep_id` = the group's MIN
+    * doc_id), `members` the (rep_id, doc_id, gsize) membership map.
+    * [[ngramJaccardPairs]] fans repPairs out to the member-level pair
+    * list q_dedup_ngram_jaccard reports; the clustering consumers go
+    * through [[ngramJaccardComponents]] instead, which never
+    * materializes member-level edges at all. */
+  private case class JaccardGraph(repPairs: DataFrame, members: DataFrame)
+
+  private def ngramJaccardGraph(s: SparkSession, dir: String): JaccardGraph = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
       .select($"doc_id", $"lang", $"text",
         (length($"text") / 64).cast("int").as("len_band"),
         fingerprint($"text").as("fp"))
+    // gsize rides the same aggregation that picks the representative, so
+    // consumers needing group sizes (ngramJaccardComponents) pay no
+    // second pass over the fingerprint lineage
     val groups = docs.groupBy($"lang", $"len_band", $"fp")
-      .agg(min($"doc_id").as("rep_id"))
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("gsize"))
     val members = docs.select($"doc_id", $"lang", $"len_band", $"fp")
       .join(groups, Seq("lang", "len_band", "fp"))
-      .select($"rep_id", $"doc_id")
+      .select($"rep_id", $"doc_id", $"gsize")
     val reps = docs.join(groups.select($"rep_id".as("doc_id")), Seq("doc_id"))
     val shingled = withShingles(reps, 3)
       .select($"doc_id", $"lang", $"len_band", $"grams")
@@ -406,19 +438,41 @@ object DedupQueries {
         Clean.roundHalfUp($"common".cast("double")
           / ($"count_a" + $"count_b" - $"common"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.2)
-    // fan the representative verdicts back out to all member pairs
-    val cross = repPairs
-      .join(members.select($"rep_id".as("doc_a"), $"doc_id".as("mem_a")),
-        Seq("doc_a"))
-      .join(members.select($"rep_id".as("doc_b"), $"doc_id".as("mem_b")),
-        Seq("doc_b"))
-      .select(least($"mem_a", $"mem_b").as("doc_a"),
-        greatest($"mem_a", $"mem_b").as("doc_b"), $"jaccard")
-    val within = members.select($"rep_id", $"doc_id".as("doc_a"))
-      .join(members.select($"rep_id", $"doc_id".as("doc_b")), Seq("rep_id"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", lit(1.0).as("jaccard"))
-    cross.union(within)
+    JaccardGraph(repPairs, members)
+  }
+
+  /** Member-level connected components of the jaccard near-dup graph,
+    * computed on the REPRESENTATIVE-level graph — the designed 100 TB
+    * route the r10 knee hunt priced: on a dup-heavy corpus the member
+    * edge set fans out quadratically in the dup factor (~2.4M edges and
+    * 24–62s at 32× replicas) while the rep graph stays the size of the
+    * DISTINCT corpus (4–6s). Returns exactly the (id, component) rows
+    * member-level CC would:
+    *  - cross-group member edges exist iff their reps' edge exists (the
+    *    fan-out is a pure relabeling), and within-group members are
+    *    cliques at jaccard 1.0, so member components are precisely the
+    *    member sets of rep components — plus one clique-component per
+    *    size>1 group whose rep has no cross edge;
+    *  - the min-id label transfers because rep_id IS the group's min
+    *    doc_id: min member over a component = min over its groups of
+    *    rep_id = the rep-level component label.
+    * The DuckDB oracles of all three consumers replay the UNCOLLAPSED
+    * recursive transitive closure, so the hash-match doubles as the
+    * equivalence witness (the same device as the substring collapse). */
+  private def ngramJaccardComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = ngramJaccardGraph(s, dir)
+    val repComp = graft.operators.ConnectedComponents.components(
+      g.repPairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
+    // left join: a rep absent from the edge set (no cross-group near-dup)
+    // labels its members with itself — but only size>1 groups form a
+    // member-level component at all (their within-clique edges); a
+    // singleton with no edges is not a node of the member-level graph
+    g.members
+      .join(repComp.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+      .filter($"component".isNotNull || $"gsize" > 1)
+      .select($"doc_id".as("id"),
+        coalesce($"component", $"rep_id").as("component"))
   }
 
   /** The q_dedup_substring detector over an ARBITRARY (doc_id, text)
@@ -735,13 +789,16 @@ object DedupQueries {
     // lexicographically extended by capped token count; ties break
     // toward the smaller doc_id.
     //
-    // Shapes: components come from the existing bounded clustering
-    // machinery (capPerKey-bounded candidates, checkpointed label
-    // propagation — the q_dedup_clusters path); the survivor choice is
-    // a row_number window over per-COMPONENT member groups (bounded by
-    // component size), plus one quality-scan join. Hard oracle: the
-    // shared recursive transitive-closure CTE extended with the same
-    // quality window.
+    // Shapes: components come from [[ngramJaccardComponents]] —
+    // REPRESENTATIVE-level label propagation with members inheriting
+    // their group's component (identical labels, proof at the helper;
+    // the r10 member-level form paid the quadratic dup-factor edge
+    // fan-out, 24–27s warm at 32× dup-heavy vs 4–6s rep-level); the
+    // survivor choice is a row_number window over per-COMPONENT member
+    // groups (bounded by component size), plus one quality-scan join.
+    // Hard oracle: the shared recursive transitive-closure CTE (still
+    // the verbatim UNCOLLAPSED member-level closure) extended with the
+    // same quality window — the hash-match is the equivalence witness.
     "q_dedup_quality_rep" -> ((s, dir) => {
       import s.implicits._
       val toks = graft.queries.TextQueries.tokens(lower($"text"))
@@ -752,9 +809,7 @@ object DedupQueries {
               / greatest(size(toks), lit(1)) * 10000 + 0.5).cast("long")
             * 1000000L +
             least(size(toks).cast("long"), lit(999999L))).as("q"))
-      val pairs = ngramJaccardPairs(s, dir)
-        .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      val members = graft.operators.ConnectedComponents.components(pairs)
+      val members = ngramJaccardComponents(s, dir)
         .select($"id".as("doc_id"), $"component")
         .join(qual, Seq("doc_id"))
       val byComp = Window.partitionBy($"component")
@@ -1077,13 +1132,13 @@ object DedupQueries {
 
     // Clusters over the SQL-reproducible edge set (the q_dedup_ngram_jaccard
     // pairs — no seeded hashing anywhere), so the clustering pipeline also
-    // gets a hard DuckDB oracle: a recursive-CTE transitive closure
-    // computes the same min-id components.
+    // gets a hard DuckDB oracle: a recursive-CTE transitive closure over
+    // the UNCOLLAPSED member-level edges computes the same min-id
+    // components that [[ngramJaccardComponents]] propagates at the
+    // representative level — the hash-match proves the collapse exact.
     "q_dedup_clusters_sql" -> ((s, dir) => {
       import s.implicits._
-      val pairs = ngramJaccardPairs(s, dir)
-        .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      graft.operators.ConnectedComponents.components(pairs)
+      ngramJaccardComponents(s, dir)
         .select($"id".as("doc_id"), $"component".as("keep_doc_id"))
         .filter($"doc_id" =!= $"keep_doc_id")
         .orderBy("doc_id")
@@ -1100,15 +1155,14 @@ object DedupQueries {
     // with the rep-bucket assignment — a pair crossing splits would
     // hash-mismatch, so transitivity is externally verified end to end.
     //
-    // Shapes: the pair lineage + min-label propagation are the existing
-    // bounded clustering machinery (capPerKey-bounded candidates,
-    // checkpointed per-round state); the assignment adds one LEFT join
-    // of the component map against the doc universe and a projection.
+    // Shapes: the pair lineage + min-label propagation go through
+    // [[ngramJaccardComponents]] (representative-level CC, members
+    // inherit — labels identical, 6× cheaper on dup-heavy corpora);
+    // the assignment adds one LEFT join of the component map against
+    // the doc universe and a projection.
     "q_split_cluster_safe" -> ((s, dir) => {
       import s.implicits._
-      val pairs = ngramJaccardPairs(s, dir)
-        .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      val comp = graft.operators.ConnectedComponents.components(pairs)
+      val comp = ngramJaccardComponents(s, dir)
         .select($"id".as("doc_id"), $"component".as("comp_rep"))
       val b = TextQueries.sampleBucket($"rep")
       Tables.table(s, dir, "documents").select($"doc_id")
@@ -1352,9 +1406,12 @@ object DedupQueries {
       |  UNION
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
-  /** The exact all-pairs n-gram-jaccard edge set, shared by the
-    * q_dedup_ngram_jaccard oracle (plus its presentation sort) and the
-    * q_dedup_quality_rep oracle (as a nested-CTE edge source). */
+  /** The exact all-pairs n-gram-jaccard edge set, used by the
+    * q_dedup_ngram_jaccard oracle (plus its presentation sort). The
+    * clustering oracles (q_dedup_quality_rep, q_dedup_clusters_sql,
+    * q_split_cluster_safe) rebuild the same edges inside
+    * [[clusterReachCtes]] instead — a recursive CTE cannot reference a
+    * CTE defined outside its own WITH chain in DuckDB. */
   private val ngramJaccardOracleBody: String =
     """WITH docs AS (
       |  SELECT doc_id, lang,
