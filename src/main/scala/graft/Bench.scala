@@ -82,6 +82,18 @@ object Bench {
     // never serve as a contention baseline (a 0.05s throw paired with a
     // clean 2s timed run would read as a bogus 40x inflation)
     val warmFailed = warm.collect { case (n, _, Some(_)) => n }.toSet
+    // Cross-session per-query twins, read from the sidecar this run will
+    // overwrite (the committed clean record): the within-session shapes
+    // below are structurally blind to a query whose warm AND timed are
+    // co-inflated in an otherwise-quiet session — the r10 containment
+    // entry shipped 6.96s (warm 7.77) against a 1.97s clean twin with no
+    // ladder, no contended stamp, canary 0.96. Only a comparison against
+    // the PREVIOUS record sees that shape. Guarded by sf: a record of a
+    // different corpus is not a twin.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", SidecarPath)
+    val (prevSf, prevTimedAll) = prevTimedSec(sidecar)
+    val prevTimed: Map[String, Double] =
+      if (prevSf.contains(sfDir)) prevTimedAll else Map.empty
     // The r4 record logged one query at 11.08s that two independent
     // re-measurements put at 1.6-1.8s: a single contended timed pass went
     // straight into the official number. When the timed pass disagrees with
@@ -103,14 +115,17 @@ object Bench {
     val timed = ordered.map { case (name, fn) =>
       val (sec, err) = runOnce(fn)
       val w = warmSecs(name)
-      val suspicious = err.isEmpty && retryTrigger(w, sec)
+      val pt = prevTimed.get(name)
+      val suspicious = err.isEmpty &&
+        (retryTrigger(w, sec) || sidecarTrigger(pt, sec))
       if (!suspicious) (name, sec, err, None)
       else {
         var samples = Vector(sec)
         var broke = false // an escalation run that THROWS ends the ladder;
         // the valid measurements already taken still produce the report
         while (!broke && samples.size < MaxTimedSamples &&
-               retryTrigger(w, samples.last)) {
+               (retryTrigger(w, samples.last) ||
+                 sidecarTrigger(pt, samples.last))) {
           val (s2, e2) = runOnce(fn)
           if (e2.isDefined) broke = true else samples :+= s2
         }
@@ -128,6 +143,20 @@ object Bench {
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e") }
     val ok = timed.filter(_._3.isEmpty)
+    // per-query cross-session verdict on the REPORTED values: an entry
+    // still >2x its previous-record twin after the escalation ladder
+    // (which resolves codegen-band first executions to steady state;
+    // ambient co-inflation does not resolve) ships FLAGGED — the reader
+    // of the record alone sees "this number disagrees with the last
+    // committed clean record", no forensic round-trip required. A real
+    // regression also flags once, then becomes the new twin.
+    val inflated = ok.collect {
+      case (n, rep, _, _) if sidecarTrigger(prevTimed.get(n), rep) =>
+        (n, prevTimed(n), rep)
+    }
+    inflated.foreach { case (n, p, r) =>
+      System.err.println(f"[bench] query_inflated $n: reported=$r%.2f " +
+        f"vs prev sidecar $p%.2f (${r / p}%.1fx)") }
     // both passes stay diagnosable at FULL precision on stderr (their own
     // lines — two per-query dicts on the stdout line pushed it past the
     // 2000-char tail window, and the r5 record lost the total and half
@@ -183,11 +212,20 @@ object Bench {
     // uses each record's canary MINIMUM (the cleanest sample either
     // session saw); > CanaryInflatedRatio additionally raises an explicit
     // flag. Ratio < 1 just means this session is cleaner — never flagged.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", SidecarPath)
     val driftJson = canaryDriftJson(
       math.min(canaryStart, canaryEnd), prevCanaryMin(sidecar))
+    // stdout carries the flagged NAMES (bounded — inflation is rare and a
+    // mass flagging means a slow machine, which canary_vs_prev already
+    // stamps); the prev/reported numbers live in the sidecar dict
+    val inflatedJson =
+      if (inflated.isEmpty) ""
+      else {
+        val top = inflated.sortBy { case (_, p, r) => -(r / p) }.take(5)
+          .map(t => JsonUtil.quote(t._1.stripPrefix("q_"))).mkString(",")
+        s""""query_inflated":[$top],"""
+      }
     val canaryJson =
-      s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},$driftJson$contendedJson"""
+      s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},$driftJson$contendedJson$inflatedJson"""
     // Full-precision AUDIT record, written to a committed file: the stdout
     // line is the driver contract but its tail budget quantizes 89 queries
     // to deciseconds, and the stderr ms dicts fall outside the driver's
@@ -201,7 +239,7 @@ object Bench {
     // 2000-char tail window AFTER a line that fit the budget on its own.
     try {
       val json = sidecarJson(sfDir, warm, timed, errors, canaryStart, canaryEnd,
-        contended, driftJson)
+        contended, driftJson, inflated)
       val p = java.nio.file.Paths.get(sidecar)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
@@ -260,7 +298,8 @@ object Bench {
       timed: Seq[(String, Double, Option[String], Option[(Double, Seq[Double])])],
       errors: Map[String, String],
       canaryStart: Double = -1, canaryEnd: Double = -1,
-      contended: Boolean = false, driftJson: String = ""): String = {
+      contended: Boolean = false, driftJson: String = "",
+      inflated: Seq[(String, Double, Double)] = Nil): String = {
     def dict(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"    ${JsonUtil.quote(k)}: $v" }
         .mkString("{\n", ",\n", "\n  }")
@@ -274,12 +313,15 @@ object Bench {
     })
     val errD = dict(errors.toSeq.sortBy(_._1)
       .map { case (n, e) => n -> JsonUtil.quote(e) })
+    val inflD = dict(inflated.map { case (n, p, r) =>
+      n -> s"""{"prev": ${ms(p)}, "reported": ${ms(r)}}""" })
     s"""{
        |  "sf": ${JsonUtil.quote(sfDir)},
        |  "suite_size": ${timed.length},
        |  "total_sec": ${ms(total)},
        |  "canary_sec": {"start": ${ms(canaryStart)}, "end": ${ms(canaryEnd)}},
        |  $driftJson"contended": $contended,
+       |  "query_inflated": $inflD,
        |  "warm_sec": $warmD,
        |  "timed_sec": $timedD,
        |  "outlier_escalations": $retryD,
@@ -435,6 +477,47 @@ object Bench {
       re.findFirstMatchIn(txt).map(m =>
         math.min(m.group(1).toDouble, m.group(2).toDouble))
     }.toOption.flatten.filter(_ > 1e-3)
+
+  /** Per-query cross-session rung: does a measurement sit >2x its twin
+    * in the previous committed record, by more than 0.5s? (The three
+    * sub-0.5s >2x entries of the r10 record were noise-scale; the one
+    * material entry was 5s of phantom time.) Fires the same escalation
+    * ladder as [[retryTrigger]] — even when timed < warm, the shape the
+    * within-session rungs cannot see: the r10 containment entry was warm
+    * 7.77 / timed 6.96 against a 1.97s clean twin, so no escalation
+    * could trigger and the contended stamp (timed-vs-warm) stayed
+    * silent. Re-measuring resolves a codegen-band first execution to
+    * steady state; ambient co-inflation survives the ladder and the
+    * entry ships flagged in query_inflated instead of standing
+    * unexplained for a judge round-trip. Pure — BenchLineSpec pins the
+    * r10 shape and the noise-scale floor. */
+  private[graft] def sidecarTrigger(prev: Option[Double], timed: Double): Boolean =
+    prev.exists(p => timed > 2 * p && timed > p + 0.5)
+
+  /** The previous record's sf dir and per-query reported seconds, parsed
+    * from the sidecar this run is about to overwrite — the cross-session
+    * twins for [[sidecarTrigger]]. Same degradation contract as
+    * [[prevCanaryMin]]: an absent/malformed sidecar yields no twins
+    * rather than failing the bench. Reads only the "timed_sec" block
+    * ([[sidecarJson]] writes one "name": value pair per line). */
+  private[graft] def prevTimedSec(path: String): (Option[String], Map[String, Double]) =
+    scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      val block = txt.indexOf("\"timed_sec\"") match {
+        case -1 => ""
+        case i =>
+          val start = txt.indexOf('{', i)
+          val end = txt.indexOf('}', start)
+          if (start < 0 || end < 0) "" else txt.substring(start + 1, end)
+      }
+      val pairs = """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(block)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+        .toMap
+      (sf, pairs)
+    }.getOrElse((None, Map.empty))
 
   /** JSON fragment (trailing comma included, empty when no baseline
     * exists) stamping this session's machine speed against the previous

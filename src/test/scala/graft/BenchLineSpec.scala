@@ -260,4 +260,60 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.prevCanaryMin(write("e.json", """{"total_sec": 3}""")) === None)
     assert(Bench.prevCanaryMin(write("g.json", "not json at all")) === None)
   }
+
+  test("sidecarTrigger fires on the r10 containment shape and respects " +
+      "the noise-scale floor") {
+    // the exact r10 blind spot: warm 7.77 / timed 6.96 / clean twin 1.97
+    // — timed < warm, so no within-session rung could fire; the
+    // cross-session rung must
+    assert(!Bench.retryTrigger(warm = 7.77, timed = 6.96))
+    assert(Bench.sidecarTrigger(prev = Some(1.97), timed = 6.96))
+    // the three immaterial r10 >2x entries were sub-0.5s noise-scale
+    // (q_doc_mixture_temp 0.45 vs ~0.18): below the absolute floor
+    assert(!Bench.sidecarTrigger(prev = Some(0.18), timed = 0.45))
+    // 2x is a ratio gate, not a drift gate: a 1.5x change on a long
+    // query is a regression for the round-over-round diff, not a flag
+    assert(!Bench.sidecarTrigger(prev = Some(10.0), timed = 15.0))
+    // no previous record -> no twin -> never fires
+    assert(!Bench.sidecarTrigger(prev = None, timed = 100.0))
+  }
+
+  test("prevTimedSec round-trips the sidecar shape and degrades quietly") {
+    val dir = java.nio.file.Files.createTempDirectory("timed_prev")
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    }
+    val rendered = Bench.sidecarJson("/data/sf0.1",
+      Seq(("q_a", 0.2, None), ("q_b", 3.0, None)),
+      Seq(("q_a", 0.111, None, None), ("q_b", 2.05, None, None)),
+      Map.empty, 0.01, 0.01)
+    val (sf, timed) = Bench.prevTimedSec(write("real.json", rendered))
+    assert(sf === Some("/data/sf0.1"))
+    // reads the TIMED block, not warm_sec (0.2/3.0)
+    assert(timed === Map("q_a" -> 0.111, "q_b" -> 2.05))
+    // absent / corrupt files yield no twins rather than failing the bench
+    assert(Bench.prevTimedSec(dir.resolve("nope.json").toString)
+      === ((None, Map.empty)))
+    assert(Bench.prevTimedSec(write("g.json", "not json"))
+      === ((None, Map.empty)))
+  }
+
+  test("sidecarJson and the stdout fragment carry the query_inflated " +
+      "verdicts") {
+    val json = Bench.sidecarJson("sf", Seq(("q_x", 7.77, None)),
+      Seq(("q_x", 6.96, None, None)), Map.empty, 0.01, 0.01,
+      contended = false, driftJson = "",
+      inflated = Seq(("q_x", 1.97, 6.96)))
+    val node = parse(json)
+    val fl = node.get("query_inflated").get("q_x")
+    assert(fl.get("prev").asDouble == 1.97)
+    assert(fl.get("reported").asDouble == 6.96)
+    // an uninflated record renders an empty dict, still valid JSON
+    val clean = parse(Bench.sidecarJson("sf", Seq(("q_x", 1.0, None)),
+      Seq(("q_x", 1.0, None, None)), Map.empty))
+    assert(clean.get("query_inflated").size == 0)
+  }
 }

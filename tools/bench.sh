@@ -18,6 +18,12 @@
 # Usage: tools/bench.sh [queryName...]        (compile first: sbt compile)
 # Env:   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_OUT,
 #        SPARK_DRIVER_MEM — same contract as `runMain graft.Bench`.
+#        SPARK_GRAFT_BENCH_TAG=r13 additionally copies the sidecar to
+#        tools/bench_<tag>.json, so the round's clean reference record
+#        survives on disk when a later run (the driver's per-round bench
+#        invokes graft.Bench directly and always writes
+#        tools/bench_last.json) overwrites the pointer file. Without the
+#        tag, bench_last.json is restored from git after driver rounds.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -56,9 +62,21 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
 
-exec java $OPENS \
+set +e
+java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-8g}" \
   -cp "$STAGE:/opt/spark/jars/*" \
   graft.Bench "$@"
+rc=$?
+set -e
+
+# name the record: the round's clean sidecar must survive later runs on
+# disk, not just in git history (r10 verdict directive 7)
+out="${SPARK_GRAFT_BENCH_OUT:-tools/bench_last.json}"
+if [ -n "${SPARK_GRAFT_BENCH_TAG:-}" ] && [ -f "$out" ]; then
+  cp "$out" "tools/bench_${SPARK_GRAFT_BENCH_TAG}.json"
+  echo "bench.sh: sidecar also saved as tools/bench_${SPARK_GRAFT_BENCH_TAG}.json" >&2
+fi
+exit $rc
