@@ -61,6 +61,11 @@ object ScaleProbe {
     // (doc, word) pre-agg and scoring join grow linearly, the 12-replace
     // vocabulary chain is constant-size
     "q_doc_bpe_apply",
+    // BPE-space packing: the bpe-apply lineage (above contract) plus the
+    // shard-bounded running-sum pack — must track q_doc_bpe_apply's
+    // growth; the pack window sort is bounded by (lang, shard) stream
+    // size, never corpus size
+    "q_doc_pack_bpe",
     // per-source KL drift: the (source, t) pre-agg and scoring join ride
     // the t exchange like the LM family; constant vocabulary on replicas
     // means the exchanged row count is constant and only the pre-agg

@@ -245,6 +245,40 @@ object CurationQueries {
         .orderBy("lang", "shard", "window_id")
     }),
 
+    // Sequence packing in TRAINED-TOKENIZER token space — the
+    // composition real pretraining packs with: q_doc_pack budgets
+    // context windows in whitespace tokens (the cheap proxy), but a
+    // trainer's 2048-token window is counted by its tokenizer, so the
+    // manifest must be too. Composes the two existing hard-oracle
+    // pieces: TextQueries.bpePerDocTokens (per-doc BPE token counts
+    // under the corpus-trained merge table — vocabulary-sized merge
+    // work, one w-keyed corpus shuffle) feeds the same bounded
+    // (lang, shard) running-sum pack as q_doc_pack. The added cost over
+    // q_doc_pack is exactly the bpe-apply lineage; the pack stage is
+    // unchanged and stays shard-bounded at any corpus size. Oracle:
+    // the spliced BPE CTE chain (bpeApplyChainSql, the same device as
+    // the pipeline's qlrCtes splice) + the pack SQL over perdoc.
+    "q_doc_pack_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", ($"doc_id" % 8).cast("int").as("shard"))
+        // inner join: every doc passing the nonempty filter has >=1
+        // whitespace token, so perdoc covers it by construction
+        .join(TextQueries.bpePerDocTokens(s, dir), Seq("doc_id"))
+        .select($"doc_id", $"lang", $"shard",
+          $"bpe_tokens".as("tok_count"))
+      val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("start_tok",
+          coalesce(sum($"tok_count").over(stream), lit(0L)))
+        .groupBy($"lang", $"shard",
+          expr("start_tok div 2048").as("window_id"))
+        .agg(count(lit(1)).as("doc_count"), sum($"tok_count").as("token_sum"))
+        .orderBy("lang", "shard", "window_id")
+    }),
+
     // Mixture rebalance report: per-source token mass plus the
     // up/down-sampling weight that equalizes the mixture to a uniform
     // target share — the knob a domain-mixing pipeline (Pile/Dolma-style
@@ -796,6 +830,25 @@ object CurationQueries {
         |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |      AS tok_count
         |  FROM documents WHERE length(trim(text)) > 0),
+        |packed AS (
+        |  SELECT lang, shard, tok_count,
+        |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM docs)
+        |SELECT lang, shard, CAST(start_tok // 2048 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(sum(tok_count) AS BIGINT) AS token_sum
+        |FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_doc_pack_bpe" ->
+      s"""WITH ${TextQueries.bpeApplyChainSql},
+        |docs AS (
+        |  SELECT d.doc_id, d.lang, CAST(d.doc_id % 8 AS INT) AS shard,
+        |    CAST(p.bpe_tokens AS BIGINT) AS tok_count
+        |  FROM documents d JOIN perdoc p USING (doc_id)
+        |  WHERE length(trim(d.text)) > 0),
         |packed AS (
         |  SELECT lang, shard, tok_count,
         |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard

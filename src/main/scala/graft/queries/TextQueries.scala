@@ -123,6 +123,75 @@ object TextQueries {
        |$iters""".stripMargin
   }
 
+  /** Training chain + vocabulary application + per-doc accounting — the
+    * shared CTE prefix of the q_doc_bpe_apply and q_doc_pack_bpe oracles
+    * (the pack oracle splices it exactly like the curation pipeline
+    * splices qlrCtes). Ends with `perdoc(doc_id, ws_tokens, bpe_tokens)`
+    * over every doc with >=1 whitespace token. vocab_i CTEs LEFT JOIN ON
+    * TRUE so an exhausted merge budget degrades to identity instead of
+    * annihilating the chain; paren-bearing words fall through the left
+    * join to the one-token-per-character fallback, exactly as in the
+    * query. */
+  private[queries] lazy val bpeApplyChainSql: String = {
+    val vocabIters = (1 to BpeMergeCount).map { i =>
+      s"""vocab$i AS MATERIALIZED (
+         |  SELECT w, CASE WHEN l IS NULL THEN seg
+         |    ELSE replace(seg, '('||l||')('||r||')', '('||l||r||')')
+         |    END AS seg
+         |  FROM vocab${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""$bpeTrainChainSql,
+       |vocab0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+       |  FROM (SELECT DISTINCT w FROM tok
+       |        WHERE NOT regexp_matches(w, '[()]')) v),
+       |$vocabIters,
+       |applied AS MATERIALIZED (
+       |  SELECT w,
+       |    CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1))
+       |      AS BIGINT) AS ntok
+       |  FROM vocab$BpeMergeCount),
+       |perdoc AS MATERIALIZED (
+       |  SELECT k.doc_id, sum(k.c) AS ws_tokens,
+       |    sum(k.c * coalesce(a.ntok, length(k.w))) AS bpe_tokens
+       |  FROM tok k LEFT JOIN applied a USING (w)
+       |  GROUP BY k.doc_id)""".stripMargin
+  }
+
+  /** Per-document BPE token accounting under the corpus-trained merge
+    * table — the (doc_id, ws_tokens, bpe_tokens) frame shared by
+    * q_doc_bpe_apply (reporting + compression) and q_doc_pack_bpe
+    * (packing in trained-tokenizer token space). Covers every doc with
+    * >=1 whitespace token; consumers left-join for empty-doc rows.
+    * Scale shape documented at the q_doc_bpe_apply entry (merge work is
+    * vocabulary-sized; the corpus pays one w-keyed shuffle). */
+  private[queries] def bpePerDocTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.table(s, dir, "documents")
+      .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+      .repartition($"w")
+    val tok = raw.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val trainWords = tok
+      .filter(length($"w") >= 2 && !$"w".rlike("[()]"))
+      .groupBy($"w").agg(sum($"c").as("cnt"))
+      .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt")
+    val merges = bpeMerges(trainWords)
+    val segCol = merges.foldLeft(regexp_replace($"w", "(.)", "($1)")) {
+      case (c, (_, l, r, _)) =>
+        call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    val applied = tok.select($"w").distinct()
+      .filter(!$"w".rlike("[()]"))
+      .select($"w",
+        size(regexp_extract_all(segCol, lit("\\(([^()]*)\\)"), lit(1)))
+          .cast("long").as("ntok"))
+    tok.join(applied, Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("ws_tokens"),
+        sum($"c" * coalesce($"ntok", length($"w").cast("long")))
+          .as("bpe_tokens"))
+  }
+
   /** The BPE training loop shared by q_doc_bpe_train and
     * q_doc_bpe_apply: iterated most-frequent-adjacent-pair argmax over a
     * (seg, cnt) paren-encoded word-frequency table. Each iteration is
@@ -627,31 +696,9 @@ object TextQueries {
     // fallback in both engines.
     "q_doc_bpe_apply" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-      val raw = docs
-        .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
-        .repartition($"w")
-      val tok = raw.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-      val trainWords = tok
-        .filter(length($"w") >= 2 && !$"w".rlike("[()]"))
-        .groupBy($"w").agg(sum($"c").as("cnt"))
-        .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt")
-      val merges = bpeMerges(trainWords)
-      val segCol = merges.foldLeft(regexp_replace($"w", "(.)", "($1)")) {
-        case (c, (_, l, r, _)) =>
-          call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
-      }
-      val applied = tok.select($"w").distinct()
-        .filter(!$"w".rlike("[()]"))
-        .select($"w",
-          size(regexp_extract_all(segCol, lit("\\(([^()]*)\\)"), lit(1)))
-            .cast("long").as("ntok"))
-      val perdoc = tok.join(applied, Seq("w"), "left")
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("ws_tokens"),
-          sum($"c" * coalesce($"ntok", length($"w").cast("long")))
-            .as("bpe_tokens"))
-      docs.select($"doc_id").join(perdoc, Seq("doc_id"), "left")
+      val perdoc = bpePerDocTokens(s, dir)
+      Tables.table(s, dir, "documents")
+        .select($"doc_id").join(perdoc, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"ws_tokens", lit(0L)).as("ws_tokens"),
           coalesce($"bpe_tokens", lit(0L)).as("bpe_tokens"),
@@ -1404,30 +1451,8 @@ object TextQueries {
       // annihilating the chain) and joined back to the (doc, word)
       // counts. Paren-bearing words fall through the left join to the
       // one-token-per-character fallback, exactly as in the query.
-      "q_doc_bpe_apply" -> {
-        val vocabIters = (1 to BpeMergeCount).map { i =>
-          s"""vocab$i AS MATERIALIZED (
-             |  SELECT w, CASE WHEN l IS NULL THEN seg
-             |    ELSE replace(seg, '('||l||')('||r||')', '('||l||r||')')
-             |    END AS seg
-             |  FROM vocab${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $bpeTrainChainSql,
-           |vocab0 AS MATERIALIZED (
-           |  SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
-           |  FROM (SELECT DISTINCT w FROM tok
-           |        WHERE NOT regexp_matches(w, '[()]')) v),
-           |$vocabIters,
-           |applied AS MATERIALIZED (
-           |  SELECT w,
-           |    CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1))
-           |      AS BIGINT) AS ntok
-           |  FROM vocab$BpeMergeCount),
-           |perdoc AS (
-           |  SELECT k.doc_id, sum(k.c) AS ws_tokens,
-           |    sum(k.c * coalesce(a.ntok, length(k.w))) AS bpe_tokens
-           |  FROM tok k LEFT JOIN applied a USING (w)
-           |  GROUP BY k.doc_id)
+      "q_doc_bpe_apply" ->
+        s"""WITH $bpeApplyChainSql
            |SELECT d.doc_id,
            |  CAST(coalesce(p.ws_tokens, 0) AS BIGINT) AS ws_tokens,
            |  CAST(coalesce(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
@@ -1435,8 +1460,7 @@ object TextQueries {
            |    THEN floor(p.bpe_tokens / p.ws_tokens * 10000 + 0.5) / 10000
            |  END AS compression
            |FROM documents d LEFT JOIN perdoc p USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin
-      },
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q_doc_langid" -> {
         val hitExprs = StopwordLists.map { case (l, words) =>
