@@ -297,44 +297,28 @@ object SimilarityQueries {
     // min-agg, bucket join) are pinned by q_dedup_minhash_sql instead.
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
-      VectorFunctions.register(s)
-      val nprobe = 4
       // degenerate embeddings (null / partial-null / zero) are excluded
       // like the semantic-dedup family: a null element inside a seed
       // vector breaks the k-means centroid collection outright
       // (non-nullable Seq[Double] decode), and a zero vector has no
       // direction to quantize — NullVecSpec pins the no-crash contract
-      val vecs = semDedupGuard(Tables.table(s, dir, "embeddings")
-        .select($"vec_id", dvec($"embedding").as("v")))
-      val centroids = ivfCentroids(vecs, k = 16, iters = 2)
-      // empty corpus -> empty result in the query's shape (a zero-element
-      // centroid literal would not even analyze: array_position over an
-      // empty array() is a NULL_TYPE mismatch)
-      if (centroids.isEmpty) {
-        vecs.limit(0).select($"vec_id".as("query_id"),
-          lit(1).as("rank"), $"vec_id".as("neighbor_id"),
-          lit(0.0).as("cosine"))
-      } else {
-        val assigned = assignCells(vecs, centroids)
-        val probes = vecs.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"v".as("qv"))
-        // nprobe nearest cells per probe: the centroid scores are already a
-        // literal array expression — slice its top-nprobe indices
-        val probedCells = probes
-          .withColumn("cell", explode(nearestCells(centroids, $"qv", nprobe)))
-          .select($"query_id", $"qv", $"cell")
-        val w = Window.partitionBy($"query_id")
-          .orderBy($"cosine".desc, $"neighbor_id")
-        assigned.join(broadcast(probedCells), Seq("cell"))
-          .filter($"vec_id" =!= $"query_id")
-          .select($"query_id", $"vec_id".as("neighbor_id"),
-            Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 5)
-          .select($"query_id", $"rank", $"neighbor_id", $"cosine")
-          .orderBy("query_id", "rank")
-      }
+      val vecs = semDedupInput(s, dir)
+      ivfPipeline(vecs, ivfCentroids(vecs, k = 16, iters = 2), nprobe = 4)
     }),
+
+    // The IVF pipeline under the md5-corner quantizer — the
+    // semdedup-family device applied to ANN so the probe/assign/rank
+    // pipeline SHAPE gets a hard DuckDB oracle (the k-means quantizer
+    // itself stays rows-only for the documented q_ann_ivf reason: an
+    // iterative vector fixed point is not faithfully SQL-replayable).
+    // [[ivfPipeline]] is LITERALLY shared with q_ann_ivf — same cell
+    // assignment argmax, same nprobe cell ranking, same candidate join
+    // and top-5 window — exactly as semDedupPipeline is shared between
+    // the corner-centroid and trained semdedup queries, so the
+    // hash-match here anchors every downstream stage of the trained
+    // query too.
+    "q_ann_ivf_sql" -> ((s, dir) =>
+      ivfPipeline(semDedupInput(s, dir), semCentroids(16, 64), nprobe = 4)),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     // quantize embeddings into K cells, then mark as duplicate any vector
@@ -427,6 +411,45 @@ object SimilarityQueries {
         0.3, split)
     })
   )
+
+  /** Everything of IVF ANN after quantizer choice: cell assignment of
+    * the corpus under the given centroids, nprobe nearest cells per
+    * probe vector (vec_id < 10), the cell-keyed candidate join, and the
+    * top-5 (cosine desc, neighbor asc) window — shared verbatim by
+    * q_ann_ivf (trained [[ivfCentroids]]) and q_ann_ivf_sql (md5-corner
+    * [[semCentroids]], the oracle-replayable quantizer), the same
+    * parameterization device as [[semDedupPipeline]]. Empty `cents`
+    * (an empty corpus trained nothing) short-circuits to an empty
+    * result in the query's shape — a zero-element centroid literal
+    * would not even analyze (array_position over an empty array() is a
+    * NULL_TYPE mismatch). */
+  private[graft] def ivfPipeline(vecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    VectorFunctions.register(vecs.sparkSession)
+    if (cents.isEmpty)
+      return vecs.limit(0).select($"vec_id".as("query_id"),
+        lit(1).as("rank"), $"vec_id".as("neighbor_id"),
+        lit(0.0).as("cosine"))
+    val assigned = assignCells(vecs, cents)
+    val probes = vecs.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    // nprobe nearest cells per probe: the centroid scores are already a
+    // literal array expression — slice its top-nprobe indices
+    val probedCells = probes
+      .withColumn("cell", explode(nearestCells(cents, $"qv", nprobe)))
+      .select($"query_id", $"qv", $"cell")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    assigned.join(broadcast(probedCells), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        Clean.roundHalfUp(VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .orderBy("query_id", "rank")
+  }
 
   /** Everything of SemDeDup AFTER quantizer choice: cell assignment via
     * the given centroids, capPerKey cell bounding, within-cell pairing
@@ -704,15 +727,14 @@ object SimilarityQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB replay of q_semdedup: the md5("c|p") parity table gives the
-    * identical ±1 centroids; cell = argmax cosine (signed sum / (|v|·8),
-    * ties to the smallest cell — the same first-match tiebreak as
-    * [[assignCells]]'s array_position); then the same within-cell
-    * pairing, 4-dp-rounded threshold, and blame window as the Spark
-    * plan. Computes the UNCAPPED pairing — see the capPerKey contract
-    * note at the query. */
-  private def semDedupOracle: String =
-    """WITH vecs AS (
+  /** The shared md5("c|p") corner-quantizer CTE prefix — guarded vecs
+    * (the [[semDedupGuard]] WHERE clause), the 16×64 parity table, the
+    * per-cell cosine scores (signed sum / (|v|·8)), and the argmax cell
+    * with the smallest-cell tiebreak (the same first-match tiebreak as
+    * [[assignCells]]'s array_position). One definition, spliced into
+    * the semdedup (batch + incremental) and IVF-twin oracles. */
+  private val cornerQuantizerCtes: String =
+    """vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                 x -> x * x))) AS n
@@ -741,7 +763,45 @@ object SimilarityQueries {
       |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY s DESC, c) AS rn
-      |    FROM scores) t WHERE rn = 1),
+      |    FROM scores) t WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of q_ann_ivf_sql: the corner quantizer, then each
+    * probe vector's nprobe=4 nearest cells under the same
+    * (score desc, cell asc) order as [[nearestCells]], the cell-keyed
+    * candidate join, and the same 4-dp top-5 window as the Spark plan.
+    * A candidate belongs to exactly one cell, so no DISTINCT is needed
+    * (unlike the LSH twin's multi-probe buckets). */
+  private def annIvfSqlOracle: String =
+    s"""WITH $cornerQuantizerCtes,
+      |probecells AS (
+      |  SELECT vec_id AS query_id, CAST(c AS INT) AS cell FROM (
+      |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY s DESC, c) AS rn
+      |    FROM scores WHERE vec_id < 10) t WHERE rn <= 4),
+      |cands AS (
+      |  SELECT pc.query_id, cc.vec_id AS neighbor_id,
+      |    floor(list_sum(list_transform(range(1, 65),
+      |            i -> va.v[i] * vb.v[i])) / (va.n * vb.n)
+      |          * 10000 + 0.5) / 10000 AS cosine
+      |  FROM probecells pc
+      |  JOIN cells cc ON cc.cell = pc.cell
+      |  JOIN vecs va ON va.vec_id = pc.query_id
+      |  JOIN vecs vb ON vb.vec_id = cc.vec_id
+      |  WHERE cc.vec_id <> pc.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM cands)
+      |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of q_semdedup: the corner quantizer, then the same
+    * within-cell pairing, 4-dp-rounded threshold, and blame window as
+    * the Spark plan. Computes the UNCAPPED pairing — see the capPerKey
+    * contract note at the query. */
+  private def semDedupOracle: String =
+    s"""WITH $cornerQuantizerCtes,
       |sims AS (
       |  SELECT cb.vec_id AS b_id, ca.vec_id AS a_id,
       |    floor(list_sum(list_transform(range(1, 65),
@@ -767,36 +827,7 @@ object SimilarityQueries {
     * [[semDedupOracle]], then a NOT EXISTS against the (uncapped)
     * history half — see the capPerKey contract note at the query. */
   private def semDedupIncrementalOracle: String =
-    """WITH vecs AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-      |                                 x -> x * x))) AS n
-      |  FROM embeddings
-      |  WHERE embedding IS NOT NULL
-      |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
-      |                        x -> x IS NULL)) = 0
-      |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-      |                                x -> x * x)) > 0),
-      |par AS (
-      |  SELECT j.j AS c, p.p AS p,
-      |    (CAST(list_sum(list_transform(range(1, 16), h ->
-      |       CAST(strpos('0123456789abcdef',
-      |              substring(md5(concat(CAST(j.j AS VARCHAR), '|',
-      |                                   CAST(p.p AS VARCHAR))),
-      |                        CAST(h AS INT), 1)) - 1 AS BIGINT)
-      |       << CAST(4 * (15 - h) AS INT))) AS BIGINT) & 1) AS b
-      |  FROM range(0, 16) j(j), range(0, 64) p(p)),
-      |scores AS (
-      |  SELECT vv.vec_id, par.c,
-      |    sum(CASE WHEN par.b = 1 THEN vv.v[CAST(par.p + 1 AS INT)]
-      |             ELSE -vv.v[CAST(par.p + 1 AS INT)] END)
-      |      / (vv.n * 8) AS s
-      |  FROM vecs vv, par GROUP BY vv.vec_id, par.c, vv.n),
-      |cells AS (
-      |  SELECT vec_id, CAST(c AS INT) AS cell FROM (
-      |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY s DESC, c) AS rn
-      |    FROM scores) t WHERE rn = 1)
+    s"""WITH $cornerQuantizerCtes
       |SELECT b.vec_id, b.cell
       |FROM cells b
       |WHERE b.vec_id >= 250 AND NOT EXISTS (
@@ -811,6 +842,7 @@ object SimilarityQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh_sql" -> annLshSqlOracle,
+    "q_ann_ivf_sql" -> annIvfSqlOracle,
     "q_semdedup" -> semDedupOracle,
     "q_semdedup_incremental" -> semDedupIncrementalOracle,
     "q_knn_brute" ->
