@@ -418,17 +418,7 @@ object CurationQueries {
     // and the SCALING r11 multi-consumer lesson.
     "q_curation_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val keeper = Window.partitionBy($"fp").orderBy($"doc_id")
-      val survivors = Tables.table(s, dir, "documents")
-        .filter(length(trim($"text")) > 0)
-        .withColumn("fp",
-          Clean.fingerprint($"text"))
-        .withColumn("rk", row_number().over(keeper))
-        .filter($"rk" === 1)
-        .select($"doc_id", $"lang", $"source", $"text")
-      val flagged = DedupQueries
-        .substringFlags(survivors.select($"doc_id", $"text"))
-        .select($"doc_id", lit(true).as("sub_flag"))
+      val survivors = curationSurvivors(s, dir)
       val lmTok = TextQueries.tokenCounts(
         survivors.select($"doc_id", $"text"))
         .repartition($"t")
@@ -437,12 +427,6 @@ object CurationQueries {
         .agg(sum($"cw").as("n"), count(lit(1)).as("v"))
         .select((floor(log(lit(1.5) / ($"n" + lit(0.5) * $"v")) * 1e6 + 0.5)
           .cast("long") / lit(1e6) + lit(LmFloorMargin)).as("thr"))
-      val lowLm = lmTok.join(lm, Seq("t")).groupBy($"doc_id")
-        .agg((sum($"c" * $"lp6") / lit(1e6) / sum($"c")).as("mlp"))
-        // 1-row broadcast scalar attach — the lmFromTokenCounts note
-        .crossJoin(broadcast(thr))
-        .filter($"mlp" < $"thr")
-        .select($"doc_id", lit(true).as("low_lm"))
       // learned-classifier stage: the LR quality filter trained on the
       // SAME exact-dedup survivor set as the LM floor (the r11
       // multi-consumer rule: training consumes the persisted feature
@@ -457,32 +441,7 @@ object CurationQueries {
         val h = TextQueries.qlrTrain(qfeat)
         Seq(h.last._2, h.last._3, h.last._4, h.last._5)
       } finally qfeat.unpersist()
-      val lrFlag = TextQueries.qlrFeatures(
-          survivors.select($"doc_id", $"text"))
-        .filter(TextQueries.qlrScore6(qw) >= 500000L)
-        .select($"doc_id", lit(true).as("lr_flag"))
-      val keep = $"sub_flag".isNull && $"low_lm".isNull &&
-        $"lr_flag".isNull &&
-        $"tok_count" >= 10 &&
-        TextQueries.sampleBucket($"doc_id") <
-          when($"lang" === "en", 50).otherwise(20)
-      survivors
-        .join(flagged, Seq("doc_id"), "left")
-        .join(lowLm, Seq("doc_id"), "left")
-        .join(lrFlag, Seq("doc_id"), "left")
-        .withColumn("tok_count",
-          size(TextQueries.tokens($"text")).cast("long"))
-        .groupBy($"lang", $"source")
-        .agg(sum(when(keep, 1L).otherwise(0L)).as("kept_docs"),
-          coalesce(sum(when(keep, $"tok_count")), lit(0L))
-            .as("kept_tokens"),
-          sum(when($"sub_flag".isNotNull, 1L).otherwise(0L))
-            .as("dropped_substring"),
-          sum(when($"sub_flag".isNull && $"low_lm".isNotNull, 1L)
-            .otherwise(0L)).as("dropped_low_lm"),
-          sum(when($"sub_flag".isNull && $"low_lm".isNull &&
-            $"lr_flag".isNotNull, 1L).otherwise(0L)).as("dropped_lr"))
-        .orderBy("lang", "source")
+      curationPipelineWith(survivors, lmTok, lm, thr, qw)
     }),
 
     // Per-cell ingestion quota — the enforcement counterpart of the
@@ -701,6 +660,84 @@ object CurationQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** The pipeline's exact-dedup survivor lineage (nonempty filter +
+    * fingerprint keep-first window) — the cheap multi-consumer frame the
+    * q_curation_pipeline comment sanctions. */
+  private[graft] def curationSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keeper = Window.partitionBy($"fp").orderBy($"doc_id")
+    Tables.table(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .withColumn("fp", Clean.fingerprint($"text"))
+      .withColumn("rk", row_number().over(keeper))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"lang", $"source", $"text")
+  }
+
+  /** The curation pipeline downstream under GIVEN quality models — the
+    * production face the self-training query's scaladoc promises: at
+    * 100 TB the LM table and classifier weights are trained once on a
+    * sample, materialized as tiny staged artifacts (a (t, lp6) table,
+    * a 1-row threshold, four longs), and every nightly/stream run reads
+    * them back instead of re-scanning the corpus per run.
+    *
+    * @param survivors the exact-dedup survivor frame to curate
+    *                  ([[curationSurvivors]] or any (doc_id, lang,
+    *                  source, text) frame)
+    * @param lmTok the survivors' (doc_id, t, c) token counts, t-keyed —
+    *              the SCORING-side token frame (the self-training face
+    *              passes the same frame its LM trained on, preserving
+    *              the shared t-exchange)
+    * @param lm    staged unigram LM: (t, lp6) in 1e-6-tick log-probs
+    * @param thr   staged 1-row LM-floor threshold frame (column `thr`)
+    * @param qw    staged LR weights (x_spam, x_stop, x_dtr, x_bias)
+    *
+    * q_curation_pipeline trains all three on its own survivors and
+    * routes through THIS function, so staged and self-training
+    * compositions share every downstream stage literally —
+    * CurationStagedSpec pins row-identity when the staged artifacts
+    * equal the self-trained ones. */
+  private[graft] def curationPipelineWith(survivors: DataFrame,
+      lmTok: DataFrame, lm: DataFrame, thr: DataFrame,
+      qw: Seq[Long]): DataFrame = {
+    import survivors.sparkSession.implicits._
+    val flagged = DedupQueries
+      .substringFlags(survivors.select($"doc_id", $"text"))
+      .select($"doc_id", lit(true).as("sub_flag"))
+    val lowLm = lmTok.join(lm, Seq("t")).groupBy($"doc_id")
+      .agg((sum($"c" * $"lp6") / lit(1e6) / sum($"c")).as("mlp"))
+      // 1-row broadcast scalar attach — the lmFromTokenCounts note
+      .crossJoin(broadcast(thr))
+      .filter($"mlp" < $"thr")
+      .select($"doc_id", lit(true).as("low_lm"))
+    val lrFlag = TextQueries.qlrFeatures(
+        survivors.select($"doc_id", $"text"))
+      .filter(TextQueries.qlrScore6(qw) >= 500000L)
+      .select($"doc_id", lit(true).as("lr_flag"))
+    val keep = $"sub_flag".isNull && $"low_lm".isNull &&
+      $"lr_flag".isNull &&
+      $"tok_count" >= 10 &&
+      TextQueries.sampleBucket($"doc_id") <
+        when($"lang" === "en", 50).otherwise(20)
+    survivors
+      .join(flagged, Seq("doc_id"), "left")
+      .join(lowLm, Seq("doc_id"), "left")
+      .join(lrFlag, Seq("doc_id"), "left")
+      .withColumn("tok_count",
+        size(TextQueries.tokens($"text")).cast("long"))
+      .groupBy($"lang", $"source")
+      .agg(sum(when(keep, 1L).otherwise(0L)).as("kept_docs"),
+        coalesce(sum(when(keep, $"tok_count")), lit(0L))
+          .as("kept_tokens"),
+        sum(when($"sub_flag".isNotNull, 1L).otherwise(0L))
+          .as("dropped_substring"),
+        sum(when($"sub_flag".isNull && $"low_lm".isNotNull, 1L)
+          .otherwise(0L)).as("dropped_low_lm"),
+        sum(when($"sub_flag".isNull && $"low_lm".isNull &&
+          $"lr_flag".isNotNull, 1L).otherwise(0L)).as("dropped_lr"))
+      .orderBy("lang", "source")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_shard_assign" ->
