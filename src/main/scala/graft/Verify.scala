@@ -29,6 +29,13 @@ object Verify {
     // would surface as an unexplained hash mismatch — an explicit
     // "cap engaged" error names the actual cause (capPerKey scaladoc)
     spark.conf.set("spark.graft.dedup.failOnCapExceeded", "true")
+    // a leaked champion-list override (the test-only conf KnnTfidfSpec
+    // sets to engage truncation on a tiny corpus) would make the
+    // q_knn_tfidf hash compare silently test DIFFERENT semantics than
+    // the interpolated-default oracle — fail loudly instead
+    require(spark.conf.getOption("spark.graft.knn.champR").isEmpty,
+      "spark.graft.knn.champR is set: Verify must run with the default " +
+        "champion-list depth the oracle SQL interpolates")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (builder tooling only; the driver never sets
     // it): SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries
@@ -41,6 +48,19 @@ object Verify {
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    // a filtered dump must never pass for a full-suite dump: queries
+    // outside the filter keep their STALE parquet from earlier runs
+    // under the same outDir, and a later full-suite oracle compare
+    // would false-green on them after the code or corpus changed. The
+    // marker names the filter; tools/check_oracle.py refuses marked
+    // dirs. A full run deletes it, re-blessing the directory.
+    val marker = Paths.get(s"$outDir/_PARTIAL")
+    only match {
+      case Some(names) =>
+        Files.writeString(marker, names.toSeq.sorted.mkString("\n")); ()
+      case None =>
+        Files.deleteIfExists(marker); ()
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -356,8 +356,17 @@ object TextQueries {
       val correct = if (row.isNullAt(1)) 0L else row.getLong(1)
       val g = (2 to 5).map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
       if (n > 0)
+        // gi.toDouble * QlrLr, NOT (QlrLr * gi).toDouble: the long
+        // product overflows at |gi| > ~2.3e18 (~2.3e8 docs at the
+        // |e·x| ≤ 1e10 per-doc bound) — 4x sooner than the gradient
+        // sum itself — while DuckDB's replay computes QlrLr * sum as
+        // HUGEINT and only rounds at the division. Scaling by the
+        // power-of-two QlrLr commutes with double rounding
+        // (round(4·g) = 4·round(g) exactly), so double-first is
+        // bit-identical to the HUGEINT path at ANY magnitude and
+        // divergence at scale cannot be silent.
         w = w.zip(g).map { case (wi, gi) =>
-          wi - math.floor((QlrLr * gi).toDouble / (n * 10000.0)).toLong }
+          wi - math.floor(gi.toDouble * QlrLr / (n * 10000.0)).toLong }
       (it, w(0), w(1), w(2), w(3), correct)
     }
   }

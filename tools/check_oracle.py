@@ -9,11 +9,18 @@ tables, and compares row count, column names/dtypes, and values (columns
 sorted by name, rows sorted by all columns) — strictest plausible reading of
 "row/schema/hash match".
 """
-import sys, json, glob
+import sys, json, glob, os
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# a SPARK_GRAFT_ONLY-filtered Verify run marks its outDir: queries
+# outside the filter keep stale parquet from earlier runs, so a
+# full-suite compare here would false-green on them (r10 ADVICE)
+if os.path.exists(f"{out_dir}/_PARTIAL"):
+    sys.exit(f"REFUSE: {out_dir} is a partial dump (SPARK_GRAFT_ONLY="
+             + open(f"{out_dir}/_PARTIAL").read().strip().replace("\n", ",")
+             + "); compare those queries directly or re-run Verify unfiltered")
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 con = duckdb.connect()
