@@ -18,6 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    deterministic shuffle/shard assignment)
   *  - [[graft.queries.MediaQueries]]      — multimodal binary-column
   *    metadata + codec-seam histograms
+  *  - [[graft.queries.SqlQueries]]        — the SQL front door: operator
+  *    twins expressed through `spark.sql` over the registered views,
+  *    sharing their DataFrame twins' oracles verbatim
   */
 object SparkEntry {
 
@@ -34,7 +37,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.MediaQueries.queries
+      graft.queries.MediaQueries.queries ++
+      graft.queries.SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (minhash/simhash/LSH — seeded
@@ -47,5 +51,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
-      graft.queries.MediaQueries.oracleSql
+      graft.queries.MediaQueries.oracleSql ++
+      graft.queries.SqlQueries.oracleSql
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.VectorFunctions
+import graft.sources.Views
+
+/** The SQL front door — the last surface an "engine" owes its users:
+  * every testdata table registered as a temp view ([[Views]]), every
+  * graft function session-registered (GraftExtensions / the explicit
+  * registrars), and the operator library reachable through plain
+  * `spark.sql`. Catalyst sees the same logical operators either way
+  * (the Views scaladoc), so these entries carry their DataFrame twins'
+  * DuckDB oracles VERBATIM — the correctness gate itself proves the
+  * two surfaces agree, and SqlFrontDoorSpec additionally pins collected
+  * row-identity twin-vs-twin in one session.
+  *
+  * Five twins chosen to span the surface: a null-keeping filter
+  * (reference parity), a broadcast-join top-k, exact dedup over the
+  * md5 fingerprint, an event-time rollup, and brute-force ANN through
+  * the registered `cosine_sim` function — the one entry the SQL
+  * surface could not express without the custom-expression registry. */
+object SqlQueries {
+
+  private def sqlOver(q: String)(s: SparkSession, dir: String): DataFrame = {
+    Views.registerTestdata(s, dir)
+    VectorFunctions.register(s)
+    s.sql(q)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q_filter_status through SQL: the null-keeping `<>` contract is
+    // explicit in the predicate, exactly as Clean.neqKeepNull encodes it
+    "q_sql_filter_status" -> (sqlOver(
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin) _),
+
+    // q_topk through SQL: the broadcast hint keeps the DataFrame twin's
+    // plan (dimension broadcast, no shuffle join)
+    "q_sql_topk" -> (sqlOver(
+      """SELECT /*+ BROADCAST(nation) */ n_name, avg_acctbal FROM (
+        |  SELECT c_nationkey,
+        |    floor(avg(c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
+        |  FROM customer GROUP BY c_nationkey) s
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY avg_acctbal DESC NULLS LAST, n_name LIMIT 5""".stripMargin) _),
+
+    // q_dedup_exact through SQL: the Clean.fingerprint normalization
+    // spelled out — the same md5 the oracle replays
+    "q_sql_dedup_exact" -> (sqlOver(
+      """SELECT fingerprint, min(doc_id) AS keep_doc_id,
+        |  count(*) AS copy_count
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\\s+', ' '))
+        |          AS fingerprint
+        |      FROM documents)
+        |GROUP BY fingerprint ORDER BY keep_doc_id""".stripMargin) _),
+
+    // q_events_hourly through SQL (the events view carries Tables'
+    // NANOS-timestamp normalization, so SQL users get the same
+    // footer-probed reader as the DataFrame surface)
+    "q_sql_events_hourly" -> (sqlOver(
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |  count(*) AS event_count,
+        |  count(DISTINCT user_id) AS user_count,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) _),
+
+    // q_knn_brute through SQL via the registered codegen'd cosine_sim —
+    // custom Catalyst expressions are first-class SQL functions here
+    "q_sql_knn_brute" -> (sqlOver(
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(p) */ p.vec_id AS query_id,
+        |    c.vec_id AS neighbor_id,
+        |    floor(cosine_sim(p.v, c.v) * 10000 + 0.5) / 10000 AS cosine
+        |  FROM vecs c JOIN vecs p
+        |    ON c.vec_id <> p.vec_id AND p.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) _))
+
+  /** The DataFrame twins' oracles, verbatim: one oracle, two surfaces —
+    * a hash mismatch on either would localize the divergence to the
+    * surface, not the semantics. */
+  def oracleSql: Map[String, String] = Map(
+    "q_sql_filter_status" -> ParityQueries.oracleSql("q_filter_status"),
+    "q_sql_topk" -> ParityQueries.oracleSql("q_topk"),
+    "q_sql_dedup_exact" -> DedupQueries.oracleSql("q_dedup_exact"),
+    "q_sql_events_hourly" -> EventQueries.oracleSql("q_events_hourly"),
+    "q_sql_knn_brute" -> SimilarityQueries.oracleSql("q_knn_brute"))
+}

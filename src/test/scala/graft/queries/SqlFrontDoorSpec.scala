@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** The SQL front door's twin contract: each q_sql_* entry must collect
+  * row-identical to the DataFrame query it re-expresses, in one session
+  * on the same corpus. The DuckDB gate already checks both against ONE
+  * oracle; this pins the surfaces against each other directly, so a
+  * divergence localizes to the surface (SQL text vs DataFrame lineage)
+  * instead of appearing as two independent oracle mismatches. */
+class SqlFrontDoorSpec extends SparkTestBase {
+
+  private val twins = Seq(
+    "q_sql_filter_status" -> "q_filter_status",
+    "q_sql_topk" -> "q_topk",
+    "q_sql_dedup_exact" -> "q_dedup_exact",
+    "q_sql_events_hourly" -> "q_events_hourly",
+    "q_sql_knn_brute" -> "q_knn_brute")
+
+  twins.foreach { case (sqlName, dfName) =>
+    test(s"$sqlName collects row-identical to $dfName") {
+      val viaSql = graft.SparkEntry.queries(sqlName)(spark, sf0001)
+      val viaDf = graft.SparkEntry.queries(dfName)(spark, sf0001)
+      assert(viaSql.columns.toSeq === viaDf.columns.toSeq)
+      val (a, b) = (viaSql.collect().toSeq, viaDf.collect().toSeq)
+      assert(a.nonEmpty, s"$sqlName returned no rows")
+      assert(a === b)
+    }
+  }
+}
