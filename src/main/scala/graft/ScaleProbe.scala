@@ -66,6 +66,11 @@ object ScaleProbe {
     // growth; the pack window sort is bounded by (lang, shard) stream
     // size, never corpus size
     "q_doc_pack_bpe",
+    // concat-and-chunk packing: the explode emits len/2048 + 1 rows per
+    // doc (proportional to the doc's own length), the manifest agg is
+    // (lang, shard, window)-keyed — both linear; the running-sum window
+    // stays shard-bounded like q_doc_pack
+    "q_doc_pack_chunk",
     // per-source KL drift: the (source, t) pre-agg and scoring join ride
     // the t exchange like the LM family; constant vocabulary on replicas
     // means the exchanged row count is constant and only the pre-agg

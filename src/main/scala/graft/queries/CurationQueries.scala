@@ -245,6 +245,46 @@ object CurationQueries {
         .orderBy("lang", "shard", "window_id")
     }),
 
+    // Concatenate-and-chunk packing — the GPT/LLaMA pretraining shape:
+    // the (lang, shard) token stream is treated as one contiguous tape
+    // and cut every 2048 tokens, so documents SPILL across window
+    // boundaries and every window except each stream's tail holds
+    // exactly 2048 tokens (PackChunkSpec pins that invariant plus
+    // token-mass conservation). q_doc_pack is the document-boundary
+    // variant (a doc never splits; windows underfill); this is the
+    // higher-utilization cut real trainers default to. Per doc the
+    // explode emits one row per TOUCHED window (len/2048 + 1 rows — a
+    // long doc costs rows proportional to its own length, never to the
+    // corpus), and the manifest aggregation is keyed (lang, shard,
+    // window) — the same shard-bounded wide stage as q_doc_pack.
+    // Exact integer arithmetic end to end, so the oracle replays the
+    // running offsets, the window span enumeration, and the clipped
+    // per-window token counts verbatim.
+    "q_doc_pack_chunk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", ($"doc_id" % 8).cast("int").as("shard"),
+          size(TextQueries.tokens($"text")).cast("long").as("tok_count"))
+      val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val spans = docs
+        .withColumn("start_tok",
+          coalesce(sum($"tok_count").over(stream), lit(0L)))
+        .withColumn("end_tok", $"start_tok" + $"tok_count")
+        .withColumn("window_id", explode(sequence(
+          expr("start_tok div 2048"), expr("(end_tok - 1) div 2048"))))
+        .select($"lang", $"shard", $"window_id", $"doc_id",
+          (least($"end_tok", ($"window_id" + 1) * 2048L)
+            - greatest($"start_tok", $"window_id" * 2048L))
+            .as("tok_in_window"))
+      spans.groupBy($"lang", $"shard", $"window_id")
+        .agg(count(lit(1)).as("doc_count"),
+          sum($"tok_in_window").as("token_sum"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy("lang", "shard", "window_id")
+    }),
+
     // Sequence packing in TRAINED-TOKENIZER token space — the
     // composition real pretraining packs with: q_doc_pack budgets
     // context windows in whitespace tokens (the cheap proxy), but a
@@ -878,6 +918,35 @@ object CurationQueries {
         |  CAST(count(*) AS BIGINT) AS doc_count,
         |  CAST(sum(tok_count) AS BIGINT) AS token_sum
         |FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_doc_pack_chunk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS tok_count
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |packed AS (
+        |  SELECT doc_id, lang, shard, tok_count,
+        |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM docs),
+        |spans AS (
+        |  SELECT lang, shard, doc_id, start_tok,
+        |    start_tok + tok_count AS end_tok,
+        |    unnest(range(CAST(start_tok // 2048 AS BIGINT),
+        |                 CAST((start_tok + tok_count - 1) // 2048 + 1
+        |                      AS BIGINT)))
+        |      AS window_id
+        |  FROM packed)
+        |SELECT lang, shard, CAST(window_id AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(sum(least(end_tok, (window_id + 1) * 2048)
+        |         - greatest(start_tok, window_id * 2048)) AS BIGINT)
+        |    AS token_sum,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM spans GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_doc_pack_bpe" ->
       s"""WITH ${TextQueries.bpeApplyChainSql},

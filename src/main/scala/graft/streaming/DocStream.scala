@@ -435,6 +435,58 @@ object DocStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  // ---- streaming concat-and-chunk packing ----
+
+  /** One per-document packing assignment from [[packChunk]]: the doc's
+    * span on its (lang, shard) token tape. */
+  case class PackSpan(doc_id: Long, lang: String, shard: Int,
+    start_tok: Long, tok_count: Long, first_window: Long, last_window: Long)
+
+  /** Per-(lang, shard) running token offset — the ONE long of state the
+    * live packing face keeps per stream. */
+  case class PackState(nextTok: Long)
+
+  /** Streaming twin of q_doc_pack_chunk's cut discipline: assign every
+    * arriving document its window span on the (lang, shard) token tape
+    * in ARRIVAL order (rows applied doc_id-sorted within each
+    * micro-batch — the docQuota replay contract, so a doc_id-ordered
+    * replay reproduces the batch assignment exactly, and under true
+    * out-of-order arrival the face is the more faithful online packer).
+    * State is one running offset per stream: bounded by stream count,
+    * never corpus size, and the emitted spans aggregate to the batch
+    * query's window manifest (PackChunkStreamSpec folds them and pins
+    * equality). Window boundaries never need re-emission because the
+    * tape only ever APPENDS — a doc's span is final the moment it is
+    * assigned, which is what makes append mode correct here. */
+  def packChunk(spark: SparkSession, docs: DataFrame,
+                window: Long = 2048L): Dataset[PackSpan] = {
+    import spark.implicits._
+    val typed = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 8).cast("int").as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok_count"))
+      .as[(Long, String, Int, Long)]
+
+    def update(key: (String, Int),
+               rows: Iterator[(Long, String, Int, Long)],
+               state: GroupState[PackState]): Iterator[PackSpan] = {
+      var off = state.getOption.map(_.nextTok).getOrElse(0L)
+      val out = rows.toSeq.sortBy(_._1).map { case (id, lang, shard, n) =>
+        val start = off
+        off += n
+        PackSpan(id, lang, shard, start, n,
+          start / window, (start + n - 1) / window)
+      }
+      state.update(PackState(off))
+      out.iterator
+    }
+
+    typed.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   // ---- streaming LM quality scoring ----
 
   /** One scored arrival from [[scoreLogprob]]. */
