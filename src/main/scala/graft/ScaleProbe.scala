@@ -71,6 +71,9 @@ object ScaleProbe {
     // (lang, shard, window)-keyed — both linear; the running-sum window
     // stays shard-bounded like q_doc_pack
     "q_doc_pack_chunk",
+    // the composed BPE-space chunk cut: bpe-apply's linear contract
+    // plus the chunk explode — must track q_doc_pack_bpe's growth
+    "q_doc_pack_bpe_chunk",
     // per-source KL drift: the (source, t) pre-agg and scoring join ride
     // the t exchange like the LM family; constant vocabulary on replicas
     // means the exchanged row count is constant and only the pre-agg

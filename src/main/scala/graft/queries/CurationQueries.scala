@@ -285,6 +285,42 @@ object CurationQueries {
         .orderBy("lang", "shard", "window_id")
     }),
 
+    // The full trainer composition: concat-and-chunk in TRAINED-BPE
+    // token space — q_doc_pack_chunk's cut discipline over
+    // q_doc_pack_bpe's token accounting. This is precisely what a
+    // GPT-style data loader materializes: tokenize under the trained
+    // vocabulary, concatenate per stream, cut every 2048 tokens. Same
+    // scale shapes as its two parents (vocabulary-sized merge work, one
+    // w-keyed corpus shuffle, shard-bounded running sum, per-doc
+    // explode proportional to the doc's own BPE length); the oracle
+    // splices the BPE CTE chain ahead of the chunk SQL.
+    "q_doc_pack_bpe_chunk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", ($"doc_id" % 8).cast("int").as("shard"))
+        .join(TextQueries.bpePerDocTokens(s, dir), Seq("doc_id"))
+        .select($"doc_id", $"lang", $"shard",
+          $"bpe_tokens".as("tok_count"))
+      val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val spans = docs
+        .withColumn("start_tok",
+          coalesce(sum($"tok_count").over(stream), lit(0L)))
+        .withColumn("end_tok", $"start_tok" + $"tok_count")
+        .withColumn("window_id", explode(sequence(
+          expr("start_tok div 2048"), expr("(end_tok - 1) div 2048"))))
+        .select($"lang", $"shard", $"window_id", $"doc_id",
+          (least($"end_tok", ($"window_id" + 1) * 2048L)
+            - greatest($"start_tok", $"window_id" * 2048L))
+            .as("tok_in_window"))
+      spans.groupBy($"lang", $"shard", $"window_id")
+        .agg(count(lit(1)).as("doc_count"),
+          sum($"tok_in_window").as("token_sum"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy("lang", "shard", "window_id")
+    }),
+
     // Sequence packing in TRAINED-TOKENIZER token space — the
     // composition real pretraining packs with: q_doc_pack budgets
     // context windows in whitespace tokens (the cheap proxy), but a
@@ -925,6 +961,36 @@ object CurationQueries {
         |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |      AS tok_count
         |  FROM documents WHERE length(trim(text)) > 0),
+        |packed AS (
+        |  SELECT doc_id, lang, shard, tok_count,
+        |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM docs),
+        |spans AS (
+        |  SELECT lang, shard, doc_id, start_tok,
+        |    start_tok + tok_count AS end_tok,
+        |    unnest(range(CAST(start_tok // 2048 AS BIGINT),
+        |                 CAST((start_tok + tok_count - 1) // 2048 + 1
+        |                      AS BIGINT)))
+        |      AS window_id
+        |  FROM packed)
+        |SELECT lang, shard, CAST(window_id AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(sum(least(end_tok, (window_id + 1) * 2048)
+        |         - greatest(start_tok, window_id * 2048)) AS BIGINT)
+        |    AS token_sum,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM spans GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_doc_pack_bpe_chunk" ->
+      s"""WITH ${TextQueries.bpeApplyChainSql},
+        |docs AS (
+        |  SELECT d.doc_id, d.lang, CAST(d.doc_id % 8 AS INT) AS shard,
+        |    CAST(p.bpe_tokens AS BIGINT) AS tok_count
+        |  FROM documents d JOIN perdoc p USING (doc_id)
+        |  WHERE length(trim(d.text)) > 0),
         |packed AS (
         |  SELECT doc_id, lang, shard, tok_count,
         |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard

@@ -31,6 +31,27 @@ class PackChunkSpec extends SparkTestBase {
     }
   }
 
+  test("the BPE-space chunk cut obeys the same fill discipline in its " +
+      "own token space") {
+    val bpe = graft.SparkEntry.queries("q_doc_pack_bpe_chunk")(spark, sf0001)
+      .collect().toSeq
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"),
+        r.getAs[Long]("window_id"), r.getAs[Long]("token_sum")))
+    assert(bpe.nonEmpty)
+    bpe.groupBy { case (l, s, _, _) => (l, s) }.foreach { case ((l, s), ws) =>
+      val maxW = ws.map(_._3).max
+      ws.filter(_._3 < maxW).foreach { case (_, _, w, ts) =>
+        assert(ts == 2048L, s"bpe stream ($l,$s) window $w holds $ts") }
+    }
+    // mass conservation against the per-doc BPE accounting itself
+    val totalPacked = bpe.map(_._4).sum
+    val totalBpe = TextQueries.bpePerDocTokens(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(length(trim($"text")) > 0).select($"doc_id"), Seq("doc_id"))
+      .agg(sum($"bpe_tokens")).as[Long].head()
+    assert(totalPacked == totalBpe)
+  }
+
   test("token mass is conserved and window ids are contiguous from 0") {
     val totalPacked = out.map(_._5).sum
     val totalTokens = spark.read.parquet(s"$sf0001/documents.parquet")
