@@ -94,6 +94,16 @@ object Bench {
     val (prevSf, prevTimedAll) = prevTimedSec(sidecar)
     val prevTimed: Map[String, Double] =
       if (prevSf.contains(sfDir)) prevTimedAll else Map.empty
+    // a uniformly slower MACHINE would trip the cross-session rung on
+    // nearly every query and quadruple the suite with futile ladders
+    // (r13 review); the canary already measures whole-machine speed, so
+    // the rung's ESCALATION arms only while this session's start canary
+    // sits within 2x of the previous record's cleanest sample — beyond
+    // that the session-level canary_vs_prev / canary_inflated stamps
+    // carry the verdict, and the report-time query_inflated flags below
+    // still print (honestly mass-flagged, with the canary as context)
+    val sidecarArmed =
+      prevCanaryMin(sidecar).forall(p => canaryStart / p <= 2.0)
     // The r4 record logged one query at 11.08s that two independent
     // re-measurements put at 1.6-1.8s: a single contended timed pass went
     // straight into the official number. When the timed pass disagrees with
@@ -116,22 +126,32 @@ object Bench {
       val (sec, err) = runOnce(fn)
       val w = warmSecs(name)
       val pt = prevTimed.get(name)
+      // a warm-pass FAILURE's duration is time-to-throw, never a
+      // baseline: with it in play, a transient 0.05s throw against a
+      // clean 2s timed run would both trip the ladder spuriously AND
+      // poison reportFromSamples' pool minimum into reporting the
+      // phantom 0.05 (r13 review) — so the warm-vs-timed shapes disarm
+      // and the report falls back to the timed samples alone
+      val wOk = !warmFailed(name)
       val suspicious = err.isEmpty &&
-        (retryTrigger(w, sec) || sidecarTrigger(pt, sec))
+        ((wOk && retryTrigger(w, sec)) ||
+          (sidecarArmed && sidecarTrigger(pt, sec)))
       if (!suspicious) (name, sec, err, None)
       else {
         var samples = Vector(sec)
         var broke = false // an escalation run that THROWS ends the ladder;
         // the valid measurements already taken still produce the report
         while (!broke && samples.size < MaxTimedSamples &&
-               (retryTrigger(w, samples.last) ||
-                 sidecarTrigger(pt, samples.last))) {
+               ((wOk && retryTrigger(w, samples.last)) ||
+                 (sidecarArmed && sidecarTrigger(pt, samples.last)))) {
           val (s2, e2) = runOnce(fn)
           if (e2.isDefined) broke = true else samples :+= s2
         }
         System.err.println(f"[bench] outlier escalation $name: warm=$w%.2f " +
           s"samples=${samples.map(fmt(2)).mkString(",")}")
-        (name, reportFromSamples(w, samples), err, Some((w, samples)))
+        val reported =
+          if (wOk) reportFromSamples(w, samples) else samples.min
+        (name, reported, err, Some((w, samples)))
       }
     }
     // only a TIMED-pass failure disqualifies a measurement (its elapsed

@@ -49,27 +49,38 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
-    // a filtered dump must never pass for a full-suite dump: queries
-    // outside the filter keep their STALE parquet from earlier runs
-    // under the same outDir, and a later full-suite oracle compare
-    // would false-green on them after the code or corpus changed. The
-    // marker names the filter; tools/check_oracle.py refuses marked
-    // dirs. A full run deletes it, re-blessing the directory.
+    // a dump with any stale directory must never pass for a clean
+    // full-suite dump: a filtered run leaves every out-of-filter query's
+    // parquet from earlier runs, and a full run that DIES or throws
+    // per-query leaves the dead query's old parquet — either way a later
+    // oracle compare would false-green on pre-change outputs. The marker
+    // is therefore written BEFORE the dump (naming the filter, or
+    // flagging an in-progress full run) and removed only when a FULL run
+    // completes with zero failures; tools/check_oracle.py refuses marked
+    // dirs. (The r13 review caught the original delete-first ordering:
+    // a full run that crashed mid-suite had already re-blessed the dir.)
     val marker = Paths.get(s"$outDir/_PARTIAL")
-    only match {
-      case Some(names) =>
-        Files.writeString(marker, names.toSeq.sorted.mkString("\n")); ()
-      case None =>
-        Files.deleteIfExists(marker); ()
-    }
+    Files.writeString(marker, only match {
+      case Some(names) => names.toSeq.sorted.mkString("\n")
+      case None => "__full_run_incomplete__"
+    }): Unit
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    if (only.isEmpty && failed.isEmpty) { Files.deleteIfExists(marker); () }
+    else if (failed.nonEmpty) {
+      Files.writeString(marker,
+        (only.map(_.toSeq.sorted).getOrElse(Nil) ++
+          failed.map(n => s"FAILED:$n")).mkString("\n"))
+      ()
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }

@@ -266,23 +266,7 @@ object CurationQueries {
         .filter(length(trim($"text")) > 0)
         .select($"doc_id", $"lang", ($"doc_id" % 8).cast("int").as("shard"),
           size(TextQueries.tokens($"text")).cast("long").as("tok_count"))
-      val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val spans = docs
-        .withColumn("start_tok",
-          coalesce(sum($"tok_count").over(stream), lit(0L)))
-        .withColumn("end_tok", $"start_tok" + $"tok_count")
-        .withColumn("window_id", explode(sequence(
-          expr("start_tok div 2048"), expr("(end_tok - 1) div 2048"))))
-        .select($"lang", $"shard", $"window_id", $"doc_id",
-          (least($"end_tok", ($"window_id" + 1) * 2048L)
-            - greatest($"start_tok", $"window_id" * 2048L))
-            .as("tok_in_window"))
-      spans.groupBy($"lang", $"shard", $"window_id")
-        .agg(count(lit(1)).as("doc_count"),
-          sum($"tok_in_window").as("token_sum"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy("lang", "shard", "window_id")
+      chunkPack(docs)
     }),
 
     // The full trainer composition: concat-and-chunk in TRAINED-BPE
@@ -302,23 +286,7 @@ object CurationQueries {
         .join(TextQueries.bpePerDocTokens(s, dir), Seq("doc_id"))
         .select($"doc_id", $"lang", $"shard",
           $"bpe_tokens".as("tok_count"))
-      val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val spans = docs
-        .withColumn("start_tok",
-          coalesce(sum($"tok_count").over(stream), lit(0L)))
-        .withColumn("end_tok", $"start_tok" + $"tok_count")
-        .withColumn("window_id", explode(sequence(
-          expr("start_tok div 2048"), expr("(end_tok - 1) div 2048"))))
-        .select($"lang", $"shard", $"window_id", $"doc_id",
-          (least($"end_tok", ($"window_id" + 1) * 2048L)
-            - greatest($"start_tok", $"window_id" * 2048L))
-            .as("tok_in_window"))
-      spans.groupBy($"lang", $"shard", $"window_id")
-        .agg(count(lit(1)).as("doc_count"),
-          sum($"tok_in_window").as("token_sum"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy("lang", "shard", "window_id")
+      chunkPack(docs)
     }),
 
     // Sequence packing in TRAINED-TOKENIZER token space — the
@@ -737,6 +705,62 @@ object CurationQueries {
     })
   )
 
+  /** The concat-and-chunk cut over a (doc_id, lang, shard, tok_count)
+    * frame — shared verbatim by q_doc_pack_chunk (whitespace tokens)
+    * and q_doc_pack_bpe_chunk (trained-BPE tokens), so the fill
+    * discipline has one definition in each engine (see [[chunkPackSql]]
+    * for the oracle side). Per doc the explode emits one row per
+    * TOUCHED window (len/2048 + 1); the manifest aggregation and the
+    * running-sum window are (lang, shard)-bounded. */
+  private def chunkPack(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = docs
+      .withColumn("start_tok",
+        coalesce(sum($"tok_count").over(stream), lit(0L)))
+      .withColumn("end_tok", $"start_tok" + $"tok_count")
+      .withColumn("window_id", explode(sequence(
+        expr("start_tok div 2048"), expr("(end_tok - 1) div 2048"))))
+      .select($"lang", $"shard", $"window_id", $"doc_id",
+        (least($"end_tok", ($"window_id" + 1) * 2048L)
+          - greatest($"start_tok", $"window_id" * 2048L))
+          .as("tok_in_window"))
+    spans.groupBy($"lang", $"shard", $"window_id")
+      .agg(count(lit(1)).as("doc_count"),
+        sum($"tok_in_window").as("token_sum"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy("lang", "shard", "window_id")
+  }
+
+  /** The [[chunkPack]] oracle tail over a caller-supplied `docs` CTE
+    * (columns doc_id, lang, shard, tok_count) — one SQL definition of
+    * the cut, parameterized exactly like the Scala side. */
+  private def chunkPackSql(docsCte: String): String =
+    s"""$docsCte,
+      |packed AS (
+      |  SELECT doc_id, lang, shard, tok_count,
+      |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS start_tok
+      |  FROM docs),
+      |spans AS (
+      |  SELECT lang, shard, doc_id, start_tok,
+      |    start_tok + tok_count AS end_tok,
+      |    unnest(range(CAST(start_tok // 2048 AS BIGINT),
+      |                 CAST((start_tok + tok_count - 1) // 2048 + 1
+      |                      AS BIGINT)))
+      |      AS window_id
+      |  FROM packed)
+      |SELECT lang, shard, CAST(window_id AS BIGINT) AS window_id,
+      |  CAST(count(*) AS BIGINT) AS doc_count,
+      |  CAST(sum(least(end_tok, (window_id + 1) * 2048)
+      |         - greatest(start_tok, window_id * 2048)) AS BIGINT)
+      |    AS token_sum,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM spans GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** The pipeline's exact-dedup survivor lineage (nonempty filter +
     * fingerprint keep-first window) — the cheap multi-consumer frame the
     * q_curation_pipeline comment sanctions. */
@@ -956,63 +980,20 @@ object CurationQueries {
         |FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_doc_pack_chunk" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
-        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS tok_count
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |packed AS (
-        |  SELECT doc_id, lang, shard, tok_count,
-        |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
-        |      ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_tok
-        |  FROM docs),
-        |spans AS (
-        |  SELECT lang, shard, doc_id, start_tok,
-        |    start_tok + tok_count AS end_tok,
-        |    unnest(range(CAST(start_tok // 2048 AS BIGINT),
-        |                 CAST((start_tok + tok_count - 1) // 2048 + 1
-        |                      AS BIGINT)))
-        |      AS window_id
-        |  FROM packed)
-        |SELECT lang, shard, CAST(window_id AS BIGINT) AS window_id,
-        |  CAST(count(*) AS BIGINT) AS doc_count,
-        |  CAST(sum(least(end_tok, (window_id + 1) * 2048)
-        |         - greatest(start_tok, window_id * 2048)) AS BIGINT)
-        |    AS token_sum,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM spans GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      ("WITH " + chunkPackSql(
+        """docs AS (
+          |  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+          |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS tok_count
+          |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin)),
 
     "q_doc_pack_bpe_chunk" ->
-      s"""WITH ${TextQueries.bpeApplyChainSql},
-        |docs AS (
-        |  SELECT d.doc_id, d.lang, CAST(d.doc_id % 8 AS INT) AS shard,
-        |    CAST(p.bpe_tokens AS BIGINT) AS tok_count
-        |  FROM documents d JOIN perdoc p USING (doc_id)
-        |  WHERE length(trim(d.text)) > 0),
-        |packed AS (
-        |  SELECT doc_id, lang, shard, tok_count,
-        |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
-        |      ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_tok
-        |  FROM docs),
-        |spans AS (
-        |  SELECT lang, shard, doc_id, start_tok,
-        |    start_tok + tok_count AS end_tok,
-        |    unnest(range(CAST(start_tok // 2048 AS BIGINT),
-        |                 CAST((start_tok + tok_count - 1) // 2048 + 1
-        |                      AS BIGINT)))
-        |      AS window_id
-        |  FROM packed)
-        |SELECT lang, shard, CAST(window_id AS BIGINT) AS window_id,
-        |  CAST(count(*) AS BIGINT) AS doc_count,
-        |  CAST(sum(least(end_tok, (window_id + 1) * 2048)
-        |         - greatest(start_tok, window_id * 2048)) AS BIGINT)
-        |    AS token_sum,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM spans GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      (s"WITH ${TextQueries.bpeApplyChainSql},\n" + chunkPackSql(
+        """docs AS (
+          |  SELECT d.doc_id, d.lang, CAST(d.doc_id % 8 AS INT) AS shard,
+          |    CAST(p.bpe_tokens AS BIGINT) AS tok_count
+          |  FROM documents d JOIN perdoc p USING (doc_id)
+          |  WHERE length(trim(d.text)) > 0)""".stripMargin)),
 
     "q_doc_pack_bpe" ->
       s"""WITH ${TextQueries.bpeApplyChainSql},

@@ -465,7 +465,11 @@ object DocStream {
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("lang"),
         (col("doc_id") % 8).cast("int").as("shard"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("tok_count"))
+        // the ONE tokenization contract (TextQueries.tokens), not an
+        // inline re-spelling: a future change to the token definition
+        // must move the live tape and the batch manifest together
+        size(graft.queries.TextQueries.tokens(col("text"))).cast("long")
+          .as("tok_count"))
       .as[(Long, String, Int, Long)]
 
     def update(key: (String, Int),

@@ -55,7 +55,8 @@ class PlanSpec extends SparkTestBase {
     Seq("q_dedup_minhash_lsh", "q_dedup_minhash_sql", "q_dedup_simhash",
       "q_dedup_simhash_sql", "q_dedup_ngram_jaccard", "q_dedup_containment",
       "q_dedup_editdist",
-      "q_ann_lsh", "q_ann_lsh_sql", "q_ann_ivf", "q_events_funnel",
+      "q_ann_lsh", "q_ann_lsh_sql", "q_ann_ivf", "q_ann_ivf_sql",
+      "q_events_funnel",
       "q_doc_repetition",
       // the semantic dedup family: the within-cell pairing and the
       // history anti-probe must stay cell-equi-keyed hash joins (the
@@ -70,6 +71,20 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q plans a nested-loop join")
+    }
+  }
+
+  test("the pack family keeps its (lang, shard) stream exchange and no " +
+      "cartesian products") {
+    // the pack window sort must stay keyed by the stream — a global sort
+    // (or a lost partitioning) would make the one wide stage corpus-sized
+    // instead of shard-bounded
+    Seq("q_doc_pack", "q_doc_pack_chunk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert("hashpartitioning\\(lang#\\d+, shard#\\d+".r
+        .findFirstIn(p).isDefined,
+        s"$q lost its (lang, shard) stream exchange:\n$p")
     }
   }
 

@@ -73,9 +73,12 @@ rc=$?
 set -e
 
 # name the record: the round's clean sidecar must survive later runs on
-# disk, not just in git history (r10 verdict directive 7)
+# disk, not just in git history (r10 verdict directive 7). Only on a
+# CLEAN exit — a crashed JVM leaves the PREVIOUS run's sidecar on disk,
+# and copying that under this round's tag would mislabel stale data as
+# the round's record (r13 review).
 out="${SPARK_GRAFT_BENCH_OUT:-tools/bench_last.json}"
-if [ -n "${SPARK_GRAFT_BENCH_TAG:-}" ] && [ -f "$out" ]; then
+if [ "$rc" -eq 0 ] && [ -n "${SPARK_GRAFT_BENCH_TAG:-}" ] && [ -f "$out" ]; then
   cp "$out" "tools/bench_${SPARK_GRAFT_BENCH_TAG}.json"
   echo "bench.sh: sidecar also saved as tools/bench_${SPARK_GRAFT_BENCH_TAG}.json" >&2
 fi
