@@ -17,6 +17,17 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q_sql_events_hourly" -> "q_events_hourly",
     "q_sql_knn_brute" -> "q_knn_brute")
 
+  test("the SQL surface optimizes to the same canonical plan as the " +
+      "DataFrame surface (the Views scaladoc's claim, checked)") {
+    // one twin suffices as the witness — the rest differ only in
+    // operator mix; canonicalized normalizes expression ids
+    val a = graft.SparkEntry.queries("q_sql_filter_status")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    val b = graft.SparkEntry.queries("q_filter_status")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    assert(a == b, s"SQL plan:\n$a\nDataFrame plan:\n$b")
+  }
+
   twins.foreach { case (sqlName, dfName) =>
     test(s"$sqlName collects row-identical to $dfName") {
       val viaSql = graft.SparkEntry.queries(sqlName)(spark, sf0001)
