@@ -74,6 +74,10 @@ object ScaleProbe {
     // the composed BPE-space chunk cut: bpe-apply's linear contract
     // plus the chunk explode — must track q_doc_pack_bpe's growth
     "q_doc_pack_bpe_chunk",
+    // mixture application: S-row broadcast weights + pure per-row copy
+    // arithmetic + an S-row manifest exchange — must stay linear in the
+    // single corpus scan
+    "q_doc_mixture_apply",
     // per-source KL drift: the (source, t) pre-agg and scoring join ride
     // the t exchange like the LM family; constant vocabulary on replicas
     // means the exchanged row count is constant and only the pre-agg

@@ -355,6 +355,54 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Mixture APPLICATION — the enforcement face of q_doc_mixture's
+    // report (weights → an actual resampled corpus): every document
+    // gets a deterministic integer COPY COUNT under its source's
+    // uniform-target weight, floor(w) copies plus one more iff the
+    // doc's md5-free arithmetic-hash bucket falls under the fractional
+    // part (bucket·1e4 < w_e6 mod 1e6 — an exact integer compare, so
+    // both engines admit the identical doc set). copies = 0 is a
+    // downsample drop, copies > 1 the up-replication an
+    // under-represented source receives — the Pile/Dolma epoch
+    // semantics. Per-source manifest out (in/out docs and tokens), so
+    // the whole application pins under one hash. Scale shape: the
+    // weights are an S-row broadcast, the copy projection is pure
+    // per-row arithmetic, and the manifest exchange is S rows — the
+    // corpus is scanned once (the doc-level (doc_id, source, tok)
+    // projection feeds both the weight aggregation and the copy
+    // projection off one cheap lineage, the sanctioned cheap-side
+    // multi-consumer).
+    "q_doc_mixture_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"source",
+          size(TextQueries.tokens($"text")).cast("long").as("tok"))
+      val perSource = docs.groupBy($"source")
+        .agg(count(lit(1)).as("doc_count"), sum($"tok").as("token_sum"))
+      val totals = perSource.agg(sum($"token_sum").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      val weights = perSource.crossJoin(broadcast(totals))
+        .select($"source", $"doc_count", $"token_sum",
+          floor($"total_tokens".cast("double") * 1000000d /
+            ($"n_sources" * $"token_sum").cast("double") + 0.5d)
+            .cast("long").as("weight_e6"))
+      val copies = docs
+        .join(broadcast(weights.select($"source", $"weight_e6")),
+          Seq("source"))
+        .select($"source", $"tok",
+          (expr("weight_e6 div 1000000") +
+            when(TextQueries.sampleBucket($"doc_id") * 10000L
+              < $"weight_e6" % 1000000L, 1L).otherwise(0L)).as("copies"))
+      copies.groupBy($"source")
+        .agg(sum($"copies").as("out_docs"),
+          sum($"copies" * $"tok").as("out_tokens"))
+        .join(weights, Seq("source"))
+        .select($"source", $"doc_count", $"token_sum", $"weight_e6",
+          $"out_docs", $"out_tokens")
+        .orderBy("source")
+    }),
+
     // Temperature-based mixture reweighting at α = 0.5 — the standard
     // multilingual/multi-source rebalance (mT5, XLM-R): target share
     // ∝ tokens^α upweights small sources less aggressively than the
@@ -1029,6 +1077,37 @@ object CurationQueries {
         |       CAST(n_sources * token_sum AS DOUBLE) + 0.5) AS BIGINT)
         |    AS weight_e6
         |FROM per_source, totals ORDER BY source""".stripMargin,
+
+    "q_doc_mixture_apply" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |per_source AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
+        |    CAST(sum(tok) AS BIGINT) AS token_sum
+        |  FROM docs GROUP BY source),
+        |totals AS (
+        |  SELECT CAST(sum(token_sum) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_sources FROM per_source),
+        |weights AS (
+        |  SELECT source, doc_count, token_sum,
+        |    CAST(floor(CAST(total_tokens AS DOUBLE) * 1000000 /
+        |         CAST(n_sources * token_sum AS DOUBLE) + 0.5) AS BIGINT)
+        |      AS weight_e6
+        |  FROM per_source, totals),
+        |copies AS (
+        |  SELECT d.source, d.tok,
+        |    w.weight_e6 // 1000000 +
+        |      CASE WHEN ((d.doc_id % 1000003) * 31 + 7) % 100 * 10000
+        |                < w.weight_e6 % 1000000 THEN 1 ELSE 0 END AS copies
+        |  FROM docs d JOIN weights w USING (source))
+        |SELECT w.source, w.doc_count, w.token_sum, w.weight_e6,
+        |  CAST(sum(c.copies) AS BIGINT) AS out_docs,
+        |  CAST(sum(c.copies * c.tok) AS BIGINT) AS out_tokens
+        |FROM copies c JOIN weights w USING (source)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     "q_doc_mixture_temp" ->
       """WITH per_source AS (
