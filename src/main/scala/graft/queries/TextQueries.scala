@@ -76,7 +76,7 @@ object TextQueries {
     * q_split_leakage's train/test split (oracle:
     * `((doc_id % 1000003) * 31 + 7) % 100`). Overflow-safe, engine-
     * independent, no rand(). */
-  private[queries] def sampleBucket(id: Column): Column =
+  private[graft] def sampleBucket(id: Column): Column =
     ((id % 1000003L) * 31L + 7L) % 100L
 
   /** q_doc_bpe_train's merge budget — one definition, interpolated into

@@ -491,6 +491,32 @@ object DocStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming mixture application under STAGED weights — the live face
+    * of q_doc_mixture_apply: each arriving document gets its
+    * deterministic copy count (floor(w) + the fractional-part
+    * arithmetic-hash admit, the identical integer compare as the batch
+    * query, so a replayed corpus gets the identical copy column). The
+    * weights are the staged artifact (the batch query's S-row report,
+    * trained on history and broadcast), which is what makes this face
+    * STATELESS — a pure projection + broadcast join, no state operator
+    * at all, the scoreQuality tier of the ladder. A self-training
+    * stream face would be unsound anyway: weights derived from a
+    * half-seen stream would re-weigh every earlier admit. */
+  def applyMixture(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.functions.broadcast(
+      weights.select(col("source"), col("weight_e6")))
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(graft.queries.TextQueries.tokens(col("text"))).cast("long")
+          .as("tok"))
+      .join(w, Seq("source"))
+      .select(col("doc_id"), col("source"), col("tok"),
+        (expr("weight_e6 div 1000000") +
+          when(graft.queries.TextQueries.sampleBucket(col("doc_id")) * 10000L
+            < col("weight_e6") % 1000000L, 1L).otherwise(0L)).as("copies"))
+  }
+
   // ---- streaming LM quality scoring ----
 
   /** One scored arrival from [[scoreLogprob]]. */

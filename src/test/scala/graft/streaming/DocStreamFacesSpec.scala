@@ -57,6 +57,28 @@ class DocStreamFacesSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming mixture application under staged batch weights folds " +
+      "to the batch manifest") {
+    // stage the weights the production way: the batch report collected
+    // and re-created as a detached tiny table
+    val staged = graft.SparkEntry.queries("q_doc_mixture")(spark, sf0001)
+      .select($"source", $"weight_e6").as[(String, Long)]
+      .collect().toSeq.toDF("source", "weight_e6")
+    val out = DocStream.applyMixture(
+      DocStream.readDocs(spark, twoBatchDir), staged)
+    val q = EventStream.runToMemory(out, "mix_apply", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("mix_apply").groupBy($"source")
+      .agg(sum($"copies").as("out_docs"),
+        sum($"copies" * $"tok").as("out_tokens"))
+      .as[(String, Long, Long)].collect().toSet
+    val want = graft.SparkEntry.queries("q_doc_mixture_apply")(spark, sf0001)
+      .select($"source", $"out_docs", $"out_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming corpus health's final state equals the batch report, across batches") {
     val out = DocStream.corpusHealth(spark,
       DocStream.readDocs(spark, twoBatchDir))
