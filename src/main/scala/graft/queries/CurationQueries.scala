@@ -365,30 +365,39 @@ object CurationQueries {
     // downsample drop, copies > 1 the up-replication an
     // under-represented source receives — the Pile/Dolma epoch
     // semantics. Per-source manifest out (in/out docs and tokens), so
-    // the whole application pins under one hash. Scale shape: the
-    // weights are an S-row broadcast, the copy projection is pure
-    // per-row arithmetic, and the manifest exchange is S rows — the
-    // corpus is scanned once (the doc-level (doc_id, source, tok)
-    // projection feeds both the weight aggregation and the copy
-    // projection off one cheap lineage, the sanctioned cheap-side
-    // multi-consumer).
+    // the whole application pins under one hash.
+    //
+    // Scale shape — the weight report is COLLECTED driver-side: S rows
+    // (the ivfCentroids K-row precedent), re-attached as a local
+    // broadcast relation for the copy projection and the manifest
+    // join. This is the multi-consumer rule, third sighting: left
+    // lazy, the weights lineage (which embeds the corpus scan) is
+    // referenced twice and the copies branch adds its own — the naive
+    // plan measured FIVE parquet scans of the corpus; staged, the
+    // corpus is scanned exactly twice (once aggregating weights, once
+    // applying), and production stages the weight table like every
+    // other trained artifact, leaving ONE scan per run (the
+    // DocStream.applyMixture contract). The driver arithmetic repeats
+    // the oracle's exact IEEE sequence (long product → double cast →
+    // mul/div/add/floor), so the hash-match is unaffected.
     "q_doc_mixture_apply" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
+      def docsF = Tables.table(s, dir, "documents")
         .filter(length(trim($"text")) > 0)
         .select($"doc_id", $"source",
           size(TextQueries.tokens($"text")).cast("long").as("tok"))
-      val perSource = docs.groupBy($"source")
+      val per = docsF.groupBy($"source")
         .agg(count(lit(1)).as("doc_count"), sum($"tok").as("token_sum"))
-      val totals = perSource.agg(sum($"token_sum").as("total_tokens"),
-        count(lit(1)).as("n_sources"))
-      val weights = perSource.crossJoin(broadcast(totals))
-        .select($"source", $"doc_count", $"token_sum",
-          floor($"total_tokens".cast("double") * 1000000d /
-            ($"n_sources" * $"token_sum").cast("double") + 0.5d)
-            .cast("long").as("weight_e6"))
-      val copies = docs
-        .join(broadcast(weights.select($"source", $"weight_e6")),
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      val total = per.map(_._3).sum
+      val nS = per.length.toLong
+      val wDf = per.map { case (src, dc, ts) =>
+        (src, dc, ts,
+          math.floor(total.toDouble * 1000000d
+            / (nS * ts).toDouble + 0.5d).toLong)
+      }.toDF("source", "doc_count", "token_sum", "weight_e6")
+      val copies = docsF
+        .join(broadcast(wDf.select($"source", $"weight_e6")),
           Seq("source"))
         .select($"source", $"tok",
           (expr("weight_e6 div 1000000") +
@@ -397,7 +406,7 @@ object CurationQueries {
       copies.groupBy($"source")
         .agg(sum($"copies").as("out_docs"),
           sum($"copies" * $"tok").as("out_tokens"))
-        .join(weights, Seq("source"))
+        .join(broadcast(wDf), Seq("source"))
         .select($"source", $"doc_count", $"token_sum", $"weight_e6",
           $"out_docs", $"out_tokens")
         .orderBy("source")
