@@ -384,10 +384,21 @@ object DedupQueries {
 
   private def ngramJaccardGraph(s: SparkSession, dir: String): JaccardGraph = {
     import s.implicits._
+    // localCheckpoint: the fingerprinted projection feeds THREE
+    // differently-pruned consumers (groups, members, reps→shingles), so
+    // exchange reuse can never dedup them (the multi-consumer rule) and
+    // the r13 scan audit measured the text column decoded ~20x across
+    // this family's final plans — at 100 TB that is ~20 corpus passes
+    // per query. Materializing the normalized projection once (the
+    // q_knn_tfidf postings precedent; production stages it as a layout
+    // column) collapses every downstream branch onto one decode.
+    // Measured at sf0.1 on the four consumers: 9.70s -> see SCALING
+    // r13 addendum for the after number; oracles unchanged.
     val docs = Tables.table(s, dir, "documents")
       .select($"doc_id", $"lang", $"text",
         (length($"text") / 64).cast("int").as("len_band"),
         fingerprint($"text").as("fp"))
+      .localCheckpoint()
     // gsize rides the same aggregation that picks the representative, so
     // consumers needing group sizes (ngramJaccardComponents) pay no
     // second pass over the fingerprint lineage
