@@ -892,11 +892,18 @@ object DedupQueries {
       require(dfCap <= maxBucket(s),
         s"maxGramDf ($dfCap) must not exceed maxBucket: bucket pairing " +
           "would truncate gram buckets the df filter admitted")
+      // localCheckpoint — the r13 scan-audit's worst row: this
+      // fingerprinted projection sat under every differently-pruned
+      // consumer of `grouped` and `reps`, and the final plan decoded the
+      // text column 23 times (the multi-consumer rule's static form; AQE
+      // stage reuse recovered only 8 identical subtrees). One eager
+      // materialization = one decode, the jaccard-graph pilot's pattern.
       val docs = Tables.spread(
         Tables.table(s, dir, "documents")
           .filter(length(trim($"text")) > 0), $"doc_id")
         .select($"doc_id", $"lang", $"text",
           fingerprint($"text").as("fp"))
+        .localCheckpoint()
       val grouped = capPerKey(docs.select($"doc_id", $"lang", $"fp"),
         "containment_collapse", $"lang", $"fp")
         .groupBy($"lang", $"fp")
