@@ -57,6 +57,12 @@ object CurationQueries {
   private[queries] val DsirTargetLang = "en"
   private[queries] val DsirTopK = 100
 
+  /** q_sample_weighted's sample size and uniform-tick modulus (2^20):
+    * u_i = (md5-key mod SampleU + 1) / SampleU ∈ (0, 1]. One definition
+    * each, interpolated into the oracle SQL. */
+  private[queries] val SampleK = 100
+  private[queries] val SampleU = 1048576L
+
   /** The deterministic split bucket in [0, 100) — the ONE definition
     * shared with q_sample_stratified ([[TextQueries.sampleBucket]]). */
   private def splitBucket = TextQueries.sampleBucket(col("doc_id"))
@@ -759,6 +765,67 @@ object CurationQueries {
         .select($"doc_id", $"lang", $"token_count",
           Clean.roundHalfUp(score, 4).as("mean_logratio"))
         .orderBy("doc_id")
+    }),
+
+    // Weighted corpus subsampling via PRIORITY SAMPLING (Duffield, Lund
+    // & Thorup 2007, "Priority sampling for estimation of arbitrary
+    // subset sums" — the scheme variance-optimal among K-sample
+    // threshold estimators): each doc draws priority q_i = w_i / u_i
+    // (weight w_i = token count, u_i uniform in (0,1]), the K highest
+    // priorities form the sample, and τ = the (K+1)-th priority gives
+    // every kept doc the unbiased subset-sum estimator ŵ_i = max(w_i, τ)
+    // — sum est_tokens over any kept subset estimates that subset's
+    // true token mass. This is the principled "pick 100 docs ∝ size,
+    // still able to estimate corpus mass" primitive a curation dashboard
+    // samples with.
+    //
+    // Determinism: u_i ticks are md5-derived (the shard/shuffle hash
+    // device) in [1, 2^20]; priorities compare as the exact floor
+    // division w·2^20·10^6 div u — pure LONG arithmetic both engines
+    // replay (bound: w < 2^22 ≈ 4M tokens/doc keeps the product under
+    // 2^62; a longer doc is a pathology the quality filters drop first).
+    // Ties break on doc_id. When the corpus has ≤ K docs, τ = 0 and
+    // ŵ_i = w_i exactly — the scheme's own degenerate-case semantics.
+    //
+    // Scale shape: one narrow projection + orderBy.limit(K+1) — Spark's
+    // TakeOrderedAndProject (per-partition heap, K+1-row driver merge),
+    // never a global sort. The 101-row result is localCheckpointed: it
+    // feeds two consumers (τ aggregation + final ranking) and the
+    // checkpoint keeps the corpus scan single-pass; the ranking window
+    // runs over ≤ K+1 rows by construction — constant, not corpus-bound.
+    "q_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val uTicks = pmod(conv(substring(md5(concat(lit("sample|"),
+        $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(SampleU)) + 1L
+      val top1 = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", $"source",
+          size(TextQueries.tokens($"text")).cast("long").as("tok_count"),
+          uTicks.as("u_ticks"))
+        .withColumn("pr_ticks",
+          expr(s"tok_count * ${SampleU * 1000000L}L div u_ticks"))
+        .orderBy($"pr_ticks".desc, $"doc_id")
+        .limit(SampleK + 1)
+        .localCheckpoint()
+      val tau = top1.agg(
+        when(count(lit(1)) > SampleK, min($"pr_ticks")).otherwise(0L)
+          .as("tau_ticks"))
+      val w = Window.orderBy($"pr_ticks".desc, $"doc_id")
+      top1.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= SampleK)
+        .crossJoin(broadcast(tau))
+        .select($"rank", $"doc_id", $"lang", $"source", $"tok_count",
+          $"pr_ticks",
+          // max(w_i, τ) back in token units: LONG→double conversion and
+          // the division are both exactly-rounded IEEE ops with
+          // identical results in any engine (the suite's usual device;
+          // here the operands can exceed 2^53, and round-to-nearest on
+          // conversion is still bit-identical JVM vs DuckDB)
+          Clean.roundHalfUp(
+            greatest($"tok_count" * lit(SampleU * 1000000L), $"tau_ticks")
+              / lit((SampleU * 1000000L).toDouble), 4).as("est_tokens"))
+        .orderBy("rank")
     })
   )
 
@@ -1373,6 +1440,41 @@ object CurationQueries {
          |SELECT doc_id, lang, CAST(token_count AS BIGINT) AS token_count,
          |  floor((sr6 / 1000000.0) / token_count * 10000 + 0.5) / 10000
          |    AS mean_logratio
-         |FROM top ORDER BY doc_id""".stripMargin
+         |FROM top ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS tok_count,
+         |    CAST(list_sum(list_transform(range(1, 16), j ->
+         |      CAST(strpos('0123456789abcdef',
+         |             substring(md5(concat('sample|',
+         |                                  CAST(doc_id AS VARCHAR))),
+         |                       CAST(j AS INT), 1)) - 1 AS BIGINT)
+         |      << CAST(4 * (15 - j) AS INT))) AS BIGINT)
+         |      % $SampleU + 1 AS u_ticks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |pr AS (
+         |  SELECT doc_id, lang, source, tok_count,
+         |    tok_count * ${SampleU * 1000000L} // u_ticks AS pr_ticks
+         |  FROM docs),
+         |top1 AS (
+         |  SELECT * FROM pr ORDER BY pr_ticks DESC, doc_id
+         |  LIMIT ${SampleK + 1}),
+         |tau AS (
+         |  SELECT CASE WHEN count(*) > $SampleK THEN min(pr_ticks)
+         |         ELSE 0 END AS tau_ticks FROM top1),
+         |ranked AS (
+         |  SELECT row_number() OVER (ORDER BY pr_ticks DESC, doc_id)
+         |    AS rank, doc_id, lang, source, tok_count, pr_ticks
+         |  FROM top1)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, lang, source,
+         |  tok_count, pr_ticks,
+         |  floor(greatest(tok_count * ${SampleU * 1000000L}, tau_ticks)
+         |    / ${SampleU * 1000000L}.0 * 10000 + 0.5) / 10000
+         |    AS est_tokens
+         |FROM ranked CROSS JOIN tau WHERE rank <= $SampleK
+         |ORDER BY rank""".stripMargin
   )
 }

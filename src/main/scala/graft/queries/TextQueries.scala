@@ -270,6 +270,38 @@ object TextQueries {
         md5(concat_ws(" ", slice($"__toks", $"s", lit(width)))).as("chunk_hash"))
   }
 
+  /** q_dedup_span's tile width — one definition, interpolated into the
+    * oracle SQL so both engines cut the identical partition. */
+  private[queries] val TileWidth = 20
+
+  /** Non-overlapping [[TileWidth]]-token tiles per content document —
+    * the partition q_dedup_span removes duplicated spans on. Unlike
+    * [[chunked]] (width 20 / stride 15 overlapping TRAINING windows),
+    * tiles use stride = width, so every token belongs to exactly ONE
+    * tile and removal accounting is exact token conservation.
+    *
+    * `win_key` packs the corpus-wide first-occurrence order
+    * (doc_id, tile_index) into one comparable LONG — `min(win_key)` is
+    * then an ordinary partially-aggregatable MIN in both engines (no
+    * struct-min / arg-min portability concern). Bounds: tile index
+    * < 2^31 (a 2^31-tile doc is 40G tokens — far past any real
+    * document) and doc_id < 2^32; both documented, neither checked per
+    * row. Shared by the batch query and the streaming
+    * [[graft.streaming.DocStream]] span faces. */
+  private[graft] def tiled(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = TileWidth
+    Tables.spread(docs.filter(length(trim($"text")) > 0), $"doc_id")
+      .select($"doc_id", $"lang", $"source", tokens($"text").as("__toks"))
+      .select($"doc_id", $"lang", $"source", $"__toks",
+        explode(sequence(lit(1), size($"__toks"), lit(w))).as("s"))
+      .select($"doc_id", $"lang", $"source",
+        expr(s"CAST((s - 1) div $w AS INT)").as("idx"),
+        size(slice($"__toks", $"s", lit(w))).as("tile_tokens"),
+        md5(concat_ws(" ", slice($"__toks", $"s", lit(w)))).as("tile_hash"))
+      .withColumn("win_key", $"doc_id" * 2147483648L + $"idx")
+  }
+
   // ── Learned quality classifier (logistic regression) ───────────────
   //
   // The fastText-style learned quality filter of LLM curation (Joulin et
@@ -846,6 +878,54 @@ object TextQueries {
           min($"doc_id").as("first_doc"))
         .filter($"n_copies" > 1)
         .orderBy("chunk_hash")
+    }),
+
+    // Span-REMOVAL dedup — the C4 discipline (Raffel et al. 2020 §2.2
+    // removed any repeated three-sentence span; CCNet dedups at the
+    // paragraph grain): instead of dropping whole near-dup DOCUMENTS,
+    // keep each document but delete the spans that already occurred
+    // earlier in the corpus, so boilerplate (headers, license blocks,
+    // navigation chrome) disappears while the novel remainder trains.
+    // q_chunk_dedup REPORTS repeated windows; this query performs the
+    // removal and emits the per-doc reconstruction manifest: tile
+    // counts, exact kept/removed token mass, and a content signature of
+    // the cleaned document (md5 over the surviving tile hashes in
+    // order — the downstream identity a rebuild can be checked against).
+    //
+    // Keep rule: corpus-wide first occurrence wins, ordered by
+    // (doc_id, tile_index) — a tile repeated WITHIN one doc is removed
+    // too (idx breaks the tie), exactly C4's semantics.
+    //
+    // Scale shape: the tile projection is localCheckpointed ONCE (it
+    // feeds two differently-pruned consumers — the winner aggregation
+    // and the probe side — the multi-consumer materialization rule from
+    // the r13 scan audit); winners = groupBy(tile_hash).min(win_key) is
+    // partially aggregated map-side, so a boilerplate tile shared by
+    // the whole corpus collapses to one row per map partition BEFORE
+    // its shuffle; the probe join has a 1-row build side per key, the
+    // shape AQE's skew-join split parallelizes when that same
+    // boilerplate tile floods one probe partition. Final manifest
+    // aggregation is keyed by doc_id; the per-doc collect_list is
+    // bounded by the doc's own tile count, never the corpus.
+    "q_dedup_span" -> ((s, dir) => {
+      import s.implicits._
+      val t = tiled(Tables.table(s, dir, "documents")).localCheckpoint()
+      val winners = t.groupBy($"tile_hash").agg(min($"win_key").as("first_key"))
+      t.join(winners, Seq("tile_hash"))
+        .withColumn("kept", $"win_key" === $"first_key")
+        .groupBy($"doc_id", $"lang", $"source")
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(when($"kept", 1L).otherwise(0L)).as("kept_tiles"),
+          sum(when(!$"kept", 1L).otherwise(0L)).as("removed_tiles"),
+          sum(when($"kept", $"tile_tokens".cast("long")).otherwise(0L))
+            .as("kept_tokens"),
+          sum(when(!$"kept", $"tile_tokens".cast("long")).otherwise(0L))
+            .as("removed_tokens"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when($"kept",
+              struct($"idx", $"tile_hash")))),
+            x => x("tile_hash")))).as("cleaned_sig"))
+        .orderBy("doc_id")
     }),
 
     // Corpus vocabulary report: top-50 tokens by total frequency with
@@ -1556,6 +1636,44 @@ object TextQueries {
           |  min(doc_id) AS first_doc
           |FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
           |ORDER BY chunk_hash""".stripMargin,
+
+      "q_dedup_span" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, lang, source,
+           |    string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |starts AS (
+           |  SELECT doc_id, lang, source, t,
+           |    unnest(range(1, length(t) + 1, $TileWidth)) AS s
+           |  FROM docs),
+           |tiles AS (
+           |  SELECT doc_id, lang, source,
+           |    CAST((s - 1) // $TileWidth AS INT) AS idx,
+           |    CAST(length(t[s:s+${TileWidth - 1}]) AS INT) AS tile_tokens,
+           |    md5(array_to_string(t[s:s+${TileWidth - 1}], ' ')) AS tile_hash,
+           |    doc_id * 2147483648 + (s - 1) // $TileWidth AS win_key
+           |  FROM starts),
+           |winners AS (
+           |  SELECT tile_hash, min(win_key) AS first_key
+           |  FROM tiles GROUP BY tile_hash),
+           |flagged AS (
+           |  SELECT doc_id, lang, source, idx, tile_tokens, tile_hash,
+           |    win_key = first_key AS kept
+           |  FROM tiles JOIN winners USING (tile_hash))
+           |SELECT doc_id, lang, source,
+           |  CAST(count(*) AS BIGINT) AS n_tiles,
+           |  CAST(coalesce(count(*) FILTER (WHERE kept), 0) AS BIGINT)
+           |    AS kept_tiles,
+           |  CAST(coalesce(count(*) FILTER (WHERE NOT kept), 0) AS BIGINT)
+           |    AS removed_tiles,
+           |  CAST(coalesce(sum(tile_tokens) FILTER (WHERE kept), 0)
+           |    AS BIGINT) AS kept_tokens,
+           |  CAST(coalesce(sum(tile_tokens) FILTER (WHERE NOT kept), 0)
+           |    AS BIGINT) AS removed_tokens,
+           |  md5(coalesce(string_agg(tile_hash, ' ' ORDER BY idx)
+           |    FILTER (WHERE kept), '')) AS cleaned_sig
+           |FROM flagged GROUP BY doc_id, lang, source
+           |ORDER BY doc_id""".stripMargin,
 
       "q_doc_vocab" ->
         """SELECT term, CAST(count(*) AS BIGINT) AS freq,

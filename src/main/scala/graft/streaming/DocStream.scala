@@ -141,6 +141,47 @@ object DocStream {
   def prepareFpIndex(historyFps: DataFrame): DataFrame =
     historyFps.select(col("fp")).cache()
 
+  /** Streaming face of `q_dedup_span`'s keep rule — the ingest-time
+    * NOVEL-SPAN feed: each arriving document is cut on the same
+    * non-overlapping [[graft.queries.TextQueries.TileWidth]]-token
+    * tiles as the batch query and anti-probed against the static
+    * historical span index; only spans whose content the corpus has
+    * never seen pass. A span-removal pipeline admits exactly these
+    * rows (the arriving doc minus its boilerplate), and the admitted
+    * hashes join the index at the next compaction.
+    *
+    * Stateless by the [[incrementalDedup]] contract: the history
+    * carries the memory, so there is no state store and no watermark,
+    * and a span repeated WITHIN the increment passes (history doesn't
+    * know it yet) — same within-increment semantics as the fingerprint
+    * and semantic faces, resolved at compaction. At 100 TB the index
+    * is a tile_hash-bucketed materialized table (the Layout story), so
+    * each micro-batch shuffles only itself.
+    *
+    * @param docs         streaming documents ([[docSchema]])
+    * @param historySpans static span index with a `tile_hash` column
+    *                     (pass `prepared = true` when built once via
+    *                     [[prepareSpanIndex]]); otherwise any frame
+    *                     with a tile_hash column, cached here
+    */
+  def novelSpans(docs: DataFrame, historySpans: DataFrame,
+                 prepared: Boolean = false): DataFrame = {
+    val history =
+      if (prepared) historySpans.select(col("tile_hash"))
+      else historySpans.select(col("tile_hash")).distinct().cache()
+    graft.queries.TextQueries.tiled(docs)
+      .join(history, Seq("tile_hash"), "left_anti")
+      .select(col("doc_id"), col("idx"), col("tile_tokens"),
+        col("tile_hash"))
+  }
+
+  /** Build + cache the span-hash history index ONCE from the history
+    * CORPUS for any number of [[novelSpans]] stream setups (pass
+    * `prepared = true`); the caller owns the unpersist handle. */
+  def prepareSpanIndex(historyDocs: DataFrame): DataFrame =
+    graft.queries.TextQueries.tiled(historyDocs)
+      .select(col("tile_hash")).distinct().cache()
+
   /** The embeddings schema as shipped in the testdata parquet. */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

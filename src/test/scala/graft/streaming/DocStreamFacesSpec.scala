@@ -57,6 +57,48 @@ class DocStreamFacesSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming novel-span feed equals the batch anti-join on the " +
+      "replayed increment") {
+    val dir = Files.createTempDirectory("docs_stream_spans")
+    val docs = Tables.table(spark, sf0001, "documents")
+    val inc = docs.filter($"doc_id" % 10 === 0)
+    val mid = inc.agg((min($"doc_id") + max($"doc_id")) / 2)
+      .as[Double].collect().head.toLong
+    stageFile(inc.filter($"doc_id" <= mid), dir, "b0.parquet", 1700000000000L)
+    stageFile(inc.filter($"doc_id" > mid), dir, "b1.parquet", 1700000100000L)
+
+    // plant one verbatim copy of an increment doc in the history so the
+    // anti-join provably filters, independent of where the corpus's own
+    // duplicates fell across the split
+    val history = docs.filter($"doc_id" % 10 =!= 0)
+      .unionByName(inc.orderBy($"doc_id").limit(1)
+        .withColumn("doc_id", lit(999999L)))
+    val idx = DocStream.prepareSpanIndex(history)
+    val out = DocStream.novelSpans(
+      DocStream.readDocs(spark, dir.toString), idx, prepared = true)
+    val q = EventStream.runToMemory(out, "novel_spans", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("novel_spans")
+      .select($"doc_id", $"idx", $"tile_hash")
+      .as[(Long, Int, String)].collect().toSet
+    // batch twin: the increment's tiles minus every hash history holds
+    val want = graft.queries.TextQueries.tiled(inc)
+      .join(graft.queries.TextQueries.tiled(history)
+          .select($"tile_hash").distinct(),
+        Seq("tile_hash"), "left_anti")
+      .select($"doc_id", $"idx", $"tile_hash")
+      .as[(Long, Int, String)].collect().toSet
+    idx.unpersist()
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the anti-join actually filtered something (shared spans exist
+    // between history and increment on this corpus — if not, the test
+    // corpus stopped exercising the probe and should be rebuilt)
+    val allInc = graft.queries.TextQueries.tiled(inc).count()
+    assert(got.size < allInc)
+  }
+
   test("streaming mixture application under staged batch weights folds " +
       "to the batch manifest") {
     // stage the weights the production way: the batch report collected
