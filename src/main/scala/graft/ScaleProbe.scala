@@ -122,6 +122,19 @@ object ScaleProbe {
     "q_dedup_incremental_bloom", "q_scd2_asof", "q_scan_jsonl",
     "q_corpus_diff", "q_doc_quota", "q_semdedup",
     "q_semdedup_incremental", "q_shard_assign", "q_dedup_substring",
+    // span-removal dedup: replicas duplicate texts verbatim, so every
+    // replica-K tile hash gains K copies — the winner aggregation's
+    // map-side partial min must collapse them before the shuffle and
+    // the probe join's row count grows linearly; kept-token mass stays
+    // CONSTANT (only replica-0 docs keep anything)
+    "q_dedup_span",
+    // priority sampling: one projection + TakeOrdered(K+1) — must be
+    // flat-to-linear in the scan with a constant K-row driver merge
+    "q_sample_weighted",
+    // LSH calibration: replicas collapse exactly (verbatim copies), so
+    // signature work and candidate counts must stay CONSTANT — only the
+    // collapse scan grows
+    "q_lsh_tune",
     // replica-corpus rows for the heavy pairing family (they also run on
     // the hostile corpora below): the 16x/32x knee hunt needs them on
     // verbatim-copy replicas, where exact-collapse does the bounding
@@ -171,7 +184,20 @@ object ScaleProbe {
     // the same job the containment df-cap does, done by the weight
     // floor itself. Residual postings are the per-doc unique trailers
     // (tiny lists), so probe-side work must stay near-constant
-    "q_knn_tfidf")
+    "q_knn_tfidf",
+    // span removal under maximal tile concentration: every boilerplate
+    // tile is ONE hash shared by the whole corpus. The winner min
+    // collapses map-side (one row per map partition reaches the
+    // shuffle) and the probe join's hot key is the AQE skew-split
+    // shape (1-row build side) — wall-clock must stay linear in docs,
+    // with removed-token mass ≈ the whole boilerplate prefix
+    "q_dedup_span",
+    // LSH calibration under defeat-the-collapse boilerplate: every rep
+    // survives, near-identical signatures concentrate every band bucket,
+    // and the per-layout capPerKey (tags lsh_<b>x<r>) must bound both
+    // candidate volume and the pooled verification exactly as the
+    // production minhash path's cap does
+    "q_lsh_tune")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

@@ -78,6 +78,21 @@ object DedupQueries {
       rng.nextInt(MersenneP.toInt).toLong))
   }
 
+  /** q_lsh_tune's band layouts over the 32-hash signature (b·r = 32
+    * each, so every layout consumes the identical hash budget and the
+    * nesting argument in the query scaladoc holds) and the jaccard
+    * ground-truth threshold both engines verify pooled candidates at. */
+  private[queries] val LshTuneConfigs = Seq((4, 8), (8, 4), (16, 2))
+  private[queries] val LshTuneTau = 0.5
+
+  /** The MMDS S-curve collision probability 1−(1−τ^r)^b at the tuning
+    * threshold, 4dp — computed ONCE here and interpolated into both the
+    * Spark literal column and the oracle VALUES, so the "theoretical"
+    * column has a single source of truth. */
+  private[queries] def pCollide(b: Int, r: Int): Double =
+    math.floor((1d - math.pow(1d - math.pow(LshTuneTau, r), b)) * 1e4
+      + 0.5) / 1e4
+
   private def maxBucket(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.dedup.maxBucket")
       .map(_.toInt).getOrElse(1000)
@@ -334,10 +349,60 @@ object DedupQueries {
     * so the production clustering path collapses exact duplicates before
     * banding (q_dedup_clusters) — feed collapsed representatives here
     * when the corpus is duplicate-heavy. */
+  /** The 32-hash md5-affine minhash signature (columns m_0..m_31) over
+    * a shingled (doc_id, grams) frame — ONE definition shared by
+    * q_dedup_minhash_sql and q_lsh_tune, so the calibration report
+    * measures exactly the oracle twin's hash family.
+    *
+    * The base hash is BOUND to a column BEFORE its 32 affine consumers
+    * — feeding pmod(conv(substring(md5(...))), p) straight into 32
+    * expressions would let CollapseProject duplicate the digest work
+    * into each consumer (measured 4x digest work in the r3 first
+    * cut). Considered and rejected: hashing only DISTINCT shingles
+    * and joining back (10x md5 reuse on this corpus) measured no
+    * faster at sf0.1 — the distinct+join shuffles eat the savings; on
+    * a Zipf-heavy 100 TB corpus that variant becomes the right trade
+    * and slots in at the explode without changing semantics. */
+  private def affineSignature(shingled: DataFrame): DataFrame = {
+    import shingled.sparkSession.implicits._
+    val exploded = shingled
+      .select($"doc_id", explode_outer($"grams").as("shingle"))
+    val base = exploded.select($"doc_id",
+      pmod(conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long"),
+        lit(MersenneP)).as("h"))
+    val hashed = base.select(($"doc_id" +:
+      affineConsts.zipWithIndex.map { case ((a, b), i) =>
+        pmod($"h" * a + b, lit(MersenneP)).as(s"x_$i") }): _*)
+    val aggs = affineConsts.indices.map(i => min(col(s"x_$i")).as(s"m_$i"))
+    hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band keys for a (b, r) layout over an [[affineSignature]] frame:
+    * band bi concatenates hashes m_{bi·r}..m_{bi·r+r−1} — consecutive
+    * in global hash order, the property that makes coarser layouts
+    * nest inside finer ones (q_lsh_tune's superset argument). */
+  private def bandKeys(sig: DataFrame, bcount: Int, rcount: Int)
+      : DataFrame = {
+    import sig.sparkSession.implicits._
+    sig.select($"doc_id", posexplode(array(
+      (0 until bcount).map(bi => concat_ws(",",
+        (0 until rcount).map(ri =>
+          col(s"m_${bi * rcount + ri}").cast("string")): _*)): _*)))
+      .toDF("doc_id", "band_idx", "band_key")
+  }
+
   private[queries] def bucketPairs(banded: DataFrame,
+      bucketCols: Column*): DataFrame =
+    bucketPairsTagged(banded, "bucket", bucketCols: _*)
+
+  /** [[bucketPairs]] with a caller-chosen observed-metric tag: a plan
+    * using the device MORE THAN ONCE (q_lsh_tune bands three layouts)
+    * must give each instance a distinct tag — Spark rejects duplicate
+    * observed-metric names with different results in one plan. */
+  private[queries] def bucketPairsTagged(banded: DataFrame, tag: String,
       bucketCols: Column*): DataFrame = {
     import banded.sparkSession.implicits._
-    capPerKey(banded, "bucket", bucketCols: _*)
+    capPerKey(banded, tag, bucketCols: _*)
       .groupBy(bucketCols: _*)
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
@@ -1049,32 +1114,86 @@ object DedupQueries {
       val rows = 4
       val (grouped, reps) =
         collapseExact(Tables.table(s, dir, "documents"))
-      val exploded = withShingles(reps.select($"doc_id", $"text"), 3)
-        .select($"doc_id", explode_outer($"grams").as("shingle"))
-      // The base hash is BOUND to a column BEFORE its 32 affine consumers
-      // — feeding pmod(conv(substring(md5(...))), p) straight into 32
-      // expressions would let CollapseProject duplicate the digest work
-      // into each consumer (measured 4x digest work in the r3 first
-      // cut). Considered and rejected: hashing only DISTINCT shingles
-      // and joining back (10x md5 reuse on this corpus) measured no
-      // faster at sf0.1 — the distinct+join shuffles eat the savings; on
-      // a Zipf-heavy 100 TB corpus that variant becomes the right trade
-      // and slots in at the explode without changing semantics.
-      val base = exploded.select($"doc_id",
-        pmod(conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long"),
-          lit(MersenneP)).as("h"))
-      val hashed = base.select(($"doc_id" +:
-        affineConsts.zipWithIndex.map { case ((a, b), i) =>
-          pmod($"h" * a + b, lit(MersenneP)).as(s"x_$i") }): _*)
-      val aggs = (0 until bands * rows).map(i => min(col(s"x_$i")).as(s"m_$i"))
-      val sig = hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-      val banded = sig.select($"doc_id", posexplode(array(
-        (0 until bands).map(b => concat_ws(",",
-          (0 until rows).map(r => col(s"m_${b * rows + r}").cast("string")): _*)): _*)))
-        .toDF("doc_id", "band_idx", "band_key")
-      fanOut(bucketPairs(banded, $"band_idx", $"band_key"), grouped,
+      val sig = affineSignature(
+        withShingles(reps.select($"doc_id", $"text"), 3))
+      fanOut(bucketPairs(bandKeys(sig, bands, rows),
+          $"band_idx", $"band_key"), grouped,
         "shared_bands", lit(bands.toLong))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // LSH banding CALIBRATION — the tuning audit a pipeline runs before
+    // committing to a band layout (Leskovec–Rajaraman–Ullman, Mining of
+    // Massive Datasets §3.4.3: collision probability follows the
+    // S-curve 1−(1−s^r)^b, and the (b, r) choice trades recall against
+    // candidate volume). Three layouts over the SAME 32-hash md5-affine
+    // signature (b×r = 4×8 / 8×4 / 16×2 — nested by construction: an
+    // 8-row band match implies its 4-row halves and 2-row quarters
+    // match, so looser layouts produce candidate SUPERSETS;
+    // LshTuneSpec pins the nesting) are each scored against exact
+    // jaccard verified on the POOLED candidate union — the TREC pooling
+    // method: full all-pairs truth is quadratic and unaffordable at any
+    // real scale, so ground truth is "every pair ANY config surfaced,
+    // exactly verified", and recall is RELATIVE to that pool (the
+    // loosest config anchors at 1.0 by construction — the pool IS its
+    // candidate set; the report's value is the recall/volume trade
+    // between layouts, exactly what the tuning decision needs).
+    //
+    // Scale shape: signature work is paid ONCE (the checkpointed sig
+    // table feeds all three band projections — the multi-consumer
+    // materialization rule); each layout's candidate join is the capped
+    // bucketPairs device; exact verification touches ONLY pooled pairs
+    // (the production verify-candidates stage, never an all-pairs
+    // pass); final aggregation is 3 rows.
+    "q_lsh_tune" -> ((s, dir) => {
+      import s.implicits._
+      val (_, reps) = collapseExact(Tables.table(s, dir, "documents"))
+      // gram ARRAYS feed both the signature explode and the two
+      // verification joins — differently-pruned consumers, so the
+      // shingled projection is materialized once
+      val grams = withShingles(reps.select($"doc_id", $"text"), 3)
+        .select($"doc_id", $"grams")
+        .localCheckpoint()
+      val sig = affineSignature(grams).localCheckpoint()
+      val cands = LshTuneConfigs.map { case (bcount, rcount) =>
+        bucketPairsTagged(bandKeys(sig, bcount, rcount),
+            s"lsh_${bcount}x$rcount", $"band_idx", $"band_key")
+          .select(lit(s"${bcount}x$rcount").as("cfg"), $"doc_a", $"doc_b")
+      }.reduce(_ unionByName _).localCheckpoint()
+      val verified = cands.select($"doc_a", $"doc_b").distinct()
+        .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")),
+          Seq("doc_a"))
+        .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")),
+          Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          (Clean.roundHalfUp(
+            size(array_intersect($"ga", $"gb")).cast("double")
+              / size(array_union($"ga", $"gb")), 4) >= LshTuneTau)
+            .as("is_dup"))
+      val truthTotal = verified.agg(
+        coalesce(sum(when($"is_dup", 1L).otherwise(0L)), lit(0L))
+          .as("pool_true"))
+      val perCfg = cands.join(verified, Seq("doc_a", "doc_b"))
+        .groupBy($"cfg")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"is_dup", 1L).otherwise(0L)).as("n_true"))
+      val cfgs = LshTuneConfigs
+        .map { case (b, r) => (s"${b}x$r", b, r, pCollide(b, r)) }
+        .toDF("cfg", "bands", "rows_per_band", "p_collide_at_tau")
+      cfgs.join(perCfg, Seq("cfg"), "left")
+        .crossJoin(broadcast(truthTotal))
+        .select($"cfg", $"bands", $"rows_per_band",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"n_true", lit(0L)).as("n_true"),
+          $"pool_true",
+          when($"pool_true" > 0, Clean.roundHalfUp(
+            coalesce($"n_true", lit(0L)).cast("double") / $"pool_true", 4))
+            .otherwise(lit(0.0)).as("pooled_recall"),
+          when(coalesce($"n_candidates", lit(0L)) > 0, Clean.roundHalfUp(
+            coalesce($"n_true", lit(0L)).cast("double") / $"n_candidates", 4))
+            .otherwise(lit(0.0)).as("pooled_precision"),
+          $"p_collide_at_tau")
+        .orderBy("bands")
     }),
 
     // SimHash: 64-bit signature from token hashes; near-dups = pairs
@@ -1398,6 +1517,100 @@ object DedupQueries {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB replay of q_lsh_tune: the collapse, the 32-hash affine
+    * signature (same generated VALUES as [[minhashSqlOracle]]), one
+    * banding CTE per layout (`i // r` groups the same consecutive
+    * hashes as [[bandKeys]]), pooled exact-jaccard verification, and
+    * the 3-row report — the S-curve constants are interpolated from
+    * [[pCollide]], the one definition both engines share. */
+  private def lshTuneOracle: String = {
+    val funcs = affineConsts.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .grouped(3).map(_.mkString(", ")).mkString(",\n    ")
+    val perCfg = LshTuneConfigs.map { case (b, r) =>
+      s"""banded_${b}x$r AS (
+         |  SELECT doc_id, i // $r AS band_idx,
+         |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
+         |  FROM sig GROUP BY 1, 2),
+         |cand_${b}x$r AS (
+         |  SELECT '${b}x$r' AS cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded_${b}x$r a JOIN banded_${b}x$r b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val candUnion = LshTuneConfigs
+      .map { case (b, r) => s"SELECT * FROM cand_${b}x$r" }
+      .mkString("\n  UNION ALL ")
+    val cfgVals = LshTuneConfigs
+      .map { case (b, r) => s"('${b}x$r', $b, $r, ${pCollide(b, r)})" }
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g')) AS fp,
+       |    string_split(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' ')
+       |      AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |reps AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+       |docs AS (
+       |  SELECT b.doc_id,
+       |    list_distinct(CASE WHEN length(toks) >= 3
+       |      THEN list_transform(range(1, length(toks) - 1),
+       |           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+       |      ELSE [array_to_string(toks, ' ')] END) AS grams
+       |  FROM base b JOIN reps USING (doc_id)),
+       |ex AS (SELECT doc_id, unnest(grams) AS shingle FROM docs),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(1, 16), j ->
+       |      CAST(strpos('0123456789abcdef',
+       |             substring(md5(shingle), CAST(j AS INT), 1)) - 1 AS BIGINT)
+       |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) % $MersenneP AS h
+       |  FROM ex),
+       |funcs(i, a, b) AS (VALUES
+       |    $funcs),
+       |vals AS (SELECT doc_id, f.i AS i, (h * f.a + f.b) % $MersenneP AS v
+       |         FROM hashed, funcs f),
+       |sig AS (SELECT doc_id, i, min(v) AS m FROM vals GROUP BY 1, 2),
+       |$perCfg,
+       |cands AS (
+       |  $candUnion),
+       |pool AS (SELECT DISTINCT doc_a, doc_b FROM cands),
+       |ver AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    floor(CAST(length(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |        / (length(ga.grams) + length(gb.grams)
+       |           - length(list_intersect(ga.grams, gb.grams)))
+       |        * 10000 + 0.5) / 10000 >= $LshTuneTau AS is_dup
+       |  FROM pool p
+       |  JOIN docs ga ON ga.doc_id = p.doc_a
+       |  JOIN docs gb ON gb.doc_id = p.doc_b),
+       |tot AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS pool_true FROM ver),
+       |agg AS (
+       |  SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM cands JOIN ver USING (doc_a, doc_b) GROUP BY cfg),
+       |cfgs(cfg, bands, rows_per_band, p_collide_at_tau) AS (VALUES
+       |    $cfgVals)
+       |SELECT c.cfg, c.bands, c.rows_per_band,
+       |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(a.n_true, 0) AS BIGINT) AS n_true,
+       |  t.pool_true,
+       |  CASE WHEN t.pool_true > 0
+       |    THEN floor(CAST(coalesce(a.n_true, 0) AS DOUBLE) / t.pool_true
+       |           * 10000 + 0.5) / 10000
+       |    ELSE 0.0 END AS pooled_recall,
+       |  CASE WHEN coalesce(a.n_candidates, 0) > 0
+       |    THEN floor(CAST(coalesce(a.n_true, 0) AS DOUBLE) / a.n_candidates
+       |           * 10000 + 0.5) / 10000
+       |    ELSE 0.0 END AS pooled_precision,
+       |  c.p_collide_at_tau
+       |FROM cfgs c LEFT JOIN agg a USING (cfg) CROSS JOIN tot t
+       |ORDER BY c.bands""".stripMargin
+  }
+
   /** The recursive transitive-closure CTE chain over the jaccard edge
     * set — shared by the q_dedup_clusters_sql oracle (its original home)
     * and the q_split_cluster_safe oracle, which extends it with the
@@ -1642,6 +1855,8 @@ object DedupQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_minhash_sql" -> minhashSqlOracle,
+
+    "q_lsh_tune" -> lshTuneOracle,
 
     "q_dedup_clusters_sql" ->
       (clusterReachCtes +

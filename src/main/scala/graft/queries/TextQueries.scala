@@ -291,8 +291,15 @@ object TextQueries {
   private[graft] def tiled(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val w = TileWidth
+    // select-if-exists (the HrTransform.alignColumns discipline): probe
+    // and synthetic corpora carry doc_id/text only; the manifest's
+    // carry-through columns null out rather than failing analysis
+    def carry(c: String) =
+      if (docs.columns.contains(c)) col(c)
+      else lit(null).cast("string").as(c)
     Tables.spread(docs.filter(length(trim($"text")) > 0), $"doc_id")
-      .select($"doc_id", $"lang", $"source", tokens($"text").as("__toks"))
+      .select($"doc_id", carry("lang"), carry("source"),
+        tokens($"text").as("__toks"))
       .select($"doc_id", $"lang", $"source", $"__toks",
         explode(sequence(lit(1), size($"__toks"), lit(w))).as("s"))
       .select($"doc_id", $"lang", $"source",
