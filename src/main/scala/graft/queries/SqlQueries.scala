@@ -15,11 +15,13 @@ import graft.sources.Views
   * two surfaces agree, and SqlFrontDoorSpec additionally pins collected
   * row-identity twin-vs-twin in one session.
   *
-  * Five twins chosen to span the surface: a null-keeping filter
+  * Six twins chosen to span the surface: a null-keeping filter
   * (reference parity), a broadcast-join top-k, exact dedup over the
-  * md5 fingerprint, an event-time rollup, and brute-force ANN through
+  * md5 fingerprint, an event-time rollup, brute-force ANN through
   * the registered `cosine_sim` function — the one entry the SQL
-  * surface could not express without the custom-expression registry. */
+  * surface could not express without the custom-expression registry —
+  * and span-removal dedup, the surface's generator + struct-collect
+  * witness. */
 object SqlQueries {
 
   private def sqlOver(q: String)(s: SparkSession, dir: String): DataFrame = {
@@ -85,7 +87,47 @@ object SqlQueries {
         |      ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) _))
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) _),
+
+    // q_dedup_span through SQL: the tiling LATERAL VIEW explode, the
+    // corpus-wide first-wins aggregation, and the ordered-signature
+    // collect — the surface's first GENERATOR + struct-collect twin,
+    // proving the span-removal semantics need nothing outside plain
+    // Spark SQL (the DataFrame twin's localCheckpoint is a measured
+    // optimization, not semantics — one oracle checks both)
+    "q_sql_dedup_span" -> (sqlOver(
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, source, split(trim(text), '\\\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |tiles AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST((s - 1) div 20 AS INT) AS idx,
+         |    size(slice(t, s, 20)) AS tile_tokens,
+         |    md5(concat_ws(' ', slice(t, s, 20))) AS tile_hash,
+         |    doc_id * 2147483648L + CAST((s - 1) div 20 AS BIGINT)
+         |      AS win_key
+         |  FROM docs LATERAL VIEW explode(sequence(1, size(t), 20)) AS s),
+         |winners AS (
+         |  SELECT tile_hash, min(win_key) AS first_key
+         |  FROM tiles GROUP BY tile_hash),
+         |flagged AS (
+         |  SELECT doc_id, lang, source, idx, tile_tokens, tile_hash,
+         |    win_key = first_key AS kept
+         |  FROM tiles JOIN winners USING (tile_hash))
+         |SELECT doc_id, lang, source,
+         |  count(*) AS n_tiles,
+         |  sum(CASE WHEN kept THEN 1L ELSE 0L END) AS kept_tiles,
+         |  sum(CASE WHEN NOT kept THEN 1L ELSE 0L END) AS removed_tiles,
+         |  sum(CASE WHEN kept THEN CAST(tile_tokens AS BIGINT)
+         |      ELSE 0L END) AS kept_tokens,
+         |  sum(CASE WHEN NOT kept THEN CAST(tile_tokens AS BIGINT)
+         |      ELSE 0L END) AS removed_tokens,
+         |  md5(concat_ws(' ', transform(
+         |    array_sort(collect_list(
+         |      CASE WHEN kept THEN struct(idx, tile_hash) END)),
+         |    x -> x.tile_hash))) AS cleaned_sig
+         |FROM flagged GROUP BY doc_id, lang, source
+         |ORDER BY doc_id""".stripMargin) _))
 
   /** The DataFrame twins' oracles, verbatim: one oracle, two surfaces —
     * a hash mismatch on either would localize the divergence to the
@@ -95,5 +137,6 @@ object SqlQueries {
     "q_sql_topk" -> ParityQueries.oracleSql("q_topk"),
     "q_sql_dedup_exact" -> DedupQueries.oracleSql("q_dedup_exact"),
     "q_sql_events_hourly" -> EventQueries.oracleSql("q_events_hourly"),
-    "q_sql_knn_brute" -> SimilarityQueries.oracleSql("q_knn_brute"))
+    "q_sql_knn_brute" -> SimilarityQueries.oracleSql("q_knn_brute"),
+    "q_sql_dedup_span" -> TextQueries.oracleSql("q_dedup_span"))
 }

@@ -15,7 +15,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q_sql_topk" -> "q_topk",
     "q_sql_dedup_exact" -> "q_dedup_exact",
     "q_sql_events_hourly" -> "q_events_hourly",
-    "q_sql_knn_brute" -> "q_knn_brute")
+    "q_sql_knn_brute" -> "q_knn_brute",
+    "q_sql_dedup_span" -> "q_dedup_span")
 
   test("the SQL surface optimizes to the same canonical plan as the " +
       "DataFrame surface (the Views scaladoc's claim, checked)") {
