@@ -135,6 +135,11 @@ object ScaleProbe {
     // signature work and candidate counts must stay CONSTANT — only the
     // collapse scan grows
     "q_lsh_tune",
+    // count-min sketch: constant vocabulary on replicas means the
+    // (t, c) pre-agg output and the ≤4096-row sketch are CONSTANT;
+    // only the token scan grows — the sketch's fixed-memory claim,
+    // measured
+    "q_doc_cms",
     // replica-corpus rows for the heavy pairing family (they also run on
     // the hostile corpora below): the 16x/32x knee hunt needs them on
     // verbatim-copy replicas, where exact-collapse does the bounding
@@ -197,7 +202,12 @@ object ScaleProbe {
     // and the per-layout capPerKey (tags lsh_<b>x<r>) must bound both
     // candidate volume and the pooled verification exactly as the
     // production minhash path's cap does
-    "q_lsh_tune")
+    "q_lsh_tune",
+    // CMS under maximal hot-token concentration: the (t, c) pre-agg
+    // bounds each hot token to ONE weighted row before the counter
+    // sums, so growth must track the LM scorers' linear row, never the
+    // occurrence count
+    "q_doc_cms")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

@@ -84,6 +84,14 @@ object TextQueries {
     * number of iterations. */
   private[queries] val BpeMergeCount = 12
 
+  /** q_doc_cms's sketch dimensions — depth rows of width counters,
+    * interpolated into the generated oracle. 4×1024 gives ε ≈ e/1024
+    * per-row overestimate mass at δ = (1/2)^4 — the classic CMS sizing,
+    * kept tiny here so the sketch is visibly constant-memory while the
+    * corpus grows (the probe's claim). */
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWidth = 1024
+
   /** The generated DuckDB CTE chain replaying [[bpeMerges]] — shared
     * prefix of BOTH bpe oracles (train's tail unions the m_i rows; apply's
     * tail reuses `tok` and the m_i tables; DuckDB prunes the CTEs a tail
@@ -935,6 +943,57 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    // 2005) — the fixed-memory frequency oracle a 100 TB pipeline keeps
+    // when the exact vocabulary no longer fits: depth×width counters
+    // (here 4×1024), each token incrementing one counter per row, point
+    // estimate = min over rows. Unlike the suite's HLL/GK sketches this
+    // one gets a HARD DuckDB oracle: the row hashes are the md5-affine
+    // family (the minhash twin's first [[DedupQueries.affineConsts]]
+    // constants — one hash-family definition suite-wide), and CMS
+    // counters are SUMS — merge is element-wise addition, fully
+    // order-independent — so the whole sketch replays bit-exactly in
+    // SQL. The report scores the sketch against ground truth: the
+    // top-20 exact tokens with their estimates and overestimates
+    // (CMS never underestimates — CmsSpec pins the guarantee).
+    //
+    // Scale shape: ONE token exchange builds both the exact counts and
+    // the sketch (the (t, c) pre-aggregation bounds hot-token skew —
+    // counters then sum weighted DISTINCT tokens, never occurrences);
+    // the sketch is ≤ depth·width rows (4096) at ANY corpus size — the
+    // broadcast side of the estimate join; top-20 is a TakeOrdered.
+    // The localCheckpoint materializes the vocabulary-sized counts
+    // once for its two differently-pruned consumers (sketch + top-k).
+    "q_doc_cms" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select(explode(tokens(lower($"text"))).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+        .withColumn("h", pmod(
+          conv(substring(md5($"t"), 1, 15), 16, 10).cast("long"),
+          lit(DedupQueries.MersenneP)))
+        .localCheckpoint()
+      val buckets = (colH: Column) => array(
+        DedupQueries.affineConsts.take(CmsDepth).map { case (a, b) =>
+          pmod(pmod(colH * a + b, lit(DedupQueries.MersenneP)),
+            lit(CmsWidth.toLong))
+        }: _*)
+      val cms = counts.select($"c", posexplode(buckets($"h")))
+        .toDF("c", "i", "b")
+        .groupBy($"i", $"b").agg(sum($"c").as("cnt"))
+      val top = counts.orderBy($"c".desc, $"t").limit(20)
+      val w = Window.orderBy($"c".desc, $"t")
+      top.select($"t", $"c", posexplode(buckets($"h")))
+        .toDF("t", "c", "i", "b")
+        .join(broadcast(cms), Seq("i", "b"))
+        .groupBy($"t", $"c").agg(min($"cnt").as("est"))
+        .select(row_number().over(w).cast("int").as("rank"),
+          $"t".as("token"), $"c".as("exact_freq"), $"est".as("est_freq"),
+          ($"est" - $"c").as("overestimate"))
+        .orderBy("rank")
+    }),
+
     // Corpus vocabulary report: top-50 tokens by total frequency with
     // document frequency — the Zipf sanity check before tokenizer
     // training. Exact integer counts; the top-k is a TakeOrdered (per-
@@ -1689,6 +1748,44 @@ object TextQueries {
           |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
           |      FROM documents WHERE length(trim(text)) > 0)
           |GROUP BY term ORDER BY freq DESC, term LIMIT 50""".stripMargin,
+
+      "q_doc_cms" -> {
+        val funcs = graft.queries.DedupQueries.affineConsts.take(CmsDepth)
+          .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }
+          .mkString(", ")
+        val p = graft.queries.DedupQueries.MersenneP
+        s"""WITH counts AS (
+           |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+           |      AS t
+           |    FROM documents WHERE length(trim(text)) > 0)
+           |  GROUP BY t),
+           |hashed AS (
+           |  SELECT t, c,
+           |    CAST(list_sum(list_transform(range(1, 16), j ->
+           |      CAST(strpos('0123456789abcdef',
+           |             substring(md5(t), CAST(j AS INT), 1)) - 1 AS BIGINT)
+           |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) % $p AS h
+           |  FROM counts),
+           |funcs(i, a, b) AS (VALUES $funcs),
+           |cms AS (
+           |  SELECT f.i AS i, ((h * f.a + f.b) % $p) % $CmsWidth AS b,
+           |    CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM hashed, funcs f GROUP BY 1, 2),
+           |top AS (SELECT t, c, h FROM hashed ORDER BY c DESC, t LIMIT 20),
+           |est AS (
+           |  SELECT t.t, t.c, min(m.cnt) AS est
+           |  FROM top t
+           |  CROSS JOIN funcs f
+           |  JOIN cms m ON m.i = f.i
+           |    AND m.b = ((t.h * f.a + f.b) % $p) % $CmsWidth
+           |  GROUP BY 1, 2)
+           |SELECT CAST(row_number() OVER (ORDER BY c DESC, t) AS INT)
+           |    AS rank,
+           |  t AS token, c AS exact_freq, CAST(est AS BIGINT) AS est_freq,
+           |  CAST(est - c AS BIGINT) AS overestimate
+           |FROM est ORDER BY rank""".stripMargin
+      },
 
       "q_doc_collocations" ->
         """WITH base AS (
