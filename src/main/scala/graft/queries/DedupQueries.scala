@@ -1144,7 +1144,16 @@ object DedupQueries {
     // materialization rule); each layout's candidate join is the capped
     // bucketPairs device; exact verification touches ONLY pooled pairs
     // (the production verify-candidates stage, never an all-pairs
-    // pass); final aggregation is 3 rows.
+    // pass); final aggregation is 3 rows. On a boilerplate corpus the
+    // band buckets concentrate (every doc shares most of its signature)
+    // and the per-bucket cap windows carry Σb rows per config through
+    // ≤Σb hot partitions — linear in docs with a concentration
+    // constant, measured 15.5/22.0/39.3s at 8×/16×/32× hostile
+    // (SCALING r14; pair volume constant — the cap). Deployment note:
+    // a calibration AUDIT is run on a corpus sample in practice (its
+    // recall/precision statistics converge long before corpus scale),
+    // so the 100 TB story is "sample, then tune" — the full-corpus
+    // shape above is the worst case, not the intended one.
     "q_lsh_tune" -> ((s, dir) => {
       import s.implicits._
       val (_, reps) = collapseExact(Tables.table(s, dir, "documents"))

@@ -89,8 +89,37 @@ object TextQueries {
     * per-row overestimate mass at δ = (1/2)^4 — the classic CMS sizing,
     * kept tiny here so the sketch is visibly constant-memory while the
     * corpus grows (the probe's claim). */
-  private[queries] val CmsDepth = 4
-  private[queries] val CmsWidth = 1024
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
+
+  /** The CMS row-bucket array for a base-hash column — ONE definition
+    * of the hash family application, shared by the batch sketch, the
+    * streaming face ([[cmsCounters]]), and the estimate join. */
+  private[queries] def cmsBuckets(h: Column): Column = array(
+    DedupQueries.affineConsts.take(CmsDepth).map { case (a, b) =>
+      pmod(pmod(h * a + b, lit(DedupQueries.MersenneP)),
+        lit(CmsWidth.toLong))
+    }: _*)
+
+  /** The (i, b, cnt) counter table of the count-min sketch over a
+    * documents frame — occurrence-grain aggregation, identical totals
+    * to the batch query's weighted two-step (sum of per-token counts
+    * per bucket = occurrence count per bucket). Works on batch AND
+    * streaming frames: pure projections + ONE aggregation whose group
+    * universe is ≤ depth·width — in a stream this aggregation IS the
+    * sketch: its state store holds at most 4096 counter rows forever,
+    * the constant-memory claim enforced by construction
+    * ([[graft.streaming.DocStream.sketchFreq]]). */
+  private[graft] def cmsCounters(docs: DataFrame): DataFrame = {
+    val h = pmod(
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+      lit(DedupQueries.MersenneP))
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(lower(col("text")))).as("t"))
+      .select(posexplode(cmsBuckets(h)))
+      .toDF("i", "b")
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("cnt"))
+  }
 
   /** The generated DuckDB CTE chain replaying [[bpeMerges]] — shared
     * prefix of BOTH bpe oracles (train's tail unions the m_i rows; apply's
@@ -974,17 +1003,12 @@ object TextQueries {
           conv(substring(md5($"t"), 1, 15), 16, 10).cast("long"),
           lit(DedupQueries.MersenneP)))
         .localCheckpoint()
-      val buckets = (colH: Column) => array(
-        DedupQueries.affineConsts.take(CmsDepth).map { case (a, b) =>
-          pmod(pmod(colH * a + b, lit(DedupQueries.MersenneP)),
-            lit(CmsWidth.toLong))
-        }: _*)
-      val cms = counts.select($"c", posexplode(buckets($"h")))
+      val cms = counts.select($"c", posexplode(cmsBuckets($"h")))
         .toDF("c", "i", "b")
         .groupBy($"i", $"b").agg(sum($"c").as("cnt"))
       val top = counts.orderBy($"c".desc, $"t").limit(20)
       val w = Window.orderBy($"c".desc, $"t")
-      top.select($"t", $"c", posexplode(buckets($"h")))
+      top.select($"t", $"c", posexplode(cmsBuckets($"h")))
         .toDF("t", "c", "i", "b")
         .join(broadcast(cms), Seq("i", "b"))
         .groupBy($"t", $"c").agg(min($"cnt").as("est"))

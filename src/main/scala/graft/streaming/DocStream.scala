@@ -182,6 +182,22 @@ object DocStream {
     graft.queries.TextQueries.tiled(historyDocs)
       .select(col("tile_hash")).distinct().cache()
 
+  /** Streaming count-min sketch — the live face of q_doc_cms's counter
+    * table: arriving documents increment the (i, b) counters as an
+    * update-mode aggregation whose state IS the sketch. The state
+    * store therefore holds at most depth·width (4096) rows FOREVER,
+    * regardless of stream length — the sketch's constant-memory claim
+    * enforced by construction, not by a watermark (contrast
+    * [[dedupDocs]], whose unwatermarked state grows with distinct
+    * content). Per micro-batch the map-side partial aggregation
+    * collapses every batch to ≤4096 rows before the state update, so
+    * hot tokens cost nothing extra — the counter grain is already the
+    * collision grain. Final state equals the batch counter table
+    * row-for-row (CmsStreamSpec pins it across a two-batch replay,
+    * plus the ≤4096-row state bound from the progress metrics). */
+  def sketchFreq(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.cmsCounters(docs)
+
   /** The embeddings schema as shipped in the testdata parquet. */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

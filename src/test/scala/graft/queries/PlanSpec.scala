@@ -171,6 +171,33 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("the round-14 operators keep their designed plan shapes") {
+    // span removal (both surfaces): tile_hash equi-join + keyed manifest
+    // aggregation — never a cartesian or nested-loop pass
+    Seq("q_dedup_span", "q_sql_dedup_span").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+    // priority sampling: the selection must be TakeOrderedAndProject
+    // (per-partition heap + K-row driver merge), never a global sort;
+    // the single BNLJ is the 1-row tau attach (the tfidf exemption)
+    val ws = plan("q_sample_weighted")
+    assert(ws.contains("TakeOrderedAndProject"), ws)
+    assert(!ws.contains("CartesianProduct"), ws)
+    // LSH calibration: banding joins stay bucket-equi-keyed; the 1-row
+    // pool_true attach is the only BNLJ
+    val lt = plan("q_lsh_tune")
+    assert(!lt.contains("CartesianProduct"), lt)
+    // CMS: the ≤4096-row sketch must BROADCAST into the estimate join,
+    // and the top-20 must be a TakeOrdered, not a global sort
+    val cms = plan("q_doc_cms")
+    assert(cms.contains("BroadcastHashJoin"), cms)
+    assert(cms.contains("TakeOrderedAndProject"), cms)
+    assert(!cms.contains("CartesianProduct"), cms)
+  }
+
   test("q_doc_pii_redact is a map-only pass: the only exchange is its sort") {
     // regex scrub over 100 TB must stay scan-bound: per-row work only,
     // no shuffle beyond the presentation ORDER BY's range partitioning
