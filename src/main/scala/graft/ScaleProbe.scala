@@ -131,6 +131,10 @@ object ScaleProbe {
     // priority sampling: one projection + TakeOrdered(K+1) — must be
     // flat-to-linear in the scan with a constant K-row driver merge
     "q_sample_weighted",
+    // per-stratum twin: the local row_number prunes every partition to
+    // K+1 per lang BEFORE the stratum exchange, so the global window
+    // input is (K+1)·partitions rows per lang at any corpus size
+    "q_sample_weighted_group",
     // LSH calibration: replicas collapse exactly (verbatim copies), so
     // signature work and candidate counts must stay CONSTANT — only the
     // collapse scan grows

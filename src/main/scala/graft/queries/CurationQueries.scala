@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Clean, Tables}
@@ -62,6 +62,34 @@ object CurationQueries {
     * each, interpolated into the oracle SQL. */
   private[queries] val SampleK = 100
   private[queries] val SampleU = 1048576L
+
+  /** q_sample_weighted_group's per-stratum sample size. */
+  private[queries] val SampleGroupK = 20
+
+  /** The shared priority projection of q_sample_weighted and its
+    * per-stratum twin: md5-derived uniform ticks and the exact
+    * floor-division priority (see the q_sample_weighted scaladoc for
+    * the bounds argument). */
+  private def priorityDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uTicks = pmod(conv(substring(md5(concat(lit("sample|"),
+      $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(SampleU)) + 1L
+    Tables.table(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"lang", $"source",
+        size(TextQueries.tokens($"text")).cast("long").as("tok_count"),
+        uTicks.as("u_ticks"))
+      .withColumn("pr_ticks",
+        expr(s"tok_count * ${SampleU * 1000000L}L div u_ticks"))
+  }
+
+  /** max(w, τ) in token units — the Duffield–Lund–Thorup subset-sum
+    * estimator, shared by both sampling queries. */
+  private def estTokens(tok: Column, tau: Column): Column =
+    Clean.roundHalfUp(
+      greatest(tok * lit(SampleU * 1000000L), tau)
+        / lit((SampleU * 1000000L).toDouble), 4)
 
   /** The deterministic split bucket in [0, 100) — the ONE definition
     * shared with q_sample_stratified ([[TextQueries.sampleBucket]]). */
@@ -795,16 +823,7 @@ object CurationQueries {
     // runs over ≤ K+1 rows by construction — constant, not corpus-bound.
     "q_sample_weighted" -> ((s, dir) => {
       import s.implicits._
-      val uTicks = pmod(conv(substring(md5(concat(lit("sample|"),
-        $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long"),
-        lit(SampleU)) + 1L
-      val top1 = Tables.table(s, dir, "documents")
-        .filter(length(trim($"text")) > 0)
-        .select($"doc_id", $"lang", $"source",
-          size(TextQueries.tokens($"text")).cast("long").as("tok_count"),
-          uTicks.as("u_ticks"))
-        .withColumn("pr_ticks",
-          expr(s"tok_count * ${SampleU * 1000000L}L div u_ticks"))
+      val top1 = priorityDocs(s, dir)
         .orderBy($"pr_ticks".desc, $"doc_id")
         .limit(SampleK + 1)
         .localCheckpoint()
@@ -815,17 +834,56 @@ object CurationQueries {
       top1.withColumn("rank", row_number().over(w))
         .filter($"rank" <= SampleK)
         .crossJoin(broadcast(tau))
+        // max(w_i, τ) back in token units: LONG→double conversion and
+        // the division are both exactly-rounded IEEE ops with
+        // identical results in any engine (the suite's usual device;
+        // here the operands can exceed 2^53, and round-to-nearest on
+        // conversion is still bit-identical JVM vs DuckDB)
         .select($"rank", $"doc_id", $"lang", $"source", $"tok_count",
           $"pr_ticks",
-          // max(w_i, τ) back in token units: LONG→double conversion and
-          // the division are both exactly-rounded IEEE ops with
-          // identical results in any engine (the suite's usual device;
-          // here the operands can exceed 2^53, and round-to-nearest on
-          // conversion is still bit-identical JVM vs DuckDB)
-          Clean.roundHalfUp(
-            greatest($"tok_count" * lit(SampleU * 1000000L), $"tau_ticks")
-              / lit((SampleU * 1000000L).toDouble), 4).as("est_tokens"))
+          estTokens($"tok_count", $"tau_ticks").as("est_tokens"))
         .orderBy("rank")
+    }),
+
+    // Per-STRATUM priority sampling — the balanced-evaluation-set
+    // builder: K docs per language, sampled ∝ token mass WITHIN the
+    // stratum, each stratum carrying its own threshold τ_g and
+    // max(w, τ_g) estimator (priority sampling applies per stratum, so
+    // per-language token-mass estimates stay unbiased even though the
+    // languages' corpus shares are wildly different — exactly why a
+    // balanced eval set can't just take q_sample_weighted's global
+    // top-K, which follows the corpus mixture).
+    //
+    // Scale shape: the q_topk_per_group two-phase device — a LOCAL
+    // row_number per (lang, partition) prunes every partition to its
+    // own top K+1 BEFORE the per-lang exchange, so the global window
+    // sorts ≤ (K+1)·partitions rows per stratum, never the stratum.
+    // The pruned frame (≤ (K+1)·|langs| rows) is checkpointed for its
+    // two consumers (τ aggregation + the sample); the τ table is a
+    // |langs|-row broadcast.
+    "q_sample_weighted_group" -> ((s, dir) => {
+      import s.implicits._
+      val k = SampleGroupK
+      val local = Window.partitionBy($"lang", $"pid")
+        .orderBy($"pr_ticks".desc, $"doc_id")
+      val global = Window.partitionBy($"lang")
+        .orderBy($"pr_ticks".desc, $"doc_id")
+      val ranked = priorityDocs(s, dir)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(local))
+        .filter($"lrk" <= k + 1)
+        .withColumn("rk", row_number().over(global))
+        .filter($"rk" <= k + 1)
+        .localCheckpoint()
+      val tau = ranked.groupBy($"lang").agg(
+        when(count(lit(1)) > k, min($"pr_ticks")).otherwise(0L)
+          .as("tau_ticks"))
+      ranked.filter($"rk" <= k)
+        .join(broadcast(tau), Seq("lang"))
+        .select($"lang", $"rk".cast("int").as("rank"), $"doc_id",
+          $"source", $"tok_count", $"pr_ticks",
+          estTokens($"tok_count", $"tau_ticks").as("est_tokens"))
+        .orderBy("lang", "rank")
     })
   )
 
@@ -1475,6 +1533,40 @@ object CurationQueries {
          |    / ${SampleU * 1000000L}.0 * 10000 + 0.5) / 10000
          |    AS est_tokens
          |FROM ranked CROSS JOIN tau WHERE rank <= $SampleK
-         |ORDER BY rank""".stripMargin
+         |ORDER BY rank""".stripMargin,
+
+    "q_sample_weighted_group" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS tok_count,
+         |    CAST(list_sum(list_transform(range(1, 16), j ->
+         |      CAST(strpos('0123456789abcdef',
+         |             substring(md5(concat('sample|',
+         |                                  CAST(doc_id AS VARCHAR))),
+         |                       CAST(j AS INT), 1)) - 1 AS BIGINT)
+         |      << CAST(4 * (15 - j) AS INT))) AS BIGINT)
+         |      % $SampleU + 1 AS u_ticks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |pr AS (
+         |  SELECT doc_id, lang, source, tok_count,
+         |    tok_count * ${SampleU * 1000000L} // u_ticks AS pr_ticks
+         |  FROM docs),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY pr_ticks DESC, doc_id) AS rk
+         |  FROM pr),
+         |top1 AS (SELECT * FROM ranked WHERE rk <= ${SampleGroupK + 1}),
+         |tau AS (
+         |  SELECT lang, CASE WHEN count(*) > $SampleGroupK
+         |         THEN min(pr_ticks) ELSE 0 END AS tau_ticks
+         |  FROM top1 GROUP BY lang)
+         |SELECT lang, CAST(rk AS INT) AS rank, doc_id, source,
+         |  tok_count, pr_ticks,
+         |  floor(greatest(tok_count * ${SampleU * 1000000L}, tau_ticks)
+         |    / ${SampleU * 1000000L}.0 * 10000 + 0.5) / 10000
+         |    AS est_tokens
+         |FROM top1 JOIN tau USING (lang) WHERE rk <= $SampleGroupK
+         |ORDER BY lang, rank""".stripMargin
   )
 }

@@ -56,6 +56,39 @@ class WeightedSampleSpec extends SparkTestBase {
     assert(rows.nonEmpty)
   }
 
+  test("per-stratum sample equals a from-scratch per-language recomputation") {
+    val gk = 20
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect().toSeq
+      .filter { case (_, _, t) => t != null && t.trim.nonEmpty }
+      .map { case (id, l, t) => (id, l, t.trim.split("\\s+").length.toLong) }
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val pr = ds.map { case (id, _, w) =>
+        (id, w, w * (U * 1000000L) / uTicks(id))
+      }.sortBy { case (id, _, p) => (-p, id) }
+      val top1 = pr.take(gk + 1)
+      val tau = if (top1.size > gk) top1.map(_._3).min else 0L
+      top1.take(gk).zipWithIndex.map { case ((id, w, p), i) =>
+        (lang, i + 1, id, w, p, math.floor(
+          math.max(w * (U * 1000000L), tau).toDouble
+            / (U * 1000000L).toDouble * 10000 + 0.5) / 10000)
+      }
+    }.sortBy { case (l, r, _, _, _, _) => (l, r) }
+    val got = graft.SparkEntry.queries("q_sample_weighted_group")(
+      spark, sf0001)
+      .select($"lang", $"rank", $"doc_id", $"tok_count", $"pr_ticks",
+        $"est_tokens")
+      .as[(String, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    // every stratum is filled to min(K, stratum size) — the balance
+    // property the global sampler cannot give
+    val bySize = docs.groupBy(_._2).view.mapValues(_.size)
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.size == math.min(gk, bySize(l)), s"stratum $l")
+    }
+  }
+
   test("corpus smaller than K: everything sampled, τ = 0, est = weight") {
     val dir = Files.createTempDirectory("wsample_small").toString
     (1 to 7).map(i => (i.toLong, (1 to i * 3).map(j => s"t$j").mkString(" "),
