@@ -66,6 +66,27 @@ class CmsSpec extends SparkTestBase {
     }
   }
 
+  test("sketches MERGE by element-wise addition: sketch(A ∪ B) = " +
+      "sketch(A) + sketch(B)") {
+    // the property that makes the sketch distributable (partial
+    // aggregation) and streamable (state updates) — checked on the
+    // actual counter tables, split by doc_id parity
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      TextQueries.cmsCounters(df)
+        .as[(Int, Long, Long)].collect()
+        .map { case (i, b, n) => (i, b) -> n }.toMap
+    val whole = counters(docs)
+    val even = counters(docs.filter(c("doc_id") % 2 === 0))
+    val odd = counters(docs.filter(c("doc_id") % 2 =!= 0))
+    val merged = (even.keySet ++ odd.keySet).map { k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === whole)
+    assert(whole.nonEmpty)
+  }
+
   test("a vocabulary wider than the sketch saturates it and the " +
       "estimates still match the recomputation") {
     // 5000 distinct rare tokens + hot tokens: every counter row holds
