@@ -139,6 +139,10 @@ object ScaleProbe {
     // signature work and candidate counts must stay CONSTANT — only the
     // collapse scan grows
     "q_lsh_tune",
+    // τ sweep: one pass over the capped jaccard pair lineage plus a
+    // 5-row fan — must track q_dedup_ngram_jaccard's growth, never
+    // exceed it
+    "q_dedup_tau_sweep",
     // count-min sketch: constant vocabulary on replicas means the
     // (t, c) pre-agg output and the ≤4096-row sketch are CONSTANT;
     // only the token scan grows — the sketch's fixed-memory claim,
@@ -211,7 +215,11 @@ object ScaleProbe {
     // bounds each hot token to ONE weighted row before the counter
     // sums, so growth must track the LM scorers' linear row, never the
     // occurrence count
-    "q_doc_cms")
+    "q_doc_cms",
+    // τ sweep over the capPerKey-bounded jaccard pairs: hostile
+    // boilerplate concentrates the gram buckets exactly as in the
+    // jaccard row — the sweep must stay within its envelope
+    "q_dedup_tau_sweep")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

@@ -85,6 +85,11 @@ object DedupQueries {
   private[queries] val LshTuneConfigs = Seq((4, 8), (8, 4), (16, 2))
   private[queries] val LshTuneTau = 0.5
 
+  /** q_dedup_tau_sweep's candidate thresholds. The floor must equal the
+    * jaccard edge set's own floor (0.2 — [[ngramJaccardGraph]]'s filter)
+    * so the sweep's lowest rung sees every edge the machinery scores. */
+  private[queries] val TauSweepTaus = Seq(0.2, 0.35, 0.5, 0.65, 0.8)
+
   /** The MMDS S-curve collision probability 1−(1−τ^r)^b at the tuning
     * threshold, 4dp — computed ONCE here and interpolated into both the
     * Spark literal column and the oracle VALUES, so the "theoretical"
@@ -851,6 +856,59 @@ object DedupQueries {
     // equal to the uncollapsed all-pairs form.
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // Dedup THRESHOLD sweep — the second calibration audit (q_lsh_tune
+    // tunes the candidate generator; this tunes the accept threshold):
+    // for each candidate τ, how many near-dup pairs qualify, and how
+    // many documents would be flagged as having an EARLIER near-dup at
+    // ≥ τ (with their character mass) — the aggressiveness curve a
+    // pipeline reads before committing to a τ (Lee et al. report
+    // exactly this "fraction of docs with a near-dup" curve). The
+    // flagged-doc metric is the τ-monotone UPPER BOUND of any survivor
+    // rule (min-id components, quality-rep, greedy) — a per-τ
+    // clustering would re-run CC five times for a report; the bound is
+    // the standard calibration statistic and is exactly replayable.
+    //
+    // Scale shape: ONE pass over the existing capped jaccard pair
+    // lineage (checkpointed — five τ consumers read the bounded pair
+    // list, not the corpus), a per-doc max-similarity aggregation, a
+    // LIGHT n_chars join (no text decode), and a 5-row τ frame the
+    // explode fans against. Oracle: the full edge-set SQL reused as a
+    // nested-WITH CTE plus the sweep aggregation.
+    "q_dedup_tau_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = ngramJaccardPairs(s, dir)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .localCheckpoint()
+      val taus = explode(lit(TauSweepTaus.toArray)).as("tau")
+      val pairStats = pairs.select($"jaccard", taus)
+        .filter($"jaccard" >= $"tau")
+        .groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
+      // select-if-exists (the tiled() carry discipline): synthetic probe
+      // corpora ship doc_id/text only — fall back to length(text),
+      // which IS their char count
+      val chars = {
+        val d = Tables.table(s, dir, "documents")
+        val n = if (d.columns.contains("n_chars")) $"n_chars"
+          else length($"text").cast("long").as("n_chars")
+        d.select($"doc_id".as("doc_b"), n)
+      }
+      val docStats = pairs.groupBy($"doc_b")
+        .agg(max($"jaccard").as("max_j"))
+        .join(chars, Seq("doc_b"))
+        .select($"max_j", $"n_chars", taus)
+        .filter($"max_j" >= $"tau")
+        .groupBy($"tau").agg(count(lit(1)).as("flagged_docs"),
+          sum($"n_chars").as("flagged_chars"))
+      TauSweepTaus.toDF("tau")
+        .join(pairStats, Seq("tau"), "left")
+        .join(docStats, Seq("tau"), "left")
+        .select($"tau",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"flagged_docs", lit(0L)).as("flagged_docs"),
+          coalesce($"flagged_chars", lit(0L)).as("flagged_chars"))
+        .orderBy("tau")
+    }),
 
     // Quality-aware survivor selection over the near-dup graph: within
     // each connected COMPONENT of the jaccard graph, keep the
@@ -1731,6 +1789,35 @@ object DedupQueries {
 
     "q_dedup_ngram_jaccard" ->
       (ngramJaccardOracleBody + "\nORDER BY doc_a, doc_b"),
+
+    "q_dedup_tau_sweep" -> {
+      val tauVals = TauSweepTaus
+        .map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+      s"""WITH taus(tau) AS (VALUES $tauVals),
+         |pairs AS (
+         |$ngramJaccardOracleBody
+         |),
+         |pstats AS (
+         |  SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM taus JOIN pairs ON jaccard >= tau GROUP BY tau),
+         |perdoc AS (
+         |  SELECT doc_b, max(jaccard) AS max_j FROM pairs GROUP BY doc_b),
+         |dstats AS (
+         |  SELECT tau, CAST(count(*) AS BIGINT) AS flagged_docs,
+         |    CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS flagged_chars
+         |  FROM taus
+         |  JOIN perdoc p ON p.max_j >= tau
+         |  JOIN documents d ON d.doc_id = p.doc_b
+         |  GROUP BY tau)
+         |SELECT t.tau,
+         |  CAST(coalesce(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(ds.flagged_docs, 0) AS BIGINT) AS flagged_docs,
+         |  CAST(coalesce(ds.flagged_chars, 0) AS BIGINT) AS flagged_chars
+         |FROM taus t
+         |LEFT JOIN pstats ps ON ps.tau = t.tau
+         |LEFT JOIN dstats ds ON ds.tau = t.tau
+         |ORDER BY t.tau""".stripMargin
+    },
 
     // Exact replay of q_dedup_substring: same normalized tokenization,
     // same positional k=5 md5 shingles, same df <= 100 boilerplate

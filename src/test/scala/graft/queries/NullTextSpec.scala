@@ -38,7 +38,8 @@ class NullTextSpec extends SparkTestBase {
     "q_dedup_clusters", "q_dedup_editdist", "q_doc_tokens",
     "q_doc_quality", "q_doc_repetition", "q_doc_fingerprint",
     "q_doc_langid", "q_doc_winnow", "q_dedup_span", "q_sample_weighted",
-    "q_lsh_tune", "q_doc_cms", "q_sample_weighted_group")
+    "q_lsh_tune", "q_doc_cms", "q_sample_weighted_group",
+    "q_dedup_tau_sweep")
 
   test("degenerate texts (null/empty/whitespace) never crash a pipeline") {
     textQueries.foreach { q =>
