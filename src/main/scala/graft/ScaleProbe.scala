@@ -143,6 +143,10 @@ object ScaleProbe {
     // 5-row fan — must track q_dedup_ngram_jaccard's growth, never
     // exceed it
     "q_dedup_tau_sweep",
+    // width sweep: ONE tokenize (checkpointed) + five shingle explodes
+    // and broadcast probes — must grow like q_doc_decontaminate ×
+    // widths, linearly
+    "q_decontaminate_tune",
     // count-min sketch: constant vocabulary on replicas means the
     // (t, c) pre-agg output and the ≤4096-row sketch are CONSTANT;
     // only the token scan grows — the sketch's fixed-memory claim,

@@ -66,6 +66,10 @@ object CurationQueries {
   /** q_sample_weighted_group's per-stratum sample size. */
   private[queries] val SampleGroupK = 20
 
+  /** q_decontaminate_tune's candidate n-gram widths — interpolated into
+    * the generated oracle so both engines sweep the identical rungs. */
+  private[queries] val DecontamTuneWidths = Seq(3, 4, 5, 6, 8)
+
   /** The shared priority projection of q_sample_weighted and its
     * per-stratum twin: md5-derived uniform ticks and the exact
     * floor-division priority (see the q_sample_weighted scaladoc for
@@ -113,6 +117,46 @@ object CurationQueries {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("shared_gram_count"))
         .orderBy("doc_id")
+    }),
+
+    // Decontamination WIDTH sweep — the third calibration audit (after
+    // q_lsh_tune and q_dedup_tau_sweep): how aggressive is n-gram
+    // benchmark decontamination at each candidate width? Published
+    // pipelines disagree on n (GPT-3 appendix C used 13-grams, PaLM 8,
+    // Dolma smaller) because the knob trades recall against collateral:
+    // a small n flags every doc sharing common phrasing with the
+    // benchmark, a large n only verbatim leaks. Per width the report
+    // counts the benchmark's distinct grams, the corpus docs flagged,
+    // the distinct grams actually matched, and the (doc, gram) hit
+    // rows — the curve read before committing to an n.
+    //
+    // Scale shape: the corpus is tokenized ONCE (the checkpointed
+    // token projection feeds all five width branches — the
+    // multi-consumer rule), each width pays its own shingle explode
+    // over the materialized tokens, the benchmark side broadcasts per
+    // width (eval suites are KBs), and each branch aggregates to ONE
+    // row. The 1-row bench-count attaches are the documented scalar
+    // exemption.
+    "q_decontaminate_tune" -> ((s, dir) => {
+      import s.implicits._
+      val tk = Tables.spread(Tables.table(s, dir, "documents")
+          .filter(length(trim($"text")) > 0), $"doc_id")
+        .select($"doc_id", $"source", TextQueries.tokens($"text").as("__toks"))
+        .localCheckpoint()
+      DecontamTuneWidths.map { n =>
+        val g = tk.select($"doc_id", $"source",
+          explode(Shingles.of(s, $"__toks", n)).as("gram"))
+        val bench = g.filter($"source" === "src0").select($"gram").distinct()
+        val benchCount = bench.agg(count(lit(1)).as("bench_grams"))
+        g.filter($"source" =!= "src0")
+          .join(broadcast(bench), Seq("gram"))
+          .agg(countDistinct($"doc_id").as("flagged_docs"),
+            countDistinct($"gram").as("matched_grams"),
+            count(lit(1)).as("hit_rows"))
+          .crossJoin(broadcast(benchCount))
+          .select(lit(n).as("gram_w"), $"bench_grams",
+            $"flagged_docs", $"matched_grams", $"hit_rows")
+      }.reduce(_ unionByName _).orderBy("gram_w")
     }),
 
     // Train/test leakage audit: deterministic 10% test split, then every
@@ -1049,6 +1093,32 @@ object CurationQueries {
          |FROM g JOIN bench USING (gram)
          |WHERE source <> 'src0'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate_tune" -> {
+      val widthCtes = DecontamTuneWidths.map { n =>
+        s"""g$n AS (
+           |  SELECT doc_id, source, unnest(${gramSql(n)}) AS gram
+           |  FROM tk),
+           |b$n AS (SELECT DISTINCT gram FROM g$n WHERE source = 'src0'),
+           |s$n AS (
+           |  SELECT $n AS gram_w,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM b$n) AS bench_grams,
+           |    CAST(count(DISTINCT doc_id) AS BIGINT) AS flagged_docs,
+           |    CAST(count(DISTINCT gram) AS BIGINT) AS matched_grams,
+           |    CAST(count(*) AS BIGINT) AS hit_rows
+           |  FROM g$n JOIN b$n USING (gram) WHERE source <> 'src0')"""
+          .stripMargin
+      }.mkString(",\n")
+      val union = DecontamTuneWidths
+        .map(n => s"SELECT * FROM s$n").mkString("\nUNION ALL ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |$widthCtes
+         |$union
+         |ORDER BY gram_w""".stripMargin
+    },
 
     "q_split_leakage" ->
       s"""WITH docs AS (

@@ -39,7 +39,7 @@ class NullTextSpec extends SparkTestBase {
     "q_doc_quality", "q_doc_repetition", "q_doc_fingerprint",
     "q_doc_langid", "q_doc_winnow", "q_dedup_span", "q_sample_weighted",
     "q_lsh_tune", "q_doc_cms", "q_sample_weighted_group",
-    "q_dedup_tau_sweep")
+    "q_dedup_tau_sweep", "q_decontaminate_tune")
 
   test("degenerate texts (null/empty/whitespace) never crash a pipeline") {
     textQueries.foreach { q =>
