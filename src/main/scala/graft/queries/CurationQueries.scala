@@ -61,10 +61,10 @@ object CurationQueries {
     * u_i = (md5-key mod SampleU + 1) / SampleU ∈ (0, 1]. One definition
     * each, interpolated into the oracle SQL. */
   private[queries] val SampleK = 100
-  private[queries] val SampleU = 1048576L
+  private[graft] val SampleU = 1048576L
 
   /** q_sample_weighted_group's per-stratum sample size. */
-  private[queries] val SampleGroupK = 20
+  private[graft] val SampleGroupK = 20
 
   /** q_decontaminate_tune's candidate n-gram widths — interpolated into
     * the generated oracle so both engines sweep the identical rungs. */
@@ -74,15 +74,21 @@ object CurationQueries {
     * per-stratum twin: md5-derived uniform ticks and the exact
     * floor-division priority (see the q_sample_weighted scaladoc for
     * the bounds argument). */
-  private def priorityDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def priorityDocs(s: SparkSession, dir: String): DataFrame =
+    priorityProjection(Tables.table(s, dir, "documents"))
+
+  /** The priority projection applied to ANY documents frame (batch or
+    * streaming) — one definition of the md5 uniforms and the exact
+    * floor-division priority, shared by both batch samplers and the
+    * streaming face [[graft.streaming.DocStream.sampleWeighted]]. */
+  private[graft] def priorityProjection(docs: DataFrame): DataFrame = {
     val uTicks = pmod(conv(substring(md5(concat(lit("sample|"),
-      $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long"),
-      lit(SampleU)) + 1L
-    Tables.table(s, dir, "documents")
-      .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"lang", $"source",
-        size(TextQueries.tokens($"text")).cast("long").as("tok_count"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(SampleU)) + lit(1L)
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextQueries.tokens(col("text"))).cast("long").as("tok_count"),
         uTicks.as("u_ticks"))
       .withColumn("pr_ticks",
         expr(s"tok_count * ${SampleU * 1000000L}L div u_ticks"))

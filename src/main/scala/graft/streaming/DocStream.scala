@@ -182,6 +182,61 @@ object DocStream {
     graft.queries.TextQueries.tiled(historyDocs)
       .select(col("tile_hash")).distinct().cache()
 
+  /** Per-stratum state of [[sampleWeighted]]: the top-(K+1) priority
+    * rows as (pr_ticks, doc_id, source, tok_count) — at most K+1
+    * entries per language forever, the bounded-state contract. */
+  case class WSampleState(rows: List[(Long, Long, String, Long)])
+  case class WSampleRow(lang: String, rank: Int, docId: Long,
+                        source: String, tokCount: Long, prTicks: Long,
+                        tauTicks: Long)
+
+  /** STREAMING per-stratum priority sampling — the live face of
+    * `q_sample_weighted_group`, and the scheme's original habitat:
+    * Duffield–Lund–Thorup designed priority sampling FOR streams (a
+    * fixed-size sample of a weighted stream supporting unbiased
+    * subset-sum estimates at any moment). Keyed state per language
+    * holds the running top-(K+1) priorities — K+1 ENTRIES per stratum
+    * forever, by construction — and each micro-batch re-emits the
+    * stratum's current top-K with its threshold τ (the (K+1)-th
+    * priority, 0 while the stratum still fits), so the sink always
+    * holds a valid sample.
+    *
+    * Convergence contract (WeightedSampleStreamSpec): on a replayed
+    * corpus the FINAL emission per (lang, rank) equals the batch
+    * manifest row-for-row — and because a rank's priority and τ are
+    * MONOTONE nondecreasing as the stream grows (the top-K set only
+    * improves), "final" is simply the componentwise max, no batch
+    * bookkeeping needed. */
+  def sampleWeighted(spark: SparkSession, docs: DataFrame,
+                     k: Int = CurationQueries.SampleGroupK)
+      : Dataset[WSampleRow] = {
+    import spark.implicits._
+    val kL = k
+    val pr = CurationQueries.priorityProjection(docs)
+      .select(col("lang"), col("pr_ticks"), col("doc_id"), col("source"),
+        col("tok_count"))
+      .as[(String, Long, Long, String, Long)]
+    def update(lang: String,
+               rows: Iterator[(String, Long, Long, String, Long)],
+               state: GroupState[WSampleState]): Iterator[WSampleRow] = {
+      val prev = state.getOption.map(_.rows).getOrElse(Nil)
+      val merged = (prev.iterator ++ rows.map { case (_, p, id, src, w) =>
+        (p, id, src, w)
+      }).toSeq
+        .sortBy { case (p, id, _, _) => (-p, id) }
+        .take(kL + 1).toList
+      state.update(WSampleState(merged))
+      val tau = if (merged.size > kL) merged.last._1 else 0L
+      merged.take(kL).zipWithIndex.iterator.map {
+        case ((p, id, src, w), i) =>
+          WSampleRow(lang, i + 1, id, src, w, p, tau)
+      }
+    }
+    pr.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming count-min sketch — the live face of q_doc_cms's counter
     * table: arriving documents increment the (i, b) counters as an
     * update-mode aggregation whose state IS the sketch. The state
