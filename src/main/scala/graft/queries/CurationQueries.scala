@@ -70,6 +70,14 @@ object CurationQueries {
     * the generated oracle so both engines sweep the identical rungs. */
   private[queries] val DecontamTuneWidths = Seq(3, 4, 5, 6, 8)
 
+  /** The deterministic corpus-shuffle key — q_shard_assign's md5-derived
+    * 60-bit integer, ONE definition shared with the production write
+    * path ([[graft.sources.CorpusExport]]) so the assignment a report
+    * describes is bit-identical to the one the export materializes. */
+  private[graft] def shuffleKey: Column =
+    conv(substring(md5(concat(lit("shuffle|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+
   /** The shared priority projection of q_sample_weighted and its
     * per-stratum twin: md5-derived uniform ticks and the exact
     * floor-division priority (see the q_sample_weighted scaladoc for
@@ -718,11 +726,9 @@ object CurationQueries {
     "q_shard_assign" -> ((s, dir) => {
       import s.implicits._
       val shards = 16
-      val key = conv(substring(md5(concat(lit("shuffle|"),
-        $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long")
       val w = Window.partitionBy($"shard").orderBy($"key", $"doc_id")
       Tables.table(s, dir, "documents")
-        .select($"doc_id", key.as("key"))
+        .select($"doc_id", shuffleKey.as("key"))
         .withColumn("shard", pmod($"key", lit(shards.toLong)).cast("int"))
         .withColumn("pos", row_number().over(w))
         .select($"doc_id", $"shard", $"pos")

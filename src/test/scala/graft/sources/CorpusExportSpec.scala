@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.{SparkTestBase, Tables}
+
+/** CorpusExport must deliver the q_shard_assign contract physically:
+  * one file per shard directory, and per-shard FILE ORDER equal to the
+  * assignment query's `pos` order — training order implicit in the
+  * layout, no position column materialized. */
+class CorpusExportSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("per-shard file order equals q_shard_assign's pos order") {
+    val dir = Files.createTempDirectory("corpus_export").toString
+    val docs = Tables.table(spark, sf0001, "documents")
+    CorpusExport.writeSharded(docs, dir)
+
+    val want = graft.SparkEntry.queries("q_shard_assign")(spark, sf0001)
+      .select($"shard", $"pos", $"doc_id")
+      .as[(Int, Int, Long)].collect().toSeq
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+
+    val shardDirs = new File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    val got = shardDirs.map { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      // ONE file per shard — the property that makes file order
+      // well-defined (each shard's rows live in exactly one task)
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+      val shard = d.getName.stripPrefix("shard=").toInt
+      // single-file parquet read preserves row order
+      shard -> spark.read.parquet(parts.head.getPath)
+        .select($"doc_id").as[Long].collect().toList
+    }.toMap
+
+    assert(got.keySet == want.keySet)
+    got.foreach { case (shard, ids) =>
+      assert(ids == want(shard), s"shard $shard order diverges")
+    }
+    assert(got.values.map(_.size).sum ==
+      want.values.map(_.size).sum)
+  }
+}
