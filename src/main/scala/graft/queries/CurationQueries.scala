@@ -26,7 +26,7 @@ object CurationQueries {
     * e^margin times more probable than one the corpus saw once. Shared
     * with the oracle SQL (interpolated) so both engines replay one
     * definition. */
-  private[queries] val LmFloorMargin = 0.5
+  private[graft] val LmFloorMargin = 0.5
 
   /** Word w-gram inventory per doc: (doc_id + carried cols, exploded
     * distinct grams). Degenerate (null/empty/whitespace) texts are
