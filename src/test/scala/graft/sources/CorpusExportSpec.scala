@@ -44,4 +44,19 @@ class CorpusExportSpec extends SparkTestBase {
     assert(got.values.map(_.size).sum ==
       want.values.map(_.size).sum)
   }
+
+  test("the full journey: curation-pipeline survivors export as a " +
+      "sharded training corpus and read back whole") {
+    // raw corpus -> curated survivor set -> shuffled sharded layout:
+    // the end-to-end path a user of this engine actually runs
+    val dir = Files.createTempDirectory("corpus_export_e2e").toString
+    val survivors =
+      graft.queries.CurationQueries.curationSurvivors(spark, sf0001)
+    CorpusExport.writeSharded(survivors, dir, shards = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == survivors.count())
+    // nothing lost, nothing duplicated, shard column materialized
+    assert(back.select($"doc_id").distinct().count() == survivors.count())
+    assert(back.select($"shard").distinct().count() > 1)
+  }
 }
