@@ -196,6 +196,20 @@ class PlanSpec extends SparkTestBase {
     assert(cms.contains("BroadcastHashJoin"), cms)
     assert(cms.contains("TakeOrderedAndProject"), cms)
     assert(!cms.contains("CartesianProduct"), cms)
+    // per-stratum sampler: the lang-keyed prune windows run INSIDE the
+    // eager localCheckpoint (not visible in this final plan — the
+    // stream-spec and oracle pin their behavior); what the final plan
+    // must show is the tiny τ table broadcasting and no cartesian
+    val wg = plan("q_sample_weighted_group")
+    assert(wg.contains("BroadcastHashJoin"), wg)
+    assert(!wg.contains("CartesianProduct"), wg)
+    // the two sweeps: equi-keyed joins only; decontam's bench sides
+    // broadcast
+    Seq("q_dedup_tau_sweep", "q_decontaminate_tune").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    assert(plan("q_decontaminate_tune").contains("BroadcastHashJoin"))
   }
 
   test("q_doc_pii_redact is a map-only pass: the only exchange is its sort") {
