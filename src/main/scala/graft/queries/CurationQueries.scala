@@ -1079,14 +1079,10 @@ object CurationQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_shard_assign" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
         |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(1, 16), j ->
-        |      CAST(strpos('0123456789abcdef',
-        |             substring(md5(concat('shuffle|',
-        |                                  CAST(doc_id AS VARCHAR))),
-        |                       CAST(j AS INT), 1)) - 1 AS BIGINT)
-        |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) AS key
+        |    ${DedupQueries.md5LongSql(
+             "concat('shuffle|', CAST(doc_id AS VARCHAR))")} AS key
         |  FROM documents)
         |SELECT doc_id, CAST(key % 16 AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY key % 16
@@ -1587,12 +1583,8 @@ object CurationQueries {
          |  SELECT doc_id, lang, source,
          |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
          |      AS tok_count,
-         |    CAST(list_sum(list_transform(range(1, 16), j ->
-         |      CAST(strpos('0123456789abcdef',
-         |             substring(md5(concat('sample|',
-         |                                  CAST(doc_id AS VARCHAR))),
-         |                       CAST(j AS INT), 1)) - 1 AS BIGINT)
-         |      << CAST(4 * (15 - j) AS INT))) AS BIGINT)
+         |    ${DedupQueries.md5LongSql(
+              "concat('sample|', CAST(doc_id AS VARCHAR))")}
          |      % $SampleU + 1 AS u_ticks
          |  FROM documents WHERE length(trim(text)) > 0),
          |pr AS (
@@ -1622,12 +1614,8 @@ object CurationQueries {
          |  SELECT doc_id, lang, source,
          |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
          |      AS tok_count,
-         |    CAST(list_sum(list_transform(range(1, 16), j ->
-         |      CAST(strpos('0123456789abcdef',
-         |             substring(md5(concat('sample|',
-         |                                  CAST(doc_id AS VARCHAR))),
-         |                       CAST(j AS INT), 1)) - 1 AS BIGINT)
-         |      << CAST(4 * (15 - j) AS INT))) AS BIGINT)
+         |    ${DedupQueries.md5LongSql(
+              "concat('sample|', CAST(doc_id AS VARCHAR))")}
          |      % $SampleU + 1 AS u_ticks
          |  FROM documents WHERE length(trim(text)) > 0),
          |pr AS (

@@ -90,6 +90,17 @@ object DedupQueries {
     * so the sweep's lowest rung sees every edge the machinery scores. */
   private[queries] val TauSweepTaus = Seq(0.2, 0.35, 0.5, 0.65, 0.8)
 
+  /** The DuckDB replay of the suite's md5-derived 60-bit integer —
+    * Spark's `conv(substring(md5(e), 1, 15), 16, 10)` as BIGINT string
+    * arithmetic. ONE definition interpolated into every oracle that
+    * hashes with the device (review catch: previously copy-pasted per
+    * oracle; a future change to the base hash now has one home). */
+  private[graft] def md5LongSql(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 16), j ->
+       |      CAST(strpos('0123456789abcdef',
+       |             substring(md5($e), CAST(j AS INT), 1)) - 1 AS BIGINT)
+       |      << CAST(4 * (15 - j) AS INT))) AS BIGINT)""".stripMargin
+
   /** The MMDS S-curve collision probability 1−(1−τ^r)^b at the tuning
     * threshold, 4dp — computed ONCE here and interpolated into both the
     * Spark literal column and the oracle VALUES, so the "theoretical"
@@ -1196,6 +1207,15 @@ object DedupQueries {
     // loosest config anchors at 1.0 by construction — the pool IS its
     // candidate set; the report's value is the recall/volume trade
     // between layouts, exactly what the tuning decision needs).
+    // CAP CAVEAT (review catch): the nesting/anchor invariants hold in
+    // the uncapped regime — once capPerKey engages (cap-and-continue
+    // on a boilerplate-flooded corpus), each layout truncates its
+    // buckets INDEPENDENTLY, so a pair can survive a small 8-row-band
+    // bucket while being truncated out of a flooded 2-row-band bucket;
+    // the hostile-probe rows measure that capped regime, where the
+    // report is a bounded approximation (the capPerKey oracle
+    // contract), and calibration runs on a sample anyway (the
+    // deployment note below).
     //
     // Scale shape: signature work is paid ONCE (the checkpointed sig
     // table feeds all three band projections — the multi-consumer
@@ -1227,6 +1247,10 @@ object DedupQueries {
             s"lsh_${bcount}x$rcount", $"band_idx", $"band_key")
           .select(lit(s"${bcount}x$rcount").as("cfg"), $"doc_a", $"doc_b")
       }.reduce(_ unionByName _).localCheckpoint()
+      // localCheckpoint: verified feeds TWO consumers (the pool_true
+      // total and the per-config join) — without it the pooled
+      // verification, the query's most expensive stage, executes twice
+      // (the round's own multi-consumer rule; review catch)
       val verified = cands.select($"doc_a", $"doc_b").distinct()
         .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")),
           Seq("doc_a"))
@@ -1237,6 +1261,7 @@ object DedupQueries {
             size(array_intersect($"ga", $"gb")).cast("double")
               / size(array_union($"ga", $"gb")), 4) >= LshTuneTau)
             .as("is_dup"))
+        .localCheckpoint()
       val truthTotal = verified.agg(
         coalesce(sum(when($"is_dup", 1L).otherwise(0L)), lit(0L))
           .as("pool_true"))
@@ -1518,9 +1543,7 @@ object DedupQueries {
        |    string_split(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' '))) AS t
        |  FROM documents WHERE length(trim(text)) > 0),
        |hashed AS (
-       |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 16), j ->
-       |    CAST(strpos('0123456789abcdef', substring(md5(t), CAST(j AS INT), 1)) - 1
-       |         AS BIGINT) << CAST(4 * (15 - j) AS INT))) AS BIGINT) AS h
+       |  SELECT doc_id, ${md5LongSql("t")} AS h
        |  FROM toks),
        |bits AS (SELECT doc_id, count(*) AS n,
        |    $sums
@@ -1563,10 +1586,7 @@ object DedupQueries {
        |ex AS (SELECT doc_id, unnest(grams) AS shingle FROM docs),
        |hashed AS (
        |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(1, 16), j ->
-       |      CAST(strpos('0123456789abcdef',
-       |             substring(md5(shingle), CAST(j AS INT), 1)) - 1 AS BIGINT)
-       |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) % $MersenneP AS h
+       |    ${md5LongSql("shingle")} % $MersenneP AS h
        |  FROM ex),
        |funcs(i, a, b) AS (VALUES
        |    $funcs),
@@ -1629,10 +1649,7 @@ object DedupQueries {
        |ex AS (SELECT doc_id, unnest(grams) AS shingle FROM docs),
        |hashed AS (
        |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(1, 16), j ->
-       |      CAST(strpos('0123456789abcdef',
-       |             substring(md5(shingle), CAST(j AS INT), 1)) - 1 AS BIGINT)
-       |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) % $MersenneP AS h
+       |    ${md5LongSql("shingle")} % $MersenneP AS h
        |  FROM ex),
        |funcs(i, a, b) AS (VALUES
        |    $funcs),

@@ -686,12 +686,9 @@ object SimilarityQueries {
        |  FROM embeddings),
        |par AS (
        |  SELECT j.j AS j, p.p AS p,
-       |    (CAST(list_sum(list_transform(range(1, 16), c ->
-       |       CAST(strpos('0123456789abcdef',
-       |              substring(md5(concat(CAST(j.j AS VARCHAR), '|',
-       |                                   CAST(p.p AS VARCHAR))),
-       |                        CAST(c AS INT), 1)) - 1 AS BIGINT)
-       |       << CAST(4 * (15 - c) AS INT))) AS BIGINT) & 1) AS b
+       |    (${graft.queries.DedupQueries.md5LongSql(
+              "concat(CAST(j.j AS VARCHAR), '|', CAST(p.p AS VARCHAR))")}
+       |       & 1) AS b
        |  FROM range(0, 8) j(j), range(0, 64) p(p)),
        |sums AS (
        |  SELECT vv.vec_id, par.j,
@@ -734,7 +731,7 @@ object SimilarityQueries {
     * [[assignCells]]'s array_position). One definition, spliced into
     * the semdedup (batch + incremental) and IVF-twin oracles. */
   private val cornerQuantizerCtes: String =
-    """vecs AS (
+    s"""vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                 x -> x * x))) AS n
@@ -746,12 +743,9 @@ object SimilarityQueries {
       |                                x -> x * x)) > 0),
       |par AS (
       |  SELECT j.j AS c, p.p AS p,
-      |    (CAST(list_sum(list_transform(range(1, 16), h ->
-      |       CAST(strpos('0123456789abcdef',
-      |              substring(md5(concat(CAST(j.j AS VARCHAR), '|',
-      |                                   CAST(p.p AS VARCHAR))),
-      |                        CAST(h AS INT), 1)) - 1 AS BIGINT)
-      |       << CAST(4 * (15 - h) AS INT))) AS BIGINT) & 1) AS b
+      |    (${graft.queries.DedupQueries.md5LongSql(
+             "concat(CAST(j.j AS VARCHAR), '|', CAST(p.p AS VARCHAR))")}
+      |       & 1) AS b
       |  FROM range(0, 16) j(j), range(0, 64) p(p)),
       |scores AS (
       |  SELECT vv.vec_id, par.c,

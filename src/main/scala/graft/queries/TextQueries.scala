@@ -1786,10 +1786,7 @@ object TextQueries {
            |  GROUP BY t),
            |hashed AS (
            |  SELECT t, c,
-           |    CAST(list_sum(list_transform(range(1, 16), j ->
-           |      CAST(strpos('0123456789abcdef',
-           |             substring(md5(t), CAST(j AS INT), 1)) - 1 AS BIGINT)
-           |      << CAST(4 * (15 - j) AS INT))) AS BIGINT) % $p AS h
+           |    ${graft.queries.DedupQueries.md5LongSql("t")} % $p AS h
            |  FROM counts),
            |funcs(i, a, b) AS (VALUES $funcs),
            |cms AS (

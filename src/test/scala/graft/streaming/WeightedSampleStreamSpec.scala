@@ -39,9 +39,14 @@ class WeightedSampleStreamSpec extends SparkTestBase {
       .select($"lang", $"rank", $"docId", $"source", $"tokCount",
         $"prTicks", $"tauTicks")
       .as[(String, Int, Long, String, Long, Long, Long)].collect().toSeq
-    // monotone convergence: final per (lang, rank) = componentwise max
+    // monotone convergence: final per (lang, rank) = componentwise max;
+    // -docId breaks (prTicks, tauTicks) TIES deterministically — a
+    // later batch can replace a rank's occupant at EQUAL priority under
+    // the doc_id tiebreak, and the winner is then the smaller doc_id
+    // (review catch: without it the pick among tied emissions was
+    // collection-order dependent)
     val fin = rows.groupBy(r => (r._1, r._2)).values
-      .map(_.maxBy(r => (r._6, r._7))).toSeq
+      .map(_.maxBy(r => (r._6, r._7, -r._3))).toSeq
       .sortBy(r => (r._1, r._2))
     assert(rows.size > fin.size, "expected per-batch update emissions")
 
