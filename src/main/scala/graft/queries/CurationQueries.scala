@@ -542,11 +542,16 @@ object CurationQueries {
     // Per-group top-N, two-phase: the naive rank-window over `lang`
     // shuffles the ENTIRE corpus onto #lang partitions — a skew disaster
     // when groups are few and data is 100 TB. Phase 1 ranks within
-    // (lang, input-partition) — fully parallel, emitting at most
-    // N x partitions candidate rows — and phase 2 ranks that tiny set.
-    // Correct under ANY physical partitioning (a partition's local top-N
-    // is a superset of its contribution to the global top-N), so the
-    // output is deterministic even though spark_partition_id() isn't.
+    // (lang, input-partition): its exchange still carries the full
+    // corpus (a window over (lang, pid) hash-exchanges on that compound
+    // key — the device mitigates per-group SKEW, not first-exchange
+    // volume; advisor catch), but hashed across #lang x #partitions keys
+    // no reducer sorts more than one input partition's slice of a hot
+    // group, and it emits at most N x partitions candidate rows for
+    // phase 2's per-lang rank over that tiny set. Correct under ANY
+    // physical partitioning (a partition's local top-N is a superset of
+    // its contribution to the global top-N), so the output is
+    // deterministic even though spark_partition_id() isn't.
     "q_topk_per_group" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.table(s, dir, "documents")
@@ -642,11 +647,12 @@ object CurationQueries {
     // bounds a cell): keep at most N docs per (source, lang), lowest
     // doc_id first (first-crawled wins, deterministic), and emit the
     // kept/dropped manifest with the quota boundary (the Nth doc_id).
-    // Same two-phase device as q_topk_per_group: a local rank prunes each
-    // input partition to ≤N candidates per cell BEFORE the per-cell
-    // exchange, so the wide stage sees ≤ N·partitions rows however big
-    // the corpus — the quota that makes a dominating crawl source unable
-    // to flood a 100 TB mixture.
+    // Same two-phase device as q_topk_per_group: the (cell, pid)
+    // pre-rank's exchange still carries the corpus, but splits each hot
+    // cell across #partitions reducers (skew mitigation, not shuffle
+    // avoidance — advisor catch) and hands the per-cell rank ≤
+    // N·partitions survivors however big the corpus — the quota that
+    // makes a dominating crawl source unable to flood a 100 TB mixture.
     "q_doc_quota" -> ((s, dir) => {
       import s.implicits._
       val n = 40
@@ -734,6 +740,21 @@ object CurationQueries {
         .select($"doc_id", $"shard", $"pos")
         .orderBy("doc_id")
     }),
+
+    // Export manifest — the sharded training-corpus WRITE path
+    // (sources/CorpusExport.writeSharded) put under the oracle hash
+    // gate: per shard, the doc count, character mass, and an md5 chain
+    // over doc_ids in training order. The chain replays the export's
+    // exact file order ((shuffle key, doc_id) ascending — bit-identical
+    // to q_shard_assign's pos order, shared shuffleKey definition), so
+    // the DuckDB hash-match certifies the assignment arithmetic and
+    // CorpusExportSpec certifies the written files reproduce these very
+    // chains — together the only shipped production write surface is
+    // proven, not trusted. Scale shape in the manifest scaladoc
+    // (one shard exchange; agg buffer = one shard's id list, bounded by
+    // the shard-count sizing rule).
+    "q_corpus_export" -> ((s, dir) =>
+      graft.sources.CorpusExport.manifest(Tables.table(s, dir, "documents"))),
 
     // Per-source distribution drift: KL(P_source || P_corpus) over the
     // unigram token distributions — the drift metric a 100 TB ingest
@@ -910,10 +931,12 @@ object CurationQueries {
     // balanced eval set can't just take q_sample_weighted's global
     // top-K, which follows the corpus mixture).
     //
-    // Scale shape: the q_topk_per_group two-phase device — a LOCAL
-    // row_number per (lang, partition) prunes every partition to its
-    // own top K+1 BEFORE the per-lang exchange, so the global window
-    // sorts ≤ (K+1)·partitions rows per stratum, never the stratum.
+    // Scale shape: the q_topk_per_group two-phase device — the
+    // (lang, pid) pre-window's exchange still moves the full corpus (a
+    // window needs its compound-key exchange; the device splits stratum
+    // SKEW across partitions rather than avoiding the first exchange —
+    // advisor catch), and hands the per-lang window ≤ (K+1)·partitions
+    // rows per stratum, never the stratum.
     // The pruned frame (≤ (K+1)·|langs| rows) is checkpointed for its
     // two consumers (τ aggregation + the sample); the τ table is a
     // |langs|-row broadcast.
@@ -1088,6 +1111,18 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY key % 16
         |    ORDER BY key, doc_id) AS INT) AS pos
         |FROM keyed ORDER BY doc_id""".stripMargin,
+    "q_corpus_export" ->
+      s"""WITH keyed AS (
+        |  SELECT doc_id, coalesce(length(text), 0) AS chars,
+        |    ${DedupQueries.md5LongSql(
+             "concat('shuffle|', CAST(doc_id AS VARCHAR))")} AS key
+        |  FROM documents)
+        |SELECT CAST(key % 16 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS char_mass,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |    ORDER BY key, doc_id)) AS id_chain_md5
+        |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_doc_decontaminate" ->
       s"""WITH docs AS (
          |  SELECT doc_id, source,

@@ -1611,6 +1611,15 @@ object DedupQueries {
     * the 3-row report — the S-curve constants are interpolated from
     * [[pCollide]], the one definition both engines share. */
   private def lshTuneOracle: String = {
+    // CAP ENFORCEMENT (advisor item, closed): this oracle replays
+    // candidate generation UNCAPPED, so the hash-match only holds while
+    // every band bucket stays under maxBucket — and that precondition IS
+    // enforced at compare time, not hoped for: Verify.scala sets
+    // spark.graft.dedup.failOnCapExceeded=true globally, under which an
+    // engaged cap raises a distributed assert_true naming the tag and
+    // cap (capPerKey scaladoc) instead of silently truncating into an
+    // unexplained oracle mismatch. Bench/ScaleProbe leave the flag unset
+    // (production posture: cap-and-continue with the drop observed).
     val funcs = affineConsts.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }
       .grouped(3).map(_.mkString(", ")).mkString(",\n    ")

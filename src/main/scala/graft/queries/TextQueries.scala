@@ -322,9 +322,14 @@ object TextQueries {
     * then an ordinary partially-aggregatable MIN in both engines (no
     * struct-min / arg-min portability concern). Bounds: tile index
     * < 2^31 (a 2^31-tile doc is 40G tokens — far past any real
-    * document) and doc_id < 2^32; both documented, neither checked per
-    * row. Shared by the batch query and the streaming
-    * [[graft.streaming.DocStream]] span faces. */
+    * document) and 0 <= doc_id < 2^32 — at exactly those bounds the
+    * pack tops out at 2^63−1, so any violation would wrap and silently
+    * mis-attribute span winners. GUARDED per row (advisor catch): the
+    * pack is wrapped in a two-integer-compare `when` whose violation
+    * branch raises a distributed assert_true naming the offending
+    * (doc_id, idx) — a corpus outside the precondition fails fast
+    * instead of corrupting first-occurrence order. Shared by the batch
+    * query and the streaming [[graft.streaming.DocStream]] span faces. */
   private[graft] def tiled(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val w = TileWidth
@@ -343,7 +348,16 @@ object TextQueries {
         expr(s"CAST((s - 1) div $w AS INT)").as("idx"),
         size(slice($"__toks", $"s", lit(w))).as("tile_tokens"),
         md5(concat_ws(" ", slice($"__toks", $"s", lit(w)))).as("tile_hash"))
-      .withColumn("win_key", $"doc_id" * 2147483648L + $"idx")
+      .withColumn("win_key",
+        when($"doc_id" >= 0L && $"doc_id" < 4294967296L &&
+          $"idx" < 2147483647,
+          $"doc_id" * 2147483648L + $"idx")
+          .otherwise(assert_true(lit(false), concat(
+            lit("[graft] win_key pack precondition violated: (doc_id, " +
+              "tile idx) = ("), $"doc_id", lit(", "), $"idx",
+            lit(") outside 0 <= doc_id < 2^32, idx < 2^31 — the packed " +
+              "LONG would wrap and corrupt first-occurrence ordering")))
+            .cast("long")))
   }
 
   // ── Learned quality classifier (logistic regression) ───────────────

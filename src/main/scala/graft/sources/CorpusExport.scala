@@ -31,6 +31,42 @@ import org.apache.spark.sql.functions._
   * back equals q_shard_assign's `pos` order, bit-for-bit. */
 object CorpusExport {
 
+  /** The export MANIFEST (q_corpus_export): one row per shard with doc
+    * count, character mass, and an md5 chain over the shard's doc_ids in
+    * training order — the audit record that proves a written corpus is
+    * the one the assignment specifies. The chain replays
+    * [[writeSharded]]'s exact order ((shuffle key, doc_id) ascending =
+    * q_shard_assign's `pos` order), so comparing this frame against
+    * chains computed from the written files' FILE ORDER (CorpusExportSpec
+    * does exactly that) certifies the layout end to end, and the DuckDB
+    * oracle replays the whole manifest in SQL — the export path's output
+    * contract sits under the same hash gate as every query.
+    *
+    * Scale shape: ONE exchange (the shard groupBy — same key the export
+    * write itself shuffles on) and a per-shard sort of the collected
+    * (key, doc_id) pairs inside the agg buffer. The buffer holds one
+    * shard's id list — bounded because shard COUNT scales with the
+    * corpus (the q_shard_assign sizing rule: thousands of shards at
+    * 100 TB keeps each slice task-sized); at true scale the production
+    * variant folds the chain incrementally at write time per file and
+    * this query remains the independent audit over the same arithmetic. */
+  def manifest(docs: DataFrame, shards: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"),
+        coalesce(length(col("text")), lit(0)).cast("long").as("__chars"))
+      .withColumn("__key", graft.queries.CurationQueries.shuffleKey)
+      .withColumn("shard",
+        pmod(col("__key"), lit(shards.toLong)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("char_mass"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("__key"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")),
+          ",")).as("id_chain_md5"))
+      .orderBy("shard")
+
   /** Write `docs` (any frame with a doc_id column) as a sharded,
     * shuffle-ordered parquet corpus under `outDir`. */
   def writeSharded(docs: DataFrame, outDir: String,

@@ -45,6 +45,44 @@ class CorpusExportSpec extends SparkTestBase {
       want.values.map(_.size).sum)
   }
 
+  test("q_corpus_export manifest chains equal chains computed from the " +
+      "written files' physical order") {
+    val dir = Files.createTempDirectory("corpus_manifest").toString
+    val docs = Tables.table(spark, sf0001, "documents")
+    CorpusExport.writeSharded(docs, dir)
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+    // per shard: doc_ids + char mass in FILE order from the written files
+    val fromFiles = new File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1)
+        val rows = spark.read.parquet(parts.head.getPath)
+          .select($"doc_id",
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.length($"text"),
+              org.apache.spark.sql.functions.lit(0)).cast("long"))
+          .as[(Long, Long)].collect().toList
+        d.getName.stripPrefix("shard=").toInt ->
+          ((rows.size.toLong, rows.map(_._2).sum,
+            md5hex(rows.map(_._1).mkString(","))))
+      }.toMap
+
+    val manifest = graft.SparkEntry.queries("q_corpus_export")(spark, sf0001)
+      .select($"shard", $"n_docs", $"char_mass", $"id_chain_md5")
+      .as[(Int, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(manifest.keySet == fromFiles.keySet)
+    manifest.foreach { case (shard, row) =>
+      assert(row == fromFiles(shard), s"shard $shard manifest diverges")
+    }
+  }
+
   test("the full journey: curation-pipeline survivors export as a " +
       "sharded training corpus and read back whole") {
     // raw corpus -> curated survivor set -> shuffled sharded layout:
