@@ -55,6 +55,50 @@ object Multimodal {
       }
     }
 
+    /** Perceptual hash (aHash) over the decoded sample grid — the
+      * image-near-dup signature (average hash: Zauner 2010, "Implemen-
+      * tation and Benchmarking of Perceptual Image Hash Functions"):
+      * partition the decoded samples into `cells` contiguous cells, set
+      * cell j's bit iff its mean sample exceeds the global mean, and
+      * return the bits packed as `cells / bandWidth` band integers —
+      * already in the LSH-banding shape (16-bit bands, like simhash),
+      * so near-dup pairing needs no repacking. Two near-identical
+      * payloads differ in few cells, so their signatures sit within a
+      * small Hamming distance — exactly what MinHash does for text,
+      * done on sample intensities.
+      *
+      * For a real image the samples are the 8x8-downsampled grayscale
+      * pixels; here the "decode" reads the payload bytes directly (the
+      * same 1-D grid a real codec's luma plane would feed in). The
+      * mean comparison is EXACT integer arithmetic — bit j =
+      * (cellSum·len > total·cellCount), no division — so the DuckDB
+      * oracle replays it bit-for-bit character-wise (the
+      * q_media_histogram ord()-replay argument). Exactness bound:
+      * cellSum·len < 2^63 requires len < ~1.9e8 bytes (255·len²) —
+      * any real media item is decoded-downsampled far below that. */
+    def perceptualBands(payload: Array[Byte], cells: Int = 64,
+                        bandWidth: Int = 16): Array[Long] = {
+      val len = payload.length
+      val sums = new Array[Long](cells)
+      val cnts = new Array[Long](cells)
+      var total = 0L
+      var i = 0
+      while (i < len) {
+        val j = (i.toLong * cells / len).toInt
+        val b = payload(i) & 0xFF
+        sums(j) += b; cnts(j) += 1; total += b
+        i += 1
+      }
+      val out = new Array[Long](cells / bandWidth)
+      var j = 0
+      while (j < cells) {
+        if (sums(j) * len > total * cnts(j))
+          out(j / bandWidth) |= 1L << (j % bandWidth)
+        j += 1
+      }
+      out
+    }
+
     /** Frame sampling for video payloads — NOT implementable without a
       * codec; deliberately unimplemented (see object doc). */
     def sampleFrames(payload: Array[Byte], everyMs: Long): Array[Array[Byte]] =
@@ -87,6 +131,21 @@ object Multimodal {
           FakeCodec.entropyMilli(hist), hist)
       }
     }
+  }
+
+  /** One perceptual signature per media item, through the codec seam:
+    * the aHash bands come out of [[FakeCodec.perceptualBands]] inside a
+    * typed `mapPartitions` — one batch function per partition, exactly
+    * where a real decoder runs — and everything downstream (banding,
+    * bucket pairing, Hamming verify) is ordinary DataFrame machinery.
+    * Empty payloads carry no perceptual content and are dropped (the
+    * near-dup analog of collapseExact's degenerate-text rule). */
+  case class MediaSig(item_id: Long, bands: Array[Long])
+
+  def perceptualSigs(items: Dataset[MediaItem]): Dataset[MediaSig] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.filter(_.payload.nonEmpty).map(m =>
+      MediaSig(m.item_id, FakeCodec.perceptualBands(m.payload))))
   }
 
   /** Partition-count control for media work: payloads are large, so cap

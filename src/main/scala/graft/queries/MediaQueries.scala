@@ -22,7 +22,76 @@ import graft.multimodal.Multimodal
   */
 object MediaQueries {
 
+  /** q_media_phash_dedup's aHash geometry and pairing threshold — ONE
+    * definition each, interpolated into the oracle SQL so both engines
+    * compute the identical signature and cut at the identical distance.
+    * 64 cells / 16-bit bands mirrors the classic 8x8 aHash grid and the
+    * simhash band shape; maxHamming 6/64 ≈ the 0.9 bit-agreement ring
+    * where aHash near-dup verdicts live. */
+  private[queries] val PhashCells = 64
+  private[queries] val PhashBandWidth = 16
+  private[queries] val PhashMaxHamming = 6
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Perceptual near-dup detection over the MEDIA column — the image
+    // analog of MinHash for text (the r11 verdict's top directive): an
+    // aHash bit signature from the decoded sample grid (FakeCodec
+    // .perceptualBands through the codec seam — a real image codec
+    // swaps in under the same mapPartitions batch shape), banded
+    // 4x16 bits exactly like simhash, candidate pairs from shared-band
+    // buckets (capPerKey-bounded: never all-pairs), verified by exact
+    // Hamming distance over the full signature, with exact-duplicate
+    // payloads collapsed to md5 representatives first and verdicts
+    // fanned back out (the collapseExact/fanOut discipline — pair work
+    // is independent of copy count).
+    //
+    // Scale shape: one typed decode pass (partition-local, no shuffle),
+    // one exchange for the payload-md5 collapse, one for the band
+    // buckets; the Hamming verify touches only bucket-capped candidate
+    // pairs carrying their signatures through the bucket structs (no
+    // join back to the corpus). The whole signature is integer
+    // arithmetic, so the DuckDB oracle replays decode, signature,
+    // banding, pairing, AND verification bit-for-bit — a HARD
+    // hash-match, not a rows-only concession.
+    "q_media_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.documentsAsMedia(s, dir).toDF()
+        .filter(length($"payload") > 0)
+      // collapse byte-identical payloads: identical bytes => identical
+      // signature, so one representative carries the whole group
+      val grouped = DedupQueries.capPerKey(
+          media.select($"item_id".as("doc_id"), md5($"payload").as("fp")),
+          "media_collapse", $"fp")
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"))
+      val reps = media
+        .join(grouped.select($"rep_id".as("item_id")), Seq("item_id"))
+        .as[Multimodal.MediaItem]
+      val sigs = Multimodal.perceptualSigs(reps).toDF()
+      val banded = sigs
+        .select($"item_id".as("doc_id"), $"bands",
+          posexplode($"bands"))
+        .toDF("doc_id", "bands", "band_idx", "band_val")
+      val repPairs = DedupQueries.capPerKey(
+          banded, "media_phash", $"band_idx", $"band_val")
+        .groupBy($"band_idx", $"band_val")
+        .agg(collect_list(struct($"doc_id", $"bands")).as("xs"))
+        .filter(size($"xs") > 1)
+        .select(explode($"xs").as("a"), $"xs")
+        .select($"a", explode($"xs").as("b"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          (0 until PhashCells / PhashBandWidth).map(i =>
+            call_function("bit_count",
+              element_at($"a.bands", i + 1)
+                .bitwiseXOR(element_at($"b.bands", i + 1))))
+            .reduce(_ + _).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= PhashMaxHamming)
+      DedupQueries.fanOut(repPairs, grouped, "hamming", lit(0L))
+        .select($"doc_a".as("item_a"), $"doc_b".as("item_b"), $"hamming")
+        .orderBy("item_a", "item_b")
+    }),
     // Per-item binary metadata: byte size + content digest over the
     // opaque payload column — the manifest row a media lake keeps per
     // object. Built on the ONE payload seam (Multimodal.documentsAsMedia)
@@ -63,6 +132,82 @@ object MediaQueries {
         |  md5(text) AS payload_md5
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY item_id""".stripMargin,
+
+    // replays the ENTIRE perceptual pipeline character-wise — decode
+    // (ord(char) IS the payload byte on the ASCII corpus), the exact
+    // integer aHash (bit j = cellSum*len > total*cellCount), 16-bit
+    // banding, shared-band candidate pairing, Hamming verification via
+    // xor/bit_count, and the md5-collapse fan-out — bit-for-bit
+    "q_media_phash_dedup" -> {
+      val nBands = PhashCells / PhashBandWidth
+      s"""WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |grp AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+        |    list(doc_id) AS ids
+        |  FROM m GROUP BY 1),
+        |reps AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
+        |chars AS (
+        |  SELECT doc_id, text, len, unnest(range(1, len + 1)) AS p
+        |  FROM reps),
+        |bytes AS (
+        |  SELECT doc_id, len, (p - 1) * $PhashCells // len AS j,
+        |    ord(substring(text, CAST(p AS INT), 1)) AS byte
+        |  FROM chars),
+        |cells AS (
+        |  SELECT doc_id, len, j, sum(byte) AS s, count(*) AS c
+        |  FROM bytes GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(s) AS ts FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT cells.doc_id, j,
+        |    CASE WHEN s * len > ts * c THEN 1 ELSE 0 END AS bit
+        |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+        |bandsum AS (
+        |  SELECT doc_id, j // $PhashBandWidth AS band_idx,
+        |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1, 2),
+        |-- a doc shorter than $PhashCells chars leaves whole cells (and
+        |-- possibly whole bands) without positions; the Spark signature
+        |-- still carries those bands as zeros, so materialize the full
+        |-- band grid with zero fill or short docs would lose candidates
+        |bandgrid AS (
+        |  SELECT doc_id, unnest(range(0, $nBands)) AS band_idx FROM reps),
+        |bands AS (
+        |  SELECT g.doc_id, g.band_idx,
+        |    CAST(coalesce(b.band_val, 0) AS BIGINT) AS band_val
+        |  FROM bandgrid g LEFT JOIN bandsum b
+        |    ON g.doc_id = b.doc_id AND g.band_idx = b.band_idx),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |    AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.doc_a
+        |  JOIN bands y ON y.doc_id = c.doc_b AND y.band_idx = x.band_idx
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = $nBands),
+        |rep_pairs AS (SELECT * FROM ham WHERE hamming <= $PhashMaxHamming),
+        |members AS (SELECT rep_id, unnest(ids) AS mem FROM grp),
+        |fanned AS (
+        |  SELECT least(ma.mem, mb.mem) AS item_a,
+        |    greatest(ma.mem, mb.mem) AS item_b, p.hamming
+        |  FROM rep_pairs p
+        |  JOIN members ma ON ma.rep_id = p.doc_a
+        |  JOIN members mb ON mb.rep_id = p.doc_b
+        |  UNION ALL
+        |  SELECT a.mem AS item_a, b.mem AS item_b,
+        |    CAST(0 AS BIGINT) AS hamming
+        |  FROM members a JOIN members b
+        |    ON a.rep_id = b.rep_id AND a.mem < b.mem)
+        |SELECT item_a, item_b, hamming FROM fanned
+        |ORDER BY item_a, item_b""".stripMargin
+    },
 
     // replays FakeCodec.decodeHistogram (bucket = byte * 16 / 256 =
     // byte // 16) character-wise; the corpus is ASCII so ord(char) is
