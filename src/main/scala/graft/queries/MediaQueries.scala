@@ -26,11 +26,17 @@ object MediaQueries {
     * definition each, interpolated into the oracle SQL so both engines
     * compute the identical signature and cut at the identical distance.
     * 64 cells / 16-bit bands mirrors the classic 8x8 aHash grid and the
-    * simhash band shape; maxHamming 6/64 ≈ the 0.9 bit-agreement ring
-    * where aHash near-dup verdicts live. */
-  private[queries] val PhashCells = 64
-  private[queries] val PhashBandWidth = 16
-  private[queries] val PhashMaxHamming = 6
+    * simhash band shape; maxHamming 12/64 ≈ the 0.81 bit-agreement
+    * ring — measured against this corpus's actual near-dup structure
+    * (its whitespace/case variants land at Hamming 9–12 under the
+    * byte-grid aHash; at 6 the verdict ring was empty on real data).
+    * Recall through 4×16 banding is probabilistic past Hamming 3
+    * (pigeonhole), the standard simhash/LSH contract — the oracle
+    * replays the identical banding, so the hash-match pins exactly
+    * what the engine finds, cap contract aside. */
+  private[graft] val PhashCells = 64
+  private[graft] val PhashBandWidth = 16
+  private[graft] val PhashMaxHamming = 12
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Perceptual near-dup detection over the MEDIA column — the image

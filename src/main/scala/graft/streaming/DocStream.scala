@@ -294,15 +294,23 @@ object DocStream {
     * @param historyVecs static embeddings frame with vec_id + embedding
     * @param cents quantizer centroids — md5 corners by default, a
     *   TRAINED [[graft.queries.SimilarityQueries.ivfCentroids]] set for
-    *   production (trained once on a history sample, materialized, then
-    *   shared by this face and the nightly batch so both quantize
-    *   identically); with `prepared = true` the caller must have built
-    *   the index with the SAME centroids
+    *   production (trained once on a history sample, materialized via
+    *   [[graft.sources.Artifacts.writeCentroids]], then shared by this
+    *   face and the nightly batch so both quantize identically); with
+    *   `prepared = true` the caller must have built the index with the
+    *   SAME centroids
+    * @param assignTicks true when `cents` came from the fixed-point
+    *   trainer — assignment then ranks on the same tick copy the batch
+    *   faces rank on ([[graft.queries.SimilarityQueries.withTicks]]),
+    *   keeping live and nightly cell boundaries bit-identical (a raw-v
+    *   assignment against tick-trained centroids can flip boundary
+    *   rows); tau is always judged on raw vectors
     */
   def semanticDedup(newVecs: DataFrame, historyVecs: DataFrame,
                     tau: Double = 0.3, prepared: Boolean = false,
                     cents: Seq[(Int, Seq[Double])] =
-                      graft.queries.SimilarityQueries.semCentroids(16, 64))
+                      graft.queries.SimilarityQueries.semCentroids(16, 64),
+                    assignTicks: Boolean = false)
       : DataFrame = {
     import graft.queries.SimilarityQueries
     require(cents.nonEmpty, "semanticDedup needs at least one centroid")
@@ -312,10 +320,14 @@ object DocStream {
     // (cell, hv) — cached once by the caller, who also owns unpersist
     val hist =
       if (prepared) historyVecs.select(col("cell"), col("hv"))
-      else prepareSemIndex(historyVecs, cents)
-    val incoming = SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
+      else prepareSemIndex(historyVecs, cents, assignTicks)
+    val guarded = SimilarityQueries.semDedupGuard(
       newVecs.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))), cents)
+        col("embedding").cast("array<double>").as("v")))
+    val incoming =
+      if (assignTicks) SimilarityQueries.semAssign(
+        SimilarityQueries.withTicks(guarded), cents, on = "dv")
+      else SimilarityQueries.semAssign(guarded, cents)
     incoming.join(hist, incoming("cell") === hist("cell") &&
         graft.Clean.roundHalfUp(
           graft.functions.VectorFunctions.cosineSim(incoming("v"),
@@ -331,13 +343,18 @@ object DocStream {
     * only be cleared globally. */
   def prepareSemIndex(historyVecs: DataFrame,
       cents: Seq[(Int, Seq[Double])] =
-        graft.queries.SimilarityQueries.semCentroids(16, 64)): DataFrame = {
+        graft.queries.SimilarityQueries.semCentroids(16, 64),
+      assignTicks: Boolean = false): DataFrame = {
     import graft.queries.SimilarityQueries
     graft.functions.VectorFunctions.register(historyVecs.sparkSession)
-    SimilarityQueries.semHistoryIndex(
-        SimilarityQueries.semAssign(SimilarityQueries.semDedupGuard(
-          historyVecs.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))), cents))
+    val guarded = SimilarityQueries.semDedupGuard(
+      historyVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val assigned =
+      if (assignTicks) SimilarityQueries.semAssign(
+        SimilarityQueries.withTicks(guarded), cents, on = "dv")
+      else SimilarityQueries.semAssign(guarded, cents)
+    SimilarityQueries.semHistoryIndex(assigned)
       .select(col("cell"), col("v").as("hv"))
       .cache()
   }
@@ -387,7 +404,8 @@ object DocStream {
                           tau: Double = 0.3,
                           cents: Seq[(Int, Seq[Double])] =
                             graft.queries.SimilarityQueries
-                              .semCentroids(16, 64)): Dataset[SemAdmit] = {
+                              .semCentroids(16, 64),
+                          assignTicks: Boolean = false): Dataset[SemAdmit] = {
     import spark.implicits._
     require(cents.nonEmpty, "semanticDedupOnline needs at least one centroid")
     graft.functions.VectorFunctions.register(spark)
@@ -395,10 +413,14 @@ object DocStream {
     val tauL = tau
     val cap = spark.conf.getOption("spark.graft.dedup.maxBucket")
       .map(_.toInt).getOrElse(1000)
-    val assigned = graft.queries.SimilarityQueries.semAssign(
-        graft.queries.SimilarityQueries.semDedupGuard(
-          newVecs.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))), cents)
+    val guarded = graft.queries.SimilarityQueries.semDedupGuard(
+      newVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val assigned = (if (assignTicks)
+        graft.queries.SimilarityQueries.semAssign(
+          graft.queries.SimilarityQueries.withTicks(guarded), cents,
+          on = "dv")
+      else graft.queries.SimilarityQueries.semAssign(guarded, cents))
       .select(col("cell"), col("vec_id"), col("v"))
       .as[(Int, Long, Seq[Double])]
     def update(cell: Int, rows: Iterator[(Int, Long, Seq[Double])],

@@ -22,20 +22,17 @@ class QuerySmokeSpec extends SparkTestBase {
     // replays, plus an external anchor (a *_sql twin running the same
     // pipeline under an oracle-able hash family, a recursive-CTE twin, or
     // a quantitative error-bound spec).
+    // (The trained-quantizer trio — q_ann_ivf, q_semdedup_trained,
+    // q_semdedup_incremental_trained — left this list in r12: the
+    // fixed-point tick trainer made the whole training loop
+    // SQL-replayable, so they now carry hard oracles.)
     val rowsOnly = Set(
       "q_dedup_minhash_lsh",   // twin: q_dedup_minhash_sql (green)
       "q_dedup_simhash",       // twin: q_dedup_simhash_sql (green)
       "q_dedup_clusters",      // twin: q_dedup_clusters_sql (green)
       "q_ann_lsh",             // twin: q_ann_lsh_sql (green)
-      "q_ann_ivf",             // documented infeasibility + score/recall pins
       "q_agg_approx_distinct", // HLL: 3*rsd error-bound spec
-      "q_agg_approx_quantiles", // GK: rank-error-bound spec
-      // trained-quantizer semantic dedup: the iterative k-means fixed
-      // point is not SQL-replayable (the q_ann_ivf rationale); anchors =
-      // q_semdedup's hard oracle over the IDENTICAL downstream pipeline
-      // + SemDedupTrainedSpec's from-scratch downstream recomputation
-      "q_semdedup_trained",
-      "q_semdedup_incremental_trained"
+      "q_agg_approx_quantiles" // GK: rank-error-bound spec
     )
     val unanchored = SparkEntry.queries.keySet
       .diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)

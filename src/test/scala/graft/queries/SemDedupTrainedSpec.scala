@@ -114,7 +114,9 @@ class SemDedupTrainedSpec extends SparkTestBase {
         .select($"vec_id", $"embedding".cast("array<double>").as("v")))
     val cents = SimilarityQueries.ivfCentroids(
       guarded.filter($"vec_id" < split), k = 16, iters = 2)
-    val assigned = SimilarityQueries.assignCells(guarded, cents)
+    // assignment ranks on the tick copy, exactly like the query
+    val assigned = SimilarityQueries.assignCells(
+        SimilarityQueries.withTicks(guarded), cents, on = "dv")
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     val hist = assigned.filter(_._1 < split).toSeq
     val want = assigned.filter(_._1 >= split).filter { case (id, cell) =>
@@ -141,7 +143,8 @@ class SemDedupTrainedSpec extends SparkTestBase {
           .select($"vec_id", $"embedding".cast("array<double>").as("v")))
       val cents = SimilarityQueries.ivfCentroids(
         guarded.filter($"vec_id" < split), k = 16, iters = 2)
-      val assigned = SimilarityQueries.assignCells(guarded, cents)
+      val assigned = SimilarityQueries.assignCells(
+        SimilarityQueries.withTicks(guarded), cents, on = "dv")
       graft.sources.Layout.writeBucketed(
         assigned.filter($"vec_id" < split), "cell_history_trained", "cell")
       val incoming = assigned.filter($"vec_id" >= split)

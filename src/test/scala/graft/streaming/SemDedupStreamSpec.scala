@@ -200,7 +200,8 @@ class SemDedupStreamSpec extends SparkTestBase {
 
     val out = DocStream.semanticDedup(
       DocStream.readEmbeddings(spark, dir.toString),
-      vecs.filter($"vec_id" < 250), cents = trainedCents)
+      vecs.filter($"vec_id" < 250), cents = trainedCents,
+      assignTicks = true)
     val q = EventStream.runToMemory(out, "sem_dedup_tr", OutputMode.Append())
     q.processAllAvailable(); q.stop()
 
@@ -231,7 +232,7 @@ class SemDedupStreamSpec extends SparkTestBase {
 
     val out = DocStream.semanticDedupOnline(spark,
       DocStream.readEmbeddings(spark, dir.toString),
-      cents = trainedCents).toDF()
+      cents = trainedCents, assignTicks = true).toDF()
     val q = EventStream.runToMemory(out, "sem_online_tr", OutputMode.Append())
     q.processAllAvailable(); q.stop()
 
@@ -244,9 +245,9 @@ class SemDedupStreamSpec extends SparkTestBase {
         Option(r.getAs[java.lang.Double]("dupCos")).map(_.doubleValue)))
       .toSet
     val trainedCells = SimilarityQueries.semAssign(
-        SimilarityQueries.semDedupGuard(
-          vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))),
-        trainedCents)
+        SimilarityQueries.withTicks(SimilarityQueries.semDedupGuard(
+          vecs.select($"vec_id", $"embedding".cast("array<double>").as("v")))),
+        trainedCents, on = "dv")
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     assert(got === greedyRef(trainedCells))
     // the trained replay must differ from the corner replay somewhere
