@@ -223,12 +223,21 @@ object ScaleProbe {
     // τ sweep over the capPerKey-bounded jaccard pairs: hostile
     // boilerplate concentrates the gram buckets exactly as in the
     // jaccard row — the sweep must stay within its envelope
-    "q_dedup_tau_sweep")
+    "q_dedup_tau_sweep",
+    // perceptual media near-dup under maximal signature concentration:
+    // unique trailers defeat the md5 collapse (every payload is its own
+    // rep), near-identical texts give near-identical aHash grids, so
+    // every band bucket is hot — the capPerKey (tag media_phash) must
+    // bound pair work to the cap's min-doc_id members per bucket while
+    // output stays the capped pair set; the simhash hostile contract,
+    // one modality over
+    "q_media_phash_dedup")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
       (col("id") + 1).as("doc_id"),
       lit("en").as("lang"),
+      lit("hostile").as("source"), // the media family reads source
       concat(
         lit(("all work and no play makes the corpus a dull boilerplate " * 4)
           .trim + " unique trailer "),
@@ -258,7 +267,8 @@ object ScaleProbe {
   /** The online greedy stream face probed over the same corpora (its
     * emitted row name in the jsonl record — filterable like any other
     * probe name). */
-  private val hostileVecStreamFaces = Seq("s_semdedup_online")
+  private val hostileVecStreamFaces =
+    Seq("s_semdedup_online", "s_ann_search")
 
   private def hostileVecs(spark: SparkSession, n: Long): DataFrame = {
     // one fixed direction, float-typed to match the embeddings schema
@@ -563,12 +573,45 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":"same_embedding"}""")
       }
+      // the ANN SERVING face on the same corpus: a FIXED 10-probe set
+      // (the q_knn_dot device) against an index where every vector
+      // occupies ONE hot cell — per-probe work is the cell population,
+      // so wall-clock must grow LINEARLY in n (the documented
+      // uncapped-index contract: a hot cell is a quantizer-quality
+      // problem, prepareAnnIndex scaladoc) while rows stay 10x5 and
+      // state stays ZERO at every factor
+      if (pickedVecStreamFaces.contains("s_ann_search")) {
+        val probeDir = s"$dir/ann_probes.parquet"
+        if (!new java.io.File(s"$probeDir/_SUCCESS").exists())
+          hostileVecs(spark, 10).repartition(1)
+            .write.mode(SaveMode.Overwrite).parquet(probeDir)
+        val table = s"probe_annserve_f$k"
+        val t0 = System.nanoTime()
+        val (n, stRows, stMem) = try {
+          val index = graft.streaming.DocStream.prepareAnnIndex(
+            Tables.table(spark, dir, "embeddings"),
+            graft.queries.SimilarityQueries.semCentroids(16, 64))
+          try {
+            val out = graft.streaming.DocStream.annSearch(spark,
+              graft.streaming.DocStream.readEmbeddings(spark, probeDir),
+              index, graft.queries.SimilarityQueries.semCentroids(16, 64))
+              .toDF()
+            val sq = graft.streaming.EventStream.runToMemory(out, table)
+            sq.awaitTermination()
+            val (r, m) = stateMetrics(sq)
+            (spark.table(table).count(), r, m)
+          } finally index.unpersist()
+        } catch { case e: Throwable =>
+          System.err.println(s"annserve@$k: $e"); (-1L, 0L, 0L) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"s_ann_search","sec":$sec%.3f,"rows":$n,"state_rows":$stRows,"state_mem_bytes":$stMem,"hostile":"same_embedding_stream"}""")
+      }
       // the ONLINE greedy face on the same corpus: every vector lands in
       // one hot cell, but the admitted index holds exactly ONE member
       // (everything else is its duplicate), so per-arrival work is O(1)
       // — the probe confirms the state bound is the ADMITTED set, not
       // the arrival count
-      if (pickedVecStreamFaces.nonEmpty) {
+      if (pickedVecStreamFaces.contains("s_semdedup_online")) {
         val table = s"probe_semonline_f$k"
         val t0 = System.nanoTime()
         val (n, stRows, stMem) = try {

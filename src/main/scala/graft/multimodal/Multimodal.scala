@@ -108,9 +108,17 @@ object Multimodal {
 
   /** Wrap the documents table as a media table: payload = UTF-8 bytes.
     * Demonstrates binary-column plumbing end to end on real testdata. */
-  def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaItem] = {
-    import spark.implicits._
-    graft.Tables.table(spark, dir, "documents")
+  def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaItem] =
+    asMedia(graft.Tables.table(spark, dir, "documents"))
+
+  /** The same documents→media wrap over an arbitrary (possibly
+    * STREAMING) documents-shaped frame — the ingest seam
+    * [[graft.streaming.DocStream.mediaDedup]] shares with the batch
+    * queries, so live and nightly payload bytes are identical by
+    * construction. */
+  def asMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
       .filter($"text".isNotNull) // a media row without a payload is unreadable
       .select($"doc_id".as("item_id"),
         encode($"text", "UTF-8").as("payload"),

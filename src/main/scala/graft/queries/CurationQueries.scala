@@ -756,6 +756,21 @@ object CurationQueries {
     "q_corpus_export" -> ((s, dir) =>
       graft.sources.CorpusExport.manifest(Tables.table(s, dir, "documents"))),
 
+    // A COMPOSED curation slice as one declarative lineage — quality
+    // drop → exact-dedup keep-first → per-lang top-5 longest survivors
+    // — the 3-stage shape every q_sql_* twin exercises one operator of.
+    // Exists as the composition witness for the SQL front door's
+    // flagship (q_sql_curation_lite expresses the identical slice in
+    // ONE spark.sql statement; SqlFrontDoorSpec pins canonical-plan
+    // identity between the two surfaces, so "the surface composes" is a
+    // checked plan property, not a claim). Scale shape: one exchange
+    // for the fingerprint group, the keep-set join is an equi-join on
+    // doc_id (broadcastable — keepers are fingerprint-distinct and the
+    // join is AQE-sized), and the per-lang window shuffles only
+    // survivors; at 100 TB the topk window swaps for the two-phase
+    // local-prune device (q_topk_per_group) — same rows out.
+    "q_curation_lite" -> ((s, dir) => curationLite(s, dir)),
+
     // Per-source distribution drift: KL(P_source || P_corpus) over the
     // unigram token distributions — the drift metric a 100 TB ingest
     // dashboard alerts on next to q_corpus_health's count-level stats (a
@@ -1100,7 +1115,48 @@ object CurationQueries {
       .orderBy("lang", "source")
   }
 
+  /** The composed curation slice shared by q_curation_lite and (as one
+    * SQL statement) q_sql_curation_lite: drop blank/lang-less docs,
+    * exact-dedup on [[Clean.fingerprint]] keeping the smallest doc_id,
+    * rank survivors per lang by (n_chars desc, doc_id), keep 5. */
+  private[graft] def curationLite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.table(s, dir, "documents")
+      .filter($"text".isNotNull && length(trim($"text")) > 0 &&
+        $"lang".isNotNull)
+      .select($"doc_id", $"lang", $"n_chars",
+        Clean.fingerprint($"text").as("fingerprint"))
+    val kept = src.groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+    src.join(kept.select($"doc_id"), Seq("doc_id"))
+      .select($"lang", $"doc_id", $"n_chars") // the SQL twin's ranked-CTE order
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank", $"doc_id", $"n_chars")
+      .orderBy("lang", "rank")
+  }
+
+  /** Composed oracle shared by the DataFrame and SQL faces of the
+    * curation-lite slice. */
+  private[graft] val curationLiteOracle: String =
+    """WITH src AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      AS fingerprint
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+      |    AND lang IS NOT NULL),
+      |kept AS (SELECT min(doc_id) AS doc_id FROM src GROUP BY fingerprint),
+      |ranked AS (
+      |  SELECT s.lang, s.doc_id, s.n_chars,
+      |    row_number() OVER (PARTITION BY s.lang
+      |      ORDER BY s.n_chars DESC, s.doc_id) AS rank
+      |  FROM src s JOIN kept USING (doc_id))
+      |SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
+      |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_curation_lite" -> curationLiteOracle,
     "q_shard_assign" ->
       s"""WITH keyed AS (
         |  SELECT doc_id,

@@ -141,7 +141,7 @@ object DedupQueries {
     * shows an explicit "cap engaged" failure, never a mystery mismatch.
     * Bench and the hostile ScaleProbe runs leave the flag unset — the
     * production contract stays cap-and-continue with the drop observed. */
-  private[queries] def capPerKey(df: DataFrame, tag: String,
+  private[graft] def capPerKey(df: DataFrame, tag: String,
       keys: Column*): DataFrame = {
     import df.sparkSession.implicits._
     val cap = maxBucket(df.sparkSession)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
@@ -37,6 +37,30 @@ object MediaQueries {
   private[graft] val PhashCells = 64
   private[graft] val PhashBandWidth = 16
   private[graft] val PhashMaxHamming = 12
+  private[graft] val PhashBands = PhashCells / PhashBandWidth
+
+  /** Exact Hamming distance between two [[PhashBands]]-element band
+    * arrays — the one expression the batch pairing, the incremental
+    * anti-join, and the streaming face all cut on. */
+  private[graft] def hammingCol(a: Column, b: Column): Column =
+    (0 until PhashBands).map(i =>
+      call_function("bit_count",
+        element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1))))
+      .reduce(_ + _).cast("long")
+
+  /** (doc_id, bands, band_idx, band_val) rows for a signature frame —
+    * the posexplode both the batch pairing and the history index run. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("item_id").as("doc_id"), col("bands"),
+      posexplode(col("bands")))
+      .toDF("doc_id", "bands", "band_idx", "band_val")
+
+  /** Perceptual signatures of a media-shaped frame (the typed decode
+    * seam), as a DataFrame. */
+  private[graft] def sigsOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    Multimodal.perceptualSigs(media.as[Multimodal.MediaItem]).toDF()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Perceptual near-dup detection over the MEDIA column — the image
@@ -72,12 +96,7 @@ object MediaQueries {
         .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"))
       val reps = media
         .join(grouped.select($"rep_id".as("item_id")), Seq("item_id"))
-        .as[Multimodal.MediaItem]
-      val sigs = Multimodal.perceptualSigs(reps).toDF()
-      val banded = sigs
-        .select($"item_id".as("doc_id"), $"bands",
-          posexplode($"bands"))
-        .toDF("doc_id", "bands", "band_idx", "band_val")
+      val banded = bandRows(sigsOf(reps))
       val repPairs = DedupQueries.capPerKey(
           banded, "media_phash", $"band_idx", $"band_val")
         .groupBy($"band_idx", $"band_val")
@@ -87,17 +106,51 @@ object MediaQueries {
         .select($"a", explode($"xs").as("b"))
         .filter($"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          (0 until PhashCells / PhashBandWidth).map(i =>
-            call_function("bit_count",
-              element_at($"a.bands", i + 1)
-                .bitwiseXOR(element_at($"b.bands", i + 1))))
-            .reduce(_ + _).cast("long").as("hamming"))
+          hammingCol($"a.bands", $"b.bands").as("hamming"))
         .distinct()
         .filter($"hamming" <= PhashMaxHamming)
       DedupQueries.fanOut(repPairs, grouped, "hamming", lit(0L))
         .select($"doc_a".as("item_a"), $"doc_b".as("item_b"), $"hamming")
         .orderBy("item_a", "item_b")
     }),
+
+    // Ingest-time perceptual media dedup — the q_dedup_incremental
+    // shape one modality over: an arriving media item (item_id % 10 = 0,
+    // the documents family's increment convention) is ADMITTED iff no
+    // history item shares a band bucket within Hamming <= 12. Each
+    // arrival is judged independently (no within-increment pairing), so
+    // the plan is the same stream-static shape DocStream.mediaDedup
+    // runs live (MediaStreamSpec pins them equal on a replayed split).
+    //
+    // Scale shape: the history band index is capPerKey-bounded (tag
+    // media_hist — a viral image's thousand re-uploads cap at the
+    // bucket bound) and at 100 TB is a materialized band-bucketed
+    // table, so the equi-join shuffles ONLY the increment's 4 band rows
+    // per item; flagged ids collapse by distinct before the tiny
+    // anti-join back to arrivals. The whole lineage is integer
+    // arithmetic — the oracle replays decode, banding, candidate
+    // generation, Hamming verification, and the NOT-EXISTS admit rule
+    // bit-for-bit (uncapped, the standard cap contract).
+    "q_media_phash_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.documentsAsMedia(s, dir).toDF()
+        .filter(length($"payload") > 0)
+      val sigs = sigsOf(media)
+      val hist = DedupQueries.capPerKey(
+          bandRows(sigs.filter($"item_id" % 10 =!= 0)),
+          "media_hist", $"band_idx", $"band_val")
+        .select($"band_idx", $"band_val", $"bands".as("h_bands"),
+          $"doc_id".as("hist_id"))
+      val inc = sigs.filter($"item_id" % 10 === 0)
+      val flagged = bandRows(inc)
+        .join(hist, Seq("band_idx", "band_val"))
+        .filter(hammingCol($"bands", $"h_bands") <= PhashMaxHamming)
+        .select($"doc_id".as("item_id")).distinct()
+      inc.select($"item_id")
+        .join(flagged, Seq("item_id"), "left_anti")
+        .orderBy("item_id")
+    }),
+
     // Per-item binary metadata: byte size + content digest over the
     // opaque payload column — the manifest row a media lake keeps per
     // object. Built on the ONE payload seam (Multimodal.documentsAsMedia)
@@ -131,6 +184,46 @@ object MediaQueries {
     })
   )
 
+  /** The aHash band grid as DuckDB CTEs, computed character-wise from a
+    * `sigsrc` CTE the caller provides (doc_id, text, len): decode
+    * (ord(char) IS the payload byte on the ASCII corpus), the exact
+    * integer aHash (bit j = cellSum*len > total*cellCount), 16-bit
+    * banding with zero fill for short docs — ending in
+    * `bands(doc_id, band_idx, band_val)`. Shared by the near-dup and
+    * incremental oracles. */
+  private def phashBandCtes: String =
+    s"""chars AS (
+      |  SELECT doc_id, text, len, unnest(range(1, len + 1)) AS p
+      |  FROM sigsrc),
+      |bytes AS (
+      |  SELECT doc_id, len, (p - 1) * $PhashCells // len AS j,
+      |    ord(substring(text, CAST(p AS INT), 1)) AS byte
+      |  FROM chars),
+      |cells AS (
+      |  SELECT doc_id, len, j, sum(byte) AS s, count(*) AS c
+      |  FROM bytes GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(s) AS ts FROM cells GROUP BY 1),
+      |bits AS (
+      |  SELECT cells.doc_id, j,
+      |    CASE WHEN s * len > ts * c THEN 1 ELSE 0 END AS bit
+      |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+      |bandsum AS (
+      |  SELECT doc_id, j // $PhashBandWidth AS band_idx,
+      |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
+      |  FROM bits GROUP BY 1, 2),
+      |-- a doc shorter than $PhashCells chars leaves whole cells (and
+      |-- possibly whole bands) without positions; the Spark signature
+      |-- still carries those bands as zeros, so materialize the full
+      |-- band grid with zero fill or short docs would lose candidates
+      |bandgrid AS (
+      |  SELECT doc_id, unnest(range(0, $PhashBands)) AS band_idx
+      |  FROM sigsrc),
+      |bands AS (
+      |  SELECT g.doc_id, g.band_idx,
+      |    CAST(coalesce(b.band_val, 0) AS BIGINT) AS band_val
+      |  FROM bandgrid g LEFT JOIN bandsum b
+      |    ON g.doc_id = b.doc_id AND g.band_idx = b.band_idx)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_media_meta" ->
       """SELECT doc_id AS item_id, 'text/plain' AS mime,
@@ -139,13 +232,11 @@ object MediaQueries {
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY item_id""".stripMargin,
 
-    // replays the ENTIRE perceptual pipeline character-wise — decode
-    // (ord(char) IS the payload byte on the ASCII corpus), the exact
-    // integer aHash (bit j = cellSum*len > total*cellCount), 16-bit
-    // banding, shared-band candidate pairing, Hamming verification via
-    // xor/bit_count, and the md5-collapse fan-out — bit-for-bit
-    "q_media_phash_dedup" -> {
-      val nBands = PhashCells / PhashBandWidth
+    // replays the ENTIRE perceptual pipeline character-wise — decode,
+    // the exact integer aHash, banding, shared-band candidate pairing,
+    // Hamming verification via xor/bit_count, and the md5-collapse
+    // fan-out — bit-for-bit
+    "q_media_phash_dedup" ->
       s"""WITH m AS (
         |  SELECT doc_id, text, length(text) AS len
         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
@@ -153,37 +244,8 @@ object MediaQueries {
         |  SELECT md5(text) AS fp, min(doc_id) AS rep_id,
         |    list(doc_id) AS ids
         |  FROM m GROUP BY 1),
-        |reps AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
-        |chars AS (
-        |  SELECT doc_id, text, len, unnest(range(1, len + 1)) AS p
-        |  FROM reps),
-        |bytes AS (
-        |  SELECT doc_id, len, (p - 1) * $PhashCells // len AS j,
-        |    ord(substring(text, CAST(p AS INT), 1)) AS byte
-        |  FROM chars),
-        |cells AS (
-        |  SELECT doc_id, len, j, sum(byte) AS s, count(*) AS c
-        |  FROM bytes GROUP BY 1, 2, 3),
-        |tot AS (SELECT doc_id, sum(s) AS ts FROM cells GROUP BY 1),
-        |bits AS (
-        |  SELECT cells.doc_id, j,
-        |    CASE WHEN s * len > ts * c THEN 1 ELSE 0 END AS bit
-        |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
-        |bandsum AS (
-        |  SELECT doc_id, j // $PhashBandWidth AS band_idx,
-        |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
-        |  FROM bits GROUP BY 1, 2),
-        |-- a doc shorter than $PhashCells chars leaves whole cells (and
-        |-- possibly whole bands) without positions; the Spark signature
-        |-- still carries those bands as zeros, so materialize the full
-        |-- band grid with zero fill or short docs would lose candidates
-        |bandgrid AS (
-        |  SELECT doc_id, unnest(range(0, $nBands)) AS band_idx FROM reps),
-        |bands AS (
-        |  SELECT g.doc_id, g.band_idx,
-        |    CAST(coalesce(b.band_val, 0) AS BIGINT) AS band_val
-        |  FROM bandgrid g LEFT JOIN bandsum b
-        |    ON g.doc_id = b.doc_id AND g.band_idx = b.band_idx),
+        |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
+        |$phashBandCtes,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
@@ -197,7 +259,7 @@ object MediaQueries {
         |  JOIN bands x ON x.doc_id = c.doc_a
         |  JOIN bands y ON y.doc_id = c.doc_b AND y.band_idx = x.band_idx
         |  GROUP BY 1, 2
-        |  HAVING count(*) = $nBands),
+        |  HAVING count(*) = $PhashBands),
         |rep_pairs AS (SELECT * FROM ham WHERE hamming <= $PhashMaxHamming),
         |members AS (SELECT rep_id, unnest(ids) AS mem FROM grp),
         |fanned AS (
@@ -212,8 +274,38 @@ object MediaQueries {
         |  FROM members a JOIN members b
         |    ON a.rep_id = b.rep_id AND a.mem < b.mem)
         |SELECT item_a, item_b, hamming FROM fanned
-        |ORDER BY item_a, item_b""".stripMargin
-    },
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // replays the incremental admit rule over the UNCOLLAPSED band grid
+    // (arrivals are judged independently; no rep collapse) — history =
+    // doc_id % 10 <> 0, increment = the rest, admitted iff no history
+    // item within the Hamming ring reachable through a shared band
+    "q_media_phash_incremental" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$phashBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+        |  FROM bands i JOIN bands h
+        |    ON i.band_idx = h.band_idx AND i.band_val = h.band_val
+        |    AND i.doc_id % 10 = 0 AND h.doc_id % 10 <> 0),
+        |ham AS (
+        |  SELECT c.inc_id, c.hist_id,
+        |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.inc_id
+        |  JOIN bands y ON y.doc_id = c.hist_id AND y.band_idx = x.band_idx
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = $PhashBands),
+        |flagged AS (
+        |  SELECT DISTINCT inc_id FROM ham
+        |  WHERE hamming <= $PhashMaxHamming)
+        |SELECT DISTINCT doc_id AS item_id FROM sigsrc
+        |WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
+        |ORDER BY item_id""".stripMargin,
 
     // replays FakeCodec.decodeHistogram (bucket = byte * 16 / 256 =
     // byte // 16) character-wise; the corpus is ASCII so ord(char) is

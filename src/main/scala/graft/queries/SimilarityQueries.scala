@@ -723,7 +723,7 @@ object SimilarityQueries {
 
   /** The `nprobe` nearest cell ids for a probe vector, best-first
     * (score desc, cell asc — identical ordering to the former window). */
-  private def nearestCells(cents: Seq[(Int, Seq[Double])], qv: Column,
+  private[graft] def nearestCells(cents: Seq[(Int, Seq[Double])], qv: Column,
       nprobe: Int): Column = {
     val ranked = array(cents.map { case (cell, cv) =>
       struct((-VectorFunctions.cosineSim(qv, typedLit(cv))).as("neg_score"),

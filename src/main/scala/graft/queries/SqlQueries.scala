@@ -127,7 +127,33 @@ object SqlQueries {
          |      CASE WHEN kept THEN struct(idx, tile_hash) END)),
          |    x -> x.tile_hash))) AS cleaned_sig
          |FROM flagged GROUP BY doc_id, lang, source
-         |ORDER BY doc_id""".stripMargin) _))
+         |ORDER BY doc_id""".stripMargin) _),
+
+    // The COMPOSED flagship: a 3-stage curation slice — quality drop →
+    // exact-dedup keep-first → per-lang top-5 — in ONE statement. The
+    // six twins above each exercise one operator; this one proves the
+    // surface COMPOSES: filters, the fingerprint group, the keep-set
+    // join, and the ranking window stack in a single spark.sql exactly
+    // as the q_curation_lite DataFrame lineage stacks them, and
+    // SqlFrontDoorSpec pins the two canonicalized optimized plans EQUAL
+    // — same logical operators from either surface, checked not claimed.
+    "q_sql_curation_lite" -> (sqlOver(
+      """WITH src AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' '))
+        |      AS fingerprint
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |    AND lang IS NOT NULL),
+        |kept AS (SELECT min(doc_id) AS doc_id FROM src
+        |         GROUP BY fingerprint),
+        |ranked AS (
+        |  SELECT s.lang, s.doc_id, s.n_chars,
+        |    row_number() OVER (PARTITION BY s.lang
+        |      ORDER BY s.n_chars DESC, s.doc_id) AS rank
+        |  FROM src s JOIN kept USING (doc_id))
+        |SELECT lang, rank, doc_id, n_chars FROM ranked
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin) _))
 
   /** The DataFrame twins' oracles, verbatim: one oracle, two surfaces —
     * a hash mismatch on either would localize the divergence to the
@@ -138,5 +164,6 @@ object SqlQueries {
     "q_sql_dedup_exact" -> DedupQueries.oracleSql("q_dedup_exact"),
     "q_sql_events_hourly" -> EventQueries.oracleSql("q_events_hourly"),
     "q_sql_knn_brute" -> SimilarityQueries.oracleSql("q_knn_brute"),
-    "q_sql_dedup_span" -> TextQueries.oracleSql("q_dedup_span"))
+    "q_sql_dedup_span" -> TextQueries.oracleSql("q_dedup_span"),
+    "q_sql_curation_lite" -> CurationQueries.curationLiteOracle)
 }

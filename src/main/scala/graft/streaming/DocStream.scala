@@ -359,6 +359,171 @@ object DocStream {
       .cache()
   }
 
+  /** One served neighbor from [[annSearch]]. */
+  case class AnnHit(query_id: Long, rank: Int, neighbor_id: Long,
+                    cosine: Double)
+
+  /** Build + cache the cell-assigned ANN corpus index `(cell, vec_id,
+    * v)` ONCE for any number of [[annSearch]] stream setups — the
+    * [[prepareSemIndex]] device for serving. UNCAPPED, deliberately:
+    * the dedup history index may drop cap-overflow members (the dup
+    * set only shrinks), but dropping an ANN candidate silently changes
+    * top-k answers, so a hot cell here is a quantizer-quality problem
+    * (grow K), not a capping problem. At 100 TB this frame is the
+    * cell-bucketed materialized corpus (the Layout story) and `cell`
+    * is the partition key a probe prunes on. */
+  def prepareAnnIndex(corpusVecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      assignTicks: Boolean = false): DataFrame = {
+    import graft.queries.SimilarityQueries
+    graft.functions.VectorFunctions.register(corpusVecs.sparkSession)
+    val guarded = SimilarityQueries.semDedupGuard(
+      corpusVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val assigned =
+      if (assignTicks) SimilarityQueries.semAssign(
+        SimilarityQueries.withTicks(guarded), cents, on = "dv")
+      else SimilarityQueries.semAssign(guarded, cents)
+    assigned.select(col("cell"), col("vec_id"), col("v")).cache()
+  }
+
+  /** Streaming ANN serving — the deployment face of `q_ann_ivf`, and
+    * the last trained family to get one (LM, BPE, LR, KN and semdedup
+    * already had theirs): arriving query vectors probe a STATIC
+    * [[prepareAnnIndex]] corpus under staged centroids
+    * ([[graft.sources.Artifacts.writeCentroids]] round-trip — the
+    * nightly trainer → live scorer handoff is a parquet directory) and
+    * get their top-`k` neighbors per micro-batch.
+    *
+    * Plan shape, all stateless: nprobe cell ids per arriving query are
+    * a PURE PROJECTION (the [[graft.queries.SimilarityQueries.nearestCells]]
+    * literal-array sort ivfPipeline uses) exploded to nprobe rows; ONE
+    * stream-static equi-join on `cell` against the cached index (at
+    * 100 TB: cell-bucketed table, so a probe touches nprobe/K of the
+    * corpus); scoring + the 4-dp snap are per-row expressions. The
+    * top-k per query runs as flatMapGroupsWithState that NEVER writes
+    * state — a query's candidates all land in its own micro-batch (one
+    * query = one source row), so the group fires exactly once and
+    * state_rows stays 0 at any arrival count (AnnStreamSpec pins both
+    * the row-for-row agreement with the batch ranking on a replayed
+    * probe set and the zero-state contract).
+    *
+    * `assignTicks = true` when `cents` came from the fixed-point
+    * trainer, keeping probe cell choices bit-identical to the nightly
+    * batch ([[semanticDedup]]'s contract); scores are always raw-vector
+    * cosines with the batch pipeline's exact op sequence. */
+  def annSearch(spark: SparkSession, queryVecs: DataFrame,
+                index: DataFrame, cents: Seq[(Int, Seq[Double])],
+                nprobe: Int = 4, k: Int = 5,
+                assignTicks: Boolean = false): Dataset[AnnHit] = {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    require(cents.nonEmpty, "annSearch needs at least one centroid")
+    graft.functions.VectorFunctions.register(spark)
+    val kL = k
+    val guarded = SimilarityQueries.semDedupGuard(
+      queryVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val probes = (if (assignTicks) SimilarityQueries.withTicks(guarded)
+      else guarded.withColumn("dv", col("v")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("dv").as("qav"))
+      .withColumn("cell",
+        explode(SimilarityQueries.nearestCells(cents, col("qav"), nprobe)))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = probes.join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.Clean.roundHalfUp(
+          graft.functions.VectorFunctions.cosineSim(col("qv"), col("v")), 4)
+          .as("cosine"))
+      .as[(Long, Long, Double)]
+    def topk(id: Long, rows: Iterator[(Long, Long, Double)],
+             state: GroupState[Long]): Iterator[AnnHit] = {
+      // the batch window's exact order: cosine desc, neighbor_id asc
+      rows.toSeq.map { case (_, nid, cos) => (nid, cos) }
+        .sortBy { case (nid, cos) => (-cos, nid) }
+        .take(kL).zipWithIndex
+        .map { case ((nid, cos), i) => AnnHit(id, i + 1, nid, cos) }
+        .iterator
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(topk)
+  }
+
+  /** One judged media arrival from [[mediaDedup]]. */
+  case class MediaAdmit(item_id: Long, admitted: Boolean,
+                        dup_of: Option[Long], hamming: Option[Long])
+
+  /** Build + cache the banded perceptual-hash history index
+    * `(band_idx, band_val, h_bands, hist_id)` ONCE for any number of
+    * [[mediaDedup]] stream setups — the q_media_phash_incremental
+    * history side verbatim (same capPerKey tag media_hist, so a viral
+    * image's thousand re-uploads cap at the bucket bound). At 100 TB:
+    * a band-bucketed materialized table, (band_idx, band_val) the
+    * partition key. */
+  def prepareMediaIndex(historyDocs: DataFrame): DataFrame = {
+    import graft.queries.{DedupQueries, MediaQueries}
+    import graft.multimodal.Multimodal
+    DedupQueries.capPerKey(
+        MediaQueries.bandRows(MediaQueries.sigsOf(
+          Multimodal.asMedia(historyDocs).toDF()
+            .filter(length(col("payload")) > 0))),
+        "media_hist", col("band_idx"), col("band_val"))
+      .select(col("band_idx"), col("band_val"),
+        col("bands").as("h_bands"), col("doc_id").as("hist_id"))
+      .cache()
+  }
+
+  /** Ingest-time perceptual media dedup, live — the stream twin of
+    * q_media_phash_incremental (MediaStreamSpec pins the admitted sets
+    * equal on a replayed split): each arriving payload decodes to its
+    * aHash signature through the SAME codec seam as the batch
+    * ([[graft.multimodal.Multimodal.asMedia]] → `perceptualSigs` inside
+    * a stateless mapPartitions — where a real image codec runs), its 4
+    * band rows equi-join the static banded history, Hamming verifies
+    * the full signature, and the verdict emits as flatMapGroupsWithState
+    * that NEVER writes state (an arrival's band rows all live in its
+    * own micro-batch, so the group fires once: state_rows stays 0 — the
+    * [[annSearch]] device). Rejections carry blame: the nearest history
+    * item (min Hamming, ties to the smallest id). */
+  def mediaDedup(spark: SparkSession, newDocs: DataFrame,
+                 histIndex: DataFrame): Dataset[MediaAdmit] = {
+    import spark.implicits._
+    import graft.queries.MediaQueries
+    import graft.multimodal.Multimodal
+    val maxHam = MediaQueries.PhashMaxHamming
+    val scored = MediaQueries.bandRows(MediaQueries.sigsOf(
+        Multimodal.asMedia(newDocs).toDF()
+          .filter(length(col("payload")) > 0)))
+      .join(histIndex, Seq("band_idx", "band_val"), "left_outer")
+      .select(col("doc_id").as("item_id"), col("hist_id"),
+        when(col("hist_id").isNotNull,
+          MediaQueries.hammingCol(col("bands"), col("h_bands")))
+          .as("hamming"))
+      .as[(Long, Option[Long], Option[Long])]
+    def judge(id: Long, rows: Iterator[(Long, Option[Long], Option[Long])],
+              state: GroupState[Long]): Iterator[MediaAdmit] = {
+      val ord = Ordering.Tuple2[Long, Long]
+      var best: Option[(Long, Long)] = None // (hamming, hist_id)
+      rows.foreach {
+        case (_, Some(h), Some(ham)) if ham <= maxHam =>
+          val cand = (ham, h)
+          if (best.forall(ord.lt(cand, _))) best = Some(cand)
+        case _ => ()
+      }
+      Iterator.single(best match {
+        case Some((ham, h)) => MediaAdmit(id, admitted = false,
+          Some(h), Some(ham))
+        case None => MediaAdmit(id, admitted = true, None, None)
+      })
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(judge)
+  }
+
   /** Per-cell admitted-vector index for [[semanticDedupOnline]]: ids in
     * admission (= vec_id) order, vectors parallel to ids. */
   case class SemCellState(ids: List[Long], vecs: List[Seq[Double]])

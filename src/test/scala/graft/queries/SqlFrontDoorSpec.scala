@@ -16,7 +16,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q_sql_dedup_exact" -> "q_dedup_exact",
     "q_sql_events_hourly" -> "q_events_hourly",
     "q_sql_knn_brute" -> "q_knn_brute",
-    "q_sql_dedup_span" -> "q_dedup_span")
+    "q_sql_dedup_span" -> "q_dedup_span",
+    "q_sql_curation_lite" -> "q_curation_lite")
 
   test("the SQL surface optimizes to the same canonical plan as the " +
       "DataFrame surface (the Views scaladoc's claim, checked)") {
@@ -25,6 +26,18 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val a = graft.SparkEntry.queries("q_sql_filter_status")(spark, sf0001)
       .queryExecution.optimizedPlan.canonicalized
     val b = graft.SparkEntry.queries("q_filter_status")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    assert(a == b, s"SQL plan:\n$a\nDataFrame plan:\n$b")
+  }
+
+  test("the COMPOSED flagship optimizes to the same canonical plan " +
+      "from both surfaces (filters + group + join + window stacked)") {
+    // the single-operator witness above doesn't cover composition; the
+    // 3-stage curation slice does — one spark.sql statement vs four
+    // stacked DataFrame transformations must reach ONE optimized plan
+    val a = graft.SparkEntry.queries("q_sql_curation_lite")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    val b = graft.SparkEntry.queries("q_curation_lite")(spark, sf0001)
       .queryExecution.optimizedPlan.canonicalized
     assert(a == b, s"SQL plan:\n$a\nDataFrame plan:\n$b")
   }

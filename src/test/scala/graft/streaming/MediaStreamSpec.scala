@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.{SparkTestBase, Tables}
+import graft.streaming.StageFiles.stageFile
+
+/** The streaming perceptual media dedup face ([[DocStream.mediaDedup]])
+  * must agree with its batch twin (q_media_phash_incremental, which the
+  * DuckDB oracle hash-matches) when the stream replays the batch
+  * query's increment: every arriving payload is judged against the
+  * STATIC banded history only, so the admitted sets must be identical
+  * across micro-batch boundaries — with zero state rows. */
+class MediaStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed media dedup equals the batch incremental on the " +
+      "replayed increment, across micro-batches, with zero state") {
+    val dir = Files.createTempDirectory("media_stream_inc")
+    val docs = Tables.table(spark, sf0001, "documents")
+    // the batch query's split: history = doc_id % 10 <> 0; the
+    // increment replays as TWO micro-batches
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 250),
+      dir, "b0.parquet", 1700000000000L)
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" >= 250),
+      dir, "b1.parquet", 1700000100000L)
+
+    val index = DocStream.prepareMediaIndex(
+      docs.filter($"doc_id" % 10 =!= 0))
+    try {
+      val out = DocStream.mediaDedup(spark,
+        DocStream.readDocs(spark, dir.toString), index).toDF()
+      val q = EventStream.runToMemory(out, "media_dedup",
+        OutputMode.Append())
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      q.stop()
+      assert(stateRows === 0L, "the media verdict face must keep no state")
+
+      val admitted = spark.table("media_dedup")
+        .filter($"admitted").select($"item_id").as[Long].collect().toSet
+      val want = graft.SparkEntry.queries("q_media_phash_incremental")(
+          spark, sf0001)
+        .as[Long].collect().toSet
+      assert(admitted === want)
+      // every arrival is judged exactly once
+      val all = spark.table("media_dedup").select($"item_id")
+        .as[Long].collect()
+      assert(all.length === all.distinct.length)
+      assert(all.length === docs.filter($"doc_id" % 10 === 0 &&
+        $"text".isNotNull && length($"text") > 0).count())
+    } finally index.unpersist()
+  }
+
+  test("planted fixture: byte-copy and near variant rejected with " +
+      "blame, both judged against the banded history") {
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val near = base.replaceFirst("quick", "QUICK") // Hamming 3, shares band 3
+    val far = "ZZZZ    aaaa    " * 14              // Hamming 32 from base
+    def docsOf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select($"doc_id", $"text", lit("en").as("lang"),
+          lit("s1").as("source"), length($"text").cast("long").as("n_chars"))
+    val hist = docsOf(Seq((1L, base), (4L, far)))
+    val dir = Files.createTempDirectory("media_stream_fx")
+    stageFile(docsOf(Seq((10L, base), (13L, near), (14L, far))),
+      dir, "b0.parquet", 1700000000000L)
+
+    val index = DocStream.prepareMediaIndex(hist)
+    try {
+      val out = DocStream.mediaDedup(spark,
+        DocStream.readDocs(spark, dir.toString), index).toDF()
+      val q = EventStream.runToMemory(out, "media_dedup_fx",
+        OutputMode.Append())
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("media_dedup_fx")
+        .select($"item_id", $"admitted", $"dup_of", $"hamming")
+        .collect()
+        .map(r => r.getAs[Long]("item_id") ->
+          (r.getAs[Boolean]("admitted"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue),
+            Option(r.getAs[java.lang.Long]("hamming")).map(_.longValue)))
+        .toMap
+      assert(got(10L) === ((false, Some(1L), Some(0L)))) // byte copy
+      assert(got(13L) === ((false, Some(1L), Some(3L)))) // near variant
+      assert(got(14L) === ((false, Some(4L), Some(0L)))) // copy of far
+    } finally index.unpersist()
+  }
+}
