@@ -155,7 +155,11 @@ object ScaleProbe {
     // replica-corpus rows for the heavy pairing family (they also run on
     // the hostile corpora below): the 16x/32x knee hunt needs them on
     // verbatim-copy replicas, where exact-collapse does the bounding
-    "q_dedup_clusters")
+    "q_dedup_clusters",
+    // the composed curation slice: fingerprint group + keep-set join +
+    // per-lang window, all key-partitioned — must grow linearly on
+    // replicas like its constituent operators do
+    "q_curation_lite")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
@@ -231,7 +235,13 @@ object ScaleProbe {
     // bound pair work to the cap's min-doc_id members per bucket while
     // output stays the capped pair set; the simhash hostile contract,
     // one modality over
-    "q_media_phash_dedup")
+    "q_media_phash_dedup",
+    // the ingest face under the same concentration: every history band
+    // bucket is hot (capPerKey tag media_hist bounds the index), every
+    // increment's 4 band rows hit a capped bucket, and nearly every
+    // arrival is flagged — per-arrival work must stay cap-bounded while
+    // arrivals grow linearly
+    "q_media_phash_incremental")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

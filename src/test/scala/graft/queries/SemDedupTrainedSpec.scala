@@ -74,6 +74,23 @@ class SemDedupTrainedSpec extends SparkTestBase {
     assert(got.map(_.cell).distinct.size > 1)
   }
 
+  test("the fixed-point trainer is PARTITION-INVARIANT: identical " +
+      "centroids under different partitionings") {
+    // the property that justified the tick trainer (r12): each centroid
+    // update is an exact long sum + one division, so the result cannot
+    // depend on the partial-aggregate tree — the float-avg trainer it
+    // replaced returned different low bits under different layouts,
+    // which silently re-shuffled cell boundaries between cluster runs
+    val guarded = SimilarityQueries.semDedupGuard(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    val a = SimilarityQueries.ivfCentroids(
+      guarded.repartition(3), k = 16, iters = 2)
+    val b = SimilarityQueries.ivfCentroids(
+      guarded.repartition(17, $"vec_id"), k = 16, iters = 2)
+    assert(a === b)
+  }
+
   test("the trained quantizer is deterministic and actually differs " +
       "from the md5 corners") {
     val a = runTrained()
