@@ -159,7 +159,16 @@ object ScaleProbe {
     // the composed curation slice: fingerprint group + keep-set join +
     // per-lang window, all key-partitioned — must grow linearly on
     // replicas like its constituent operators do
-    "q_curation_lite")
+    "q_curation_lite",
+    // the PQ family on replicated embeddings: training sums grow
+    // linearly but the codebook stays M·k rows; encoding is a pure
+    // projection (linear scan); the ADC faces score 10 probes against
+    // a linearly-growing candidate set through constant-size distance
+    // tables — all three must be flat-to-linear with no knee
+    "q_emb_pq_codes", "q_ann_pq", "q_ann_ivfpq",
+    // the two new media modalities on replicas (verbatim copies
+    // collapse exactly; signature work constant, fan-out linear)
+    "q_media_audio_dedup", "q_media_video_dedup")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
@@ -241,7 +250,17 @@ object ScaleProbe {
     // increment's 4 band rows hit a capped bucket, and nearly every
     // arrival is flagged — per-arrival work must stay cap-bounded while
     // arrivals grow linearly
-    "q_media_phash_incremental")
+    "q_media_phash_incremental",
+    // the audio twin under the same concentration: near-identical
+    // boilerplate gives near-identical energy profiles, every audio
+    // band bucket hot — the shared bandNearDup cap (tag media_audio)
+    // must bound pair work exactly like the image face
+    "q_media_audio_dedup",
+    // video under hostility: the unique trailer sits in the LAST frame,
+    // so every EARLIER sampled frame's (frame_idx, sig) bucket holds
+    // ~the whole corpus — the media_video cap must bound the candidate
+    // set, and the verify join-back touches only capped pairs
+    "q_media_video_dedup")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

@@ -12,6 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    SimHash / embedding dedup
   *  - [[graft.queries.SimilarityQueries]] — brute-force + LSH/IVF ANN
   *    search, SemDeDup-style semantic dedup (batch + incremental)
+  *  - [[graft.queries.PqQueries]]         — product quantization: integer
+  *    codebook training, the encode face, ADC scan + IVF-PQ search
   *  - [[graft.queries.EventQueries]]      — event-time windows, sessions
   *  - [[graft.queries.CurationQueries]]   — corpus curation (decontamination,
   *    leakage audit, embedding stats, retention, packing, mixture,
@@ -35,6 +37,7 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
+      graft.queries.PqQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.MediaQueries.queries ++
@@ -49,6 +52,7 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.PqQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.MediaQueries.oracleSql ++

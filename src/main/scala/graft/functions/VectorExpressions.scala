@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Cosine similarity over two ARRAY<DOUBLE> columns as a native Catalyst
   * expression with whole-stage codegen.
@@ -214,6 +214,77 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two ARRAY<BIGINT> columns as a fused
+  * codegen loop — the product-quantization scoring primitive (assignment
+  * argmin and ADC distance tables both reduce to it).
+  *
+  * Everything is EXACT integer arithmetic: on the [[graft.queries
+  * .SimilarityQueries.TickScale]] fixed-point grid a coordinate is
+  * |t| ≤ ~2^21, a difference ≤ 2^22, its square ≤ 2^44, and a 64-term
+  * sum ≤ 2^50 — an order-independent long with 2^63 headroom, so the
+  * DuckDB oracle needs only semantic equality, not the float-op-order
+  * contract the cosine oracles carry.
+  *
+  * Null semantics are strict like [[DotProduct]] (null array -> null,
+  * length mismatch -> null, null element -> null): a PQ distance over a
+  * partially-null vector is meaningless and must poison, not skip. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_sq expects two ARRAY<BIGINT> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration + Column-level API (built on the function registry
   * so no private Column constructors are needed). */
 object VectorFunctions {
@@ -227,6 +298,8 @@ object VectorFunctions {
       "vec_norm", exprs => VecNorm(exprs.head), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq", exprs => L2Sq(exprs.head, exprs(1)), "internal")
   }
 
   /** cosine_sim(a, b) — callers must have invoked [[register]] on the
@@ -241,6 +314,10 @@ object VectorFunctions {
     * session that will analyze the plan. */
   def dotProduct(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+
+  /** l2_sq(a, b) over ARRAY<BIGINT> — callers must have invoked
+    * [[register]] on the session that will analyze the plan. */
+  def l2Sq(a: Column, b: Column): Column = call_function("l2_sq", a, b)
 
   /** The declarative higher-order-function dot product —
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — exactly the shape

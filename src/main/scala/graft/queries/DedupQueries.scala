@@ -362,10 +362,13 @@ object DedupQueries {
       .select(least($"mem_a", $"mem_b").as("doc_a"),
         greatest($"mem_a", $"mem_b").as("doc_b"), col(payload))
     // within-group pairs straight off the member lists (one lineage pass,
-    // not a members self-join that re-executes the grouping twice)
+    // not a members self-join that re-executes the grouping twice).
+    // withColumn explodes keep grouped's OTHER columns in scope, so
+    // withinValue may reference them (q_media_video_dedup derives the
+    // within-group frame-match count from the group's payload length)
     val within = grouped.filter(size($"ids") > 1)
-      .select(explode($"ids").as("doc_a"), $"ids")
-      .select($"doc_a", explode($"ids").as("doc_b"))
+      .withColumn("doc_a", explode($"ids"))
+      .withColumn("doc_b", explode($"ids"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b", withinValue.as(payload))
     cross.union(within)

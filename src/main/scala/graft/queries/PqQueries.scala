@@ -1,0 +1,407 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Product quantization for embedding search (Jégou, Douze, Schmid 2011,
+  * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)):
+  * split each vector into [[PqM]] contiguous subspaces, learn a small
+  * codebook per subspace by k-means, and store each vector as M small
+  * codes. Search scores candidates with ADC (asymmetric distance
+  * computation, §IV of the paper): the query stays exact, each candidate
+  * is represented by its reconstruction, and the distance is a sum of M
+  * table lookups.
+  *
+  * WHY THIS EXISTS AT 100 TB: a 64-dim float embedding is 256 bytes; its
+  * PQ code is [[PqM]] small ints — 10 bytes at this geometry, 16 with
+  * production byte codes (~25× compression).
+  * The ANN scan's IO and memory are bounded by the CODE columns, not the
+  * raw vectors; the raw vector is touched only when the query itself is
+  * encoded (never per candidate). This is the standard billion-scale ANN
+  * layout, and the reason a PQ index fits in memory when the corpus does
+  * not.
+  *
+  * EVERYTHING IS EXACT INTEGER ARITHMETIC — one discipline further than
+  * the tick-trained IVF quantizer ([[SimilarityQueries.ivfCentroids]]),
+  * which keeps float centroids and relies on the cross-engine
+  * float-op-order contract. Here the k-means runs entirely on the
+  * [[SimilarityQueries.TickScale]] fixed-point grid with SNAPPED integer
+  * centroids: each update is an exact long sum + one truncating-division
+  * round (round-half-away-from-zero, [[snapMean]]), each assignment is
+  * an argmin of exact squared L2 tick distances
+  * ([[graft.functions.L2Sq]], a fused codegen loop), and every ADC
+  * distance is a long. Consequences:
+  *  - training is partition-invariant and bit-reproducible (PqSpec pins
+  *    it) — no float partial-aggregate tree anywhere;
+  *  - the DuckDB oracles need only SEMANTIC equality: any engine summing
+  *    the same longs gets the same answer, so the replay carries no
+  *    float-order caveat at all — the hardest oracle contract in the
+  *    similarity family.
+  *
+  * Trainer shape: ONE distributed pass per round trains all M
+  * subquantizers simultaneously (codes are a pure projection; the
+  * per-(sub, cell, pos) exact sums are one groupBy), and the driver
+  * collects only M·k·subdim longs per round — the [[SimilarityQueries
+  * .ivfCentroids]] bounded-collect discipline. Production stages the
+  * codebook like the IVF centroids (sources/Artifacts): train once on a
+  * sample, materialize M·k rows, read back as literals everywhere.
+  */
+object PqQueries {
+
+  /** PQ geometry — ONE definition each, interpolated into the oracle SQL
+    * so both engines quantize identically. 16 subspaces × 4 dims covers
+    * the 64-dim embedding at 32 codes per subspace (16·5 = 80-bit codes,
+    * ~25× smaller than the 256-byte float vector; production uses k=256
+    * byte codes — the arithmetic is identical). The geometry was SWEPT
+    * on the test corpus (PqSpec's recall pin documents the numbers):
+    * this corpus's embeddings are iid-uniform synthetic — the
+    * distance-concentration worst case for ANY quantizer — and finer
+    * subspaces with more codes bought recall 0.18 → 0.44 at equal
+    * scan cost. Two rounds matches ivfCentroids (more rounds measured
+    * recall-neutral here). */
+  private[graft] val PqM = 16
+  private[graft] val PqSubDim = 4
+  private[graft] val PqK = 32
+  private[graft] val PqIters = 2
+  private[graft] val PqNProbe = 4
+
+  /** Round-half-away-from-zero of s/c in EXACT integer arithmetic:
+    * truncating division of (2s ± c) by 2c. Scala's `/` truncates toward
+    * zero exactly like DuckDB's `//`, so the oracle replays this formula
+    * verbatim — no float mean anywhere in training. */
+  private[graft] def snapMean(s: Long, c: Long): Long =
+    (2 * s + (if (s < 0) -c else c)) / (2 * c)
+
+  /** Subspace m of a tick vector (1-based slice, m in 0 until PqM). */
+  private def subSlice(tv: Column, m: Int): Column =
+    slice(tv, m * PqSubDim + 1, PqSubDim)
+
+  /** Best code for subspace m as a struct(d, cell): argmin of exact
+    * squared L2 tick distance over the m-th codebook, ties to the
+    * smallest cell — one array_sort over k (distance, cell) structs,
+    * a pure projection with no join or window. `d` rides along as the
+    * per-subspace reconstruction error. */
+  private def bestCode(tv: Column, books: Seq[(Int, Int, Seq[Long])],
+      m: Int): Column = {
+    val cells = books.filter(_._1 == m)
+    element_at(array_sort(array(cells.map { case (_, cell, ct) =>
+      struct(VectorFunctions.l2Sq(subSlice(tv, m), typedLit(ct)).as("d"),
+        lit(cell).as("cell"))
+    }: _*)), 1)
+  }
+
+  /** Adds `code_0 .. code_{M-1}` struct(d, cell) columns to a frame
+    * carrying `tv` — the encode step, shared by the trainer's assignment
+    * rounds and every serving query. */
+  private[graft] def withCodes(ticked: DataFrame,
+      books: Seq[(Int, Int, Seq[Long])]): DataFrame =
+    (0 until PqM).foldLeft(ticked)((df, m) =>
+      df.withColumn(s"code_$m", bestCode(col("tv"), books, m)))
+
+  /** The PQ codebook: (sub, cell, centroid ticks) sorted by (sub, cell),
+    * trained by [[PqIters]] rounds of integer-snapped mini-Lloyd on the
+    * tick grid. Cells are seeded per subspace from the first [[PqK]]
+    * vectors' slices (cell id = seed vec_id); a cell that loses all
+    * members simply drops out, identically in both engines. Driver
+    * traffic per round is M·k·subdim longs — bounded by the codebook,
+    * never the corpus. */
+  private[graft] def pqCodebooks(vecs: DataFrame): Seq[(Int, Int, Seq[Long])] = {
+    val s = vecs.sparkSession
+    VectorFunctions.register(s)
+    import s.implicits._
+    val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
+    var books: Seq[(Int, Int, Seq[Long])] = ticked.filter($"vec_id" < PqK)
+      .as[(Long, Seq[Long])].collect().toSeq
+      .flatMap { case (id, tv) =>
+        (0 until PqM).map(m =>
+          (m, id.toInt, tv.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+      }.sortBy(b => (b._1, b._2))
+    if (books.isEmpty) return books
+    (0 until PqIters).foreach { _ =>
+      books = withCodes(ticked, books)
+        .select(explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("sub"), col(s"code_$m").getField("cell").as("cell"),
+            subSlice($"tv", m).as("stv"))): _*)).as("x"))
+        .select($"x.sub", $"x.cell", posexplode($"x.stv"))
+        .toDF("sub", "cell", "pos", "t")
+        .groupBy($"sub", $"cell", $"pos")
+        .agg(sum($"t").as("s"), count(lit(1)).as("c"))
+        .as[(Int, Int, Int, Long, Long)].collect().toSeq
+        .groupBy(r => (r._1, r._2))
+        .map { case ((sub, cell), rows) =>
+          (sub, cell, rows.sortBy(_._3).map(r => snapMean(r._4, r._5)))
+        }.toSeq.sortBy(b => (b._1, b._2))
+    }
+    books
+  }
+
+  /** The ADC serving frame for a probe set: per probe, M distance
+    * TABLES (dtab_m = exact L2² of the probe's m-th slice against each
+    * of the m-th codebook's centroids, in codebook order) — computed
+    * ONCE per probe, k·M longs, then broadcast. A candidate's distance
+    * is M array lookups + adds; the candidate's raw vector is never
+    * touched (§IV's asymmetric distance, realized as element_at over
+    * the broadcast tables). */
+  private def withDtabs(probes: DataFrame,
+      books: Seq[(Int, Int, Seq[Long])]): DataFrame =
+    (0 until PqM).foldLeft(probes)((df, m) =>
+      df.withColumn(s"dtab_$m", array(books.filter(_._1 == m).map {
+        case (_, _, ct) =>
+          VectorFunctions.l2Sq(subSlice(col("qtv"), m), typedLit(ct))
+      }: _*)))
+
+  /** Adds `pos_0 .. pos_{M-1}` — the 1-based codebook-order position of
+    * each code, the dtab lookup index (cell ids are sparse after
+    * empty-cell drops; positions are dense). */
+  private def withCodePos(coded: DataFrame,
+      books: Seq[(Int, Int, Seq[Long])]): DataFrame =
+    (0 until PqM).foldLeft(coded)((df, m) =>
+      df.withColumn(s"pos_$m", array_position(
+        typedLit(books.filter(_._1 == m).map(_._2)),
+        col(s"code_$m").getField("cell")).cast("int")))
+
+  private def adistCol: Column =
+    (0 until PqM).map(m =>
+      element_at(col(s"dtab_$m"), col(s"pos_$m"))).reduce(_ + _)
+
+  private def emptyAnnShape(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.limit(0).select($"vec_id".as("query_id"), lit(1).as("rank"),
+      $"vec_id".as("neighbor_id"), lit(0L).as("adist"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The encode face: each embedding becomes M=4 codes + its exact
+    // integer reconstruction error. At 100 TB these code columns are
+    // MATERIALIZED next to the corpus (the q_layout_zorder layout
+    // device) and every ANN scan reads them instead of the 64-float
+    // vector — 64× less IO by construction. Encoding is a pure
+    // projection (M·k codegen'd L2Sq + one struct sort per subspace —
+    // no join, no window, no shuffle); the trainer's driver traffic is
+    // the codebook, never the corpus. recon_err doubles as the index-
+    // quality monitor (rising quantization error on new data = retrain
+    // signal). HARD oracle: the unrolled integer k-means + final
+    // assignment replay exactly — every number is a long.
+    "q_emb_pq_codes" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = SimilarityQueries.semDedupInput(s, dir)
+      val books = pqCodebooks(vecs)
+      if (books.isEmpty)
+        vecs.limit(0).select(
+          ($"vec_id" +: (0 until PqM).map(m => lit(0).as(s"code_$m"))) :+
+            lit(0L).as("recon_err"): _*)
+      else {
+        val coded = withCodes(
+          SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv"), books)
+        coded.select(
+          ($"vec_id" +:
+            (0 until PqM).map(m =>
+              col(s"code_$m").getField("cell").as(s"code_$m"))) :+
+            (0 until PqM).map(m => col(s"code_$m").getField("d"))
+              .reduce(_ + _).as("recon_err"): _*)
+          .orderBy("vec_id")
+      }
+    }),
+
+    // ADC linear scan (the paper's §IV search baseline): probes
+    // (vec_id < 10, the ANN family's convention) carry their M distance
+    // tables as broadcast arrays; every corpus candidate is scored by
+    // M element_at lookups + adds over its code positions. The scan's
+    // per-candidate cost is INDEPENDENT of dimensionality — that, plus
+    // reading codes instead of vectors, is the entire point of PQ.
+    // Top-5 per probe by (adist asc, neighbor asc). The 10×N pair frame
+    // is the documented exhaustive variant — q_ann_ivfpq below bounds
+    // it with coarse cells; both return exact longs, so the oracle
+    // replay is order-free semantic equality.
+    "q_ann_pq" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = SimilarityQueries.semDedupInput(s, dir)
+      val books = pqCodebooks(vecs)
+      if (books.isEmpty) emptyAnnShape(vecs)
+      else {
+        val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
+        val coded = withCodePos(withCodes(ticked, books), books)
+          .select($"vec_id" +: (0 until PqM).map(m => col(s"pos_$m")): _*)
+        val probes = withDtabs(
+          ticked.filter($"vec_id" < 10)
+            .select($"vec_id".as("query_id"), $"tv".as("qtv")), books)
+          .select($"query_id" +: (0 until PqM).map(m => col(s"dtab_$m")): _*)
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"adist".asc, $"neighbor_id".asc)
+        coded.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            adistCol.as("adist"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"neighbor_id", $"adist")
+          .orderBy("query_id", "rank")
+      }
+    }),
+
+    // IVF-PQ — the paper's IVFADC structure (§V; the non-residual
+    // variant: codes quantize the raw slices, not the cell residuals,
+    // so ONE codebook serves every cell and the oracle stays a single
+    // training chain). The coarse quantizer is the md5-corner one the
+    // IVF family already oracle-replays (assignment on raw vectors,
+    // cosine argmax); probes search their nprobe=4 nearest cells only.
+    // At 100 TB: cell is the partition key, codes are the only columns
+    // read — a probe touches nprobe/K of the corpus at M bytes per
+    // candidate, which is the billion-scale ANN serving layout.
+    // Everything after the cell join is the same broadcast-dtab ADC as
+    // q_ann_pq.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = SimilarityQueries.semDedupInput(s, dir)
+      val books = pqCodebooks(vecs)
+      if (books.isEmpty) emptyAnnShape(vecs)
+      else {
+        val cents = SimilarityQueries.semCentroids(16, PqM * PqSubDim)
+        val ticked = SimilarityQueries.withTicks(vecs)
+        val coded = withCodePos(withCodes(ticked, books), books)
+        val assigned = SimilarityQueries.assignCells(coded, cents, "v")
+          .select($"vec_id" +: $"cell" +:
+            (0 until PqM).map(m => col(s"pos_$m")): _*)
+        val probes = withDtabs(
+          ticked.filter($"vec_id" < 10)
+            .select($"vec_id".as("query_id"), $"tv".as("qtv"), $"v"), books)
+        val probedCells = probes
+          .withColumn("cell",
+            explode(SimilarityQueries.nearestCells(cents, $"v", PqNProbe)))
+          .select($"query_id" +: $"cell" +:
+            (0 until PqM).map(m => col(s"dtab_$m")): _*)
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"adist".asc, $"neighbor_id".asc)
+        assigned.join(broadcast(probedCells), Seq("cell"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            adistCol.as("adist"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"neighbor_id", $"adist")
+          .orderBy("query_id", "rank")
+      }
+    })
+  )
+
+  /** DuckDB replay of the ENTIRE integer PQ lifecycle, hand-unrolled
+    * like [[SimilarityQueries.ivfCentroids]]'s tick chain: tick vectors,
+    * per-subspace seeds from the first [[PqK]] vectors, [[PqIters]]
+    * rounds of (exact-L2² argmin assignment keyed by (vec, sub) → exact
+    * integer sums → [[snapMean]]'s truncating-division round), ending in
+    * `pcodes(vec_id, sub, cell, d)` — the final assignment with its
+    * per-subspace reconstruction error. All arithmetic is integral, so
+    * the replay is order-free. DuckDB `//` truncates toward zero exactly
+    * like the JVM's long division — the one semantic the snap formula
+    * depends on. */
+  private def pqTrainCtes: String = {
+    def assign(name: String, cents: String): String =
+      s"""${name}d AS (
+         |  SELECT tp.vec_id, c.sub, c.cell,
+         |    sum((tp.t - c.ct) * (tp.t - c.ct)) AS d
+         |  FROM tickpos tp
+         |  JOIN $cents c
+         |    ON c.sub = tp.pos // $PqSubDim AND c.spos = tp.pos % $PqSubDim
+         |  GROUP BY 1, 2, 3),
+         |$name AS (
+         |  SELECT vec_id, sub, cell, d FROM (
+         |    SELECT vec_id, sub, cell, d, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+         |    FROM ${name}d) x WHERE rn = 1)""".stripMargin
+    val rounds = (1 to PqIters).map { r =>
+      s"""${assign(s"passign$r", s"pcents${r - 1}")},
+         |psums$r AS (
+         |  SELECT a.sub, a.cell, tp.pos % $PqSubDim AS spos,
+         |    sum(tp.t) AS s, count(*) AS c
+         |  FROM passign$r a JOIN tickpos tp
+         |    ON tp.vec_id = a.vec_id AND tp.pos // $PqSubDim = a.sub
+         |  GROUP BY 1, 2, 3),
+         |pcents$r AS (
+         |  SELECT sub, cell, spos,
+         |    CAST((2 * s + CASE WHEN s < 0 THEN -c ELSE c END) // (2 * c)
+         |      AS BIGINT) AS ct
+         |  FROM psums$r)""".stripMargin
+    }.mkString(",\n")
+    s"""tl AS (
+       |  SELECT vec_id, list_transform(v,
+       |    x -> CAST(floor(x * ${SimilarityQueries.TickScale}.0 + 0.5)
+       |              AS BIGINT)) AS tvv
+       |  FROM vecs),
+       |tg AS (SELECT vec_id, tvv FROM tl
+       |       WHERE len(list_filter(tvv, x -> x <> 0)) > 0),
+       |tickpos AS (
+       |  SELECT vec_id, p.p AS pos, tvv[CAST(p.p + 1 AS INT)] AS t
+       |  FROM tg, range(0, ${PqM * PqSubDim}) p(p)),
+       |pcents0 AS (
+       |  SELECT pos // $PqSubDim AS sub, CAST(vec_id AS INT) AS cell,
+       |    pos % $PqSubDim AS spos, t AS ct
+       |  FROM tickpos WHERE vec_id < $PqK),
+       |$rounds,
+       |${assign("pcodes", s"pcents$PqIters")}""".stripMargin
+  }
+
+  /** The ADC distance replay: probe ticks against each candidate's code
+    * centroids, one exact integer sum per (probe, candidate). `fromSrc`
+    * supplies the candidate set (the exhaustive scan joins every coded
+    * vector; IVF-PQ routes through the probed coarse cells first). */
+  private def adcServeSql(candJoin: String): String =
+    s"""qd AS (
+       |  SELECT qp.vec_id AS query_id, cd.vec_id AS neighbor_id,
+       |    CAST(sum((qp.t - c.ct) * (qp.t - c.ct)) AS BIGINT) AS adist
+       |  FROM tickpos qp
+       |  $candJoin
+       |  JOIN pcents$PqIters c ON c.sub = cd.sub AND c.cell = cd.cell
+       |    AND c.sub = qp.pos // $PqSubDim AND c.spos = qp.pos % $PqSubDim
+       |  WHERE qp.vec_id < 10 AND cd.vec_id <> qp.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS INT) AS rank
+       |  FROM qd)
+       |SELECT query_id, rank, neighbor_id, adist FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_emb_pq_codes" ->
+      s"""WITH ${SimilarityQueries.guardedVecsCte},
+         |$pqTrainCtes
+         |SELECT vec_id,
+         |${(0 until PqM).map(m =>
+             s"  CAST(max(CASE WHEN sub = $m THEN cell END) AS INT) AS code_$m,")
+             .mkString("\n")}
+         |  CAST(sum(d) AS BIGINT) AS recon_err
+         |FROM pcodes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_ann_pq" ->
+      s"""WITH ${SimilarityQueries.guardedVecsCte},
+         |$pqTrainCtes,
+         |${adcServeSql("JOIN pcodes cd ON true")}""".stripMargin,
+
+    // the corner coarse quantizer's `scores`/`cells` CTEs (the IVF
+    // family's replay), probe cells under the same (score desc, cell)
+    // order as nearestCells, then the shared ADC serve restricted to
+    // candidates inside the probed cells
+    "q_ann_ivfpq" ->
+      s"""WITH ${SimilarityQueries.cornerQuantizerCtes},
+         |$pqTrainCtes,
+         |probecells AS (
+         |  SELECT vec_id AS query_id, CAST(c AS INT) AS cell FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, c) AS rn
+         |    FROM scores
+         |    WHERE vec_id < 10
+         |      AND vec_id IN (SELECT vec_id FROM tg)) t
+         |  WHERE rn <= $PqNProbe),
+         |${adcServeSql(
+           """JOIN probecells pc ON pc.query_id = qp.vec_id
+             |  JOIN cells cc ON cc.cell = pc.cell
+             |  JOIN pcodes cd ON cd.vec_id = cc.vec_id""".stripMargin)}"""
+        .stripMargin
+  )
+}

@@ -570,7 +570,7 @@ object SimilarityQueries {
 
   /** The guarded (vec_id, v) input every semantic-dedup query starts
     * from. */
-  private def semDedupInput(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def semDedupInput(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     semDedupGuard(Tables.table(s, dir, "embeddings")
       .select($"vec_id", dvec($"embedding").as("v")))
@@ -791,7 +791,7 @@ object SimilarityQueries {
     * the semdedup (batch + incremental) and IVF-twin oracles. */
   /** The [[semDedupGuard]] replay every quantizer oracle starts from —
     * guarded raw vectors with their norms. */
-  private val guardedVecsCte: String =
+  private[graft] val guardedVecsCte: String =
     """vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
@@ -860,7 +860,7 @@ object SimilarityQueries {
        |cells AS (SELECT vec_id, CAST(cell AS INT) AS cell FROM cellsr)""".stripMargin
   }
 
-  private val cornerQuantizerCtes: String =
+  private[graft] val cornerQuantizerCtes: String =
     s"""$guardedVecsCte,
       |par AS (
       |  SELECT j.j AS c, p.p AS p,

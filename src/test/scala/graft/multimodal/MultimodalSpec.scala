@@ -99,9 +99,133 @@ class MultimodalSpec extends SparkTestBase {
     assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("video frame sampling is an explicit stub") {
-    intercept[UnsupportedOperationException] {
-      Multimodal.FakeCodec.sampleFrames(Array[Byte](1, 2, 3), 1000)
+  test("audio fingerprint: shape, determinism, edit tolerance, and the " +
+      "temporal-difference design actually differs from the aHash") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 5)
+      .getBytes("UTF-8")
+    val bands = Multimodal.FakeCodec.audioBands(base)
+    assert(bands.length === 4)
+    bands.foreach(b => assert(b >= 0 && b < (1L << 16)))
+    assert(bands.toSeq === Multimodal.FakeCodec.audioBands(base.clone()).toSeq)
+    // energies: every byte contributes its square to exactly one frame
+    val e = Multimodal.FakeCodec.frameEnergies(base)
+    assert(e.length === 65)
+    assert(e.sum === base.map(b => { val x = (b & 0xFF).toLong; x * x }).sum)
+    // a one-word case edit moves one frame's energy → few difference bits
+    val near = new String(base, "UTF-8").replaceFirst("quick", "QUICK")
+      .getBytes("UTF-8")
+    val ham = bands.zip(Multimodal.FakeCodec.audioBands(near))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(ham > 0 && ham <= graft.queries.MediaQueries.AudioMaxHamming,
+      s"case edit moved $ham bits")
+    // the two fingerprints of the SAME payload disagree: temporal
+    // differences are not global-mean bits (a shared-machinery relabel
+    // would make the audio family vacuous)
+    assert(bands.toSeq !==
+      Multimodal.FakeCodec.perceptualBands(base).toSeq)
+  }
+
+  test("q_media_audio_dedup: ordered pairs within threshold on the " +
+      "real corpus") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q_media_audio_dedup")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, h) =>
+      assert(a < b)
+      assert(h >= 0 && h <= graft.queries.MediaQueries.AudioMaxHamming)
     }
+  }
+
+  test("q_media_audio_dedup: exact dups fan out at hamming 0 and a " +
+      "planted case-variant is recovered through its shared band (fixture)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    // measured: Hamming 2 from base WITH a shared band (one frame's
+    // energy moves → two difference bits); the far payload is 31 bits
+    // away and shares no band
+    val near = base.replaceFirst("quick", "QUICK")
+    val far = "ZZZZ    aaaa    " * 14
+    val dir = java.nio.file.Files.createTempDirectory("audio_fixture")
+    Seq((0L, base, "s1"), (1L, base, "s1"), (2L, base, "s2"),
+        (3L, near, "s1"), (4L, far, "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_media_audio_dedup")(
+        spark, dir.toString)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    Seq((0L, 1L), (0L, 2L), (1L, 2L)).foreach { p =>
+      assert(got.get(p).contains(0L), s"missing within-group pair $p")
+    }
+    Seq((0L, 3L), (1L, 3L), (2L, 3L)).foreach { p =>
+      assert(got.contains(p), s"missing near-dup pair $p")
+      assert(got(p) > 0 &&
+        got(p) <= graft.queries.MediaQueries.AudioMaxHamming)
+    }
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("q_media_video_dedup: sampling blindness, verification bite, and " +
+      "exact-dup fan-out (fixture)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5 // 220B: 4
+    // frames, sampled fi 0 and 2
+    val scramble = "Z Z Z Z  zz  Z Z  zzzz   Z" // high-contrast 26 bytes
+    // edit confined to UNSAMPLED frame 1 → invisible to the sampler,
+    // both sampled frames identical (the sampling trade-off, pinned)
+    val unsampledEdit = base.substring(0, 70) + "XXXX" + base.substring(74)
+    // frame 0 scrambled, frame 2 intact → candidate through frame 2 but
+    // matched = 1 < minMatched: the verification cut must bite
+    val oneFrame = scramble + base.substring(26)
+    // both sampled frames scrambled → no candidate at all
+    val bothFrames = scramble + base.substring(26, 130) +
+      "  ZZZZ  zz   Z Z Zz z" + base.substring(151)
+    val dir = java.nio.file.Files.createTempDirectory("video_fixture")
+    Seq((0L, base, "s1"), (1L, base, "s2"), (2L, unsampledEdit, "s1"),
+        (3L, oneFrame, "s1"), (4L, bothFrames, "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_media_video_dedup")(
+        spark, dir.toString)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, m) => (a, b) -> m }.toMap
+    // byte-identical pair: within-group matched = its sampled-frame count
+    assert(got.get((0L, 1L)).contains(2L))
+    // unsampled-frame edit: both sampled frames agree exactly
+    assert(got.get((0L, 2L)).contains(2L))
+    assert(got.get((1L, 2L)).contains(2L))
+    // the one-good-frame variant and the fully-scrambled variant pair
+    // with nobody (candidate-but-cut vs no-candidate)
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("q_media_video_dedup: matched counts on the real corpus respect " +
+      "the threshold and ordering") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q_media_video_dedup")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, m) =>
+      assert(a < b)
+      assert(m >= graft.queries.MediaQueries.VideoMinMatched)
+    }
+  }
+
+  test("video frame sampling: indexed stride over fixed decoded frames, " +
+      "short tail preserved") {
+    // replaces the r8–r14 explicit-stub pin: the sampler is now real
+    // (deterministic container stand-in, like every FakeCodec face)
+    val fb = Multimodal.FakeCodec.VideoFrameBytes
+    val payload = Array.tabulate[Byte](fb * 4 + 10)(i => (i % 251).toByte)
+    val every2 = Multimodal.FakeCodec.sampleFrames(payload, 2)
+    assert(every2.map(_._1).toSeq === Seq(0, 2, 4))
+    assert(every2(0)._2.toSeq === payload.slice(0, fb).toSeq)
+    assert(every2(1)._2.toSeq === payload.slice(2 * fb, 3 * fb).toSeq)
+    assert(every2(2)._2.length === 10, "tail frame must keep its bytes")
+    // stride 1 = every frame; empty payload = no frames
+    assert(Multimodal.FakeCodec.sampleFrames(payload, 1).length === 5)
+    assert(Multimodal.FakeCodec.sampleFrames(Array.empty[Byte], 2).isEmpty)
   }
 }

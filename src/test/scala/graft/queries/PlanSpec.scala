@@ -74,6 +74,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("the PQ family: encode is join-free, IVF-PQ stays cell-equi-keyed") {
+    // the encode face is M·k codegen'd L2Sq argmins — any join or hash
+    // exchange in its plan means the pure-projection claim regressed
+    // (the one exchange is the output ORDER BY's range partitioning)
+    val pe = plan("q_emb_pq_codes")
+    assert(!pe.contains("Join"), s"q_emb_pq_codes plans a join:\n$pe")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(pe).isDefined,
+      s"q_emb_pq_codes plans a hash exchange:\n$pe")
+    // IVF-PQ's candidate join must stay a broadcast equi-join on cell:
+    // a cartesian/nested-loop here would re-create the exhaustive scan
+    // the coarse cells exist to avoid (q_ann_pq is the one DOCUMENTED
+    // exhaustive variant; its broadcast-nested-loop over the tiny probe
+    // side is deliberate and bounded by |probes|)
+    val pi = plan("q_ann_ivfpq")
+    assert(!pi.contains("CartesianProduct"), s"q_ann_ivfpq cartesian:\n$pi")
+    assert(!pi.contains("BroadcastNestedLoopJoin"),
+      s"q_ann_ivfpq nested-loop:\n$pi")
+    assert(pi.contains("BroadcastHashJoin"), s"q_ann_ivfpq lost broadcast:\n$pi")
+  }
+
   test("the pack family keeps its (lang, shard) stream exchange and no " +
       "cartesian products") {
     // the pack window sort must stay keyed by the stream — a global sort

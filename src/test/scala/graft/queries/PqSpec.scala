@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Product quantization ([[PqQueries]]): the DuckDB oracles replay the
+  * full integer lifecycle cross-engine; this suite adds the JVM-side
+  * anchors — a from-scratch reimplementation of the trainer, encoder,
+  * and ADC scan with no graft helpers (the SemDedupTrainedSpec
+  * discipline), the partition-invariance property that justifies the
+  * integer-snapped centroids, and the recall floor against exact
+  * tick-space L2 brute force that makes the approximation's quality a
+  * checked number instead of a claim. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val M = 16
+  private val SubDim = 4
+  private val K = 32
+  private val Iters = 2
+  private val TickScale = 1048576.0 // 2^20, one definition in the product
+
+  /** The guarded corpus as plain JVM tick vectors: semDedupGuard's
+    * null/zero-norm drops, then withTicks' all-zero-tick drop. */
+  private def tickCorpus(): Seq[(Long, Array[Long])] =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"v".isNotNull && forall($"v", x => x.isNotNull) &&
+        exists($"v", x => x =!= 0.0))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (id, v) =>
+        (id, v.map(x => math.floor(x * TickScale + 0.5).toLong).toArray)
+      }
+      .filter(_._2.exists(_ != 0L))
+      .sortBy(_._1)
+
+  private def l2sq(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  private def slice(tv: Array[Long], m: Int): Array[Long] =
+    tv.slice(m * SubDim, (m + 1) * SubDim)
+
+  private def snap(s: Long, c: Long): Long =
+    (2 * s + (if (s < 0) -c else c)) / (2 * c)
+
+  /** From-scratch trainer: seeds, Iters rounds of argmin-assign +
+    * exact-sum + snapped mean — plain Scala collections only. */
+  private def trainBooks(corpus: Seq[(Long, Array[Long])])
+      : Map[Int, Seq[(Int, Array[Long])]] = {
+    var books: Map[Int, Seq[(Int, Array[Long])]] = (0 until M).map { m =>
+      m -> corpus.filter(_._1 < K).map(v => (v._1.toInt, slice(v._2, m)))
+        .sortBy(_._1)
+    }.toMap
+    (0 until Iters).foreach { _ =>
+      books = (0 until M).map { m =>
+        val assigned = corpus.map { case (_, tv) =>
+          val sv = slice(tv, m)
+          val best = books(m).map { case (cell, ct) => (l2sq(sv, ct), cell) }
+            .minBy(identity) // (d, cell) lexicographic = ties to low cell
+          (best._2, sv)
+        }
+        m -> assigned.groupBy(_._1).toSeq.map { case (cell, members) =>
+          val cnt = members.size.toLong
+          (cell, Array.tabulate(SubDim)(p =>
+            snap(members.map(_._2(p)).sum, cnt)))
+        }.sortBy(_._1)
+      }.toMap
+    }
+    books
+  }
+
+  private def codesOf(tv: Array[Long],
+      books: Map[Int, Seq[(Int, Array[Long])]]): Seq[(Int, Long)] =
+    (0 until M).map { m =>
+      val best = books(m).map { case (cell, ct) =>
+        (l2sq(slice(tv, m), ct), cell) }.minBy(identity)
+      (best._2, best._1) // (cell, d)
+    }
+
+  test("pqCodebooks matches a from-scratch reimplementation, and so do " +
+      "the emitted codes and reconstruction errors") {
+    val corpus = tickCorpus()
+    val want = trainBooks(corpus)
+    val got = PqQueries.pqCodebooks(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select($"vec_id",
+          $"embedding".cast("array<double>").as("v")))
+      .groupBy(_._1).map { case (m, bs) =>
+        m -> bs.map(b => (b._2, b._3.toArray)).sortBy(_._1) }
+    assert(got.keySet === want.keySet)
+    (0 until M).foreach { m =>
+      assert(got(m).map(_._1) === want(m).map(_._1), s"cells of sub $m")
+      got(m).zip(want(m)).foreach { case ((cell, g), (_, w)) =>
+        assert(g.toSeq === w.toSeq, s"centroid sub=$m cell=$cell") }
+    }
+    // the encode face replays the same books
+    val out = graft.SparkEntry.queries("q_emb_pq_codes")(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        (0 until M).map(m => r.getInt(1 + m)), r.getAs[Long]("recon_err")))
+      .sortBy(_._1)
+    assert(out.map(_._1) === corpus.map(_._1))
+    out.zip(corpus).foreach { case ((id, codes, err), (_, tv)) =>
+      val wantCodes = codesOf(tv, want)
+      assert(codes === wantCodes.map(_._1), s"codes of vec $id")
+      assert(err === wantCodes.map(_._2).sum, s"recon_err of vec $id")
+    }
+  }
+
+  test("the integer-snapped trainer is PARTITION-INVARIANT") {
+    // one discipline beyond the tick IVF trainer: not even a final float
+    // division — retraining under any layout is bit-identical
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = PqQueries.pqCodebooks(vecs.repartition(3))
+    val b = PqQueries.pqCodebooks(vecs.repartition(17, $"vec_id"))
+    assert(a === b)
+  }
+
+  test("q_ann_pq equals a from-scratch ADC scan, and beats the recall " +
+      "floor against exact tick-space L2") {
+    val corpus = tickCorpus()
+    val books = trainBooks(corpus)
+    val byId = corpus.toMap
+    val codes = corpus.map { case (id, tv) =>
+      id -> codesOf(tv, books).map(_._1) }.toMap
+    def adist(q: Array[Long], nid: Long): Long =
+      (0 until M).map { m =>
+        val cell = codes(nid)(m)
+        val ct = books(m).find(_._1 == cell).get._2
+        l2sq(slice(q, m), ct)
+      }.sum
+    val probes = corpus.filter(_._1 < 10)
+    val want = probes.flatMap { case (qid, qtv) =>
+      corpus.filter(_._1 != qid)
+        .map { case (nid, _) => (adist(qtv, nid), nid) }
+        .sorted.take(5).zipWithIndex
+        .map { case ((d, nid), i) => (qid, i + 1, nid, d) }
+    }
+    val got = graft.SparkEntry.queries("q_ann_pq")(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got === want)
+    // recall@5 vs EXACT tick-space L2 top-5 — the number that makes
+    // "approximate" honest. Measured 0.44 at the shipped geometry
+    // (swept: M=4/k=16 gave 0.18, finer subspaces + more codes bought
+    // it to 0.44; extra Lloyd rounds were neutral). This corpus is
+    // iid-uniform synthetic — the distance-concentration WORST case:
+    // all pairwise distances nearly tie, so any quantization scrambles
+    // rankings that real clustered embeddings keep. Pinned with slack
+    // against testdata drift, not as an aspiration.
+    val recalls = probes.map { case (qid, qtv) =>
+      val exact = corpus.filter(_._1 != qid)
+        .map { case (nid, ntv) => (l2sq(qtv, ntv), nid) }
+        .sorted.take(5).map(_._2).toSet
+      val approx = got.filter(_._1 == qid).map(_._3).toSet
+      exact.intersect(approx).size / 5.0
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.35, s"ADC recall@5 collapsed: $recall")
+  }
+
+  test("q_ann_ivfpq returns ADC-consistent distances and is a subset " +
+      "of each probe's coarse-cell candidates") {
+    val corpus = tickCorpus()
+    val books = trainBooks(corpus)
+    val codes = corpus.map { case (id, tv) =>
+      id -> codesOf(tv, books).map(_._1) }.toMap
+    val byId = corpus.toMap
+    def adist(q: Array[Long], nid: Long): Long =
+      (0 until M).map { m =>
+        val ct = books(m).find(_._1 == codes(nid)(m)).get._2
+        l2sq(slice(q, m), ct)
+      }.sum
+    val got = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, nid, d) =>
+      assert(d === adist(byId(qid), nid), s"adist of ($qid, $nid)")
+    }
+    // per query: ranks contiguous from 1, distances non-decreasing
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) === (1 to sorted.size), s"ranks of $qid")
+      assert(sorted.map(_._4) === sorted.map(_._4).sorted,
+        s"distance order of $qid")
+    }
+    // the cell restriction must BITE (otherwise this is q_ann_pq twice):
+    // some exhaustive-scan winner lies outside the probed cells
+    val exhaustive = graft.SparkEntry.queries("q_ann_pq")(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(exhaustive.toSet !== got.toSet,
+      "IVF-PQ equals the exhaustive scan — nprobe restriction is vacuous")
+  }
+}
