@@ -1,0 +1,288 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** The trained product-quantization codebook as a literal expression
+  * parameter: `entries` is the (sub, cell, centroid-ticks) sequence
+  * [[graft.queries.PqQueries.pqCodebooks]] returns, sorted by
+  * (sub, cell). The dense per-subspace arrays the kernels index are
+  * derived lazily and excluded from serialization/equality (the
+  * entries ARE the identity).
+  *
+  * WHY A KERNEL PARAMETER AND NOT 512 LITERAL SUB-EXPRESSIONS: the
+  * first PQ implementation spelled the per-subspace argmin as an
+  * `array_sort` over M·k codegen'd L2Sq-vs-`typedLit` structs — a
+  * correct plan whose generated code was so large janino threw
+  * `InternalCompilerException` and Spark silently fell back to
+  * INTERPRETED evaluation, and whose 512-node projection cost seconds
+  * of analysis per action (the trainer runs three actions per query).
+  * One expression holding the codebook as a reference object keeps the
+  * whole M×k argmin in a single tight JVM loop, compiles in
+  * milliseconds at ANY (M, k) geometry — production's M=16, k=256 would
+  * have been 4096 literal nodes — and stays inside whole-stage codegen. */
+case class PqBooks(entries: Seq[(Int, Int, Seq[Long])], m: Int, subDim: Int)
+    extends Serializable {
+  @transient lazy val subCells: Array[Array[Int]] =
+    (0 until m).map(s => entries.filter(_._1 == s).map(_._2).toArray).toArray
+  @transient lazy val subCts: Array[Array[Array[Long]]] =
+    (0 until m).map(s =>
+      entries.filter(_._1 == s).map(_._3.toArray).toArray).toArray
+}
+
+/** Static kernels the generated code calls — one virtual-free method per
+  * PQ primitive, shared verbatim by the interpreted eval paths so both
+  * modes are the same arithmetic. All integer, all strict: a null
+  * element, a length mismatch, or an out-of-range lookup poisons the row
+  * to null (the [[L2Sq]] discipline — a PQ distance over a malformed
+  * vector is meaningless). */
+object PqKernels {
+
+  /** Argmin encode of one tick vector against every subspace codebook:
+    * returns (cells, poss, ds) — the winning cell id, its 0-based
+    * position in (sub, cell) codebook order (the ADC table lookup
+    * index), and the winning exact L2² tick distance (the per-subspace
+    * reconstruction error). Ties break to the smallest cell: cells are
+    * iterated in ascending-id codebook order under strict `<`, the same
+    * ordering `array_sort` over (d, cell) structs produced. */
+  def encode(a: ArrayData, b: PqBooks): InternalRow = {
+    val dim = b.m * b.subDim
+    if (a.numElements() != dim) return null
+    val tv = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      tv(i) = a.getLong(i); i += 1
+    }
+    val cells = new Array[Int](b.m)
+    val poss = new Array[Int](b.m)
+    val ds = new Array[Long](b.m)
+    var s = 0
+    while (s < b.m) {
+      val cts = b.subCts(s)
+      if (cts.length == 0) return null // untrained subspace: poison
+      var best = Long.MaxValue; var bi = -1
+      val off = s * b.subDim
+      var c = 0
+      while (c < cts.length) {
+        val ct = cts(c)
+        var d = 0L; var j = 0
+        while (j < b.subDim) { val x = tv(off + j) - ct(j); d += x * x; j += 1 }
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      cells(s) = b.subCells(s)(bi); poss(s) = bi; ds(s) = best
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(cells),
+      new GenericArrayData(poss), new GenericArrayData(ds)))
+  }
+
+  /** The probe's ADC distance tables (Jégou et al. §IV): per subspace,
+    * the exact L2² tick distance from the probe's slice to EVERY cell
+    * centroid, in codebook order — so a candidate's asymmetric distance
+    * is M table lookups by [[encode]]'s `poss`. Computed once per probe
+    * (M·k longs), broadcast with the probe frame. */
+  def dtabs(a: ArrayData, b: PqBooks): ArrayData = {
+    val dim = b.m * b.subDim
+    if (a.numElements() != dim) return null
+    val tv = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      tv(i) = a.getLong(i); i += 1
+    }
+    val out = new Array[Any](b.m)
+    var s = 0
+    while (s < b.m) {
+      val cts = b.subCts(s)
+      val row = new Array[Long](cts.length)
+      val off = s * b.subDim
+      var c = 0
+      while (c < cts.length) {
+        val ct = cts(c)
+        var d = 0L; var j = 0
+        while (j < b.subDim) { val x = tv(off + j) - ct(j); d += x * x; j += 1 }
+        row(c) = d
+        c += 1
+      }
+      out(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance: Σ_m dtabs[m][poss[m]] — M lookups + adds,
+    * never touching the candidate's raw vector. Exact longs (each term
+    * ≤ 2^50 on the tick grid per the [[L2Sq]] headroom analysis, and M
+    * of them keep 2^63 headroom), so summation order is irrelevant and
+    * the DuckDB replay needs only semantic equality. */
+  def adist(dt: ArrayData, ps: ArrayData): java.lang.Long = {
+    val m = ps.numElements()
+    if (dt.numElements() != m) return null
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      if (dt.isNullAt(s) || ps.isNullAt(s)) return null
+      val row = dt.getArray(s)
+      val p = ps.getInt(s)
+      if (p < 0 || p >= row.numElements() || row.isNullAt(p)) return null
+      acc += row.getLong(p)
+      s += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+/** `pq_encode(tv)` → STRUCT<cells ARRAY<INT>, poss ARRAY<INT>,
+  * ds ARRAY<BIGINT>> — the whole-vector PQ assignment as ONE codegen'd
+  * call into [[PqKernels.encode]]. See [[PqBooks]] for why this is an
+  * expression kernel rather than composed literals. */
+case class PqEncode(child: Expression, books: PqBooks)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects an ARRAY<BIGINT> argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cells", ArrayType(IntegerType, containsNull = false)),
+    StructField("poss", ArrayType(IntegerType, containsNull = false)),
+    StructField("ds", ArrayType(LongType, containsNull = false))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.addReferenceObj("pqBooks", books,
+        classOf[PqBooks].getName)
+      s"""
+         |${ev.value} = graft.functions.PqKernels.encode($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_dtabs(qtv)` → ARRAY<ARRAY<BIGINT>> — the probe's per-subspace ADC
+  * distance tables in codebook order, one codegen'd call into
+  * [[PqKernels.dtabs]]. */
+case class PqDtabs(child: Expression, books: PqBooks)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_dtabs expects an ARRAY<BIGINT> argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_dtabs"
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.dtabs(v.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.addReferenceObj("pqBooks", books,
+        classOf[PqBooks].getName)
+      s"""
+         |${ev.value} = graft.functions.PqKernels.dtabs($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDtabs =
+    copy(child = newChild)
+}
+
+/** `pq_adist(dtabs, poss)` → BIGINT — the ADC distance as one codegen'd
+  * call into [[PqKernels.adist]]: M table lookups + adds per candidate,
+  * independent of dimensionality (the point of PQ). */
+case class PqAdist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val lOk = left.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    val rOk = right.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (lOk && rOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_adist expects (ARRAY<ARRAY<BIGINT>>, ARRAY<INT>), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adist"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    PqKernels.adist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("adist")
+      s"""
+         |java.lang.Long $tmp = graft.functions.PqKernels.adist($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column API for the PQ kernels. The encode/dtab
+  * functions are BOUND to a trained codebook, so their registered names
+  * carry a content tag: two registrations with different books coexist
+  * and a plan analyzed under one can never silently pick up another's
+  * (the trainer registers each round's interim books under that round's
+  * own name). */
+object PqFunctions {
+
+  private def tag(books: PqBooks): String =
+    java.lang.Integer.toHexString(books.entries.hashCode())
+
+  /** Registers `pq_encode_<tag>` / `pq_dtabs_<tag>` (codebook-bound) and
+    * the codebook-free `pq_adist`, returning the Column builders bound
+    * to exactly this codebook. */
+  def bind(spark: SparkSession, books: PqBooks)
+      : (Column => Column, Column => Column) = {
+    val t = tag(books)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"pq_encode_$t", exprs => PqEncode(exprs.head, books), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"pq_dtabs_$t", exprs => PqDtabs(exprs.head, books), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adist", exprs => PqAdist(exprs.head, exprs(1)), "internal")
+    (c => call_function(s"pq_encode_$t", c),
+      c => call_function(s"pq_dtabs_$t", c))
+  }
+
+  /** pq_adist(dtabs, poss) — callers must have invoked [[bind]] on the
+    * session (any codebook; adist is codebook-free). */
+  def adist(dtabs: Column, poss: Column): Column =
+    call_function("pq_adist", dtabs, poss)
+}

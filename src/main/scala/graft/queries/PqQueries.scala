@@ -31,7 +31,8 @@ import graft.functions.VectorFunctions
   * centroids: each update is an exact long sum + one truncating-division
   * round (round-half-away-from-zero, [[snapMean]]), each assignment is
   * an argmin of exact squared L2 tick distances
-  * ([[graft.functions.L2Sq]], a fused codegen loop), and every ADC
+  * ([[graft.functions.PqKernels.encode]], one fused codegen kernel over
+  * all M subspaces), and every ADC
   * distance is a long. Consequences:
   *  - training is partition-invariant and bit-reproducible (PqSpec pins
   *    it) — no float partial-aggregate tree anywhere;
@@ -78,27 +79,25 @@ object PqQueries {
   private def subSlice(tv: Column, m: Int): Column =
     slice(tv, m * PqSubDim + 1, PqSubDim)
 
-  /** Best code for subspace m as a struct(d, cell): argmin of exact
-    * squared L2 tick distance over the m-th codebook, ties to the
-    * smallest cell — one array_sort over k (distance, cell) structs,
-    * a pure projection with no join or window. `d` rides along as the
-    * per-subspace reconstruction error. */
-  private def bestCode(tv: Column, books: Seq[(Int, Int, Seq[Long])],
-      m: Int): Column = {
-    val cells = books.filter(_._1 == m)
-    element_at(array_sort(array(cells.map { case (_, cell, ct) =>
-      struct(VectorFunctions.l2Sq(subSlice(tv, m), typedLit(ct)).as("d"),
-        lit(cell).as("cell"))
-    }: _*)), 1)
-  }
-
-  /** Adds `code_0 .. code_{M-1}` struct(d, cell) columns to a frame
-    * carrying `tv` — the encode step, shared by the trainer's assignment
-    * rounds and every serving query. */
-  private[graft] def withCodes(ticked: DataFrame,
-      books: Seq[(Int, Int, Seq[Long])]): DataFrame =
-    (0 until PqM).foldLeft(ticked)((df, m) =>
-      df.withColumn(s"code_$m", bestCode(col("tv"), books, m)))
+  /** Binds the trained codebook to this session's PQ kernels and returns
+    * (encode, dtabs) Column builders — `encode(tv)` yields STRUCT<cells,
+    * poss, ds> (winning cell ids, their 0-based codebook positions — the
+    * ADC lookup index — and the per-subspace reconstruction errors);
+    * `dtabs(qtv)` yields the probe's per-subspace distance tables.
+    *
+    * The encode step is ONE codegen'd expression doing the whole M×k
+    * argmin ([[graft.functions.PqKernels.encode]], ties to the smallest
+    * cell). The first implementation composed it from M·k literal L2Sq
+    * nodes + per-subspace array_sorts — janino threw
+    * InternalCompilerException on the generated class and Spark fell
+    * back to INTERPRETED eval, and each of the trainer's actions paid
+    * seconds of analysis on the 512-node projection (measured: the PQ
+    * trio was 3 of the suite's top-5 at 18.2s combined on 2000 rows;
+    * the kernel form is plan-size-invariant in (M, k)). */
+  private def bindKernels(s: SparkSession,
+      books: Seq[(Int, Int, Seq[Long])]): (Column => Column, Column => Column) =
+    graft.functions.PqFunctions.bind(s,
+      graft.functions.PqBooks(books, PqM, PqSubDim))
 
   /** The PQ codebook: (sub, cell, centroid ticks) sorted by (sub, cell),
     * trained by [[PqIters]] rounds of integer-snapped mini-Lloyd on the
@@ -120,9 +119,11 @@ object PqQueries {
       }.sortBy(b => (b._1, b._2))
     if (books.isEmpty) return books
     (0 until PqIters).foreach { _ =>
-      books = withCodes(ticked, books)
+      val (encode, _) = bindKernels(s, books)
+      books = ticked
+        .select($"tv", encode($"tv").getField("cells").as("cells"))
         .select(explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("sub"), col(s"code_$m").getField("cell").as("cell"),
+          struct(lit(m).as("sub"), element_at($"cells", m + 1).as("cell"),
             subSlice($"tv", m).as("stv"))): _*)).as("x"))
         .select($"x.sub", $"x.cell", posexplode($"x.stv"))
         .toDF("sub", "cell", "pos", "t")
@@ -137,35 +138,6 @@ object PqQueries {
     books
   }
 
-  /** The ADC serving frame for a probe set: per probe, M distance
-    * TABLES (dtab_m = exact L2² of the probe's m-th slice against each
-    * of the m-th codebook's centroids, in codebook order) — computed
-    * ONCE per probe, k·M longs, then broadcast. A candidate's distance
-    * is M array lookups + adds; the candidate's raw vector is never
-    * touched (§IV's asymmetric distance, realized as element_at over
-    * the broadcast tables). */
-  private def withDtabs(probes: DataFrame,
-      books: Seq[(Int, Int, Seq[Long])]): DataFrame =
-    (0 until PqM).foldLeft(probes)((df, m) =>
-      df.withColumn(s"dtab_$m", array(books.filter(_._1 == m).map {
-        case (_, _, ct) =>
-          VectorFunctions.l2Sq(subSlice(col("qtv"), m), typedLit(ct))
-      }: _*)))
-
-  /** Adds `pos_0 .. pos_{M-1}` — the 1-based codebook-order position of
-    * each code, the dtab lookup index (cell ids are sparse after
-    * empty-cell drops; positions are dense). */
-  private def withCodePos(coded: DataFrame,
-      books: Seq[(Int, Int, Seq[Long])]): DataFrame =
-    (0 until PqM).foldLeft(coded)((df, m) =>
-      df.withColumn(s"pos_$m", array_position(
-        typedLit(books.filter(_._1 == m).map(_._2)),
-        col(s"code_$m").getField("cell")).cast("int")))
-
-  private def adistCol: Column =
-    (0 until PqM).map(m =>
-      element_at(col(s"dtab_$m"), col(s"pos_$m"))).reduce(_ + _)
-
   private def emptyAnnShape(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     vecs.limit(0).select($"vec_id".as("query_id"), lit(1).as("rank"),
@@ -173,13 +145,14 @@ object PqQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // The encode face: each embedding becomes M=4 codes + its exact
+    // The encode face: each embedding becomes M codes + its exact
     // integer reconstruction error. At 100 TB these code columns are
     // MATERIALIZED next to the corpus (the q_layout_zorder layout
     // device) and every ANN scan reads them instead of the 64-float
     // vector — 64× less IO by construction. Encoding is a pure
-    // projection (M·k codegen'd L2Sq + one struct sort per subspace —
-    // no join, no window, no shuffle); the trainer's driver traffic is
+    // projection (ONE codegen'd kernel doing the M×k argmin,
+    // [[graft.functions.PqEncode]] — no join, no window, no shuffle);
+    // the trainer's driver traffic is
     // the codebook, never the corpus. recon_err doubles as the index-
     // quality monitor (rising quantization error on new data = retrain
     // signal). HARD oracle: the unrolled integer k-means + final
@@ -194,14 +167,15 @@ object PqQueries {
           ($"vec_id" +: (0 until PqM).map(m => lit(0).as(s"code_$m"))) :+
             lit(0L).as("recon_err"): _*)
       else {
-        val coded = withCodes(
-          SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv"), books)
-        coded.select(
-          ($"vec_id" +:
-            (0 until PqM).map(m =>
-              col(s"code_$m").getField("cell").as(s"code_$m"))) :+
-            (0 until PqM).map(m => col(s"code_$m").getField("d"))
-              .reduce(_ + _).as("recon_err"): _*)
+        val (encode, _) = bindKernels(s, books)
+        SimilarityQueries.withTicks(vecs)
+          .select($"vec_id", encode($"tv").as("enc"))
+          .select(
+            ($"vec_id" +:
+              (0 until PqM).map(m =>
+                element_at($"enc.cells", m + 1).as(s"code_$m"))) :+
+              (0 until PqM).map(m => element_at($"enc.ds", m + 1))
+                .reduce(_ + _).as("recon_err"): _*)
           .orderBy("vec_id")
       }
     }),
@@ -209,7 +183,8 @@ object PqQueries {
     // ADC linear scan (the paper's §IV search baseline): probes
     // (vec_id < 10, the ANN family's convention) carry their M distance
     // tables as broadcast arrays; every corpus candidate is scored by
-    // M element_at lookups + adds over its code positions. The scan's
+    // M table lookups + adds over its code positions (one codegen'd
+    // pq_adist call). The scan's
     // per-candidate cost is INDEPENDENT of dimensionality — that, plus
     // reading codes instead of vectors, is the entire point of PQ.
     // Top-5 per probe by (adist asc, neighbor asc). The 10×N pair frame
@@ -223,19 +198,18 @@ object PqQueries {
       val books = pqCodebooks(vecs)
       if (books.isEmpty) emptyAnnShape(vecs)
       else {
+        val (encode, dtabs) = bindKernels(s, books)
         val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
-        val coded = withCodePos(withCodes(ticked, books), books)
-          .select($"vec_id" +: (0 until PqM).map(m => col(s"pos_$m")): _*)
-        val probes = withDtabs(
-          ticked.filter($"vec_id" < 10)
-            .select($"vec_id".as("query_id"), $"tv".as("qtv")), books)
-          .select($"query_id" +: (0 until PqM).map(m => col(s"dtab_$m")): _*)
+        val coded = ticked
+          .select($"vec_id", encode($"tv").getField("poss").as("poss"))
+        val probes = ticked.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), dtabs($"tv").as("dtabs"))
         val w = Window.partitionBy($"query_id")
           .orderBy($"adist".asc, $"neighbor_id".asc)
         coded.crossJoin(broadcast(probes))
           .filter($"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
-            adistCol.as("adist"))
+            graft.functions.PqFunctions.adist($"dtabs", $"poss").as("adist"))
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 5)
           .select($"query_id", $"rank", $"neighbor_id", $"adist")
@@ -261,26 +235,23 @@ object PqQueries {
       val books = pqCodebooks(vecs)
       if (books.isEmpty) emptyAnnShape(vecs)
       else {
+        val (encode, dtabs) = bindKernels(s, books)
         val cents = SimilarityQueries.semCentroids(16, PqM * PqSubDim)
         val ticked = SimilarityQueries.withTicks(vecs)
-        val coded = withCodePos(withCodes(ticked, books), books)
+        val coded = ticked
+          .select($"vec_id", $"v", encode($"tv").getField("poss").as("poss"))
         val assigned = SimilarityQueries.assignCells(coded, cents, "v")
-          .select($"vec_id" +: $"cell" +:
-            (0 until PqM).map(m => col(s"pos_$m")): _*)
-        val probes = withDtabs(
-          ticked.filter($"vec_id" < 10)
-            .select($"vec_id".as("query_id"), $"tv".as("qtv"), $"v"), books)
-        val probedCells = probes
-          .withColumn("cell",
-            explode(SimilarityQueries.nearestCells(cents, $"v", PqNProbe)))
-          .select($"query_id" +: $"cell" +:
-            (0 until PqM).map(m => col(s"dtab_$m")): _*)
+          .select($"vec_id", $"cell", $"poss")
+        val probedCells = ticked.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), dtabs($"tv").as("dtabs"),
+            explode(SimilarityQueries.nearestCells(cents, $"v", PqNProbe))
+              .as("cell"))
         val w = Window.partitionBy($"query_id")
           .orderBy($"adist".asc, $"neighbor_id".asc)
         assigned.join(broadcast(probedCells), Seq("cell"))
           .filter($"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
-            adistCol.as("adist"))
+            graft.functions.PqFunctions.adist($"dtabs", $"poss").as("adist"))
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 5)
           .select($"query_id", $"rank", $"neighbor_id", $"adist")
