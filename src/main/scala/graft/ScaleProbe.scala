@@ -297,7 +297,7 @@ object ScaleProbe {
     * emitted row name in the jsonl record — filterable like any other
     * probe name). */
   private val hostileVecStreamFaces =
-    Seq("s_semdedup_online", "s_ann_search")
+    Seq("s_semdedup_online", "s_ann_search", "s_ann_search_pq")
 
   private def hostileVecs(spark: SparkSession, n: Long): DataFrame = {
     // one fixed direction, float-typed to match the embeddings schema
@@ -634,6 +634,40 @@ object ScaleProbe {
           System.err.println(s"annserve@$k: $e"); (-1L, 0L, 0L) }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"s_ann_search","sec":$sec%.3f,"rows":$n,"state_rows":$stRows,"state_mem_bytes":$stMem,"hostile":"same_embedding_stream"}""")
+      }
+      // the COMPRESSED serving face on the same corpus: the hostile
+      // input also degenerates the PQ TRAINER (identical vectors
+      // collapse every subspace codebook to one surviving cell), so
+      // this probes serving under the worst trained index — per-probe
+      // work is still the hot cell's population (linear in n, the
+      // same uncapped contract), rows stay 10x5, state stays ZERO,
+      // and the ADC scan reads only the M-int code column
+      if (pickedVecStreamFaces.contains("s_ann_search_pq")) {
+        val probeDir = s"$dir/ann_probes.parquet"
+        if (!new java.io.File(s"$probeDir/_SUCCESS").exists())
+          hostileVecs(spark, 10).repartition(1)
+            .write.mode(SaveMode.Overwrite).parquet(probeDir)
+        val table = s"probe_annservepq_f$k"
+        val t0 = System.nanoTime()
+        val (n, stRows, stMem) = try {
+          val cents = graft.queries.SimilarityQueries.semCentroids(16, 64)
+          val books = graft.queries.PqQueries.pqCodebooks(
+            graft.queries.SimilarityQueries.semDedupInput(spark, dir))
+          val index = graft.streaming.DocStream.prepareAnnIndexPq(
+            Tables.table(spark, dir, "embeddings"), cents, books)
+          try {
+            val out = graft.streaming.DocStream.annSearchPq(spark,
+              graft.streaming.DocStream.readEmbeddings(spark, probeDir),
+              index, cents, books).toDF()
+            val sq = graft.streaming.EventStream.runToMemory(out, table)
+            sq.awaitTermination()
+            val (r, m) = stateMetrics(sq)
+            (spark.table(table).count(), r, m)
+          } finally index.unpersist()
+        } catch { case e: Throwable =>
+          System.err.println(s"annservepq@$k: $e"); (-1L, 0L, 0L) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"s_ann_search_pq","sec":$sec%.3f,"rows":$n,"state_rows":$stRows,"state_mem_bytes":$stMem,"hostile":"same_embedding_stream"}""")
       }
       // the ONLINE greedy face on the same corpus: every vector lands in
       // one hot cell, but the admitted index holds exactly ONE member

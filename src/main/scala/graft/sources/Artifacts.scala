@@ -93,4 +93,26 @@ object Artifacts {
       .select("cell", "cv").as[(Int, Seq[Double])]
       .collect().sortBy(_._1).toSeq
   }
+
+  /** Staged PQ codebook (sub, cell, centroid ticks) — the
+    * [[graft.queries.PqQueries.pqCodebooks]] output, M·k rows of
+    * exact longs, so the round-trip is bit-lossless by construction
+    * (no float serialization anywhere). At 100 TB this is the
+    * nightly-trainer → serving handoff for the code-only ANN index:
+    * the corpus stores M small ints per vector, the codebook rides
+    * along as this tiny table. */
+  def writeCodebook(books: Seq[(Int, Int, Seq[Long])],
+                    spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    books.toDF("sub", "cell", "ct").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+  }
+
+  def readCodebook(spark: SparkSession, dir: String)
+      : Seq[(Int, Int, Seq[Long])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/codebook")
+      .select("sub", "cell", "ct").as[(Int, Int, Seq[Long])]
+      .collect().sortBy(b => (b._1, b._2)).toSeq
+  }
 }

@@ -452,6 +452,95 @@ object DocStream {
         GroupStateTimeout.NoTimeout)(topk)
   }
 
+  /** One served neighbor from [[annSearchPq]] — the ADC distance is an
+    * exact long (the PQ family's integer contract). */
+  case class AnnPqHit(query_id: Long, rank: Int, neighbor_id: Long,
+                      adist: Long)
+
+  /** Build + cache the CODE-ONLY IVF-PQ corpus index `(cell, vec_id,
+    * poss)` once for any number of [[annSearchPq]] stream setups:
+    * coarse cell for routing, and the M codebook positions
+    * ([[graft.functions.PqKernels.encode]]) that are ALL the serving
+    * path ever reads — the raw vector is dropped here and never
+    * touched again. At 100 TB this is the billion-scale ANN layout:
+    * the served index is M small ints per vector (~25× smaller than
+    * the float embedding), cell-bucketed so a probe prunes to
+    * nprobe/K of it. Same uncapped discipline as [[prepareAnnIndex]]
+    * (dropping an ANN candidate silently changes top-k). */
+  def prepareAnnIndexPq(corpusVecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      books: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    import graft.queries.{PqQueries, SimilarityQueries}
+    val s = corpusVecs.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    val (encode, _) = graft.functions.PqFunctions.bind(s,
+      graft.functions.PqBooks(books, PqQueries.PqM, PqQueries.PqSubDim))
+    val guarded = SimilarityQueries.semDedupGuard(
+      corpusVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    SimilarityQueries.assignCells(
+        SimilarityQueries.withTicks(guarded), cents, on = "v")
+      .select(col("cell"), col("vec_id"),
+        encode(col("tv")).getField("poss").as("poss"))
+      .cache()
+  }
+
+  /** Streaming IVF-PQ serving — the deployment face of `q_ann_ivfpq`,
+    * completing the index family ([[annSearch]] serves the raw-vector
+    * IVF index; this serves the compressed one). Arriving query
+    * vectors probe a STATIC [[prepareAnnIndexPq]] code index under a
+    * DISK-staged codebook ([[graft.sources.Artifacts.writeCodebook]]
+    * round-trip — bit-lossless, the codebook is all longs) and get
+    * their top-`k` neighbors by exact-integer ADC distance.
+    *
+    * Plan shape, all stateless: the probe's nprobe cells and its M
+    * distance tables ([[graft.functions.PqKernels.dtabs]], M·k longs)
+    * are pure projections on the arriving row; ONE stream-static
+    * equi-join on `cell` against the cached code index; the ADC
+    * distance is one codegen'd `pq_adist` call per candidate — M table
+    * lookups, never a vector op. Top-k per query runs as
+    * flatMapGroupsWithState that NEVER writes state (one query = one
+    * source row, so its candidates land in its own micro-batch;
+    * AnnPqStreamSpec pins row-for-row agreement with q_ann_ivfpq's
+    * hash-matched ranking and the zero-state contract). */
+  def annSearchPq(spark: SparkSession, queryVecs: DataFrame,
+                  index: DataFrame, cents: Seq[(Int, Seq[Double])],
+                  books: Seq[(Int, Int, Seq[Long])],
+                  nprobe: Int = 4, k: Int = 5): Dataset[AnnPqHit] = {
+    import spark.implicits._
+    import graft.queries.{PqQueries, SimilarityQueries}
+    require(books.nonEmpty, "annSearchPq needs a trained codebook")
+    require(cents.nonEmpty, "annSearchPq needs at least one centroid")
+    graft.functions.VectorFunctions.register(spark)
+    val (_, dtabs) = graft.functions.PqFunctions.bind(spark,
+      graft.functions.PqBooks(books, PqQueries.PqM, PqQueries.PqSubDim))
+    val kL = k
+    val guarded = SimilarityQueries.semDedupGuard(
+      queryVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val probes = SimilarityQueries.withTicks(guarded)
+      .select(col("vec_id").as("query_id"), dtabs(col("tv")).as("dtabs"),
+        explode(SimilarityQueries.nearestCells(cents, col("v"), nprobe))
+          .as("cell"))
+    val scored = probes.join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.PqFunctions.adist(col("dtabs"), col("poss"))
+          .as("adist"))
+      .as[(Long, Long, Long)]
+    def topk(id: Long, rows: Iterator[(Long, Long, Long)],
+             state: GroupState[Long]): Iterator[AnnPqHit] = {
+      // the batch window's exact order: adist asc, neighbor_id asc
+      rows.toSeq.map { case (_, nid, d) => (d, nid) }
+        .sorted.take(kL).zipWithIndex
+        .map { case ((d, nid), i) => AnnPqHit(id, i + 1, nid, d) }
+        .iterator
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(topk)
+  }
+
   /** One judged media arrival from [[mediaDedup]]. */
   case class MediaAdmit(item_id: Long, admitted: Boolean,
                         dup_of: Option[Long], hamming: Option[Long])
