@@ -166,6 +166,10 @@ object ScaleProbe {
     // a linearly-growing candidate set through constant-size distance
     // tables — all three must be flat-to-linear with no knee
     "q_emb_pq_codes", "q_ann_pq", "q_ann_ivfpq",
+    // the nprobe sweep adds the exact-truth brute side (10 probes x
+    // corpus, broadcast) and the widest rung's candidate frame on top
+    // of the ivfpq contract — linear in the corpus, no knee
+    "q_ann_nprobe_tune",
     // the two new media modalities on replicas (verbatim copies
     // collapse exactly; signature work constant, fan-out linear)
     "q_media_audio_dedup", "q_media_video_dedup")

@@ -68,6 +68,12 @@ object PqQueries {
   private[graft] val PqIters = 2
   private[graft] val PqNProbe = 4
 
+  /** The nprobe sweep grid of [[q_ann_nprobe_tune]] — doubling rungs up
+    * to half the cell count, the deployment range a serving tier
+    * actually chooses from. ONE definition, interpolated into the
+    * oracle SQL. */
+  private[graft] val NProbeLevels = Seq(1, 2, 4, 8)
+
   /** Round-half-away-from-zero of s/c in EXACT integer arithmetic:
     * truncating division of (2s ± c) by 2c. Scala's `/` truncates toward
     * zero exactly like DuckDB's `//`, so the oracle replays this formula
@@ -257,6 +263,88 @@ object PqQueries {
           .select($"query_id", $"rank", $"neighbor_id", $"adist")
           .orderBy("query_id", "rank")
       }
+    }),
+
+    // The IVF deployment knob made measurable — the ANN family's
+    // calibration audit (the q_lsh_tune / q_dedup_tau_sweep /
+    // q_decontaminate_tune discipline, fourth of the family): per
+    // nprobe rung, the recall-vs-scan-volume trade of the IVF-PQ serve
+    // against EXACT tick-space L2 truth. Per (nprobe in {1,2,4,8}):
+    // `candidates` = (probe, candidate) pairs ADC-scored inside the
+    // rung's probed cells (the cost axis — the scan bound a serving
+    // tier pays per query), `served` = top-5 rows returned, `hits` =
+    // how many sit in the probe's exact-L2 top-5 (the quality axis;
+    // recall@5 = hits/served). Everything is exact integer arithmetic
+    // (ADC longs, truth longs, counts), so the whole sweep — training,
+    // routing, serving, truth, recall — is ONE hard DuckDB hash-match.
+    // At 100 TB this answers "what does dropping nprobe 8 -> 2 cost in
+    // recall and buy in scan volume" from a sample, BEFORE committing
+    // the serving tier; candidates grows with the probed share of the
+    // corpus while truth stays a 10-probe broadcast brute scan.
+    // Fan-out discipline: the scored candidate frame feeds both the
+    // per-rung scan counts and the per-rung rankings — checkpointed
+    // once; each downstream is a single window/aggregate over it.
+    "q_ann_nprobe_tune" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = SimilarityQueries.semDedupInput(s, dir)
+      val books = pqCodebooks(vecs)
+      if (books.isEmpty)
+        vecs.limit(0).select($"vec_id".cast("int").as("nprobe"),
+          lit(0L).as("candidates"), lit(0L).as("served"),
+          lit(0L).as("hits"))
+      else {
+        val (encode, dtabs) = bindKernels(s, books)
+        val cents = SimilarityQueries.semCentroids(16, PqM * PqSubDim)
+        val ticked = SimilarityQueries.withTicks(vecs)
+        val assigned = SimilarityQueries.assignCells(
+            ticked.select($"vec_id", $"v",
+              encode($"tv").getField("poss").as("poss")), cents, "v")
+          .select($"vec_id", $"cell", $"poss")
+        val probeCells = ticked.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), dtabs($"tv").as("dtabs"),
+            posexplode(SimilarityQueries.nearestCells(
+              cents, $"v", NProbeLevels.max)))
+          .select($"query_id", $"dtabs",
+            ($"pos" + 1).cast("int").as("cell_rank"), $"col".as("cell"))
+        val cands = assigned.join(broadcast(probeCells), Seq("cell"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"), $"cell_rank",
+            graft.functions.PqFunctions.adist($"dtabs", $"poss")
+              .as("adist"))
+          .localCheckpoint()
+        val lev = cands
+          .withColumn("nprobe", explode(typedLit(NProbeLevels)))
+          .filter($"cell_rank" <= $"nprobe")
+        val w = Window.partitionBy($"nprobe", $"query_id")
+          .orderBy($"adist".asc, $"neighbor_id".asc)
+        val topk = lev
+          .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+          .select($"nprobe", $"query_id", $"neighbor_id")
+        // exact truth: tick-space L2 brute force against the broadcast
+        // 10-probe set — the recall denominator, single-consumer
+        val probesT = ticked.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"tv".as("qtv"))
+        val wt = Window.partitionBy($"query_id")
+          .orderBy($"d".asc, $"neighbor_id".asc)
+        val truth = ticked.select($"vec_id", $"tv")
+          .crossJoin(broadcast(probesT))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            VectorFunctions.l2Sq($"qtv", $"tv").as("d"))
+          .withColumn("rnk", row_number().over(wt)).filter($"rnk" <= 5)
+          .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+        val srvhit = topk
+          .join(truth, Seq("query_id", "neighbor_id"), "left")
+          .groupBy($"nprobe")
+          .agg(count(lit(1)).as("served"), count($"hit").as("hits"))
+        lev.groupBy($"nprobe").agg(count(lit(1)).as("candidates"))
+          .join(srvhit, Seq("nprobe"), "left")
+          .select($"nprobe", $"candidates",
+            coalesce($"served", lit(0L)).as("served"),
+            coalesce($"hits", lit(0L)).as("hits"))
+          .orderBy("nprobe")
+      }
     })
   )
 
@@ -373,6 +461,71 @@ object PqQueries {
            """JOIN probecells pc ON pc.query_id = qp.vec_id
              |  JOIN cells cc ON cc.cell = pc.cell
              |  JOIN pcodes cd ON cd.vec_id = cc.vec_id""".stripMargin)}"""
-        .stripMargin
+        .stripMargin,
+
+    // the nprobe sweep: ranked probe cells (cell_rank from the same
+    // (score desc, cell) window nearestCells realizes), one ADC pass
+    // over the widest rung's candidates carrying each candidate's
+    // cell_rank, per-rung membership by cell_rank <= nprobe, exact
+    // tick-L2 truth from a tickpos self-join — every number a long
+    "q_ann_nprobe_tune" ->
+      s"""WITH ${SimilarityQueries.cornerQuantizerCtes},
+         |$pqTrainCtes,
+         |levels AS (SELECT unnest([${NProbeLevels.mkString(", ")}])
+         |           AS nprobe),
+         |probecells AS (
+         |  SELECT vec_id AS query_id, CAST(c AS INT) AS cell,
+         |    CAST(rn AS INT) AS cell_rank FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, c) AS rn
+         |    FROM scores
+         |    WHERE vec_id < 10
+         |      AND vec_id IN (SELECT vec_id FROM tg)) t
+         |  WHERE rn <= ${NProbeLevels.max}),
+         |qd AS (
+         |  SELECT pc.query_id, cd.vec_id AS neighbor_id, pc.cell_rank,
+         |    CAST(sum((qp.t - c.ct) * (qp.t - c.ct)) AS BIGINT) AS adist
+         |  FROM tickpos qp
+         |  JOIN probecells pc ON pc.query_id = qp.vec_id
+         |  JOIN cells cc ON cc.cell = pc.cell
+         |  JOIN pcodes cd ON cd.vec_id = cc.vec_id
+         |  JOIN pcents$PqIters c ON c.sub = cd.sub AND c.cell = cd.cell
+         |    AND c.sub = qp.pos // $PqSubDim AND c.spos = qp.pos % $PqSubDim
+         |  WHERE cd.vec_id <> qp.vec_id
+         |  GROUP BY 1, 2, 3),
+         |lev AS (
+         |  SELECT l.nprobe, q.query_id, q.neighbor_id, q.adist
+         |  FROM qd q JOIN levels l ON q.cell_rank <= l.nprobe),
+         |topk AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT nprobe, query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY nprobe, query_id
+         |      ORDER BY adist, neighbor_id) AS rnk
+         |    FROM lev) x WHERE rnk <= 5),
+         |truthd AS (
+         |  SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+         |    sum((qp.t - cp.t) * (qp.t - cp.t)) AS d
+         |  FROM tickpos qp
+         |  JOIN tickpos cp ON cp.pos = qp.pos AND cp.vec_id <> qp.vec_id
+         |  WHERE qp.vec_id < 10
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY d, neighbor_id) AS rnk
+         |    FROM truthd) x WHERE rnk <= 5),
+         |srvhit AS (
+         |  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS served,
+         |    CAST(count(u.query_id) AS BIGINT) AS hits
+         |  FROM topk t LEFT JOIN truth u
+         |    ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT a.nprobe, a.candidates,
+         |  COALESCE(s.served, CAST(0 AS BIGINT)) AS served,
+         |  COALESCE(s.hits, CAST(0 AS BIGINT)) AS hits
+         |FROM (SELECT nprobe, CAST(count(*) AS BIGINT) AS candidates
+         |      FROM lev GROUP BY 1) a
+         |LEFT JOIN srvhit s ON s.nprobe = a.nprobe
+         |ORDER BY a.nprobe""".stripMargin
   )
 }

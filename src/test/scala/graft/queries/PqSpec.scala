@@ -161,6 +161,36 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.35, s"ADC recall@5 collapsed: $recall")
   }
 
+  test("q_ann_nprobe_tune's rungs are internally consistent and its " +
+      "nprobe=4 rung IS q_ann_ivfpq measured against exact-L2 truth") {
+    val corpus = tickCorpus()
+    val got = graft.SparkEntry.queries("q_ann_nprobe_tune")(spark, sf0001)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(1, 2, 4, 8))
+    // candidate sets are nested by construction: scan volume must be
+    // nondecreasing in nprobe, and every rung serves at most 5/probe
+    assert(got.map(_._2) === got.map(_._2).sorted)
+    got.foreach { case (np, cands, served, hits) =>
+      assert(hits >= 0 && hits <= served && served <= 50,
+        s"rung $np bounds")
+      assert(cands >= served, s"rung $np served beyond its scan")
+    }
+    // the nprobe=4 rung is exactly the shipped q_ann_ivfpq serve:
+    // served = its row count, hits = its overlap with exact tick-L2
+    // top-5 truth recomputed from scratch
+    val ivfpq = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val truth = corpus.filter(_._1 < 10).flatMap { case (qid, qtv) =>
+      corpus.filter(_._1 != qid)
+        .map { case (nid, ntv) => (l2sq(qtv, ntv), nid) }
+        .sorted.take(5).map { case (_, nid) => (qid, nid) }
+    }.toSet
+    val rung4 = got.find(_._1 == 4).get
+    assert(rung4._3 === ivfpq.size.toLong)
+    assert(rung4._4 ===
+      ivfpq.count(r => truth.contains((r._1, r._3))).toLong)
+  }
+
   test("q_ann_ivfpq returns ADC-consistent distances and is a subset " +
       "of each probe's coarse-cell candidates") {
     val corpus = tickCorpus()
