@@ -170,6 +170,11 @@ object ScaleProbe {
     // corpus, broadcast) and the widest rung's candidate frame on top
     // of the ivfpq contract — linear in the corpus, no knee
     "q_ann_nprobe_tune",
+    // the residual variant trains TWICE (coarse + residual chains,
+    // both bounded driver collects) and its serve is the ivfpq
+    // contract with per-(probe, cell) tables — still broadcast
+    // constants; must track q_ann_ivfpq's growth
+    "q_ann_ivfpq_res",
     // the two new media modalities on replicas (verbatim copies
     // collapse exactly; signature work constant, fan-out linear)
     "q_media_audio_dedup", "q_media_video_dedup")

@@ -118,6 +118,48 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  /** Coarse-quantize-and-subtract: the winning cell per subspace (same
+    * argmin + tie discipline as [[encode]]) and the RESIDUAL vector
+    * tv − chosen-centroid, concatenated across subspaces — the input
+    * the residual PQ trainer/encoder consumes (Jégou et al. §V: codes
+    * quantize what the coarse quantizer left behind). Exact longs:
+    * ticks ≤ ~2^21, residuals ≤ 2^22 — the downstream L2² headroom
+    * analysis ([[L2Sq]]) still holds with room to spare. */
+  def residual(a: ArrayData, b: PqBooks): InternalRow = {
+    val dim = b.m * b.subDim
+    if (a.numElements() != dim) return null
+    val tv = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      tv(i) = a.getLong(i); i += 1
+    }
+    val cells = new Array[Int](b.m)
+    val rv = new Array[Long](dim)
+    var s = 0
+    while (s < b.m) {
+      val cts = b.subCts(s)
+      if (cts.length == 0) return null
+      var best = Long.MaxValue; var bi = -1
+      val off = s * b.subDim
+      var c = 0
+      while (c < cts.length) {
+        val ct = cts(c)
+        var d = 0L; var j = 0
+        while (j < b.subDim) { val x = tv(off + j) - ct(j); d += x * x; j += 1 }
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      cells(s) = b.subCells(s)(bi)
+      val ct = cts(bi)
+      var j = 0
+      while (j < b.subDim) { rv(off + j) = tv(off + j) - ct(j); j += 1 }
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(cells),
+      new GenericArrayData(rv)))
+  }
+
   /** Asymmetric distance: Σ_m dtabs[m][poss[m]] — M lookups + adds,
     * never touching the candidate's raw vector. Exact longs (each term
     * ≤ 2^50 on the tick grid per the [[L2Sq]] headroom analysis, and M
@@ -211,6 +253,41 @@ case class PqDtabs(child: Expression, books: PqBooks)
     copy(child = newChild)
 }
 
+/** `pq_residual(tv)` → STRUCT<cells ARRAY<INT>, rv ARRAY<BIGINT>> — the
+  * coarse assignment plus the residual vector in one codegen'd call
+  * into [[PqKernels.residual]]. */
+case class PqResidual(child: Expression, books: PqBooks)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_residual expects an ARRAY<BIGINT> argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cells", ArrayType(IntegerType, containsNull = false)),
+    StructField("rv", ArrayType(LongType, containsNull = false))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_residual"
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.residual(v.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.addReferenceObj("pqBooks", books,
+        classOf[PqBooks].getName)
+      s"""
+         |${ev.value} = graft.functions.PqKernels.residual($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqResidual =
+    copy(child = newChild)
+}
+
 /** `pq_adist(dtabs, poss)` → BIGINT — the ADC distance as one codegen'd
   * call into [[PqKernels.adist]]: M table lookups + adds per candidate,
   * independent of dimensionality (the point of PQ). */
@@ -285,4 +362,14 @@ object PqFunctions {
     * session (any codebook; adist is codebook-free). */
   def adist(dtabs: Column, poss: Column): Column =
     call_function("pq_adist", dtabs, poss)
+
+  /** Registers `pq_residual_<tag>` bound to this codebook (typically a
+    * coarse M=1 book) and returns its Column builder — `residual(tv)`
+    * yields STRUCT<cells, rv>. */
+  def bindResidual(spark: SparkSession, books: PqBooks): Column => Column = {
+    val t = tag(books)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"pq_residual_$t", exprs => PqResidual(exprs.head, books), "internal")
+    c => call_function(s"pq_residual_$t", c)
+  }
 }

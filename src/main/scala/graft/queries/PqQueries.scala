@@ -74,16 +74,17 @@ object PqQueries {
     * oracle SQL. */
   private[graft] val NProbeLevels = Seq(1, 2, 4, 8)
 
+  /** Coarse cell count of the RESIDUAL variant's integer k-means coarse
+    * quantizer — matches the IVF family's 16 cells so the two IVFADC
+    * variants differ only in what the codes quantize. */
+  private[graft] val CoarseK = 16
+
   /** Round-half-away-from-zero of s/c in EXACT integer arithmetic:
     * truncating division of (2s ± c) by 2c. Scala's `/` truncates toward
     * zero exactly like DuckDB's `//`, so the oracle replays this formula
     * verbatim — no float mean anywhere in training. */
   private[graft] def snapMean(s: Long, c: Long): Long =
     (2 * s + (if (s < 0) -c else c)) / (2 * c)
-
-  /** Subspace m of a tick vector (1-based slice, m in 0 until PqM). */
-  private def subSlice(tv: Column, m: Int): Column =
-    slice(tv, m * PqSubDim + 1, PqSubDim)
 
   /** Binds the trained codebook to this session's PQ kernels and returns
     * (encode, dtabs) Column builders — `encode(tv)` yields STRUCT<cells,
@@ -101,9 +102,10 @@ object PqQueries {
     * trio was 3 of the suite's top-5 at 18.2s combined on 2000 rows;
     * the kernel form is plan-size-invariant in (M, k)). */
   private def bindKernels(s: SparkSession,
-      books: Seq[(Int, Int, Seq[Long])]): (Column => Column, Column => Column) =
+      books: Seq[(Int, Int, Seq[Long])], m: Int = PqM,
+      subDim: Int = PqSubDim): (Column => Column, Column => Column) =
     graft.functions.PqFunctions.bind(s,
-      graft.functions.PqBooks(books, PqM, PqSubDim))
+      graft.functions.PqBooks(books, m, subDim))
 
   /** The PQ codebook: (sub, cell, centroid ticks) sorted by (sub, cell),
     * trained by [[PqIters]] rounds of integer-snapped mini-Lloyd on the
@@ -114,23 +116,37 @@ object PqQueries {
     * never the corpus. */
   private[graft] def pqCodebooks(vecs: DataFrame): Seq[(Int, Int, Seq[Long])] = {
     val s = vecs.sparkSession
+    import s.implicits._
+    trainBooksOn(SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv"),
+      PqM, PqSubDim, PqK, PqIters)
+  }
+
+  /** The generalized integer-snapped trainer over a pre-ticked frame
+    * `(vec_id, tv)` at ANY (m, subDim, k, iters) geometry — the same
+    * loop serves the product codebooks (m=16, subDim=4), the residual
+    * variant's COARSE quantizer (m=1, subDim=64: plain tick-space
+    * k-means, the paper's coarse step), and the residual codebooks
+    * trained on what the coarse step left behind. */
+  private[graft] def trainBooksOn(ticked: DataFrame, m: Int, subDim: Int,
+      k: Int, iters: Int): Seq[(Int, Int, Seq[Long])] = {
+    val s = ticked.sparkSession
     VectorFunctions.register(s)
     import s.implicits._
-    val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
-    var books: Seq[(Int, Int, Seq[Long])] = ticked.filter($"vec_id" < PqK)
+    var books: Seq[(Int, Int, Seq[Long])] = ticked.filter($"vec_id" < k)
+      .select($"vec_id", $"tv")
       .as[(Long, Seq[Long])].collect().toSeq
       .flatMap { case (id, tv) =>
-        (0 until PqM).map(m =>
-          (m, id.toInt, tv.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+        (0 until m).map(sub =>
+          (sub, id.toInt, tv.slice(sub * subDim, (sub + 1) * subDim)))
       }.sortBy(b => (b._1, b._2))
     if (books.isEmpty) return books
-    (0 until PqIters).foreach { _ =>
-      val (encode, _) = bindKernels(s, books)
+    (0 until iters).foreach { _ =>
+      val (encode, _) = bindKernels(s, books, m, subDim)
       books = ticked
         .select($"tv", encode($"tv").getField("cells").as("cells"))
-        .select(explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("sub"), element_at($"cells", m + 1).as("cell"),
-            subSlice($"tv", m).as("stv"))): _*)).as("x"))
+        .select(explode(array((0 until m).map(sub =>
+          struct(lit(sub).as("sub"), element_at($"cells", sub + 1).as("cell"),
+            slice($"tv", sub * subDim + 1, subDim).as("stv"))): _*)).as("x"))
         .select($"x.sub", $"x.cell", posexplode($"x.stv"))
         .toDF("sub", "cell", "pos", "t")
         .groupBy($"sub", $"cell", $"pos")
@@ -345,6 +361,73 @@ object PqQueries {
             coalesce($"hits", lit(0L)).as("hits"))
           .orderBy("nprobe")
       }
+    }),
+
+    // IVFADC with RESIDUAL codes — the variant §V of the paper actually
+    // prescribes (q_ann_ivfpq above is the documented non-residual
+    // simplification): an INTEGER k-means coarse quantizer (the
+    // generalized trainer at m=1, subDim=64 — plain tick-space Lloyd,
+    // so unlike the md5-corner cells the WHOLE structure is now
+    // trained), then PQ codebooks trained on the residuals tv − coarse
+    // centroid. Serving differs from the shared-codebook variant in
+    // the one way the paper says matters: a probe's distance tables
+    // are PER PROBED CELL (its residual w.r.t. that cell's centroid),
+    // nprobe·M·k longs per query instead of M·k — still a broadcast
+    // constant, still never a candidate-vector read. Everything stays
+    // exact longs (residuals ≤ 2^22, squares ≤ 2^46, 64-term sums
+    // ≤ 2^52), so the full double-trained lifecycle — coarse chain,
+    // residual computation, residual chain, per-cell tables, serve —
+    // is ONE hard DuckDB hash-match, the deepest oracle in the file.
+    // Fan-out discipline: the residual frame feeds the residual
+    // trainer's rounds AND the candidate encode — checkpointed once.
+    "q_ann_ivfpq_res" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = SimilarityQueries.semDedupInput(s, dir)
+      val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
+      val coarse = trainBooksOn(ticked, 1, PqM * PqSubDim, CoarseK, PqIters)
+      if (coarse.isEmpty) emptyAnnShape(vecs)
+      else {
+        val cBooks = graft.functions.PqBooks(coarse, 1, PqM * PqSubDim)
+        val cResidual = graft.functions.PqFunctions.bindResidual(s, cBooks)
+        val (_, cDtabs) = bindKernels(s, coarse, 1, PqM * PqSubDim)
+        val resFrame = ticked
+          .select($"vec_id", cResidual($"tv").as("cr"))
+          .select($"vec_id", element_at($"cr.cells", 1).as("cell"),
+            $"cr.rv".as("tv"))
+          .localCheckpoint()
+        val books = trainBooksOn(resFrame, PqM, PqSubDim, PqK, PqIters)
+        val (rEncode, rDtabs) = bindKernels(s, books)
+        val cands = resFrame.select($"vec_id", $"cell",
+          rEncode($"tv").getField("poss").as("poss"))
+        // probes: coarse cells ranked by exact tick L2 (the coarse
+        // book's own distance table), ties to the smaller cell — then
+        // the residual tables w.r.t. each probed cell
+        val cellIds = coarse.map(_._2)
+        val ctMap = coarse.map(b => b._2 -> b._3).toMap
+        val ranked = array_sort(zip_with(
+          element_at(cDtabs($"qtv"), 1), typedLit(cellIds),
+          (d, c) => struct(d.as("d"), c.as("cell"))))
+        val probedCells = ticked.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"tv".as("qtv"))
+          .select($"query_id", $"qtv",
+            explode(transform(slice(ranked, 1, PqNProbe),
+              x => x.getField("cell"))).as("cell"))
+          .select($"query_id", $"cell",
+            rDtabs(zip_with($"qtv",
+              element_at(typedLit(ctMap), $"cell"), (a, b) => a - b))
+              .as("dtabs"))
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"adist".asc, $"neighbor_id".asc)
+        cands.join(broadcast(probedCells), Seq("cell"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            graft.functions.PqFunctions.adist($"dtabs", $"poss").as("adist"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"neighbor_id", $"adist")
+          .orderBy("query_id", "rank")
+      }
     })
   )
 
@@ -358,34 +441,12 @@ object PqQueries {
     * the replay is order-free. DuckDB `//` truncates toward zero exactly
     * like the JVM's long division — the one semantic the snap formula
     * depends on. */
-  private def pqTrainCtes: String = {
-    def assign(name: String, cents: String): String =
-      s"""${name}d AS (
-         |  SELECT tp.vec_id, c.sub, c.cell,
-         |    sum((tp.t - c.ct) * (tp.t - c.ct)) AS d
-         |  FROM tickpos tp
-         |  JOIN $cents c
-         |    ON c.sub = tp.pos // $PqSubDim AND c.spos = tp.pos % $PqSubDim
-         |  GROUP BY 1, 2, 3),
-         |$name AS (
-         |  SELECT vec_id, sub, cell, d FROM (
-         |    SELECT vec_id, sub, cell, d, row_number() OVER (
-         |      PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
-         |    FROM ${name}d) x WHERE rn = 1)""".stripMargin
-    val rounds = (1 to PqIters).map { r =>
-      s"""${assign(s"passign$r", s"pcents${r - 1}")},
-         |psums$r AS (
-         |  SELECT a.sub, a.cell, tp.pos % $PqSubDim AS spos,
-         |    sum(tp.t) AS s, count(*) AS c
-         |  FROM passign$r a JOIN tickpos tp
-         |    ON tp.vec_id = a.vec_id AND tp.pos // $PqSubDim = a.sub
-         |  GROUP BY 1, 2, 3),
-         |pcents$r AS (
-         |  SELECT sub, cell, spos,
-         |    CAST((2 * s + CASE WHEN s < 0 THEN -c ELSE c END) // (2 * c)
-         |      AS BIGINT) AS ct
-         |  FROM psums$r)""".stripMargin
-    }.mkString(",\n")
+  private def pqTrainCtes: String =
+    s"""$tickposCtes,
+       |${trainChainCtes("p", "tickpos", PqSubDim, PqK)}""".stripMargin
+
+  /** Shared tick header: guarded vectors → tick lists → position rows. */
+  private def tickposCtes: String =
     s"""tl AS (
        |  SELECT vec_id, list_transform(v,
        |    x -> CAST(floor(x * ${SimilarityQueries.TickScale}.0 + 0.5)
@@ -395,13 +456,53 @@ object PqQueries {
        |       WHERE len(list_filter(tvv, x -> x <> 0)) > 0),
        |tickpos AS (
        |  SELECT vec_id, p.p AS pos, tvv[CAST(p.p + 1 AS INT)] AS t
-       |  FROM tg, range(0, ${PqM * PqSubDim}) p(p)),
-       |pcents0 AS (
-       |  SELECT pos // $PqSubDim AS sub, CAST(vec_id AS INT) AS cell,
-       |    pos % $PqSubDim AS spos, t AS ct
-       |  FROM tickpos WHERE vec_id < $PqK),
+       |  FROM tg, range(0, ${PqM * PqSubDim}) p(p))""".stripMargin
+
+  /** One generated integer-Lloyd chain at ANY geometry — the SQL twin
+    * of [[trainBooksOn]]: seeds from the first `k` vectors of `src`,
+    * [[PqIters]] rounds of argmin-assign / exact-sum / snapped mean,
+    * ending in `${prefix}codes` (the final assignment with its exact
+    * per-subspace reconstruction error). `subDim` fixes the subspace
+    * arithmetic (`pos // subDim` = sub id); the product chain uses
+    * (p, tickpos, 4, 32), the residual variant composes a COARSE
+    * chain (c, tickpos, 64, 16) with a residual-trained one
+    * (r, rtickpos, 4, 32). */
+  private def trainChainCtes(prefix: String, src: String, subDim: Int,
+      k: Int): String = {
+    def assign(name: String, cents: String): String =
+      s"""${name}d AS (
+         |  SELECT tp.vec_id, c.sub, c.cell,
+         |    sum((tp.t - c.ct) * (tp.t - c.ct)) AS d
+         |  FROM $src tp
+         |  JOIN $cents c
+         |    ON c.sub = tp.pos // $subDim AND c.spos = tp.pos % $subDim
+         |  GROUP BY 1, 2, 3),
+         |$name AS (
+         |  SELECT vec_id, sub, cell, d FROM (
+         |    SELECT vec_id, sub, cell, d, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+         |    FROM ${name}d) x WHERE rn = 1)""".stripMargin
+    val rounds = (1 to PqIters).map { r =>
+      s"""${assign(s"${prefix}assign$r", s"${prefix}cents${r - 1}")},
+         |${prefix}sums$r AS (
+         |  SELECT a.sub, a.cell, tp.pos % $subDim AS spos,
+         |    sum(tp.t) AS s, count(*) AS c
+         |  FROM ${prefix}assign$r a JOIN $src tp
+         |    ON tp.vec_id = a.vec_id AND tp.pos // $subDim = a.sub
+         |  GROUP BY 1, 2, 3),
+         |${prefix}cents$r AS (
+         |  SELECT sub, cell, spos,
+         |    CAST((2 * s + CASE WHEN s < 0 THEN -c ELSE c END) // (2 * c)
+         |      AS BIGINT) AS ct
+         |  FROM ${prefix}sums$r)""".stripMargin
+    }.mkString(",\n")
+    s"""${prefix}cents0 AS (
+       |  SELECT pos // $subDim AS sub, CAST(vec_id AS INT) AS cell,
+       |    pos % $subDim AS spos, t AS ct
+       |  FROM $src WHERE vec_id < $k),
        |$rounds,
-       |${assign("pcodes", s"pcents$PqIters")}""".stripMargin
+       |${assign(s"${prefix}codes", s"${prefix}cents$PqIters")}"""
+      .stripMargin
   }
 
   /** The ADC distance replay: probe ticks against each candidate's code
@@ -526,6 +627,57 @@ object PqQueries {
          |FROM (SELECT nprobe, CAST(count(*) AS BIGINT) AS candidates
          |      FROM lev GROUP BY 1) a
          |LEFT JOIN srvhit s ON s.nprobe = a.nprobe
-         |ORDER BY a.nprobe""".stripMargin
+         |ORDER BY a.nprobe""".stripMargin,
+
+    // the double-trained lifecycle: the coarse integer-Lloyd chain
+    // (c, full-width sub), residual positions rtickpos = tick minus
+    // the FINAL coarse centroid of the vector's cell, the residual
+    // chain (r) trained on them, coarse cell ranking per probe by
+    // exact L2, per-(probe, probed-cell) residual serve
+    "q_ann_ivfpq_res" ->
+      s"""WITH ${SimilarityQueries.guardedVecsCte},
+         |$tickposCtes,
+         |${trainChainCtes("c", "tickpos", PqM * PqSubDim, CoarseK)},
+         |rtickpos AS (
+         |  SELECT t.vec_id, t.pos, t.t - c.ct AS t
+         |  FROM tickpos t
+         |  JOIN ccodes a ON a.vec_id = t.vec_id
+         |  JOIN ccents$PqIters c ON c.cell = a.cell AND c.spos = t.pos),
+         |${trainChainCtes("r", "rtickpos", PqSubDim, PqK)},
+         |cpd AS (
+         |  SELECT tp.vec_id AS query_id, c.cell,
+         |    sum((tp.t - c.ct) * (tp.t - c.ct)) AS d
+         |  FROM tickpos tp JOIN ccents$PqIters c ON c.spos = tp.pos
+         |  WHERE tp.vec_id < 10
+         |  GROUP BY 1, 2),
+         |probecells AS (
+         |  SELECT query_id, CAST(cell AS INT) AS cell FROM (
+         |    SELECT query_id, cell, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY d, cell) AS rn
+         |    FROM cpd) x WHERE rn <= $PqNProbe),
+         |qrt AS (
+         |  SELECT t.vec_id AS query_id, pc.cell, t.pos, t.t - c.ct AS rt
+         |  FROM tickpos t
+         |  JOIN probecells pc ON pc.query_id = t.vec_id
+         |  JOIN ccents$PqIters c ON c.cell = pc.cell AND c.spos = t.pos),
+         |qd AS (
+         |  SELECT qr.query_id, cd.vec_id AS neighbor_id,
+         |    CAST(sum((qr.rt - rc.ct) * (qr.rt - rc.ct)) AS BIGINT)
+         |      AS adist
+         |  FROM qrt qr
+         |  JOIN ccodes ca ON ca.cell = qr.cell
+         |  JOIN rcodes cd ON cd.vec_id = ca.vec_id
+         |    AND cd.sub = qr.pos // $PqSubDim
+         |  JOIN rcents$PqIters rc ON rc.sub = cd.sub AND rc.cell = cd.cell
+         |    AND rc.spos = qr.pos % $PqSubDim
+         |  WHERE cd.vec_id <> qr.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist, neighbor_id) AS INT) AS rank
+         |  FROM qd)
+         |SELECT query_id, rank, neighbor_id, adist FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

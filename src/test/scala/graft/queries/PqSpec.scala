@@ -46,31 +46,38 @@ class PqSpec extends SparkTestBase {
   private def snap(s: Long, c: Long): Long =
     (2 * s + (if (s < 0) -c else c)) / (2 * c)
 
-  /** From-scratch trainer: seeds, Iters rounds of argmin-assign +
-    * exact-sum + snapped mean — plain Scala collections only. */
-  private def trainBooks(corpus: Seq[(Long, Array[Long])])
-      : Map[Int, Seq[(Int, Array[Long])]] = {
-    var books: Map[Int, Seq[(Int, Array[Long])]] = (0 until M).map { m =>
-      m -> corpus.filter(_._1 < K).map(v => (v._1.toInt, slice(v._2, m)))
+  /** From-scratch trainer at any geometry: seeds, Iters rounds of
+    * argmin-assign + exact-sum + snapped mean — plain Scala collections
+    * only. */
+  private def trainBooksAt(corpus: Seq[(Long, Array[Long])], m: Int,
+      subDim: Int, k: Int): Map[Int, Seq[(Int, Array[Long])]] = {
+    def sl(tv: Array[Long], sub: Int): Array[Long] =
+      tv.slice(sub * subDim, (sub + 1) * subDim)
+    var books: Map[Int, Seq[(Int, Array[Long])]] = (0 until m).map { sub =>
+      sub -> corpus.filter(_._1 < k).map(v => (v._1.toInt, sl(v._2, sub)))
         .sortBy(_._1)
     }.toMap
     (0 until Iters).foreach { _ =>
-      books = (0 until M).map { m =>
+      books = (0 until m).map { sub =>
         val assigned = corpus.map { case (_, tv) =>
-          val sv = slice(tv, m)
-          val best = books(m).map { case (cell, ct) => (l2sq(sv, ct), cell) }
+          val sv = sl(tv, sub)
+          val best = books(sub).map { case (cell, ct) => (l2sq(sv, ct), cell) }
             .minBy(identity) // (d, cell) lexicographic = ties to low cell
           (best._2, sv)
         }
-        m -> assigned.groupBy(_._1).toSeq.map { case (cell, members) =>
+        sub -> assigned.groupBy(_._1).toSeq.map { case (cell, members) =>
           val cnt = members.size.toLong
-          (cell, Array.tabulate(SubDim)(p =>
+          (cell, Array.tabulate(subDim)(p =>
             snap(members.map(_._2(p)).sum, cnt)))
         }.sortBy(_._1)
       }.toMap
     }
     books
   }
+
+  private def trainBooks(corpus: Seq[(Long, Array[Long])])
+      : Map[Int, Seq[(Int, Array[Long])]] =
+    trainBooksAt(corpus, M, SubDim, K)
 
   private def codesOf(tv: Array[Long],
       books: Map[Int, Seq[(Int, Array[Long])]]): Seq[(Int, Long)] =
@@ -189,6 +196,62 @@ class PqSpec extends SparkTestBase {
     assert(rung4._3 === ivfpq.size.toLong)
     assert(rung4._4 ===
       ivfpq.count(r => truth.contains((r._1, r._3))).toLong)
+  }
+
+  test("q_ann_ivfpq_res equals a from-scratch residual IVFADC " +
+      "reimplementation, and residual codes beat the shared-codebook " +
+      "variant's recall") {
+    val corpus = tickCorpus()
+    // coarse integer k-means: one full-width subspace, 16 cells
+    val coarse = trainBooksAt(corpus, 1, M * SubDim, 16)(0)
+    def coarseCell(tv: Array[Long]): Int =
+      coarse.map { case (cell, ct) => (l2sq(tv, ct), cell) }
+        .minBy(identity)._2
+    val coarseBy = coarse.toMap
+    // residual corpus, then residual product codebooks on it
+    val residuals = corpus.map { case (id, tv) =>
+      val cell = coarseCell(tv)
+      (id, cell, tv.zip(coarseBy(cell)).map { case (a, b) => a - b })
+    }
+    val rbooks = trainBooksAt(residuals.map(r => (r._1, r._3)), M, SubDim, K)
+    val rcodes = residuals.map { case (id, cell, rv) =>
+      id -> (cell, codesOf(rv, rbooks).map(_._1)) }.toMap
+    // serve: rank coarse cells by exact L2 (ties to low cell), then
+    // per-(probe, cell) residual ADC against candidates in that cell
+    val probes = corpus.filter(_._1 < 10)
+    val want = probes.flatMap { case (qid, qtv) =>
+      val cells = coarse.map { case (cell, ct) => (l2sq(qtv, ct), cell) }
+        .sorted.take(4).map(_._2)
+      val cand = residuals.filter(r => r._1 != qid && cells.contains(r._2))
+      cand.map { case (nid, cell, _) =>
+        val qrv = qtv.zip(coarseBy(cell)).map { case (a, b) => a - b }
+        val d = (0 until M).map { m =>
+          val ct = rbooks(m).find(_._1 == rcodes(nid)._2(m)).get._2
+          l2sq(slice(qrv, m), ct)
+        }.sum
+        (d, nid)
+      }.sorted.take(5).zipWithIndex
+        .map { case ((d, nid), i) => (qid, i + 1, nid, d) }
+    }
+    val got = graft.SparkEntry.queries("q_ann_ivfpq_res")(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got === want)
+    // the paper's §V claim, measured: residual codes recover more of
+    // the exact top-5 than the shared-codebook variant at the same
+    // geometry and scan bound (sf0.01: 25 vs 12 of 50; pinned here on
+    // sf0.001 with slack against testdata drift)
+    def truthSet = probes.flatMap { case (qid, qtv) =>
+      corpus.filter(_._1 != qid)
+        .map { case (nid, ntv) => (l2sq(qtv, ntv), nid) }
+        .sorted.take(5).map { case (_, nid) => (qid, nid) }
+    }.toSet
+    val truth = truthSet
+    val resHits = got.count(r => truth.contains((r._1, r._3)))
+    val nonres = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect()
+      .count(r => truth.contains((r._1, r._3)))
+    assert(resHits > nonres,
+      s"residual recall ($resHits) must beat shared-codebook ($nonres)")
   }
 
   test("q_ann_ivfpq returns ADC-consistent distances and is a subset " +
