@@ -285,6 +285,80 @@ case class L2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fixed-point tick conversion of an ARRAY<DOUBLE> column:
+  * `floor(x * scale + 0.5)` per element as one fused codegen loop,
+  * returning NULL when every tick lands on zero (the sub-precision
+  * noise row [[graft.queries.SimilarityQueries.withTicks]] drops — so
+  * the caller's zero-filter is a plain `isNotNull`, not an interpreted
+  * `exists` HOF).
+  *
+  * WHY AN EXPRESSION: the declarative form —
+  * `transform(v, x -> floor(x * scale + 0.5))` — is a higher-order
+  * function, which Spark cannot whole-stage-compile; because Catalyst
+  * collapses adjacent Projects, the interpreted lambda dragged EVERY
+  * downstream trained-quantizer projection (the PQ encode, the IVF
+  * assignment) out of codegen with it. The arithmetic here is the
+  * identical IEEE sequence ((x * scale.toDouble) + 0.5, Math.floor,
+  * toLong), so tick values — and every oracle hash built on them —
+  * are bit-unchanged. Null ELEMENTS poison to null ([[L2Sq]]'s strict
+  * discipline; unreachable behind semDedupGuard, which drops them). */
+case class TickVec(child: Expression, scale: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tick_vec expects an ARRAY<DOUBLE> argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "tick_vec"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var nz = false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val t = math.floor(a.getDouble(i) * scale.toDouble + 0.5).toLong
+      out(i) = t; nz ||= t != 0L
+      i += 1
+    }
+    if (!nz) null else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      val nz = ctx.freshName("nz")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $arr = new long[$n];
+         |boolean $nz = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $t = (long) java.lang.Math.floor(
+         |    ($a.getDouble($i) * ${scale.toDouble}D) + 0.5D);
+         |  $arr[$i] = $t;
+         |  if ($t != 0L) $nz = true;
+         |}
+         |if (!${ev.isNull}) {
+         |  if (!$nz) { ${ev.isNull} = true; }
+         |  else { ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TickVec =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API (built on the function registry
   * so no private Column constructors are needed). */
 object VectorFunctions {
@@ -300,6 +374,10 @@ object VectorFunctions {
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_sq", exprs => L2Sq(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tick_vec", exprs =>
+        TickVec(exprs.head, graft.queries.SimilarityQueries.TickScale),
+      "internal")
   }
 
   /** cosine_sim(a, b) — callers must have invoked [[register]] on the
@@ -318,6 +396,11 @@ object VectorFunctions {
   /** l2_sq(a, b) over ARRAY<BIGINT> — callers must have invoked
     * [[register]] on the session that will analyze the plan. */
   def l2Sq(a: Column, b: Column): Column = call_function("l2_sq", a, b)
+
+  /** tick_vec(v) at the product [[graft.queries.SimilarityQueries
+    * .TickScale]] — null on an all-zero tick vector. Callers must have
+    * invoked [[register]] on the session that will analyze the plan. */
+  def tickVec(v: Column): Column = call_function("tick_vec", v)
 
   /** The declarative higher-order-function dot product —
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — exactly the shape

@@ -160,6 +160,60 @@ object PqQueries {
     books
   }
 
+  /** `(vec_id, cell, rv)` under a GIVEN coarse codebook — the coarse
+    * assign-and-subtract ([[graft.functions.PqKernels.residual]]) as a
+    * pure projection. Shared by the batch residual query (which trains
+    * on it) and the streaming face's index build (which reads staged
+    * books). */
+  private[graft] def residualFrame(ticked: DataFrame,
+      coarse: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    val s = ticked.sparkSession
+    import s.implicits._
+    val cResidual = graft.functions.PqFunctions.bindResidual(s,
+      graft.functions.PqBooks(coarse, 1, PqM * PqSubDim))
+    ticked.select($"vec_id", cResidual($"tv").as("cr"))
+      .select($"vec_id", element_at($"cr.cells", 1).as("cell"),
+        $"cr.rv".as("rv"))
+  }
+
+  /** The residual CODE-ONLY candidate frame `(vec_id, cell, poss)` —
+    * all a residual ADC serve ever reads per candidate. */
+  private[graft] def resCodes(resFrame: DataFrame,
+      books: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    val s = resFrame.sparkSession
+    import s.implicits._
+    val (rEncode, _) = bindKernels(s, books)
+    resFrame.select($"vec_id", $"cell",
+      rEncode($"rv").getField("poss").as("poss"))
+  }
+
+  /** The residual probe frame `(query_id, cell, dtabs)`: coarse cells
+    * ranked by exact tick L2 (ties to the smaller cell), one row per
+    * probed cell carrying the probe's residual distance tables w.r.t.
+    * THAT cell's centroid — §V's per-cell asymmetric tables, a pure
+    * projection (nprobe·M·k longs per probe, broadcast downstream). */
+  private[graft] def resProbes(probeTicked: DataFrame,
+      coarse: Seq[(Int, Int, Seq[Long])],
+      books: Seq[(Int, Int, Seq[Long])], nprobe: Int = PqNProbe): DataFrame = {
+    val s = probeTicked.sparkSession
+    import s.implicits._
+    val (_, cDtabs) = bindKernels(s, coarse, 1, PqM * PqSubDim)
+    val (_, rDtabs) = bindKernels(s, books)
+    val cellIds = coarse.map(_._2)
+    val ctMap = coarse.map(b => b._2 -> b._3).toMap
+    val ranked = array_sort(zip_with(
+      element_at(cDtabs($"qtv"), 1), typedLit(cellIds),
+      (d, c) => struct(d.as("d"), c.as("cell"))))
+    probeTicked
+      .select($"query_id", $"qtv",
+        explode(transform(slice(ranked, 1, nprobe),
+          x => x.getField("cell"))).as("cell"))
+      .select($"query_id", $"cell",
+        rDtabs(zip_with($"qtv",
+          element_at(typedLit(ctMap), $"cell"), (a, b) => a - b))
+          .as("dtabs"))
+  }
+
   private def emptyAnnShape(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     vecs.limit(0).select($"vec_id".as("query_id"), lit(1).as("rank"),
@@ -388,35 +442,15 @@ object PqQueries {
       val coarse = trainBooksOn(ticked, 1, PqM * PqSubDim, CoarseK, PqIters)
       if (coarse.isEmpty) emptyAnnShape(vecs)
       else {
-        val cBooks = graft.functions.PqBooks(coarse, 1, PqM * PqSubDim)
-        val cResidual = graft.functions.PqFunctions.bindResidual(s, cBooks)
-        val (_, cDtabs) = bindKernels(s, coarse, 1, PqM * PqSubDim)
-        val resFrame = ticked
-          .select($"vec_id", cResidual($"tv").as("cr"))
-          .select($"vec_id", element_at($"cr.cells", 1).as("cell"),
-            $"cr.rv".as("tv"))
-          .localCheckpoint()
-        val books = trainBooksOn(resFrame, PqM, PqSubDim, PqK, PqIters)
-        val (rEncode, rDtabs) = bindKernels(s, books)
-        val cands = resFrame.select($"vec_id", $"cell",
-          rEncode($"tv").getField("poss").as("poss"))
-        // probes: coarse cells ranked by exact tick L2 (the coarse
-        // book's own distance table), ties to the smaller cell — then
-        // the residual tables w.r.t. each probed cell
-        val cellIds = coarse.map(_._2)
-        val ctMap = coarse.map(b => b._2 -> b._3).toMap
-        val ranked = array_sort(zip_with(
-          element_at(cDtabs($"qtv"), 1), typedLit(cellIds),
-          (d, c) => struct(d.as("d"), c.as("cell"))))
-        val probedCells = ticked.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"tv".as("qtv"))
-          .select($"query_id", $"qtv",
-            explode(transform(slice(ranked, 1, PqNProbe),
-              x => x.getField("cell"))).as("cell"))
-          .select($"query_id", $"cell",
-            rDtabs(zip_with($"qtv",
-              element_at(typedLit(ctMap), $"cell"), (a, b) => a - b))
-              .as("dtabs"))
+        val resFrame = residualFrame(ticked, coarse).localCheckpoint()
+        val books = trainBooksOn(
+          resFrame.select($"vec_id", $"rv".as("tv")),
+          PqM, PqSubDim, PqK, PqIters)
+        val cands = resCodes(resFrame, books)
+        val probedCells = resProbes(
+          ticked.filter($"vec_id" < 10)
+            .select($"vec_id".as("query_id"), $"tv".as("qtv")),
+          coarse, books)
         val w = Window.partitionBy($"query_id")
           .orderBy($"adist".asc, $"neighbor_id".asc)
         cands.join(broadcast(probedCells), Seq("cell"))

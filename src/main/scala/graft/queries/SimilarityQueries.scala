@@ -624,11 +624,19 @@ object SimilarityQueries {
     * [[semDedupGuard]] already drops: a zero tick vector has no
     * direction, and its cosine is engine-divergent (Spark null vs SQL
     * division) — the oracles carry the identical predicate. */
-  private[graft] def withTicks(vecs: DataFrame): DataFrame =
-    vecs.withColumn("tv", transform(col("v"),
-        x => floor(x * TickScale + lit(0.5))))
+  private[graft] def withTicks(vecs: DataFrame): DataFrame = {
+    // tick_vec is the codegen'd twin of
+    // `transform(v, x -> floor(x * TickScale + 0.5))` with the all-zero
+    // drop folded in as NULL — identical IEEE arithmetic and rows (the
+    // VectorExpressions.TickVec scaladoc carries the equivalence
+    // argument), but the projection stays inside whole-stage codegen,
+    // which the interpreted HOF lambda denied to EVERY downstream
+    // trained-quantizer projection it collapsed into
+    VectorFunctions.register(vecs.sparkSession)
+    vecs.withColumn("tv", VectorFunctions.tickVec(col("v")))
+      .filter(col("tv").isNotNull)
       .withColumn("dv", col("tv").cast("array<double>"))
-      .filter(exists(col("tv"), t => t =!= 0L))
+  }
 
   /** Deterministic mini-Lloyd on the [[withTicks]] fixed-point grid: K
     * centroids seeded from the first K vectors' tick copies, `iters`

@@ -541,6 +541,80 @@ object DocStream {
         GroupStateTimeout.NoTimeout)(topk)
   }
 
+  /** Build + cache the RESIDUAL code-only IVF-PQ index `(cell, vec_id,
+    * poss)` under staged coarse + residual codebooks — the
+    * [[prepareAnnIndexPq]] layout with the cell now coming from the
+    * trained integer coarse quantizer and the codes quantizing the
+    * coarse residuals (Jégou et al. §V, the variant q_ann_ivfpq_res
+    * hash-matches; measured 2× the shared-codebook recall at the same
+    * scan bound). Shares [[graft.queries.PqQueries.residualFrame]] /
+    * `resCodes` with the batch query — one set of operators, two
+    * surfaces. */
+  def prepareAnnIndexPqRes(corpusVecs: DataFrame,
+      coarse: Seq[(Int, Int, Seq[Long])],
+      books: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    import graft.queries.{PqQueries, SimilarityQueries}
+    graft.functions.VectorFunctions.register(corpusVecs.sparkSession)
+    val guarded = SimilarityQueries.semDedupGuard(
+      corpusVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    PqQueries.resCodes(
+        PqQueries.residualFrame(
+          SimilarityQueries.withTicks(guarded)
+            .select(col("vec_id"), col("tv")), coarse), books)
+      .select(col("cell"), col("vec_id"), col("poss"))
+      .cache()
+  }
+
+  /** Streaming residual IVF-PQ serving — [[annSearchPq]] upgraded to
+    * the paper-faithful index: arriving queries rank the trained
+    * coarse cells by exact tick L2 and carry PER-PROBED-CELL residual
+    * distance tables ([[graft.queries.PqQueries.resProbes]], a pure
+    * projection of nprobe·M·k longs per query), then the same
+    * stream-static cell join + exact-long `pq_adist` + stateless
+    * top-k. Both codebooks stage through
+    * [[graft.sources.Artifacts.writeCodebook]] (two tiny all-long
+    * parquet tables — the nightly double-trainer → live scorer
+    * handoff). AnnPqStreamSpec pins row-for-row agreement with
+    * q_ann_ivfpq_res's hash-matched ranking and the zero-state
+    * contract. */
+  def annSearchPqRes(spark: SparkSession, queryVecs: DataFrame,
+                     index: DataFrame,
+                     coarse: Seq[(Int, Int, Seq[Long])],
+                     books: Seq[(Int, Int, Seq[Long])],
+                     nprobe: Int = 4, k: Int = 5): Dataset[AnnPqHit] = {
+    import spark.implicits._
+    import graft.queries.{PqQueries, SimilarityQueries}
+    require(coarse.nonEmpty, "annSearchPqRes needs a trained coarse book")
+    require(books.nonEmpty, "annSearchPqRes needs a trained codebook")
+    graft.functions.VectorFunctions.register(spark)
+    val kL = k
+    val guarded = SimilarityQueries.semDedupGuard(
+      queryVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val probes = PqQueries.resProbes(
+      SimilarityQueries.withTicks(guarded)
+        .select(col("vec_id").as("query_id"), col("tv").as("qtv")),
+      coarse, books, nprobe)
+    val scored = probes.join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.PqFunctions.adist(col("dtabs"), col("poss"))
+          .as("adist"))
+      .as[(Long, Long, Long)]
+    def topk(id: Long, rows: Iterator[(Long, Long, Long)],
+             state: GroupState[Long]): Iterator[AnnPqHit] = {
+      // the batch window's exact order: adist asc, neighbor_id asc
+      rows.toSeq.map { case (_, nid, d) => (d, nid) }
+        .sorted.take(kL).zipWithIndex
+        .map { case ((d, nid), i) => AnnPqHit(id, i + 1, nid, d) }
+        .iterator
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(topk)
+  }
+
   /** One judged media arrival from [[mediaDedup]]. */
   case class MediaAdmit(item_id: Long, admitted: Boolean,
                         dup_of: Option[Long], hamming: Option[Long])

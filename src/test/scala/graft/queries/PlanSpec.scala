@@ -299,6 +299,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("the PQ kernels stay inside whole-stage codegen") {
+    // the kernels exist because their 512-literal predecessor blew
+    // janino into a SILENT interpreted fallback (round-16 addendum:
+    // 18.15 -> 2.97s for the trio); pin that every plan line carrying
+    // a pq_* call is inside a codegen'd stage (the `*(n)` prefix) so a
+    // future fallback fails a test instead of a benchmark
+    // pinned on the CORPUS-side kernels (pq_encode / pq_residual — the
+    // per-candidate full-scan path); probe-side projections may share a
+    // stage with nearestCells' HOF sort and are O(probes) rows
+    Seq("q_emb_pq_codes", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_res")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf0001)
+        df.collect() // finalize AQE: the *(n) markers only exist then
+        val lines = df.queryExecution.executedPlan.toString.linesIterator
+          .takeWhile(!_.contains("== Initial Plan ==")) // final plan only
+          .filter(l => l.contains("pq_encode") || l.contains("pq_residual"))
+          .toSeq
+        assert(lines.nonEmpty, s"$q: no corpus-side pq kernel in the plan")
+        lines.foreach(l =>
+          assert(l.trim.matches("""^[+\-:\s]*\*\(\d+\).*"""),
+            s"$q: kernel line fell out of codegen: ${l.take(200)}"))
+      }
+  }
+
   test("approx_percentile stays within its rank-error bound") {
     // accuracy=10000 bounds rank error at n/10000; assert the approximate
     // median lies between the exact p45 and p55 values — a rank window

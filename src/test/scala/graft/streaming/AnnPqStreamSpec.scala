@@ -73,6 +73,61 @@ class AnnPqStreamSpec extends SparkTestBase {
     } finally index.unpersist()
   }
 
+  test("the RESIDUAL face: streamed top-5 equals the batch " +
+      "q_ann_ivfpq_res ranking under BOTH disk-staged codebooks, with " +
+      "zero state") {
+    import graft.queries.{PqQueries, SimilarityQueries}
+    val ticked = SimilarityQueries.withTicks(
+        SimilarityQueries.semDedupInput(spark, sf0001))
+      .select($"vec_id", $"tv")
+    val coarse = PqQueries.trainBooksOn(ticked, 1,
+      PqQueries.PqM * PqQueries.PqSubDim, PqQueries.CoarseK,
+      PqQueries.PqIters)
+    val rbooks = PqQueries.trainBooksOn(
+      PqQueries.residualFrame(ticked, coarse)
+        .select($"vec_id", $"rv".as("tv")),
+      PqQueries.PqM, PqQueries.PqSubDim, PqQueries.PqK, PqQueries.PqIters)
+
+    // the nightly double-trainer's handoff: two all-long parquet tables
+    val artDir = Files.createTempDirectory("pqres_artifacts").toString
+    graft.sources.Artifacts.writeCodebook(coarse, spark, s"$artDir/coarse")
+    graft.sources.Artifacts.writeCodebook(rbooks, spark, s"$artDir/residual")
+    val stagedC = graft.sources.Artifacts.readCodebook(spark, s"$artDir/coarse")
+    val stagedR = graft.sources.Artifacts.readCodebook(spark,
+      s"$artDir/residual")
+    assert(stagedC === coarse && stagedR === rbooks)
+
+    val dir = Files.createTempDirectory("vecs_stream_pqres")
+    stageFile(corpusVecs.filter($"vec_id" < 5), dir, "b0.parquet",
+      1700000000000L)
+    stageFile(corpusVecs.filter($"vec_id" >= 5 && $"vec_id" < 10),
+      dir, "b1.parquet", 1700000100000L)
+
+    val index = DocStream.prepareAnnIndexPqRes(corpusVecs, stagedC, stagedR)
+    try {
+      assert(index.columns.toSet === Set("cell", "vec_id", "poss"))
+      val out = DocStream.annSearchPqRes(spark,
+        DocStream.readEmbeddings(spark, dir.toString), index, stagedC,
+        stagedR).toDF()
+      val q = EventStream.runToMemory(out, "ann_pqres_serve",
+        OutputMode.Append())
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      q.stop()
+      assert(stateRows === 0L, "serving face must keep no state")
+
+      val got = spark.table("ann_pqres_serve")
+        .select($"query_id", $"rank", $"neighbor_id", $"adist")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val want = graft.SparkEntry.queries("q_ann_ivfpq_res")(spark, sf0001)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(got === want)
+      assert(got.map(_._1) === (0L until 10L).toSet)
+    } finally index.unpersist()
+  }
+
   test("a probe that is not a corpus member is served from the code " +
       "index alone (no self-exclusion dependency, no raw-vector read)") {
     val dir = Files.createTempDirectory("vecs_stream_pq_ext")
