@@ -175,6 +175,9 @@ object ScaleProbe {
     // contract with per-(probe, cell) tables — still broadcast
     // constants; must track q_ann_ivfpq's growth
     "q_ann_ivfpq_res",
+    // the audit runs BOTH variants' pair frames plus the brute truth
+    // side — the sum of its parts' contracts, all probed linear
+    "q_ann_variant_audit",
     // the two new media modalities on replicas (verbatim copies
     // collapse exactly; signature work constant, fan-out linear)
     "q_media_audio_dedup", "q_media_video_dedup")

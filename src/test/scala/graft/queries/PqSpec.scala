@@ -252,6 +252,13 @@ class PqSpec extends SparkTestBase {
       .count(r => truth.contains((r._1, r._3)))
     assert(resHits > nonres,
       s"residual recall ($resHits) must beat shared-codebook ($nonres)")
+    // the oracle-gated audit reports exactly these hit counts against
+    // the identical truth definition
+    val audit = graft.SparkEntry.queries("q_ann_variant_audit")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(audit("ivfpq") === nonres.toLong)
+    assert(audit("ivfpq_res") === resHits.toLong)
   }
 
   test("q_ann_ivfpq returns ADC-consistent distances and is a subset " +
