@@ -359,6 +359,59 @@ case class TickVec(child: Expression, scale: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The semantic-dedup input guard as one codegen'd boolean:
+  * TRUE iff the ARRAY<DOUBLE> has no null element and at least one
+  * non-zero — the [[graft.queries.SimilarityQueries.semDedupGuard]]
+  * predicate (`forall(v, x -> x IS NOT NULL) AND
+  * exists(v, x -> x <> 0.0)`), whose interpreted HOF lambdas
+  * otherwise run per corpus row on every similarity-family scan and
+  * deny the Filter whole-stage codegen. Null array -> null (the
+  * caller keeps an explicit `isNotNull` conjunct so the parquet
+  * null-filter still pushes down). Row set identical — the
+  * guardedVecsCte oracles replay the same predicate. */
+case class VecGuard(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_guard expects an ARRAY<DOUBLE> argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_guard"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var nz = false
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i)) return java.lang.Boolean.FALSE
+      if (a.getDouble(i) != 0.0) nz = true
+      i += 1
+    }
+    java.lang.Boolean.valueOf(nz)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val ok = ctx.freshName("ok")
+      val nz = ctx.freshName("nz")
+      s"""
+         |boolean $ok = true, $nz = false;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { $ok = false; break; }
+         |  if ($a.getDouble($i) != 0.0D) $nz = true;
+         |}
+         |${ev.value} = $ok && $nz;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecGuard =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API (built on the function registry
   * so no private Column constructors are needed). */
 object VectorFunctions {
@@ -378,6 +431,8 @@ object VectorFunctions {
       "tick_vec", exprs =>
         TickVec(exprs.head, graft.queries.SimilarityQueries.TickScale),
       "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_guard", exprs => VecGuard(exprs.head), "internal")
   }
 
   /** cosine_sim(a, b) — callers must have invoked [[register]] on the
@@ -401,6 +456,11 @@ object VectorFunctions {
     * .TickScale]] — null on an all-zero tick vector. Callers must have
     * invoked [[register]] on the session that will analyze the plan. */
   def tickVec(v: Column): Column = call_function("tick_vec", v)
+
+  /** vec_guard(v) — the semantic-dedup input predicate as one codegen'd
+    * boolean. Callers must have invoked [[register]] on the session
+    * that will analyze the plan. */
+  def vecGuard(v: Column): Column = call_function("vec_guard", v)
 
   /** The declarative higher-order-function dot product —
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — exactly the shape

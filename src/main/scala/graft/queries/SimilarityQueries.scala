@@ -563,10 +563,17 @@ object SimilarityQueries {
     * rows a real corpus routes to the fingerprint family instead. The
     * oracles carry the identical WHERE clause; NullVecSpec pins the
     * behavior on a corpus that actually contains every shape. */
-  private[graft] def semDedupGuard(vecs: DataFrame): DataFrame =
-    vecs.filter(col("v").isNotNull &&
-      forall(col("v"), x => x.isNotNull) &&
-      exists(col("v"), x => x =!= 0.0))
+  private[graft] def semDedupGuard(vecs: DataFrame): DataFrame = {
+    // vec_guard is the codegen'd twin of
+    // `forall(v, notNull) && exists(v, <> 0.0)` — identical rows (the
+    // VecGuard scaladoc carries the equivalence), but the guard Filter
+    // stays in whole-stage codegen instead of running two interpreted
+    // lambdas per corpus row on every similarity-family scan. The
+    // explicit isNotNull conjunct keeps the parquet null-filter
+    // pushdown the opaque kernel would otherwise lose.
+    VectorFunctions.register(vecs.sparkSession)
+    vecs.filter(col("v").isNotNull && VectorFunctions.vecGuard(col("v")))
+  }
 
   /** The guarded (vec_id, v) input every semantic-dedup query starts
     * from. */

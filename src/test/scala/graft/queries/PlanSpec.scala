@@ -314,7 +314,9 @@ class PlanSpec extends SparkTestBase {
         df.collect() // finalize AQE: the *(n) markers only exist then
         val lines = df.queryExecution.executedPlan.toString.linesIterator
           .takeWhile(!_.contains("== Initial Plan ==")) // final plan only
-          .filter(l => l.contains("pq_encode") || l.contains("pq_residual"))
+          .filter(l => (l.contains("pq_encode") || l.contains("pq_residual") ||
+            l.contains("vec_guard")) && // the fused guard Filter rides along
+            !l.contains("FileScan")) // scans echo the guard in DataFilters
           .toSeq
         assert(lines.nonEmpty, s"$q: no corpus-side pq kernel in the plan")
         lines.foreach(l =>
