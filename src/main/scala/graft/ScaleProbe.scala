@@ -180,7 +180,11 @@ object ScaleProbe {
     "q_ann_variant_audit",
     // the two new media modalities on replicas (verbatim copies
     // collapse exactly; signature work constant, fan-out linear)
-    "q_media_audio_dedup", "q_media_video_dedup")
+    "q_media_audio_dedup", "q_media_video_dedup",
+    // the banding sweep: one signature pass, three re-band projections,
+    // the 8x8 rung's candidate volume bounds the whole report — must
+    // track q_media_phash_dedup's replica contract
+    "q_media_band_tune")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

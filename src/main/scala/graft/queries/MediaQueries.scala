@@ -51,6 +51,27 @@ object MediaQueries {
   private[graft] val AudioFrames = 65
   private[graft] val AudioMaxHamming = 8
 
+  /** q_media_band_tune's layout grid — the banding calibration sweep
+    * over the 64-bit aHash: fewer/wider bands = fewer, higher-precision
+    * candidates; more/narrower = higher recall at more pair volume
+    * (the LSH banding trade, here over Hamming rings instead of
+    * Jaccard). ONE definition, interpolated into the oracle SQL. */
+  private[graft] val MediaBandConfigs = Seq((2, 32), (4, 16), (8, 8))
+
+  /** The 64-bit signature RE-BANDED at width `w` from the canonical
+    * 4×16 `bands` array — bit j is (bands[j/16] >> (j%16)) & 1, band i
+    * collects bits i·w .. i·w+w−1. Pure integer projection, exactly
+    * invertible from the shipped signature, so the tune needs no
+    * second decode pass. */
+  private def bandsAt(bands: Column, w: Int): Column =
+    array((0 until PhashCells / w).map { bi =>
+      (0 until w).map { k =>
+        val j = bi * w + k
+        shiftright(element_at(bands, j / PhashBandWidth + 1),
+          j % PhashBandWidth).bitwiseAND(lit(1L)) * lit(1L << k)
+      }.reduce(_ + _)
+    }: _*)
+
   /** q_media_video_dedup's matching geometry: sample every 2nd decoded
     * frame, hash each with the 16-cell aHash kernel, and call two items
     * near-dups when ≥ 2 ALIGNED sampled frames agree within Hamming 2 —
@@ -298,6 +319,81 @@ object MediaQueries {
         .agg(sum($"cnt").as("byte_count"))
         .filter($"byte_count" > 0)
         .orderBy("source", "bucket")
+    }),
+
+    // The media family's calibration audit (fifth of the tune family,
+    // and the q_lsh_tune device over Hamming rings instead of Jaccard):
+    // re-band the SAME 64-bit aHash signatures at 2×32 / 4×16 / 8×8 and
+    // report, per layout, candidate pair volume (cost) and how many
+    // verify at Hamming <= maxHamming against the POOLED truth (every
+    // pair any layout surfaced and verified — the lsh_tune pooled-truth
+    // discipline; banding recall past Hamming 3 is probabilistic, so
+    // the pool, not ground truth, is the comparable denominator).
+    // Wider bands demand longer exact-prefix agreement (high precision,
+    // low recall); narrower bands surface more of the ring at more
+    // pair volume. One signature pass feeds all three layouts
+    // (checkpointed; re-banding is a pure integer projection of the
+    // shipped bands — no second decode), each layout's buckets are
+    // capPerKey-bounded under its own tag, and candidate verification
+    // rides the one pooled frame. All integer until the two rounded
+    // ratios (the lsh_tune float discipline) — hard oracle end to end.
+    "q_media_band_tune" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.documentsAsMedia(s, dir).toDF()
+        .filter(length($"payload") > 0)
+      val grouped = DedupQueries.capPerKey(
+          media.select($"item_id".as("doc_id"), md5($"payload").as("fp")),
+          "media_collapse", $"fp")
+        .groupBy($"fp").agg(min($"doc_id").as("rep_id"))
+      val reps = media
+        .join(grouped.select($"rep_id".as("item_id")), Seq("item_id"))
+      // one decode+signature pass feeds three layout branches
+      val sigs = sigsOf(reps).localCheckpoint()
+      // scored candidates feed the pooled truth AND the per-layout
+      // aggregates (the lsh_tune multi-consumer rule)
+      val cands = MediaBandConfigs.map { case (b, w) =>
+        val banded = sigs
+          .select($"item_id".as("doc_id"), $"bands",
+            posexplode(bandsAt($"bands", w)))
+          .toDF("doc_id", "bands", "band_idx", "band_val")
+        DedupQueries.capPerKey(banded, s"media_tune_${b}x$w",
+            $"band_idx", $"band_val")
+          .groupBy($"band_idx", $"band_val")
+          .agg(collect_list(struct($"doc_id", $"bands")).as("xs"))
+          .filter(size($"xs") > 1)
+          .select(explode($"xs").as("a"), $"xs")
+          .select($"a", explode($"xs").as("b"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .select(lit(s"${b}x$w").as("cfg"), $"a.doc_id".as("doc_a"),
+            $"b.doc_id".as("doc_b"),
+            hammingCol($"a.bands", $"b.bands").as("hamming"))
+          .distinct()
+      }.reduce(_ unionByName _).localCheckpoint()
+      val truthTotal = cands.select($"doc_a", $"doc_b", $"hamming")
+        .distinct()
+        .agg(coalesce(sum(when($"hamming" <= PhashMaxHamming, 1L)
+          .otherwise(0L)), lit(0L)).as("pool_true"))
+      val perCfg = cands.groupBy($"cfg")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"hamming" <= PhashMaxHamming, 1L).otherwise(0L))
+            .as("n_true"))
+      val cfgs = MediaBandConfigs.map { case (b, w) => (s"${b}x$w", b, w) }
+        .toDF("cfg", "bands", "band_width")
+      cfgs.join(perCfg, Seq("cfg"), "left")
+        .crossJoin(broadcast(truthTotal))
+        .select($"cfg", $"bands", $"band_width",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"n_true", lit(0L)).as("n_true"),
+          $"pool_true",
+          when($"pool_true" > 0, graft.Clean.roundHalfUp(
+            coalesce($"n_true", lit(0L)).cast("double") / $"pool_true", 4))
+            .otherwise(lit(0.0)).as("pooled_recall"),
+          when(coalesce($"n_candidates", lit(0L)) > 0,
+            graft.Clean.roundHalfUp(
+              coalesce($"n_true", lit(0L)).cast("double")
+                / $"n_candidates", 4))
+            .otherwise(lit(0.0)).as("pooled_precision"))
+        .orderBy("bands")
     })
   )
 
@@ -551,6 +647,87 @@ object MediaQueries {
         |WHERE doc_id % 10 = 0
         |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
         |ORDER BY item_id""".stripMargin,
+
+    // replays the band-tune sweep: the shared bit grid re-banded per
+    // layout (zero-filled like the canonical grid), per-layout distinct
+    // candidate pairs, Hamming verification over the canonical 4x16
+    // bands, pooled truth across layouts, two floor-rounded ratios
+    "q_media_band_tune" -> {
+      val layoutCtes = MediaBandConfigs.map { case (b, w) =>
+        s"""bsum_${b}x$w AS (
+           |  SELECT doc_id, j // $w AS band_idx,
+           |    CAST(sum(bit << (j % $w)) AS BIGINT) AS band_val
+           |  FROM bits GROUP BY 1, 2),
+           |bgrid_${b}x$w AS (
+           |  SELECT doc_id, unnest(range(0, $b)) AS band_idx FROM sigsrc),
+           |bands_${b}x$w AS (
+           |  SELECT g.doc_id, g.band_idx,
+           |    CAST(coalesce(s.band_val, 0) AS BIGINT) AS band_val
+           |  FROM bgrid_${b}x$w g LEFT JOIN bsum_${b}x$w s
+           |    ON g.doc_id = s.doc_id AND g.band_idx = s.band_idx),
+           |cand_${b}x$w AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands_${b}x$w a JOIN bands_${b}x$w b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |    AND a.doc_id < b.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val allcand = MediaBandConfigs.map { case (b, w) =>
+        s"SELECT '${b}x$w' AS cfg, doc_a, doc_b FROM cand_${b}x$w"
+      }.mkString("\n  UNION ALL ")
+      val cfgRows = MediaBandConfigs.map { case (b, w) =>
+        s"('${b}x$w', $b, $w)"
+      }.mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id, text, length(text) AS len
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |grp AS (
+         |  SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+         |    list(doc_id) AS ids
+         |  FROM m GROUP BY 1),
+         |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
+         |$phashBandCtes,
+         |$layoutCtes,
+         |allcand AS (
+         |  $allcand),
+         |hamc AS (
+         |  SELECT c.cfg, c.doc_a, c.doc_b,
+         |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+         |      AS hamming
+         |  FROM allcand c
+         |  JOIN bands x ON x.doc_id = c.doc_a
+         |  JOIN bands y ON y.doc_id = c.doc_b AND y.band_idx = x.band_idx
+         |  GROUP BY 1, 2, 3
+         |  HAVING count(*) = $PhashBands),
+         |pooledt AS (SELECT DISTINCT doc_a, doc_b, hamming FROM hamc),
+         |pool AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN hamming <= $PhashMaxHamming
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS pool_true
+         |  FROM pooledt),
+         |percfg AS (
+         |  SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(sum(CASE WHEN hamming <= $PhashMaxHamming
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+         |  FROM hamc GROUP BY 1),
+         |cfgs AS (SELECT * FROM (VALUES $cfgRows)
+         |         t(cfg, bands_n, band_width))
+         |SELECT c.cfg, CAST(c.bands_n AS INT) AS bands,
+         |  CAST(c.band_width AS INT) AS band_width,
+         |  CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(p.n_true, 0) AS BIGINT) AS n_true,
+         |  pool.pool_true,
+         |  CASE WHEN pool.pool_true > 0 THEN
+         |    floor(coalesce(p.n_true, 0) * 1.0 / pool.pool_true
+         |      * 10000 + 0.5) / 10000
+         |  ELSE 0.0 END AS pooled_recall,
+         |  CASE WHEN coalesce(p.n_candidates, 0) > 0 THEN
+         |    floor(coalesce(p.n_true, 0) * 1.0 / p.n_candidates
+         |      * 10000 + 0.5) / 10000
+         |  ELSE 0.0 END AS pooled_precision
+         |FROM cfgs c
+         |LEFT JOIN percfg p ON p.cfg = c.cfg
+         |CROSS JOIN pool
+         |ORDER BY c.bands_n""".stripMargin
+    },
 
     // replays FakeCodec.decodeHistogram (bucket = byte * 16 / 256 =
     // byte // 16) character-wise; the corpus is ASCII so ord(char) is

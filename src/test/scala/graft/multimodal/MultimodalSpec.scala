@@ -228,4 +228,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.FakeCodec.sampleFrames(payload, 1).length === 5)
     assert(Multimodal.FakeCodec.sampleFrames(Array.empty[Byte], 2).isEmpty)
   }
+
+  test("q_media_band_tune: layouts nest (wider-band agreement implies " +
+      "narrower), and the 8x8 rung recovers the whole pool") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q_media_band_tune")(spark, sf0001)
+      .as[(String, Int, Int, Long, Long, Long, Double, Double)]
+      .collect().toSeq.sortBy(_._2)
+    assert(got.map(_._1) === Seq("2x32", "4x16", "8x8"))
+    // a pair agreeing on a 32-bit band agrees on both 16-bit halves,
+    // and a 16-bit agreement on both 8-bit halves: candidate sets are
+    // NESTED, so volume and verified counts are monotone in bands
+    assert(got.map(_._4) === got.map(_._4).sorted, "candidates monotone")
+    assert(got.map(_._5) === got.map(_._5).sorted, "verified monotone")
+    val pool = got.head._6
+    assert(got.forall(_._6 == pool), "one pooled denominator")
+    // the nesting makes every pooled-truth pair an 8x8 candidate, so
+    // the narrowest rung's recall is 1.0 by construction (cap aside)
+    val widest = got.last
+    assert(pool === 0L || widest._7 === 1.0,
+      s"8x8 pooled recall ${widest._7} with pool $pool")
+    got.foreach { r =>
+      assert(r._5 <= r._4 && r._5 <= r._6, s"${r._1} bounds")
+    }
+  }
 }
