@@ -276,7 +276,12 @@ object ScaleProbe {
     // so every EARLIER sampled frame's (frame_idx, sig) bucket holds
     // ~the whole corpus — the media_video cap must bound the candidate
     // set, and the verify join-back touches only capped pairs
-    "q_media_video_dedup")
+    "q_media_video_dedup",
+    // the banding sweep under the same concentration: ALL THREE
+    // layouts' buckets go hot simultaneously (the 8x8 rung worst —
+    // eight hot buckets per rep) — each layout's own capPerKey tag
+    // must bound its pair set independently, report stays 3 rows
+    "q_media_band_tune")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
