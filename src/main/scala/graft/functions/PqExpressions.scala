@@ -339,8 +339,24 @@ case class PqAdist(left: Expression, right: Expression)
   * own name). */
 object PqFunctions {
 
-  private def tag(books: PqBooks): String =
-    java.lang.Integer.toHexString(books.entries.hashCode())
+  /** Content digest of the full codebook (every centroid tick plus the
+    * m/subDim geometry) — MD5, not `hashCode`, so two distinct codebooks
+    * bound in one session cannot collide and silently
+    * createOrReplaceTempFunction over each other (a 32-bit hashCode
+    * collision would hand a previously returned Column builder the wrong
+    * codebook). 16 hex chars of MD5 keeps the registered name short while
+    * leaving collision probability negligible (~2^-64 per pair). */
+  private def tag(books: PqBooks): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new StringBuilder
+    sb.append(books.m).append('/').append(books.subDim)
+    books.entries.foreach { case (m, c, ticks) =>
+      sb.append('|').append(m).append(',').append(c).append(':')
+      ticks.foreach { t => sb.append(t).append(';') }
+    }
+    md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Registers `pq_encode_<tag>` / `pq_dtabs_<tag>` (codebook-bound) and
     * the codebook-free `pq_adist`, returning the Column builders bound
@@ -356,6 +372,23 @@ object PqFunctions {
       "pq_adist", exprs => PqAdist(exprs.head, exprs(1)), "internal")
     (c => call_function(s"pq_encode_$t", c),
       c => call_function(s"pq_dtabs_$t", c))
+  }
+
+  /** Drops the `pq_encode_<tag>` / `pq_dtabs_<tag>` registrations for
+    * this codebook (the codebook-free `pq_adist` stays). The trainer
+    * binds an interim book every round and each registration is dead
+    * the moment the round's eager collect finishes — without this the
+    * per-round names accumulate in the session registry for its whole
+    * lifetime. Safe even if a later [[bind]] re-registers the same
+    * book: binding is idempotent and callers of bind hold their Column
+    * builders across unrelated unbinds only when tags differ, which the
+    * content digest guarantees for different books. */
+  def unbind(spark: SparkSession, books: PqBooks): Unit = {
+    val t = tag(books)
+    Seq(s"pq_encode_$t", s"pq_dtabs_$t").foreach { n =>
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    }
   }
 
   /** pq_adist(dtabs, poss) — callers must have invoked [[bind]] on the

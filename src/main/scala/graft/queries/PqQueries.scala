@@ -141,6 +141,7 @@ object PqQueries {
       }.sortBy(b => (b._1, b._2))
     if (books.isEmpty) return books
     (0 until iters).foreach { _ =>
+      val interim = graft.functions.PqBooks(books, m, subDim)
       val (encode, _) = bindKernels(s, books, m, subDim)
       books = ticked
         .select($"tv", encode($"tv").getField("cells").as("cells"))
@@ -156,6 +157,10 @@ object PqQueries {
         .map { case ((sub, cell), rows) =>
           (sub, cell, rows.sortBy(_._3).map(r => snapMean(r._4, r._5)))
         }.toSeq.sortBy(b => (b._1, b._2))
+      // the round's collect above ran eagerly, so this interim book's
+      // registration is dead — drop it rather than let per-round names
+      // pile up in the session registry
+      graft.functions.PqFunctions.unbind(s, interim)
     }
     books
   }
@@ -247,11 +252,16 @@ object PqQueries {
   /** The residual IVFADC scored pair frame — trains the coarse and
     * residual codebooks (callers guarantee a non-empty corpus), then
     * scores candidates in the probed cells against per-cell residual
-    * tables. Shared by q_ann_ivfpq_res and the variant audit. */
-  private[graft] def resPairs(s: SparkSession, vecs: DataFrame): DataFrame = {
+    * tables. Shared by q_ann_ivfpq_res and the variant audit. A caller
+    * that already ran the coarse chain (q_ann_ivfpq_res trains it for
+    * its emptiness guard) passes it in so the [[PqIters]] distributed
+    * passes and per-round driver collects run once, not twice. */
+  private[graft] def resPairs(s: SparkSession, vecs: DataFrame,
+      coarseIn: Option[Seq[(Int, Int, Seq[Long])]] = None): DataFrame = {
     import s.implicits._
     val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
-    val coarse = trainBooksOn(ticked, 1, PqM * PqSubDim, CoarseK, PqIters)
+    val coarse = coarseIn.getOrElse(
+      trainBooksOn(ticked, 1, PqM * PqSubDim, CoarseK, PqIters))
     require(coarse.nonEmpty, "resPairs needs a non-empty corpus")
     val resFrame = residualFrame(ticked, coarse).localCheckpoint()
     val books = trainBooksOn(
@@ -479,7 +489,7 @@ object PqQueries {
       val ticked = SimilarityQueries.withTicks(vecs).select($"vec_id", $"tv")
       val coarse = trainBooksOn(ticked, 1, PqM * PqSubDim, CoarseK, PqIters)
       if (coarse.isEmpty) emptyAnnShape(vecs)
-      else rankTop5(resPairs(s, vecs))
+      else rankTop5(resPairs(s, vecs, Some(coarse)))
     }),
 
     // The recall-per-scan audit of the two IVFADC variants at the

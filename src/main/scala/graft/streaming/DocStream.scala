@@ -18,7 +18,10 @@ import graft.queries.CurationQueries
   * and per-batch work is linear in batch size exactly like the batch
   * query's per-partition work.
   */
-object DocStream {
+// Serializable because the ANN serve closures call the module-private
+// boundedTopK helper, which makes the flatMapGroupsWithState lambdas
+// capture the module instance.
+object DocStream extends Serializable {
 
   /** The documents schema as shipped in the testdata parquet. */
   val docSchema: StructType = StructType(Seq(
@@ -363,6 +366,24 @@ object DocStream {
   case class AnnHit(query_id: Long, rank: Int, neighbor_id: Long,
                     cosine: Double)
 
+  /** Bounded top-k over a streamed candidate iterator: a size-`k`
+    * max-heap keyed by the WORST kept element (smaller under `ord` =
+    * better), so serving a query from a hot cell costs O(pop · log k)
+    * time and O(k) memory instead of materializing the cell's whole
+    * candidate population — with the deliberately UNCAPPED ANN index
+    * ([[prepareAnnIndex]]) a toSeq-then-sort there is the per-group OOM
+    * shape at 100 TB. Returns the kept elements ascending under `ord`,
+    * the exact order the previous full-sort produced. */
+  private def boundedTopK[T](rows: Iterator[T], k: Int)(
+      implicit ord: Ordering[T]): Seq[T] = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[T](ord)
+    rows.foreach { r =>
+      if (heap.size < k) heap.enqueue(r)
+      else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+    }
+    heap.dequeueAll.reverse
+  }
+
   /** Build + cache the cell-assigned ANN corpus index `(cell, vec_id,
     * v)` ONCE for any number of [[annSearch]] stream setups — the
     * [[prepareSemIndex]] device for serving. UNCAPPED, deliberately:
@@ -441,9 +462,9 @@ object DocStream {
     def topk(id: Long, rows: Iterator[(Long, Long, Double)],
              state: GroupState[Long]): Iterator[AnnHit] = {
       // the batch window's exact order: cosine desc, neighbor_id asc
-      rows.toSeq.map { case (_, nid, cos) => (nid, cos) }
-        .sortBy { case (nid, cos) => (-cos, nid) }
-        .take(kL).zipWithIndex
+      boundedTopK(rows.map { case (_, nid, cos) => (nid, cos) }, kL)(
+          Ordering.by { case (nid, cos) => (-cos, nid) })
+        .zipWithIndex
         .map { case ((nid, cos), i) => AnnHit(id, i + 1, nid, cos) }
         .iterator
     }
@@ -531,8 +552,8 @@ object DocStream {
     def topk(id: Long, rows: Iterator[(Long, Long, Long)],
              state: GroupState[Long]): Iterator[AnnPqHit] = {
       // the batch window's exact order: adist asc, neighbor_id asc
-      rows.toSeq.map { case (_, nid, d) => (d, nid) }
-        .sorted.take(kL).zipWithIndex
+      boundedTopK(rows.map { case (_, nid, d) => (d, nid) }, kL)
+        .zipWithIndex
         .map { case ((d, nid), i) => AnnPqHit(id, i + 1, nid, d) }
         .iterator
     }
@@ -605,8 +626,8 @@ object DocStream {
     def topk(id: Long, rows: Iterator[(Long, Long, Long)],
              state: GroupState[Long]): Iterator[AnnPqHit] = {
       // the batch window's exact order: adist asc, neighbor_id asc
-      rows.toSeq.map { case (_, nid, d) => (d, nid) }
-        .sorted.take(kL).zipWithIndex
+      boundedTopK(rows.map { case (_, nid, d) => (d, nid) }, kL)
+        .zipWithIndex
         .map { case ((d, nid), i) => AnnPqHit(id, i + 1, nid, d) }
         .iterator
     }
