@@ -23,6 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.SqlQueries]]        — the SQL front door: operator
   *    twins expressed through `spark.sql` over the registered views,
   *    sharing their DataFrame twins' oracles verbatim
+  *  - [[graft.queries.PostTrainQueries]]  — post-training (alignment)
+  *    data ops: preference-pair mining, pair split-safety audit,
+  *    contrastive triplet mining, curriculum staging
   */
 object SparkEntry {
 
@@ -41,7 +44,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.MediaQueries.queries ++
-      graft.queries.SqlQueries.queries
+      graft.queries.SqlQueries.queries ++
+      graft.queries.PostTrainQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (minhash/simhash/LSH — seeded
@@ -56,5 +60,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.MediaQueries.oracleSql ++
-      graft.queries.SqlQueries.oracleSql
+      graft.queries.SqlQueries.oracleSql ++
+      graft.queries.PostTrainQueries.oracleSql
 }

@@ -609,7 +609,7 @@ object DedupQueries {
     * The DuckDB oracles of all three consumers replay the UNCOLLAPSED
     * recursive transitive closure, so the hash-match doubles as the
     * equivalence witness (the same device as the substring collapse). */
-  private def ngramJaccardComponents(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ngramJaccardComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val g = ngramJaccardGraph(s, dir)
     val repComp = graft.operators.ConnectedComponents.components(
@@ -1004,14 +1004,7 @@ object DedupQueries {
     // same quality window — the hash-match is the equivalence witness.
     "q_dedup_quality_rep" -> ((s, dir) => {
       import s.implicits._
-      val toks = graft.queries.TextQueries.tokens(lower($"text"))
-      val qual = Tables.table(s, dir, "documents")
-        .filter($"text".isNotNull)
-        .select($"doc_id",
-          (floor(size(array_distinct(toks)).cast("double")
-              / greatest(size(toks), lit(1)) * 10000 + 0.5).cast("long")
-            * 1000000L +
-            least(size(toks).cast("long"), lit(999999L))).as("q"))
+      val qual = qualityTicks(s, dir)
       val members = ngramJaccardComponents(s, dir)
         .select($"id".as("doc_id"), $"component")
         .join(qual, Seq("doc_id"))
@@ -1801,11 +1794,43 @@ object DedupQueries {
        |ORDER BY c.bands""".stripMargin
   }
 
+  /** The exact-tick quality key `(doc_id, q)` over non-null-text docs:
+    * distinct-token-ratio in 1e-4 ticks, lexicographically extended by
+    * capped token count (ties in the consumers break toward the smaller
+    * doc_id). One definition shared by the quality-aware dedup consumers
+    * (q_dedup_quality_rep) and the post-training pair miner
+    * (PostTrainQueries.q_pref_pairs) so "quality" means ONE thing across
+    * the curation and alignment families. */
+  private[queries] def qualityTicks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.queries.TextQueries.tokens(lower($"text"))
+    Tables.table(s, dir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        (floor(size(array_distinct(toks)).cast("double")
+            / greatest(size(toks), lit(1)) * 10000 + 0.5).cast("long")
+          * 1000000L +
+          least(size(toks).cast("long"), lit(999999L))).as("q"))
+  }
+
+  /** DuckDB replay of [[qualityTicks]] — the `qual` CTE body shared by
+    * the q_dedup_quality_rep and q_pref_pairs oracles. */
+  private[queries] val qualityTicksCte: String =
+    """qual AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(floor(CAST(length(list_distinct(qtoks)) AS DOUBLE)
+      |        / greatest(length(qtoks), 1) * 10000 + 0.5) AS BIGINT)
+      |      * 1000000 + least(CAST(length(qtoks) AS BIGINT), 999999)
+      |      AS q
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS qtoks
+      |        FROM documents WHERE text IS NOT NULL))""".stripMargin
+
   /** The recursive transitive-closure CTE chain over the jaccard edge
     * set — shared by the q_dedup_clusters_sql oracle (its original home)
     * and the q_split_cluster_safe oracle, which extends it with the
     * rep-bucket split assignment. */
-  private val clusterReachCtes: String =
+  private[queries] val clusterReachCtes: String =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, lang,
       |    CAST(length(text) // 64 AS INT) AS len_band,
@@ -1873,17 +1898,8 @@ object DedupQueries {
     // component-closure property (every keep_doc is itself a survivor)
     // is externally hash-verified.
     "q_dedup_quality_rep" ->
-      (clusterReachCtes +
+      (clusterReachCtes + ",\n" + qualityTicksCte +
         s""",
-         |qual AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST(floor(CAST(length(list_distinct(qtoks)) AS DOUBLE)
-         |        / greatest(length(qtoks), 1) * 10000 + 0.5) AS BIGINT)
-         |      * 1000000 + least(CAST(length(qtoks) AS BIGINT), 999999)
-         |      AS q
-         |  FROM (SELECT doc_id,
-         |          string_split_regex(trim(lower(text)), '\\s+') AS qtoks
-         |        FROM documents WHERE text IS NOT NULL)),
          |comp AS (
          |  SELECT src AS doc_id, least(src, min(dst)) AS component
          |  FROM reach GROUP BY src),

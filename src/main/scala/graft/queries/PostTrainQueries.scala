@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Clean, Tables}
+import graft.functions.VectorFunctions
+
+/** Post-training (alignment) data operators — the pipeline stage AFTER
+  * pretraining curation: mining preference pairs for reward-model /
+  * DPO-style training, mining contrastive triplets for embedding-model
+  * training, and ordering a corpus into curriculum stages. Pretraining
+  * curation asks "which documents survive"; post-training asks "which
+  * PAIRS of documents encode a judgment" — a different output shape
+  * built from the same quality/cluster/similarity machinery, shared
+  * literally (one definition of quality, one component closure, one
+  * cosine kernel), so the two families can never disagree about what
+  * "better" means.
+  *
+  * Scale contract (100 TB): every pairing here is bounded — preference
+  * pairs fan out within near-dup components (whose size the dedup
+  * family's bucket caps already bound), contrastive candidates are
+  * |probe| × corpus with the probe side broadcast, and curriculum
+  * staging is one window per language partition. No operator in this
+  * file can go quadratic in the corpus.
+  */
+object PostTrainQueries {
+
+  /** Minimum quality margin (in [[DedupQueries.qualityTicks]] ticks) for
+    * a (chosen, rejected) pair to count as a real preference: one full
+    * distinct-token-ratio tick (1e-4 of ratio = 1,000,000 composite
+    * ticks), so pairs that differ only in the token-count tiebreak —
+    * same ratio, different length — are NOT emitted as preferences.
+    * Interpolated into the oracle SQL. */
+  private[queries] val PrefMinMargin = 1000000L
+
+  /** Semi-hard band width for contrastive triplet difficulty: a negative
+    * scoring within `alpha` of the positive (in rounded cosine) is
+    * semi-hard (the FaceNet mining regime); above the positive it is
+    * hard; below the band it is easy. Both engines compare the SAME
+    * IEEE doubles (the 1e-4-rounded cosines both sides hash-match
+    * everywhere else in the suite), so the banding replays exactly. */
+  private[queries] val TripletAlpha = 0.05
+
+  /** Negatives mined per anchor. */
+  private[queries] val NegK = 3
+
+  /** Curriculum stage count (ntile-style: the first `n mod k` stages
+    * take the extra row when the language's count doesn't divide). */
+  private[queries] val CurriculumStages = 4L
+
+  /** The (chosen, rejected) preference-pair frame over the near-dup
+    * component graph: within each component, chosen = the quality
+    * survivor (the SAME window as q_dedup_quality_rep), rejected = every
+    * other member whose quality trails by at least `marginTicks`.
+    * Factored out so the split-safety audit composes the identical
+    * lineage. */
+  private def prefPairsFrame(members: DataFrame, marginTicks: Long): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    val best = Window.partitionBy($"component")
+      .orderBy($"q".desc, $"doc_id".asc)
+    members
+      .withColumn("rn", row_number().over(best))
+      .withColumn("chosen_doc", first($"doc_id").over(best))
+      .withColumn("chosen_q", first($"q").over(best))
+      .filter($"rn" > 1 && ($"chosen_q" - $"q") >= marginTicks)
+      .select($"component", $"chosen_doc", $"chosen_q",
+        $"doc_id".as("rejected_doc"), $"q".as("rejected_q"),
+        ($"chosen_q" - $"q").as("margin"))
+  }
+
+  /** Component members with their quality ticks — the shared input of
+    * the pair miner and the split audit. */
+  private def componentMembers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupQueries.ngramJaccardComponents(s, dir)
+      .select($"id".as("doc_id"), $"component")
+      .join(DedupQueries.qualityTicks(s, dir), Seq("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Preference-pair mining for reward-model / DPO-style training:
+    // near-dup components are exactly the groups where two documents
+    // say the SAME thing with different quality — the one corpus shape
+    // where "A is a better version of B" is well-defined without a
+    // human label — so each component's quality survivor becomes
+    // `chosen` and every member trailing it by ≥ [[PrefMinMargin]]
+    // becomes `rejected`, with the margin as the pair's confidence
+    // weight. Quality is the exact-tick key shared verbatim with
+    // q_dedup_quality_rep ([[DedupQueries.qualityTicks]]) and chosen is
+    // that query's survivor BY THE SAME WINDOW, so a pair's chosen doc
+    // is always a document the dedup policy would keep — the two
+    // families are one policy, checked not claimed (the oracle extends
+    // the quality_rep CTE chain and the hash covers both).
+    //
+    // Shapes: components come from the representative-level CC
+    // ([[DedupQueries.ngramJaccardComponents]], bucket-capped upstream),
+    // pair fan-out is one row_number window over per-component member
+    // groups — bounded by component size, no join at all. Hard oracle:
+    // the shared recursive transitive closure + quality CTE + the same
+    // window, pairs filtered by the same margin.
+    "q_pref_pairs" -> ((s, dir) =>
+      prefPairsFrame(componentMembers(s, dir), PrefMinMargin)
+        .orderBy("chosen_doc", "rejected_doc")),
+
+    // The pair-level split-safety audit: preference pairs must never
+    // straddle a train/eval boundary (a pair with chosen in train and
+    // rejected in test leaks the judgment into evaluation — the
+    // pair-shaped version of q_split_leakage's contamination check).
+    // q_split_cluster_safe assigns splits per COMPONENT rep, and pairs
+    // are mined within components, so no pair can straddle BY
+    // CONSTRUCTION — this query makes that invariant executable and
+    // oracle-gated instead of asserted: it recomputes the shipped split
+    // assignment (the full doc-universe left join, not a shortcut
+    // through the component label), joins each pair's two sides
+    // against it by doc_id, and groups by the (chosen_split,
+    // rejected_split) cell. Every emitted row must be diagonal; the
+    // DuckDB hash-match re-derives both pipelines end to end and
+    // verifies the diagonal externally.
+    //
+    // Shapes: ONE component closure feeds both the pair miner and the
+    // split assignment (localCheckpoint at the fan-out — the
+    // multi-consumer discipline); the audit adds two broadcast-sized
+    // joins (pairs are few) and one tiny aggregation.
+    "q_pref_split_check" -> ((s, dir) => {
+      import s.implicits._
+      val comp = DedupQueries.ngramJaccardComponents(s, dir)
+        .select($"id".as("doc_id"), $"component")
+        .localCheckpoint()
+      val members = comp.join(DedupQueries.qualityTicks(s, dir), Seq("doc_id"))
+      val pairs = prefPairsFrame(members, PrefMinMargin)
+      val b = TextQueries.sampleBucket($"rep")
+      val splits = Tables.table(s, dir, "documents").select($"doc_id")
+        .join(comp.withColumnRenamed("component", "comp_rep"),
+          Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"comp_rep", $"doc_id").as("rep"))
+        .select($"doc_id",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .as("split"))
+      pairs
+        .join(splits.select($"doc_id".as("chosen_doc"),
+          $"split".as("chosen_split")), Seq("chosen_doc"))
+        .join(splits.select($"doc_id".as("rejected_doc"),
+          $"split".as("rejected_split")), Seq("rejected_doc"))
+        .groupBy($"chosen_split", $"rejected_split")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("chosen_split", "rejected_split")
+    }),
+
+    // Contrastive triplet mining for embedding-model training: for each
+    // probe anchor (vec_id < 10, the ANN family's probe convention),
+    // the positive is its nearest SAME-label neighbor and the negatives
+    // are its [[NegK]] nearest DIFFERENT-label neighbors — the
+    // hard-negative mining step every contrastive pipeline runs, with
+    // each triplet banded into hard / semi-hard / easy by where the
+    // negative's cosine sits relative to the positive's (the FaceNet
+    // α-band, [[TripletAlpha]]): hard negatives score above the
+    // positive, semi-hard within α below it, easy below the band. The
+    // banding is the MINING SIGNAL — training wants semi-hard triplets;
+    // hard ones flag label noise.
+    //
+    // Shapes: one broadcast of the 10 anchors against the corpus scores
+    // every candidate ONCE (the q_knn_brute plan), localCheckpointed
+    // because positives and negatives are two differently-filtered
+    // windows over the same scored frame; the final join broadcasts the
+    // ≤|anchors| positive rows. Candidate volume is |anchors| × corpus —
+    // linear, and at 100 TB the brute scoring swaps for the IVF probe
+    // path (q_ann_ivf's cells) without changing this query's windows.
+    // Hard oracle: cosine is the suite's 1e-4-rounded kernel, windows
+    // and the α-band replay exactly.
+    "q_contrastive_negatives" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = Tables.table(s, dir, "embeddings")
+        .filter($"label".isNotNull)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      val probes = vecs.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"v".as("qv"))
+      val scored = vecs.join(broadcast(probes), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"qlabel", $"vec_id".as("cand_id"),
+          $"label".as("clabel"),
+          Clean.roundHalfUp(
+            VectorFunctions.cosineSim($"qv", $"v"), 4).as("cosine"))
+        .localCheckpoint() // two consumers: the positive and negative windows
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"cand_id".asc)
+      val pos = scored.filter($"qlabel" === $"clabel")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"query_id", $"cand_id".as("pos_id"),
+          $"cosine".as("pos_cosine"))
+      val negs = scored.filter($"qlabel" =!= $"clabel")
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= NegK)
+        .select($"query_id", $"rank", $"cand_id".as("neg_id"),
+          $"cosine".as("neg_cosine"))
+      negs.join(broadcast(pos), Seq("query_id"))
+        .select($"query_id", $"rank", $"neg_id", $"neg_cosine",
+          $"pos_id", $"pos_cosine",
+          when($"neg_cosine" >= $"pos_cosine", "hard")
+            .when($"neg_cosine" >= $"pos_cosine" - TripletAlpha, "semi_hard")
+            .otherwise("easy").as("difficulty"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Curriculum staging: order each language's corpus easy → hard and
+    // cut it into [[CurriculumStages]] contiguous stages — the data-
+    // ordering step of curriculum learning (Bengio et al. 2009), where
+    // training consumes stage 1 before stage 2. Difficulty is an exact
+    // integer key: average token length in 1e-4 ticks (longer words =
+    // harder text — the classic readability proxy), tie-broken by
+    // n_chars then doc_id so the order is total. Stage boundaries follow
+    // the SQL-standard NTILE split (first n mod k stages take the extra
+    // row) but are computed ARITHMETICALLY from one per-language
+    // row_number/count window rather than a second ntile pass — one
+    // exchange on lang, one sort, pure projection after; the oracle
+    // replays the same arithmetic rather than trusting engine ntile
+    // implementations to agree.
+    //
+    // Scale shape: one window per language partition. A language is the
+    // natural curriculum universe (difficulty ticks don't compare
+    // across scripts) and per-lang sort is the q_shard_assign
+    // discipline; skewed language sizes range-partition within the
+    // window exchange.
+    "q_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextQueries.tokens(lower($"text"))
+      val base = Tables.table(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"lang", $"n_chars",
+          aggregate(transform(toks, t => length(t).cast("long")),
+            lit(0L), (a, b) => a + b).as("tok_chars"),
+          greatest(size(toks), lit(1)).cast("long").as("n_toks"))
+        .select($"doc_id", $"lang", $"n_chars",
+          floor($"tok_chars" * 10000.0 / $"n_toks").cast("long")
+            .as("difficulty"))
+      val byLang = Window.partitionBy($"lang")
+      val order = Window.partitionBy($"lang")
+        .orderBy($"difficulty".asc, $"n_chars".asc, $"doc_id".asc)
+      val k = CurriculumStages
+      val staged = base
+        .withColumn("rn", row_number().over(order).cast("long"))
+        .withColumn("n", count(lit(1)).over(byLang))
+        // NTILE(k) arithmetic: r = n mod k big stages of size q+1 first
+        .withColumn("qsz", floor($"n" / k).cast("long"))
+        .withColumn("r", ($"n" % k).cast("long"))
+        .withColumn("big", $"r" * ($"qsz" + 1L))
+        .withColumn("stage",
+          when($"rn" <= $"big",
+            floor(($"rn" - 1L) / ($"qsz" + 1L)).cast("long") + 1L)
+            .otherwise($"r"
+              + floor(($"rn" - $"big" - 1L) / greatest($"qsz", lit(1L)))
+                .cast("long") + 1L))
+        .withColumn("stage_pos",
+          when($"rn" <= $"big", ($"rn" - 1L) % ($"qsz" + 1L) + 1L)
+            .otherwise(($"rn" - $"big" - 1L) % greatest($"qsz", lit(1L)) + 1L))
+      staged.select($"doc_id", $"lang", $"difficulty", $"stage", $"stage_pos")
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Extends the q_dedup_quality_rep oracle chain (shared closure +
+    // shared quality CTE + the same survivor window) with the pair
+    // projection and margin filter — the hash-match proves the pair
+    // miner and the dedup survivor policy agree on every chosen doc.
+    "q_pref_pairs" ->
+      (DedupQueries.clusterReachCtes + ",\n" + DedupQueries.qualityTicksCte +
+        s""",
+           |comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS component
+           |  FROM reach GROUP BY src),
+           |ranked AS (
+           |  SELECT c.doc_id, c.component, q.q,
+           |    row_number() OVER (PARTITION BY c.component
+           |      ORDER BY q.q DESC, c.doc_id) AS rn,
+           |    first_value(c.doc_id) OVER (PARTITION BY c.component
+           |      ORDER BY q.q DESC, c.doc_id) AS chosen_doc,
+           |    first_value(q.q) OVER (PARTITION BY c.component
+           |      ORDER BY q.q DESC, c.doc_id) AS chosen_q
+           |  FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
+           |SELECT component, chosen_doc, chosen_q,
+           |  doc_id AS rejected_doc, q AS rejected_q,
+           |  chosen_q - q AS margin
+           |FROM ranked
+           |WHERE rn > 1 AND chosen_q - q >= $PrefMinMargin
+           |ORDER BY chosen_doc, rejected_doc""".stripMargin),
+
+    // Re-derives BOTH pipelines — the pair miner and the shipped
+    // cluster-safe split assignment — and verifies every pair lands on
+    // the diagonal of the (chosen_split, rejected_split) grid.
+    "q_pref_split_check" ->
+      (DedupQueries.clusterReachCtes + ",\n" + DedupQueries.qualityTicksCte +
+        s""",
+           |comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS component
+           |  FROM reach GROUP BY src),
+           |ranked AS (
+           |  SELECT c.doc_id, c.component, q.q,
+           |    row_number() OVER (PARTITION BY c.component
+           |      ORDER BY q.q DESC, c.doc_id) AS rn,
+           |    first_value(c.doc_id) OVER (PARTITION BY c.component
+           |      ORDER BY q.q DESC, c.doc_id) AS chosen_doc,
+           |    first_value(q.q) OVER (PARTITION BY c.component
+           |      ORDER BY q.q DESC, c.doc_id) AS chosen_q
+           |  FROM comp c JOIN qual q ON q.doc_id = c.doc_id),
+           |prefpairs AS (
+           |  SELECT chosen_doc, doc_id AS rejected_doc
+           |  FROM ranked
+           |  WHERE rn > 1 AND chosen_q - q >= $PrefMinMargin),
+           |assigned AS (
+           |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+           |splits AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ((rep % 1000003) * 31 + 7) % 100 < 80 THEN 'train'
+           |         WHEN ((rep % 1000003) * 31 + 7) % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM assigned)
+           |SELECT sc.split AS chosen_split, sr.split AS rejected_split,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM prefpairs p
+           |JOIN splits sc ON sc.doc_id = p.chosen_doc
+           |JOIN splits sr ON sr.doc_id = p.rejected_doc
+           |GROUP BY sc.split, sr.split
+           |ORDER BY chosen_split, rejected_split""".stripMargin),
+
+    "q_contrastive_negatives" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+         |                                 x -> x * x))) AS n
+         |  FROM embeddings WHERE label IS NOT NULL),
+         |scored AS (
+         |  SELECT p.vec_id AS query_id, p.label AS qlabel,
+         |    c.vec_id AS cand_id, c.label AS clabel,
+         |    floor(list_sum(list_transform(range(1, 65),
+         |            i -> p.v[i] * c.v[i])) / (p.n * c.n)
+         |          * 10000 + 0.5) / 10000 AS cosine
+         |  FROM vecs p JOIN vecs c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 10),
+         |pos AS (
+         |  SELECT query_id, cand_id AS pos_id, cosine AS pos_cosine
+         |  FROM (SELECT query_id, cand_id, cosine,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, cand_id) AS rn
+         |        FROM scored WHERE qlabel = clabel)
+         |  WHERE rn = 1),
+         |negs AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, cand_id) AS INT) AS rank,
+         |    cand_id AS neg_id, cosine AS neg_cosine
+         |  FROM scored WHERE qlabel <> clabel)
+         |SELECT n.query_id, n.rank, n.neg_id, n.neg_cosine,
+         |  p.pos_id, p.pos_cosine,
+         |  CASE WHEN n.neg_cosine >= p.pos_cosine THEN 'hard'
+         |       WHEN n.neg_cosine >= p.pos_cosine - $TripletAlpha
+         |         THEN 'semi_hard'
+         |       ELSE 'easy' END AS difficulty
+         |FROM negs n JOIN pos p USING (query_id)
+         |WHERE n.rank <= $NegK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays the SAME ntile arithmetic (not engine ntile) over the
+    // same difficulty ticks and total order.
+    "q_curriculum" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(floor(list_sum(list_transform(toks, t -> length(t)))
+         |      * 10000.0 / greatest(length(toks), 1)) AS BIGINT)
+         |      AS difficulty
+         |  FROM (SELECT doc_id, lang, n_chars,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents WHERE text IS NOT NULL)),
+         |counted AS (
+         |  SELECT doc_id, lang, difficulty,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY difficulty, n_chars, doc_id) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM base),
+         |staged AS (
+         |  SELECT doc_id, lang, difficulty, rn, n,
+         |    n // $CurriculumStages AS qsz,
+         |    n % $CurriculumStages AS r
+         |  FROM counted)
+         |SELECT doc_id, lang, difficulty,
+         |  CASE WHEN rn <= r * (qsz + 1)
+         |       THEN (rn - 1) // (qsz + 1) + 1
+         |       ELSE r + (rn - r * (qsz + 1) - 1) // greatest(qsz, 1) + 1
+         |  END AS stage,
+         |  CASE WHEN rn <= r * (qsz + 1)
+         |       THEN (rn - 1) % (qsz + 1) + 1
+         |       ELSE (rn - r * (qsz + 1) - 1) % greatest(qsz, 1) + 1
+         |  END AS stage_pos
+         |FROM staged ORDER BY doc_id""".stripMargin
+  )
+}
