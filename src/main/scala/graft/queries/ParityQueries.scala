@@ -439,6 +439,52 @@ object ParityQueries {
         .orderBy("z_tile")
     }),
 
+    // Hilbert-curve layout index over the same (o_custkey, o_orderdate)
+    // bucket pair as q_layout_zorder — the layout family's second curve.
+    // The Morton curve's bit interleave has "seams": consecutive z
+    // values can jump across the whole key space (z=0x0FFF→0x1000 walks
+    // from one quadrant corner to another), so a z tile occasionally
+    // spans a huge raw range on one dimension and its parquet min/max
+    // stat prunes nothing. The Hilbert curve is the space-filling curve
+    // WITHOUT seams — consecutive d values are always grid-adjacent
+    // cells (HilbertSpec proves bijectivity + unit-step adjacency over
+    // the full 256×256 grid) — so per-tile spans are uniformly tight and
+    // files sorted by d prune better on BOTH dimensions. Same tile
+    // report as the z query, directly comparable.
+    //
+    // Plan: the same 1-row stats broadcast, then d is ONE codegen'd
+    // kernel call ([[graft.functions.HilbertD2]] — unrolling the 8
+    // rotate rounds as Column CASEs would triple the expression tree per
+    // round and risk the janino fallback). Hard oracle: the rotate loop
+    // unrolled as 8 chained integer CTEs.
+    "q_layout_hilbert" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.HilbertFunctions.register(s)
+      val o = Tables.table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          datediff(to_date($"o_orderdate"),
+            lit("1992-01-01").cast("date")).as("day"))
+      val stats = o.agg(
+        min($"o_custkey").as("min_c"), max($"o_custkey").as("max_c"),
+        min($"day").as("min_d"), max($"day").as("max_d"))
+      val bucketed = o.join(broadcast(stats))
+        .select($"o_custkey", $"day",
+          floor(($"o_custkey" - $"min_c") * 256d / ($"max_c" - $"min_c" + 1))
+            .cast("long").as("bx"),
+          floor(($"day" - $"min_d") * 256d / ($"max_d" - $"min_d" + 1))
+            .cast("long").as("by"))
+      bucketed
+        .select($"o_custkey", $"day",
+          (graft.functions.HilbertFunctions.hilbertD2($"bx", $"by") / 16)
+            .cast("long").as("h_tile"))
+        .groupBy($"h_tile")
+        .agg(count(lit(1)).as("rows"),
+          min($"o_custkey").as("min_custkey"),
+          max($"o_custkey").as("max_custkey"),
+          min($"day").as("min_day"), max($"day").as("max_day"))
+        .orderBy("h_tile")
+    }),
+
     // Column profiling — the DQ suite's fourth face (after completeness /
     // accuracy / referential): per-column row, null, and distinct counts
     // over customer in ONE scan. All profile aggregates compute in a
@@ -710,6 +756,29 @@ object ParityQueries {
       s"(((bx >> $i) & 1) << ${2 * i}) + (((by >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** The [[graft.functions.HilbertKernels.d2]] rotate-and-accumulate
+    * loop unrolled as 8 chained CTEs (s = 128 … 1), generated so the
+    * DuckDB replay and the kernel share one definition of each round:
+    * d += s²·((3·rx) xor ry), then the quadrant rotation/reflection of
+    * (x, y). Expects an upstream CTE `h0(o_custkey, day, x, y, d)` with
+    * d = 0. */
+  private def hilbertRoundsSql: String =
+    (0 until 8).map { i =>
+      val s = 128L >> i
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h${i + 1} AS (
+         |  SELECT o_custkey, day,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END)
+         |    ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END)
+         |    ELSE y END AS y,
+         |    d + ${s * s} * xor(3 * $rx,
+         |      (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
     "q_layout_zorder" ->
       s"""WITH o AS (
@@ -729,6 +798,25 @@ object ParityQueries {
         |  min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
         |  CAST(min(day) AS INT) AS min_day, CAST(max(day) AS INT) AS max_day
         |FROM z GROUP BY z_tile ORDER BY z_tile""".stripMargin,
+
+    "q_layout_hilbert" ->
+      s"""WITH o AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS day
+        |  FROM orders),
+        |s AS (SELECT min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+        |             min(day) AS min_d, max(day) AS max_d FROM o),
+        |h0 AS (SELECT o_custkey, day,
+        |        ((o_custkey - min_c) * 256) // (max_c - min_c + 1) AS x,
+        |        ((day - min_d) * 256) // (max_d - min_d + 1) AS y,
+        |        CAST(0 AS BIGINT) AS d
+        |      FROM o, s),
+        |$hilbertRoundsSql
+        |SELECT d // 16 AS h_tile, CAST(count(*) AS BIGINT) AS rows,
+        |  min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+        |  CAST(min(day) AS INT) AS min_day, CAST(max(day) AS INT) AS max_day
+        |FROM h8 GROUP BY h_tile ORDER BY h_tile""".stripMargin,
 
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
