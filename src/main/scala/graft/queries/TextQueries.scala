@@ -195,6 +195,107 @@ object TextQueries {
        |  GROUP BY k.doc_id)""".stripMargin
   }
 
+  /** The generated DuckDB CTE chain replaying [[wordpieceMerges]] — the
+    * [[bpeTrainChainSql]] device with the argmax swapped to the
+    * likelihood-gain tick: per iteration, pair counts (p_i), symbol
+    * counts (u_i), the (score DESC, l, r) 1-row argmax under exact
+    * integer division (m_i), and the literal-replace merge (seg_i).
+    * DuckDB's integer sum() returns HUGEINT, under which `*` and `//`
+    * are still exact — the tick values equal Spark's BIGINT arithmetic
+    * wherever the BIGINT bound (WpScoreScale doc) holds. */
+  private lazy val wpTrainChainSql: String = {
+    val iters = (1 to WpMergeCount).map { i =>
+      s"""wp$i AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT cnt,
+         |      unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+         |        AS pr
+         |    FROM (SELECT cnt,
+         |            regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS syms
+         |          FROM wseg${i - 1}) s) z
+         |  GROUP BY 1, 2),
+         |wu$i AS MATERIALIZED (
+         |  SELECT sym, sum(cnt) AS u FROM (
+         |    SELECT cnt,
+         |      unnest(regexp_extract_all(seg, '\\(([^()]*)\\)', 1)) AS sym
+         |    FROM wseg${i - 1}) s
+         |  GROUP BY 1),
+         |wm$i AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.c,
+         |    (p.c * $WpScoreScale) // (ul.u * ur.u) AS st
+         |  FROM wp$i p JOIN wu$i ul ON ul.sym = p.l
+         |              JOIN wu$i ur ON ur.sym = p.r
+         |  ORDER BY st DESC, p.l, p.r LIMIT 1),
+         |wseg$i AS MATERIALIZED (
+         |  SELECT replace(seg, '('||l||')('||r||')', '('||l||r||')')
+         |           AS seg, cnt
+         |  FROM wseg${i - 1}, wm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""wtoks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |wtok AS MATERIALIZED (
+       |  SELECT doc_id, t AS w, count(*) AS c FROM wtoks GROUP BY 1, 2),
+       |wwords AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seg, cnt FROM (
+       |    SELECT w, sum(c) AS cnt FROM wtok
+       |    WHERE length(w) >= 2 AND NOT regexp_matches(w, '[()]')
+       |    GROUP BY w) g),
+       |wseg0 AS MATERIALIZED (SELECT seg, cnt FROM wwords),
+       |$iters""".stripMargin
+  }
+
+  /** Training chain + the greedy longest-match application — the shared
+    * tail of the q_doc_wordpiece_apply oracle: the trained vocabulary
+    * (training chars ∪ merge products), a precomputed per-(word, pos)
+    * LONGEST-match table, and the greedy walk as a recursive CTE whose
+    * single deterministic chain per word advances pos by the matched
+    * length (or 1 OOV char on a NULL match — the kernel's fallback).
+    * Ends with `wperdoc(doc_id, ws_tokens, wp_tokens, oov_chars)`. */
+  private lazy val wpApplyChainSql: String = {
+    val mergeUnion = (1 to WpMergeCount)
+      .map(i => s"SELECT l || r AS piece FROM wm$i").mkString(" UNION ")
+    s"""$wpTrainChainSql,
+       |wtw AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM wtok
+       |  WHERE length(w) >= 2 AND NOT regexp_matches(w, '[()]')),
+       |wchars AS (
+       |  SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM wtw)),
+       |wvocab AS MATERIALIZED (
+       |  SELECT piece FROM wchars UNION $mergeUnion),
+       |wvmax AS (SELECT max(length(piece)) AS ml FROM wvocab),
+       |wwordsu AS MATERIALIZED (SELECT DISTINCT w FROM wtok),
+       |wcand AS (
+       |  SELECT w, pos, substr(w, CAST(pos AS INT), CAST(l AS INT)) AS pref,
+       |         l
+       |  FROM (SELECT w, pos, unnest(range(1, ml + 1)) AS l
+       |        FROM (SELECT w, unnest(range(1, length(w) + 1)) AS pos
+       |              FROM wwordsu), wvmax)
+       |  WHERE pos + l - 1 <= length(w)),
+       |wbest AS MATERIALIZED (
+       |  SELECT c.w, c.pos, max(c.l) AS mlen
+       |  FROM wcand c JOIN wvocab v ON v.piece = c.pref
+       |  GROUP BY c.w, c.pos),
+       |wwalk(w, pos, ntok, oov) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM wwordsu
+       |  UNION ALL
+       |  SELECT s.w, s.pos + coalesce(b.mlen, 1), s.ntok + 1,
+       |    s.oov + CASE WHEN b.mlen IS NULL THEN 1 ELSE 0 END
+       |  FROM wwalk s LEFT JOIN wbest b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos <= length(s.w)),
+       |wstats AS MATERIALIZED (
+       |  SELECT w, ntok, oov FROM wwalk WHERE pos > length(w)),
+       |wperdoc AS MATERIALIZED (
+       |  SELECT k.doc_id, sum(k.c) AS ws_tokens,
+       |    sum(k.c * s.ntok) AS wp_tokens,
+       |    sum(k.c * s.oov) AS oov_chars
+       |  FROM wtok k JOIN wstats s ON s.w = k.w
+       |  GROUP BY k.doc_id)""".stripMargin
+  }
+
   /** Per-document BPE token accounting under the corpus-trained merge
     * table — the (doc_id, ws_tokens, bpe_tokens) frame shared by
     * q_doc_bpe_apply (reporting + compression) and q_doc_pack_bpe
@@ -271,6 +372,96 @@ object TextQueries {
       }
       merges.toSeq
     } finally { cached.unpersist(); () }
+  }
+
+  /** q_doc_wordpiece_train's merge budget — one definition,
+    * interpolated into the generated oracle CTE chain. */
+  private[queries] val WpMergeCount = 12
+
+  /** WordPiece merge-score scale: the likelihood gain
+    * count(ab)/(count(a)·count(b)) in 1e-10 ticks via exact integer
+    * division, so the argmax is a pure BIGINT comparison in both
+    * engines (no cross-engine float ordering anywhere in the trainer).
+    * Overflow bound: pair_count · 1e10 must stay under 2^63 — exact to
+    * ~9·10⁸ training-word occurrences; past that, drop the scale to 1e8
+    * (the q_knn_tfidf lift-idf precedent's documented migration). */
+  private[queries] val WpScoreScale = 10000000000L
+
+  /** The WordPiece training loop (Schuster & Nakajima 2012): the BPE
+    * loop with the argmax swapped from raw pair frequency to the
+    * LIKELIHOOD GAIN count(ab)/(count(a)·count(b)) — merge the pair
+    * whose fusion most increases corpus likelihood under a unigram
+    * model, not the merely most frequent one. Scores are exact
+    * [[WpScoreScale]] ticks; ties break (score DESC, lhs, rhs). Each
+    * iteration is two vocabulary-sized aggregations (adjacent-pair
+    * counts + symbol counts) joined on the symbol — the symbol table is
+    * vocabulary-sized, so both joins broadcast — plus a 1-row collect.
+    * Returns (rank, lhs, rhs, score_ticks, pair_count) in merge order. */
+  private[graft] def wordpieceMerges(
+      words: org.apache.spark.sql.DataFrame)
+      : Seq[(Int, String, String, Long, Long)] = {
+    import words.sparkSession.implicits._
+    val cached = words.persist()
+    try {
+      val merges = scala.collection.mutable
+        .ArrayBuffer.empty[(Int, String, String, Long, Long)]
+      var seg = cached
+      var i = 1
+      var exhausted = false
+      while (i <= WpMergeCount && !exhausted) {
+        val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
+        val symCnt = seg.select($"cnt", explode(syms).as("sym"))
+          .groupBy($"sym").agg(sum($"cnt").as("u"))
+        val top = seg
+          .select($"cnt", explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1).as("l"),
+            slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
+          .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
+          .agg(sum($"cnt").as("c"))
+          .join(broadcast(symCnt.select($"sym".as("l"), $"u".as("ul"))),
+            Seq("l"))
+          .join(broadcast(symCnt.select($"sym".as("r"), $"u".as("ur"))),
+            Seq("r"))
+          .select($"l", $"r", $"c",
+            expr(s"(c * $WpScoreScale) div (ul * ur)").as("st"))
+          .orderBy($"st".desc, $"l", $"r")
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c, st) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2), top(0).getLong(3))
+          merges += ((i, l, r, st, c))
+          seg = seg.select(
+            call_function("replace",
+              $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
+          i += 1
+        }
+      }
+      merges.toSeq
+    } finally { cached.unpersist(); () }
+  }
+
+  /** The trained WordPiece vocabulary over a (doc_id, w, c) token-count
+    * frame: every single character of the training words plus the
+    * [[WpMergeCount]] merge products — the chars guarantee (almost)
+    * total segmentability, the merges carry the learned pieces; a
+    * character outside the TRAINING alphabet segments as a counted OOV
+    * char (the kernel's fallback, mirrored by the oracle's NULL-match
+    * branch). Driver traffic is alphabet + merges — codebook-sized. */
+  private def wordpieceVocab(tok: DataFrame): graft.functions.WpVocab = {
+    import tok.sparkSession.implicits._
+    val trainW = tok.filter(length($"w") >= 2 && !$"w".rlike("[()]"))
+      .select($"w").distinct()
+    val chars = trainW
+      .select($"w", explode(sequence(lit(1), length($"w"))).as("p"))
+      .select(expr("substr(w, p, 1)").as("ch"))
+      .distinct().as[String].collect().toSeq
+    val merges = wordpieceMerges(
+      tok.filter(length($"w") >= 2 && !$"w".rlike("[()]"))
+        .groupBy($"w").agg(sum($"c").as("cnt"))
+        .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt"))
+    graft.functions.WpVocab((chars ++ merges.map(m => m._2 + m._3))
+      .distinct.sorted)
   }
 
   /** Tiny per-language stopword lists for the n-gram-free language-ID
@@ -804,6 +995,76 @@ object TextQueries {
           when($"ws_tokens" > 0,
             Clean.roundHalfUp(
               $"bpe_tokens".cast("double") / $"ws_tokens", 4))
+            .as("compression"))
+        .orderBy("doc_id")
+    }),
+
+    // WordPiece training — the tokenizer family's second published
+    // trainer (Schuster & Nakajima 2012), completing the ladder next to
+    // BPE: same loop shape, DIFFERENT objective. BPE merges the most
+    // frequent adjacent pair; WordPiece merges the pair with the
+    // highest likelihood gain count(ab)/(count(a)·count(b)) — frequent
+    // pairs of already-frequent symbols stop winning, rare-but-
+    // collocated pairs win earlier (at sf0.01 the two vocabularies
+    // diverge from merge 1). The gain is an exact [[WpScoreScale]]-tick
+    // BIGINT via integer division, so the trainer keeps the BPE chain's
+    // "every number is a long" contract — no cross-engine float
+    // ordering anywhere. HARD oracle: the generated CTE chain replays
+    // all 12 iterations (pair counts + symbol counts + the tick argmax
+    // + the literal-replace merge), bit for bit.
+    "q_doc_wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.table(s, dir, "documents")
+        .select(explode(tokens(lower($"text"))).as("w"))
+        .filter(length($"w") >= 2 && !$"w".rlike("[()]"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt")
+      wordpieceMerges(words)
+        .toDF("rank", "lhs", "rhs", "score_ticks", "pair_count")
+        .orderBy("rank")
+    }),
+
+    // WordPiece application — greedy longest-match-first segmentation
+    // (the published WordPiece INFERENCE rule) of every document under
+    // the trained vocabulary (training chars + merge products), with
+    // per-doc whitespace vs WordPiece token counts and the OOV-char
+    // count the char-fallback produces. Same scale shape as
+    // q_doc_bpe_apply: train on the vocabulary, segment the DISTINCT
+    // words once (ONE codegen'd kernel call per word,
+    // [[graft.functions.WpStats]] — a per-piece join or Column chain
+    // would pay vocabulary × word-length work), and the corpus only
+    // pays the (doc, word) pre-aggregation riding the shared w-keyed
+    // exchange. HARD oracle: the training chain + the greedy walk as a
+    // recursive CTE over a precomputed longest-match table — greedy
+    // segmentation is exactly reachability along "longest match here"
+    // edges, which SQL recursion replays verbatim.
+    "q_doc_wordpiece_apply" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Tables.table(s, dir, "documents")
+        .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+        .repartition($"w")
+      val tok = raw.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumers: the trainer (twice-aggregated),
+                           // the vocab chars, the distinct-word apply,
+                           // and the final per-doc join
+      val wpStats = graft.functions.WpFunctions.bind(s, wordpieceVocab(tok))
+      val applied = tok.select($"w").distinct()
+        .select($"w", wpStats($"w").as("st"))
+        .select($"w", $"st.wp_tokens".as("ntok"), $"st.oov_chars".as("oov"))
+      val perdoc = tok.join(applied, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("ws_tokens"),
+          sum($"c" * $"ntok").as("wp_tokens"),
+          sum($"c" * $"oov").as("oov_chars"))
+      Tables.table(s, dir, "documents")
+        .select($"doc_id").join(perdoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"ws_tokens", lit(0L)).as("ws_tokens"),
+          coalesce($"wp_tokens", lit(0L)).as("wp_tokens"),
+          coalesce($"oov_chars", lit(0L)).as("oov_chars"),
+          when($"ws_tokens" > 0,
+            Clean.roundHalfUp(
+              $"wp_tokens".cast("double") / $"ws_tokens", 4))
             .as("compression"))
         .orderBy("doc_id")
     }),
@@ -1653,6 +1914,33 @@ object TextQueries {
            |    THEN floor(p.bpe_tokens / p.ws_tokens * 10000 + 0.5) / 10000
            |  END AS compression
            |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // The WordPiece trainer replayed iteration for iteration — the
+      // BPE chain with the likelihood-gain tick argmax (exact integer
+      // division on both sides, see wpTrainChainSql).
+      "q_doc_wordpiece_train" -> {
+        val union = (1 to WpMergeCount).map { i =>
+          s"SELECT $i AS rank, l AS lhs, r AS rhs, " +
+            s"CAST(st AS BIGINT) AS score_ticks, " +
+            s"CAST(c AS BIGINT) AS pair_count FROM wm$i"
+        }.mkString(" UNION ALL ")
+        s"""WITH $wpTrainChainSql
+           |$union ORDER BY rank""".stripMargin
+      },
+
+      // Training chain + greedy longest-match walk (recursive CTE over
+      // the precomputed longest-match table) + per-doc accounting.
+      "q_doc_wordpiece_apply" ->
+        s"""WITH RECURSIVE $wpApplyChainSql
+           |SELECT d.doc_id,
+           |  CAST(coalesce(p.ws_tokens, 0) AS BIGINT) AS ws_tokens,
+           |  CAST(coalesce(p.wp_tokens, 0) AS BIGINT) AS wp_tokens,
+           |  CAST(coalesce(p.oov_chars, 0) AS BIGINT) AS oov_chars,
+           |  CASE WHEN p.ws_tokens > 0
+           |    THEN floor(p.wp_tokens / p.ws_tokens * 10000 + 0.5) / 10000
+           |  END AS compression
+           |FROM documents d LEFT JOIN wperdoc p USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin,
 
       "q_doc_langid" -> {
