@@ -184,7 +184,35 @@ object ScaleProbe {
     // the banding sweep: one signature pass, three re-band projections,
     // the 8x8 rung's candidate volume bounds the whole report — must
     // track q_media_phash_dedup's replica contract
-    "q_media_band_tune")
+    "q_media_band_tune",
+    // preference-pair mining: the jaccard closure machinery plus one
+    // per-component window — must track q_dedup_quality_rep's growth
+    // (it IS that query's window with a different projection); pair
+    // fan-out is bounded by component size
+    "q_pref_pairs",
+    // the pair split audit: ONE closure (localCheckpointed) feeding the
+    // pair miner AND the split assignment, plus two pair-sized joins —
+    // must track q_split_cluster_safe's growth, never exceed it
+    "q_pref_split_check",
+    // contrastive triplet mining: 10 broadcast anchors x corpus scored
+    // once, two bounded windows over the checkpointed pair frame — the
+    // q_knn_brute linear contract with a label filter
+    "q_contrastive_negatives",
+    // curriculum staging: one per-lang window + pure ntile arithmetic —
+    // the q_shard_assign contract (one exchange, per-partition sort)
+    "q_curriculum",
+    // WordPiece training: the BPE contract (linear word-count agg,
+    // constant-size vocabulary loop) with a second vocabulary-sized
+    // aggregation (symbol counts) per iteration — must track
+    // q_doc_bpe_train's growth
+    "q_doc_wordpiece_train",
+    // WordPiece application: linear (doc, word) pre-agg + ONE kernel
+    // call per DISTINCT word (constant on verbatim replicas) — must
+    // track q_doc_bpe_apply's growth
+    "q_doc_wordpiece_apply",
+    // Hilbert layout: the z-order contract (1-row stats broadcast +
+    // pure kernel projection + tile agg) under the seam-free curve
+    "q_layout_hilbert")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

@@ -448,7 +448,7 @@ object TextQueries {
     * character outside the TRAINING alphabet segments as a counted OOV
     * char (the kernel's fallback, mirrored by the oracle's NULL-match
     * branch). Driver traffic is alphabet + merges — codebook-sized. */
-  private def wordpieceVocab(tok: DataFrame): graft.functions.WpVocab = {
+  private[graft] def wordpieceVocab(tok: DataFrame): graft.functions.WpVocab = {
     import tok.sparkSession.implicits._
     val trainW = tok.filter(length($"w") >= 2 && !$"w".rlike("[()]"))
       .select($"w").distinct()

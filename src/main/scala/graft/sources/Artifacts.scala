@@ -78,6 +78,23 @@ object Artifacts {
       .map(m => (m._2, m._3)).toSeq
   }
 
+  /** Staged WordPiece vocabulary — one piece per row, sorted. Strings
+    * only, so the round-trip is lossless by construction. */
+  def writeWpVocab(vocab: graft.functions.WpVocab,
+                   spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    vocab.pieces.toDF("piece").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/wpvocab")
+  }
+
+  def readWpVocab(spark: SparkSession, dir: String)
+      : graft.functions.WpVocab = {
+    import spark.implicits._
+    graft.functions.WpVocab(
+      spark.read.parquet(s"$dir/wpvocab")
+        .select("piece").as[String].collect().sorted.toSeq)
+  }
+
   /** Staged quantizer centroids (cell, vector). */
   def writeCentroids(cents: Seq[(Int, Seq[Double])],
                      spark: SparkSession, dir: String): Unit = {

@@ -36,4 +36,20 @@ object Layout {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Write `df` clustered along a space-filling-curve column —
+    * q_layout_zorder's z value or q_layout_hilbert's d — the write path
+    * those queries' tile reports audit: range-partition on the curve
+    * (contiguous curve intervals per file, no global sort) and sort
+    * within each partition, so every parquet row group covers a short
+    * curve walk and its min/max stats stay tight on BOTH raw
+    * dimensions. A two-dimensional range scan then prunes files like a
+    * one-dimensional one. LayoutCurveSpec measures the claim: per-file
+    * spans on both raw dimensions under the Hilbert key versus a
+    * single-column sort's. */
+  def writeCurveClustered(df: DataFrame, path: String, curveCol: String,
+                          files: Int = 8): Unit =
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(curveCol))
+      .sortWithinPartitions(curveCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -1175,6 +1175,50 @@ object DocStream extends Serializable {
         GroupStateTimeout.NoTimeout)(score)
   }
 
+  /** One per-doc WordPiece token report from [[applyWordpiece]]. */
+  case class WpDoc(doc_id: Long, ws_tokens: Long, wp_tokens: Long,
+                   oov_chars: Long, compression: Double)
+
+  /** Ingest-time WordPiece segmentation — the deployment face of
+    * `q_doc_wordpiece_apply`: the vocabulary is trained OFFLINE
+    * ([[graft.queries.TextQueries.wordpieceMerges]] + chars) and
+    * arrives as a DISK-staged artifact
+    * ([[graft.sources.Artifacts.writeWpVocab]] round-trip — strings,
+    * lossless by construction), so scoring is a pure stateless
+    * projection: ONE codegen'd greedy-longest-match kernel call per
+    * arriving word ([[graft.functions.WpStats]], the batch twin's
+    * exact kernel), per-doc counts aggregating inside the doc's own
+    * micro-batch (flatMapGroupsWithState that never writes state —
+    * zero state rows at any arrival count). Unlike BPE's replace
+    * chain, greedy longest match handles NOVEL words natively — the
+    * vocabulary is a set, not a join — so stream and batch scores
+    * agree on any word, seen or not; the only divergence is the
+    * documented null-text one (no row here, 0/0/0/NULL in batch). */
+  def applyWordpiece(docs: DataFrame,
+                     vocab: graft.functions.WpVocab): Dataset[WpDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wpStats = graft.functions.WpFunctions.bind(spark, vocab)
+    val perWord = docs
+      .select(col("doc_id"), explode(
+        graft.queries.TextQueries.tokens(lower(col("text")))).as("w"))
+      .select(col("doc_id"), wpStats(col("w")).as("st"))
+      .select(col("doc_id"), col("st.wp_tokens").as("ntok"),
+        col("st.oov_chars").as("oov"))
+      .as[(Long, Long, Long)]
+    def report(id: Long, rows: Iterator[(Long, Long, Long)],
+               state: GroupState[Long]): Iterator[WpDoc] = {
+      var ws = 0L; var wp = 0L; var oov = 0L
+      rows.foreach { r => ws += 1; wp += r._2; oov += r._3 }
+      // same op sequence as the batch twin: double(wp)/ws, 4-dp snap
+      Iterator.single(WpDoc(id, ws, wp, oov,
+        math.floor(wp.toDouble / ws * 10000 + 0.5) / 10000))
+    }
+    perWord.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(report)
+  }
+
   /** One per-doc BPE token report from [[applyBpe]]. */
   case class BpeDoc(doc_id: Long, ws_tokens: Long, bpe_tokens: Long,
                     compression: Double)
