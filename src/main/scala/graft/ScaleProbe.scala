@@ -309,7 +309,14 @@ object ScaleProbe {
     // layouts' buckets go hot simultaneously (the 8x8 rung worst —
     // eight hot buckets per rep) — each layout's own capPerKey tag
     // must bound its pair set independently, report stays 3 rows
-    "q_media_band_tune")
+    "q_media_band_tune",
+    // preference mining under defeat-the-collapse boilerplate: every
+    // doc survives the exact collapse and the capped gram buckets
+    // bound the closure exactly as in the clusters row; the added
+    // per-component quality window is bounded by component size, so
+    // the pair miner must track the clustering family's hostile
+    // envelope, never exceed it
+    "q_pref_pairs")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
