@@ -246,55 +246,71 @@ object TextQueries {
        |$iters""".stripMargin
   }
 
-  /** Training chain + the greedy longest-match application — the shared
-    * tail of the q_doc_wordpiece_apply oracle: the trained vocabulary
-    * (training chars ∪ merge products), a precomputed per-(word, pos)
-    * LONGEST-match table, and the greedy walk as a recursive CTE whose
-    * single deterministic chain per word advances pos by the matched
-    * length (or 1 OOV char on a NULL match — the kernel's fallback).
-    * Ends with `wperdoc(doc_id, ws_tokens, wp_tokens, oov_chars)`. */
-  private lazy val wpApplyChainSql: String = {
-    val mergeUnion = (1 to WpMergeCount)
-      .map(i => s"SELECT l || r AS piece FROM wm$i").mkString(" UNION ")
-    s"""$wpTrainChainSql,
-       |wtw AS MATERIALIZED (
-       |  SELECT DISTINCT w FROM wtok
-       |  WHERE length(w) >= 2 AND NOT regexp_matches(w, '[()]')),
-       |wchars AS (
-       |  SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece
-       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM wtw)),
-       |wvocab AS MATERIALIZED (
-       |  SELECT piece FROM wchars UNION $mergeUnion),
-       |wvmax AS (SELECT max(length(piece)) AS ml FROM wvocab),
-       |wwordsu AS MATERIALIZED (SELECT DISTINCT w FROM wtok),
-       |wcand AS (
+  /** The shared word-universe CTEs of every greedy-apply oracle:
+    * training words, their character alphabet, and the distinct-word
+    * segmentation universe. */
+  private val wpWordCtes: String =
+    """wtw AS MATERIALIZED (
+      |  SELECT DISTINCT w FROM wtok
+      |  WHERE length(w) >= 2 AND NOT regexp_matches(w, '[()]')),
+      |wchars AS (
+      |  SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece
+      |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM wtw)),
+      |wwordsu AS MATERIALIZED (SELECT DISTINCT w FROM wtok)""".stripMargin
+
+  /** The greedy longest-match walk under the vocabulary built from the
+    * first `budget` merges (chars ∪ merge products 1..budget), CTEs
+    * suffixed `_b<budget>`: a precomputed per-(word, pos) LONGEST-match
+    * table, then the walk as a recursive CTE whose single deterministic
+    * chain per word advances pos by the matched length (or 1 OOV char
+    * on a NULL match — the kernel's fallback). The PREFIX property
+    * makes the budget a free parameter: the trainer is greedy-
+    * sequential, so merges at budget k are exactly the first k of the
+    * full run and the sweep reuses ONE training chain. Ends with
+    * `wstats_b<budget>(w, ntok, oov)`. */
+  private def wpGreedyCtes(budget: Int): String = {
+    val b = s"_b$budget"
+    val vocabSel = (Seq("SELECT piece FROM wchars") ++
+      (1 to budget).map(i => s"SELECT l || r AS piece FROM wm$i"))
+      .mkString(" UNION ")
+    s"""wvocab$b AS MATERIALIZED ($vocabSel),
+       |wvmax$b AS (SELECT max(length(piece)) AS ml FROM wvocab$b),
+       |wcand$b AS (
        |  SELECT w, pos, substr(w, CAST(pos AS INT), CAST(l AS INT)) AS pref,
        |         l
        |  FROM (SELECT w, pos, unnest(range(1, ml + 1)) AS l
        |        FROM (SELECT w, unnest(range(1, length(w) + 1)) AS pos
-       |              FROM wwordsu), wvmax)
+       |              FROM wwordsu), wvmax$b)
        |  WHERE pos + l - 1 <= length(w)),
-       |wbest AS MATERIALIZED (
+       |wbest$b AS MATERIALIZED (
        |  SELECT c.w, c.pos, max(c.l) AS mlen
-       |  FROM wcand c JOIN wvocab v ON v.piece = c.pref
+       |  FROM wcand$b c JOIN wvocab$b v ON v.piece = c.pref
        |  GROUP BY c.w, c.pos),
-       |wwalk(w, pos, ntok, oov) AS (
+       |wwalk$b(w, pos, ntok, oov) AS (
        |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
        |  FROM wwordsu
        |  UNION ALL
        |  SELECT s.w, s.pos + coalesce(b.mlen, 1), s.ntok + 1,
        |    s.oov + CASE WHEN b.mlen IS NULL THEN 1 ELSE 0 END
-       |  FROM wwalk s LEFT JOIN wbest b ON b.w = s.w AND b.pos = s.pos
+       |  FROM wwalk$b s LEFT JOIN wbest$b b ON b.w = s.w AND b.pos = s.pos
        |  WHERE s.pos <= length(s.w)),
-       |wstats AS MATERIALIZED (
-       |  SELECT w, ntok, oov FROM wwalk WHERE pos > length(w)),
+       |wstats$b AS MATERIALIZED (
+       |  SELECT w, ntok, oov FROM wwalk$b WHERE pos > length(w))""".stripMargin
+  }
+
+  /** Training chain + the full-budget greedy application — the shared
+    * tail of the q_doc_wordpiece_apply oracle. Ends with
+    * `wperdoc(doc_id, ws_tokens, wp_tokens, oov_chars)`. */
+  private lazy val wpApplyChainSql: String =
+    s"""$wpTrainChainSql,
+       |$wpWordCtes,
+       |${wpGreedyCtes(WpMergeCount)},
        |wperdoc AS MATERIALIZED (
        |  SELECT k.doc_id, sum(k.c) AS ws_tokens,
        |    sum(k.c * s.ntok) AS wp_tokens,
        |    sum(k.c * s.oov) AS oov_chars
-       |  FROM wtok k JOIN wstats s ON s.w = k.w
+       |  FROM wtok k JOIN wstats_b$WpMergeCount s ON s.w = k.w
        |  GROUP BY k.doc_id)""".stripMargin
-  }
 
   /** Per-document BPE token accounting under the corpus-trained merge
     * table — the (doc_id, ws_tokens, bpe_tokens) frame shared by
@@ -448,7 +464,17 @@ object TextQueries {
     * character outside the TRAINING alphabet segments as a counted OOV
     * char (the kernel's fallback, mirrored by the oracle's NULL-match
     * branch). Driver traffic is alphabet + merges — codebook-sized. */
-  private[graft] def wordpieceVocab(tok: DataFrame): graft.functions.WpVocab = {
+  /** q_doc_wordpiece_tune's merge-budget rungs. The trainer is greedy-
+    * sequential, so the budget-k vocabulary is a PREFIX of the full
+    * run's — one training pass serves every rung. */
+  private[queries] val WpTuneBudgets = Seq(0, 4, 8, 12)
+
+  /** One training pass: the character alphabet of the training words
+    * plus the full [[WpMergeCount]] merge list — the raw materials every
+    * budget's vocabulary is a prefix-cut of. Driver traffic is
+    * alphabet + merges, codebook-sized. */
+  private def wordpieceCharsAndMerges(tok: DataFrame)
+      : (Seq[String], Seq[(Int, String, String, Long, Long)]) = {
     import tok.sparkSession.implicits._
     val trainW = tok.filter(length($"w") >= 2 && !$"w".rlike("[()]"))
       .select($"w").distinct()
@@ -460,8 +486,19 @@ object TextQueries {
       tok.filter(length($"w") >= 2 && !$"w".rlike("[()]"))
         .groupBy($"w").agg(sum($"c").as("cnt"))
         .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt"))
-    graft.functions.WpVocab((chars ++ merges.map(m => m._2 + m._3))
-      .distinct.sorted)
+    (chars, merges)
+  }
+
+  /** The vocabulary under the first `budget` merges. */
+  private def wordpieceVocabAt(chars: Seq[String],
+      merges: Seq[(Int, String, String, Long, Long)],
+      budget: Int): graft.functions.WpVocab =
+    graft.functions.WpVocab(
+      (chars ++ merges.take(budget).map(m => m._2 + m._3)).distinct.sorted)
+
+  private[graft] def wordpieceVocab(tok: DataFrame): graft.functions.WpVocab = {
+    val (chars, merges) = wordpieceCharsAndMerges(tok)
+    wordpieceVocabAt(chars, merges, WpMergeCount)
   }
 
   /** Tiny per-language stopword lists for the n-gram-free language-ID
@@ -1067,6 +1104,51 @@ object TextQueries {
               $"wp_tokens".cast("double") / $"ws_tokens", 4))
             .as("compression"))
         .orderBy("doc_id")
+    }),
+
+    // WordPiece merge-budget sweep — the calibration-audit family's
+    // SIXTH member (after lsh/tau/decontamination/nprobe/media-band):
+    // the vocabulary-size-vs-compression curve every tokenizer team
+    // reads before fixing a budget. Per rung k ∈ [[WpTuneBudgets]]:
+    // vocabulary size, corpus WordPiece token mass, OOV chars, and the
+    // compression ratio under the PREFIX vocabulary of the first k
+    // merges. The prefix property is what makes the sweep cheap: the
+    // trainer is greedy-sequential, so ONE 12-merge training pass
+    // serves every rung — no per-rung retraining — and each rung costs
+    // one kernel pass over the DISTINCT words (constant per rung) plus
+    // a global aggregate. OOV chars are budget-invariant by
+    // construction (the char alphabet is in every rung's vocabulary) —
+    // the sweep exposes this as a read-off sanity row. HARD oracle:
+    // the one training chain + a per-rung greedy-walk CTE block, all
+    // prefix-cut from the same wm_i tables.
+    "q_doc_wordpiece_tune" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Tables.table(s, dir, "documents")
+        .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+        .repartition($"w")
+      val tok = raw.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // trainer + chars + |budgets| rung passes
+      val (chars, merges) = wordpieceCharsAndMerges(tok)
+      val words = tok.groupBy($"w").agg(sum($"c").as("wc"))
+        .localCheckpoint() // one (w, corpus count) universe, reused per rung
+      val rungs = WpTuneBudgets.map { k =>
+        val vocab = wordpieceVocabAt(chars, merges, k)
+        val st = graft.functions.WpFunctions.bind(s, vocab)
+        words
+          .select($"wc", st($"w").as("stx"))
+          .agg(sum($"wc").as("ws_tokens"),
+            sum($"wc" * $"stx.wp_tokens").as("wp_tokens"),
+            sum($"wc" * $"stx.oov_chars").as("oov_chars"))
+          .select(lit(k).as("merge_budget"),
+            lit(vocab.pieces.size.toLong).as("vocab_size"),
+            coalesce($"ws_tokens", lit(0L)).as("ws_tokens"),
+            coalesce($"wp_tokens", lit(0L)).as("wp_tokens"),
+            coalesce($"oov_chars", lit(0L)).as("oov_chars"),
+            when($"ws_tokens" > 0, Clean.roundHalfUp(
+              $"wp_tokens".cast("double") / $"ws_tokens", 4))
+              .as("compression"))
+      }
+      rungs.reduce(_ unionAll _).orderBy("merge_budget")
     }),
 
     // Language-ID heuristic: argmax of stopword hits with deterministic
@@ -1942,6 +2024,29 @@ object TextQueries {
            |  END AS compression
            |FROM documents d LEFT JOIN wperdoc p USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin,
+
+      // One training chain, one greedy-walk block per budget rung (all
+      // prefix cuts of the same wm_i tables), one total row per rung.
+      "q_doc_wordpiece_tune" -> {
+        val rungSelects = WpTuneBudgets.map { k =>
+          s"""SELECT $k AS merge_budget,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM wvocab_b$k)
+             |    AS vocab_size,
+             |  CAST(coalesce(sum(t.c), 0) AS BIGINT) AS ws_tokens,
+             |  CAST(coalesce(sum(t.c * s.ntok), 0) AS BIGINT) AS wp_tokens,
+             |  CAST(coalesce(sum(t.c * s.oov), 0) AS BIGINT) AS oov_chars,
+             |  CASE WHEN coalesce(sum(t.c), 0) > 0
+             |    THEN floor(sum(t.c * s.ntok) / sum(t.c) * 10000 + 0.5)
+             |         / 10000
+             |  END AS compression
+             |FROM wtok t JOIN wstats_b$k s ON s.w = t.w""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE $wpTrainChainSql,
+           |$wpWordCtes,
+           |${WpTuneBudgets.map(wpGreedyCtes).mkString(",\n")}
+           |$rungSelects
+           |ORDER BY merge_budget""".stripMargin
+      },
 
       "q_doc_langid" -> {
         val hitExprs = StopwordLists.map { case (l, words) =>

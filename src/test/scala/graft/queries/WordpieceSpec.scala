@@ -42,6 +42,38 @@ class WordpieceSpec extends SparkTestBase {
       s"bpe picked ${bpe.head}") // (a)(c) at 5, ties to lexicographic
   }
 
+  test("the budget sweep is monotone: more merges never cost tokens, " +
+      "OOV is budget-invariant, and the full rung equals the apply " +
+      "query's global aggregate (sf0.001)") {
+    val rungs = SparkEntry.queries("q_doc_wordpiece_tune")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("merge_budget"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("ws_tokens"), r.getAs[Long]("wp_tokens"),
+        r.getAs[Long]("oov_chars"))).sortBy(_._1)
+    assert(rungs.map(_._1).toSeq === TextQueries.WpTuneBudgets)
+    // EMPIRICAL pin, not a theorem: greedy longest match is not
+    // globally monotone in the vocabulary (a longer piece can force a
+    // worse tail — vocab {ab, cde}: "abcde" = 2 pieces, add "abc" and
+    // greedy pays abc+d+e = 3), but merges trained by likelihood gain
+    // on THIS corpus segment it monotonically — the property the tune
+    // query's compression column banks on, checked rather than assumed
+    rungs.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4, s"budget ${b._1} costs more than ${a._1}")
+      assert(b._2 >= a._2, "vocab must grow with the budget")
+    }
+    // the char alphabet is in every rung: OOV is budget-invariant
+    assert(rungs.map(_._5).distinct.length === 1)
+    // ws_tokens is the corpus constant
+    assert(rungs.map(_._3).distinct.length === 1)
+    // the full-budget rung IS q_doc_wordpiece_apply's global aggregate
+    val apply = SparkEntry.queries("q_doc_wordpiece_apply")(spark, sf0001)
+      .collect()
+    val full = rungs.last
+    assert(apply.map(_.getAs[Long]("ws_tokens")).sum === full._3)
+    assert(apply.map(_.getAs[Long]("wp_tokens")).sum === full._4)
+    assert(apply.map(_.getAs[Long]("oov_chars")).sum === full._5)
+  }
+
   test("train and apply agree on sf0.001 and the vocabularies diverge " +
       "from BPE") {
     val wp = SparkEntry.queries("q_doc_wordpiece_train")(spark, sf0001)
