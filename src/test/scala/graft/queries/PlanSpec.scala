@@ -74,6 +74,48 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("the post-training family keeps its designed plan shapes") {
+    // pair mining rides the clustering machinery: no cartesian anywhere
+    Seq("q_pref_pairs", "q_pref_split_check").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // contrastive mining: the anchor scoring pass is the q_knn_brute
+    // shape (deliberate bounded nested-loop over the 10-row broadcast
+    // probe side); the positive attach must be a broadcast HASH join on
+    // query_id, and nothing may sort-merge
+    val pc = plan("q_contrastive_negatives")
+    assert(pc.contains("BroadcastHashJoin"), s"pos attach lost broadcast:\n$pc")
+    assert(!pc.contains("SortMergeJoin"), s"contrastive sort-merges:\n$pc")
+    // curriculum: both windows ride ONE lang exchange (same partition
+    // key); a second hash exchange means the arithmetic-ntile device
+    // regressed to a re-shuffle
+    val pu = plan("q_curriculum")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(pu).length
+    assert(shuffles === 1, s"expected 1 hash exchange, got $shuffles:\n$pu")
+  }
+
+  test("q_layout_hilbert keeps the z-order plan shape: broadcast stats, " +
+      "one codegen'd kernel call") {
+    val p = plan("q_layout_hilbert")
+    assert(p.contains("hilbert_d2"), s"kernel call missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join regressed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("the WordPiece apply rides one w-keyed exchange like BPE apply") {
+    val p = plan("q_doc_wordpiece_apply")
+    assert(!p.contains("CartesianProduct"), p)
+    // the kernel call itself collapses into the distinct aggregate's
+    // unprinted result expressions; its struct reads are the visible
+    // witness (WordpieceSpec pins the kernel behaviorally)
+    assert(p.contains(".wp_tokens AS"), s"kernel projection missing:\n$p")
+    // the per-word stats broadcast into the scoring join — the corpus
+    // side never shuffles for the vocabulary attach
+    assert("hashpartitioning\\(w#\\d+".r.findFirstIn(p).isDefined,
+      s"lost the w exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scoring join regressed:\n$p")
+  }
+
   test("the PQ family: encode is join-free, IVF-PQ stays cell-equi-keyed") {
     // the encode face is M·k codegen'd L2Sq argmins — any join or hash
     // exchange in its plan means the pure-projection claim regressed
