@@ -358,36 +358,40 @@ object TextQueries {
       words: org.apache.spark.sql.DataFrame)
       : Seq[(Int, String, String, Long)] = {
     import words.sparkSession.implicits._
-    val cached = words.persist()
-    try {
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      var seg = cached
-      var i = 1
-      var exhausted = false
-      while (i <= BpeMergeCount && !exhausted) {
-        val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
-        val top = seg
-          .select($"cnt", explode(arrays_zip(
-            slice(syms, lit(1), size(syms) - 1).as("l"),
-            slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
-          .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
-          .agg(sum($"cnt").as("c"))
-          .orderBy($"c".desc, $"l", $"r")
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((i, l, r, c))
-          seg = seg.select(
-            call_function("replace",
-              $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
-          i += 1
-        }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // checkpoint-chain: each iteration materializes prev + ONE replace,
+    // so the loop pays O(J) replace applications total instead of the
+    // cached-base form's O(J²) re-execution (iteration i used to replay
+    // i replaces per ACTION; measured as the warm-cost driver of the
+    // whole bpe/wordpiece family at sf0.1) — merge values identical,
+    // the oracle replays the same loop
+    var seg = words.localCheckpoint()
+    var i = 1
+    var exhausted = false
+    while (i <= BpeMergeCount && !exhausted) {
+      val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
+      val top = seg
+        .select($"cnt", explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("l"),
+          slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
+        .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
+        .agg(sum($"cnt").as("c"))
+        .orderBy($"c".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, c))
+        seg = seg.select(
+          call_function("replace",
+            $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
+          .localCheckpoint()
+        i += 1
       }
-      merges.toSeq
-    } finally { cached.unpersist(); () }
+    }
+    merges.toSeq
   }
 
   /** q_doc_wordpiece_train's merge budget — one definition,
@@ -417,44 +421,46 @@ object TextQueries {
       words: org.apache.spark.sql.DataFrame)
       : Seq[(Int, String, String, Long, Long)] = {
     import words.sparkSession.implicits._
-    val cached = words.persist()
-    try {
-      val merges = scala.collection.mutable
-        .ArrayBuffer.empty[(Int, String, String, Long, Long)]
-      var seg = cached
-      var i = 1
-      var exhausted = false
-      while (i <= WpMergeCount && !exhausted) {
-        val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
-        val symCnt = seg.select($"cnt", explode(syms).as("sym"))
-          .groupBy($"sym").agg(sum($"cnt").as("u"))
-        val top = seg
-          .select($"cnt", explode(arrays_zip(
-            slice(syms, lit(1), size(syms) - 1).as("l"),
-            slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
-          .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
-          .agg(sum($"cnt").as("c"))
-          .join(broadcast(symCnt.select($"sym".as("l"), $"u".as("ul"))),
-            Seq("l"))
-          .join(broadcast(symCnt.select($"sym".as("r"), $"u".as("ur"))),
-            Seq("r"))
-          .select($"l", $"r", $"c",
-            expr(s"(c * $WpScoreScale) div (ul * ur)").as("st"))
-          .orderBy($"st".desc, $"l", $"r")
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, c, st) = (top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2), top(0).getLong(3))
-          merges += ((i, l, r, st, c))
-          seg = seg.select(
-            call_function("replace",
-              $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
-          i += 1
-        }
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    // checkpoint-chain like [[bpeMerges]]: WordPiece runs TWO
+    // aggregations per iteration (pair + symbol counts), so the
+    // materialized base matters twice over — both consumers read the
+    // snapshot instead of re-executing the replace lineage
+    var seg = words.localCheckpoint()
+    var i = 1
+    var exhausted = false
+    while (i <= WpMergeCount && !exhausted) {
+      val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
+      val symCnt = seg.select($"cnt", explode(syms).as("sym"))
+        .groupBy($"sym").agg(sum($"cnt").as("u"))
+      val top = seg
+        .select($"cnt", explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("l"),
+          slice(syms, lit(2), size(syms) - 1).as("r"))).as("pr"))
+        .groupBy($"pr.l".as("l"), $"pr.r".as("r"))
+        .agg(sum($"cnt").as("c"))
+        .join(broadcast(symCnt.select($"sym".as("l"), $"u".as("ul"))),
+          Seq("l"))
+        .join(broadcast(symCnt.select($"sym".as("r"), $"u".as("ur"))),
+          Seq("r"))
+        .select($"l", $"r", $"c",
+          expr(s"(c * $WpScoreScale) div (ul * ur)").as("st"))
+        .orderBy($"st".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c, st) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        merges += ((i, l, r, st, c))
+        seg = seg.select(
+          call_function("replace",
+            $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
+          .localCheckpoint()
+        i += 1
       }
-      merges.toSeq
-    } finally { cached.unpersist(); () }
+    }
+    merges.toSeq
   }
 
   /** The trained WordPiece vocabulary over a (doc_id, w, c) token-count
