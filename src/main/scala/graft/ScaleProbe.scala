@@ -212,7 +212,15 @@ object ScaleProbe {
     "q_doc_wordpiece_apply",
     // Hilbert layout: the z-order contract (1-row stats broadcast +
     // pure kernel projection + tile agg) under the seam-free curve
-    "q_layout_hilbert")
+    "q_layout_hilbert",
+    // unigram tokenizer training: the seed aggregation explodes
+    // ≤ len·4 rows per DISTINCT word (constant on verbatim replicas),
+    // the E-step is one kernel pass over the constant word table —
+    // only the corpus word-count aggregation grows
+    "q_doc_unigram_tok_train",
+    // unigram application: the BPE/WordPiece apply contract — linear
+    // (doc, word) pre-agg, constant distinct-word kernel pass
+    "q_doc_unigram_tok_apply")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

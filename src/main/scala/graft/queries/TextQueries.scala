@@ -312,6 +312,114 @@ object TextQueries {
        |  FROM wtok k JOIN wstats_b$WpMergeCount s ON s.w = k.w
        |  GROUP BY k.doc_id)""".stripMargin
 
+  /** One Viterbi pass of the unigram oracle, CTEs prefixed `ud<tag>`:
+    * per position j = 1..[[UgMaxWord]], the best DP state per word
+    * (exact tick sums, (score DESC, pieces ASC, longer-last DESC)
+    * argmax as a row_number window over the ≤ [[UgMaxPiece]] candidate
+    * arms), then the deterministic backtrace as a recursive CTE walking
+    * `plen` links down from each word's final state — ends with
+    * `upieces<tag>(w, piece)`, the segmentation in piece-multiset form.
+    * Generated so the kernel and the replay share one definition of
+    * every transition. */
+  private def ugViterbiChain(tag: String, sctab: String): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    ctes += s"ud${tag}_0 AS (SELECT w FROM uwrd)"
+    for (j <- 1 to UgMaxWord) {
+      val arms = (1 to math.min(UgMaxPiece, j)).map { l =>
+        val prev = s"ud${tag}_${j - l}"
+        val sco = if (j - l == 0) "CAST(0 AS BIGINT)" else "d.sco"
+        val np = if (j - l == 0) "CAST(0 AS BIGINT)" else "d.np"
+        s"""SELECT d.w, $sco + v.lp6 AS sco, $np + 1 AS np, $l AS plen
+           |FROM $prev d JOIN $sctab v
+           |  ON v.piece = substr(d.w, ${j - l + 1}, $l)
+           |WHERE length(d.w) >= $j""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      ctes += s"""ud${tag}_$j AS MATERIALIZED (
+         |  SELECT w, sco, np, plen FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY sco DESC, np ASC, plen DESC) rn
+         |    FROM ($arms)) WHERE rn = 1)""".stripMargin
+    }
+    ctes += s"udall$tag AS MATERIALIZED (" +
+      (1 to UgMaxWord)
+        .map(j => s"SELECT w, $j AS j, plen FROM ud${tag}_$j")
+        .mkString(" UNION ALL ") + ")"
+    ctes += s"""ubt$tag(w, pos, plen) AS (
+       |  SELECT d.w, d.j, d.plen FROM udall$tag d WHERE d.j = length(d.w)
+       |  UNION ALL
+       |  SELECT b.w, b.pos - b.plen, d.plen
+       |  FROM ubt$tag b JOIN udall$tag d
+       |    ON d.w = b.w AND d.j = b.pos - b.plen
+       |  WHERE b.pos - b.plen > 0)""".stripMargin
+    ctes += s"""upieces$tag AS MATERIALIZED (
+       |  SELECT w, substr(w, CAST(pos - plen + 1 AS INT), CAST(plen AS INT))
+       |    AS piece
+       |  FROM ubt$tag)""".stripMargin
+    ctes.mkString(",\n")
+  }
+
+  /** The full unigram trainer replay: word counts, the seed substring
+    * vocabulary, 1e-6-tick scores, the round-a Viterbi pass, the
+    * hard-EM recount (fallback words — no reachable final state, i.e.
+    * longer than the DP unroll — contribute their chars, the kernel's
+    * rule), char +1 smoothing, and the final scores `usc2(piece, cnt,
+    * lp6)`. */
+  private lazy val ugTrainChainSql: String =
+    s"""utoks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |utok AS MATERIALIZED (
+       |  SELECT doc_id, w, count(*) AS c FROM utoks
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |uwrd AS MATERIALIZED (SELECT w, sum(c) AS c FROM utok GROUP BY w),
+       |usubs AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece,
+       |    sum(c) AS cnt
+       |  FROM (SELECT w, c, i,
+       |          unnest(range(1, least($UgMaxPiece, length(w) - i + 1) + 1))
+       |            AS L
+       |        FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i
+       |              FROM uwrd))
+       |  GROUP BY 1),
+       |usc1 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE)
+       |        / (SELECT sum(cnt) FROM usubs
+       |           WHERE cnt >= $UgMinCount OR length(piece) = 1))
+       |      * 1000000) AS BIGINT) AS lp6
+       |  FROM usubs WHERE cnt >= $UgMinCount OR length(piece) = 1),
+       |${ugViterbiChain("a", "usc1")},
+       |ufallba AS MATERIALIZED (
+       |  SELECT w FROM uwrd r WHERE NOT EXISTS (
+       |    SELECT 1 FROM udalla d WHERE d.w = r.w AND d.j = length(r.w))),
+       |ucnt2 AS MATERIALIZED (
+       |  SELECT piece, sum(c) AS cnt FROM (
+       |    SELECT p.piece, r.c FROM upiecesa p JOIN uwrd r ON r.w = p.w
+       |    UNION ALL
+       |    SELECT substr(f.w, CAST(f.i AS INT), 1) AS piece, r.c
+       |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i
+       |          FROM ufallba) f
+       |    JOIN uwrd r ON r.w = f.w) z
+       |  GROUP BY piece),
+       |uchars AS (
+       |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM uwrd)),
+       |usc2 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM (
+       |        SELECT coalesce(c2.cnt, 0)
+       |          + CASE WHEN ch.piece IS NOT NULL THEN 1 ELSE 0 END AS cnt
+       |        FROM ucnt2 c2 FULL OUTER JOIN uchars ch
+       |          ON ch.piece = c2.piece) tv2))
+       |      * 1000000) AS BIGINT) AS lp6
+       |  FROM (SELECT coalesce(c2.piece, ch.piece) AS piece,
+       |          coalesce(c2.cnt, 0)
+       |            + CASE WHEN ch.piece IS NOT NULL THEN 1 ELSE 0 END AS cnt
+       |        FROM ucnt2 c2 FULL OUTER JOIN uchars ch
+       |          ON ch.piece = c2.piece) v2
+       |  WHERE cnt > 0)""".stripMargin
+
   /** Per-document BPE token accounting under the corpus-trained merge
     * table — the (doc_id, ws_tokens, bpe_tokens) frame shared by
     * q_doc_bpe_apply (reporting + compression) and q_doc_pack_bpe
@@ -505,6 +613,80 @@ object TextQueries {
   private[graft] def wordpieceVocab(tok: DataFrame): graft.functions.WpVocab = {
     val (chars, merges) = wordpieceCharsAndMerges(tok)
     wordpieceVocabAt(chars, merges, WpMergeCount)
+  }
+
+  /** Unigram tokenizer geometry: max seed-piece length, seed frequency
+    * floor, and the Viterbi DP unroll bound shared with the kernel
+    * ([[graft.functions.UgKernels.MaxWordLen]] — the oracle
+    * materializes one CTE per position, so both engines take the char
+    * fallback past it). */
+  private[queries] val UgMaxPiece = 4
+  private[queries] val UgMinCount = 2L
+  private[queries] val UgMaxWord = graft.functions.UgKernels.MaxWordLen
+
+  /** The 1e-6-tick log-prob scores of a (piece, cnt) vocabulary frame —
+    * the LM ladder's snap (floor(ln(cnt/T)·1e6), cross-engine-stable by
+    * the q_doc_unigram_logprob precedent), collected in piece order.
+    * Driver traffic is the vocabulary — codebook-sized. */
+  private def ugScores(v: DataFrame): Seq[(String, Long, Long)] = {
+    val s = v.sparkSession
+    import s.implicits._
+    val t = v.agg(sum($"cnt").as("t"))
+    v.crossJoin(broadcast(t))
+      .select($"piece", $"cnt",
+        floor(log($"cnt".cast("double") / $"t".cast("double")) * 1e6)
+          .cast("long").as("lp6"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  /** The unigram-LM tokenizer trainer (Kudo 2018 under this engine's
+    * determinism discipline): seed the vocabulary with every substring
+    * of length ≤ [[UgMaxPiece]] whose weighted corpus count clears
+    * [[UgMinCount]] (single characters always stay — the
+    * segmentability floor), score pieces with the LM ladder's
+    * 1e-6-tick log-probs, then ONE hard-EM round — Viterbi-segment the
+    * word table under the seed scores ([[graft.functions.UgKernels]],
+    * exact integer-tick DP), recount pieces from the segmentations
+    * (+1 smoothing keeps every character alive), and rescore. Pieces
+    * the Viterbi pass never uses drop out — the EM pruning that takes
+    * the seed's 228 substrings to the 60 the corpus actually composes
+    * with at sf0.001. Returns the final (piece, cnt, lp6) vocabulary.
+    *
+    * Scale shape: the seed aggregation explodes ≤ len·[[UgMaxPiece]]
+    * rows per DISTINCT word (linear in vocabulary mass, not corpus);
+    * the E-step is one kernel pass over the word table; driver traffic
+    * is two vocabulary-sized collects. */
+  private def unigramTrain(wrd: DataFrame): Seq[(String, Long, Long)] = {
+    val s = wrd.sparkSession
+    import s.implicits._
+    val subs = wrd
+      .select($"w", $"c", explode(sequence(lit(1), length($"w"))).as("i"))
+      .select($"w", $"c", $"i", explode(sequence(lit(1),
+        least(lit(UgMaxPiece), length($"w") - $"i" + 1))).as("L"))
+      .select(expr("substr(w, i, L)").as("piece"), $"c")
+      .groupBy($"piece").agg(sum($"c").as("cnt"))
+    val sc1 = ugScores(
+      subs.filter($"cnt" >= UgMinCount || length($"piece") === 1))
+    val seg1 = graft.functions.UgFunctions.bind(s,
+      graft.functions.UgVocab(sc1.map(x => (x._1, x._3))))
+    val cnt2 = wrd.select($"c", explode(seg1($"w")).as("piece"))
+      .groupBy($"piece").agg(sum($"c").as("cnt"))
+    val chars = wrd
+      .select($"w", explode(sequence(lit(1), length($"w"))).as("i"))
+      .select(expr("substr(w, i, 1)").as("piece")).distinct()
+      .withColumn("ch", lit(1L))
+    val v2 = cnt2.join(chars, Seq("piece"), "full_outer")
+      .select($"piece",
+        (coalesce($"cnt", lit(0L)) + coalesce($"ch", lit(0L))).as("cnt"))
+      .filter($"cnt" > 0)
+    ugScores(v2)
+  }
+
+  /** The (w, c) word-count table every unigram face trains on: one
+    * occurrence-weighted count per distinct non-empty token. */
+  private def unigramWords(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    tok.groupBy($"w").agg(sum($"c").as("c"))
   }
 
   /** Tiny per-language stopword lists for the n-gram-free language-ID
@@ -1108,6 +1290,71 @@ object TextQueries {
           when($"ws_tokens" > 0,
             Clean.roundHalfUp(
               $"wp_tokens".cast("double") / $"ws_tokens", 4))
+            .as("compression"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM tokenizer training — the THIRD published subword
+    // trainer (Kudo 2018), completing the triad next to BPE and
+    // WordPiece with the remaining paradigm: instead of growing a
+    // vocabulary by merges, START from every frequent substring and
+    // let hard EM prune — Viterbi-segment the corpus under seed
+    // log-prob ticks, recount, rescore; seed pieces the corpus never
+    // composes with drop out (228 → 60 at sf0.001). Scores are the LM
+    // ladder's 1e-6-tick snapped log-probs, the DP is exact integer
+    // tick sums with a total tie-break, so the whole trainer — seed
+    // aggregation, scoring, the per-word Viterbi DP, the backtrace,
+    // the EM recount, the rescore — replays as ONE generated DuckDB
+    // chain: per-position DP CTEs (the [[UgMaxWord]] unroll), a
+    // recursive backtrace walk, and the same score arithmetic. The
+    // deepest oracle in the tokenizer family.
+    "q_doc_unigram_tok_train" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.table(s, dir, "documents")
+        .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      unigramTrain(unigramWords(tok))
+        .toDF("piece", "cnt", "lp6")
+        .orderBy("piece")
+    }),
+
+    // Unigram tokenizer application: Viterbi-segment every document
+    // under the EM-trained vocabulary and report per-doc whitespace vs
+    // unigram token counts — the q_doc_bpe_apply/q_doc_wordpiece_apply
+    // report under the third trainer, making the tokenizer choice a
+    // measured three-way comparison on the same corpus. Same scale
+    // shape: train on the vocabulary, ONE codegen'd kernel call per
+    // DISTINCT word ([[graft.functions.UgSegment]]), corpus pays the
+    // (doc, word) pre-agg and one broadcast scoring join. Words longer
+    // than [[UgMaxWord]] take the per-character fallback in BOTH
+    // engines (kernel rule = the oracle's unreachable-final-state LEFT
+    // JOIN fallback).
+    "q_doc_unigram_tok_apply" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Tables.table(s, dir, "documents")
+        .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+        .filter(length($"w") > 0)
+        .repartition($"w")
+      val tok = raw.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // trainer + distinct-word apply + per-doc join
+      val vocab = unigramTrain(unigramWords(tok))
+      val segF = graft.functions.UgFunctions.bind(s,
+        graft.functions.UgVocab(vocab.map(x => (x._1, x._3))))
+      val applied = tok.select($"w").distinct()
+        .select($"w", size(segF($"w")).cast("long").as("ntok"))
+      val perdoc = tok.join(applied, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("ws_tokens"),
+          sum($"c" * $"ntok").as("ug_tokens"))
+      Tables.table(s, dir, "documents")
+        .select($"doc_id").join(perdoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"ws_tokens", lit(0L)).as("ws_tokens"),
+          coalesce($"ug_tokens", lit(0L)).as("ug_tokens"),
+          when($"ws_tokens" > 0,
+            Clean.roundHalfUp(
+              $"ug_tokens".cast("double") / $"ws_tokens", 4))
             .as("compression"))
         .orderBy("doc_id")
     }),
@@ -2029,6 +2276,36 @@ object TextQueries {
            |    THEN floor(p.wp_tokens / p.ws_tokens * 10000 + 0.5) / 10000
            |  END AS compression
            |FROM documents d LEFT JOIN wperdoc p USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // The full unigram trainer — seed, scores, Viterbi, EM recount,
+      // rescore — replayed as one generated chain.
+      "q_doc_unigram_tok_train" ->
+        s"""WITH RECURSIVE $ugTrainChainSql
+           |SELECT piece, CAST(cnt AS BIGINT) AS cnt, lp6 FROM usc2
+           |ORDER BY piece""".stripMargin,
+
+      // The training chain + a second Viterbi pass under the final
+      // scores + per-doc accounting; words with no reachable final
+      // state (longer than the DP unroll) fall back to their char
+      // count — the kernel's rule.
+      "q_doc_unigram_tok_apply" ->
+        s"""WITH RECURSIVE $ugTrainChainSql,
+           |${ugViterbiChain("b", "usc2")},
+           |uwstats AS MATERIALIZED (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS ntok
+           |  FROM upiecesb GROUP BY w)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(p.ws_tokens, 0) AS BIGINT) AS ws_tokens,
+           |  CAST(coalesce(p.ug_tokens, 0) AS BIGINT) AS ug_tokens,
+           |  CASE WHEN p.ws_tokens > 0
+           |    THEN floor(p.ug_tokens / p.ws_tokens * 10000 + 0.5) / 10000
+           |  END AS compression
+           |FROM documents d LEFT JOIN (
+           |  SELECT k.doc_id, sum(k.c) AS ws_tokens,
+           |    sum(k.c * coalesce(s.ntok, length(k.w))) AS ug_tokens
+           |  FROM utok k LEFT JOIN uwstats s ON s.w = k.w
+           |  GROUP BY k.doc_id) p USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin,
 
       // One training chain, one greedy-walk block per budget rung (all
