@@ -689,6 +689,13 @@ object TextQueries {
     tok.groupBy($"w").agg(sum($"c").as("c"))
   }
 
+  /** The trained unigram vocabulary over a (doc_id, w, c) token-count
+    * frame, in the [[graft.functions.UgVocab]] shape the kernel and the
+    * staged-artifact store take. */
+  private[graft] def unigramVocab(tok: DataFrame): graft.functions.UgVocab =
+    graft.functions.UgVocab(
+      unigramTrain(unigramWords(tok)).map(x => (x._1, x._3)))
+
   /** Tiny per-language stopword lists for the n-gram-free language-ID
     * heuristic. Deterministic, ASCII, and easy to mirror in SQL. */
   private val StopwordLists: Seq[(String, Seq[String])] = Seq(

@@ -95,6 +95,24 @@ object Artifacts {
         .select("piece").as[String].collect().sorted.toSeq)
   }
 
+  /** Staged unigram tokenizer vocabulary — (piece, lp6) rows; strings
+    * and longs only, lossless by construction. */
+  def writeUgVocab(vocab: graft.functions.UgVocab,
+                   spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    vocab.pieces.toDF("piece", "lp6").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/ugvocab")
+  }
+
+  def readUgVocab(spark: SparkSession, dir: String)
+      : graft.functions.UgVocab = {
+    import spark.implicits._
+    graft.functions.UgVocab(
+      spark.read.parquet(s"$dir/ugvocab")
+        .select("piece", "lp6").as[(String, Long)].collect()
+        .sortBy(_._1).toSeq)
+  }
+
   /** Staged quantizer centroids (cell, vector). */
   def writeCentroids(cents: Seq[(Int, Seq[Double])],
                      spark: SparkSession, dir: String): Unit = {

@@ -1219,6 +1219,45 @@ object DocStream extends Serializable {
         GroupStateTimeout.NoTimeout)(report)
   }
 
+  /** One per-doc unigram-tokenizer report from [[applyUnigram]]. */
+  case class UgDoc(doc_id: Long, ws_tokens: Long, ug_tokens: Long,
+                   compression: Double)
+
+  /** Ingest-time unigram-LM segmentation — the deployment face of
+    * `q_doc_unigram_tok_apply`, completing the tokenizer triad's
+    * streaming faces (BPE replace-chain, WordPiece greedy kernel, and
+    * now the Viterbi kernel). The EM-trained vocabulary arrives as a
+    * DISK-staged artifact ([[graft.sources.Artifacts.writeUgVocab]]
+    * round-trip — strings and tick longs, lossless), scoring is ONE
+    * codegen'd [[graft.functions.UgSegment]] call per arriving word
+    * (exact-tick Viterbi, the batch twin's kernel — novel words
+    * segment natively, long words take the same char fallback), and
+    * per-doc counts aggregate inside the doc's own micro-batch with
+    * zero state rows. The only batch divergence is the documented
+    * null-text one (no row here, 0/0/NULL in batch). */
+  def applyUnigram(docs: DataFrame,
+                   vocab: graft.functions.UgVocab): Dataset[UgDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segF = graft.functions.UgFunctions.bind(spark, vocab)
+    val perWord = docs
+      .select(col("doc_id"), explode(
+        graft.queries.TextQueries.tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) > 0) // the batch tok frame's filter
+      .select(col("doc_id"), size(segF(col("w"))).cast("long").as("ntok"))
+      .as[(Long, Long)]
+    def report(id: Long, rows: Iterator[(Long, Long)],
+               state: GroupState[Long]): Iterator[UgDoc] = {
+      var ws = 0L; var ug = 0L
+      rows.foreach { r => ws += 1; ug += r._2 }
+      Iterator.single(UgDoc(id, ws, ug,
+        math.floor(ug.toDouble / ws * 10000 + 0.5) / 10000))
+    }
+    perWord.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(report)
+  }
+
   /** One per-doc BPE token report from [[applyBpe]]. */
   case class BpeDoc(doc_id: Long, ws_tokens: Long, bpe_tokens: Long,
                     compression: Double)
