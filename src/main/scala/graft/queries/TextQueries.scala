@@ -473,7 +473,12 @@ object TextQueries {
     // cached-base form's O(J²) re-execution (iteration i used to replay
     // i replaces per ACTION; measured as the warm-cost driver of the
     // whole bpe/wordpiece family at sf0.1) — merge values identical,
-    // the oracle replays the same loop
+    // the oracle replays the same loop. Lifetime tradeoff vs the old
+    // persist/unpersist: the J+1 checkpoint blocks free via the
+    // ContextCleaner after driver GC rather than eagerly — acceptable
+    // because each block is the VOCABULARY table (KB–MB scale, never
+    // corpus mass), so a full tokenizer-family bench holds tens of
+    // vocabulary copies, not tens of corpora
     var seg = words.localCheckpoint()
     var i = 1
     var exhausted = false
@@ -536,6 +541,18 @@ object TextQueries {
     // materialized base matters twice over — both consumers read the
     // snapshot instead of re-executing the replace lineage
     var seg = words.localCheckpoint()
+    // ENFORCE the [[WpScoreScale]] overflow bound, don't just document
+    // it: every pair count is bounded by the seg table's weighted
+    // character mass, and Spark's non-ANSI `c * 1e10` would WRAP
+    // silently past 2^63 (DuckDB's HUGEINT sum stays exact, so the
+    // corruption would surface only as a post-hoc oracle mismatch).
+    // One tiny action on the already-materialized vocab table.
+    val mass = seg.agg(coalesce(sum($"cnt" * length($"seg")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(mass <= Long.MaxValue / WpScoreScale,
+      s"WordPiece score ticks would overflow: weighted char mass $mass " +
+        s"exceeds ${Long.MaxValue / WpScoreScale}; drop WpScoreScale to " +
+        "1e8 (the documented migration) before training this corpus")
     var i = 1
     var exhausted = false
     while (i <= WpMergeCount && !exhausted) {
@@ -571,13 +588,6 @@ object TextQueries {
     merges.toSeq
   }
 
-  /** The trained WordPiece vocabulary over a (doc_id, w, c) token-count
-    * frame: every single character of the training words plus the
-    * [[WpMergeCount]] merge products — the chars guarantee (almost)
-    * total segmentability, the merges carry the learned pieces; a
-    * character outside the TRAINING alphabet segments as a counted OOV
-    * char (the kernel's fallback, mirrored by the oracle's NULL-match
-    * branch). Driver traffic is alphabet + merges — codebook-sized. */
   /** q_doc_wordpiece_tune's merge-budget rungs. The trainer is greedy-
     * sequential, so the budget-k vocabulary is a PREFIX of the full
     * run's — one training pass serves every rung. */
@@ -585,21 +595,22 @@ object TextQueries {
 
   /** One training pass: the character alphabet of the training words
     * plus the full [[WpMergeCount]] merge list — the raw materials every
-    * budget's vocabulary is a prefix-cut of. Driver traffic is
-    * alphabet + merges, codebook-sized. */
+    * budget's vocabulary is a prefix-cut of. ONE filtered-and-counted
+    * training-word frame feeds both the alphabet and the trainer, so
+    * the training filter is written once (a divergence between the two
+    * would silently split the char alphabet from the merge training
+    * set). Driver traffic is alphabet + merges, codebook-sized. */
   private def wordpieceCharsAndMerges(tok: DataFrame)
       : (Seq[String], Seq[(Int, String, String, Long, Long)]) = {
     import tok.sparkSession.implicits._
     val trainW = tok.filter(length($"w") >= 2 && !$"w".rlike("[()]"))
-      .select($"w").distinct()
+      .groupBy($"w").agg(sum($"c").as("cnt"))
     val chars = trainW
       .select($"w", explode(sequence(lit(1), length($"w"))).as("p"))
       .select(expr("substr(w, p, 1)").as("ch"))
       .distinct().as[String].collect().toSeq
     val merges = wordpieceMerges(
-      tok.filter(length($"w") >= 2 && !$"w".rlike("[()]"))
-        .groupBy($"w").agg(sum($"c").as("cnt"))
-        .select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt"))
+      trainW.select(regexp_replace($"w", "(.)", "($1)").as("seg"), $"cnt"))
     (chars, merges)
   }
 
@@ -610,6 +621,13 @@ object TextQueries {
     graft.functions.WpVocab(
       (chars ++ merges.take(budget).map(m => m._2 + m._3)).distinct.sorted)
 
+  /** The trained WordPiece vocabulary over a (doc_id, w, c) token-count
+    * frame: every single character of the training words plus the
+    * [[WpMergeCount]] merge products — the chars guarantee (almost)
+    * total segmentability, the merges carry the learned pieces; a
+    * character outside the TRAINING alphabet segments as a counted OOV
+    * char (the kernel's fallback, mirrored by the oracle's NULL-match
+    * branch). Driver traffic is alphabet + merges — codebook-sized. */
   private[graft] def wordpieceVocab(tok: DataFrame): graft.functions.WpVocab = {
     val (chars, merges) = wordpieceCharsAndMerges(tok)
     wordpieceVocabAt(chars, merges, WpMergeCount)

@@ -376,6 +376,8 @@ object DocStream extends Serializable {
     * the exact order the previous full-sort produced. */
   private def boundedTopK[T](rows: Iterator[T], k: Int)(
       implicit ord: Ordering[T]): Seq[T] = {
+    if (k <= 0) return Seq.empty // a valid 'no results' request, like the
+                                 // full-sort form's take(k) before it
     val heap = scala.collection.mutable.PriorityQueue.empty[T](ord)
     rows.foreach { r =>
       if (heap.size < k) heap.enqueue(r)
@@ -1233,8 +1235,11 @@ object DocStream extends Serializable {
     * (exact-tick Viterbi, the batch twin's kernel — novel words
     * segment natively, long words take the same char fallback), and
     * per-doc counts aggregate inside the doc's own micro-batch with
-    * zero state rows. The only batch divergence is the documented
-    * null-text one (no row here, 0/0/NULL in batch). */
+    * zero state rows. Batch divergence, by design: docs with NO
+    * non-empty token — null-text AND whitespace-only text (the batch
+    * tok frame's length>0 filter leaves them token-less) — emit no row
+    * here, where the batch twin's doc-universe left join surfaces
+    * 0/0/NULL. */
   def applyUnigram(docs: DataFrame,
                    vocab: graft.functions.UgVocab): Dataset[UgDoc] = {
     val spark = docs.sparkSession

@@ -96,4 +96,25 @@ class AnnStreamSpec extends SparkTestBase {
       assert(got.find(_._2 == 1).map(_._3).contains(0L))
     } finally index.unpersist()
   }
+
+  test("k = 0 is a valid 'no results' request, not a crash") {
+    // the bounded-heap serve must preserve the old full-sort form's
+    // take(0) semantics: zero hits per probe, no exception in the
+    // flatMapGroupsWithState task
+    val dir = Files.createTempDirectory("vecs_stream_ann_k0")
+    val vecs = Tables.table(spark, sf0001, "embeddings")
+    stageFile(vecs.filter($"vec_id" < 3), dir, "b0.parquet",
+      1700000000000L)
+    val index = DocStream.prepareAnnIndex(vecs, trainedCents,
+      assignTicks = true)
+    try {
+      val out = DocStream.annSearch(spark,
+        DocStream.readEmbeddings(spark, dir.toString), index, trainedCents,
+        k = 0, assignTicks = true).toDF()
+      val q = EventStream.runToMemory(out, "ann_serve_k0",
+        OutputMode.Append())
+      q.processAllAvailable(); q.stop()
+      assert(spark.table("ann_serve_k0").count() === 0L)
+    } finally index.unpersist()
+  }
 }
