@@ -203,6 +203,49 @@ object PostTrainQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Best-of-n selection under the LEARNED reward — rejection sampling
+    // at the corpus grain: train the LR quality classifier (the
+    // q_doc_quality_lr lineage, the engine's stand-in for a reward
+    // model), score every doc as a pure projection, and keep each
+    // (source, lang) cell's argmax with the DECISIVENESS statistic
+    // best-of-n reporting wants: n (candidates considered), the winning
+    // score, the runner-up score, and their exact-tick margin (a
+    // one-candidate cell's runner-up and margin are NULL). This is the
+    // composition the post-training pillar was missing: the trained
+    // scorer from the curation family driving a selection operator,
+    // literally sharing qlrFeatures/qlrTrain/qlrScore6 with
+    // q_doc_quality_lr so "reward" means one thing engine-wide.
+    //
+    // Shapes: training is the LR family's 12 fixed-size weight
+    // collects; scoring is one projection; selection is one window per
+    // (source, lang) cell. Hard oracle: the spliceable qlrCtes training
+    // chain + the verbatim score expression + the same windows.
+    "q_pref_bon" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val feat = TextQueries.qlrFeatures(docs).persist()
+      val w = try {
+        val hist = TextQueries.qlrTrain(feat)
+        Seq(hist.last._2, hist.last._3, hist.last._4, hist.last._5)
+      } finally feat.unpersist()
+      val p6 = TextQueries.qlrScore6(w)
+      val scored = TextQueries.qlrFeatures(docs)
+        .select($"doc_id", p6.as("score6"))
+        .join(docs.select($"doc_id", $"source", $"lang"), Seq("doc_id"))
+      val win = Window.partitionBy($"source", $"lang")
+        .orderBy($"score6".desc, $"doc_id".asc)
+      val cell = Window.partitionBy($"source", $"lang")
+      scored
+        .withColumn("rn", row_number().over(win))
+        .withColumn("n", count(lit(1)).over(cell))
+        .withColumn("runner_up6", lead($"score6", 1).over(win))
+        .filter($"rn" === 1)
+        .select($"source", $"lang", $"n", $"doc_id".as("best_doc"),
+          $"score6".as("best_score6"), $"runner_up6",
+          ($"score6" - $"runner_up6").as("margin6"))
+        .orderBy("source", "lang")
+    }),
+
     // Curriculum staging: order each language's corpus easy → hard and
     // cut it into [[CurriculumStages]] contiguous stages — the data-
     // ordering step of curriculum learning (Bengio et al. 2009), where
@@ -324,6 +367,32 @@ object PostTrainQueries {
            |JOIN splits sr ON sr.doc_id = p.rejected_doc
            |GROUP BY sc.split, sr.split
            |ORDER BY chosen_split, rejected_split""".stripMargin),
+
+    // The spliced LR training chain + the verbatim score expression +
+    // the same selection windows — the trained-reward composition is
+    // one hash-match end to end.
+    "q_pref_bon" ->
+      ("WITH " + TextQueries.qlrCtes("documents") +
+        s""",
+           |bonscored AS MATERIALIZED (
+           |  SELECT f.doc_id,
+           |    least(greatest(500000 + CAST(floor(
+           |      CAST(f.x_spam * w.ws + f.x_stop * w.wt + f.x_dtr * w.wd +
+           |           f.x_bias * w.wb AS DOUBLE) / 40000.0) AS BIGINT),
+           |      0), 1000000) AS score6
+           |  FROM feat f, it${TextQueries.QlrIters} w),
+           |boncells AS (
+           |  SELECT d.source, d.lang, s.doc_id, s.score6,
+           |    row_number() OVER (PARTITION BY d.source, d.lang
+           |      ORDER BY s.score6 DESC, s.doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY d.source, d.lang) AS n,
+           |    lead(s.score6) OVER (PARTITION BY d.source, d.lang
+           |      ORDER BY s.score6 DESC, s.doc_id) AS runner_up6
+           |  FROM bonscored s JOIN documents d ON d.doc_id = s.doc_id)
+           |SELECT source, lang, CAST(n AS BIGINT) AS n, doc_id AS best_doc,
+           |  score6 AS best_score6, runner_up6,
+           |  score6 - runner_up6 AS margin6
+           |FROM boncells WHERE rn = 1 ORDER BY source, lang""".stripMargin),
 
     "q_contrastive_negatives" ->
       s"""WITH vecs AS (

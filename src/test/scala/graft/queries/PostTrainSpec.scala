@@ -94,6 +94,38 @@ class PostTrainSpec extends SparkTestBase {
     }
   }
 
+  test("best-of-n picks each cell's learned-reward argmax with an exact " +
+      "margin (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_pref_bon")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // the winner's score equals the cell max of the shipped scorer's
+    // q_doc_quality_lr output (the literal shared lineage), and the
+    // margin is best - runner_up exactly
+    val scores = SparkEntry.queries("q_doc_quality_lr")(spark, sf0001)
+      .select($"doc_id", $"score6").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.table(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"lang")
+      .as[(Long, String, String)].collect()
+      .filter(d => scores.contains(d._1))
+      .groupBy(d => (d._2, d._3))
+    rows.foreach { r =>
+      val cell = docs((r.getAs[String]("source"), r.getAs[String]("lang")))
+      val ranked = cell.map(d => (scores(d._1), d._1))
+        .sortBy { case (s, id) => (-s, id) }
+      assert(r.getAs[Long]("n") === cell.length.toLong)
+      assert(r.getAs[Long]("best_doc") === ranked.head._2)
+      assert(r.getAs[Long]("best_score6") === ranked.head._1)
+      if (cell.length > 1) {
+        assert(r.getAs[Long]("runner_up6") === ranked(1)._1)
+        assert(r.getAs[Long]("margin6") === ranked.head._1 - ranked(1)._1)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("margin6")))
+      }
+    }
+  }
+
   test("contrastive triplets band hard / semi-hard / easy around the " +
       "positive") {
     val d = 64
