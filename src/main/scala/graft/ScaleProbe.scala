@@ -220,7 +220,12 @@ object ScaleProbe {
     "q_doc_unigram_tok_train",
     // unigram application: the BPE/WordPiece apply contract — linear
     // (doc, word) pre-agg, constant distinct-word kernel pass
-    "q_doc_unigram_tok_apply")
+    "q_doc_unigram_tok_apply",
+    // best-of-n under the learned reward: the LR trainer's contract
+    // (12 fixed-size weight collects over a linear feature agg) plus
+    // one projection and one (source, lang) window — must track
+    // q_doc_quality_lr's growth
+    "q_pref_bon")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
