@@ -234,6 +234,25 @@ object Bench {
     // flag. Ratio < 1 just means this session is cleaner — never flagged.
     val driftJson = canaryDriftJson(
       math.min(canaryStart, canaryEnd), prevCanaryMin(sidecar))
+    // round-over-round provenance against the previous round's OFFICIAL
+    // tagged record (officialDriftJson scaladoc): the sidecar ratio above
+    // adjudicates within-session vs the last LOCAL run; this one carries
+    // the cross-ROUND machine ratio plus per-query twins, so the ambient-
+    // vs-regression verdict reads off the record alone
+    val offPath = officialRecordPath()
+    val offJson = officialDriftJson(math.min(canaryStart, canaryEnd),
+      offPath.flatMap(prevCanaryMin), offPath)
+    val (offSf, offTimedAll) = offPath.map(prevTimedSec)
+      .getOrElse((None: Option[String], Map.empty[String, Double]))
+    val offTimed: Map[String, Double] =
+      if (offSf.contains(sfDir)) offTimedAll else Map.empty
+    val offInflated = ok.collect {
+      case (n, rep, _, _) if sidecarTrigger(offTimed.get(n), rep) =>
+        (n, offTimed(n), rep)
+    }
+    offInflated.foreach { case (n, p, r) =>
+      System.err.println(f"[bench] query_inflated_official $n: " +
+        f"reported=$r%.2f vs official $p%.2f (${r / p}%.1fx)") }
     // stdout carries the flagged NAMES (bounded — inflation is rare and a
     // mass flagging means a slow machine, which canary_vs_prev already
     // stamps); the prev/reported numbers live in the sidecar dict
@@ -244,8 +263,17 @@ object Bench {
           .map(t => JsonUtil.quote(t._1.stripPrefix("q_"))).mkString(",")
         s""""query_inflated":[$top],"""
       }
+    // bounded like query_inflated: names only on the line, full prev/
+    // reported pairs in the sidecar's query_inflated_official dict
+    val offInflatedJson =
+      if (offInflated.isEmpty) ""
+      else {
+        val top = offInflated.sortBy { case (_, p, r) => -(r / p) }.take(5)
+          .map(t => JsonUtil.quote(t._1.stripPrefix("q_"))).mkString(",")
+        s""""query_inflated_official":[$top],"""
+      }
     val canaryJson =
-      s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},$driftJson$contendedJson$inflatedJson"""
+      s""""canary":{"start":${ms(canaryStart)},"end":${ms(canaryEnd)}},$driftJson$offJson$contendedJson$inflatedJson$offInflatedJson"""
     // Full-precision AUDIT record, written to a committed file: the stdout
     // line is the driver contract but its tail budget quantizes 89 queries
     // to deciseconds, and the stderr ms dicts fall outside the driver's
@@ -259,7 +287,7 @@ object Bench {
     // 2000-char tail window AFTER a line that fit the budget on its own.
     try {
       val json = sidecarJson(sfDir, warm, timed, errors, canaryStart, canaryEnd,
-        contended, driftJson, inflated)
+        contended, driftJson + offJson, inflated, offInflated)
       val p = java.nio.file.Paths.get(sidecar)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
@@ -319,7 +347,8 @@ object Bench {
       errors: Map[String, String],
       canaryStart: Double = -1, canaryEnd: Double = -1,
       contended: Boolean = false, driftJson: String = "",
-      inflated: Seq[(String, Double, Double)] = Nil): String = {
+      inflated: Seq[(String, Double, Double)] = Nil,
+      inflatedOfficial: Seq[(String, Double, Double)] = Nil): String = {
     def dict(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"    ${JsonUtil.quote(k)}: $v" }
         .mkString("{\n", ",\n", "\n  }")
@@ -335,6 +364,8 @@ object Bench {
       .map { case (n, e) => n -> JsonUtil.quote(e) })
     val inflD = dict(inflated.map { case (n, p, r) =>
       n -> s"""{"prev": ${ms(p)}, "reported": ${ms(r)}}""" })
+    val inflOffD = dict(inflatedOfficial.map { case (n, p, r) =>
+      n -> s"""{"official": ${ms(p)}, "reported": ${ms(r)}}""" })
     s"""{
        |  "sf": ${JsonUtil.quote(sfDir)},
        |  "suite_size": ${timed.length},
@@ -342,6 +373,7 @@ object Bench {
        |  "canary_sec": {"start": ${ms(canaryStart)}, "end": ${ms(canaryEnd)}},
        |  $driftJson"contended": $contended,
        |  "query_inflated": $inflD,
+       |  "query_inflated_official": $inflOffD,
        |  "warm_sec": $warmD,
        |  "timed_sec": $timedD,
        |  "outlier_escalations": $retryD,
@@ -553,6 +585,43 @@ object Bench {
         val flag =
           if (r > CanaryInflatedRatio) """"canary_inflated":true,""" else ""
         s""""canary_vs_prev":${fmt(2)(r)},$flag"""
+      case _ => ""
+    }
+
+  /** Pointer file naming the previous round's OFFICIAL tagged record —
+    * advanced by tools/bench.sh only when a TAGGED run exits cleanly, so
+    * unlike [[SidecarPath]] (which any local run overwrites) it always
+    * names the last record that was deliberately blessed as a round's
+    * reference. Overridable via SPARK_GRAFT_BENCH_OFFICIAL. */
+  private[graft] val OfficialPointerPath = "tools/bench_official.txt"
+
+  /** Resolve the previous official record's path: the env override, else
+    * the pointer file's single line. Absent/dangling pointers degrade to
+    * None (no stamp) — provenance must never fail the bench. */
+  private[graft] def officialRecordPath(): Option[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_OFFICIAL")
+      .orElse(scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(OfficialPointerPath)),
+        java.nio.charset.StandardCharsets.UTF_8).trim).toOption)
+      .filter(_.nonEmpty)
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+
+  /** JSON fragment (trailing comma included, empty when no official
+    * baseline resolves) stamping this session against the previous
+    * round's OFFICIAL record — the round-over-round provenance the
+    * sidecar-based canary_vs_prev cannot carry (r17 verdict: bench_last
+    * .json is one local overwrite away from an intermediate run, so the
+    * official record stamped 0.77 while the true round-over-round ratio
+    * was 1.53; a judge had to dig tagged files to adjudicate). Same
+    * canary-minima formula as [[canaryDriftJson]], plus the basis path
+    * so the record names what it compared against. Pure — BenchLineSpec
+    * pins the formula and the no-baseline case. */
+  private[graft] def officialDriftJson(cur: Double, officialMin: Option[Double],
+      path: Option[String]): String =
+    (officialMin, path) match {
+      case (Some(p), Some(f)) if cur > 0 =>
+        s""""canary_vs_official":${fmt(2)(cur / p)},""" +
+          s""""official_record":${JsonUtil.quote(f)},"""
       case _ => ""
     }
 }

@@ -223,8 +223,8 @@ object ScaleProbe {
     "q_doc_unigram_tok_apply",
     // best-of-n under the learned reward: the LR trainer's contract
     // (12 fixed-size weight collects over a linear feature agg) plus
-    // one projection and one (source, lang) window — must track
-    // q_doc_quality_lr's growth
+    // one projection and the two-phase local-prune selection — must
+    // track q_doc_quality_lr's growth
     "q_pref_bon")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
@@ -329,7 +329,13 @@ object ScaleProbe {
     // per-component quality window is bounded by component size, so
     // the pair miner must track the clustering family's hostile
     // envelope, never exceed it
-    "q_pref_pairs")
+    "q_pref_pairs",
+    // best-of-n under the ONE-HOT-CELL shape its two-phase selection
+    // exists for: the hostile corpus is a single (source, lang) cell,
+    // so the old full-cell windows would sort the whole corpus in ONE
+    // task; phase 1's (source, lang, pid) ranking must keep the work
+    // spread across input partitions and growth flat-to-linear in docs
+    "q_pref_bon")
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

@@ -12,11 +12,28 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * identical arithmetic (the [[PqKernels]] discipline). */
 object HilbertKernels {
 
-  /** xy→d on the 256×256 Hilbert curve — the standard
-    * rotate-and-accumulate conversion (the public convert-xy-to-d loop,
-    * e.g. Wikipedia "Hilbert curve"): walk bit planes from the top,
+  /** xy→d on the 256×256 Hilbert curve — the rotate-and-accumulate
+    * conversion (the shape of the public convert-xy-to-d loop, e.g.
+    * Wikipedia "Hilbert curve"): walk bit planes from the top,
     * accumulate s²·gray(quadrant), rotate/reflect the frame into the
-    * quadrant. All integer; inputs must sit in [0, 256). */
+    * quadrant. All integer; inputs must sit in [0, 256).
+    *
+    * DELIBERATE DIVERGENCE FROM THE CANONICAL LOOP — do not "fix" one
+    * side alone (r17 ADVICE): the reflection uses the CURRENT plane's
+    * `s - 1 - x`, not the canonical whole-grid `n - 1 - x`, so
+    * intermediate coordinates go NEGATIVE (x=255, s=128 reflects to
+    * y=-128). The curve is still a valid Hilbert variant — HilbertSpec
+    * proves bijectivity onto [0, 65536) and unit-step adjacency over the
+    * full 256×256 grid, which is ALL the layout query's tile-locality
+    * claim needs — but the subsequent rounds' `x & s` then operates on
+    * negative values, and the oracle's unrolled CTE chain replays
+    * bit-for-bit ONLY because DuckDB's `&` on negative BIGINTs is the
+    * same two's-complement operation as Java's. Canonicalizing the loop
+    * to `n - 1 - x` on one side (kernel OR oracle CTEs) silently breaks
+    * the hash-match while leaving both curves individually plausible —
+    * any change here must land in [[HilbertD2]]'s codegen string, this
+    * eval, AND the ParityQueries `hilbertRoundsSql` CTE chain together,
+    * re-proven by HilbertSpec. */
   def d2(x0: Long, y0: Long): Long = {
     var x = x0; var y = y0
     var d = 0L

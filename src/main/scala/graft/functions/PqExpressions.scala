@@ -382,7 +382,19 @@ object PqFunctions {
     * lifetime. Safe even if a later [[bind]] re-registers the same
     * book: binding is idempotent and callers of bind hold their Column
     * builders across unrelated unbinds only when tags differ, which the
-    * content digest guarantees for different books. */
+    * content digest guarantees for DIFFERENT books.
+    *
+    * SAME-TAG caveat (r17 ADVICE): if a caller holds a bound builder for
+    * codebook X while a later trainBooksOn run passes through an interim
+    * book CONTENT-IDENTICAL to X, that run's unbind drops X's
+    * registration mid-loop and only its next bind restores it — a Column
+    * resolved from the held builder inside that window fails analysis
+    * with "undefined function pq_encode_<tag>". Today every trainer and
+    * query in this repo is single-threaded on the driver and resolves
+    * its Columns eagerly between bind/unbind pairs, so the window is
+    * unoccupied by construction; a future concurrent-session or
+    * lazy-resolution caller must reference-count registrations per tag
+    * (drop only at zero) instead of relying on this note. */
   def unbind(spark: SparkSession, books: PqBooks): Unit = {
     val t = tag(books)
     Seq(s"pq_encode_$t", s"pq_dtabs_$t").foreach { n =>

@@ -1414,13 +1414,11 @@ object DedupQueries {
       import s.implicits._
       val comp = ngramJaccardComponents(s, dir)
         .select($"id".as("doc_id"), $"component".as("comp_rep"))
-      val b = TextQueries.sampleBucket($"rep")
       Tables.table(s, dir, "documents").select($"doc_id")
         .join(comp, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"comp_rep", $"doc_id").as("rep"))
         .select($"doc_id", $"rep",
-          when(b < 80, "train").when(b < 90, "val").otherwise("test")
-            .as("split"))
+          TextQueries.splitOf($"rep").as("split"))
         .orderBy("doc_id")
     }),
 
@@ -2109,7 +2107,7 @@ object DedupQueries {
     // would hash-mismatch).
     "q_split_cluster_safe" ->
       (clusterReachCtes +
-        """,
+        s""",
         |comp AS (
         |  SELECT src AS doc_id, least(src, min(dst)) AS rep
         |  FROM reach GROUP BY src),
@@ -2117,9 +2115,7 @@ object DedupQueries {
         |  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
         |SELECT doc_id, rep,
-        |  CASE WHEN ((rep % 1000003) * 31 + 7) % 100 < 80 THEN 'train'
-        |       WHEN ((rep % 1000003) * 31 + 7) % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
+        |  ${TextQueries.splitCaseSql("rep")} AS split
         |FROM assigned ORDER BY doc_id""".stripMargin),
 
     "q_dedup_editdist" ->

@@ -29,6 +29,17 @@ object ParityQueries {
     * transform.py:122-124 used Timestamp.today(); see SURVEY.md §7.4). */
   private val AsOf = "2000-01-01"
 
+  /** SQL integer division (`a div b`) as a Column — the layout queries'
+    * range-bucket arithmetic must be EXACT integer division matching the
+    * oracle's `//`, not `floor(double)`: for key ranges past ~2^45 a
+    * quotient within half an ulp of an integer can floor differently
+    * across engines and flip a bucket (r17 ADVICE). Operands here are
+    * always non-negative with a positive divisor, where Spark's
+    * truncate-toward-zero `div` and DuckDB's `//` agree exactly. */
+  private def idiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("div", a, b)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1/P3: scan + narrow projection; pruning reaches the parquet reader.
     "q_scan_project" -> ((s, dir) => {
@@ -421,10 +432,10 @@ object ParityQueries {
         min($"day").as("min_d"), max($"day").as("max_d"))
       val bucketed = o.join(broadcast(stats))
         .select($"o_custkey", $"day",
-          floor(($"o_custkey" - $"min_c") * 256d / ($"max_c" - $"min_c" + 1))
-            .cast("long").as("bx"),
-          floor(($"day" - $"min_d") * 256d / ($"max_d" - $"min_d" + 1))
-            .cast("long").as("by"))
+          idiv(($"o_custkey" - $"min_c") * 256L, $"max_c" - $"min_c" + 1L)
+            .as("bx"),
+          idiv(($"day" - $"min_d") * 256L, $"max_d" - $"min_d" + 1L)
+            .as("by"))
       val z = (0 until 8).map { i =>
         shiftleft(shiftright($"bx", i).bitwiseAND(1L), 2 * i) +
           shiftleft(shiftright($"by", i).bitwiseAND(1L), 2 * i + 1)
@@ -469,10 +480,10 @@ object ParityQueries {
         min($"day").as("min_d"), max($"day").as("max_d"))
       val bucketed = o.join(broadcast(stats))
         .select($"o_custkey", $"day",
-          floor(($"o_custkey" - $"min_c") * 256d / ($"max_c" - $"min_c" + 1))
-            .cast("long").as("bx"),
-          floor(($"day" - $"min_d") * 256d / ($"max_d" - $"min_d" + 1))
-            .cast("long").as("by"))
+          idiv(($"o_custkey" - $"min_c") * 256L, $"max_c" - $"min_c" + 1L)
+            .as("bx"),
+          idiv(($"day" - $"min_d") * 256L, $"max_d" - $"min_d" + 1L)
+            .as("by"))
       bucketed
         .select($"o_custkey", $"day",
           (graft.functions.HilbertFunctions.hilbertD2($"bx", $"by") / 16)

@@ -79,6 +79,33 @@ object TextQueries {
   private[graft] def sampleBucket(id: Column): Column =
     ((id % 1000003L) * 31L + 7L) % 100L
 
+  /** The SHIPPED train/val/test split policy — ONE definition of the
+    * 80/10/10 bucket thresholds and the CASE that applies them, used by
+    * BOTH the assignment query (q_split_cluster_safe) and the pair-level
+    * audit (q_pref_split_check), Spark and oracle sides alike (r17
+    * ADVICE: each re-hardcoding the thresholds meant a policy change
+    * could ship while the audit silently verified the stale split and
+    * still reported diagonal). Change the policy here and every
+    * assigner, auditor, and oracle moves together. */
+  private[graft] val SplitTrainPct = 80L
+  private[graft] val SplitValPct = 90L
+
+  /** split label of a (component-representative) id under the shipped
+    * policy — the Spark face of [[splitCaseSql]]. */
+  private[graft] def splitOf(rep: Column): Column = {
+    val b = sampleBucket(rep)
+    when(b < SplitTrainPct, "train")
+      .when(b < SplitValPct, "val")
+      .otherwise("test")
+  }
+
+  /** The same policy as oracle SQL over a rep-valued expression —
+    * interpolated, never re-inlined, into every split-bearing oracle. */
+  private[graft] def splitCaseSql(rep: String): String =
+    s"CASE WHEN (($rep % 1000003) * 31 + 7) % 100 < $SplitTrainPct " +
+      s"THEN 'train' WHEN (($rep % 1000003) * 31 + 7) % 100 < " +
+      s"$SplitValPct THEN 'val' ELSE 'test' END"
+
   /** q_doc_bpe_train's merge budget — one definition, interpolated into
     * the generated oracle CTE chain so both engines run the identical
     * number of iterations. */

@@ -235,6 +235,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.canaryDriftJson(-1.0, Some(0.058)) === "")
   }
 
+  test("official drift stamps ratio AND basis path; degrades without " +
+      "either") {
+    // the r17 adjudication numbers: this session's canary min 0.078 vs
+    // the r16 official record's 0.051 — the 1.53x that actually carried
+    // the round-over-round verdict, which canary_vs_prev (stamped 0.77
+    // against an uncommitted intermediate run) could not
+    val j = Bench.officialDriftJson(0.078, Some(0.051),
+      Some("tools/bench_r16_final2.json"))
+    assert(j.contains(""""canary_vs_official":1.53"""), j)
+    assert(j.contains(
+      """"official_record":"tools/bench_r16_final2.json""""), j)
+    // no official baseline, no canary, or no path -> empty fragment,
+    // never a failure
+    assert(Bench.officialDriftJson(0.078, None, Some("x.json")) === "")
+    assert(Bench.officialDriftJson(0.078, Some(0.051), None) === "")
+    assert(Bench.officialDriftJson(-1.0, Some(0.051), Some("x")) === "")
+  }
+
+  test("sidecar carries the query_inflated_official dict") {
+    val rendered = Bench.sidecarJson("sf", Seq(("q_a", 0.2, None)),
+      Seq(("q_a", 5.0, None, None)), Map.empty, 0.1, 0.1,
+      contended = false, driftJson = "",
+      inflated = Nil, inflatedOfficial = Seq(("q_a", 1.97, 5.0)))
+    assert(rendered.contains(""""query_inflated_official""""), rendered)
+    assert(rendered.contains(""""official": 1.970"""), rendered)
+    assert(rendered.contains(""""reported": 5.000"""), rendered)
+  }
+
   test("prevCanaryMin parses the committed sidecar shape and degrades " +
       "on absence, corruption, and sentinels") {
     val dir = java.nio.file.Files.createTempDirectory("canary_prev")

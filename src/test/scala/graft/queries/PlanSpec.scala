@@ -302,6 +302,23 @@ class PlanSpec extends SparkTestBase {
     assert("hashpartitioning\\(lang#\\d+, \\d+\\)".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_pref_bon selects via the two-phase device, no full-cell sort") {
+    // the r17 verdict's one `weak`: selection windows over
+    // Window.partitionBy(source, lang) sorted the ENTIRE scored corpus
+    // into a handful of cell partitions. The fix is the q_topk_per_group
+    // device — phase 1 must rank within (source, lang, pid) so no task
+    // sorts more than one input partition's cell slice, and only the
+    // pruned top-2-per-slice rows (carrying slice counts) may reach the
+    // (source, lang) exchange. Both exchanges must be present: losing
+    // the pid one regresses to the full-cell sort, losing the cell one
+    // breaks the global selection.
+    val p = plan("q_pref_bon")
+    assert("hashpartitioning\\(source#\\d+, lang#\\d+, pid#\\d+"
+      .r.findFirstIn(p).isDefined, p)
+    assert("hashpartitioning\\(source#\\d+, lang#\\d+, \\d+\\)"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_curation_pipeline keeps its bounded wide stages only") {
     // the composed pipeline's wide stages are the keep-first fingerprint
     // window, the substring drop stage's own machinery — the shared

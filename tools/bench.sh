@@ -81,5 +81,13 @@ out="${SPARK_GRAFT_BENCH_OUT:-tools/bench_last.json}"
 if [ "$rc" -eq 0 ] && [ -n "${SPARK_GRAFT_BENCH_TAG:-}" ] && [ -f "$out" ]; then
   cp "$out" "tools/bench_${SPARK_GRAFT_BENCH_TAG}.json"
   echo "bench.sh: sidecar also saved as tools/bench_${SPARK_GRAFT_BENCH_TAG}.json" >&2
+  # advance the official-record pointer (graft.Bench reads it at LAUNCH,
+  # so this run was stamped against the PREVIOUS official record; the
+  # next round's run will stamp against this one). Only tagged clean
+  # exits advance it — bench_official.txt therefore always names the
+  # last deliberately-blessed record, which is the round-over-round
+  # basis canary_vs_official carries (Bench.officialDriftJson scaladoc).
+  echo "tools/bench_${SPARK_GRAFT_BENCH_TAG}.json" > tools/bench_official.txt
+  echo "bench.sh: official pointer advanced to tools/bench_${SPARK_GRAFT_BENCH_TAG}.json" >&2
 fi
 exit $rc
