@@ -181,6 +181,11 @@ object ScaleProbe {
     // the two new media modalities on replicas (verbatim copies
     // collapse exactly; signature work constant, fan-out linear)
     "q_media_audio_dedup", "q_media_video_dedup",
+    // the REAL-decoder face on replicas: verbatim copies produce
+    // byte-identical WAV containers, so the md5 collapse bounds the
+    // decode+signature work exactly like the audio stand-in — only the
+    // encode scan and the fan-out grow
+    "q_media_wav_dedup",
     // the banding sweep: one signature pass, three re-band projections,
     // the 8x8 rung's candidate volume bounds the whole report — must
     // track q_media_phash_dedup's replica contract
@@ -313,6 +318,12 @@ object ScaleProbe {
     // band bucket hot — the shared bandNearDup cap (tag media_audio)
     // must bound pair work exactly like the image face
     "q_media_audio_dedup",
+    // the real-decoder face under the same concentration: unique
+    // trailers defeat the container-md5 collapse, every rep pays a
+    // REAL RIFF parse (linear, partition-local) and near-identical
+    // decoded-sample profiles concentrate the band buckets — the
+    // media_wav capPerKey tag must bound pair work like the audio face
+    "q_media_wav_dedup",
     // video under hostility: the unique trailer sits in the LAST frame,
     // so every EARLIER sampled frame's (frame_idx, sig) bucket holds
     // ~the whole corpus — the media_video cap must bound the candidate
@@ -504,7 +515,7 @@ object ScaleProbe {
   private def countWithObserved(spark: SparkSession, q: String,
                                 dir: String, tag: String): (Long, String) =
     try {
-      val df = SparkEntry.queries(q)(spark, dir)
+      val df = SparkEntry.allQueries(q)(spark, dir)
       val c = df.queryExecution.toRdd.count()
       (c, observedJson(df))
     } catch { case e: Throwable =>
@@ -597,7 +608,7 @@ object ScaleProbe {
     dirs.foreach { case (k, dir) =>
       pickedProbes.foreach { q =>
         val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(q)(spark, dir).count()
+        val n = try SparkEntry.allQueries(q)(spark, dir).count()
         catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n}""")
@@ -634,7 +645,7 @@ object ScaleProbe {
     skewDirs.foreach { case (k, dir) =>
       pickedHostileEvents.foreach { q =>
         val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(q)(spark, dir).count()
+        val n = try SparkEntry.allQueries(q)(spark, dir).count()
         catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":"user_skew"}""")

@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one function call per partition, vectorizable inside,
   * no per-row driver involvement.
   *
-  * The actual media codecs are NOT available in this build environment, so
-  * [[FakeCodec]] is a clearly-marked deterministic stand-in: the schema,
-  * partitioning, batch shape, and feature plumbing are real and tested;
-  * swapping in a real decoder is a one-function change.
+  * Two codec implementations share the seam. [[WavCodec]] is a REAL
+  * decoder — a genuine RIFF/WAVE chunk-scan + PCM16 parse, cross-checked
+  * against the JDK's independent javax.sound implementation — and the
+  * path q_media_wav_decode hash-matches through; it is the template for
+  * dropping in an image/video library where one exists. [[FakeCodec]] is
+  * the SYNTHETIC-SCALE path: image/video libraries are not available in
+  * this build environment, so its clearly-marked deterministic byte-grid
+  * kernels stand in for those formats — the schema, partitioning, batch
+  * shape, and feature plumbing around them are real and tested, and the
+  * hostile 100 TB-shape probes run through them.
   */
 object Multimodal {
 
@@ -126,9 +132,18 @@ object Multimodal {
       * like [[perceptualBands]]. Exact integer comparisons only, so the
       * DuckDB oracle replays the signature character-wise. */
     def audioBands(payload: Array[Byte], frames: Int = 65,
-                   bandWidth: Int = 16): Array[Long] = {
-      val e = frameEnergies(payload, frames)
-      val bits = frames - 1
+                   bandWidth: Int = 16): Array[Long] =
+      diffBands(frameEnergies(payload, frames), bandWidth)
+
+    /** The Haitsma-Kalker temporal-difference bit packing over a frame-
+      * energy array — bit f = e(f+1) > e(f), packed into bandWidth-bit
+      * band integers. ONE definition shared by the byte-grid stand-in
+      * ([[audioBands]]) and the REAL decode path ([[WavCodec]] samples
+      * via [[Multimodal.wavDecodeFeatures]]), so the two paths can only
+      * differ in WHERE the energies came from, never in the signature
+      * arithmetic the oracle replays. */
+    def diffBands(e: Array[Long], bandWidth: Int = 16): Array[Long] = {
+      val bits = e.length - 1
       val out = new Array[Long](bits / bandWidth)
       var f = 0
       while (f < bits) {
@@ -181,6 +196,67 @@ object Multimodal {
         lit("text/plain").as("mime"), $"source",
         lit(0).as("width"), lit(0).as("height"), lit(0L).as("durationMs"))
       .as[MediaItem]
+  }
+
+  /** Sample rate the document→WAV ingest wrap encodes at (and the
+    * q_media_wav_decode oracle interpolates): 8 kHz telephony PCM. */
+  val WavSampleRate = 8000
+
+  /** Wrap the documents table as REAL WAV media: each doc's ASCII bytes
+    * become PCM16 samples (`(byte - 128) * 256` — byte-centered, scaled
+    * to 16-bit range) inside a genuine canonical RIFF container
+    * ([[WavCodec.encodePcm16]]). Unlike [[asMedia]]'s raw-bytes wrap,
+    * the payload here is a real parseable media FORMAT — a WAV player
+    * would accept it — so everything downstream must survive an actual
+    * container parse, not just byte arithmetic. Runs partition-local
+    * like every codec-seam stage. */
+  def asWavMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val samples = new Array[Int](bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          samples(i) = ((bytes(i) & 0xFF) - 128) * 256
+          i += 1
+        }
+        val payload = WavCodec.encodePcm16(samples, WavSampleRate)
+        MediaItem(id, payload, "audio/wav", source, 0, 0,
+          samples.length * 1000L / WavSampleRate)
+      })
+  }
+
+  /** Per-item features THROUGH THE REAL DECODER: [[WavCodec.decode]]
+    * runs the genuine RIFF chunk scan + PCM16LE extraction inside the
+    * partition-local batch function, then the Haitsma-Kalker fingerprint
+    * computes over the DECODED samples with the exact shared band
+    * arithmetic ([[FakeCodec.diffBands]]). sample_rate and n_samples
+    * come out of the parsed container — a header-parse or chunk-scan bug
+    * shows up as a hash mismatch, which is what makes q_media_wav_decode
+    * the seam's honesty check. */
+  case class WavFeatures(item_id: Long, sample_rate: Int, n_samples: Long,
+                         byte_size: Long, bands: Array[Long])
+
+  def wavDecodeFeatures(items: Dataset[MediaItem],
+                        frames: Int = 65): Dataset[WavFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      val a = WavCodec.decode(m.payload)
+      val n = a.samples.length
+      val e = new Array[Long](frames)
+      var i = 0
+      while (i < n) {
+        val s = a.samples(i).toLong
+        e((i.toLong * frames / n).toInt) += s * s
+        i += 1
+      }
+      WavFeatures(m.item_id, a.sampleRate, n.toLong, m.payload.length.toLong,
+        FakeCodec.diffBands(e))
+    })
   }
 
   /** Feature extraction as a partition-local batch transform. Runs inside
