@@ -34,12 +34,12 @@ object Bench {
     // (the driver always invokes with no args -> full suite). A typo'd name
     // must fail loudly: silently filtering it out would print a near-empty
     // suite whose tiny total looks like an excellent benchmark result.
-    val unknown = args.toSet.diff(SparkEntry.queries.keySet)
+    val unknown = args.toSet.diff(SparkEntry.allQueries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val picked =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      if (args.isEmpty) SparkEntry.allQueries
+      else SparkEntry.allQueries.view.filterKeys(args.toSet).toMap
     // sorted, stable order: a Scala Map iterates in unspecified order, which
     // made cross-round per-query timings inherit whatever session state
     // earlier queries happened to leave behind

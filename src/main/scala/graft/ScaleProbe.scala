@@ -226,6 +226,11 @@ object ScaleProbe {
     // unigram application: the BPE/WordPiece apply contract — linear
     // (doc, word) pre-agg, constant distinct-word kernel pass
     "q_doc_unigram_tok_apply",
+    // the EM-schedule sweep: the trainer's contract x(rounds+1) — on
+    // verbatim replicas every rung's kernel pass and collect run on
+    // the CONSTANT word/vocabulary tables, so the sweep must track
+    // q_doc_unigram_tok_train's growth, never multiply it
+    "q_doc_unigram_tune",
     // best-of-n under the learned reward: the LR trainer's contract
     // (12 fixed-size weight collects over a linear feature agg) plus
     // one projection and the two-phase local-prune selection — must
@@ -347,6 +352,37 @@ object ScaleProbe {
     // task; phase 1's (source, lang, pid) ranking must keep the work
     // spread across input partitions and growth flat-to-linear in docs
     "q_pref_bon")
+
+  /** The tokenizer triad re-probed on the DISTINCT-WORD-HEAVY corpus —
+    * the anti-replica (r17 verdict directive 2): replicas duplicate
+    * texts verbatim, so every prior tokenizer probe ran under a
+    * CONSTANT vocabulary; this corpus is all unique random-identifier
+    * words, so the per-distinct-word kernel input, the BPE/WordPiece
+    * training word tables (and their merge-loop checkpoints), the
+    * WordPiece alphabet collect, and the unigram seed-substring table
+    * all grow linearly with the corpus. The probe pins HOW that growth
+    * lands: linear-with-the-scan is the contract (vocabulary work is
+    * linear in DISTINCT-WORD MASS, which here IS the corpus); any
+    * superlinear segment is a finding to attribute and bound. */
+  private val hostileTokQueries = Seq(
+    "q_doc_bpe_train", "q_doc_bpe_apply",
+    "q_doc_wordpiece_train", "q_doc_wordpiece_apply",
+    "q_doc_wordpiece_tune",
+    "q_doc_unigram_tok_train", "q_doc_unigram_tok_apply",
+    "q_doc_unigram_tune")
+
+  /** 20 unique identifier-shaped words per doc, distinct CORPUS-WIDE by
+    * construction (`w<p>x<id·20+p>` — injective below any probed n·20),
+    * mixed-length digits so prefixes/suffixes still share substrings
+    * the way real identifiers do. */
+  private def hostileTokDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).as("doc_id"),
+      lit("en").as("lang"),
+      lit("hostile_tok").as("source"),
+      concat_ws(" ", (0 until 20).map(p =>
+        concat(lit(s"w${p}x"), (col("id") * 20 + p).cast("string"))): _*)
+        .as("text"))
 
   private def hostileDocs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
@@ -531,8 +567,8 @@ object ScaleProbe {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(8)
     val qFilter = args.drop(1).toSet
     val unknownQ = qFilter.diff(
-      (probeQueries ++ hostileQueries ++ hostileEventQueries ++
-        hostileStreamFaces ++ hostileVecQueries ++
+      (probeQueries ++ hostileQueries ++ hostileTokQueries ++
+        hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
         hostileVecStreamFaces).toSet)
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
@@ -540,6 +576,9 @@ object ScaleProbe {
       if (qFilter.isEmpty) probeQueries else probeQueries.filter(qFilter)
     val pickedHostile =
       if (qFilter.isEmpty) hostileQueries else hostileQueries.filter(qFilter)
+    val pickedHostileTok =
+      if (qFilter.isEmpty) hostileTokQueries
+      else hostileTokQueries.filter(qFilter)
     val pickedHostileEvents =
       if (qFilter.isEmpty) hostileEventQueries
       else hostileEventQueries.filter(qFilter)
@@ -629,6 +668,27 @@ object ScaleProbe {
         val (n, om) = countWithObserved(spark, q, dir, s"$q@$k")
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":true}""")
+      }
+    }
+
+    // distinct-word-heavy corpus: 5k docs x 20 unique words per factor
+    // unit (100k NEW vocabulary entries per unit — the opposite of the
+    // replica corpora's constant vocabulary)
+    val hostileTokDirs =
+      if (pickedHostileTok.isEmpty) Seq.empty
+      else factors.map { k =>
+        val dir = s"target/scale/hosttok_f$k"
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
+          hostileTokDocs(spark, 5000L * k).repartition(8)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+        k -> dir
+      }
+    hostileTokDirs.foreach { case (k, dir) =>
+      pickedHostileTok.foreach { q =>
+        val t0 = System.nanoTime()
+        val (n, om) = countWithObserved(spark, q, dir, s"$q@tok$k")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":"distinct_words"}""")
       }
     }
 

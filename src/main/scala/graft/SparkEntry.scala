@@ -33,9 +33,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_dept_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2 (+ the
-    * beyond-reference training-data-pipeline operators). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** Seeded-xxhash64 PRODUCTION variants whose SQL twins carry the hard
+    * oracle: the pipelines are verbatim-identical up to the hash
+    * function (q_dedup_clusters_sql / q_ann_lsh_sql run the same
+    * lineages under md5 with full DuckDB hash-matches), so dumping the
+    * seeded face through Verify bought the correctness sheet nothing
+    * but a permanent rows-only entry (r17 verdict directive 6). They
+    * stay first-class everywhere PERFORMANCE is measured — Bench and
+    * ScaleProbe run [[allQueries]] — and stay spec-pinned (DedupSpec /
+    * AnnSpec recall-vs-brute pins); they are simply not part of the
+    * driver's oracle dump. */
+  private val InternalOnly = Set("q_dedup_clusters", "q_ann_lsh")
+
+  /** EVERY query the library ships, including the seeded-hash
+    * production variants — the inventory Bench times and ScaleProbe
+    * probes. */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ParityQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
@@ -46,6 +59,12 @@ object SparkEntry {
       graft.queries.MediaQueries.queries ++
       graft.queries.SqlQueries.queries ++
       graft.queries.PostTrainQueries.queries
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * beyond-reference training-data-pipeline operators) — the set the
+    * driver dumps through Verify and compares in CORRECTNESS. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries -- InternalOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (minhash/simhash/LSH — seeded

@@ -43,7 +43,7 @@ class NullTextSpec extends SparkTestBase {
 
   test("degenerate texts (null/empty/whitespace) never crash a pipeline") {
     textQueries.foreach { q =>
-      val n = graft.SparkEntry.queries(q)(spark, fixtureDir).count()
+      val n = graft.SparkEntry.allQueries(q)(spark, fixtureDir).count()
       assert(n >= 0, s"$q failed")
     }
   }
@@ -56,7 +56,7 @@ class NullTextSpec extends SparkTestBase {
     val degenerate = Set(2L, 3L, 4L, 5L)
     Seq("q_dedup_minhash_lsh", "q_dedup_minhash_sql", "q_dedup_simhash",
       "q_dedup_simhash_sql", "q_dedup_containment").foreach { q =>
-      val pairs = graft.SparkEntry.queries(q)(spark, fixtureDir)
+      val pairs = graft.SparkEntry.allQueries(q)(spark, fixtureDir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val bad = pairs.filter { case (a, b) =>
         degenerate.contains(a) || degenerate.contains(b) }

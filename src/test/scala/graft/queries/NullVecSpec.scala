@@ -79,7 +79,7 @@ class NullVecSpec extends SparkTestBase {
   test("the ANN family never crashes on degenerate vectors") {
     Seq("q_knn_brute", "q_ann_lsh", "q_ann_lsh_sql", "q_ann_ivf",
       "q_dedup_embedding").foreach { q =>
-      val n = graft.SparkEntry.queries(q)(spark, fixtureDir).count()
+      val n = graft.SparkEntry.allQueries(q)(spark, fixtureDir).count()
       assert(n >= 0, s"$q failed")
     }
   }

@@ -12,7 +12,7 @@ class PlanSpec extends SparkTestBase {
   import spark.implicits._
 
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    SparkEntry.allQueries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
   test("q_scan_project prunes the scan to the projected columns") {
     val p = plan("q_scan_project")

@@ -26,11 +26,13 @@ class QuerySmokeSpec extends SparkTestBase {
     // q_semdedup_incremental_trained — left this list in r12: the
     // fixed-point tick trainer made the whole training loop
     // SQL-replayable, so they now carry hard oracles.)
+    // (q_dedup_clusters and q_ann_lsh left this list in r18: their SQL
+    // twins carry the hard oracle for the identical pipelines, so the
+    // seeded faces moved to SparkEntry.allQueries-only — still benched,
+    // probed, and spec-pinned, no longer dumped as rows-only entries.)
     val rowsOnly = Set(
       "q_dedup_minhash_lsh",   // twin: q_dedup_minhash_sql (green)
       "q_dedup_simhash",       // twin: q_dedup_simhash_sql (green)
-      "q_dedup_clusters",      // twin: q_dedup_clusters_sql (green)
-      "q_ann_lsh",             // twin: q_ann_lsh_sql (green)
       "q_agg_approx_distinct", // HLL: 3*rsd error-bound spec
       "q_agg_approx_quantiles" // GK: rank-error-bound spec
     )
@@ -43,14 +45,25 @@ class QuerySmokeSpec extends SparkTestBase {
     assert(stale.isEmpty, s"stale rows-only entries: $stale")
   }
 
-  SparkEntry.queries.foreach { case (name, fn) =>
+  test("internal-only production variants stay benchable and dump-free") {
+    val internal = SparkEntry.allQueries.keySet.diff(SparkEntry.queries.keySet)
+    assert(internal === Set("q_dedup_clusters", "q_ann_lsh"), internal)
+    // and never grow an oracle silently (an oracle would mean they
+    // belong back in the dumped set)
+    assert(internal.intersect(SparkEntry.oracleSql.keySet).isEmpty)
+  }
+
+  SparkEntry.allQueries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
       // near-dup candidate queries may legitimately return zero pairs
       val mayBeEmpty = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
         "q_dedup_simhash", "q_dedup_embedding", "q_anti_fk",
-        "q_dedup_containment")
+        "q_dedup_containment",
+        // the real-decode signature's measured ring (WavMaxHamming
+        // scaladoc) holds pairs at sf0.01; the 50-doc corpus has none
+        "q_media_wav_dedup")
       if (!mayBeEmpty.contains(name)) assert(df.count() > 0, s"$name empty")
       else assert(df.count() >= 0)
     }
