@@ -15,13 +15,14 @@ import graft.sources.Views
   * two surfaces agree, and SqlFrontDoorSpec additionally pins collected
   * row-identity twin-vs-twin in one session.
   *
-  * Six twins chosen to span the surface: a null-keeping filter
-  * (reference parity), a broadcast-join top-k, exact dedup over the
-  * md5 fingerprint, an event-time rollup, brute-force ANN through
-  * the registered `cosine_sim` function — the one entry the SQL
-  * surface could not express without the custom-expression registry —
-  * and span-removal dedup, the surface's generator + struct-collect
-  * witness. */
+  * Twins chosen to span the surface: a null-keeping filter (reference
+  * parity), a broadcast-join top-k, exact dedup over the md5
+  * fingerprint, an event-time rollup, sessionization (the window-
+  * function witness: lag + running-sum numbering + grouped rollup),
+  * brute-force ANN through the registered `cosine_sim` function — the
+  * one entry the SQL surface could not express without the
+  * custom-expression registry — span-removal dedup (the generator +
+  * struct-collect witness), and the composed curation slice. */
 object SqlQueries {
 
   private def sqlOver(q: String)(s: SparkSession, dir: String): DataFrame = {
@@ -68,6 +69,39 @@ object SqlQueries {
         |  count(DISTINCT user_id) AS user_count,
         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) _),
+
+    // q_events_sessions through SQL — the surface's first WINDOW-
+    // FUNCTION twin (lag + running-sum session numbering + grouped
+    // rollup): extends the checked "two surfaces, one operator set"
+    // claim from projections/aggregates into window territory. The
+    // nested-query shape mirrors the DataFrame twin's withColumn
+    // stacking exactly, so both surfaces optimize to one canonical
+    // plan (SqlFrontDoorSpec pins it).
+    "q_sql_events_sessions" -> (sqlOver(
+      """SELECT user_id, session_seq,
+        |  count(*) AS event_count,
+        |  min(date_trunc('second', ts)) AS session_start,
+        |  max(date_trunc('second', ts)) AS session_end,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS session_value
+        |FROM (
+        |  SELECT event_id, ts, user_id, value, is_new,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM (
+        |    SELECT event_id, ts, user_id, value, sec, prev_sec,
+        |      CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1L
+        |           ELSE 0L END AS is_new
+        |    FROM (
+        |      SELECT event_id, ts, user_id, value, sec,
+        |        lag(sec, 1) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |      FROM (
+        |        SELECT event_id, ts, user_id, value,
+        |          unix_timestamp(date_trunc('second', ts)) AS sec
+        |        FROM events))))
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) _),
 
     // q_knn_brute through SQL via the registered codegen'd cosine_sim —
     // custom Catalyst expressions are first-class SQL functions here
@@ -163,6 +197,7 @@ object SqlQueries {
     "q_sql_topk" -> ParityQueries.oracleSql("q_topk"),
     "q_sql_dedup_exact" -> DedupQueries.oracleSql("q_dedup_exact"),
     "q_sql_events_hourly" -> EventQueries.oracleSql("q_events_hourly"),
+    "q_sql_events_sessions" -> EventQueries.oracleSql("q_events_sessions"),
     "q_sql_knn_brute" -> SimilarityQueries.oracleSql("q_knn_brute"),
     "q_sql_dedup_span" -> TextQueries.oracleSql("q_dedup_span"),
     "q_sql_curation_lite" -> CurationQueries.curationLiteOracle)

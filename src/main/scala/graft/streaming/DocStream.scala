@@ -240,6 +240,61 @@ object DocStream extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Per-cell state of [[selectBest]]: the candidate count plus the
+    * running top-2 (score6, doc_id) under the batch query's total order
+    * (score6 DESC, doc_id ASC) — at most TWO entries per (source, lang)
+    * cell forever, the bounded-state contract. */
+  case class BonState(n: Long, top: List[(Long, Long)])
+  case class BonRow(source: String, lang: String, n: Long, best_doc: Long,
+                    best_score6: Long, runner_up6: Option[Long],
+                    margin6: Option[Long])
+
+  /** STREAMING best-of-n under STAGED reward weights — the serving
+    * shape rejection sampling actually runs in: the LR quality scorer
+    * (the engine's stand-in for a reward model) is trained offline and
+    * staged to disk ([[graft.sources.Artifacts.writeQlrWeights]] — the
+    * curationPipelineWith device), and arriving candidates are scored
+    * as a pure projection and folded into a per-(source, lang) running
+    * argmax. Keyed state holds (n, top-2) per cell — ONE state row per
+    * cell, two candidate entries inside it, forever — and each
+    * micro-batch re-emits the cell's current manifest row (n, best,
+    * runner-up, margin), so the sink always holds the decisiveness
+    * report q_pref_bon computes in batch.
+    *
+    * Convergence contract (BonStreamSpec): on a replayed corpus the
+    * FINAL emission per cell equals the batch q_pref_bon manifest
+    * row-for-row — a running top-2 under the batch query's total order
+    * converges to the batch top-2, and n is the exact arrival count.
+    * Scoring shares [[graft.queries.TextQueries.qlrFeatures]] /
+    * qlrScore6 verbatim with the batch face, so "reward" means one
+    * thing across batch and serving. */
+  def selectBest(spark: SparkSession, docs: DataFrame,
+                 weights: Seq[Long]): Dataset[BonRow] = {
+    import spark.implicits._
+    val scored = graft.queries.TextQueries
+      .qlrFeatures(docs, keep = Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("doc_id"),
+        graft.queries.TextQueries.qlrScore6(weights).as("score6"))
+      .as[(String, String, Long, Long)]
+    def update(key: (String, String),
+               rows: Iterator[(String, String, Long, Long)],
+               state: GroupState[BonState]): Iterator[BonRow] = {
+      val prev = state.getOption.getOrElse(BonState(0L, Nil))
+      var n = prev.n
+      val cands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      cands ++= prev.top
+      rows.foreach { case (_, _, id, sc) => n += 1; cands += ((sc, id)) }
+      val top = cands.sortBy { case (sc, id) => (-sc, id) }.take(2).toList
+      state.update(BonState(n, top))
+      val (bs, bd) = top.head
+      val ru = top.lift(1).map(_._1)
+      Iterator.single(BonRow(key._1, key._2, n, bd, bs, ru, ru.map(bs - _)))
+    }
+    scored.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming count-min sketch — the live face of q_doc_cms's counter
     * table: arriving documents increment the (i, b) counters as an
     * update-mode aggregation whose state IS the sketch. The state

@@ -15,6 +15,7 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q_sql_topk" -> "q_topk",
     "q_sql_dedup_exact" -> "q_dedup_exact",
     "q_sql_events_hourly" -> "q_events_hourly",
+    "q_sql_events_sessions" -> "q_events_sessions",
     "q_sql_knn_brute" -> "q_knn_brute",
     "q_sql_dedup_span" -> "q_dedup_span",
     "q_sql_curation_lite" -> "q_curation_lite")
@@ -26,6 +27,19 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val a = graft.SparkEntry.queries("q_sql_filter_status")(spark, sf0001)
       .queryExecution.optimizedPlan.canonicalized
     val b = graft.SparkEntry.queries("q_filter_status")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    assert(a == b, s"SQL plan:\n$a\nDataFrame plan:\n$b")
+  }
+
+  test("the WINDOW twin optimizes to the same canonical plan from both " +
+      "surfaces (lag + running-sum + rollup — window territory)") {
+    // the projection/aggregate witnesses above don't cover window
+    // functions; sessionization stacks two window specs and a grouped
+    // rollup, so plan identity here extends the one-operator-set claim
+    // into the window frame machinery
+    val a = graft.SparkEntry.queries("q_sql_events_sessions")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    val b = graft.SparkEntry.queries("q_events_sessions")(spark, sf0001)
       .queryExecution.optimizedPlan.canonicalized
     assert(a == b, s"SQL plan:\n$a\nDataFrame plan:\n$b")
   }
