@@ -84,14 +84,28 @@ object Multimodal {
       * any real media item is decoded-downsampled far below that. */
     def perceptualBands(payload: Array[Byte], cells: Int = 64,
                         bandWidth: Int = 16): Array[Long] = {
-      val len = payload.length
+      val samples = new Array[Int](payload.length)
+      var i = 0
+      while (i < payload.length) { samples(i) = payload(i) & 0xFF; i += 1 }
+      perceptualBandsOf(samples, cells, bandWidth)
+    }
+
+    /** The aHash kernel over an already-decoded sample grid — ONE
+      * definition shared by the byte-grid stand-in above and the REAL
+      * decode path ([[BmpCodec]] luma via [[Multimodal
+      * .bmpDecodeFeatures]]), the [[diffBands]] discipline on the image
+      * side: the two paths can only differ in where the samples came
+      * from, never in the signature arithmetic the oracle replays. */
+    def perceptualBandsOf(samples: Array[Int], cells: Int = 64,
+                          bandWidth: Int = 16): Array[Long] = {
+      val len = samples.length
       val sums = new Array[Long](cells)
       val cnts = new Array[Long](cells)
       var total = 0L
       var i = 0
       while (i < len) {
         val j = (i.toLong * cells / len).toInt
-        val b = payload(i) & 0xFF
+        val b = samples(i)
         sums(j) += b; cnts(j) += 1; total += b
         i += 1
       }
@@ -256,6 +270,51 @@ object Multimodal {
       }
       WavFeatures(m.item_id, a.sampleRate, n.toLong, m.payload.length.toLong,
         FakeCodec.diffBands(e))
+    })
+  }
+
+  /** Pixel-row width of the document→BMP ingest wrap (and the
+    * q_media_bmp_decode oracle's padded-grid constant). 16 px keeps the
+    * 3-byte rows exactly 4-byte aligned, so the format's row-padding
+    * path is exercised by BmpCodecSpec's odd widths instead. */
+  val BmpWidth = 16
+
+  /** Wrap the documents table as REAL BMP images: each doc's ASCII
+    * bytes become gray pixels on a [[BmpWidth]]-wide grid inside a
+    * genuine bottom-up 24-bpp BMP container ([[BmpCodec.encodeGray24]])
+    * — an image viewer would open the payloads. [[asWavMedia]]'s image
+    * sibling. */
+  def asBmpMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload = BmpCodec.encodeGray24(bytes, BmpWidth)
+        val h = math.max(1, (bytes.length + BmpWidth - 1) / BmpWidth)
+        MediaItem(id, payload, "image/bmp", source, BmpWidth, h, 0L)
+      })
+  }
+
+  /** Per-item features THROUGH THE REAL IMAGE DECODER: [[BmpCodec
+    * .decode]] runs the genuine header parse + bottom-up padded-row
+    * pixel walk inside the partition-local batch function, then the
+    * aHash computes over the DECODED luma plane with the exact shared
+    * kernel ([[FakeCodec.perceptualBandsOf]]). width/height come from
+    * the parsed header — the image-side honesty check, mirroring
+    * [[wavDecodeFeatures]]. */
+  case class BmpFeatures(item_id: Long, width: Int, height: Int,
+                         byte_size: Long, bands: Array[Long])
+
+  def bmpDecodeFeatures(items: Dataset[MediaItem]): Dataset[BmpFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      val img = BmpCodec.decode(m.payload)
+      BmpFeatures(m.item_id, img.width, img.height,
+        m.payload.length.toLong,
+        FakeCodec.perceptualBandsOf(img.luma))
     })
   }
 

@@ -237,6 +237,33 @@ object MediaQueries {
         .orderBy("item_id", "band_idx")
     }),
 
+    // The IMAGE-side real-decoder honesty check — q_media_wav_decode's
+    // sibling, completing the real-decode story for the second
+    // modality: documents wrapped as genuine bottom-up 24-bpp BMP
+    // images (Multimodal.asBmpMedia — a viewer would open them), then
+    // [[graft.multimodal.BmpCodec.decode]] runs the actual header
+    // parse, bottom-up padded-row pixel walk, and BGR luma extraction
+    // inside the codec seam, and the emitted features come from the
+    // PARSED container: width/height from the info header plus the
+    // aHash over the decoded luma plane (the shared
+    // perceptualBandsOf kernel). The oracle replays the encode∘decode
+    // composition arithmetically over the PADDED pixel grid (luma at
+    // position p = ord(char) for p ≤ len, 0 on the zero-filled tail;
+    // byte_size = 54 + 48·height at the 16-px width) — a row-order,
+    // padding, offset, or channel-order bug in the real parser is a
+    // hash MISMATCH. BmpCodecSpec cross-checks the parser against the
+    // JDK's independent javax.imageio codec in both directions.
+    "q_media_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.asBmpMedia(Tables.table(s, dir, "documents"))
+      Multimodal.bmpDecodeFeatures(media).toDF()
+        .select($"item_id", $"width", $"height", $"byte_size",
+          posexplode($"bands"))
+        .toDF("item_id", "width", "height", "byte_size",
+          "band_idx", "band_val")
+        .orderBy("item_id", "band_idx")
+    }),
+
     // Near-dup detection THROUGH the real decoder: the identical
     // collapse/band/cap/verify/fan-out device as the image and audio
     // queries ([[bandNearDup]], literally shared), with the signature
@@ -668,6 +695,58 @@ object MediaQueries {
         |  CAST(b.band_idx AS INT) AS band_idx, b.band_val
         |FROM sigsrc s JOIN bands b ON b.doc_id = s.doc_id
         |ORDER BY item_id, band_idx""".stripMargin,
+
+    // the image-side real-decode replay: the aHash chain over the
+    // PADDED pixel grid (lp = 16·ceil(len/16) positions, zero luma on
+    // the tail) — same integer mean-comparison bits as phashBandCtes,
+    // with container metadata from the canonical 54-byte header layout
+    "q_media_bmp_decode" -> {
+      val w = Multimodal.BmpWidth
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |grid AS (
+        |  SELECT doc_id, text, len, ((len + ${w - 1}) // $w) * $w AS lp
+        |  FROM sigsrc),
+        |chars AS (
+        |  SELECT doc_id, len, lp, unnest(range(1, lp + 1)) AS p
+        |  FROM grid),
+        |g AS (SELECT doc_id, text FROM sigsrc),
+        |bytes AS (
+        |  SELECT c.doc_id, c.lp, (c.p - 1) * $PhashCells // c.lp AS j,
+        |    CASE WHEN c.p <= c.len
+        |         THEN ord(substring(g.text, CAST(c.p AS INT), 1))
+        |         ELSE 0 END AS byte
+        |  FROM chars c JOIN g ON g.doc_id = c.doc_id),
+        |cells AS (
+        |  SELECT doc_id, lp, j, sum(byte) AS s, count(*) AS c
+        |  FROM bytes GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(s) AS ts FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT cells.doc_id, j,
+        |    CASE WHEN s * lp > ts * c THEN 1 ELSE 0 END AS bit
+        |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+        |bandsum AS (
+        |  SELECT doc_id, j // $PhashBandWidth AS band_idx,
+        |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1, 2),
+        |bandgrid AS (
+        |  SELECT doc_id, unnest(range(0, $PhashBands)) AS band_idx
+        |  FROM sigsrc),
+        |bands AS (
+        |  SELECT bg.doc_id, bg.band_idx,
+        |    CAST(coalesce(b.band_val, 0) AS BIGINT) AS band_val
+        |  FROM bandgrid bg LEFT JOIN bandsum b
+        |    ON bg.doc_id = b.doc_id AND bg.band_idx = b.band_idx)
+        |SELECT s.doc_id AS item_id,
+        |  CAST($w AS INT) AS width,
+        |  CAST((s.len + ${w - 1}) // $w AS INT) AS height,
+        |  CAST(54 + ${3 * w} * ((s.len + ${w - 1}) // $w) AS BIGINT)
+        |    AS byte_size,
+        |  CAST(b.band_idx AS INT) AS band_idx, b.band_val
+        |FROM sigsrc s JOIN bands b ON b.doc_id = s.doc_id
+        |ORDER BY item_id, band_idx""".stripMargin
+    },
 
     // the real-decode near-dup: collapse over the CONTAINER bytes (same
     // text => same canonical container => same md5, so grouping by text
