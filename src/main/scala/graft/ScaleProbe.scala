@@ -186,6 +186,12 @@ object ScaleProbe {
     // decode+signature work exactly like the audio stand-in — only the
     // encode scan and the fan-out grow
     "q_media_wav_dedup",
+    // the two real-decode honesty checks: map-only encode→parse→
+    // fingerprint passes, must be purely linear in the scan
+    "q_media_wav_decode", "q_media_bmp_decode",
+    // the image-side real-decode near-dup: same collapse-bounded
+    // replica contract as the wav face
+    "q_media_bmp_dedup",
     // the banding sweep: one signature pass, three re-band projections,
     // the 8x8 rung's candidate volume bounds the whole report — must
     // track q_media_phash_dedup's replica contract
@@ -329,6 +335,10 @@ object ScaleProbe {
     // decoded-sample profiles concentrate the band buckets — the
     // media_wav capPerKey tag must bound pair work like the audio face
     "q_media_wav_dedup",
+    // the image twin under the same concentration: every rep pays a
+    // real BMP parse and the near-identical padded-grid aHashes make
+    // every band bucket hot — the media_bmp tag must bound pair work
+    "q_media_bmp_dedup",
     // video under hostility: the unique trailer sits in the LAST frame,
     // so every EARLIER sampled frame's (frame_idx, sig) bucket holds
     // ~the whole corpus — the media_video cap must bound the candidate

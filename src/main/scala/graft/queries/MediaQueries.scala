@@ -131,6 +131,22 @@ object MediaQueries {
     * discipline as PhashMaxHamming/AudioMaxHamming. */
   private[graft] val WavMaxHamming = 12
 
+  /** q_media_bmp_dedup's ring, measured on the PADDED-GRID decoded-luma
+    * aHash: distinct payloads cluster at Hamming 0–5 (18 pairs — the
+    * whitespace/case variants land far tighter under the zero-padded
+    * 16-px grid than under the raw byte grid), a clean gap at 6–10
+    * (4 pairs), background ramp from 11. 5 cuts inside the gap. */
+  private[graft] val BmpMaxHamming = 5
+
+  /** Fingerprints through the REAL BMP decoder, projected to the
+    * (item_id, bands) signature shape the shared pairing device
+    * consumes — [[wavSigsOf]]'s image sibling. */
+  private[graft] def bmpSigsOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    Multimodal.bmpDecodeFeatures(media.as[Multimodal.MediaItem]).toDF()
+      .select(col("item_id"), col("bands"))
+  }
+
   /** The shared banded near-dup device, signature-agnostic: collapse
     * byte-identical payloads to md5 representatives (identical bytes =>
     * identical signature — one representative carries the group),
@@ -263,6 +279,18 @@ object MediaQueries {
           "band_idx", "band_val")
         .orderBy("item_id", "band_idx")
     }),
+
+    // The image-side real-decode near-dup — the third signature under
+    // the ONE shared pairing device ([[bandNearDup]]): md5 collapse
+    // over the real BMP container bytes, the decoded-luma aHash
+    // (padded-grid, measured ring at [[BmpMaxHamming]]), banding,
+    // capPerKey-bounded candidates (tag media_bmp), exact Hamming
+    // verify, fan-out. Hard oracle: bmpBandCtes + the verbatim serve
+    // fragment.
+    "q_media_bmp_dedup" -> ((s, dir) =>
+      bandNearDup(s, dir, bmpSigsOf, "media_bmp", BmpMaxHamming,
+        (s, d) => Multimodal.asBmpMedia(Tables.table(s, d, "documents"))
+          .toDF())),
 
     // Near-dup detection THROUGH the real decoder: the identical
     // collapse/band/cap/verify/fan-out device as the image and audio
@@ -566,6 +594,52 @@ object MediaQueries {
        |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
        |  FROM bits GROUP BY 1, 2)""".stripMargin
 
+  /** The BMP real-decode replay as DuckDB CTEs over the caller's
+    * `sigsrc` (doc_id, text, len): the encode∘decode composition is
+    * arithmetic — luma at top-down row-major position p of the BMP
+    * built from the text is ord(char p) for p ≤ len and 0 on the
+    * zero-filled tail of the [[Multimodal.BmpWidth]]-wide grid — so the
+    * oracle replays the aHash over the PADDED lp = W·ceil(len/W) grid
+    * (exact integer mean comparisons, zero-filled bands for short
+    * docs), ending in `bands(doc_id, band_idx, band_val)` so
+    * [[bandPairServeSql]] serves this chain too. A row-order, padding,
+    * offset, or channel-order bug in the real parser breaks the hash. */
+  private def bmpBandCtes: String = {
+    val w = Multimodal.BmpWidth
+    s"""bgrid AS (
+       |  SELECT doc_id, text, len, ((len + ${w - 1}) // $w) * $w AS lp
+       |  FROM sigsrc),
+       |bchars AS (
+       |  SELECT doc_id, len, lp, unnest(range(1, lp + 1)) AS p
+       |  FROM bgrid),
+       |bbytes AS (
+       |  SELECT c.doc_id, c.lp, (c.p - 1) * $PhashCells // c.lp AS j,
+       |    CASE WHEN c.p <= c.len
+       |         THEN ord(substring(g.text, CAST(c.p AS INT), 1))
+       |         ELSE 0 END AS byte
+       |  FROM bchars c JOIN bgrid g ON g.doc_id = c.doc_id),
+       |bcells AS (
+       |  SELECT doc_id, lp, j, sum(byte) AS s, count(*) AS c
+       |  FROM bbytes GROUP BY 1, 2, 3),
+       |btot AS (SELECT doc_id, sum(s) AS ts FROM bcells GROUP BY 1),
+       |bbits AS (
+       |  SELECT bcells.doc_id, j,
+       |    CASE WHEN s * lp > ts * c THEN 1 ELSE 0 END AS bit
+       |  FROM bcells JOIN btot ON bcells.doc_id = btot.doc_id),
+       |bbandsum AS (
+       |  SELECT doc_id, j // $PhashBandWidth AS band_idx,
+       |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
+       |  FROM bbits GROUP BY 1, 2),
+       |bbandgrid AS (
+       |  SELECT doc_id, unnest(range(0, $PhashBands)) AS band_idx
+       |  FROM sigsrc),
+       |bands AS (
+       |  SELECT bg.doc_id, bg.band_idx,
+       |    CAST(coalesce(b.band_val, 0) AS BIGINT) AS band_val
+       |  FROM bbandgrid bg LEFT JOIN bbandsum b
+       |    ON bg.doc_id = b.doc_id AND bg.band_idx = b.band_idx)""".stripMargin
+  }
+
   /** The shared band-pairing/verify/fan-out replay — candidate pairs
     * from shared (band_idx, band_val) buckets over a `bands` CTE,
     * Hamming verification via xor/bit_count, md5-collapse fan-out from
@@ -697,47 +771,14 @@ object MediaQueries {
         |ORDER BY item_id, band_idx""".stripMargin,
 
     // the image-side real-decode replay: the aHash chain over the
-    // PADDED pixel grid (lp = 16·ceil(len/16) positions, zero luma on
-    // the tail) — same integer mean-comparison bits as phashBandCtes,
-    // with container metadata from the canonical 54-byte header layout
+    // PADDED pixel grid (bmpBandCtes), with container metadata from
+    // the canonical 54-byte header layout
     "q_media_bmp_decode" -> {
       val w = Multimodal.BmpWidth
       s"""WITH sigsrc AS (
         |  SELECT doc_id, text, length(text) AS len
         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-        |grid AS (
-        |  SELECT doc_id, text, len, ((len + ${w - 1}) // $w) * $w AS lp
-        |  FROM sigsrc),
-        |chars AS (
-        |  SELECT doc_id, len, lp, unnest(range(1, lp + 1)) AS p
-        |  FROM grid),
-        |g AS (SELECT doc_id, text FROM sigsrc),
-        |bytes AS (
-        |  SELECT c.doc_id, c.lp, (c.p - 1) * $PhashCells // c.lp AS j,
-        |    CASE WHEN c.p <= c.len
-        |         THEN ord(substring(g.text, CAST(c.p AS INT), 1))
-        |         ELSE 0 END AS byte
-        |  FROM chars c JOIN g ON g.doc_id = c.doc_id),
-        |cells AS (
-        |  SELECT doc_id, lp, j, sum(byte) AS s, count(*) AS c
-        |  FROM bytes GROUP BY 1, 2, 3),
-        |tot AS (SELECT doc_id, sum(s) AS ts FROM cells GROUP BY 1),
-        |bits AS (
-        |  SELECT cells.doc_id, j,
-        |    CASE WHEN s * lp > ts * c THEN 1 ELSE 0 END AS bit
-        |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
-        |bandsum AS (
-        |  SELECT doc_id, j // $PhashBandWidth AS band_idx,
-        |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
-        |  FROM bits GROUP BY 1, 2),
-        |bandgrid AS (
-        |  SELECT doc_id, unnest(range(0, $PhashBands)) AS band_idx
-        |  FROM sigsrc),
-        |bands AS (
-        |  SELECT bg.doc_id, bg.band_idx,
-        |    CAST(coalesce(b.band_val, 0) AS BIGINT) AS band_val
-        |  FROM bandgrid bg LEFT JOIN bandsum b
-        |    ON bg.doc_id = b.doc_id AND bg.band_idx = b.band_idx)
+        |$bmpBandCtes
         |SELECT s.doc_id AS item_id,
         |  CAST($w AS INT) AS width,
         |  CAST((s.len + ${w - 1}) // $w AS INT) AS height,
@@ -747,6 +788,21 @@ object MediaQueries {
         |FROM sigsrc s JOIN bands b ON b.doc_id = s.doc_id
         |ORDER BY item_id, band_idx""".stripMargin
     },
+
+    // the image-side real-decode near-dup: container-byte collapse,
+    // the padded-grid decode chain, and the verbatim shared serve
+    // fragment — the third signature under the one pairing device
+    "q_media_bmp_dedup" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |grp AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+        |    list(doc_id) AS ids
+        |  FROM m GROUP BY 1),
+        |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
+        |$bmpBandCtes,
+        |${bandPairServeSql(BmpMaxHamming)}""".stripMargin,
 
     // the real-decode near-dup: collapse over the CONTAINER bytes (same
     // text => same canonical container => same md5, so grouping by text

@@ -61,9 +61,10 @@ class QuerySmokeSpec extends SparkTestBase {
       val mayBeEmpty = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
         "q_dedup_simhash", "q_dedup_embedding", "q_anti_fk",
         "q_dedup_containment",
-        // the real-decode signature's measured ring (WavMaxHamming
-        // scaladoc) holds pairs at sf0.01; the 50-doc corpus has none
-        "q_media_wav_dedup")
+        // the real-decode signatures' measured rings (WavMaxHamming /
+        // BmpMaxHamming scaladocs) hold pairs at sf0.01; the 50-doc
+        // corpus may have none
+        "q_media_wav_dedup", "q_media_bmp_dedup")
       if (!mayBeEmpty.contains(name)) assert(df.count() > 0, s"$name empty")
       else assert(df.count() >= 0)
     }
