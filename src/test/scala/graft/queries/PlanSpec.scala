@@ -66,7 +66,10 @@ class PlanSpec extends SparkTestBase {
       // substring-run detection: bucket pairing on shingle hash plus
       // window islands — a cartesian would mean the df filter or the
       // one-pass pairing shape regressed
-      "q_dedup_substring").foreach { q =>
+      "q_dedup_substring",
+      // the real-decode near-dups ride the same shared banding device;
+      // a cartesian would mean bandNearDup's bucket pairing regressed
+      "q_media_wav_dedup", "q_media_bmp_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -300,6 +303,18 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_topk_per_group")
     assert("hashpartitioning\\(lang#\\d+, pid#\\d+".r.findFirstIn(p).isDefined, p)
     assert("hashpartitioning\\(lang#\\d+, \\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("the real-decode honesty checks stay map-only: encode, parse, " +
+      "fingerprint, no hash exchange") {
+    // both queries are one typed partition-local pass + posexplode; the
+    // only exchange is the presentation ORDER BY's range partitioning —
+    // a hash exchange would mean the seam grew a join or aggregation
+    Seq("q_media_wav_decode", "q_media_bmp_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
   }
 
   test("q_pref_bon selects via the two-phase device, no full-cell sort") {
