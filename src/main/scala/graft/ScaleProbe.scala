@@ -339,6 +339,10 @@ object ScaleProbe {
     // real BMP parse and the near-identical padded-grid aHashes make
     // every band bucket hot — the media_bmp tag must bound pair work
     "q_media_bmp_dedup",
+    // the real-decode ingest face under the same concentration: every
+    // history band bucket hot (media_wav_hist cap bounds the index),
+    // per-arrival work must stay cap-bounded like the phash face
+    "q_media_wav_incremental",
     // video under hostility: the unique trailer sits in the LAST frame,
     // so every EARLIER sampled frame's (frame_idx, sig) bucket holds
     // ~the whole corpus — the media_video cap must bound the candidate

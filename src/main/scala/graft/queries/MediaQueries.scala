@@ -190,6 +190,37 @@ object MediaQueries {
       .orderBy("item_a", "item_b")
   }
 
+  /** The shared ingest-time near-dup device, signature-agnostic (the
+    * [[bandNearDup]] discipline one shape over): history = items with
+    * item_id % 10 ≠ 0, banded and capPerKey-bounded under `capTag`;
+    * each arrival (item_id % 10 = 0) is judged INDEPENDENTLY against
+    * the history index — its 4 band rows equi-join the buckets, exact
+    * Hamming verifies, and a distinct-collapse + anti-join emits the
+    * admitted set. q_media_phash_incremental and
+    * q_media_wav_incremental are this one lineage under two codec
+    * kernels. */
+  private def bandIncremental(s: SparkSession, dir: String,
+      sigsFn: DataFrame => DataFrame, capTag: String, maxHamming: Int,
+      mediaOf: (SparkSession, String) => DataFrame =
+        (s, dir) => Multimodal.documentsAsMedia(s, dir).toDF()): DataFrame = {
+    import s.implicits._
+    val media = mediaOf(s, dir).filter(length($"payload") > 0)
+    val sigs = sigsFn(media)
+    val hist = DedupQueries.capPerKey(
+        bandRows(sigs.filter($"item_id" % 10 =!= 0)),
+        capTag, $"band_idx", $"band_val")
+      .select($"band_idx", $"band_val", $"bands".as("h_bands"),
+        $"doc_id".as("hist_id"))
+    val inc = sigs.filter($"item_id" % 10 === 0)
+    val flagged = bandRows(inc)
+      .join(hist, Seq("band_idx", "band_val"))
+      .filter(hammingCol($"bands", $"h_bands") <= maxHamming)
+      .select($"doc_id".as("item_id")).distinct()
+    inc.select($"item_id")
+      .join(flagged, Seq("item_id"), "left_anti")
+      .orderBy("item_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Perceptual near-dup detection over the MEDIA column — the image
     // analog of MinHash for text (the r11 verdict's top directive): an
@@ -386,25 +417,20 @@ object MediaQueries {
     // arithmetic — the oracle replays decode, banding, candidate
     // generation, Hamming verification, and the NOT-EXISTS admit rule
     // bit-for-bit (uncapped, the standard cap contract).
-    "q_media_phash_incremental" -> ((s, dir) => {
-      import s.implicits._
-      val media = Multimodal.documentsAsMedia(s, dir).toDF()
-        .filter(length($"payload") > 0)
-      val sigs = sigsOf(media)
-      val hist = DedupQueries.capPerKey(
-          bandRows(sigs.filter($"item_id" % 10 =!= 0)),
-          "media_hist", $"band_idx", $"band_val")
-        .select($"band_idx", $"band_val", $"bands".as("h_bands"),
-          $"doc_id".as("hist_id"))
-      val inc = sigs.filter($"item_id" % 10 === 0)
-      val flagged = bandRows(inc)
-        .join(hist, Seq("band_idx", "band_val"))
-        .filter(hammingCol($"bands", $"h_bands") <= PhashMaxHamming)
-        .select($"doc_id".as("item_id")).distinct()
-      inc.select($"item_id")
-        .join(flagged, Seq("item_id"), "left_anti")
-        .orderBy("item_id")
-    }),
+    "q_media_phash_incremental" -> ((s, dir) =>
+      bandIncremental(s, dir, sigsOf, "media_hist", PhashMaxHamming)),
+
+    // The ingest-time face THROUGH the real decoder — the incremental
+    // device under wav signatures: an arriving real WAV container is
+    // admitted iff no history item shares a band bucket within
+    // [[WavMaxHamming]]. Same banded-history scale shape as the phash
+    // face (tag media_wav_hist), same hard-oracle argument with the
+    // wav decode chain; DocStream.mediaDedupWav is the live twin
+    // (MediaStreamSpec pins them equal on a replayed split).
+    "q_media_wav_incremental" -> ((s, dir) =>
+      bandIncremental(s, dir, wavSigsOf, "media_wav_hist", WavMaxHamming,
+        (s, d) => Multimodal.asWavMedia(Tables.table(s, d, "documents"))
+          .toDF())),
 
     // Per-item binary metadata: byte size + content digest over the
     // opaque payload column — the manifest row a media lake keeps per
@@ -913,6 +939,35 @@ object MediaQueries {
         |flagged AS (
         |  SELECT DISTINCT inc_id FROM ham
         |  WHERE hamming <= $PhashMaxHamming)
+        |SELECT DISTINCT doc_id AS item_id FROM sigsrc
+        |WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
+        |ORDER BY item_id""".stripMargin,
+
+    // the wav ingest face: the identical NOT-EXISTS admit replay under
+    // the real-decode chain
+    "q_media_wav_incremental" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$wavBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+        |  FROM bands i JOIN bands h
+        |    ON i.band_idx = h.band_idx AND i.band_val = h.band_val
+        |    AND i.doc_id % 10 = 0 AND h.doc_id % 10 <> 0),
+        |ham AS (
+        |  SELECT c.inc_id, c.hist_id,
+        |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.inc_id
+        |  JOIN bands y ON y.doc_id = c.hist_id AND y.band_idx = x.band_idx
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = $PhashBands),
+        |flagged AS (
+        |  SELECT DISTINCT inc_id FROM ham
+        |  WHERE hamming <= $WavMaxHamming)
         |SELECT DISTINCT doc_id AS item_id FROM sigsrc
         |WHERE doc_id % 10 = 0
         |  AND doc_id NOT IN (SELECT inc_id FROM flagged)

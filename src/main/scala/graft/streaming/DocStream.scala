@@ -704,18 +704,35 @@ object DocStream extends Serializable {
     * image's thousand re-uploads cap at the bucket bound). At 100 TB:
     * a band-bucketed materialized table, (band_idx, band_val) the
     * partition key. */
-  def prepareMediaIndex(historyDocs: DataFrame): DataFrame = {
+  def prepareMediaIndex(historyDocs: DataFrame): DataFrame =
+    prepareMediaIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asMedia(d).toDF(),
+      graft.queries.MediaQueries.sigsOf, "media_hist")
+
+  /** The index builder signature-agnostic (the bandNearDup discipline):
+    * wrap the history as media via `mediaOf`, fingerprint via `sigsFn`,
+    * band + cap under `capTag`. The REAL-decoder face
+    * ([[prepareWavMediaIndex]]) is this under the wav codec. */
+  def prepareMediaIndexOf(historyDocs: DataFrame,
+      mediaOf: DataFrame => DataFrame,
+      sigsFn: DataFrame => DataFrame, capTag: String): DataFrame = {
     import graft.queries.{DedupQueries, MediaQueries}
-    import graft.multimodal.Multimodal
     DedupQueries.capPerKey(
-        MediaQueries.bandRows(MediaQueries.sigsOf(
-          Multimodal.asMedia(historyDocs).toDF()
-            .filter(length(col("payload")) > 0))),
-        "media_hist", col("band_idx"), col("band_val"))
+        MediaQueries.bandRows(sigsFn(
+          mediaOf(historyDocs).filter(length(col("payload")) > 0))),
+        capTag, col("band_idx"), col("band_val"))
       .select(col("band_idx"), col("band_val"),
         col("bands").as("h_bands"), col("doc_id").as("hist_id"))
       .cache()
   }
+
+  /** The wav history index: REAL containers, REAL parse, the batch
+    * q_media_wav_incremental's history side verbatim (tag
+    * media_wav_hist). */
+  def prepareWavMediaIndex(historyDocs: DataFrame): DataFrame =
+    prepareMediaIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asWavMedia(d).toDF(),
+      graft.queries.MediaQueries.wavSigsOf, "media_wav_hist")
 
   /** Ingest-time perceptual media dedup, live — the stream twin of
     * q_media_phash_incremental (MediaStreamSpec pins the admitted sets
@@ -730,14 +747,35 @@ object DocStream extends Serializable {
     * [[annSearch]] device). Rejections carry blame: the nearest history
     * item (min Hamming, ties to the smallest id). */
   def mediaDedup(spark: SparkSession, newDocs: DataFrame,
-                 histIndex: DataFrame): Dataset[MediaAdmit] = {
+                 histIndex: DataFrame): Dataset[MediaAdmit] =
+    mediaDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asMedia(d).toDF(),
+      graft.queries.MediaQueries.sigsOf,
+      graft.queries.MediaQueries.PhashMaxHamming)
+
+  /** The live face THROUGH the real WAV decoder: arrivals wrap into
+    * genuine RIFF containers and [[graft.multimodal.WavCodec.decode]]
+    * parses them inside the stateless decode pass — the stream twin of
+    * q_media_wav_incremental (MediaStreamSpec pins the admitted sets
+    * equal on a replayed split, zero state rows). */
+  def mediaDedupWav(spark: SparkSession, newDocs: DataFrame,
+                    histIndex: DataFrame): Dataset[MediaAdmit] =
+    mediaDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asWavMedia(d).toDF(),
+      graft.queries.MediaQueries.wavSigsOf,
+      graft.queries.MediaQueries.WavMaxHamming)
+
+  /** The verdict face signature-agnostic — one judged arrival per item
+    * under ANY codec kernel; the named faces above fix (mediaOf,
+    * sigsFn, threshold) triples. */
+  def mediaDedupOf(spark: SparkSession, newDocs: DataFrame,
+                   histIndex: DataFrame, mediaOf: DataFrame => DataFrame,
+                   sigsFn: DataFrame => DataFrame,
+                   maxHam: Int): Dataset[MediaAdmit] = {
     import spark.implicits._
     import graft.queries.MediaQueries
-    import graft.multimodal.Multimodal
-    val maxHam = MediaQueries.PhashMaxHamming
-    val scored = MediaQueries.bandRows(MediaQueries.sigsOf(
-        Multimodal.asMedia(newDocs).toDF()
-          .filter(length(col("payload")) > 0)))
+    val scored = MediaQueries.bandRows(sigsFn(
+        mediaOf(newDocs).filter(length(col("payload")) > 0)))
       .join(histIndex, Seq("band_idx", "band_val"), "left_outer")
       .select(col("doc_id").as("item_id"), col("hist_id"),
         when(col("hist_id").isNotNull,

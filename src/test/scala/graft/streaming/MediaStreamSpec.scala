@@ -56,6 +56,42 @@ class MediaStreamSpec extends SparkTestBase {
     } finally index.unpersist()
   }
 
+  test("the REAL-decoder stream face equals its batch incremental on " +
+      "the replayed increment, across micro-batches, with zero state") {
+    // the wav twin of the test above: every arrival wraps into a
+    // genuine RIFF container and WavCodec parses it inside the
+    // stateless decode pass — admitted sets must match
+    // q_media_wav_incremental (hash-matched by the DuckDB oracle)
+    val dir = Files.createTempDirectory("media_stream_wav_inc")
+    val docs = Tables.table(spark, sf0001, "documents")
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 250),
+      dir, "b0.parquet", 1700000000000L)
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" >= 250),
+      dir, "b1.parquet", 1700000100000L)
+
+    val index = DocStream.prepareWavMediaIndex(
+      docs.filter($"doc_id" % 10 =!= 0))
+    try {
+      val out = DocStream.mediaDedupWav(spark,
+        DocStream.readDocs(spark, dir.toString), index).toDF()
+      val q = EventStream.runToMemory(out, "media_dedup_wav",
+        OutputMode.Append())
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      q.stop()
+      assert(stateRows === 0L, "the wav verdict face must keep no state")
+
+      val admitted = spark.table("media_dedup_wav")
+        .filter($"admitted").select($"item_id").as[Long].collect().toSet
+      val want = graft.SparkEntry.queries("q_media_wav_incremental")(
+          spark, sf0001)
+        .as[Long].collect().toSet
+      assert(admitted === want)
+    } finally index.unpersist()
+  }
+
   test("planted fixture: byte-copy and near variant rejected with " +
       "blame, both judged against the banded history") {
     val base = "the quick brown fox jumps over the lazy dog " * 5
