@@ -89,10 +89,17 @@ object BmpCodec {
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
-    val rowSz = (w * 3 + 3) & ~3
-    require(off >= 54 && off.toLong + rowSz.toLong * h <= payload.length,
-      s"pixel array (offset $off, ${rowSz.toLong * h} bytes) overruns " +
+    // Long arithmetic throughout: an adversarial header with w >= ~716M
+    // would overflow Int in w*3 (negative rowSz sails through the bounds
+    // check) and in w*h (negative-size luma allocation). Malformed
+    // headers must hit the require path, never an ArrayIndexOutOfBounds.
+    val rowSzL = (w.toLong * 3 + 3) & ~3L
+    require(w.toLong * h <= Int.MaxValue,
+      s"pixel count ${w.toLong * h} exceeds the supported maximum")
+    require(off >= 54 && off.toLong + rowSzL * h <= payload.length,
+      s"pixel array (offset $off, ${rowSzL * h} bytes) overruns " +
         s"the ${payload.length}-byte payload")
+    val rowSz = rowSzL.toInt
     val luma = new Array[Int](w * h)
     var r = 0
     while (r < h) {

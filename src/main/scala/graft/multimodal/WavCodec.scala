@@ -89,6 +89,7 @@ object WavCodec {
       require(sz >= 0 && pos + 8 + sz <= payload.length,
         s"chunk '$id' size $sz overruns the payload")
       if (id == "fmt ") {
+        require(!fmtSeen, "duplicate fmt chunk")
         require(sz >= 16, s"fmt chunk too short: $sz")
         audioFormat = le16(payload, pos + 8)
         channels = le16(payload, pos + 10)
@@ -96,10 +97,18 @@ object WavCodec {
         bits = le16(payload, pos + 22)
         fmtSeen = true
       } else if (id == "data") {
+        require(dataOff < 0, "duplicate data chunk")
         dataOff = pos + 8; dataLen = sz
       }
       pos += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks to even
     }
+    // A trailing fragment shorter than a chunk header is malformed too —
+    // the fail-loudly quarantine contract covers truncation, not just
+    // bad chunks (duplicates above, overruns in the loop). The one
+    // tolerated shape: a final odd-sized chunk whose writer omitted the
+    // pad byte (ubiquitous in the wild), which overshoots by exactly 1.
+    require(pos == payload.length || pos == payload.length + 1,
+      s"trailing ${payload.length - pos} bytes after the last chunk")
     require(fmtSeen, "no fmt chunk")
     require(dataOff >= 0, "no data chunk")
     require(audioFormat == 1 && bits == 16,

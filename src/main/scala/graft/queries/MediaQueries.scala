@@ -591,7 +591,18 @@ object MediaQueries {
     * banding, ending in `bands(doc_id, band_idx, band_val)` so
     * [[bandPairServeSql]] serves this chain too. Any divergence in the
     * real parser (header layout, chunk scan, endianness, sign
-    * extension) breaks the hash. */
+    * extension) breaks the hash.
+    *
+    * ASCII-CORPUS ASSUMPTION (inherited from the phash family, stated
+    * here because six oracle entries now replay through these CTEs):
+    * the Spark side encodes the document text as UTF-8 BYTES
+    * (asWavMedia/asBmpMedia), while this replay walks CHARACTERS via
+    * ord()/length(text)/substring — identical only while every char is
+    * one byte. The testdata corpus is ASCII by construction; on a
+    * non-ASCII corpus the mismatch is HERE, and the fix is to replay
+    * via encode(text)/octet_length in DuckDB. The decode-query metadata
+    * (n_samples = length(text), byte_size formulas) carries the same
+    * assumption. */
   private def wavBandCtes: String =
     s"""chars AS (
        |  SELECT doc_id, text, len, unnest(range(1, len + 1)) AS p
@@ -629,7 +640,10 @@ object MediaQueries {
     * (exact integer mean comparisons, zero-filled bands for short
     * docs), ending in `bands(doc_id, band_idx, band_val)` so
     * [[bandPairServeSql]] serves this chain too. A row-order, padding,
-    * offset, or channel-order bug in the real parser breaks the hash. */
+    * offset, or channel-order bug in the real parser breaks the hash.
+    * Carries the same ASCII-corpus assumption as [[wavBandCtes]] —
+    * chars replayed via ord()/length vs UTF-8 bytes on the Spark side;
+    * see that scaladoc for the attribution and the non-ASCII fix. */
   private def bmpBandCtes: String = {
     val w = Multimodal.BmpWidth
     s"""bgrid AS (

@@ -85,4 +85,21 @@ class BmpCodecSpec extends AnyFunSuite {
     val rle = good.clone(); rle(30) = 1 // BI_RLE8
     intercept[IllegalArgumentException](BmpCodec.decode(rle))
   }
+
+  test("adversarial giant-dimension headers hit the require path, not " +
+      "Int overflow (w*3 and w*h computed in Long)") {
+    val good = BmpCodec.encodeGray24(Array[Byte](1, 2, 3), 16)
+    def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+      b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    // w = 716M: w*3 overflows Int negative, so an Int rowSz would pass
+    // the bounds check and blow up in the pixel walk / allocation
+    val wide = good.clone(); put32(wide, 18, 716000000)
+    intercept[IllegalArgumentException](BmpCodec.decode(wide))
+    // w*h > Int.MaxValue with individually-sane fields: luma allocation
+    // would be negative-size without the Long pixel-count require
+    val big = good.clone(); put32(big, 18, 70000); put32(big, 22, 70000)
+    intercept[IllegalArgumentException](BmpCodec.decode(big))
+  }
 }

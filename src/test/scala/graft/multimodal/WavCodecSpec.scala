@@ -108,4 +108,24 @@ class WavCodecSpec extends AnyFunSuite {
     val pcm8 = good.clone(); pcm8(34) = 8 // bits-per-sample field
     intercept[IllegalArgumentException](WavCodec.decode(pcm8))
   }
+
+  test("duplicate fmt/data chunks and trailing fragments fail loudly " +
+      "(quarantine contract covers container-structure abuse too)") {
+    val good = WavCodec.encodePcm16(Array(1, 2, 3), 8000)
+    val fmtChunk = java.util.Arrays.copyOfRange(good, 12, 36)
+    val dataChunk = java.util.Arrays.copyOfRange(good, 36, good.length)
+    def riff(body: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte]((body.length + 4).toByte, 0, 0, 0) ++
+        "WAVE".getBytes ++ body
+    intercept[IllegalArgumentException]( // second fmt (last-wins is silent corruption)
+      WavCodec.decode(riff(fmtChunk ++ fmtChunk ++ dataChunk)))
+    intercept[IllegalArgumentException]( // second data
+      WavCodec.decode(riff(fmtChunk ++ dataChunk ++ dataChunk)))
+    intercept[IllegalArgumentException]( // 5 trailing bytes < a chunk header
+      WavCodec.decode(riff(fmtChunk ++ dataChunk) ++ Array[Byte](1, 2, 3, 4, 5)))
+    // tolerated shape: final odd-sized chunk with the pad byte omitted
+    val oddTail = "junk".getBytes ++ Array[Byte](3, 0, 0, 0, 7, 7, 7)
+    val a = WavCodec.decode(riff(fmtChunk ++ dataChunk ++ oddTail))
+    assert(a.samples.sameElements(Array(1, 2, 3)))
+  }
 }
