@@ -61,6 +61,11 @@ object ScaleProbe {
     // (doc, word) pre-agg and scoring join grow linearly, the 12-replace
     // vocabulary chain is constant-size
     "q_doc_bpe_apply",
+    // the byte-level siblings carry the same contracts (replicas keep
+    // the pretoken vocabulary constant; only the pt-keyed pre-agg and
+    // the scoring join may grow)
+    "q_doc_bpe_bytes_train",
+    "q_doc_bpe_bytes_apply",
     // BPE-space packing: the bpe-apply lineage (above contract) plus the
     // shard-bounded running-sum pack — must track q_doc_bpe_apply's
     // growth; the pack window sort is bounded by (lang, shard) stream
@@ -380,6 +385,11 @@ object ScaleProbe {
     * superlinear segment is a finding to attribute and bound. */
   private val hostileTokQueries = Seq(
     "q_doc_bpe_train", "q_doc_bpe_apply",
+    // the byte-level family under the same anti-replica: every word is
+    // a DISTINCT BYTE SEQUENCE (identifier-shaped ASCII, so 1 byte per
+    // char — the distinct-pretoken table, its hex-byte segs, and the
+    // merge-loop checkpoints all grow with the corpus)
+    "q_doc_bpe_bytes_train", "q_doc_bpe_bytes_apply",
     "q_doc_wordpiece_train", "q_doc_wordpiece_apply",
     "q_doc_wordpiece_tune",
     "q_doc_unigram_tok_train", "q_doc_unigram_tok_apply",

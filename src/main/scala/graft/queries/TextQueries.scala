@@ -111,6 +111,31 @@ object TextQueries {
     * number of iterations. */
   private[queries] val BpeMergeCount = 12
 
+  /** The byte-level BPE family's pretokenizer — a GPT-2-style regex
+    * PINNED as a cross-engine contract (the q_doc_pii_redact
+    * precedent): contraction suffixes, optionally-space-prefixed
+    * letter / digit / symbol runs, whitespace runs. Deviations from
+    * the published GPT-2 pattern, both deliberate:
+    *
+    *  - no `\s+(?!\S)` lookahead (RE2 — DuckDB's engine — has no
+    *    lookahead at all), so a multi-space run stays ONE whitespace
+    *    pretoken instead of donating its last space to the next word;
+    *  - `\s` instead of an explicit class: Java includes \x0B
+    *    (vertical tab) in \s, RE2 does not — on a corpus containing
+    *    \x0B the engines' splits diverge. The corpus contract is
+    *    \x0B-free text (verified for the committed testdata); the
+    *    fixture spec pins the two engines' agreement on everything
+    *    else (contractions, CJK, accents, punctuation, tabs).
+    *
+    * Alternation is leftmost-FIRST in both engines (fixture-pinned),
+    * so order matters and is part of the contract. */
+  private[graft] val BpeBytesPretokRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Byte-level merge budget — interpolated into the generated oracle
+    * chain like [[BpeMergeCount]]. */
+  private[queries] val BpeBytesMergeCount = 12
+
   /** q_doc_cms's sketch dimensions — depth rows of width counters,
     * interpolated into the generated oracle. 4×1024 gives ε ≈ e/1024
     * per-row overestimate mass at δ = (1/2)^4 — the classic CMS sizing,
@@ -219,6 +244,80 @@ object TextQueries {
        |  SELECT k.doc_id, sum(k.c) AS ws_tokens,
        |    sum(k.c * coalesce(a.ntok, length(k.w))) AS bpe_tokens
        |  FROM tok k LEFT JOIN applied a USING (w)
+       |  GROUP BY k.doc_id)""".stripMargin
+  }
+
+  /** The byte-level trainer's generated replay — the
+    * [[bpeTrainChainSql]] device with the word CTEs swapped to the
+    * pinned-pretokenizer + hex-byte encoding: DuckDB's
+    * `regexp_extract_all(text, rx)` (RE2, leftmost-first — the engine-
+    * agreement the fixture spec pins against Java) splits pretokens,
+    * `hex(encode(pt))` yields the identical uppercase hex byte string
+    * Spark's `hex(encode(pt, 'UTF-8'))` does, and the merge loop is
+    * verbatim [[bpeTrainChainSql]]'s. Ends with bm_i merge rows and
+    * `btok(doc_id, pt, c)` for the apply tail. */
+  private lazy val bpeBytesTrainChainSql: String = {
+    val iters = (1 to BpeBytesMergeCount).map { i =>
+      s"""bp$i AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT cnt,
+         |      unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+         |        AS pr
+         |    FROM (SELECT cnt,
+         |            regexp_extract_all(seg, '\\(([^()]*)\\)', 1) AS syms
+         |          FROM bseg${i - 1}) s) z
+         |  GROUP BY 1, 2),
+         |bm$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM bp$i ORDER BY c DESC, l, r LIMIT 1),
+         |bseg$i AS MATERIALIZED (
+         |  SELECT replace(seg, '('||l||')('||r||')', '('||l||r||')')
+         |           AS seg, cnt
+         |  FROM bseg${i - 1}, bm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""bpts AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text,
+       |    '${BpeBytesPretokRegex.replace("'", "''")}')) AS pt
+       |  FROM documents),
+       |btok AS MATERIALIZED (
+       |  SELECT doc_id, pt, count(*) AS c FROM bpts GROUP BY 1, 2),
+       |bwords AS MATERIALIZED (
+       |  SELECT regexp_replace(hex(encode(pt)), '(..)', '(\\1)', 'g')
+       |           AS seg, cnt
+       |  FROM (SELECT pt, sum(c) AS cnt FROM btok
+       |        WHERE octet_length(encode(pt)) >= 2 GROUP BY pt) g),
+       |bseg0 AS MATERIALIZED (SELECT seg, cnt FROM bwords),
+       |$iters""".stripMargin
+  }
+
+  /** Training chain + total vocabulary application + per-doc byte
+    * accounting — ends with `bperdoc(doc_id, pretokens, bytes,
+    * bpe_tokens)`. Unlike [[bpeApplyChainSql]] there is no fallback
+    * arm: bvocab0 covers EVERY distinct pretoken (the no-OOV
+    * contract), so the scoring join is inner. */
+  private lazy val bpeBytesApplyChainSql: String = {
+    val vocabIters = (1 to BpeBytesMergeCount).map { i =>
+      s"""bvocab$i AS MATERIALIZED (
+         |  SELECT pt, CASE WHEN l IS NULL THEN seg
+         |    ELSE replace(seg, '('||l||')('||r||')', '('||l||r||')')
+         |    END AS seg
+         |  FROM bvocab${i - 1} LEFT JOIN bm$i ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""$bpeBytesTrainChainSql,
+       |bvocab0 AS MATERIALIZED (
+       |  SELECT pt, regexp_replace(hex(encode(pt)), '(..)', '(\\1)', 'g')
+       |           AS seg
+       |  FROM (SELECT DISTINCT pt FROM btok) v),
+       |$vocabIters,
+       |bapplied AS MATERIALIZED (
+       |  SELECT pt,
+       |    CAST(len(regexp_extract_all(seg, '\\(([^()]*)\\)', 1))
+       |      AS BIGINT) AS ntok
+       |  FROM bvocab$BpeBytesMergeCount),
+       |bperdoc AS MATERIALIZED (
+       |  SELECT k.doc_id, sum(k.c) AS pretokens,
+       |    sum(k.c * octet_length(encode(k.pt))) AS bytes,
+       |    sum(k.c * a.ntok) AS bpe_tokens
+       |  FROM btok k JOIN bapplied a USING (pt)
        |  GROUP BY k.doc_id)""".stripMargin
   }
 
@@ -569,7 +668,8 @@ object TextQueries {
     * vocabulary size, not corpus size). Returns (rank, lhs, rhs,
     * pair_count) in merge order. */
   private[graft] def bpeMerges(
-      words: org.apache.spark.sql.DataFrame)
+      words: org.apache.spark.sql.DataFrame,
+      budget: Int = BpeMergeCount)
       : Seq[(Int, String, String, Long)] = {
     import words.sparkSession.implicits._
     val merges =
@@ -588,7 +688,7 @@ object TextQueries {
     var seg = words.localCheckpoint()
     var i = 1
     var exhausted = false
-    while (i <= BpeMergeCount && !exhausted) {
+    while (i <= budget && !exhausted) {
       val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
       val top = seg
         .select($"cnt", explode(arrays_zip(
@@ -612,6 +712,31 @@ object TextQueries {
     }
     merges.toSeq
   }
+
+  /** The byte-level paren encoding: UTF-8 bytes as 2-hex-char symbols
+    * (`hex(encode(…))` — uppercase in BOTH engines), each wrapped in
+    * parens for the [[bpeMerges]] replace device. Merged symbols
+    * concatenate hex pairs, which stays unambiguous WITHOUT a
+    * separator because every byte is exactly two hex chars — the
+    * decimal encoding would collide ((10)(4) vs (104)). Unlike the
+    * char-level family there is NO excluded-word filter: parens can
+    * never appear inside a hex symbol, so every pretoken — including
+    * ones containing literal parens, or multi-byte scripts with no
+    * whitespace at all — is representable. That is the byte-level
+    * contract production tokenizers rely on: no OOV, ever. */
+  private[queries] def bpeBytesSeg(pt: Column): Column =
+    regexp_replace(hex(encode(pt, "UTF-8")), "(..)", "($1)")
+
+  /** The (doc_id, pt, c) pretoken counts of the byte-BPE family —
+    * [[BpeBytesPretokRegex]] matches exploded per doc (group 0 = the
+    * whole match) and pre-aggregated, the corpus's ONE pt-keyed
+    * shuffle (callers repartition($"pt") upstream to share it). */
+  private[queries] def bpeBytesTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"),
+          lit(BpeBytesPretokRegex), lit(0))).as("pt"))
+      .repartition(col("pt"))
+      .groupBy(col("doc_id"), col("pt")).agg(count(lit(1)).as("c"))
 
   /** q_doc_wordpiece_train's merge budget — one definition,
     * interpolated into the generated oracle CTE chain. */
@@ -1389,6 +1514,77 @@ object TextQueries {
             Clean.roundHalfUp(
               $"bpe_tokens".cast("double") / $"ws_tokens", 4))
             .as("compression"))
+        .orderBy("doc_id")
+    }),
+
+    // BYTE-level BPE training — the tokenizer shape production LLM
+    // pipelines actually use (GPT-2/Sennrich at byte granularity),
+    // closing the r18 verdict's top gap: the char-level trainer above
+    // is whitespace-word-bound (no-whitespace scripts collapse to one
+    // "word", paren-bearing words are excluded, unseen chars are OOV);
+    // THIS trainer pretokenizes with the pinned [[BpeBytesPretokRegex]]
+    // (case-preserving, contraction-aware, script-agnostic) and merges
+    // over UTF-8 BYTES, so every string is representable and there is
+    // no OOV by construction. Byte arithmetic is exactly SQL-replayable
+    // — the hex-pair paren encoding ([[bpeBytesSeg]]) keeps the whole
+    // loop in integer/string space — so the oracle replays the FULL
+    // training loop like the char trainer's. Scale shape: identical to
+    // q_doc_bpe_train (one pretoken-keyed pre-agg bounds the corpus
+    // pass; the loop runs on the distinct-pretoken table, one
+    // vocabulary-sized aggregation + 1-row collect per merge).
+    "q_doc_bpe_bytes_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = bpeBytesTok(Tables.table(s, dir, "documents"))
+        .filter(length(encode($"pt", "UTF-8")) >= 2)
+        .groupBy($"pt").agg(sum($"c").as("cnt"))
+        .select(bpeBytesSeg($"pt").as("seg"), $"cnt")
+      bpeMerges(words, BpeBytesMergeCount)
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy("rank")
+    }),
+
+    // Byte-level BPE application — per-doc pretoken / byte / BPE-token
+    // accounting under the corpus-trained byte merges, with bytes-per-
+    // token compression (THE metric byte-level tokenizers report).
+    // Same two-corpus-passes shape as q_doc_bpe_apply: the 12-replace
+    // chain runs once per DISTINCT pretoken, the corpus pays one
+    // pt-keyed pre-aggregation (the explicit repartition in
+    // [[bpeBytesTok]] is the shared exchange: pre-agg, training count,
+    // and scoring join all ride it), and the apply join is
+    // vocabulary-sized. No fallback arm anywhere — every pretoken is
+    // in the applied table by construction (no-OOV contract).
+    "q_doc_bpe_bytes_apply" -> ((s, dir) => {
+      import s.implicits._
+      val tok = bpeBytesTok(Tables.table(s, dir, "documents"))
+      val words = tok
+        .filter(length(encode($"pt", "UTF-8")) >= 2)
+        .groupBy($"pt").agg(sum($"c").as("cnt"))
+        .select(bpeBytesSeg($"pt").as("seg"), $"cnt")
+      val merges = bpeMerges(words, BpeBytesMergeCount)
+      val segCol = merges.foldLeft(bpeBytesSeg($"pt")) {
+        case (c, (_, l, r, _)) =>
+          call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+      val applied = tok.select($"pt").distinct()
+        .select($"pt",
+          size(regexp_extract_all(segCol, lit("\\(([^()]*)\\)"), lit(1)))
+            .cast("long").as("ntok"))
+      val perdoc = tok.join(applied, Seq("pt"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("pretokens"),
+          sum($"c" * length(encode($"pt", "UTF-8")).cast("long"))
+            .as("bytes"),
+          sum($"c" * $"ntok").as("bpe_tokens"))
+      Tables.table(s, dir, "documents")
+        .select($"doc_id").join(perdoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"pretokens", lit(0L)).as("pretokens"),
+          coalesce($"bytes", lit(0L)).as("bytes"),
+          coalesce($"bpe_tokens", lit(0L)).as("bpe_tokens"),
+          when($"bpe_tokens" > 0,
+            Clean.roundHalfUp(
+              $"bytes".cast("double") / $"bpe_tokens", 4))
+            .as("bytes_per_token"))
         .orderBy("doc_id")
     }),
 
@@ -2460,6 +2656,36 @@ object TextQueries {
            |    THEN floor(p.bpe_tokens / p.ws_tokens * 10000 + 0.5) / 10000
            |  END AS compression
            |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // The byte-level trainer replayed in full: pinned pretokenizer
+      // regex (identical string, both engines), hex(encode()) byte
+      // symbols, the 12-iteration merge loop with the (count DESC,
+      // lhs, rhs) argmax — hex strings compare identically by
+      // codepoint in both engines.
+      "q_doc_bpe_bytes_train" -> {
+        val union = (1 to BpeBytesMergeCount).map { i =>
+          s"SELECT $i AS rank, l AS lhs, r AS rhs, " +
+            s"CAST(c AS BIGINT) AS pair_count FROM bm$i"
+        }.mkString(" UNION ALL ")
+        s"""WITH $bpeBytesTrainChainSql
+           |$union ORDER BY rank""".stripMargin
+      },
+
+      // Training chain + total-vocabulary application + per-doc byte
+      // accounting; docs with no pretokens (empty text) surface as
+      // zero rows via the outer join, bytes-per-token rounds on the
+      // shared floor(x*10000+0.5) device.
+      "q_doc_bpe_bytes_apply" ->
+        s"""WITH $bpeBytesApplyChainSql
+           |SELECT d.doc_id,
+           |  CAST(coalesce(p.pretokens, 0) AS BIGINT) AS pretokens,
+           |  CAST(coalesce(p.bytes, 0) AS BIGINT) AS bytes,
+           |  CAST(coalesce(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+           |  CASE WHEN p.bpe_tokens > 0
+           |    THEN floor(p.bytes / p.bpe_tokens * 10000 + 0.5) / 10000
+           |  END AS bytes_per_token
+           |FROM documents d LEFT JOIN bperdoc p USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin,
 
       // The WordPiece trainer replayed iteration for iteration — the
