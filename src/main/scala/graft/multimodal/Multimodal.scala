@@ -318,6 +318,59 @@ object Multimodal {
     })
   }
 
+  /** Frame geometry of the document→AVI ingest wrap: 16×4 gray pixels
+    * per frame = [[FakeCodec.VideoFrameBytes]] source bytes, so the
+    * real container carries exactly the byte blocks the synthetic video
+    * path samples — one frame-signature arithmetic, two payload
+    * formats. 16-px rows are 4-byte aligned (the BmpWidth argument);
+    * AviCodecSpec exercises the padded-row path with odd widths. */
+  val AviFrameWidth = 16
+  val AviFrameRows = 4
+
+  /** Wrap the documents table as REAL AVI video: each doc's bytes fill
+    * [[AviFrameWidth]]×[[AviFrameRows]] grayscale frames (tail frame
+    * zero-filled) inside a genuine uncompressed 24-bpp RIFF/AVI
+    * container ([[AviCodec.encodeGray24]]) — a video player would
+    * accept the payloads. The third modality's ingest wrap, next to
+    * [[asWavMedia]] and [[asBmpMedia]]. */
+  def asAviMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload =
+          AviCodec.encodeGray24(bytes, AviFrameWidth, AviFrameRows)
+        val frameLen = AviFrameWidth * AviFrameRows
+        val nf = math.max(1, (bytes.length + frameLen - 1) / frameLen)
+        MediaItem(id, payload, "video/avi", source,
+          AviFrameWidth, AviFrameRows, nf * 100L) // 10 fps nominal
+      })
+  }
+
+  /** Per-frame signatures THROUGH THE REAL VIDEO DECODER:
+    * [[AviCodec.decode]] runs the genuine RIFF LIST scan + per-frame
+    * DIB pixel walk inside the partition-local batch function, then
+    * every `everyNth` DECODED frame hashes with the shared 16-cell
+    * aHash kernel ([[FakeCodec.perceptualBandsOf]] — the one
+    * definition the synthetic video path uses on its byte blocks, so
+    * the two paths can only differ in where the samples came from).
+    * [[videoFrameSigs]]'s real-decode sibling. */
+  def aviFrameSigs(items: Dataset[MediaItem],
+                   everyNth: Int): Dataset[FrameSig] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.flatMap { m =>
+      val v = AviCodec.decode(m.payload)
+      (0 until v.frames.length by everyNth).iterator.map { fi =>
+        FrameSig(m.item_id, fi,
+          FakeCodec.perceptualBandsOf(v.frames(fi),
+            cells = 16, bandWidth = 16)(0))
+      }
+    })
+  }
+
   /** Feature extraction as a partition-local batch transform. Runs inside
     * executors with one iterator per partition — the distributed shape
     * that scales to arbitrarily many items. */

@@ -221,6 +221,64 @@ object MediaQueries {
       .orderBy("item_id")
   }
 
+  /** The shared FRAME-signature near-dup device — [[bandNearDup]]'s
+    * video-shaped sibling, signature-agnostic over `framesOf`: collapse
+    * byte-identical payloads to md5 representatives, emit per-sampled-
+    * frame 16-bit aHash sigs through the codec seam, take candidate
+    * pairs from EXACT (frame_idx, sig) collisions (capPerKey-bounded —
+    * temporally-aligned copy detection), verify by counting aligned
+    * sampled frames within [[VideoFrameMaxHamming]], keep pairs with
+    * ≥ [[VideoMinMatched]] matches, and fan verdicts back out with
+    * within-group matched = the group's own sampled-frame count
+    * (`withinMatched`, computed over the carried `len` column).
+    * q_media_video_dedup (synthetic byte blocks) and q_media_avi_dedup
+    * (real AVI decode) are this one lineage under two codecs. */
+  private def frameSigNearDup(s: SparkSession, dir: String,
+      mediaOf: (SparkSession, String) => DataFrame,
+      framesOf: DataFrame => DataFrame,
+      capTag: String,
+      withinMatched: org.apache.spark.sql.Column,
+      lenCol: org.apache.spark.sql.Column = null): DataFrame = {
+    import s.implicits._
+    val media = mediaOf(s, dir)
+    val len = Option(lenCol).getOrElse(length($"payload"))
+    val grouped = DedupQueries.capPerKey(
+        media.select($"item_id".as("doc_id"), md5($"payload").as("fp"),
+          len.as("len")),
+        "media_collapse", $"fp")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"),
+        first($"len").as("len"))
+    val reps = media
+      .join(grouped.select($"rep_id".as("item_id")), Seq("item_id"))
+    val frames = framesOf(reps)
+      .select($"item_id".as("doc_id"), $"frame_idx", $"sig")
+    val candPairs = DedupQueries.capPerKey(
+        frames, capTag, $"frame_idx", $"sig")
+      .groupBy($"frame_idx", $"sig")
+      .agg(collect_list($"doc_id").as("xs"))
+      .filter(size($"xs") > 1)
+      .select(explode($"xs").as("doc_a"), $"xs")
+      .select($"doc_a", explode($"xs").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+      .distinct()
+    val fa = frames.select($"doc_id".as("doc_a"), $"frame_idx",
+      $"sig".as("sig_a"))
+    val fb = frames.select($"doc_id".as("doc_b"), $"frame_idx",
+      $"sig".as("sig_b"))
+    val repPairs = candPairs
+      .join(fa, Seq("doc_a"))
+      .join(fb, Seq("doc_b", "frame_idx"))
+      .filter(call_function("bit_count",
+        $"sig_a".bitwiseXOR($"sig_b")) <= VideoFrameMaxHamming)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("matched"))
+      .filter($"matched" >= VideoMinMatched)
+    DedupQueries.fanOut(repPairs, grouped, "matched", withinMatched)
+      .select($"doc_a".as("item_a"), $"doc_b".as("item_b"), $"matched")
+      .orderBy("item_a", "item_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Perceptual near-dup detection over the MEDIA column — the image
     // analog of MinHash for text (the r11 verdict's top directive): an
@@ -353,52 +411,51 @@ object MediaQueries {
     // buckets are capped; the verify joins back to the per-item frame
     // sigs keyed by doc — two hash joins on the capped pair set, never
     // all-pairs. The whole lineage is integer arithmetic — hard oracle.
-    "q_media_video_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val media = Multimodal.documentsAsMedia(s, dir).toDF()
-        .filter(length($"payload") > 0)
-      val grouped = DedupQueries.capPerKey(
-          media.select($"item_id".as("doc_id"), md5($"payload").as("fp"),
-            length($"payload").as("len")),
-          "media_collapse", $"fp")
-        .groupBy($"fp")
-        .agg(min($"doc_id").as("rep_id"), collect_list($"doc_id").as("ids"),
-          first($"len").as("len"))
-      val reps = media
-        .join(grouped.select($"rep_id".as("item_id")), Seq("item_id"))
-      val frames = Multimodal.videoFrameSigs(
-          reps.as[Multimodal.MediaItem], VideoEveryNth).toDF()
-        .select($"item_id".as("doc_id"), $"frame_idx", $"sig")
-      val candPairs = DedupQueries.capPerKey(
-          frames, "media_video", $"frame_idx", $"sig")
-        .groupBy($"frame_idx", $"sig")
-        .agg(collect_list($"doc_id").as("xs"))
-        .filter(size($"xs") > 1)
-        .select(explode($"xs").as("doc_a"), $"xs")
-        .select($"doc_a", explode($"xs").as("doc_b"))
-        .filter($"doc_a" < $"doc_b")
-        .distinct()
-      val fa = frames.select($"doc_id".as("doc_a"), $"frame_idx",
-        $"sig".as("sig_a"))
-      val fb = frames.select($"doc_id".as("doc_b"), $"frame_idx",
-        $"sig".as("sig_b"))
-      val repPairs = candPairs
-        .join(fa, Seq("doc_a"))
-        .join(fb, Seq("doc_b", "frame_idx"))
-        .filter(call_function("bit_count",
-          $"sig_a".bitwiseXOR($"sig_b")) <= VideoFrameMaxHamming)
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).as("matched"))
-        .filter($"matched" >= VideoMinMatched)
+    "q_media_video_dedup" -> ((s, dir) => frameSigNearDup(s, dir,
+      (s, d) => {
+        import s.implicits._
+        Multimodal.documentsAsMedia(s, d).toDF()
+          .filter(length($"payload") > 0)
+      },
+      media => {
+        import media.sparkSession.implicits._
+        Multimodal.videoFrameSigs(
+          media.as[Multimodal.MediaItem], VideoEveryNth).toDF()
+      },
+      "media_video",
       // within-group matched = the group's own sampled-frame count:
       // ceil(ceil(len/64)/2) aligned frames, each at Hamming 0
-      DedupQueries.fanOut(repPairs, grouped, "matched",
-          expr(s"(((len + ${Multimodal.FakeCodec.VideoFrameBytes - 1}) div " +
-            s"${Multimodal.FakeCodec.VideoFrameBytes}) + " +
-            s"${VideoEveryNth - 1}) div $VideoEveryNth"))
-        .select($"doc_a".as("item_a"), $"doc_b".as("item_b"), $"matched")
-        .orderBy("item_a", "item_b")
-    }),
+      expr(s"(((len + ${Multimodal.FakeCodec.VideoFrameBytes - 1}) div " +
+        s"${Multimodal.FakeCodec.VideoFrameBytes}) + " +
+        s"${VideoEveryNth - 1}) div $VideoEveryNth"))),
+
+    // The REAL-DECODE video near-dup — the third modality completes:
+    // documents wrapped into genuine uncompressed 24-bpp RIFF/AVI
+    // containers (Multimodal.asAviMedia — a video player would accept
+    // them), then [[graft.multimodal.AviCodec.decode]] runs the actual
+    // LIST-recursive chunk scan + per-frame DIB pixel walk inside the
+    // codec seam, and the frame-signature matching pipeline
+    // ([[frameSigNearDup]], literally shared with the synthetic face
+    // above) runs over the DECODED luma planes. The ingest grid packs
+    // [[Multimodal.AviFrameWidth]]×[[Multimodal.AviFrameRows]] = 64
+    // source bytes per frame with a ZERO-FILLED tail — the one
+    // arithmetic difference from the synthetic face's short tail
+    // frame, replayed in the oracle's padded walk. Within-group
+    // matched recovers the sampled-frame count from the container's
+    // nominal timing (durationMs = frames · 100 at the encoder's
+    // 10 fps). Hard oracle end to end: a chunk-scan, row-order, or
+    // channel bug in the real parser is a hash mismatch.
+    "q_media_avi_dedup" -> ((s, dir) => frameSigNearDup(s, dir,
+      (s, d) => Multimodal.asAviMedia(Tables.table(s, d, "documents"))
+        .toDF(),
+      media => {
+        import media.sparkSession.implicits._
+        Multimodal.aviFrameSigs(
+          media.as[Multimodal.MediaItem], VideoEveryNth).toDF()
+      },
+      "media_avi",
+      expr(s"((len div 100) + ${VideoEveryNth - 1}) div $VideoEveryNth"),
+      col("durationMs"))),
 
     // Ingest-time perceptual media dedup — the q_dedup_incremental
     // shape one modality over: an arriving media item (item_id % 10 = 0,
@@ -430,6 +487,19 @@ object MediaQueries {
     "q_media_wav_incremental" -> ((s, dir) =>
       bandIncremental(s, dir, wavSigsOf, "media_wav_hist", WavMaxHamming,
         (s, d) => Multimodal.asWavMedia(Tables.table(s, d, "documents"))
+          .toDF())),
+
+    // The image-side ingest face, closing the media symmetry (every
+    // real decoder now has batch dedup + incremental admit + live
+    // twin): an arriving real BMP container is admitted iff no history
+    // item shares a band bucket within [[BmpMaxHamming]] on the
+    // padded-grid decoded-luma aHash. Same banded-history scale shape
+    // (tag media_bmp_hist), same hard-oracle argument with the bmp
+    // decode chain; DocStream.mediaDedupBmp is the live twin
+    // (MediaStreamSpec pins them equal on a replayed split).
+    "q_media_bmp_incremental" -> ((s, dir) =>
+      bandIncremental(s, dir, bmpSigsOf, "media_bmp_hist", BmpMaxHamming,
+        (s, d) => Multimodal.asBmpMedia(Tables.table(s, d, "documents"))
           .toDF())),
 
     // Per-item binary metadata: byte size + content digest over the
@@ -927,6 +997,80 @@ object MediaQueries {
         |ORDER BY item_a, item_b""".stripMargin
     },
 
+    // replays the REAL-DECODE video chain: the video oracle above with
+    // the ingest grid's one arithmetic difference — frames are FULL
+    // 64-byte grids with a ZERO-FILLED tail (encode∘decode: luma at
+    // global position p = ord(char p) for p <= len, 0 on the padded
+    // tail), so every frame's flen is 64 and the aHash replays over
+    // the padded grid. Same md5(text) collapse (the encoder is an
+    // injective function of the text bytes), same (frame_idx, sig)
+    // candidate/verify/fan-out, same within-group sampled-frame count
+    // (nf = ceil(len/64) on both paths). Carries the wavBandCtes
+    // ASCII-corpus assumption (ord()/length vs UTF-8 bytes).
+    "q_media_avi_dedup" -> {
+      val fb = graft.multimodal.Multimodal.FakeCodec.VideoFrameBytes
+      s"""WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |grp AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+        |    list(doc_id) AS ids, min(length(text)) AS len
+        |  FROM m GROUP BY 1),
+        |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
+        |fchars AS (
+        |  SELECT doc_id, (p - 1) // $fb AS fi, (p - 1) % $fb AS q,
+        |    CASE WHEN p <= len
+        |         THEN ord(substring(text, CAST(p AS INT), 1))
+        |         ELSE 0 END AS byte
+        |  FROM (SELECT doc_id, text, len,
+        |          unnest(range(1, ((len + ${fb - 1}) // $fb) * $fb + 1))
+        |            AS p
+        |        FROM sigsrc) z
+        |  WHERE ((p - 1) // $fb) % $VideoEveryNth = 0),
+        |flen AS (
+        |  SELECT doc_id, fi, count(*) AS flen, sum(byte) AS ftot
+        |  FROM fchars GROUP BY 1, 2),
+        |fcells AS (
+        |  SELECT f.doc_id, f.fi, (f.q * 16) // l.flen AS cell,
+        |    sum(f.byte) AS s, count(*) AS cnt
+        |  FROM fchars f JOIN flen l ON l.doc_id = f.doc_id AND l.fi = f.fi
+        |  GROUP BY 1, 2, 3),
+        |fbits AS (
+        |  SELECT c.doc_id, c.fi, c.cell,
+        |    CASE WHEN c.s * l.flen > l.ftot * c.cnt THEN 1 ELSE 0 END AS bit
+        |  FROM fcells c JOIN flen l ON l.doc_id = c.doc_id AND l.fi = c.fi),
+        |fsig AS (
+        |  SELECT doc_id, fi, CAST(sum(bit << cell) AS BIGINT) AS sig
+        |  FROM fbits GROUP BY 1, 2),
+        |vcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM fsig a JOIN fsig b
+        |    ON a.fi = b.fi AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |vmatch AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS matched
+        |  FROM vcand c
+        |  JOIN fsig x ON x.doc_id = c.doc_a
+        |  JOIN fsig y ON y.doc_id = c.doc_b AND y.fi = x.fi
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= $VideoFrameMaxHamming
+        |  GROUP BY 1, 2),
+        |rep_pairs AS (SELECT * FROM vmatch WHERE matched >= $VideoMinMatched),
+        |members AS (SELECT rep_id, len, unnest(ids) AS mem FROM grp),
+        |fanned AS (
+        |  SELECT least(ma.mem, mb.mem) AS item_a,
+        |    greatest(ma.mem, mb.mem) AS item_b, p.matched
+        |  FROM rep_pairs p
+        |  JOIN members ma ON ma.rep_id = p.doc_a
+        |  JOIN members mb ON mb.rep_id = p.doc_b
+        |  UNION ALL
+        |  SELECT a.mem AS item_a, b.mem AS item_b,
+        |    CAST((((a.len + ${fb - 1}) // $fb) + ${VideoEveryNth - 1})
+        |         // $VideoEveryNth AS BIGINT) AS matched
+        |  FROM members a JOIN members b
+        |    ON a.rep_id = b.rep_id AND a.mem < b.mem)
+        |SELECT item_a, item_b, matched FROM fanned
+        |ORDER BY item_a, item_b""".stripMargin
+    },
+
     // replays the incremental admit rule over the UNCOLLAPSED band grid
     // (arrivals are judged independently; no rep collapse) — history =
     // doc_id % 10 <> 0, increment = the rest, admitted iff no history
@@ -982,6 +1126,35 @@ object MediaQueries {
         |flagged AS (
         |  SELECT DISTINCT inc_id FROM ham
         |  WHERE hamming <= $WavMaxHamming)
+        |SELECT DISTINCT doc_id AS item_id FROM sigsrc
+        |WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
+        |ORDER BY item_id""".stripMargin,
+
+    // the bmp ingest face: the identical NOT-EXISTS admit replay under
+    // the image real-decode chain
+    "q_media_bmp_incremental" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$bmpBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+        |  FROM bands i JOIN bands h
+        |    ON i.band_idx = h.band_idx AND i.band_val = h.band_val
+        |    AND i.doc_id % 10 = 0 AND h.doc_id % 10 <> 0),
+        |ham AS (
+        |  SELECT c.inc_id, c.hist_id,
+        |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.inc_id
+        |  JOIN bands y ON y.doc_id = c.hist_id AND y.band_idx = x.band_idx
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = $PhashBands),
+        |flagged AS (
+        |  SELECT DISTINCT inc_id FROM ham
+        |  WHERE hamming <= $BmpMaxHamming)
         |SELECT DISTINCT doc_id AS item_id FROM sigsrc
         |WHERE doc_id % 10 = 0
         |  AND doc_id NOT IN (SELECT inc_id FROM flagged)

@@ -765,6 +765,25 @@ object DocStream extends Serializable {
       graft.queries.MediaQueries.wavSigsOf,
       graft.queries.MediaQueries.WavMaxHamming)
 
+  /** The bmp history index: real 24-bpp containers, real parse — the
+    * batch q_media_bmp_incremental's history side verbatim (tag
+    * media_bmp_hist). */
+  def prepareBmpMediaIndex(historyDocs: DataFrame): DataFrame =
+    prepareMediaIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asBmpMedia(d).toDF(),
+      graft.queries.MediaQueries.bmpSigsOf, "media_bmp_hist")
+
+  /** The live face THROUGH the real BMP decoder — the image side of
+    * the media symmetry, the stream twin of q_media_bmp_incremental
+    * (MediaStreamSpec pins the admitted sets equal on a replayed
+    * split, zero state rows). */
+  def mediaDedupBmp(spark: SparkSession, newDocs: DataFrame,
+                    histIndex: DataFrame): Dataset[MediaAdmit] =
+    mediaDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asBmpMedia(d).toDF(),
+      graft.queries.MediaQueries.bmpSigsOf,
+      graft.queries.MediaQueries.BmpMaxHamming)
+
   /** The verdict face signature-agnostic — one judged arrival per item
     * under ANY codec kernel; the named faces above fix (mediaOf,
     * sigsFn, threshold) triples. */

@@ -60,6 +60,38 @@ class RealDecodeDedupSpec extends SparkTestBase {
     check("q_media_bmp_dedup", graft.queries.MediaQueries.BmpMaxHamming)
   }
 
+  test("q_media_avi_dedup recovers planted variants through the real " +
+      "AVI parse, with temporal-sampling semantics pinned (fixture)") {
+    // base: 220 chars -> 4 frames of 64 (tail zero-padded), sampled
+    // frames fi = 0, 2. The variant flips one word INSIDE FRAME 1 —
+    // invisible to every-2nd-frame sampling, so it must pair with the
+    // base copies at matched = 2 (both sampled frames align exactly):
+    // the pin is the temporal stride itself, through the real decode.
+    val lazyAt = base.indexOf("lazy", 64)
+    assert(lazyAt >= 64 && lazyAt + 4 <= 128, s"fixture drifted: $lazyAt")
+    val frame1Variant =
+      base.substring(0, lazyAt) + "LAZY" + base.substring(lazyAt + 4)
+    val dir = java.nio.file.Files.createTempDirectory("avi_fixture")
+    Seq((0L, base, "s1"), (1L, base, "s1"), (2L, base, "s2"),
+        (3L, frame1Variant, "s1"), (4L, far, "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_media_avi_dedup")(
+        spark, dir.toString)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, m) => (a, b) -> m }.toMap
+    val sampled = 2L // ceil(ceil(220/64)/2)
+    Seq((0L, 1L), (0L, 2L), (1L, 2L)).foreach { p =>
+      assert(got.get(p).contains(sampled), s"exact pair $p: ${got.get(p)}")
+    }
+    Seq((0L, 3L), (1L, 3L), (2L, 3L)).foreach { p =>
+      assert(got.get(p).contains(sampled),
+        s"frame-1 variant pair $p: ${got.get(p)} (sampling stride broken?)")
+    }
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L },
+      "paired the far payload")
+  }
+
   test("the decode queries carry the container truth: parsed dims and " +
       "sizes match the payloads (fixture)") {
     val wav = graft.SparkEntry.queries("q_media_wav_decode")(

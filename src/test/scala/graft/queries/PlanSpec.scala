@@ -69,7 +69,10 @@ class PlanSpec extends SparkTestBase {
       "q_dedup_substring",
       // the real-decode near-dups ride the same shared banding device;
       // a cartesian would mean bandNearDup's bucket pairing regressed
-      "q_media_wav_dedup", "q_media_bmp_dedup").foreach { q =>
+      "q_media_wav_dedup", "q_media_bmp_dedup",
+      // the frame-signature video faces (synthetic and real-AVI): the
+      // candidate stage must stay (frame_idx, sig) equi-collision
+      "q_media_video_dedup", "q_media_avi_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),

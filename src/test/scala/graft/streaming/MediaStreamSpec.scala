@@ -92,6 +92,42 @@ class MediaStreamSpec extends SparkTestBase {
     } finally index.unpersist()
   }
 
+  test("the BMP stream face equals its batch incremental on the " +
+      "replayed increment, across micro-batches, with zero state") {
+    // the image twin: every arrival wraps into a genuine 24-bpp BMP
+    // and BmpCodec parses it inside the stateless decode pass —
+    // admitted sets must match q_media_bmp_incremental (hash-matched
+    // by the DuckDB oracle), closing the media symmetry
+    val dir = Files.createTempDirectory("media_stream_bmp_inc")
+    val docs = Tables.table(spark, sf0001, "documents")
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 250),
+      dir, "b0.parquet", 1700000000000L)
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" >= 250),
+      dir, "b1.parquet", 1700000100000L)
+
+    val index = DocStream.prepareBmpMediaIndex(
+      docs.filter($"doc_id" % 10 =!= 0))
+    try {
+      val out = DocStream.mediaDedupBmp(spark,
+        DocStream.readDocs(spark, dir.toString), index).toDF()
+      val q = EventStream.runToMemory(out, "media_dedup_bmp",
+        OutputMode.Append())
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      q.stop()
+      assert(stateRows === 0L, "the bmp verdict face must keep no state")
+
+      val admitted = spark.table("media_dedup_bmp")
+        .filter($"admitted").select($"item_id").as[Long].collect().toSet
+      val want = graft.SparkEntry.queries("q_media_bmp_incremental")(
+          spark, sf0001)
+        .as[Long].collect().toSet
+      assert(admitted === want)
+    } finally index.unpersist()
+  }
+
   test("planted fixture: byte-copy and near variant rejected with " +
       "blame, both judged against the banded history") {
     val base = "the quick brown fox jumps over the lazy dog " * 5
