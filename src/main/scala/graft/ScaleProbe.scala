@@ -593,7 +593,7 @@ object ScaleProbe {
     val unknownQ = qFilter.diff(
       (probeQueries ++ hostileQueries ++ hostileTokQueries ++
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
-        hostileVecStreamFaces).toSet)
+        hostileVecStreamFaces).toSet + "op_index_compact")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -713,6 +713,45 @@ object ScaleProbe {
         val (n, om) = countWithObserved(spark, q, dir, s"$q@tok$k")
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":"distinct_words"}""")
+      }
+    }
+
+    // index-compaction cost: a CONSTANT increment merged into bucketed
+    // fingerprint histories of growing size — the op's claim is that
+    // compaction cost scales with the INCREMENT (one anti-join + one
+    // bucket append of its survivors), so the timed seconds must stay
+    // flat while the history grows k×. History build time is setup,
+    // not part of the op, and is not timed. Filter name:
+    // op_index_compact (not a dump query — the oracle certifies
+    // q_index_compact's semantics; this measures the maintenance op).
+    if (qFilter.isEmpty || qFilter("op_index_compact")) {
+      val docs = Tables.table(spark, base, "documents").select(
+        col("doc_id"),
+        coalesce(graft.Clean.fingerprint(col("text")), lit("")).as("fp"))
+      val incr = docs.filter(col("doc_id") % 10 === 0)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("owner_id"))
+        .localCheckpoint()
+      factors.foreach { k =>
+        val table = s"fp_idx_probe_f$k"
+        // synthetic distinct keys per replica copy so the history's
+        // DISTINCT-fp mass actually grows k× (verbatim replicas would
+        // collapse to one copy's keys under keep-first)
+        val hist = spark.range(k).toDF("copy")
+          .crossJoin(docs.filter(col("doc_id") % 10 =!= 0))
+          .select(
+            when(col("copy") === 0, col("fp"))
+              .otherwise(concat(col("fp"), lit("#"), col("copy")))
+              .as("fp"),
+            col("doc_id").as("owner_id"))
+          .groupBy(col("fp")).agg(min(col("owner_id")).as("owner_id"))
+        graft.sources.Layout.writeBucketed(hist, table, "fp")
+        val histRows = spark.table(table).count()
+        val t0 = System.nanoTime()
+        val appended = graft.operators.IndexCompact.compact(
+          spark, table, incr, Seq("fp"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"op_index_compact","sec":$sec%.3f,"rows":$appended,"history_rows":$histRows}""")
+        spark.sql(s"DROP TABLE IF EXISTS $table")
       }
     }
 

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Batch maintenance for the incremental-dedup history indexes — the
+  * production op the r18 verdict named as the missing piece: every
+  * ingest round ADMITS rows against a bucketed history
+  * (q_dedup_incremental / q_semdedup_incremental / the media band
+  * indexes, LayoutSpec's one-exchange pins), and those admitted rows
+  * must re-enter the bucketed layout before the NEXT round — without
+  * rewriting a 100 TB history nightly.
+  *
+  * The op is [[Upsert]]'s insert-only specialization, append-shaped:
+  * the history indexes are INSERT-ONLY under keep-first semantics
+  * (matched keys keep the target row — exactly Upsert's keep-target
+  * arm — and only unmatched update rows insert), so the full-outer
+  * join a general MERGE pays collapses to an anti-join of the
+  * increment plus a bucket-aligned APPEND. Spark bucketed tables
+  * accept same-spec appends as new per-bucket files: the table's
+  * hash-distribution contract survives (reads stay exchange-free on
+  * the bucket key; only the per-bucket SORT guarantee is file-local,
+  * which none of the one-exchange pins rely on), and the write cost
+  * is one shuffle OF THE INCREMENT into bucket files — never a
+  * history rewrite. IndexCompactSpec re-pins the next increment's
+  * one-exchange plan against the compacted table; ScaleProbe's
+  * compact block measures cost flat in history size.
+  */
+object IndexCompact {
+
+  /** Merge `admits` into the bucketed history `table` under keep-first
+    * semantics: rows whose `keys` already exist in the table are
+    * dropped (first writer wins — re-admitting an already-indexed
+    * fingerprint is a no-op, so the op is idempotent per round), the
+    * rest append in the table's own bucket layout. Returns the number
+    * of rows appended.
+    *
+    * The anti-join plans ONE exchange (the increment) against the
+    * bucketed table — same shape as the admit query itself — and the
+    * append shuffles only those survivors into bucket files. Column
+    * order aligns to the table schema. */
+  def compact(spark: SparkSession, table: String, admits: DataFrame,
+              keys: Seq[String], buckets: Int = 8): Long = {
+    require(keys.nonEmpty, "compact needs at least one key column")
+    val target = spark.table(table)
+    val missing = target.columns.filterNot(admits.columns.contains)
+    require(missing.isEmpty,
+      s"admits frame lacks index columns: ${missing.mkString(", ")}")
+    val fresh = admits
+      .select(target.columns.map(org.apache.spark.sql.functions.col): _*)
+      .join(target, keys, "left_anti")
+      // one materialization: the count below and the append read the
+      // same survivors without re-running the anti-join
+      .localCheckpoint()
+    fresh.write
+      .mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    fresh.count()
+  }
+}

@@ -868,6 +868,43 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Index MAINTENANCE — the op the incremental family implied but
+    // never had (r18 verdict #5): after a round admits rows against
+    // the bucketed fingerprint history, those admits must re-enter the
+    // bucketed layout for the NEXT round without rewriting the
+    // history. The lineage IS the production cycle, run end to end:
+    // build the history index bucketed on fp (Layout.writeBucketed —
+    // the nightly base), reduce the increment to keep-first (fp,
+    // owner) rows, merge via operators/IndexCompact.compact (anti-join
+    // of the INCREMENT + same-spec bucket append — Upsert's
+    // insert-only arm, one exchange of the increment, never a history
+    // rewrite), and emit the compacted table read BACK from storage —
+    // so the dump certifies what the files actually contain, not what
+    // the DataFrame intended. Null-text fingerprints coalesce to ''
+    // (the q_corpus_diff device) so the keep-first grouping and the
+    // total output order are deterministic in both engines. HARD
+    // oracle: compacted = history ∪ (admits under keep-first), exactly.
+    // IndexCompactSpec re-pins the NEXT increment's one-exchange plan
+    // against the compacted table; the ScaleProbe compact block
+    // measures cost flat in history size.
+    "q_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select($"doc_id", coalesce(fingerprint($"text"), lit(""))
+          .as("fp"))
+      val hist = docs.filter($"doc_id" % 10 =!= 0)
+        .groupBy($"fp").agg(min($"doc_id").as("owner_id"))
+      // a prior session's files survive its catalog — reset first, or
+      // a fresh session's saveAsTable dies on LOCATION_ALREADY_EXISTS
+      graft.sources.Layout.resetTable(s, "fp_index_compact_q")
+      graft.sources.Layout.writeBucketed(hist, "fp_index_compact_q", "fp")
+      val incoming = docs.filter($"doc_id" % 10 === 0)
+        .groupBy($"fp").agg(min($"doc_id").as("owner_id"))
+      graft.operators.IndexCompact.compact(
+        s, "fp_index_compact_q", incoming, Seq("fp"))
+      s.table("fp_index_compact_q").orderBy("fp")
+    }),
+
     // Corpus version diff — the "what changed in this drop" report an
     // ingest operator reads before promoting a new corpus version: per
     // (source, status) document counts for added / removed / changed /
@@ -2015,6 +2052,28 @@ object DedupQueries {
         |SELECT doc_id, fp FROM i
         |WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = i.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    // the compacted index replayed set-theoretically: history keep-first
+    // rows, plus increment keep-first rows whose fp the history lacks —
+    // NOT EXISTS (not NOT IN: a '' fp is a real key here, but the
+    // pattern must stay null-proof), total order on the unique fp
+    "q_index_compact" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '')
+        |    AS fp
+        |  FROM documents),
+        |hist AS (
+        |  SELECT fp, min(doc_id) AS owner_id FROM d
+        |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |inc AS (
+        |  SELECT fp, min(doc_id) AS owner_id FROM d
+        |  WHERE doc_id % 10 = 0 GROUP BY 1)
+        |SELECT fp, owner_id FROM hist
+        |UNION ALL
+        |SELECT fp, owner_id FROM inc i
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = i.fp)
+        |ORDER BY fp""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH v1 AS (

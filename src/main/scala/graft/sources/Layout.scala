@@ -28,6 +28,22 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop `table` AND clear its default warehouse location. A managed
+    * table written by one session survives as FILES after the session's
+    * in-memory catalog dies; the next session's `saveAsTable` then
+    * fails with LOCATION_ALREADY_EXISTS because the catalog (which
+    * would let Overwrite reclaim it) no longer knows the table. Any
+    * query that materializes a working table (q_index_compact) resets
+    * through this first, so it is re-runnable across sessions. */
+  def resetTable(spark: org.apache.spark.sql.SparkSession,
+                 table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Write `df` partitioned by a (typically date-derived) column; readers
     * filtering on it scan only matching directories. */
   def writePartitioned(df: DataFrame, path: String,
