@@ -374,6 +374,15 @@ object PqFunctions {
       c => call_function(s"pq_dtabs_$t", c))
   }
 
+  /** The registered SQL function names for this codebook — valid after
+    * [[bind]]. The SQL front door interpolates these into its query
+    * TEXT (a SQL user calls the kernels by name; Column builders are a
+    * DataFrame-surface concept). */
+  def boundNames(books: PqBooks): (String, String) = {
+    val t = tag(books)
+    (s"pq_encode_$t", s"pq_dtabs_$t")
+  }
+
   /** Drops the `pq_encode_<tag>` / `pq_dtabs_<tag>` registrations for
     * this codebook (the codebook-free `pq_adist` stays). The trainer
     * binds an interim book every round and each registration is dead

@@ -363,6 +363,61 @@ object PqQueries {
       }
     }),
 
+    // The ADC scan through the SQL FRONT DOOR — the surface's first
+    // KERNEL-EXPRESSION twin (r18 verdict #7), extending the "two
+    // surfaces, one operator set" claim from built-in operators into
+    // the custom-codegen territory: training runs driver-side exactly
+    // as in q_ann_pq (a trained artifact is an input to serving, not
+    // a query), then the ENTIRE serve is one spark.sql text calling
+    // the registered kernels by name — vec_guard, tick_vec, the
+    // codebook-bound pq_encode_<tag>/pq_dtabs_<tag> (names
+    // interpolated after binding), and the codebook-free pq_adist —
+    // over the registered embeddings view. Oracle carried verbatim
+    // from q_ann_pq; SqlFrontDoorSpec pins canonical-plan identity
+    // twin-vs-twin, so a SQL user provably gets the same codegen'd
+    // kernels, broadcast ADC shape, and results.
+    "q_sql_ann_pq" -> ((s, dir) => {
+      graft.sources.Views.registerTestdata(s, dir)
+      VectorFunctions.register(s)
+      import s.implicits._
+      val vecs = SimilarityQueries.semDedupInput(s, dir)
+      val books = pqCodebooks(vecs)
+      if (books.isEmpty) emptyAnnShape(vecs)
+      else {
+        bindKernels(s, books)
+        val (encN, dtN) = graft.functions.PqFunctions.boundNames(
+          graft.functions.PqBooks(books, PqM, PqSubDim))
+        s.sql(
+          s"""WITH vecs AS (
+             |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+             |  FROM embeddings),
+             |guarded AS (
+             |  SELECT vec_id, v FROM vecs
+             |  WHERE v IS NOT NULL AND vec_guard(v)),
+             |ticked AS (
+             |  SELECT vec_id, tv FROM (
+             |    SELECT vec_id, tick_vec(v) AS tv FROM guarded) t
+             |  WHERE tv IS NOT NULL),
+             |coded AS (
+             |  SELECT vec_id, $encN(tv).poss AS poss FROM ticked),
+             |probes AS (
+             |  SELECT vec_id AS query_id, $dtN(tv) AS dtabs FROM ticked
+             |  WHERE vec_id < 10),
+             |pairs AS (
+             |  SELECT /*+ BROADCAST(probes) */ query_id,
+             |    vec_id AS neighbor_id, pq_adist(dtabs, poss) AS adist
+             |  FROM coded CROSS JOIN probes
+             |  WHERE vec_id <> query_id)
+             |SELECT query_id, rank, neighbor_id, adist FROM (
+             |  SELECT query_id, neighbor_id, adist, row_number() OVER (
+             |    PARTITION BY query_id
+             |    ORDER BY adist ASC, neighbor_id ASC) AS rank
+             |  FROM pairs) r
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)
+      }
+    }),
+
     // IVF-PQ — the paper's IVFADC structure (§V; the non-residual
     // variant: codes quantize the raw slices, not the cell residuals,
     // so ONE codebook serves every cell and the oracle stays a single
@@ -646,7 +701,13 @@ object PqQueries {
        |SELECT query_id, rank, neighbor_id, adist FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the SQL front door's kernel twin carries the DataFrame twin's
+    // oracle VERBATIM (the SqlQueries discipline): one oracle, two
+    // surfaces, and the correctness gate itself proves they agree
+    ("q_sql_ann_pq" -> oracleSqlBase("q_ann_pq"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_emb_pq_codes" ->
       s"""WITH ${SimilarityQueries.guardedVecsCte},
          |$pqTrainCtes

@@ -18,7 +18,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q_sql_events_sessions" -> "q_events_sessions",
     "q_sql_knn_brute" -> "q_knn_brute",
     "q_sql_dedup_span" -> "q_dedup_span",
-    "q_sql_curation_lite" -> "q_curation_lite")
+    "q_sql_curation_lite" -> "q_curation_lite",
+    "q_sql_ann_pq" -> "q_ann_pq")
 
   test("the SQL surface optimizes to the same canonical plan as the " +
       "DataFrame surface (the Views scaladoc's claim, checked)") {
@@ -52,6 +53,19 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val a = graft.SparkEntry.queries("q_sql_curation_lite")(spark, sf0001)
       .queryExecution.optimizedPlan.canonicalized
     val b = graft.SparkEntry.queries("q_curation_lite")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    assert(a == b, s"SQL plan:\n$a\nDataFrame plan:\n$b")
+  }
+
+  test("the KERNEL twin optimizes to the same canonical plan from both " +
+      "surfaces (codebook-bound codegen expressions called by SQL name)") {
+    // the witnesses above cover built-in operators; the ADC scan is
+    // custom-Expression territory — plan identity here proves a SQL
+    // user gets the same pq_encode/pq_dtabs/pq_adist kernels and the
+    // same broadcast ADC shape the DataFrame surface plans
+    val a = graft.SparkEntry.queries("q_sql_ann_pq")(spark, sf0001)
+      .queryExecution.optimizedPlan.canonicalized
+    val b = graft.SparkEntry.queries("q_ann_pq")(spark, sf0001)
       .queryExecution.optimizedPlan.canonicalized
     assert(a == b, s"SQL plan:\n$a\nDataFrame plan:\n$b")
   }
