@@ -353,6 +353,14 @@ object ScaleProbe {
     // ~the whole corpus — the media_video cap must bound the candidate
     // set, and the verify join-back touches only capped pairs
     "q_media_video_dedup",
+    // the image ingest face: every history band bucket hot under the
+    // boilerplate corpus (media_bmp_hist cap bounds the index)
+    "q_media_bmp_incremental",
+    // the REAL-DECODE video face under the same shape: every rep pays
+    // a genuine AVI parse and the shared early frames make every
+    // (frame_idx, sig) bucket hot — the media_avi cap must bound the
+    // candidate set exactly like the synthetic face's
+    "q_media_avi_dedup",
     // the banding sweep under the same concentration: ALL THREE
     // layouts' buckets go hot simultaneously (the 8x8 rung worst —
     // eight hot buckets per rep) — each layout's own capPerKey tag
