@@ -361,6 +361,10 @@ object ScaleProbe {
     // (frame_idx, sig) bucket hot — the media_avi cap must bound the
     // candidate set exactly like the synthetic face's
     "q_media_avi_dedup",
+    // the video ingest face: every history (frame_idx, sig) bucket hot
+    // under the boilerplate corpus (media_avi_hist cap bounds the
+    // index), per-arrival collision work must stay bucket-bounded
+    "q_media_avi_incremental",
     // the banding sweep under the same concentration: ALL THREE
     // layouts' buckets go hot simultaneously (the 8x8 rung worst —
     // eight hot buckets per rep) — each layout's own capPerKey tag

@@ -371,6 +371,32 @@ object Multimodal {
     })
   }
 
+  /** Per-sampled-frame features THROUGH THE REAL VIDEO DECODER, with
+    * the container truth attached: width/height from the parsed strf
+    * header, n_frames from the decoded movi walk, byte_size from the
+    * payload — the video sibling of [[wavDecodeFeatures]] /
+    * [[bmpDecodeFeatures]], emitting one row per sampled frame (the
+    * honest grain of a video feature table). A header, LIST-recursion,
+    * frame-walk, or sampling bug anywhere in [[AviCodec.decode]] is a
+    * hash mismatch in q_media_avi_decode. */
+  case class AviFrameFeat(item_id: Long, width: Int, height: Int,
+                          n_frames: Long, byte_size: Long,
+                          frame_idx: Int, sig: Long)
+
+  def aviDecodeFeatures(items: Dataset[MediaItem],
+                        everyNth: Int): Dataset[AviFrameFeat] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.flatMap { m =>
+      val v = AviCodec.decode(m.payload)
+      (0 until v.frames.length by everyNth).iterator.map { fi =>
+        AviFrameFeat(m.item_id, v.width, v.height,
+          v.frames.length.toLong, m.payload.length.toLong, fi,
+          FakeCodec.perceptualBandsOf(v.frames(fi),
+            cells = 16, bandWidth = 16)(0))
+      }
+    })
+  }
+
   /** Feature extraction as a partition-local batch transform. Runs inside
     * executors with one iterator per partition — the distributed shape
     * that scales to arbitrarily many items. */

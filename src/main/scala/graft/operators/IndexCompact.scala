@@ -38,9 +38,20 @@ object IndexCompact {
     * bucketed table — same shape as the admit query itself — and the
     * append shuffles only those survivors into bucket files. Column
     * order aligns to the table schema. */
+  /** @param keys       the IDENTITY columns (keep-first grain) — the
+    *                    anti-join keys
+    * @param bucketCols  the table's physical bucket spec; must equal
+    *                    what the table was written with (Spark verifies
+    *                    the append) — defaults to `keys`, but a
+    *                    composite-identity index bucketed on a prefix
+    *                    (e.g. band rows keyed (band_idx, band_val,
+    *                    hist_id) in a (band_idx, band_val)-bucketed
+    *                    layout) passes its own spec */
   def compact(spark: SparkSession, table: String, admits: DataFrame,
-              keys: Seq[String], buckets: Int = 8): Long = {
+              keys: Seq[String], buckets: Int = 8,
+              bucketCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "compact needs at least one key column")
+    val bcols = if (bucketCols.nonEmpty) bucketCols else keys
     val target = spark.table(table)
     val missing = target.columns.filterNot(admits.columns.contains)
     require(missing.isEmpty,
@@ -53,8 +64,8 @@ object IndexCompact {
       .localCheckpoint()
     fresh.write
       .mode(SaveMode.Append)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .bucketBy(buckets, bcols.head, bcols.tail: _*)
+      .sortBy(bcols.head, bcols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
     fresh.count()

@@ -489,6 +489,58 @@ object MediaQueries {
         (s, d) => Multimodal.asWavMedia(Tables.table(s, d, "documents"))
           .toDF())),
 
+    // The VIDEO decode-honesty check — q_media_wav_decode /
+    // q_media_bmp_decode's sibling for the third modality: per sampled
+    // frame, the container truth (width/height from the parsed strf
+    // header, n_frames from the decoded movi walk, byte_size =
+    // 224 + 200·n_frames at the canonical 16x4 geometry — the oracle
+    // replays the ENCODER's layout arithmetic too, so the writer and
+    // the parser certify each other) plus the decoded-luma frame
+    // signature. A header, LIST-recursion, frame-walk, padding, or
+    // sampling bug anywhere in AviCodec is a hash mismatch.
+    "q_media_avi_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.asAviMedia(Tables.table(s, dir, "documents"))
+      Multimodal.aviDecodeFeatures(media, VideoEveryNth).toDF()
+        .orderBy("item_id", "frame_idx")
+    }),
+
+    // The video ingest face — the frame-signature admit rule at its
+    // INDEXABLE grain: an arriving real AVI container is admitted iff
+    // no history item shares >= [[VideoMinMatched]] temporally-ALIGNED
+    // EXACT frame-sig collisions. Exact collisions (not the dedup
+    // query's Hamming-tolerant verify) are the deliberate ingest
+    // semantics: they are what a (frame_idx, sig) index can answer
+    // with bucket-bounded work per arrival — the capPerKey tag
+    // media_avi_hist bounds a viral clip's re-uploads exactly like the
+    // band indexes — while Hamming tolerance remains the batch dedup's
+    // offline semantics. DocStream.mediaDedupAvi is the live twin
+    // (MediaStreamSpec pins the admitted sets equal on a replayed
+    // split, zero state rows). Oracle replays decode, padded-grid
+    // signatures, aligned collision counting, and the NOT-EXISTS admit
+    // rule (uncapped, the standard cap contract).
+    "q_media_avi_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val frames = Multimodal.aviFrameSigs(
+          Multimodal.asAviMedia(Tables.table(s, dir, "documents")),
+          VideoEveryNth).toDF()
+      val hist = DedupQueries.capPerKey(
+          frames.filter($"item_id" % 10 =!= 0)
+            .select($"item_id".as("doc_id"), $"frame_idx", $"sig"),
+          "media_avi_hist", $"frame_idx", $"sig")
+        .select($"frame_idx", $"sig", $"doc_id".as("hist_id"))
+      val inc = frames.filter($"item_id" % 10 === 0)
+      val flagged = inc
+        .join(hist, Seq("frame_idx", "sig"))
+        .groupBy($"item_id", $"hist_id")
+        .agg(count(lit(1)).as("matched"))
+        .filter($"matched" >= VideoMinMatched)
+        .select($"item_id").distinct()
+      inc.select($"item_id").distinct()
+        .join(flagged, Seq("item_id"), "left_anti")
+        .orderBy("item_id")
+    }),
+
     // The image-side ingest face, closing the media symmetry (every
     // real decoder now has batch dedup + incremental admit + live
     // twin): an arriving real BMP container is admitted iff no history
@@ -748,6 +800,44 @@ object MediaQueries {
        |    CAST(coalesce(b.band_val, 0) AS BIGINT) AS band_val
        |  FROM bbandgrid bg LEFT JOIN bbandsum b
        |    ON bg.doc_id = b.doc_id AND bg.band_idx = b.band_idx)""".stripMargin
+  }
+
+  /** The AVI real-decode frame-signature replay as DuckDB CTEs over
+    * the caller's `sigsrc` (doc_id, text, len): the encode∘decode
+    * composition over the PADDED 64-byte frame grid (luma at global
+    * position p = ord(char p) for p ≤ len, 0 on the zero-filled tail —
+    * the ingest grid's one arithmetic difference from the synthetic
+    * short-tail face), every-[[VideoEveryNth]] sampling, and the
+    * 16-cell aHash per sampled frame, ending in `fsig(doc_id, fi,
+    * sig)`. Shared by the avi decode / dedup / incremental oracles.
+    * Carries the wavBandCtes ASCII-corpus assumption. */
+  private def aviFsigCtes: String = {
+    val fb = graft.multimodal.Multimodal.FakeCodec.VideoFrameBytes
+    s"""fchars AS (
+       |  SELECT doc_id, (p - 1) // $fb AS fi, (p - 1) % $fb AS q,
+       |    CASE WHEN p <= len
+       |         THEN ord(substring(text, CAST(p AS INT), 1))
+       |         ELSE 0 END AS byte
+       |  FROM (SELECT doc_id, text, len,
+       |          unnest(range(1, ((len + ${fb - 1}) // $fb) * $fb + 1))
+       |            AS p
+       |        FROM sigsrc) z
+       |  WHERE ((p - 1) // $fb) % $VideoEveryNth = 0),
+       |flen AS (
+       |  SELECT doc_id, fi, count(*) AS flen, sum(byte) AS ftot
+       |  FROM fchars GROUP BY 1, 2),
+       |fcells AS (
+       |  SELECT f.doc_id, f.fi, (f.q * 16) // l.flen AS cell,
+       |    sum(f.byte) AS s, count(*) AS cnt
+       |  FROM fchars f JOIN flen l ON l.doc_id = f.doc_id AND l.fi = f.fi
+       |  GROUP BY 1, 2, 3),
+       |fbits AS (
+       |  SELECT c.doc_id, c.fi, c.cell,
+       |    CASE WHEN c.s * l.flen > l.ftot * c.cnt THEN 1 ELSE 0 END AS bit
+       |  FROM fcells c JOIN flen l ON l.doc_id = c.doc_id AND l.fi = c.fi),
+       |fsig AS (
+       |  SELECT doc_id, fi, CAST(sum(bit << cell) AS BIGINT) AS sig
+       |  FROM fbits GROUP BY 1, 2)""".stripMargin
   }
 
   /** The shared band-pairing/verify/fan-out replay — candidate pairs
@@ -1017,31 +1107,7 @@ object MediaQueries {
         |    list(doc_id) AS ids, min(length(text)) AS len
         |  FROM m GROUP BY 1),
         |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
-        |fchars AS (
-        |  SELECT doc_id, (p - 1) // $fb AS fi, (p - 1) % $fb AS q,
-        |    CASE WHEN p <= len
-        |         THEN ord(substring(text, CAST(p AS INT), 1))
-        |         ELSE 0 END AS byte
-        |  FROM (SELECT doc_id, text, len,
-        |          unnest(range(1, ((len + ${fb - 1}) // $fb) * $fb + 1))
-        |            AS p
-        |        FROM sigsrc) z
-        |  WHERE ((p - 1) // $fb) % $VideoEveryNth = 0),
-        |flen AS (
-        |  SELECT doc_id, fi, count(*) AS flen, sum(byte) AS ftot
-        |  FROM fchars GROUP BY 1, 2),
-        |fcells AS (
-        |  SELECT f.doc_id, f.fi, (f.q * 16) // l.flen AS cell,
-        |    sum(f.byte) AS s, count(*) AS cnt
-        |  FROM fchars f JOIN flen l ON l.doc_id = f.doc_id AND l.fi = f.fi
-        |  GROUP BY 1, 2, 3),
-        |fbits AS (
-        |  SELECT c.doc_id, c.fi, c.cell,
-        |    CASE WHEN c.s * l.flen > l.ftot * c.cnt THEN 1 ELSE 0 END AS bit
-        |  FROM fcells c JOIN flen l ON l.doc_id = c.doc_id AND l.fi = c.fi),
-        |fsig AS (
-        |  SELECT doc_id, fi, CAST(sum(bit << cell) AS BIGINT) AS sig
-        |  FROM fbits GROUP BY 1, 2),
+        |$aviFsigCtes,
         |vcand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM fsig a JOIN fsig b
@@ -1126,6 +1192,50 @@ object MediaQueries {
         |flagged AS (
         |  SELECT DISTINCT inc_id FROM ham
         |  WHERE hamming <= $WavMaxHamming)
+        |SELECT DISTINCT doc_id AS item_id FROM sigsrc
+        |WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
+        |ORDER BY item_id""".stripMargin,
+
+    // the video decode face: container truth from the ENCODER's layout
+    // arithmetic (16x4 geometry, nf = ceil(len/64), byte_size = 224 +
+    // 200·nf — RIFF header 12 + hdrl LIST 200 + movi LIST header 12 +
+    // nf·(8 + 192)) joined to the shared padded-walk frame signatures
+    "q_media_avi_decode" -> {
+      val fb = graft.multimodal.Multimodal.FakeCodec.VideoFrameBytes
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$aviFsigCtes
+        |SELECT s.doc_id AS item_id,
+        |  CAST(${graft.multimodal.Multimodal.AviFrameWidth} AS INT)
+        |    AS width,
+        |  CAST(${graft.multimodal.Multimodal.AviFrameRows} AS INT)
+        |    AS height,
+        |  CAST((s.len + ${fb - 1}) // $fb AS BIGINT) AS n_frames,
+        |  CAST(224 + 200 * ((s.len + ${fb - 1}) // $fb) AS BIGINT)
+        |    AS byte_size,
+        |  CAST(f.fi AS INT) AS frame_idx, f.sig
+        |FROM fsig f JOIN sigsrc s USING (doc_id)
+        |ORDER BY item_id, frame_idx""".stripMargin
+    },
+
+    // the video ingest face: aligned EXACT-collision counting (the
+    // indexable admit rule) + NOT EXISTS, over the shared frame chain
+    "q_media_avi_incremental" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$aviFsigCtes,
+        |coll AS (
+        |  SELECT i.doc_id AS inc_id, h.doc_id AS hist_id,
+        |    count(*) AS matched
+        |  FROM fsig i JOIN fsig h ON i.fi = h.fi AND i.sig = h.sig
+        |    AND i.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT DISTINCT inc_id FROM coll
+        |  WHERE matched >= $VideoMinMatched)
         |SELECT DISTINCT doc_id AS item_id FROM sigsrc
         |WHERE doc_id % 10 = 0
         |  AND doc_id NOT IN (SELECT inc_id FROM flagged)

@@ -134,7 +134,7 @@ object TextQueries {
 
   /** Byte-level merge budget — interpolated into the generated oracle
     * chain like [[BpeMergeCount]]. */
-  private[queries] val BpeBytesMergeCount = 12
+  private[graft] val BpeBytesMergeCount = 12
 
   /** q_doc_cms's sketch dimensions — depth rows of width counters,
     * interpolated into the generated oracle. 4×1024 gives ε ≈ e/1024
@@ -724,14 +724,14 @@ object TextQueries {
     * ones containing literal parens, or multi-byte scripts with no
     * whitespace at all — is representable. That is the byte-level
     * contract production tokenizers rely on: no OOV, ever. */
-  private[queries] def bpeBytesSeg(pt: Column): Column =
+  private[graft] def bpeBytesSeg(pt: Column): Column =
     regexp_replace(hex(encode(pt, "UTF-8")), "(..)", "($1)")
 
   /** The (doc_id, pt, c) pretoken counts of the byte-BPE family —
     * [[BpeBytesPretokRegex]] matches exploded per doc (group 0 = the
     * whole match) and pre-aggregated, the corpus's ONE pt-keyed
     * shuffle (callers repartition($"pt") upstream to share it). */
-  private[queries] def bpeBytesTok(docs: DataFrame): DataFrame =
+  private[graft] def bpeBytesTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(regexp_extract_all(col("text"),
           lit(BpeBytesPretokRegex), lit(0))).as("pt"))

@@ -784,6 +784,70 @@ object DocStream extends Serializable {
       graft.queries.MediaQueries.bmpSigsOf,
       graft.queries.MediaQueries.BmpMaxHamming)
 
+  /** One judged video arrival from [[mediaDedupAvi]] — rejections
+    * carry the blamed history item and its aligned-collision count. */
+  case class AviAdmit(item_id: Long, admitted: Boolean,
+                      dup_of: Option[Long], matched: Option[Long])
+
+  /** The avi history FRAME index: real containers, real parse — the
+    * batch q_media_avi_incremental's history side verbatim
+    * ((frame_idx, sig) buckets capPerKey-bounded under media_avi_hist,
+    * so a viral clip's re-uploads cap at the bucket bound). At 100 TB:
+    * a (frame_idx, sig)-bucketed materialized table. */
+  def prepareAviMediaIndex(historyDocs: DataFrame): DataFrame = {
+    import graft.queries.{DedupQueries, MediaQueries}
+    DedupQueries.capPerKey(
+        graft.multimodal.Multimodal.aviFrameSigs(
+            graft.multimodal.Multimodal.asAviMedia(historyDocs),
+            MediaQueries.VideoEveryNth).toDF()
+          .select(col("item_id").as("doc_id"), col("frame_idx"),
+            col("sig")),
+        "media_avi_hist", col("frame_idx"), col("sig"))
+      .select(col("frame_idx"), col("sig"), col("doc_id").as("hist_id"))
+      .cache()
+  }
+
+  /** The live video ingest face — the stream twin of
+    * q_media_avi_incremental at the same INDEXABLE grain: each
+    * arriving AVI container decodes to its sampled frame signatures
+    * through the real parser (stateless mapPartitions), the frames
+    * equi-join the static (frame_idx, sig) history index — exact
+    * aligned collisions, bucket-bounded per arrival — and the judge
+    * admits unless some single history item collected
+    * >= [[graft.queries.MediaQueries.VideoMinMatched]] collisions,
+    * blaming the most-matched (ties to the smallest id). Fires once
+    * per arrival inside its own micro-batch: zero state rows. */
+  def mediaDedupAvi(spark: SparkSession, newDocs: DataFrame,
+                    histIndex: DataFrame): Dataset[AviAdmit] = {
+    import spark.implicits._
+    import graft.queries.MediaQueries
+    val scored = graft.multimodal.Multimodal.aviFrameSigs(
+        graft.multimodal.Multimodal.asAviMedia(newDocs),
+        MediaQueries.VideoEveryNth).toDF()
+      .join(histIndex, Seq("frame_idx", "sig"), "left_outer")
+      .select($"item_id", $"hist_id")
+      .as[(Long, Option[Long])]
+    def judge(id: Long, rows: Iterator[(Long, Option[Long])],
+              state: GroupState[Long]): Iterator[AviAdmit] = {
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      rows.foreach {
+        case (_, Some(h)) => counts(h) += 1
+        case _ => ()
+      }
+      val best = counts.toSeq
+        .filter(_._2 >= MediaQueries.VideoMinMatched)
+        .sortBy { case (h, m) => (-m, h) }.headOption
+      Iterator.single(best match {
+        case Some((h, m)) => AviAdmit(id, admitted = false, Some(h), Some(m))
+        case None => AviAdmit(id, admitted = true, None, None)
+      })
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(judge)
+  }
+
   /** The verdict face signature-agnostic — one judged arrival per item
     * under ANY codec kernel; the named faces above fix (mediaOf,
     * sigsFn, threshold) triples. */
@@ -1422,6 +1486,52 @@ object DocStream extends Serializable {
         math.floor(bpe.toDouble / ws * 10000 + 0.5) / 10000))
     }
     perWord.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(report)
+  }
+
+  /** One per-doc byte-BPE token report from [[applyBpeBytes]]. */
+  case class BpeBytesDoc(doc_id: Long, pretokens: Long, bytes: Long,
+                         bpe_tokens: Long, bytes_per_token: Double)
+
+  /** Ingest-time BYTE-level BPE application — the deployment face of
+    * `q_doc_bpe_bytes_apply` under an offline-trained merge table
+    * ([[graft.sources.Artifacts.writeBpeMerges]] round-trips it; hex
+    * symbols are plain strings). Same stateless shape as [[applyBpe]]
+    * (per-pretoken replace chain, per-doc counts aggregated inside the
+    * doc's own micro-batch, zero state rows) with ONE semantic
+    * improvement the byte level buys: there is NO divergence from the
+    * batch twin besides the null/empty-doc row — no paren guard, no
+    * OOV arm, because every pretoken (novel, paren-bearing,
+    * any-script) segments under the same replace chain the batch
+    * applies to its distinct-pretoken table. A novel arrival merges as
+    * far as trained pairs allow — the true BPE inference rule. */
+  def applyBpeBytes(docs: DataFrame,
+                    merges: Seq[(String, String)]): Dataset[BpeBytesDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val segCol = merges.foldLeft(TextQueries.bpeBytesSeg(col("pt"))) {
+      case (c, (l, r)) =>
+        call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    val perPt = docs
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(TextQueries.BpeBytesPretokRegex), lit(0))).as("pt"))
+      .select(col("doc_id"),
+        length(encode(col("pt"), "UTF-8")).cast("long").as("nb"),
+        size(regexp_extract_all(segCol, lit("\\(([^()]*)\\)"), lit(1)))
+          .cast("long").as("ntok"))
+      .as[(Long, Long, Long)]
+    def report(id: Long, rows: Iterator[(Long, Long, Long)],
+               state: GroupState[Long]): Iterator[BpeBytesDoc] = {
+      var pts = 0L; var nb = 0L; var bpe = 0L
+      rows.foreach { r => pts += 1; nb += r._2; bpe += r._3 }
+      // same op sequence as the batch twin: double(bytes)/bpe, 4-dp snap
+      Iterator.single(BpeBytesDoc(id, pts, nb, bpe,
+        math.floor(nb.toDouble / bpe * 10000 + 0.5) / 10000))
+    }
+    perPt.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(report)
   }

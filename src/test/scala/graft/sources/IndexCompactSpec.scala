@@ -67,4 +67,46 @@ class IndexCompactSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS fp_idx_spec")
     }
   }
+
+  test("compact handles composite identity over a prefix bucket spec " +
+      "(the media band-index shape)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // band rows: identity = (band_idx, band_val, hist_id), physical
+      // layout bucketed on the (band_idx, band_val) probe key
+      def rows(ids: Range) = ids.flatMap(i =>
+        (0 until 4).map(b => (b, (i % 7).toLong * 16 + b, i.toLong)))
+        .toDF("band_idx", "band_val", "hist_id")
+      rows(0 until 300).write.mode("overwrite")
+        .bucketBy(8, "band_idx", "band_val")
+        .sortBy("band_idx", "band_val")
+        .format("parquet").saveAsTable("band_idx_spec")
+      val before = spark.table("band_idx_spec").count()
+      // admits overlap the history on 100 items and add 100 new ones —
+      // the overlapping TRIPLES must drop, the new ones append
+      val appended = IndexCompact.compact(
+        spark, "band_idx_spec", rows(200 until 400),
+        keys = Seq("band_idx", "band_val", "hist_id"),
+        bucketCols = Seq("band_idx", "band_val"))
+      assert(appended === 400L) // 100 new items x 4 bands
+      assert(spark.table("band_idx_spec").count() === before + 400)
+      val expect = rows(0 until 400).as[(Int, Long, Long)].collect().toSet
+      assert(spark.table("band_idx_spec")
+        .as[(Int, Long, Long)].collect().toSet === expect)
+      // idempotent; and the next increment's probe join on the bucket
+      // key still reads the history in place
+      assert(IndexCompact.compact(spark, "band_idx_spec",
+        rows(200 until 400), Seq("band_idx", "band_val", "hist_id"),
+        bucketCols = Seq("band_idx", "band_val")) === 0L)
+      val probe = rows(400 until 410)
+        .join(spark.table("band_idx_spec"), Seq("band_idx", "band_val"))
+      probe.count()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"band history lost its bucketed scan after the append:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS band_idx_spec")
+    }
+  }
 }

@@ -128,6 +128,49 @@ class MediaStreamSpec extends SparkTestBase {
     } finally index.unpersist()
   }
 
+  test("the AVI stream face equals its batch incremental on the " +
+      "replayed increment, across micro-batches, with zero state") {
+    // the video twin at the frame-signature grain: every arrival wraps
+    // into a genuine AVI container, AviCodec parses it inside the
+    // stateless decode pass, and exact aligned (frame_idx, sig)
+    // collisions against the static index decide admission — admitted
+    // sets must match q_media_avi_incremental (hash-matched by the
+    // DuckDB oracle)
+    val dir = Files.createTempDirectory("media_stream_avi_inc")
+    val docs = Tables.table(spark, sf0001, "documents")
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 250),
+      dir, "b0.parquet", 1700000000000L)
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" >= 250),
+      dir, "b1.parquet", 1700000100000L)
+
+    val index = DocStream.prepareAviMediaIndex(
+      docs.filter($"doc_id" % 10 =!= 0))
+    try {
+      val out = DocStream.mediaDedupAvi(spark,
+        DocStream.readDocs(spark, dir.toString), index).toDF()
+      val q = EventStream.runToMemory(out, "media_dedup_avi",
+        OutputMode.Append())
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      q.stop()
+      assert(stateRows === 0L, "the avi verdict face must keep no state")
+
+      val admitted = spark.table("media_dedup_avi")
+        .filter($"admitted").select($"item_id").as[Long].collect().toSet
+      val want = graft.SparkEntry.queries("q_media_avi_incremental")(
+          spark, sf0001)
+        .as[Long].collect().toSet
+      assert(admitted === want)
+      // rejections carry blame with at least the admit threshold
+      val rejected = spark.table("media_dedup_avi").filter(!$"admitted")
+      assert(rejected.filter($"dup_of".isNull ||
+        $"matched" < graft.queries.MediaQueries.VideoMinMatched)
+        .count() === 0L)
+    } finally index.unpersist()
+  }
+
   test("planted fixture: byte-copy and near variant rejected with " +
       "blame, both judged against the banded history") {
     val base = "the quick brown fox jumps over the lazy dog " * 5
