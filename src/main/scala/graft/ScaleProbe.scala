@@ -66,6 +66,9 @@ object ScaleProbe {
     // the scoring join may grow)
     "q_doc_bpe_bytes_train",
     "q_doc_bpe_bytes_apply",
+    // the budget sweep: one trainer pass + |budgets| universe-sized
+    // rung projections — must track the apply query's growth
+    "q_doc_bpe_bytes_tune",
     // BPE-space packing: the bpe-apply lineage (above contract) plus the
     // shard-bounded running-sum pack — must track q_doc_bpe_apply's
     // growth; the pack window sort is bounded by (lang, shard) stream
@@ -402,6 +405,7 @@ object ScaleProbe {
     // char — the distinct-pretoken table, its hex-byte segs, and the
     // merge-loop checkpoints all grow with the corpus)
     "q_doc_bpe_bytes_train", "q_doc_bpe_bytes_apply",
+    "q_doc_bpe_bytes_tune",
     "q_doc_wordpiece_train", "q_doc_wordpiece_apply",
     "q_doc_wordpiece_tune",
     "q_doc_unigram_tok_train", "q_doc_unigram_tok_apply",

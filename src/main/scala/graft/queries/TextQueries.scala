@@ -738,6 +738,12 @@ object TextQueries {
       .repartition(col("pt"))
       .groupBy(col("doc_id"), col("pt")).agg(count(lit(1)).as("c"))
 
+  /** q_doc_bpe_bytes_tune's merge-budget rungs. BPE's trainer is
+    * greedy-sequential, so every budget's merge table is a PREFIX of
+    * the full run's — one training pass serves all rungs (the
+    * WpTuneBudgets discipline). */
+  private[queries] val BpeBytesTuneBudgets = Seq(0, 4, 8, 12)
+
   /** q_doc_wordpiece_train's merge budget — one definition,
     * interpolated into the generated oracle CTE chain. */
   private[queries] val WpMergeCount = 12
@@ -1586,6 +1592,62 @@ object TextQueries {
               $"bytes".cast("double") / $"bpe_tokens", 4))
             .as("bytes_per_token"))
         .orderBy("doc_id")
+    }),
+
+    // The byte-BPE merge-budget sweep — the tune discipline
+    // (q_doc_wordpiece_tune / q_doc_unigram_tune / q_lsh_tune) applied
+    // to the byte family, justifying the shipped budget from a
+    // MEASURED curve instead of convention: per rung k ∈ {0,4,8,12},
+    // the vocabulary size (observed byte alphabet + the rung's
+    // distinct merge products) and corpus-wide pretoken/byte/BPE-token
+    // counts with bytes-per-token under the first k merges. The
+    // trainer is greedy-sequential, so one training pass serves every
+    // rung (budget-k merges are a prefix); each rung costs one
+    // projection over the DISTINCT-pretoken universe + a corpus-count
+    // weighted aggregate — the universe and the (doc, pt) counts are
+    // checkpointed once. HARD oracle: the shared training chain plus
+    // per-rung vocab/apply CTEs, alphabet and distinct-product counts
+    // replayed from the same chain.
+    "q_doc_bpe_bytes_tune" -> ((s, dir) => {
+      import s.implicits._
+      val tok = bpeBytesTok(Tables.table(s, dir, "documents"))
+        .localCheckpoint() // trainer + universe + |budgets| rung passes
+      val words = tok
+        .filter(length(encode($"pt", "UTF-8")) >= 2)
+        .groupBy($"pt").agg(sum($"c").as("cnt"))
+        .select(bpeBytesSeg($"pt").as("seg"), $"cnt")
+      val merges = bpeMerges(words, BpeBytesMergeCount)
+      val universe = tok.groupBy($"pt").agg(sum($"c").as("pc"))
+        .select($"pt", $"pc",
+          length(encode($"pt", "UTF-8")).cast("long").as("nb"))
+        .localCheckpoint() // one (pt, corpus count, bytes) table, per rung
+      val alphabet = universe
+        .select(explode(regexp_extract_all(bpeBytesSeg($"pt"),
+          lit("\\(([^()]*)\\)"), lit(1))).as("sym"))
+        .distinct().count()
+      val rungs = BpeBytesTuneBudgets.map { k =>
+        val segK = merges.take(k).foldLeft(bpeBytesSeg($"pt")) {
+          case (c, (_, l, r, _)) =>
+            call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+        }
+        val products = merges.take(k).map(m => m._2 + m._3).distinct.size
+        universe
+          .select($"pc", $"nb",
+            size(regexp_extract_all(segK, lit("\\(([^()]*)\\)"), lit(1)))
+              .cast("long").as("ntok"))
+          .agg(sum($"pc").as("pretokens"),
+            sum($"pc" * $"nb").as("bytes"),
+            sum($"pc" * $"ntok").as("bpe_tokens"))
+          .select(lit(k).as("merge_budget"),
+            lit(alphabet + products).as("vocab_size"),
+            coalesce($"pretokens", lit(0L)).as("pretokens"),
+            coalesce($"bytes", lit(0L)).as("bytes"),
+            coalesce($"bpe_tokens", lit(0L)).as("bpe_tokens"),
+            when($"bpe_tokens" > 0, Clean.roundHalfUp(
+              $"bytes".cast("double") / $"bpe_tokens", 4))
+              .as("bytes_per_token"))
+      }
+      rungs.reduce(_ unionAll _).orderBy("merge_budget")
     }),
 
     // WordPiece training — the tokenizer family's second published
@@ -2687,6 +2749,51 @@ object TextQueries {
            |  END AS bytes_per_token
            |FROM documents d LEFT JOIN bperdoc p USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin,
+
+      // The budget sweep replayed: the shared training + vocab chain
+      // (unused tail CTEs pruned by DuckDB), a (pt, corpus count,
+      // bytes) universe, the alphabet from bvocab0's symbols, per-rung
+      // distinct merge products from the bm_i tables, and one
+      // weighted aggregate per rung over the rung's vocab CTE.
+      "q_doc_bpe_bytes_tune" -> {
+        def prod(k: Int): String =
+          if (k == 0) "0"
+          else {
+            val un = (1 to k).map(i => s"SELECT l, r FROM bm$i")
+              .mkString(" UNION ALL ")
+            s"(SELECT count(DISTINCT l||r) FROM ($un) pz)"
+          }
+        val rungs = BpeBytesTuneBudgets.map { k =>
+          s"""SELECT $k AS merge_budget,
+             |  CAST((SELECT a FROM balpha) + ${prod(k)} AS BIGINT)
+             |    AS vocab_size,
+             |  CAST(coalesce(sum(u.pc), 0) AS BIGINT) AS pretokens,
+             |  CAST(coalesce(sum(u.pc * u.nb), 0) AS BIGINT) AS bytes,
+             |  CAST(coalesce(sum(u.pc *
+             |    len(regexp_extract_all(v.seg, '\\(([^()]*)\\)', 1))), 0)
+             |    AS BIGINT) AS bpe_tokens,
+             |  CASE WHEN coalesce(sum(u.pc *
+             |      len(regexp_extract_all(v.seg, '\\(([^()]*)\\)', 1))),
+             |      0) > 0
+             |    THEN floor(sum(u.pc * u.nb) / sum(u.pc *
+             |      len(regexp_extract_all(v.seg, '\\(([^()]*)\\)', 1)))
+             |      * 10000 + 0.5) / 10000
+             |  END AS bytes_per_token
+             |FROM buniverse u JOIN bvocab$k v USING (pt)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $bpeBytesApplyChainSql,
+           |buniverse AS MATERIALIZED (
+           |  SELECT pt, sum(c) AS pc, octet_length(encode(pt)) AS nb
+           |  FROM btok GROUP BY pt),
+           |balpha AS (
+           |  SELECT count(DISTINCT sym) AS a FROM (
+           |    SELECT unnest(regexp_extract_all(seg,
+           |      '\\(([^()]*)\\)', 1)) AS sym
+           |    FROM bvocab0) s)
+           |SELECT * FROM (
+           |$rungs
+           |) ORDER BY merge_budget""".stripMargin
+      },
 
       // The WordPiece trainer replayed iteration for iteration — the
       // BPE chain with the likelihood-gain tick argmax (exact integer

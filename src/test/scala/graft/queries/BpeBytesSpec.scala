@@ -179,4 +179,31 @@ class BpeBytesSpec extends SparkTestBase {
     // doc 2 has 5 pretokens (no lowercasing anywhere in the family)
     assert(byId(2L)._2 === 5L)
   }
+
+  test("the budget sweep is prefix-consistent: rung 0 is the identity, " +
+      "tokens never increase with budget, rung 12 equals the full apply") {
+    val rungs = SparkEntry.queries("q_doc_bpe_bytes_tune")(
+        spark, dir.toString)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rungs.map(_._1) === TextQueries.BpeBytesTuneBudgets)
+    // rung 0: one token per byte (the identity), vocab = alphabet
+    assert(rungs.head._5 === rungs.head._4)
+    // bytes and pretokens constant; bpe_tokens monotone non-increasing;
+    // vocab grows by at most k products per rung
+    rungs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 === b._3 && a._4 === b._4)
+      assert(b._5 <= a._5)
+      assert(b._2 >= a._2 && b._2 <= a._2 + (b._1 - a._1))
+    }
+    // rung 12 IS the shipped apply: totals must match the apply query
+    val apply = SparkEntry.queries("q_doc_bpe_bytes_apply")(
+        spark, dir.toString)
+      .agg(org.apache.spark.sql.functions.sum("bytes"),
+        org.apache.spark.sql.functions.sum("bpe_tokens"))
+      .collect()(0)
+    assert(rungs.last._4 === apply.getLong(0))
+    assert(rungs.last._5 === apply.getLong(1))
+  }
 }
