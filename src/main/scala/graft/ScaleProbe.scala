@@ -609,7 +609,7 @@ object ScaleProbe {
     val unknownQ = qFilter.diff(
       (probeQueries ++ hostileQueries ++ hostileTokQueries ++
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
-        hostileVecStreamFaces).toSet + "op_index_compact")
+        hostileVecStreamFaces).toSet + "op_index_compact" + "op_index_retract")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -768,6 +768,58 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"op_index_compact","sec":$sec%.3f,"rows":$appended,"history_rows":$histRows}""")
         spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    }
+
+    // index-retraction cost: a CONSTANT delete-list (one doc's gram
+    // postings) folded out of partition-routed stores of growing size,
+    // with partition fan-out scaled to the corpus (64·k partitions —
+    // the production sizing rule: partitions ∝ corpus bytes). The op's
+    // claim is that copy-on-write cost ∝ AFFECTED-partition bytes, so
+    // with fan-out scaling the timed fold stays ~flat while the store
+    // grows k×. Store build time is setup, not timed. Synthetic
+    // distinct grams per replica copy keep the distinct-key mass
+    // actually growing (the compact block's device).
+    if (qFilter.isEmpty || qFilter("op_index_retract")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64 * k
+        val store = s"gram_postings_probe_f$k"
+        val tomb = s"gram_tombstones_probe_f$k"
+        graft.sources.Layout.resetTable(spark, store)
+        graft.sources.Layout.resetTable(spark, tomb)
+        spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .write.partitionBy("pt").format("parquet").saveAsTable(store)
+        val storeRows = spark.table(store).count()
+        val dead = postings.filter(col("doc_id") === 7)
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+        graft.operators.IndexRetract.tombstone(spark, tomb, dead)
+        val t0 = System.nanoTime()
+        val stats = graft.operators.IndexRetract.fold(
+          spark, store, tomb, "pt", Seq("g", "doc_id"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$k,"query":"op_index_retract","sec":$sec%.3f,"rows":${stats.rowsRemoved},"store_rows":$storeRows,"partitions":$parts,"affected":${stats.partitionsRewritten}}""")
+        spark.sql(s"DROP TABLE IF EXISTS $store")
       }
     }
 

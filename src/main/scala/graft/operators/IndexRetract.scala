@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+
+/** Delete PROPAGATION for partition-routed derived state — the
+  * retraction sibling of [[IndexCompact]] (which only ever inserts).
+  * A production corpus owes more than ingest maintenance: a GDPR /
+  * takedown delete-list must be forgotten not just from the corpus
+  * files but from every derived index built over them (fingerprint
+  * histories, gram postings, band indexes), and at 100 TB "rewrite the
+  * index nightly" is not an answer.
+  *
+  * The design is the merge-on-read / copy-on-write split every modern
+  * table format converged on (Delta/Iceberg/Hudi — public designs):
+  *
+  *  - [[tombstone]] stages the delete-list as APPEND-ONLY tombstone
+  *    rows — cost ∝ the delete-list, zero store rewrite. Readers that
+  *    must see deletes immediately use [[readMor]] (store ⟕anti
+  *    tombstones — one broadcast-sized anti-join, since delete-lists
+  *    are small by nature).
+  *  - [[fold]] is the scheduled copy-on-write: rewrite ONLY the store
+  *    partitions the tombstoned keys route to. The store is
+  *    partition-routed on a deterministic function of the key (the
+  *    caller's `partCol`), so the tombstones' own routing values name
+  *    exactly the directories that can contain a victim; everything
+  *    else is untouched files (IndexRetractSpec pins this by file
+  *    mtime). Cost ∝ affected-partition bytes — with partition
+  *    fan-out sized to the corpus (the production rule: partitions ∝
+  *    corpus / target-partition-size), a bounded delete-list touches a
+  *    bounded byte volume no matter how large the store grows
+  *    (ScaleProbe's op_index_retract block measures exactly that).
+  *
+  * Partitions whose rows ALL die need explicit care: dynamic partition
+  * overwrite only replaces partitions PRESENT in the written frame, so
+  * an all-victims partition would silently keep its stale files —
+  * [[fold]] drops those directories itself and refreshes the table.
+  */
+object IndexRetract {
+
+  /** Stage `dead` identity rows as tombstones (append-only, cost ∝ the
+    * delete-list). `dead` must carry the store's key columns AND its
+    * partition-routing column, derived with the same expression the
+    * store was written with. Returns rows staged. */
+  def tombstone(spark: SparkSession, tombTable: String,
+                dead: DataFrame): Long = {
+    val n = dead.count()
+    dead.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tombTable)
+    n
+  }
+
+  /** The merge-on-read view: store rows minus tombstoned identities —
+    * what a reader sees between a [[tombstone]] and the next scheduled
+    * [[fold]]. One anti-join against the (small, distinct) tombstone
+    * set; equal to the folded store by construction (spec-pinned). */
+  def readMor(spark: SparkSession, storeTable: String, tombTable: String,
+              keys: Seq[String]): DataFrame = {
+    val store = spark.table(storeTable)
+    if (!spark.catalog.tableExists(tombTable)) store
+    else store.join(
+      spark.table(tombTable).select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+  }
+
+  /** @param partitionsRewritten affected partitions (tombstone routing
+    *                            values) whose files were replaced
+    * @param rowsRemoved         victim rows physically dropped
+    * @param partitionsDropped   affected partitions left with zero
+    *                            survivors, whose directories were
+    *                            deleted outright */
+  case class FoldStats(partitionsRewritten: Int, rowsRemoved: Long,
+                       partitionsDropped: Int)
+
+  /** Copy-on-write fold: physically remove every tombstoned identity
+    * from the store, rewriting ONLY the partitions the tombstones
+    * route to, then clear the tombstone table (it is folded in). Safe
+    * to call with no/empty tombstones (no-op) and idempotent — folding
+    * an already-folded delete-list removes nothing. */
+  def fold(spark: SparkSession, storeTable: String, tombTable: String,
+           partCol: String, keys: Seq[String]): FoldStats = {
+    if (!spark.catalog.tableExists(tombTable))
+      return FoldStats(0, 0L, 0)
+    val tomb = spark.table(tombTable)
+      .select((keys :+ partCol).map(col): _*).distinct()
+      // one materialization serves the routing-value collect AND the
+      // anti-join below
+      .localCheckpoint()
+    val affected = tomb.select(partCol).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) {
+      graft.sources.Layout.resetTable(spark, tombTable)
+      return FoldStats(0, 0L, 0)
+    }
+    // partition-pruned read: only directories a victim can live in
+    val pruned = spark.table(storeTable)
+      .filter(col(partCol).isin(affected.toIndexedSeq: _*))
+    val before = pruned.count()
+    val survivors = pruned.join(tomb.drop(partCol), keys, "left_anti")
+      // sever lineage from the very files the overwrite replaces
+      .localCheckpoint()
+    val after = survivors.count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // positional: survivors carries the table's own column order
+      // (data columns first, partition column last — spark.table's
+      // layout for a partitioned datasource table). Repartition on the
+      // routing column first: dynamic overwrite otherwise fans every
+      // task into every affected directory (tasks × partitions small
+      // files), and the rewritten partitions should come back as one
+      // file each — the same layout the store was built with.
+      survivors.repartition(col(partCol))
+        .write.mode(SaveMode.Overwrite).insertInto(storeTable)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // all-victims partitions never appear in `survivors`, so dynamic
+    // overwrite left their stale files — drop the directories
+    val alive = survivors.select(partCol).distinct().collect()
+      .map(_.get(0)).toSet
+    val fullyDead = affected.filterNot(alive)
+    if (fullyDead.nonEmpty) {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(storeTable)).location
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fullyDead.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(loc), s"$partCol=$v"), true)
+      }
+    }
+    spark.catalog.refreshTable(storeTable)
+    graft.sources.Layout.resetTable(spark, tombTable)
+    FoldStats(affected.length, before - after, fullyDead.length)
+  }
+}

@@ -905,6 +905,64 @@ object DedupQueries {
       s.table("fp_index_compact_q").orderBy("fp")
     }),
 
+    // Delete PROPAGATION through derived state — the retraction sibling
+    // of q_index_compact (the maintenance op only ever inserts;
+    // production also owes GDPR/takedown FORGETTING, and at 100 TB
+    // "rewrite the index nightly" is not an answer). The derived state
+    // is a gram POSTINGS index: (5-token-window md5, doc_id) — the
+    // substring/winnow-family inverted index, chosen because its keys
+    // naturally span documents, so deleting a doc forces real owner
+    // RE-ELECTIONS in the first-occurrence view (this corpus has zero
+    // full-text duplicates — a fingerprint-grain retraction would never
+    // exercise the cascade). The cycle runs end to end: build the store
+    // partition-routed on pmod(xxhash64(g), 64); stage the delete-list
+    // docs' postings as tombstones (merge-on-read, cost ∝ delete-list —
+    // derived from the DELETED docs' content only, increment-sized at
+    // scale); FOLD (copy-on-write of ONLY the affected partitions —
+    // operators/IndexRetract, the Delta/Iceberg MOR→COW split); emit
+    // the owner view read BACK from the folded files, so the dump
+    // certifies what the store physically contains. Owners re-elect
+    // implicitly at the postings grain: min(doc_id) over survivors.
+    // HARD oracle: surviving docs' postings, grouped. IndexRetractSpec
+    // pins the physical claims (untouched partitions byte-identical,
+    // all-victims directories dropped, MOR == COW, idempotence);
+    // ScaleProbe's retract block measures fold cost ∝ affected bytes.
+    "q_index_retract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", toks($"text").as("t"))
+        .filter(size($"t") >= 5)
+      val postings = Tables.spread(docs, $"doc_id")
+        .select($"doc_id", $"t",
+          explode(sequence(lit(1), size($"t") - 4)).as("i"))
+        .select($"doc_id",
+          md5(concat_ws(" ", slice($"t", $"i", lit(5)))).as("g"))
+        .distinct()
+        .withColumn("pt", pmod(xxhash64($"g"), lit(64)).cast("int"))
+      graft.sources.Layout.resetTable(s, "gram_postings_retract_q")
+      graft.sources.Layout.resetTable(s, "gram_tombstones_retract_q")
+      postings.select($"g", $"doc_id", $"pt")
+        // align the write with the routing: without this every task
+        // writes a sliver into every pt directory (tasks × partitions
+        // small files — measured 2.5× the whole query's cost at sf0.1);
+        // partition-aligned, each directory gets one writer
+        .repartition($"pt")
+        .write.partitionBy("pt").format("parquet")
+        .saveAsTable("gram_postings_retract_q")
+      val dead = postings.filter($"doc_id" % 5 === 0)
+      graft.operators.IndexRetract.tombstone(
+        s, "gram_tombstones_retract_q", dead)
+      graft.operators.IndexRetract.fold(
+        s, "gram_postings_retract_q", "gram_tombstones_retract_q",
+        "pt", Seq("g", "doc_id"))
+      s.table("gram_postings_retract_q")
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // Corpus version diff — the "what changed in this drop" report an
     // ingest operator reads before promoting a new corpus version: per
     // (source, status) document counts for added / removed / changed /
@@ -2074,6 +2132,29 @@ object DedupQueries {
         |SELECT fp, owner_id FROM inc i
         |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = i.fp)
         |ORDER BY fp""".stripMargin,
+
+    // the folded store replayed set-theoretically: the postings of
+    // every SURVIVING doc, grouped to the first-occurrence owner view —
+    // re-election is implicit at the postings grain (min over
+    // survivors), and a gram whose every holder died simply vanishes
+    "q_index_retract" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings WHERE doc_id % 5 <> 0
+        |GROUP BY g ORDER BY g""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH v1 AS (
