@@ -200,6 +200,54 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // View→purchase attribution PAIRS: for every purchase, the same
+    // user's views in the preceding 2 hours (left-outer — an
+    // unattributed purchase keeps one null-view row). This is the batch
+    // twin of the STREAM-STREAM watermarked interval join
+    // (EventStream.attribJoin — Spark's symmetric hash join with
+    // watermark-driven state eviction, the one Structured Streaming
+    // join shape the stream-static faces don't cover;
+    // StreamStreamJoinSpec pins replay equality and bounded state).
+    // Scale shape: the bare time predicate would plan a nested-loop, so
+    // the inner arm is a binned equi-join — (user, 2-hour bucket) keys
+    // with the purchase probing its own and the previous bucket, exact
+    // residual on seconds (the RangeJoin device, one-sided) — and the
+    // null arm is one anti-join on purchase_id. All arithmetic in
+    // second-truncated epoch integers (the events family's
+    // cross-engine device).
+    "q_events_attrib" -> ((s, dir) => {
+      import s.implicits._
+      val W = 7200L
+      val ev = Tables.table(s, dir, "events")
+        .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"sec".as("purchase_sec"), $"value".as("revenue"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+          $"sec".as("view_sec"))
+      val p = purchases.withColumn("__bin",
+        explode(array(Seq(0L, 1L).map(o =>
+          floor($"purchase_sec" / W).cast("long") - lit(o)): _*)))
+      val v = views.withColumn("__bin",
+        floor($"view_sec" / W).cast("long"))
+      val inner = p.join(v,
+          p("__bin") === v("__bin") && p("user_id") === v("v_user") &&
+            v("view_sec") > p("purchase_sec") - W &&
+            v("view_sec") <= p("purchase_sec"))
+        .select($"purchase_id", $"user_id", $"purchase_sec", $"revenue",
+          $"view_id", $"view_sec",
+          ($"purchase_sec" - $"view_sec").as("delay_sec"))
+      val unmatched = purchases
+        .join(inner.select($"purchase_id"), Seq("purchase_id"), "left_anti")
+        .select($"purchase_id", $"user_id", $"purchase_sec", $"revenue",
+          lit(null).cast("long").as("view_id"),
+          lit(null).cast("long").as("view_sec"),
+          lit(null).cast("long").as("delay_sec"))
+      inner.unionByName(unmatched)
+        .orderBy($"purchase_id", coalesce($"view_id", lit(-1L)))
+    }),
+
     // Temporal range join: purchases within +/-1 hour of each error event,
     // across all users — a non-equi join Spark would otherwise plan as a
     // nested-loop; graft.operators.RangeJoin turns it into a binned
@@ -404,6 +452,39 @@ object EventQueries {
         |ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.sec >= c.sec
         |ORDER BY p.event_id""".stripMargin,
+
+    // the pair arm replayed as a plain interval join (DuckDB needs no
+    // binning at this scale), the null arm as NOT EXISTS; typed NULLs
+    // ride the union's first branch
+    "q_events_attrib" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_sec,
+        |    value AS revenue
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS view_sec
+        |  FROM events WHERE event_type = 'view'),
+        |pairs AS (
+        |  SELECT p.purchase_id, p.user_id, p.purchase_sec, p.revenue,
+        |    v.view_id, v.view_sec,
+        |    p.purchase_sec - v.view_sec AS delay_sec
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.view_sec > p.purchase_sec - 7200
+        |   AND v.view_sec <= p.purchase_sec),
+        |allrows AS (
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    view_id, view_sec, delay_sec
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    NULL, NULL, NULL
+        |  FROM p
+        |  WHERE NOT EXISTS
+        |    (SELECT 1 FROM pairs WHERE pairs.purchase_id = p.purchase_id))
+        |SELECT * FROM allrows
+        |ORDER BY purchase_id, coalesce(view_id, -1)""".stripMargin,
 
     "q_events_range" ->
       """SELECT e.event_id AS error_id,

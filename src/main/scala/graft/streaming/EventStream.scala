@@ -641,6 +641,49 @@ object EventStream {
         col("l_ts"), col("r_ts"), col("r_value"))
   }
 
+  /** LEFT-OUTER watermarked stream-stream interval join — the streaming
+    * face of `q_events_attrib` (view→purchase attribution pairs, one
+    * null-view row per unattributed purchase), and the join shape
+    * [[correlate]]'s inner form doesn't cover: an outer stream-stream
+    * join can only emit its null-padded rows once the WATERMARK has
+    * passed the row's join window (before that a match could still
+    * arrive), so correctness depends on Spark's symmetric-hash-join
+    * state eviction, not just on matching. Both sides carry 4-hour
+    * watermarks; the condition bounds view_ts to
+    * (purchase_ts − 2 h, purchase_ts], so join state holds only the
+    * interval's events. Output columns/types/arithmetic are exactly the
+    * batch query's (second-truncated epoch integers);
+    * StreamStreamJoinSpec pins row equality on a replay (with a
+    * far-future flush batch to drive the watermark past the tail) and
+    * that the final state holds the interval's rows, not the stream's.
+    *
+    * Row-identity with the batch twin needs one subtlety: the batch
+    * null arm is an anti-join on purchase_id (a purchase with ≥1 match
+    * never gets a null row), which is exactly the outer join's
+    * semantics — NOT a union of inner matches and all-purchases. */
+  def attribJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        date_trunc("second", col("ts")).as("purchase_ts"),
+        col("value").as("revenue"))
+      .withWatermark("purchase_ts", "4 hours")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        date_trunc("second", col("ts")).as("view_ts"))
+      .withWatermark("view_ts", "4 hours")
+    purchases.join(views, expr(
+        """p_user = v_user
+          | AND view_ts > purchase_ts - interval 2 hours
+          | AND view_ts <= purchase_ts""".stripMargin), "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_sec"),
+        col("revenue"), col("view_id"),
+        unix_timestamp(col("view_ts")).as("view_sec"),
+        (unix_timestamp(col("purchase_ts")) -
+          unix_timestamp(col("view_ts"))).as("delay_sec"))
+  }
+
   /** Sink: drive a streaming DataFrame into an in-memory table and block
     * until the source is drained (local smoke / tests). Windowed aggregates
     * need Complete mode to surface windows still behind the watermark. */
