@@ -27,6 +27,11 @@ object SimilarityQueries {
     * impact first. One definition, interpolated into the oracle SQL. */
   private[queries] val ChampR = 1000
 
+  /** q_select_mmr's retrieved-pool size and selection budget — one
+    * definition each, interpolated into the oracle's CTE chain. */
+  private[queries] val MmrPool = 50
+  private[queries] val MmrK = 10
+
   /** Random-hyperplane signatures: bit j = sign of <v, h_j> where
     * h_j[d] = ±1 from xxhash64(j, d) — pseudo-random and deterministic.
     * Computed by exploding dimensions once and folding `bits` codegen'd
@@ -111,6 +116,62 @@ object SimilarityQueries {
         .filter($"rank" <= 5)
         .select($"query_id", $"rank", $"neighbor_id", $"dot")
         .orderBy("query_id", "rank")
+    }),
+
+    // Diversity-aware budgeted selection — MMR (maximal marginal
+    // relevance, Carbonell & Goldstein 1998) over a retrieved pool: the
+    // selection face the quality/quota/mixture family lacks (those
+    // weigh rows independently; MMR's score depends on what was already
+    // SELECTED, trading relevance against redundancy). Production
+    // shape: candidate retrieval is the distributed stage — exact
+    // top-MmrPool by relevance to the query vector, one
+    // TakeOrderedAndProject, no global sort — and the greedy re-rank
+    // runs on the BOUNDED pool (MmrPool rows + its pairwise cosines, a
+    // driver-side artifact under the IVF-centroid/codebook budget
+    // rule), exactly where real rerankers run it. Every comparison is
+    // exact integer arithmetic: cosines snap once to 1e-4 ticks (the
+    // knn family's rounded grain), λ=1/2 folds into the
+    // monotone-equivalent integer score rel_t − maxsim_t, and argmax
+    // ties break to the smaller vec_id — so the DuckDB oracle replays
+    // the whole greedy as MmrK chained pick/update CTEs with no float
+    // in any decision.
+    "q_select_mmr" -> ((s, dir) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      def tick(c: Column) = floor(c * 10000d + 0.5d).cast("long")
+      val vecs = Tables.table(s, dir, "embeddings")
+        .select($"vec_id", dvec($"embedding").as("v"))
+      val q = vecs.filter($"vec_id" === 0).select($"v".as("qv"))
+      val pool = vecs.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id",
+          tick(VectorFunctions.cosineSim($"qv", $"v")).as("rel_t"), $"v")
+        .orderBy($"rel_t".desc, $"vec_id").limit(MmrPool)
+        .localCheckpoint() // one retrieval serves the pool dump AND sims
+      val sims = pool.select($"vec_id".as("a_id"), $"v".as("av"))
+        .join(broadcast(pool.select($"vec_id".as("b_id"), $"v".as("bv"))),
+          $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          tick(VectorFunctions.cosineSim($"av", $"bv")).as("sim_t"))
+      val cand = pool.select($"vec_id", $"rel_t").as[(Long, Long)].collect()
+      val sim = sims.as[(Long, Long, Long)].collect()
+        .flatMap { case (x, y, t) => Seq((x, y) -> t, (y, x) -> t) }.toMap
+      val ms = collection.mutable.Map(cand.map(c => c._1 -> 0L).toSeq: _*)
+      val remaining = cand.toBuffer
+      val picks = collection.mutable.Buffer.empty[(Int, Long, Long, Long, Long)]
+      for (r <- 1 to MmrK if remaining.nonEmpty) {
+        val best = remaining.minBy {
+          case (id, rel) => (-(rel - ms(id)), id)
+        }
+        picks += ((r, best._1, best._2, ms(best._1), best._2 - ms(best._1)))
+        remaining -= best
+        remaining.foreach { case (id, _) =>
+          val t = sim((id, best._1)) // pool pairs are total by construction
+          if (t > ms(id)) ms(id) = t
+        }
+      }
+      picks.toSeq.toDF("rank", "vec_id", "rel_t", "maxsim_t", "score_t")
+        .orderBy("rank")
     }),
 
     // Sparse retrieval: tf-idf cosine top-10 over an INVERTED INDEX —
@@ -1025,6 +1086,58 @@ object SimilarityQueries {
     "q_semdedup_trained" -> semDedupTrainedOracle,
     "q_semdedup_incremental" -> semDedupIncrementalOracle,
     "q_semdedup_incremental_trained" -> semDedupIncrementalTrainedOracle,
+    // the greedy replayed exactly: pool + all-ordered-pair tick sims,
+    // then MmrK chained (pick_j = integer argmax, cand_j = survivors
+    // with maxsim folded up against pick_j) CTEs — every decision an
+    // integer compare, so the only float trust is the same
+    // cosine-to-4dp grain q_knn_brute already hash-matches under.
+    // Every chained CTE is MATERIALIZED — cand_{j-1} is referenced
+    // twice (by pick_j and cand_j) and DuckDB's default inlining would
+    // re-evaluate the whole prefix exponentially (the tokenizer
+    // trainers' trap, TextQueries.scala)
+    "q_select_mmr" -> {
+      val steps = (1 to MmrK).map { j =>
+        val prev = if (j == 1) "cand0" else s"cand${j - 1}"
+        s"""pick$j AS MATERIALIZED (
+           |  SELECT vec_id, rel_t, ms FROM $prev
+           |  ORDER BY rel_t - ms DESC, vec_id LIMIT 1),
+           |cand$j AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel_t, greatest(c.ms, s.sim_t) AS ms
+           |  FROM $prev c
+           |  JOIN pick$j p ON c.vec_id <> p.vec_id
+           |  JOIN sims s ON s.a_id = c.vec_id AND s.b_id = p.vec_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      val result = (1 to MmrK).map(j =>
+        s"SELECT $j AS rank, vec_id, rel_t, ms AS maxsim_t, " +
+          s"rel_t - ms AS score_t FROM pick$j").mkString("\nUNION ALL\n")
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+         |                                 x -> x * x))) AS n
+         |  FROM embeddings),
+         |rel AS (
+         |  SELECT c.vec_id,
+         |    CAST(floor(list_sum(list_transform(range(1, 65),
+         |           i -> q.v[i] * c.v[i])) / (q.n * c.n)
+         |         * 10000 + 0.5) AS BIGINT) AS rel_t,
+         |    c.v, c.n
+         |  FROM vecs q JOIN vecs c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |pool AS MATERIALIZED (
+         |  SELECT * FROM rel ORDER BY rel_t DESC, vec_id LIMIT $MmrPool),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(floor(list_sum(list_transform(range(1, 65),
+         |           i -> a.v[i] * b.v[i])) / (a.n * b.n)
+         |         * 10000 + 0.5) AS BIGINT) AS sim_t
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |cand0 AS MATERIALIZED (
+         |  SELECT vec_id, rel_t, CAST(0 AS BIGINT) AS ms FROM pool),
+         |$steps
+         |$result
+         |ORDER BY rank""".stripMargin
+    },
+
     "q_knn_brute" ->
       """WITH vecs AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
