@@ -1650,6 +1650,50 @@ object TextQueries {
       rungs.reduce(_ unionAll _).orderBy("merge_budget")
     }),
 
+    // Byte-BPE detokenization round-trip — the no-OOV contract's
+    // LOSSLESSNESS face, certified corpus-wide: apply the trained
+    // merges to every distinct pretoken, then INVERT (strip the paren
+    // markers, unhex the byte symbols, UTF-8-decode) and count exact
+    // pretoken round-trips. Byte-level BPE's defining property is that
+    // detok(tok(x)) == x for EVERY string with no normalization loss
+    // (the char families can't claim this: lowercasing/whitespace
+    // folding are one-way) — n_mismatch is the claim, and it rides the
+    // same hard oracle chain as the trainer, so both engines replay
+    // train → apply → invert end to end. Also reports the applied
+    // vocabulary actually USED (distinct token symbols) and the widest
+    // token in bytes. One row; every stage is the apply query's
+    // lineage plus one inversion projection and two aggregates.
+    "q_doc_bpe_bytes_detok" -> ((s, dir) => {
+      import s.implicits._
+      val tok = bpeBytesTok(Tables.table(s, dir, "documents"))
+      val words = tok
+        .filter(length(encode($"pt", "UTF-8")) >= 2)
+        .groupBy($"pt").agg(sum($"c").as("cnt"))
+        .select(bpeBytesSeg($"pt").as("seg"), $"cnt")
+      val merges = bpeMerges(words, BpeBytesMergeCount)
+      val segCol = merges.foldLeft(bpeBytesSeg($"pt")) {
+        case (c, (_, l, r, _)) =>
+          call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+      val applied = tok.groupBy($"pt").agg(sum($"c").as("n"))
+        .select($"pt", $"n", segCol.as("seg"))
+        .withColumn("detok",
+          decode(unhex(regexp_replace($"seg", "[()]", "")), "UTF-8"))
+      val syms = applied.select(
+        explode(regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1)))
+          .as("sym"))
+      val vocabStats = syms.agg(
+        countDistinct($"sym").as("vocab_used"),
+        (max(length($"sym")) / 2).cast("long").as("max_token_bytes"))
+      applied.agg(
+          count(lit(1)).as("n_pretokens"),
+          sum($"n").as("n_occurrences"),
+          sum(when($"detok" === $"pt", 1L).otherwise(0L)).as("n_roundtrip"),
+          sum(when($"detok".isNull || $"detok" =!= $"pt", 1L).otherwise(0L))
+            .as("n_mismatch"))
+        .crossJoin(broadcast(vocabStats))
+    }),
+
     // WordPiece training — the tokenizer family's second published
     // trainer (Schuster & Nakajima 2012), completing the ladder next to
     // BPE: same loop shape, DIFFERENT objective. BPE merges the most
@@ -2794,6 +2838,36 @@ object TextQueries {
            |$rungs
            |) ORDER BY merge_budget""".stripMargin
       },
+
+      // The round-trip replayed on the same chain: final-vocab segs
+      // inverted (strip parens → unhex → UTF-8 decode) and compared to
+      // their pretokens, symbol stats from the exploded segs.
+      "q_doc_bpe_bytes_detok" ->
+        s"""WITH $bpeBytesApplyChainSql,
+           |bdetok AS MATERIALIZED (
+           |  SELECT v.pt, t.n, v.seg,
+           |    decode(unhex(regexp_replace(v.seg, '[()]', '', 'g')))
+           |      AS detok
+           |  FROM bvocab$BpeBytesMergeCount v
+           |  JOIN (SELECT pt, sum(c) AS n FROM btok GROUP BY pt) t
+           |    USING (pt)),
+           |bsyms AS (
+           |  SELECT unnest(regexp_extract_all(seg, '\\(([^()]*)\\)', 1))
+           |    AS sym
+           |  FROM bdetok)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bdetok)
+           |    AS n_pretokens,
+           |  (SELECT CAST(sum(n) AS BIGINT) FROM bdetok)
+           |    AS n_occurrences,
+           |  (SELECT CAST(count(*) FILTER (WHERE detok = pt) AS BIGINT)
+           |     FROM bdetok) AS n_roundtrip,
+           |  (SELECT CAST(count(*) FILTER (WHERE detok IS DISTINCT FROM pt)
+           |     AS BIGINT) FROM bdetok) AS n_mismatch,
+           |  (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM bsyms)
+           |    AS vocab_used,
+           |  (SELECT CAST(max(length(sym)) / 2 AS BIGINT) FROM bsyms)
+           |    AS max_token_bytes""".stripMargin,
 
       // The WordPiece trainer replayed iteration for iteration — the
       // BPE chain with the likelihood-gain tick argmax (exact integer

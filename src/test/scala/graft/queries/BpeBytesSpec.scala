@@ -206,4 +206,20 @@ class BpeBytesSpec extends SparkTestBase {
     assert(rungs.last._4 === apply.getLong(0))
     assert(rungs.last._5 === apply.getLong(1))
   }
+
+  test("detokenization round-trips every pretoken on the multi-script " +
+      "fixture — the losslessness the char families cannot claim") {
+    val row = SparkEntry.queries("q_doc_bpe_bytes_detok")(
+        spark, dir.toString)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (nPretok, nOcc, nRoundtrip, nMismatch, vocabUsed, maxTokBytes) = row
+    // CJK + accents + contractions + parens + digits all invert exactly
+    assert(nMismatch === 0L, s"lossless inversion violated: $row")
+    assert(nRoundtrip === nPretok)
+    assert(nPretok > 0L && nOcc >= nPretok)
+    assert(vocabUsed > 0L)
+    // the CJK doc guarantees multi-byte tokens exist (3-byte chars; any
+    // merge inside the doc widens past 3)
+    assert(maxTokBytes >= 3L, s"no multi-byte token ever formed: $row")
+  }
 }

@@ -72,7 +72,11 @@ class PlanSpec extends SparkTestBase {
       "q_media_wav_dedup", "q_media_bmp_dedup",
       // the frame-signature video faces (synthetic and real-AVI): the
       // candidate stage must stay (frame_idx, sig) equi-collision
-      "q_media_video_dedup", "q_media_avi_dedup").foreach { q =>
+      "q_media_video_dedup", "q_media_avi_dedup",
+      // attribution pairs: the interval predicate must stay a residual
+      // on the (user, time-bucket) equi-join — a bare range condition
+      // would plan the nested loop the binning exists to avoid
+      "q_events_attrib").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
