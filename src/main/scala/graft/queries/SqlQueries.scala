@@ -103,6 +103,47 @@ object SqlQueries {
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin) _),
 
+    // q_events_attrib through SQL: the stream-stream join family's
+    // batch twin on its THIRD surface — the binned interval equi-join
+    // (generator-expanded probe buckets + exact residual), the
+    // left-outer null arm as NOT EXISTS, in one statement
+    "q_sql_events_attrib" -> (sqlOver(
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    unix_timestamp(date_trunc('second', ts)) AS sec
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |        sec AS purchase_sec, value AS revenue
+        |      FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user,
+        |        sec AS view_sec
+        |      FROM ev WHERE event_type = 'view'),
+        |pb AS (SELECT purchase_id, user_id, purchase_sec, revenue,
+        |         explode(array(
+        |           CAST(floor(purchase_sec / 7200) AS BIGINT),
+        |           CAST(floor(purchase_sec / 7200) AS BIGINT) - 1L))
+        |           AS bin
+        |       FROM p),
+        |vb AS (SELECT view_id, v_user, view_sec,
+        |         CAST(floor(view_sec / 7200) AS BIGINT) AS bin
+        |       FROM v),
+        |pairs AS (
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    view_id, view_sec, purchase_sec - view_sec AS delay_sec
+        |  FROM pb JOIN vb ON pb.bin = vb.bin AND pb.user_id = vb.v_user
+        |   AND vb.view_sec > pb.purchase_sec - 7200
+        |   AND vb.view_sec <= pb.purchase_sec),
+        |unmatched AS (
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    CAST(NULL AS BIGINT) AS view_id,
+        |    CAST(NULL AS BIGINT) AS view_sec,
+        |    CAST(NULL AS BIGINT) AS delay_sec
+        |  FROM p WHERE NOT EXISTS
+        |    (SELECT 1 FROM pairs WHERE pairs.purchase_id = p.purchase_id))
+        |SELECT * FROM (SELECT * FROM pairs
+        |               UNION ALL SELECT * FROM unmatched)
+        |ORDER BY purchase_id, coalesce(view_id, -1L)""".stripMargin) _),
+
     // q_knn_brute through SQL via the registered codegen'd cosine_sim —
     // custom Catalyst expressions are first-class SQL functions here
     "q_sql_knn_brute" -> (sqlOver(
@@ -198,6 +239,7 @@ object SqlQueries {
     "q_sql_dedup_exact" -> DedupQueries.oracleSql("q_dedup_exact"),
     "q_sql_events_hourly" -> EventQueries.oracleSql("q_events_hourly"),
     "q_sql_events_sessions" -> EventQueries.oracleSql("q_events_sessions"),
+    "q_sql_events_attrib" -> EventQueries.oracleSql("q_events_attrib"),
     "q_sql_knn_brute" -> SimilarityQueries.oracleSql("q_knn_brute"),
     "q_sql_dedup_span" -> TextQueries.oracleSql("q_dedup_span"),
     "q_sql_curation_lite" -> CurationQueries.curationLiteOracle)

@@ -16,6 +16,7 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q_sql_dedup_exact" -> "q_dedup_exact",
     "q_sql_events_hourly" -> "q_events_hourly",
     "q_sql_events_sessions" -> "q_events_sessions",
+    "q_sql_events_attrib" -> "q_events_attrib",
     "q_sql_knn_brute" -> "q_knn_brute",
     "q_sql_dedup_span" -> "q_dedup_span",
     "q_sql_curation_lite" -> "q_curation_lite",
