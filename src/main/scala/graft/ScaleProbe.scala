@@ -249,7 +249,25 @@ object ScaleProbe {
     // (12 fixed-size weight collects over a linear feature agg) plus
     // one projection and the two-phase local-prune selection — must
     // track q_doc_quality_lr's growth
-    "q_pref_bon")
+    "q_pref_bon",
+    // attribution pairs: the binned (user, bucket) equi-join — events
+    // replicate xK on BOTH sides, so pairs (and wall-clock) may grow
+    // up to K² within a bucket-user cell; on the replica corpus the
+    // duplicated purchase ids collapse the null-arm anti-join linearly
+    "q_events_attrib",
+    // delete propagation: the postings build + one tombstone/fold
+    // cycle; the fold's cost contract is measured separately with
+    // fan-out scaling (op_index_retract) — this row tracks the whole
+    // query's replica growth like q_index_compact's
+    "q_index_retract",
+    // MMR: retrieval is a TakeOrdered over a linear relevance scan; the
+    // greedy runs on the CONSTANT 50-row pool at any factor — must
+    // grow like q_knn_brute's scan stage and nothing else
+    "q_select_mmr",
+    // byte-BPE round-trip: the apply contract (linear pretoken
+    // pre-agg, constant distinct-pretoken kernel pass) plus one
+    // constant-size inversion projection
+    "q_doc_bpe_bytes_detok")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
