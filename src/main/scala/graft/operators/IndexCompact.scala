@@ -70,4 +70,34 @@ object IndexCompact {
       .saveAsTable(table)
     fresh.count()
   }
+
+  /** [[compact]] for a PARTITION-ROUTED store (the [[IndexRetract]]
+    * layout, partitioned on a deterministic function of the key): same
+    * keep-first semantics, same one-exchange-of-the-increment cost —
+    * the anti-join plans against the table, and the append shuffles
+    * only the survivors, partition-ALIGNED on the routing column so
+    * each touched directory gains one file instead of one sliver per
+    * task (the write-fan-out lesson from q_index_retract's store
+    * build). Existing files are never rewritten: Append mode only adds
+    * files, so untouched partitions stay byte-identical — pinned, with
+    * the retraction composition, by IndexLifecycleSpec. Together with
+    * [[IndexRetract.tombstone]]/[[IndexRetract.fold]] this gives the
+    * partitioned index its full maintenance lifecycle: nightly admits
+    * in, delete-lists out, never a store rewrite. */
+  def compactPartitioned(spark: SparkSession, table: String,
+                         admits: DataFrame, keys: Seq[String],
+                         partCol: String): Long = {
+    require(keys.nonEmpty, "compact needs at least one key column")
+    val target = spark.table(table)
+    val missing = target.columns.filterNot(admits.columns.contains)
+    require(missing.isEmpty,
+      s"admits frame lacks index columns: ${missing.mkString(", ")}")
+    val fresh = admits
+      .select(target.columns.map(org.apache.spark.sql.functions.col): _*)
+      .join(target, keys, "left_anti")
+      .localCheckpoint()
+    fresh.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode(SaveMode.Append).insertInto(table)
+    fresh.count()
+  }
 }

@@ -35,6 +35,28 @@ object DedupQueries {
     * the engine-wide shared definition. */
   private def fingerprint(text: Column): Column = Clean.fingerprint(text)
 
+  /** The gram POSTINGS index the maintenance queries
+    * (q_index_retract / q_index_lifecycle) build and maintain: one
+    * (gram md5, doc_id) identity row per distinct 5-token window per
+    * doc, partition-routed on pmod(xxhash64(g), 64) — the
+    * substring/winnow-family inverted index, chosen because its keys
+    * naturally span documents (deletions force real owner
+    * re-elections; the corpus has zero full-text duplicates). */
+  private def gramPostings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 5)
+    Tables.spread(docs, $"doc_id")
+      .select($"doc_id", $"t",
+        explode(sequence(lit(1), size($"t") - 4)).as("i"))
+      .select($"doc_id",
+        md5(concat_ws(" ", slice($"t", $"i", lit(5)))).as("g"))
+      .distinct()
+      .withColumn("pt", pmod(xxhash64($"g"), lit(64)).cast("int"))
+  }
+
   /** Default gram document-frequency cap for q_dedup_containment — the
     * value its DuckDB oracle is generated with (`HAVING count(*) <=`).
     * The `spark.graft.dedup.maxGramDf` conf overrides it for production
@@ -929,17 +951,7 @@ object DedupQueries {
     // ScaleProbe's retract block measures fold cost ∝ affected bytes.
     "q_index_retract" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .filter(length(trim($"text")) > 0)
-        .select($"doc_id", toks($"text").as("t"))
-        .filter(size($"t") >= 5)
-      val postings = Tables.spread(docs, $"doc_id")
-        .select($"doc_id", $"t",
-          explode(sequence(lit(1), size($"t") - 4)).as("i"))
-        .select($"doc_id",
-          md5(concat_ws(" ", slice($"t", $"i", lit(5)))).as("g"))
-        .distinct()
-        .withColumn("pt", pmod(xxhash64($"g"), lit(64)).cast("int"))
+      val postings = gramPostings(s, dir)
       graft.sources.Layout.resetTable(s, "gram_postings_retract_q")
       graft.sources.Layout.resetTable(s, "gram_tombstones_retract_q")
       postings.select($"g", $"doc_id", $"pt")
@@ -957,6 +969,48 @@ object DedupQueries {
         s, "gram_postings_retract_q", "gram_tombstones_retract_q",
         "pt", Seq("g", "doc_id"))
       s.table("gram_postings_retract_q")
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
+    // The FULL maintenance lifecycle on one partition-routed index —
+    // the composition the two ops imply: build the base index (docs
+    // with doc_id%3==1), run a nightly INGEST round
+    // (IndexCompact.compactPartitioned: admits = %3∈{1,2} postings,
+    // keep-first on the (g, doc_id) identity, so re-admitted base rows
+    // drop and only the %3==2 postings append — one exchange of the
+    // increment, partition-aligned, never a rewrite), then a TAKEDOWN
+    // round (IndexRetract tombstone + fold of the %5==0 docs'
+    // postings), and emit the owner view read BACK from storage. The
+    // point is that admits in and delete-lists out are BOTH
+    // increment-bound file operations on the same layout: partitions
+    // untouched by either op keep their exact files across the whole
+    // cycle (IndexLifecycleSpec pins this by part-file name-set).
+    // HARD oracle: distinct postings of docs in %3∈{1,2} minus %5==0,
+    // grouped — pure set algebra over the shared gram derivation.
+    "q_index_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir)
+      graft.sources.Layout.resetTable(s, "gram_idx_lifecycle_q")
+      graft.sources.Layout.resetTable(s, "gram_tomb_lifecycle_q")
+      postings.filter($"doc_id" % 3 === 1)
+        .select($"g", $"doc_id", $"pt")
+        .repartition($"pt")
+        .write.partitionBy("pt").format("parquet")
+        .saveAsTable("gram_idx_lifecycle_q")
+      graft.operators.IndexCompact.compactPartitioned(
+        s, "gram_idx_lifecycle_q",
+        postings.filter($"doc_id" % 3 =!= 0).select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.operators.IndexRetract.tombstone(
+        s, "gram_tomb_lifecycle_q",
+        postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0))
+      graft.operators.IndexRetract.fold(
+        s, "gram_idx_lifecycle_q", "gram_tomb_lifecycle_q",
+        "pt", Seq("g", "doc_id"))
+      s.table("gram_idx_lifecycle_q")
         .groupBy($"g")
         .agg(min($"doc_id").as("owner_id"),
           count(lit(1)).as("n_docs"))
@@ -2154,6 +2208,29 @@ object DedupQueries {
         |SELECT g, min(doc_id) AS owner_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM postings WHERE doc_id % 5 <> 0
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // the lifecycle replayed as set algebra over the same gram
+    // derivation: base ∪ admits (identity-distinct) minus the
+    // takedown docs' postings, grouped to the owner view
+    "q_index_lifecycle" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings
+        |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
         |GROUP BY g ORDER BY g""".stripMargin,
 
     "q_corpus_diff" ->
