@@ -951,7 +951,9 @@ object DedupQueries {
     // ScaleProbe's retract block measures fold cost ∝ affected bytes.
     "q_index_retract" -> ((s, dir) => {
       import s.implicits._
-      val postings = gramPostings(s, dir)
+      // one materialization serves the store build AND the delete-list
+      // derivation (the lineage re-runs the explode+distinct otherwise)
+      val postings = gramPostings(s, dir).localCheckpoint()
       graft.sources.Layout.resetTable(s, "gram_postings_retract_q")
       graft.sources.Layout.resetTable(s, "gram_tombstones_retract_q")
       postings.select($"g", $"doc_id", $"pt")
@@ -992,7 +994,8 @@ object DedupQueries {
     // grouped — pure set algebra over the shared gram derivation.
     "q_index_lifecycle" -> ((s, dir) => {
       import s.implicits._
-      val postings = gramPostings(s, dir)
+      // one materialization serves base, admits, and the delete-list
+      val postings = gramPostings(s, dir).localCheckpoint()
       graft.sources.Layout.resetTable(s, "gram_idx_lifecycle_q")
       graft.sources.Layout.resetTable(s, "gram_tomb_lifecycle_q")
       postings.filter($"doc_id" % 3 === 1)
