@@ -530,6 +530,94 @@ object DocStream extends Serializable {
         GroupStateTimeout.NoTimeout)(topk)
   }
 
+  /** One diverse pick served by [[searchDiverse]]: the MMR selection
+    * and its integer decision ledger — q_select_mmr's exact columns. */
+  case class DiverseHit(query_id: Long, rank: Int, vec_id: Long,
+                        rel_t: Long, maxsim_t: Long, score_t: Long)
+
+  /** Diversity-aware ANN serving — the deployment face of
+    * `q_select_mmr`: each arriving query vector retrieves its
+    * cell-pruned candidates from the STATIC [[prepareAnnIndex]] index
+    * and re-ranks them with the SAME all-integer MMR greedy the batch
+    * query runs (cosines snapped once to 1e-4 ticks with the CosineSim
+    * op sequence, λ=1/2 folded into rel_t − maxsim_t, argmax ties to
+    * the smaller vec_id) — a reranker exactly where production runs
+    * one, on the retrieved pool. Bounded work, zero state: the pool is
+    * a `pool`-element bounded heap over the candidate stream, the
+    * greedy is O(k·pool) tick cosines, and group state is never
+    * written (a query's candidates land in its own micro-batch, the
+    * [[annSearch]] contract — MmrStreamSpec pins state_rows 0). With
+    * `nprobe` = the full cell count the candidate set is the whole
+    * corpus and the served picks are IDENTICAL to the batch query's
+    * (spec-pinned on a replayed probe); production nprobe trades pool
+    * recall for scan cost exactly as [[annSearch]] does. */
+  def searchDiverse(spark: SparkSession, queryVecs: DataFrame,
+                    index: DataFrame, cents: Seq[(Int, Seq[Double])],
+                    nprobe: Int = 4, pool: Int = 50,
+                    k: Int = 10): Dataset[DiverseHit] = {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    require(cents.nonEmpty, "searchDiverse needs at least one centroid")
+    graft.functions.VectorFunctions.register(spark)
+    val poolL = pool
+    val kL = k
+    val guarded = SimilarityQueries.semDedupGuard(
+      queryVecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val probes = guarded
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("cell",
+        explode(SimilarityQueries.nearestCells(cents, col("qv"), nprobe)))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = probes.join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        floor(graft.functions.VectorFunctions
+          .cosineSim(col("qv"), col("v")) * 10000d + 0.5d)
+          .cast("long").as("rel_t"),
+        col("v"))
+      .as[(Long, Long, Long, Seq[Double])]
+    def mmr(id: Long, rows: Iterator[(Long, Long, Long, Seq[Double])],
+            state: GroupState[Long]): Iterator[DiverseHit] = {
+      // the CosineSim op sequence (one ascending loop, dot/(√na·√nb)),
+      // snapped with the same floor formula — bit-equal to the batch
+      // pairwise ticks
+      def simT(a: Seq[Double], b: Seq[Double]): Long = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5)
+          .toLong
+      }
+      val cand = boundedTopK(
+        rows.map { case (_, vid, rt, v) => (vid, rt, v) }, poolL)(
+        Ordering.by { case (vid, rt, _) => (-rt, vid) })
+      val ms = scala.collection.mutable.Map(
+        cand.map(c => c._1 -> 0L).toSeq: _*)
+      val remaining = cand.to(scala.collection.mutable.ArrayBuffer)
+      val picks = scala.collection.mutable.Buffer.empty[DiverseHit]
+      var r = 1
+      while (r <= kL && remaining.nonEmpty) {
+        val best = remaining.minBy {
+          case (vid, rt, _) => (-(rt - ms(vid)), vid)
+        }
+        picks += DiverseHit(id, r, best._1, best._2, ms(best._1),
+          best._2 - ms(best._1))
+        remaining -= best
+        remaining.foreach { case (vid, _, v) =>
+          val t = simT(v, best._3)
+          if (t > ms(vid)) ms(vid) = t
+        }
+        r += 1
+      }
+      picks.iterator
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(mmr)
+  }
+
   /** One served neighbor from [[annSearchPq]] — the ADC distance is an
     * exact long (the PQ family's integer contract). */
   case class AnnPqHit(query_id: Long, rank: Int, neighbor_id: Long,
