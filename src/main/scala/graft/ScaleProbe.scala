@@ -461,7 +461,12 @@ object ScaleProbe {
     * construction (their keys are time buckets / event types). */
   private val hostileEventQueries = Seq(
     "q_events_sessions", "q_events_user_profile", "q_window_running",
-    "q_events_hourly", "q_merge_upsert")
+    "q_events_hourly", "q_merge_upsert",
+    // attribution on the skewed user: the uncapped pair fan-out is
+    // quadratic in the hot user's density; the probe runs with the
+    // view cap at 50 (see the skew loop) and must show linear growth
+    // with the refused views surfacing in hot_cells_attrib
+    "q_events_attrib")
 
   /** q_semdedup re-probed on the degenerate corpus its cap exists for:
     * every embedding IDENTICAL, so every pair's cosine is exactly 1.0,
@@ -853,11 +858,22 @@ object ScaleProbe {
       }
     skewDirs.foreach { case (k, dir) =>
       pickedHostileEvents.foreach { q =>
+        // the attribution probe runs with a production-lowered view cap
+        // (50): the skewed user's per-cell view density crosses it from
+        // 1x, so the measurement shows the bot-guard contract — output
+        // and wall-clock linear in arrivals with the constant 2·cap
+        // per-purchase bound, refused views in the observed metric —
+        // instead of the uncapped quadratic pair blow-up
+        if (q == "q_events_attrib")
+          spark.conf.set("spark.graft.events.maxViewsPerCell", "50")
         val t0 = System.nanoTime()
-        val n = try SparkEntry.allQueries(q)(spark, dir).count()
-        catch { case e: Throwable => System.err.println(s"$q@$k: $e"); -1L }
+        val (n, om) = try countWithObserved(spark, q, dir, s"$q@skew$k")
+        catch { case e: Throwable =>
+          System.err.println(s"$q@$k: $e"); (-1L, "") }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n,"hostile":"user_skew"}""")
+        if (q == "q_events_attrib")
+          spark.conf.unset("spark.graft.events.maxViewsPerCell")
+        println(f"""{"factor":$k,"query":"$q","sec":$sec%.3f,"rows":$n$om,"hostile":"user_skew"}""")
       }
       // streaming faces: AvailableNow replay into a memory sink (row
       // count doubles as the work check); timing covers the whole

@@ -215,9 +215,27 @@ object EventQueries {
     // null arm is one anti-join on purchase_id. All arithmetic in
     // second-truncated epoch integers (the events family's
     // cross-engine device).
+    //
+    // BOT GUARD (the capPerKey contract, attribution-shaped): a bot
+    // user flooding views makes the per-cell pair fan-out quadratic in
+    // its density — views per (user, 2h cell) are therefore capped at
+    // `spark.graft.events.maxViewsPerCell` (default 1000), keeping the
+    // LATEST views in the cell (the ones inside any purchase's
+    // lookback), so per-purchase work and output are bounded by 2·cap
+    // at ANY density and total growth is linear in arrivals. Dropped
+    // views surface as observed metric hot_cells_attrib; under
+    // Verify's failOnCapExceeded flag an over-cap row fails fast
+    // instead of silently diverging from the exact oracle (the verify
+    // corpora sit far under the cap). The cap window partitions by the
+    // join's own keys, so it rides the join's exchange — zero extra
+    // shuffles on a sane corpus.
     "q_events_attrib" -> ((s, dir) => {
       import s.implicits._
       val W = 7200L
+      val cap = s.conf.getOption("spark.graft.events.maxViewsPerCell")
+        .map(_.toInt).getOrElse(1000)
+      val failOnCap = s.conf
+        .getOption("spark.graft.dedup.failOnCapExceeded").contains("true")
       val ev = Tables.table(s, dir, "events")
         .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
       val purchases = ev.filter($"event_type" === "purchase")
@@ -229,8 +247,24 @@ object EventQueries {
       val p = purchases.withColumn("__bin",
         explode(array(Seq(0L, 1L).map(o =>
           floor($"purchase_sec" / W).cast("long") - lit(o)): _*)))
+      val capW = Window.partitionBy($"v_user", $"__bin")
+        .orderBy($"view_sec".desc, $"view_id")
+      val keep =
+        if (!failOnCap) $"__rn" <= cap
+        else $"__rn" <= cap || isnull(assert_true(lit(false),
+          concat(lit("[graft] view cap engaged in 'attrib': rank "),
+            $"__rn", lit(s" > spark.graft.events.maxViewsPerCell=$cap " +
+              "under failOnCapExceeded — truncation would diverge from " +
+              "the exact oracle, failing fast instead"))))
       val v = views.withColumn("__bin",
-        floor($"view_sec" / W).cast("long"))
+          floor($"view_sec" / W).cast("long"))
+        .withColumn("__rn", row_number().over(capW))
+        .observe("hot_cells_attrib",
+          coalesce(sum(when($"__rn" > cap, 1L).otherwise(0L)), lit(0L))
+            .as("dropped_views"),
+          coalesce(max($"__rn".cast("long")), lit(0L)).as("max_cell"))
+        .filter(keep)
+        .drop("__rn")
       val inner = p.join(v,
           p("__bin") === v("__bin") && p("user_id") === v("v_user") &&
             v("view_sec") > p("purchase_sec") - W &&
