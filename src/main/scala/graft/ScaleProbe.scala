@@ -836,12 +836,26 @@ object ScaleProbe {
         val storeRows = spark.table(store).count()
         val dead = postings.filter(col("doc_id") === 7)
           .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .localCheckpoint()
+        // the naive baseline the op exists to avoid: full-store
+        // anti-join + full rewrite (to a scratch table — same read
+        // volume, same survivors, every partition written). Timed
+        // FIRST so the real store is still pre-fold.
+        val t1 = System.nanoTime()
+        val naive = spark.table(store)
+          .join(dead.select(col("g"), col("doc_id")), Seq("g", "doc_id"),
+            "left_anti")
+          .repartition(col("pt"))
+        naive.write.mode(SaveMode.Overwrite).partitionBy("pt")
+          .format("parquet").saveAsTable(s"${store}_rewrite")
+        val rewriteSec = (System.nanoTime() - t1) / 1e9
+        spark.sql(s"DROP TABLE IF EXISTS ${store}_rewrite")
         graft.operators.IndexRetract.tombstone(spark, tomb, dead)
         val t0 = System.nanoTime()
         val stats = graft.operators.IndexRetract.fold(
           spark, store, tomb, "pt", Seq("g", "doc_id"))
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"factor":$k,"query":"op_index_retract","sec":$sec%.3f,"rows":${stats.rowsRemoved},"store_rows":$storeRows,"partitions":$parts,"affected":${stats.partitionsRewritten}}""")
+        println(f"""{"factor":$k,"query":"op_index_retract","sec":$sec%.3f,"rows":${stats.rowsRemoved},"store_rows":$storeRows,"partitions":$parts,"affected":${stats.partitionsRewritten},"rewrite_sec":$rewriteSec%.3f}""")
         spark.sql(s"DROP TABLE IF EXISTS $store")
       }
     }
