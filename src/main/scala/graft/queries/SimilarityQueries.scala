@@ -32,6 +32,114 @@ object SimilarityQueries {
   private[queries] val MmrPool = 50
   private[queries] val MmrK = 10
 
+  /** q_select_mmr_tune's λ rungs: λ = num/4 for num ∈ 1..4, from
+    * diversity-heavy to pure relevance (num = den reduces MMR to
+    * top-k). Integer weights keep every rung's argmax exact. */
+  private[queries] val MmrTuneDen = 4
+  private[queries] val MmrTuneNums = Seq(1, 2, 3, 4)
+
+  /** Collected MMR artifacts: the retrieved pool (vec_id, rel_t) and
+    * the pairwise tick-sim map, both directions — bounded driver
+    * objects (MmrPool rows, < MmrPool² sims), the
+    * IVF-centroid/codebook budget rule. One distributed retrieval +
+    * one pairwise pass serve every λ rung. */
+  private def mmrArtifacts(s: SparkSession, dir: String)
+      : (Seq[(Long, Long)], Map[(Long, Long), Long]) = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    def tick(c: Column) = floor(c * 10000d + 0.5d).cast("long")
+    val vecs = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", dvec($"embedding").as("v"))
+    val q = vecs.filter($"vec_id" === 0).select($"v".as("qv"))
+    val pool = vecs.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        tick(VectorFunctions.cosineSim($"qv", $"v")).as("rel_t"), $"v")
+      .orderBy($"rel_t".desc, $"vec_id").limit(MmrPool)
+      .localCheckpoint() // one retrieval serves the pool AND the sims
+    val sims = pool.select($"vec_id".as("a_id"), $"v".as("av"))
+      .join(broadcast(pool.select($"vec_id".as("b_id"), $"v".as("bv"))),
+        $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        tick(VectorFunctions.cosineSim($"av", $"bv")).as("sim_t"))
+    val cand = pool.select($"vec_id", $"rel_t")
+      .as[(Long, Long)].collect().toSeq
+    val sim = sims.as[(Long, Long, Long)].collect()
+      .flatMap { case (x, y, t) => Seq((x, y) -> t, (y, x) -> t) }.toMap
+    (cand, sim)
+  }
+
+  /** The shared DuckDB base of both MMR oracles: tick relevance from
+    * the probe (vec_id 0), the retrieved pool, and all-ordered-pair
+    * tick sims within it. */
+  private lazy val mmrBaseSql: String =
+    s"""vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                 x -> x * x))) AS n
+       |  FROM embeddings),
+       |rel AS (
+       |  SELECT c.vec_id,
+       |    CAST(floor(list_sum(list_transform(range(1, 65),
+       |           i -> q.v[i] * c.v[i])) / (q.n * c.n)
+       |         * 10000 + 0.5) AS BIGINT) AS rel_t,
+       |    c.v, c.n
+       |  FROM vecs q JOIN vecs c ON q.vec_id = 0 AND c.vec_id <> 0),
+       |pool AS MATERIALIZED (
+       |  SELECT * FROM rel ORDER BY rel_t DESC, vec_id LIMIT $MmrPool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(floor(list_sum(list_transform(range(1, 65),
+       |           i -> a.v[i] * b.v[i])) / (a.n * b.n)
+       |         * 10000 + 0.5) AS BIGINT) AS sim_t
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)""".stripMargin
+
+  /** One generated greedy chain under integer weights a/d (score =
+    * a·rel − d·ms): `<tag>cand0 … <tag>pick{MmrK}`, every CTE
+    * MATERIALIZED (cand_{j-1} is referenced twice). */
+  private def mmrRungSql(tag: String, a: Int, d: Int): String = {
+    val steps = (1 to MmrK).map { j =>
+      val prev = if (j == 1) s"${tag}cand0" else s"${tag}cand${j - 1}"
+      s"""${tag}pick$j AS MATERIALIZED (
+         |  SELECT vec_id, rel_t, ms FROM $prev
+         |  ORDER BY $a * rel_t - $d * ms DESC, vec_id LIMIT 1),
+         |${tag}cand$j AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel_t, greatest(c.ms, s.sim_t) AS ms
+         |  FROM $prev c
+         |  JOIN ${tag}pick$j p ON c.vec_id <> p.vec_id
+         |  JOIN sims s ON s.a_id = c.vec_id AND s.b_id = p.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${tag}cand0 AS MATERIALIZED (
+       |  SELECT vec_id, rel_t, CAST(0 AS BIGINT) AS ms FROM pool),
+       |$steps""".stripMargin
+  }
+
+  /** The MMR greedy under integer weights: score = a·rel − (b−a)·ms,
+    * argmax ties to the smaller vec_id. Returns
+    * (rank, vec_id, rel_t, maxsim_t_at_selection, score_t). */
+  private def mmrGreedy(cand: Seq[(Long, Long)],
+      sim: Map[(Long, Long), Long], k: Int, a: Long, bMinusA: Long)
+      : Seq[(Int, Long, Long, Long, Long)] = {
+    val ms = collection.mutable.Map(cand.map(c => c._1 -> 0L).toSeq: _*)
+    val remaining = cand.toBuffer
+    val picks =
+      collection.mutable.Buffer.empty[(Int, Long, Long, Long, Long)]
+    for (r <- 1 to k if remaining.nonEmpty) {
+      val best = remaining.minBy { case (id, rel) =>
+        (-(a * rel - bMinusA * ms(id)), id)
+      }
+      picks += ((r, best._1, best._2, ms(best._1),
+        a * best._2 - bMinusA * ms(best._1)))
+      remaining -= best
+      remaining.foreach { case (id, _) =>
+        val t = sim((id, best._1)) // pool pairs are total by construction
+        if (t > ms(id)) ms(id) = t
+      }
+    }
+    picks.toSeq
+  }
+
   /** Random-hyperplane signatures: bit j = sign of <v, h_j> where
     * h_j[d] = ±1 from xxhash64(j, d) — pseudo-random and deterministic.
     * Computed by exploding dimensions once and folding `bits` codegen'd
@@ -137,41 +245,43 @@ object SimilarityQueries {
     // in any decision.
     "q_select_mmr" -> ((s, dir) => {
       import s.implicits._
-      VectorFunctions.register(s)
-      def tick(c: Column) = floor(c * 10000d + 0.5d).cast("long")
-      val vecs = Tables.table(s, dir, "embeddings")
-        .select($"vec_id", dvec($"embedding").as("v"))
-      val q = vecs.filter($"vec_id" === 0).select($"v".as("qv"))
-      val pool = vecs.filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(q))
-        .select($"vec_id",
-          tick(VectorFunctions.cosineSim($"qv", $"v")).as("rel_t"), $"v")
-        .orderBy($"rel_t".desc, $"vec_id").limit(MmrPool)
-        .localCheckpoint() // one retrieval serves the pool dump AND sims
-      val sims = pool.select($"vec_id".as("a_id"), $"v".as("av"))
-        .join(broadcast(pool.select($"vec_id".as("b_id"), $"v".as("bv"))),
-          $"a_id" < $"b_id")
-        .select($"a_id", $"b_id",
-          tick(VectorFunctions.cosineSim($"av", $"bv")).as("sim_t"))
-      val cand = pool.select($"vec_id", $"rel_t").as[(Long, Long)].collect()
-      val sim = sims.as[(Long, Long, Long)].collect()
-        .flatMap { case (x, y, t) => Seq((x, y) -> t, (y, x) -> t) }.toMap
-      val ms = collection.mutable.Map(cand.map(c => c._1 -> 0L).toSeq: _*)
-      val remaining = cand.toBuffer
-      val picks = collection.mutable.Buffer.empty[(Int, Long, Long, Long, Long)]
-      for (r <- 1 to MmrK if remaining.nonEmpty) {
-        val best = remaining.minBy {
-          case (id, rel) => (-(rel - ms(id)), id)
-        }
-        picks += ((r, best._1, best._2, ms(best._1), best._2 - ms(best._1)))
-        remaining -= best
-        remaining.foreach { case (id, _) =>
-          val t = sim((id, best._1)) // pool pairs are total by construction
-          if (t > ms(id)) ms(id) = t
-        }
-      }
-      picks.toSeq.toDF("rank", "vec_id", "rel_t", "maxsim_t", "score_t")
+      val (cand, sim) = mmrArtifacts(s, dir)
+      mmrGreedy(cand, sim, MmrK, a = 1L, bMinusA = 1L)
+        .toDF("rank", "vec_id", "rel_t", "maxsim_t", "score_t")
         .orderBy("rank")
+    }),
+
+    // The λ sweep — the tune discipline (wordpiece/unigram/lsh/
+    // bpe-bytes sweeps) applied to MMR, justifying the shipped λ=1/2
+    // from a MEASURED diversity-vs-relevance curve instead of
+    // convention: per rung λ = num/4 (num 1..4 — num=4 reduces MMR to
+    // pure top-k), the selection's total relevance, total redundancy
+    // paid, worst pairwise similarity INSIDE the selected set (the
+    // diversity metric), and overlap with the pure-relevance top-K.
+    // One distributed retrieval + one pairwise pass serve every rung
+    // (the greedy re-runs per rung on the same bounded artifacts);
+    // every reported number is an exact tick integer, so the oracle
+    // replays all four greedies as generated MATERIALIZED CTE chains.
+    "q_select_mmr_tune" -> ((s, dir) => {
+      import s.implicits._
+      val (cand, sim) = mmrArtifacts(s, dir)
+      val topk = cand.sortBy { case (id, rel) => (-rel, id) }
+        .take(MmrK).map(_._1).toSet
+      val rows = MmrTuneNums.map { a =>
+        val picks = mmrGreedy(cand, sim, MmrK, a.toLong,
+          (MmrTuneDen - a).toLong)
+        val ids = picks.map(_._2)
+        val pairSims = for {
+          i <- ids.indices; j <- (i + 1) until ids.size
+        } yield sim((ids(i), ids(j)))
+        (a, MmrTuneDen, picks.size.toLong,
+          picks.map(_._3).sum, picks.map(_._4).sum,
+          pairSims.maxOption.getOrElse(0L),
+          ids.count(topk).toLong)
+      }
+      rows.toDF("lambda_num", "lambda_den", "n_picks", "sum_rel_t",
+          "sum_maxsim_t", "max_pair_sim_t", "overlap_topk")
+        .orderBy("lambda_num")
     }),
 
     // Sparse retrieval: tf-idf cosine top-10 over an INVERTED INDEX —
@@ -1096,46 +1206,51 @@ object SimilarityQueries {
     // re-evaluate the whole prefix exponentially (the tokenizer
     // trainers' trap, TextQueries.scala)
     "q_select_mmr" -> {
-      val steps = (1 to MmrK).map { j =>
-        val prev = if (j == 1) "cand0" else s"cand${j - 1}"
-        s"""pick$j AS MATERIALIZED (
-           |  SELECT vec_id, rel_t, ms FROM $prev
-           |  ORDER BY rel_t - ms DESC, vec_id LIMIT 1),
-           |cand$j AS MATERIALIZED (
-           |  SELECT c.vec_id, c.rel_t, greatest(c.ms, s.sim_t) AS ms
-           |  FROM $prev c
-           |  JOIN pick$j p ON c.vec_id <> p.vec_id
-           |  JOIN sims s ON s.a_id = c.vec_id AND s.b_id = p.vec_id)"""
-          .stripMargin
-      }.mkString(",\n")
       val result = (1 to MmrK).map(j =>
         s"SELECT $j AS rank, vec_id, rel_t, ms AS maxsim_t, " +
-          s"rel_t - ms AS score_t FROM pick$j").mkString("\nUNION ALL\n")
-      s"""WITH vecs AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-         |                                 x -> x * x))) AS n
-         |  FROM embeddings),
-         |rel AS (
-         |  SELECT c.vec_id,
-         |    CAST(floor(list_sum(list_transform(range(1, 65),
-         |           i -> q.v[i] * c.v[i])) / (q.n * c.n)
-         |         * 10000 + 0.5) AS BIGINT) AS rel_t,
-         |    c.v, c.n
-         |  FROM vecs q JOIN vecs c ON q.vec_id = 0 AND c.vec_id <> 0),
-         |pool AS MATERIALIZED (
-         |  SELECT * FROM rel ORDER BY rel_t DESC, vec_id LIMIT $MmrPool),
-         |sims AS MATERIALIZED (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    CAST(floor(list_sum(list_transform(range(1, 65),
-         |           i -> a.v[i] * b.v[i])) / (a.n * b.n)
-         |         * 10000 + 0.5) AS BIGINT) AS sim_t
-         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
-         |cand0 AS MATERIALIZED (
-         |  SELECT vec_id, rel_t, CAST(0 AS BIGINT) AS ms FROM pool),
-         |$steps
+          s"rel_t - ms AS score_t FROM r1x1pick$j").mkString("\nUNION ALL\n")
+      s"""WITH $mmrBaseSql,
+         |${mmrRungSql(tag = "r1x1", a = 1, d = 1)}
          |$result
          |ORDER BY rank""".stripMargin
+    },
+
+    // the λ sweep replayed: four generated greedy chains over the ONE
+    // shared pool/sims base, each rung's summary an exact-integer
+    // aggregate over its picks; the worst pairwise similarity joins
+    // the rung's picks against the sims table one direction
+    "q_select_mmr_tune" -> {
+      val rungs = MmrTuneNums.map { a =>
+        val tag = s"r$a"
+        s"""${mmrRungSql(tag, a, MmrTuneDen - a)},
+           |${tag}ids AS MATERIALIZED (
+           |${(1 to MmrK).map(j =>
+              s"  SELECT vec_id, rel_t, ms FROM ${tag}pick$j")
+              .mkString(" UNION ALL\n")})""".stripMargin
+      }.mkString(",\n")
+      val summary = MmrTuneNums.map { a =>
+        s"""SELECT $a AS lambda_num, $MmrTuneDen AS lambda_den,
+           |  CAST((SELECT count(*) FROM r${a}ids) AS BIGINT) AS n_picks,
+           |  CAST((SELECT coalesce(sum(rel_t), 0) FROM r${a}ids)
+           |    AS BIGINT) AS sum_rel_t,
+           |  CAST((SELECT coalesce(sum(ms), 0) FROM r${a}ids)
+           |    AS BIGINT) AS sum_maxsim_t,
+           |  CAST((SELECT coalesce(max(s.sim_t), 0)
+           |        FROM r${a}ids x JOIN r${a}ids y ON x.vec_id < y.vec_id
+           |        JOIN sims s ON s.a_id = x.vec_id AND s.b_id = y.vec_id)
+           |    AS BIGINT) AS max_pair_sim_t,
+           |  CAST((SELECT count(*) FROM r${a}ids
+           |        WHERE vec_id IN (SELECT vec_id FROM topk)) AS BIGINT)
+           |    AS overlap_topk""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $mmrBaseSql,
+         |topk AS MATERIALIZED (
+         |  SELECT vec_id FROM pool ORDER BY rel_t DESC, vec_id
+         |  LIMIT $MmrK),
+         |$rungs
+         |SELECT * FROM (
+         |$summary
+         |) ORDER BY lambda_num""".stripMargin
     },
 
     "q_knn_brute" ->

@@ -56,4 +56,16 @@ class MmrSpec extends SparkTestBase {
     // scores are the documented identity
     got.foreach(r => assert(r._5 === r._3 - r._4))
   }
+
+  test("the λ sweep's guaranteed endpoints: num=den reduces to pure " +
+      "top-k, full budgets everywhere") {
+    val rungs = SparkEntry.queries("q_select_mmr_tune")(spark, sf0001)
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rungs.map(_._1) === Seq(1, 2, 3, 4))
+    rungs.foreach(r => assert(r._3 === 10L, s"short selection: $r"))
+    // λ = 1: score = 4·rel — the greedy IS top-k by (rel desc, id),
+    // so overlap with the pure-relevance top-K must be total
+    val pure = rungs.find(_._1 === 4).get
+    assert(pure._7 === pure._3, s"num=den rung diverged from top-k: $pure")
+  }
 }
