@@ -267,7 +267,14 @@ object ScaleProbe {
     // byte-BPE round-trip: the apply contract (linear pretoken
     // pre-agg, constant distinct-pretoken kernel pass) plus one
     // constant-size inversion projection
-    "q_doc_bpe_bytes_detok")
+    "q_doc_bpe_bytes_detok",
+    // the composed maintenance cycle: postings build + compact +
+    // tombstone/fold — must track q_index_retract's growth (same
+    // lineage, one extra increment-bound append)
+    "q_index_lifecycle",
+    // the λ sweep: four greedies on the constant 50-row pool over the
+    // one retrieval — must track q_select_mmr's flat profile
+    "q_select_mmr_tune")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact

@@ -67,6 +67,60 @@ object CorpusExport {
           ",")).as("id_chain_md5"))
       .orderBy("shard")
 
+  /** Right-to-be-forgotten on the EXPORTED corpus — the
+    * [[graft.operators.IndexRetract]] fold specialized to the training
+    * files themselves: remove `deadIds` from a [[writeSharded]] layout
+    * rewriting ONLY their shards. The shuffle key is deterministic in
+    * doc_id, so the delete-list NAMES its shard directories (the
+    * partition-routing property retraction rests on); each affected
+    * shard is re-written through the exact writeSharded order
+    * (repartition + sortWithinPartitions on the recomputed key), so
+    * per-shard FILE ORDER remains the q_shard_assign order restricted
+    * to survivors — the training-order contract survives the deletion
+    * (ForgetExportSpec pins both: untouched shards byte-identical,
+    * rewritten shards still file-ordered). Shards whose every doc dies
+    * have their directories dropped (dynamic overwrite would keep
+    * them). Returns the number of shards rewritten or dropped. */
+  def forgetDocs(outDir: String, deadIds: DataFrame,
+                 shards: Int = 16): Int = {
+    val spark = deadIds.sparkSession
+    val affected = deadIds
+      .withColumn("__key", graft.queries.CurationQueries.shuffleKey)
+      .select(pmod(col("__key"), lit(shards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return 0
+    val survivors = spark.read.parquet(outDir)
+      .filter(col("shard").isin(affected.toIndexedSeq: _*))
+      .join(deadIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      // sever lineage from the files the overwrite replaces
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      survivors
+        .withColumn("__key", graft.queries.CurationQueries.shuffleKey)
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("__key"), col("doc_id"))
+        .drop("__key")
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val alive = survivors.select(col("shard")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    val fullyDead = affected.filterNot(alive)
+    if (fullyDead.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fullyDead.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"shard=$v"), true))
+    }
+    affected.length
+  }
+
   /** Write `docs` (any frame with a doc_id column) as a sharded,
     * shuffle-ordered parquet corpus under `outDir`. */
   def writeSharded(docs: DataFrame, outDir: String,

@@ -116,6 +116,39 @@ class IndexRetractSpec extends SparkTestBase {
     }
   }
 
+  test("composite-identity retraction (the media band-index shape)") {
+    try {
+      // band rows: identity = (band_idx, band_val, hist_id), routed on
+      // the probe key's band_val — the IndexCompactSpec fixture's shape
+      def rows(ids: Range) = {
+        import org.apache.spark.sql.functions.col
+        ids.flatMap(i => (0 until 4).map(b =>
+            (b, (i % 7).toLong * 16 + b, i.toLong)))
+          .toDF("band_idx", "band_val", "hist_id")
+          .withColumn("pt", (col("band_val") % 8).cast("int"))
+      }
+      rows(0 until 100).repartition(col("pt"))
+        .write.partitionBy("pt").format("parquet").saveAsTable(Store)
+      // takedown of history item 7: its 4 band rows, across partitions
+      IndexRetract.tombstone(spark, Tomb,
+        rows(0 until 100).filter($"hist_id" === 7L))
+      val stats = IndexRetract.fold(spark, Store, Tomb, "pt",
+        Seq("band_idx", "band_val", "hist_id"))
+      assert(stats.rowsRemoved === 4L)
+      val got = spark.table(Store)
+        .select($"band_idx", $"band_val", $"hist_id")
+        .as[(Int, Long, Long)].collect().toSet
+      val expect = rows(0 until 100)
+        .filter($"hist_id" =!= 7L)
+        .select($"band_idx", $"band_val", $"hist_id")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(got === expect)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $Store")
+      spark.sql(s"DROP TABLE IF EXISTS $Tomb")
+    }
+  }
+
   test("owner re-election falls out of the postings grain") {
     try {
       // g-shared: victim 10 owns (min); survivors 20, 30. After the
