@@ -508,7 +508,14 @@ object ScaleProbe {
     * floor. gapfill/moving-avg/anomaly are keyed by event_type
     * (schema-bounded vocabulary) and immune by construction. */
   private val hostileStreamFaces = Seq(
-    "s_sessionize", "s_funnel", "s_retention", "s_asof")
+    "s_sessionize", "s_funnel", "s_retention", "s_asof",
+    // the outer stream-stream join under user skew: join state must be
+    // bounded by the WATERMARK HORIZON (events within 4h of the max
+    // seen), never the stream — the skew corpus packs k·100k events
+    // into a constant ~28h span, so retained state grows with density
+    // while the horizon stays fixed; the measurement is state rows vs
+    // arrivals
+    "s_attrib")
 
   /** (stream, sink output mode) — funnel declares Update-mode
     * flatMapGroupsWithState, so its memory sink must match. */
@@ -529,6 +536,8 @@ object ScaleProbe {
       case "s_asof" =>
         (graft.streaming.EventStream.asofEnrich(spark, ev).toDF(),
           OutputMode.Append)
+      case "s_attrib" =>
+        (graft.streaming.EventStream.attribJoin(ev), OutputMode.Append)
     }
   }
 
@@ -904,10 +913,30 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val (n, stRows, stMem) = try {
           val (df, mode) = streamFace(q, spark, s"$dir/events.parquet")
-          val sq = graft.streaming.EventStream.runToMemory(df, table, mode)
-          sq.awaitTermination()
-          val (r, m) = stateMetrics(sq)
-          (spark.table(table).count(), r, m)
+          // s_attrib's skew output is the interval join's quadratic
+          // pair fan-out (millions of wide rows per factor unit) — a
+          // memory sink OOMs COLLECTING it even though the join state
+          // itself stays horizon-bounded; count per micro-batch in a
+          // foreachBatch sink instead, so the probe measures the
+          // OPERATOR, not an in-memory table of its output
+          if (q == "s_attrib") {
+            val total = new java.util.concurrent.atomic.AtomicLong(0L)
+            val sq = df.writeStream
+              .outputMode(mode)
+              .foreachBatch { (b: DataFrame, _: Long) =>
+                total.addAndGet(b.count()); ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            sq.awaitTermination()
+            val (r, m) = stateMetrics(sq)
+            (total.get(), r, m)
+          } else {
+            val sq = graft.streaming.EventStream.runToMemory(df, table, mode)
+            sq.awaitTermination()
+            val (r, m) = stateMetrics(sq)
+            (spark.table(table).count(), r, m)
+          }
         } catch { case e: Throwable =>
           System.err.println(s"$q@$k: $e"); (-1L, 0L, 0L) }
         val sec = (System.nanoTime() - t0) / 1e9
