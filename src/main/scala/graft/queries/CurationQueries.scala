@@ -70,6 +70,10 @@ object CurationQueries {
     * the generated oracle so both engines sweep the identical rungs. */
   private[queries] val DecontamTuneWidths = Seq(3, 4, 5, 6, 8)
 
+  /** q_doc_pack_tune's context-length rungs — one definition,
+    * interpolated into the oracle's per-rung arithmetic. */
+  private[queries] val PackTuneBudgets = Seq(512L, 1024L, 2048L, 4096L)
+
   /** The deterministic corpus-shuffle key — q_shard_assign's md5-derived
     * 60-bit integer, ONE definition shared with the production write
     * path ([[graft.sources.CorpusExport]]) so the assignment a report
@@ -413,6 +417,54 @@ object CurationQueries {
           expr("start_tok div 2048").as("window_id"))
         .agg(count(lit(1)).as("doc_count"), sum($"tok_count").as("token_sum"))
         .orderBy("lang", "shard", "window_id")
+    }),
+
+    // The context-length sweep — the tune discipline applied to the
+    // pack family, justifying the shipped 2048 from a MEASURED curve:
+    // per rung C ∈ {512, 1024, 2048, 4096}, the chunk cut's window
+    // count, the number of documents a boundary SPLITS and the total
+    // crossings (the fragmentation cost a longer context amortizes),
+    // the per-stream tail padding (the waste a longer context
+    // inflates), and the padded-slot rate in 1e-4 ticks. Everything
+    // derives from ONE running-offset pass (checkpointed — each rung
+    // is integer arithmetic over the same frame) and per-stream
+    // totals; exact integer division end to end, so the oracle
+    // replays every rung verbatim.
+    "q_doc_pack_tune" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", ($"doc_id" % 8).cast("int").as("shard"),
+          size(TextQueries.tokens($"text")).cast("long").as("tok_count"))
+      val stream = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = docs
+        .withColumn("start_tok",
+          coalesce(sum($"tok_count").over(stream), lit(0L)))
+        .localCheckpoint() // one offset pass serves every rung
+      val totals = offs.groupBy($"lang", $"shard")
+        .agg(sum($"tok_count").as("total_tok"))
+        .localCheckpoint()
+      val rungs = PackTuneBudgets.map { c =>
+        val splitStats = offs.agg(
+          sum($"tok_count").as("total_tokens"),
+          sum(when($"tok_count" > 0,
+            expr(s"(start_tok + tok_count - 1) div $c - start_tok div $c"))
+            .otherwise(0L)).as("boundary_crossings"),
+          sum(when($"tok_count" > 0 &&
+              expr(s"(start_tok + tok_count - 1) div $c") >
+                expr(s"start_tok div $c"), 1L)
+            .otherwise(0L)).as("split_docs"))
+        val windowStats = totals.agg(
+          sum(expr(s"(total_tok + $c - 1) div $c")).as("n_windows"),
+          sum(expr(s"($c - total_tok % $c) % $c")).as("tail_waste"))
+        splitStats.crossJoin(broadcast(windowStats))
+          .select(lit(c).as("ctx"), $"n_windows", $"total_tokens",
+            $"split_docs", $"boundary_crossings", $"tail_waste",
+            expr(s"tail_waste * 10000 div (n_windows * $c)")
+              .as("waste_ticks"))
+      }
+      rungs.reduce(_ unionByName _).orderBy("ctx")
     }),
 
     // Mixture rebalance report: per-source token mass plus the
@@ -1329,6 +1381,48 @@ object CurationQueries {
         |  CAST(count(*) AS BIGINT) AS doc_count,
         |  CAST(sum(tok_count) AS BIGINT) AS token_sum
         |FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // every rung replayed from the one offs/totals base: integer
+    // division both engines ('div' ↔ '//'), padded-slot rate included
+    "q_doc_pack_tune" -> {
+      val rungs = PackTuneBudgets.map { c =>
+        s"""SELECT CAST($c AS BIGINT) AS ctx,
+           |  (SELECT CAST(sum((total_tok + $c - 1) // $c) AS BIGINT)
+           |   FROM totals) AS n_windows,
+           |  (SELECT CAST(sum(tok_count) AS BIGINT) FROM offs)
+           |    AS total_tokens,
+           |  (SELECT CAST(count(*) FILTER (WHERE tok_count > 0
+           |     AND (start_tok + tok_count - 1) // $c > start_tok // $c)
+           |     AS BIGINT) FROM offs) AS split_docs,
+           |  (SELECT CAST(sum(CASE WHEN tok_count > 0 THEN
+           |     (start_tok + tok_count - 1) // $c - start_tok // $c
+           |     ELSE 0 END) AS BIGINT) FROM offs) AS boundary_crossings,
+           |  (SELECT CAST(sum(($c - total_tok % $c) % $c) AS BIGINT)
+           |   FROM totals) AS tail_waste,
+           |  CAST((SELECT sum(($c - total_tok % $c) % $c) FROM totals)
+           |    * 10000 // ((SELECT sum((total_tok + $c - 1) // $c)
+           |    FROM totals) * $c) AS BIGINT) AS waste_ticks"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS tok_count
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |offs AS MATERIALIZED (
+         |  SELECT lang, shard, tok_count,
+         |    COALESCE(sum(tok_count) OVER (PARTITION BY lang, shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start_tok
+         |  FROM docs),
+         |totals AS MATERIALIZED (
+         |  SELECT lang, shard, sum(tok_count) AS total_tok
+         |  FROM docs GROUP BY 1, 2)
+         |SELECT * FROM (
+         |$rungs
+         |) ORDER BY ctx""".stripMargin
+    },
 
     "q_doc_pack_chunk" ->
       ("WITH " + chunkPackSql(

@@ -52,6 +52,28 @@ class PackChunkSpec extends SparkTestBase {
     assert(totalPacked == totalBpe)
   }
 
+  test("the context sweep's 2048 rung IS the shipped chunk cut, and the " +
+      "fragmentation/waste trade-off moves the right way") {
+    val rungs = graft.SparkEntry.queries("q_doc_pack_tune")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rungs.map(_._1) === Seq(512L, 1024L, 2048L, 4096L))
+    // cross-query pin: the 2048 rung's window count equals the shipped
+    // chunk cut's distinct windows (same streams, same ceil arithmetic)
+    val r2048 = rungs.find(_._1 === 2048L).get
+    assert(r2048._2 === out.size.toLong,
+      s"sweep n_windows ${r2048._2} != chunk manifest rows ${out.size}")
+    // constants and monotonicities the cut geometry guarantees:
+    // token mass is rung-invariant, window count and split counts are
+    // non-increasing in the context length, crossings bound splits
+    assert(rungs.map(_._3).distinct.size === 1)
+    rungs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2, s"n_windows increased: $a -> $b")
+      assert(a._4 >= b._4, s"split_docs increased: $a -> $b")
+    }
+    rungs.foreach(r => assert(r._5 >= r._4,
+      s"crossings below split docs: $r"))
+  }
+
   test("token mass is conserved and window ids are contiguous from 0") {
     val totalPacked = out.map(_._5).sum
     val totalTokens = spark.read.parquet(s"$sf0001/documents.parquet")
