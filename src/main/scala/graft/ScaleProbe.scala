@@ -274,7 +274,10 @@ object ScaleProbe {
     "q_index_lifecycle",
     // the λ sweep: four greedies on the constant 50-row pool over the
     // one retrieval — must track q_select_mmr's flat profile
-    "q_select_mmr_tune")
+    "q_select_mmr_tune",
+    // the context sweep: one checkpointed offset pass + four
+    // integer-arithmetic rungs — must track q_doc_pack's growth
+    "q_doc_pack_tune")
 
   /** Near-dup queries re-probed on the HOSTILE corpus: near-identical-
     * but-not-exact boilerplate (unique trailer per doc defeats the exact
