@@ -64,8 +64,10 @@ object IndexRetract {
       keys, "left_anti")
   }
 
-  /** @param partitionsRewritten affected partitions (tombstone routing
-    *                            values) whose files were replaced
+  /** @param partitionsRewritten affected partitions — distinct
+    *                            tombstone routing values; a value the
+    *                            store has no directory for counts here
+    *                            but rewrites nothing
     * @param rowsRemoved         victim rows physically dropped
     * @param partitionsDropped   affected partitions left with zero
     *                            survivors, whose directories were
