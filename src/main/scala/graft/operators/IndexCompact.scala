@@ -52,6 +52,11 @@ object IndexCompact {
               bucketCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "compact needs at least one key column")
     val bcols = if (bucketCols.nonEmpty) bucketCols else keys
+    // a PRIOR round's append must be visible to THIS round's anti-join
+    // even when the session cached the table's file listing (the
+    // streaming ingest loop compacts once per micro-batch and read a
+    // stale pre-append listing without this — StreamCompactLoopSpec)
+    spark.catalog.refreshTable(table)
     val target = spark.table(table)
     val missing = target.columns.filterNot(admits.columns.contains)
     require(missing.isEmpty,
@@ -68,6 +73,10 @@ object IndexCompact {
       .sortBy(bcols.head, bcols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+    // ...and THIS append must be visible to the session's next reader
+    // (the stream-loop's follow-up batch, the caller's read-back) even
+    // where the relation cache kept the pre-append listing
+    spark.catalog.refreshTable(table)
     fresh.count()
   }
 
@@ -88,6 +97,7 @@ object IndexCompact {
                          admits: DataFrame, keys: Seq[String],
                          partCol: String): Long = {
     require(keys.nonEmpty, "compact needs at least one key column")
+    spark.catalog.refreshTable(table) // see compact()
     val target = spark.table(table)
     val missing = target.columns.filterNot(admits.columns.contains)
     require(missing.isEmpty,
@@ -98,6 +108,7 @@ object IndexCompact {
       .localCheckpoint()
     fresh.repartition(org.apache.spark.sql.functions.col(partCol))
       .write.mode(SaveMode.Append).insertInto(table)
+    spark.catalog.refreshTable(table) // see compact()
     fresh.count()
   }
 }

@@ -144,6 +144,37 @@ object DocStream extends Serializable {
   def prepareFpIndex(historyFps: DataFrame): DataFrame =
     historyFps.select(col("fp")).cache()
 
+  /** The CLOSED ingest-maintenance loop — [[incrementalDedup]] plus
+    * [[graft.operators.IndexCompact]], live: per micro-batch, arrivals
+    * reduce to keep-first (fp, owner) rows and COMPACT into the
+    * bucketed history table inside foreachBatch (a batch context, so
+    * the anti-join reads the table as of the previous batch's end — a
+    * duplicate arriving ten batches after its original is rejected by
+    * the LOOP, not by operator state). This is the production shape
+    * for "the stream maintains its own index": zero streaming state
+    * (the history lives in the table), restart-safe against
+    * re-admission (compact is keep-first idempotent, so a replayed
+    * micro-batch appends nothing), per-batch cost = the increment's
+    * one exchange + bucket-aligned append (IndexCompact's contract).
+    * StreamCompactLoopSpec pins the loop with a staged replay.
+    *
+    * @param onBatch  callback with each batch's appended-row count
+    *                 (observability; tests record the per-batch admits)
+    * @return a writer — caller adds trigger/checkpoint and starts */
+  def ingestCompactLoop(spark: SparkSession, docs: DataFrame,
+                        table: String, onBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val admits = batch
+          .withColumn("fp",
+            coalesce(graft.Clean.fingerprint(col("text")), lit("")))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("owner_id"))
+        onBatch(graft.operators.IndexCompact.compact(
+          spark, table, admits, Seq("fp")))
+        ()
+      }
+
   /** Streaming face of `q_dedup_span`'s keep rule — the ingest-time
     * NOVEL-SPAN feed: each arriving document is cut on the same
     * non-overlapping [[graft.queries.TextQueries.TileWidth]]-token
