@@ -45,10 +45,14 @@ object IndexRetract {
     * store was written with. Returns rows staged. */
   def tombstone(spark: SparkSession, tombTable: String,
                 dead: DataFrame): Long = {
-    val n = dead.count()
-    dead.write.mode(SaveMode.Append).format("parquet")
+    // one materialization serves the count AND the write (fold's
+    // discipline): with expensive or non-deterministic lineage, counting
+    // `dead` separately could report a different row set than the one
+    // actually staged
+    val staged = dead.localCheckpoint()
+    staged.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(tombTable)
-    n
+    staged.count()
   }
 
   /** The merge-on-read view: store rows minus tombstoned identities —
@@ -102,6 +106,20 @@ object IndexRetract {
       // sever lineage from the very files the overwrite replaces
       .localCheckpoint()
     val after = survivors.count()
+    // All-victims partitions, derived IN SPARK on the store's OWN
+    // partition column (pruned ⟕anti survivors) and materialized BEFORE
+    // the overwrite replaces the files. A driver-side boxed filterNot of
+    // tombstone-typed values against store-typed values was the previous
+    // form, and it is a silent-data-loss trap: a caller whose tombstone
+    // partCol type differs from the store's (LONG vs INT — the isin and
+    // join above coerce, so nothing else fails) makes the boxed equality
+    // match nothing, flagging EVERY affected partition as fully dead and
+    // deleting directories that still hold survivors. Catalyst's join
+    // coercion cannot miscompare.
+    val fullyDead = pruned.select(col(partCol)).distinct()
+      .join(survivors.select(col(partCol)).distinct(), Seq(partCol),
+        "left_anti")
+      .collect().map(_.get(0))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -119,22 +137,56 @@ object IndexRetract {
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     // all-victims partitions never appear in `survivors`, so dynamic
-    // overwrite left their stale files — drop the directories
-    val alive = survivors.select(partCol).distinct().collect()
-      .map(_.get(0)).toSet
-    val fullyDead = affected.filterNot(alive)
-    if (fullyDead.nonEmpty) {
-      val loc = spark.sessionState.catalog
-        .getTableMetadata(TableIdentifier(storeTable)).location
-      val fs = new org.apache.hadoop.fs.Path(loc)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fullyDead.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(loc), s"$partCol=$v"), true)
-      }
-    }
+    // overwrite left their stale files — drop them through the catalog
+    // (so a partition-managing catalog stays consistent) with a
+    // VERIFIED filesystem fallback
+    dropPartitions(spark, storeTable, partCol, fullyDead.toIndexedSeq)
     spark.catalog.refreshTable(storeTable)
     graft.sources.Layout.resetTable(spark, tombTable)
     FoldStats(affected.length, before - after, fullyDead.length)
+  }
+
+  /** Drop the named partitions of `table` — catalog first (`ALTER TABLE
+    * … DROP PARTITION`, so a metastore that tracks partitions never
+    * lists a directory the files no longer back), then a filesystem
+    * sweep of any surviving directory under the PROPERLY ESCAPED
+    * partition path (Spark escapes special characters in partition
+    * directory names; a raw `s"$col=$v"` path makes the delete a silent
+    * no-op for any value needing escaping — the 'forgotten identities
+    * resurface' failure). Every delete is verified: a partition
+    * directory that survives the drop fails loudly instead of leaving
+    * stale victim rows in the store. */
+  private[graft] def dropPartitions(spark: SparkSession, table: String,
+                                    partCol: String,
+                                    values: Seq[Any]): Unit = {
+    if (values.isEmpty) return
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).location
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    values.foreach { v =>
+      require(v != null,
+        s"cannot drop a null-valued $partCol partition: the routing " +
+          "column of a partition-routed index must be non-null by " +
+          "construction")
+      val lit = v match {
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case x => x.toString
+      }
+      // the catalog drop also removes the data directory where the
+      // catalog manages partitions; where it does not (plain path
+      // tables), the verified fs sweep below is the invariant
+      try spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$lit)")
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      val dir = new org.apache.hadoop.fs.Path(root,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, v.toString))
+      if (fs.exists(dir))
+        require(fs.delete(dir, true),
+          s"failed to drop all-victims partition directory $dir")
+      require(!fs.exists(dir),
+        s"all-victims partition directory survived the drop: $dir")
+    }
   }
 }

@@ -220,15 +220,20 @@ object EventQueries {
     // user flooding views makes the per-cell pair fan-out quadratic in
     // its density — views per (user, 2h cell) are therefore capped at
     // `spark.graft.events.maxViewsPerCell` (default 1000), keeping the
-    // LATEST views in the cell (the ones inside any purchase's
-    // lookback), so per-purchase work and output are bounded by 2·cap
-    // at ANY density and total growth is linear in arrivals. Dropped
-    // views surface as observed metric hot_cells_attrib; under
-    // Verify's failOnCapExceeded flag an over-cap row fails fast
-    // instead of silently diverging from the exact oracle (the verify
-    // corpora sit far under the cap). The cap window partitions by the
-    // join's own keys, so it rides the join's exchange — zero extra
-    // shuffles on a sane corpus.
+    // LATEST views in the cell, so per-purchase work and output are
+    // bounded by 2·cap at ANY density and total growth is linear in
+    // arrivals. When the cap ENGAGES, capped attribution is BIASED,
+    // not just truncated: recency retention can spend the cell's
+    // budget on views AFTER a purchase while attributable earlier
+    // views in the same cell drop (a purchase's own bucket's lookback
+    // covers the EARLY part of the cell). That bias is the accepted
+    // contract, guarded twice: dropped views surface as observed
+    // metric hot_cells_attrib, and under Verify's failOnCapExceeded
+    // flag an over-cap row fails fast instead of silently diverging
+    // from the exact oracle (the verify corpora sit far under the
+    // cap). The cap window partitions by the join's own keys, so it
+    // rides the join's exchange — zero extra shuffles on a sane
+    // corpus.
     "q_events_attrib" -> ((s, dir) => {
       import s.implicits._
       val W = 7200L

@@ -115,8 +115,17 @@ object CorpusExport {
     if (fullyDead.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(outDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fullyDead.foreach(v =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"shard=$v"), true))
+      fullyDead.foreach { v =>
+        // verified delete: a shard directory that survives would keep
+        // serving training files containing the to-be-forgotten docs —
+        // fail loudly rather than report the forget as done
+        val dir = new org.apache.hadoop.fs.Path(root, s"shard=$v")
+        if (fs.exists(dir))
+          require(fs.delete(dir, true),
+            s"failed to drop all-victims shard directory $dir")
+        require(!fs.exists(dir),
+          s"all-victims shard directory survived the forget: $dir")
+      }
     }
     affected.length
   }

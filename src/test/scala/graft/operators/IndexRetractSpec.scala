@@ -149,6 +149,60 @@ class IndexRetractSpec extends SparkTestBase {
     }
   }
 
+  test("tombstone routing type mismatch (LONG vs the store's INT) never " +
+      "deletes survivor partitions") {
+    try {
+      // store routed on an INT pt; the tombstone frame carries pt as
+      // LONG (a caller deriving it with a different cast — the joins
+      // and isin coerce silently, so nothing upstream fails). The old
+      // driver-side boxed filterNot compared java.lang.Long against
+      // java.lang.Integer, matched nothing, flagged every affected
+      // partition fully dead, and deleted the just-rewritten directory
+      // of pt=0 — which still holds a survivor.
+      Seq(("g-a", 99L), ("g-a", 500L), ("g-b", 501L))
+        .toDF("g", "doc_id")
+        .withColumn("pt", lit(0))
+        .write.partitionBy("pt").format("parquet").saveAsTable(Store)
+      IndexRetract.tombstone(spark, Tomb,
+        Seq(("g-a", 99L)).toDF("g", "doc_id")
+          .withColumn("pt", lit(0L))) // LONG routing value
+      val stats = IndexRetract.fold(spark, Store, Tomb, "pt",
+        Seq("g", "doc_id"))
+      assert(stats === FoldStats(partitionsRewritten = 1,
+        rowsRemoved = 1L, partitionsDropped = 0))
+      assert(spark.table(Store).select($"g", $"doc_id")
+        .as[(String, Long)].collect().toSet
+        === Set(("g-a", 500L), ("g-b", 501L)),
+        "survivors lost under a coerced tombstone routing type")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $Store")
+      spark.sql(s"DROP TABLE IF EXISTS $Tomb")
+    }
+  }
+
+  test("all-victims partition with a string routing value needing path " +
+      "escaping is really dropped") {
+    try {
+      // 'k:1' needs Spark's partition-path escaping (dir pt=k%3A1); the
+      // old raw s"$partCol=$v" delete was a silent no-op on it, so the
+      // 'forgotten' rows resurfaced in the store after the fold
+      Seq(("g-x", 7L, "k:1"), ("g-y", 8L, "plain"))
+        .toDF("g", "doc_id", "pt")
+        .write.partitionBy("pt").format("parquet").saveAsTable(Store)
+      IndexRetract.tombstone(spark, Tomb,
+        Seq(("g-x", 7L, "k:1")).toDF("g", "doc_id", "pt"))
+      val stats = IndexRetract.fold(spark, Store, Tomb, "pt",
+        Seq("g", "doc_id"))
+      assert(stats.partitionsDropped === 1)
+      assert(spark.table(Store).select($"g", $"doc_id")
+        .as[(String, Long)].collect().toSet === Set(("g-y", 8L)),
+        "rows of the escaped-path all-victims partition resurfaced")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $Store")
+      spark.sql(s"DROP TABLE IF EXISTS $Tomb")
+    }
+  }
+
   test("owner re-election falls out of the postings grain") {
     try {
       // g-shared: victim 10 owns (min); survivors 20, 30. After the
