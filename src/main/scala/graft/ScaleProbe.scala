@@ -200,6 +200,12 @@ object ScaleProbe {
     // the image-side real-decode near-dup: same collapse-bounded
     // replica contract as the wav face
     "q_media_bmp_dedup",
+    // the COMPRESSED-image faces on replicas: verbatim copies produce
+    // byte-identical PNG/JPEG containers (deterministic encoders), so
+    // the md5 collapse bounds the inflate/IDCT + signature work exactly
+    // like the uncompressed faces — only the encode scan and fan-out
+    // grow; the decode-certification row is map-only linear
+    "q_media_png_dedup", "q_media_jpeg_decode",
     // the banding sweep: one signature pass, three re-band projections,
     // the 8x8 rung's candidate volume bounds the whole report — must
     // track q_media_phash_dedup's replica contract
@@ -387,6 +393,13 @@ object ScaleProbe {
     // the image ingest face: every history band bucket hot under the
     // boilerplate corpus (media_bmp_hist cap bounds the index)
     "q_media_bmp_incremental",
+    // the compressed-image faces under the same concentration: unique
+    // trailers defeat the container-md5 collapse so every rep pays a
+    // REAL inflate (png) / entropy-decode+IDCT (jpeg), and the
+    // near-identical padded-grid aHashes make every band bucket hot —
+    // the media_png / media_jpeg capPerKey tags must bound pair work
+    // exactly like the bmp face
+    "q_media_png_dedup", "q_media_jpeg_dedup",
     // the REAL-DECODE video face under the same shape: every rep pays
     // a genuine AVI parse and the shared early frames make every
     // (frame_idx, sig) bucket hot — the media_avi cap must bound the

@@ -318,6 +318,113 @@ object Multimodal {
     })
   }
 
+  /** Wrap the documents table as REAL PNG images: each doc's bytes
+    * become gray pixels on the [[BmpWidth]]-wide grid (the BMP wrap's
+    * exact luma plane) inside a genuine PNG container compressed by the
+    * JDK's real deflate pipeline ([[ImageIoCodec.encodeGrayPng]]).
+    * Sharing the grid is the design point: PNG is lossless, so the
+    * decoded luma — through a REAL inflate + unfilter — equals the BMP
+    * family's plane bit-exactly and the whole PNG query family rides
+    * the same hard DuckDB oracle CTEs. */
+  def asPngMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload = ImageIoCodec.encodeGrayPng(bytes, BmpWidth)
+        val h = math.max(1, (bytes.length + BmpWidth - 1) / BmpWidth)
+        MediaItem(id, payload, "image/png", source, BmpWidth, h, 0L)
+      })
+  }
+
+  /** Wrap the documents table as REAL JPEG images — the same grid
+    * through the real LOSSY pipeline ([[ImageIoCodec.encodeGrayJpeg]]
+    * at quality 1.0, the ≤1-luma-error certification point). */
+  def asJpegMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload = ImageIoCodec.encodeGrayJpeg(bytes, BmpWidth)
+        val h = math.max(1, (bytes.length + BmpWidth - 1) / BmpWidth)
+        MediaItem(id, payload, "image/jpeg", source, BmpWidth, h, 0L)
+      })
+  }
+
+  /** Per-item features THROUGH THE REAL PNG DECODER — a genuine
+    * inflate + unfilter ([[ImageIoCodec.decodeGray]]) inside the
+    * partition-local batch function, then the shared aHash kernel over
+    * the DECODED luma plane. width/height come from the parsed IHDR.
+    * byte_size is deliberately absent: PNG's compressed size is a
+    * deflate-implementation detail no SQL oracle can replay (the
+    * decoded PLANE is the cross-engine contract). */
+  case class PngFeatures(item_id: Long, width: Int, height: Int,
+                         bands: Array[Long])
+
+  def pngDecodeFeatures(items: Dataset[MediaItem]): Dataset[PngFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      val img = ImageIoCodec.decodeGray(m.payload)
+      PngFeatures(m.item_id, img.width, img.height,
+        FakeCodec.perceptualBandsOf(img.luma))
+    })
+  }
+
+  /** Perceptual signatures THROUGH THE REAL JPEG DECODER — entropy
+    * decode + IDCT per item. Bands here are NEAR the exact grid's (≤1
+    * luma error can flip near-tie aHash bits), which is exactly why the
+    * JPEG dedup faces ride their own measured ring and the PNG family
+    * carries the hash-matched twin. */
+  def jpegSigs(items: Dataset[MediaItem]): Dataset[MediaSig] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      val img = ImageIoCodec.decodeGray(m.payload)
+      MediaSig(m.item_id, FakeCodec.perceptualBandsOf(img.luma))
+    })
+  }
+
+  /** The JPEG decode CERTIFICATION row: encode the doc through the real
+    * lossy writer, decode through the real reader, and check the
+    * container geometry AND the ≤1-per-pixel luma error bound against
+    * the exact padded grid — the decode-honesty device for a codec
+    * whose output no SQL engine can replay. The oracle asserts
+    * `luma_err_le1` TRUE for every item: a header, raster-walk,
+    * quality, or color-transform bug anywhere in the round trip turns
+    * rows false and breaks the hash. */
+  case class JpegCert(item_id: Long, width: Int, height: Int,
+                      n_pixels: Long, luma_err_le1: Boolean)
+
+  def jpegCertify(docs: DataFrame): Dataset[JpegCert] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val img = ImageIoCodec.decodeGray(
+          ImageIoCodec.encodeGrayJpeg(bytes, BmpWidth))
+        val h = math.max(1, (bytes.length + BmpWidth - 1) / BmpWidth)
+        var ok = img.width == BmpWidth && img.height == h
+        if (ok) {
+          var i = 0
+          val n = img.luma.length
+          while (ok && i < n) {
+            val ref = if (i < bytes.length) bytes(i) & 0xFF else 0
+            if (math.abs(img.luma(i) - ref) > 1) ok = false
+            i += 1
+          }
+        }
+        JpegCert(id, img.width, img.height, img.luma.length.toLong, ok)
+      })
+  }
+
   /** Frame geometry of the document→AVI ingest wrap: 16×4 gray pixels
     * per frame = [[FakeCodec.VideoFrameBytes]] source bytes, so the
     * real container carries exactly the byte blocks the synthetic video

@@ -170,6 +170,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("topk_longs"),
       info("topk_longs", classOf[graft.functions.TopKLongs]),
       graft.functions.TopKFunctions.builder))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", classOf[graft.functions.NfcNormalize]),
+      graft.functions.NfcNormalize.builder))
     ext.injectOptimizerRule(_ => FuseVectorHofs)
   }
 }

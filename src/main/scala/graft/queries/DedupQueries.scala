@@ -820,6 +820,34 @@ object DedupQueries {
         .orderBy("keep_doc_id")
     }),
 
+    // Exact dedup behind the pinned Unicode-NFC canonicalization stage
+    // (the r15 verdict's missing #3): NFD and NFC encodings of the SAME
+    // characters are byte-distinct, so the plain fingerprint treats
+    // "Café" composed and decomposed as different documents — every
+    // hash/shingle family inherits that miss. One deterministic
+    // nfc_normalize projection (graft.functions.NfcNormalize — codegen,
+    // ASCII fast path returns the input untouched) ahead of the
+    // fingerprint closes it; DuckDB's nfc_normalize replays the stage
+    // on the oracle side, so the lineage is pinned cross-engine exactly
+    // like the BPE pretokenizer regex (NfcSpec holds the fixture
+    // equivalences: an NFD near-dup the un-normalized query misses and
+    // this one catches). On the ASCII testdata the stage is the
+    // identity, which is precisely what makes the hard hash-match
+    // carry: both engines must agree the corpus is ASCII-clean AND
+    // agree on the normalize arithmetic around it. Scale shape
+    // unchanged from q_dedup_exact (map-side projection + one
+    // exchange).
+    "q_dedup_exact_nfc" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select($"doc_id",
+          fingerprint(Nfc.of(s, $"text")).as("fingerprint"))
+        .groupBy($"fingerprint")
+        .agg(min($"doc_id").as("keep_doc_id"),
+          count(lit(1)).as("copy_count"))
+        .orderBy("keep_doc_id")
+    }),
+
     // Incremental ingest dedup: the "new batch vs existing corpus" shape —
     // at 100 TB nobody re-dedups the world per ingest; the increment is
     // anti-joined against the historical fingerprint index. Here the
@@ -2073,6 +2101,17 @@ object DedupQueries {
         |FROM (SELECT doc_id,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |          AS fingerprint
+        |      FROM documents)
+        |GROUP BY fingerprint ORDER BY keep_doc_id""".stripMargin,
+
+    // the NFC face: identical lineage with DuckDB's own nfc_normalize
+    // replaying the Spark-side canonicalization stage
+    "q_dedup_exact_nfc" ->
+      """SELECT fingerprint, min(doc_id) AS keep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS copy_count
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(nfc_normalize(text))),
+        |          '\s+', ' ', 'g')) AS fingerprint
         |      FROM documents)
         |GROUP BY fingerprint ORDER BY keep_doc_id""".stripMargin,
 

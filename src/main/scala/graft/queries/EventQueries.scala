@@ -17,6 +17,60 @@ import graft.{Clean, Tables}
   */
 object EventQueries {
 
+  /** The attribution join's shared machinery — (purchases, capped
+    * views, inner pairs) — built once for q_events_attrib and its
+    * full-outer sibling. `purchases` carries (purchase_id, user_id,
+    * purchase_sec, revenue); `views` one row per view (view_id, v_user,
+    * view_sec, __bin) AFTER the bot-guard cap; `inner` the binned
+    * equi-join's attribution pairs. See the q_events_attrib scaladoc
+    * for the bin arithmetic and the cap contract. */
+  private def attribParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val W = 7200L
+    val cap = s.conf.getOption("spark.graft.events.maxViewsPerCell")
+      .map(_.toInt).getOrElse(1000)
+    val failOnCap = s.conf
+      .getOption("spark.graft.dedup.failOnCapExceeded").contains("true")
+    val ev = Tables.table(s, dir, "events")
+      .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"sec".as("purchase_sec"), $"value".as("revenue"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+        $"sec".as("view_sec"))
+    val p = purchases.withColumn("__bin",
+      explode(array(Seq(0L, 1L).map(o =>
+        floor($"purchase_sec" / W).cast("long") - lit(o)): _*)))
+    val capW = Window.partitionBy($"v_user", $"__bin")
+      .orderBy($"view_sec".desc, $"view_id")
+    val keep =
+      if (!failOnCap) $"__rn" <= cap
+      else $"__rn" <= cap || isnull(assert_true(lit(false),
+        concat(lit("[graft] view cap engaged in 'attrib': rank "),
+          $"__rn", lit(s" > spark.graft.events.maxViewsPerCell=$cap " +
+            "under failOnCapExceeded — truncation would diverge from " +
+            "the exact oracle, failing fast instead"))))
+    val v = views.withColumn("__bin",
+        floor($"view_sec" / W).cast("long"))
+      .withColumn("__rn", row_number().over(capW))
+      .observe("hot_cells_attrib",
+        coalesce(sum(when($"__rn" > cap, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_views"),
+        coalesce(max($"__rn".cast("long")), lit(0L)).as("max_cell"))
+      .filter(keep)
+      .drop("__rn")
+    val inner = p.join(v,
+        p("__bin") === v("__bin") && p("user_id") === v("v_user") &&
+          v("view_sec") > p("purchase_sec") - W &&
+          v("view_sec") <= p("purchase_sec"))
+      .select($"purchase_id", $"user_id", $"purchase_sec", $"revenue",
+        $"view_id", $"view_sec",
+        ($"purchase_sec" - $"view_sec").as("delay_sec"))
+    (purchases, v, inner)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window aggregation (batch twin of the streaming agg).
     "q_events_hourly" -> ((s, dir) => {
@@ -216,6 +270,9 @@ object EventQueries {
     // second-truncated epoch integers (the events family's
     // cross-engine device).
     //
+    // Shared machinery: [[attribParts]] builds the capped binned
+    // equi-join once for this query and its full-outer sibling below.
+    //
     // BOT GUARD (the capPerKey contract, attribution-shaped): a bot
     // user flooding views makes the per-cell pair fan-out quadratic in
     // its density — views per (user, 2h cell) are therefore capped at
@@ -236,47 +293,7 @@ object EventQueries {
     // corpus.
     "q_events_attrib" -> ((s, dir) => {
       import s.implicits._
-      val W = 7200L
-      val cap = s.conf.getOption("spark.graft.events.maxViewsPerCell")
-        .map(_.toInt).getOrElse(1000)
-      val failOnCap = s.conf
-        .getOption("spark.graft.dedup.failOnCapExceeded").contains("true")
-      val ev = Tables.table(s, dir, "events")
-        .withColumn("sec", unix_timestamp(date_trunc("second", $"ts")))
-      val purchases = ev.filter($"event_type" === "purchase")
-        .select($"event_id".as("purchase_id"), $"user_id",
-          $"sec".as("purchase_sec"), $"value".as("revenue"))
-      val views = ev.filter($"event_type" === "view")
-        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
-          $"sec".as("view_sec"))
-      val p = purchases.withColumn("__bin",
-        explode(array(Seq(0L, 1L).map(o =>
-          floor($"purchase_sec" / W).cast("long") - lit(o)): _*)))
-      val capW = Window.partitionBy($"v_user", $"__bin")
-        .orderBy($"view_sec".desc, $"view_id")
-      val keep =
-        if (!failOnCap) $"__rn" <= cap
-        else $"__rn" <= cap || isnull(assert_true(lit(false),
-          concat(lit("[graft] view cap engaged in 'attrib': rank "),
-            $"__rn", lit(s" > spark.graft.events.maxViewsPerCell=$cap " +
-              "under failOnCapExceeded — truncation would diverge from " +
-              "the exact oracle, failing fast instead"))))
-      val v = views.withColumn("__bin",
-          floor($"view_sec" / W).cast("long"))
-        .withColumn("__rn", row_number().over(capW))
-        .observe("hot_cells_attrib",
-          coalesce(sum(when($"__rn" > cap, 1L).otherwise(0L)), lit(0L))
-            .as("dropped_views"),
-          coalesce(max($"__rn".cast("long")), lit(0L)).as("max_cell"))
-        .filter(keep)
-        .drop("__rn")
-      val inner = p.join(v,
-          p("__bin") === v("__bin") && p("user_id") === v("v_user") &&
-            v("view_sec") > p("purchase_sec") - W &&
-            v("view_sec") <= p("purchase_sec"))
-        .select($"purchase_id", $"user_id", $"purchase_sec", $"revenue",
-          $"view_id", $"view_sec",
-          ($"purchase_sec" - $"view_sec").as("delay_sec"))
+      val (purchases, _, inner) = attribParts(s, dir)
       val unmatched = purchases
         .join(inner.select($"purchase_id"), Seq("purchase_id"), "left_anti")
         .select($"purchase_id", $"user_id", $"purchase_sec", $"revenue",
@@ -285,6 +302,42 @@ object EventQueries {
           lit(null).cast("long").as("delay_sec"))
       inner.unionByName(unmatched)
         .orderBy($"purchase_id", coalesce($"view_id", lit(-1L)))
+    }),
+
+    // The FULL-outer face of the attribution join — q_events_attrib
+    // plus the second null arm: views that attribute to NO purchase
+    // (nothing bought within their 2-hour forward window) emit one
+    // null-purchase row each, completing the outer-join family. This
+    // is the batch twin of the full-outer watermarked stream-stream
+    // join (EventStream.attribJoinFull), whose null-view AND
+    // null-purchase rows each exist only because symmetric-hash-join
+    // state eviction closed the row's window on its own side —
+    // StreamStreamFullOuterSpec pins replay equality with both arms
+    // populated. Scale shape identical to q_events_attrib (the binned
+    // equi-join + two anti-joins, each on an already-shuffled key);
+    // the unmatched-view arm anti-joins the capped view set, so the
+    // cap contract carries over unchanged.
+    "q_events_attrib_full" -> ((s, dir) => {
+      import s.implicits._
+      val (purchases, v, inner) = attribParts(s, dir)
+      val unmatchedP = purchases
+        .join(inner.select($"purchase_id"), Seq("purchase_id"), "left_anti")
+        .select($"purchase_id", $"user_id", $"purchase_sec", $"revenue",
+          lit(null).cast("long").as("view_id"),
+          lit(null).cast("long").as("view_sec"),
+          lit(null).cast("long").as("delay_sec"))
+      // the bin explode is purchase-side only, so v is one row per view
+      val unmatchedV = v.select($"view_id", $"v_user", $"view_sec")
+        .join(inner.select($"view_id"), Seq("view_id"), "left_anti")
+        .select(lit(null).cast("long").as("purchase_id"),
+          $"v_user".as("user_id"),
+          lit(null).cast("long").as("purchase_sec"),
+          lit(null).cast("double").as("revenue"),
+          $"view_id", $"view_sec",
+          lit(null).cast("long").as("delay_sec"))
+      inner.unionByName(unmatchedP).unionByName(unmatchedV)
+        .orderBy(coalesce($"purchase_id", lit(-1L)),
+          coalesce($"view_id", lit(-1L)))
     }),
 
     // Temporal range join: purchases within +/-1 hour of each error event,
@@ -524,6 +577,44 @@ object EventQueries {
         |    (SELECT 1 FROM pairs WHERE pairs.purchase_id = p.purchase_id))
         |SELECT * FROM allrows
         |ORDER BY purchase_id, coalesce(view_id, -1)""".stripMargin,
+
+    // the full-outer twin: the attrib oracle plus the symmetric
+    // NOT-EXISTS arm for views no purchase attributes to
+    "q_events_attrib_full" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_sec,
+        |    value AS revenue
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS view_sec
+        |  FROM events WHERE event_type = 'view'),
+        |pairs AS (
+        |  SELECT p.purchase_id, p.user_id, p.purchase_sec, p.revenue,
+        |    v.view_id, v.view_sec,
+        |    p.purchase_sec - v.view_sec AS delay_sec
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.view_sec > p.purchase_sec - 7200
+        |   AND v.view_sec <= p.purchase_sec),
+        |allrows AS (
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    view_id, view_sec, delay_sec
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    NULL, NULL, NULL
+        |  FROM p
+        |  WHERE NOT EXISTS
+        |    (SELECT 1 FROM pairs WHERE pairs.purchase_id = p.purchase_id)
+        |  UNION ALL
+        |  SELECT NULL, v.user_id, NULL, NULL,
+        |    v.view_id, v.view_sec, NULL
+        |  FROM v
+        |  WHERE NOT EXISTS
+        |    (SELECT 1 FROM pairs WHERE pairs.view_id = v.view_id))
+        |SELECT * FROM allrows
+        |ORDER BY coalesce(purchase_id, -1), coalesce(view_id, -1)""".stripMargin,
 
     "q_events_range" ->
       """SELECT e.event_id AS error_id,

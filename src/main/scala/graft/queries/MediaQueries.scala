@@ -147,6 +147,37 @@ object MediaQueries {
       .select(col("item_id"), col("bands"))
   }
 
+  /** Fingerprints through the REAL PNG decoder (inflate + unfilter via
+    * [[graft.multimodal.ImageIoCodec]]), projected to the shared
+    * (item_id, bands) signature shape. PNG is lossless over the BMP
+    * wrap's exact grid, so these signatures EQUAL the BMP family's and
+    * ride the same measured ring ([[BmpMaxHamming]]) and the same hard
+    * oracle CTEs. */
+  private[graft] def pngSigsOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    Multimodal.pngDecodeFeatures(media.as[Multimodal.MediaItem]).toDF()
+      .select(col("item_id"), col("bands"))
+  }
+
+  /** Fingerprints through the REAL JPEG decoder (entropy decode + IDCT)
+    * — near the exact grid's bands, not equal (±1 luma flips near-tie
+    * aHash bits), hence the separate measured ring below. */
+  private[graft] def jpegSigsOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    Multimodal.jpegSigs(media.as[Multimodal.MediaItem]).toDF()
+  }
+
+  /** q_media_jpeg_dedup's verdict ring, measured on this corpus's REAL
+    * JPEG-decoded signatures (the BmpMaxHamming discipline): at ring 5
+    * the JPEG face finds the IDENTICAL 16-pair verdict set as the
+    * lossless PNG twin at sf0.01 — the ±1 luma noise shifts two pairs'
+    * distances by 1 without crossing the ring, and the background ramp
+    * from 11 leaves the gap intact. A pair sitting exactly ON the ring
+    * under the exact grid can in principle drift out under re-encode
+    * noise — that sensitivity is inherent to lossy input and is what
+    * the planted re-encode fixture (ImageIoCodecSpec) quantifies. */
+  private[graft] val JpegMaxHamming = BmpMaxHamming
+
   /** The shared banded near-dup device, signature-agnostic: collapse
     * byte-identical payloads to md5 representatives (identical bytes =>
     * identical signature — one representative carries the group),
@@ -552,6 +583,94 @@ object MediaQueries {
     "q_media_bmp_incremental" -> ((s, dir) =>
       bandIncremental(s, dir, bmpSigsOf, "media_bmp_hist", BmpMaxHamming,
         (s, d) => Multimodal.asBmpMedia(Tables.table(s, d, "documents"))
+          .toDF())),
+
+    // The COMPRESSED-image real-decoder honesty check: documents wrapped
+    // as genuine PNG containers (Multimodal.asPngMedia — the JDK's real
+    // deflate writer; any PNG tool opens the payloads), then a REAL
+    // inflate + unfilter (ImageIoCodec.decodeGray) runs inside the codec
+    // seam and the emitted features come from the PARSED container:
+    // width/height from IHDR plus the aHash over the decoded luma.
+    // PNG is lossless over the BMP wrap's exact grid, so the oracle
+    // replays the identical padded-grid chain (bmpBandCtes) — a deflate,
+    // filter, interlace, or raster-walk bug in the JDK-path decode is a
+    // hash MISMATCH. byte_size is deliberately absent (compressed size
+    // is a deflate-implementation detail; the PLANE is the contract).
+    "q_media_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.asPngMedia(Tables.table(s, dir, "documents"))
+      Multimodal.pngDecodeFeatures(media).toDF()
+        .select($"item_id", $"width", $"height", posexplode($"bands"))
+        .toDF("item_id", "width", "height", "band_idx", "band_val")
+        .orderBy("item_id", "band_idx")
+    }),
+
+    // The compressed-image near-dup — the FOURTH signature under the one
+    // shared pairing device ([[bandNearDup]]): md5 collapse over the
+    // real PNG container bytes, the decoded-luma aHash through the real
+    // inflate path, banding, capPerKey-bounded candidates (tag
+    // media_png), exact Hamming verify at the [[BmpMaxHamming]] ring
+    // (the plane is identical to BMP's, so the measured ring transfers
+    // exactly), fan-out. Hard oracle: bmpBandCtes + the verbatim serve
+    // fragment. One subtlety the oracle encodes: the container-byte md5
+    // collapse groups by TEXT on the oracle side, which is valid
+    // because the PNG encoder is deterministic and injective in the
+    // text bytes — same argument as the WAV/BMP collapses.
+    "q_media_png_dedup" -> ((s, dir) =>
+      bandNearDup(s, dir, pngSigsOf, "media_png", BmpMaxHamming,
+        (s, d) => Multimodal.asPngMedia(Tables.table(s, d, "documents"))
+          .toDF())),
+
+    // The compressed-image ingest face — the incremental admit rule
+    // through the real PNG decode chain (tag media_png_hist), same
+    // banded-history scale shape and hard-oracle argument as the BMP
+    // face; DocStream.mediaDedupPng is the live twin (MediaStreamSpec
+    // pins them equal on a replayed split).
+    "q_media_png_incremental" -> ((s, dir) =>
+      bandIncremental(s, dir, pngSigsOf, "media_png_hist", BmpMaxHamming,
+        (s, d) => Multimodal.asPngMedia(Tables.table(s, d, "documents"))
+          .toDF())),
+
+    // The LOSSY-codec decode certification — the honesty device for a
+    // codec no SQL engine can replay (JPEG's DCT+quantization): each doc
+    // round-trips through the REAL JDK JPEG writer (quality 1.0) and
+    // reader inside the codec seam, and the row carries the container
+    // geometry (width/height from the parsed SOF, n_pixels) plus the
+    // measured ≤1-per-pixel luma error bound against the exact padded
+    // grid. The oracle replays the geometry arithmetically and asserts
+    // the bound TRUE for every item — a header, raster, quality, or
+    // color-transform bug anywhere in the round trip turns rows false
+    // and breaks the hash. This is the strongest cross-engine statement
+    // available for a lossy codec: bit-replay is impossible IN
+    // PRINCIPLE, so the contract is the published error bound, pinned
+    // per item (the sketch-family discipline, applied to a codec).
+    "q_media_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.jpegCertify(Tables.table(s, dir, "documents")).toDF()
+        .orderBy("item_id")
+    }),
+
+    // JPEG near-dup THROUGH the real lossy decoder — the fifth
+    // signature under the one pairing device, riding its own measured
+    // ring ([[JpegMaxHamming]]). ROWS-ONLY by necessity, with two
+    // anchors (the md5-twin discipline): q_media_png_dedup is the
+    // hash-matched LOSSLESS twin of the identical pipeline (same grid,
+    // same device, swap the codec), and ImageIoCodecSpec pins the
+    // planted re-encode-variant fixture at its measured band distance —
+    // the case a JPEG dedup exists for (the same image re-saved at a
+    // different quality) — plus batch/stream agreement via
+    // DocStream.mediaDedupJpeg (MediaStreamSpec).
+    "q_media_jpeg_dedup" -> ((s, dir) =>
+      bandNearDup(s, dir, jpegSigsOf, "media_jpeg", JpegMaxHamming,
+        (s, d) => Multimodal.asJpegMedia(Tables.table(s, d, "documents"))
+          .toDF())),
+
+    // The JPEG ingest face — rows-only like the dedup (same anchors);
+    // the live twin is DocStream.mediaDedupJpeg.
+    "q_media_jpeg_incremental" -> ((s, dir) =>
+      bandIncremental(s, dir, jpegSigsOf, "media_jpeg_hist",
+        JpegMaxHamming,
+        (s, d) => Multimodal.asJpegMedia(Tables.table(s, d, "documents"))
           .toDF())),
 
     // Per-item binary metadata: byte size + content digest over the
@@ -1240,6 +1359,86 @@ object MediaQueries {
         |WHERE doc_id % 10 = 0
         |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
         |ORDER BY item_id""".stripMargin,
+
+    // the compressed-image real-decode replay: PNG is lossless over the
+    // BMP wrap's exact grid, so the decoded plane IS the padded grid and
+    // the bmpBandCtes chain replays it bit-for-bit; geometry from the
+    // canonical IHDR layout (width = the grid constant, height =
+    // ceil(len/width))
+    "q_media_png_decode" -> {
+      val w = Multimodal.BmpWidth
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$bmpBandCtes
+        |SELECT s.doc_id AS item_id,
+        |  CAST($w AS INT) AS width,
+        |  CAST((s.len + ${w - 1}) // $w AS INT) AS height,
+        |  CAST(b.band_idx AS INT) AS band_idx, b.band_val
+        |FROM sigsrc s JOIN bands b ON b.doc_id = s.doc_id
+        |ORDER BY item_id, band_idx""".stripMargin
+    },
+
+    // the compressed-image near-dup: container-byte collapse (the PNG
+    // encoder is deterministic and injective in the text bytes, so
+    // grouping by text replays it), the padded-grid decode chain, the
+    // verbatim shared serve fragment
+    "q_media_png_dedup" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |grp AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+        |    list(doc_id) AS ids
+        |  FROM m GROUP BY 1),
+        |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
+        |$bmpBandCtes,
+        |${bandPairServeSql(BmpMaxHamming)}""".stripMargin,
+
+    // the png ingest face: the identical NOT-EXISTS admit replay under
+    // the real inflate-path decode chain
+    "q_media_png_incremental" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$bmpBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+        |  FROM bands i JOIN bands h
+        |    ON i.band_idx = h.band_idx AND i.band_val = h.band_val
+        |    AND i.doc_id % 10 = 0 AND h.doc_id % 10 <> 0),
+        |ham AS (
+        |  SELECT c.inc_id, c.hist_id,
+        |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.inc_id
+        |  JOIN bands y ON y.doc_id = c.hist_id AND y.band_idx = x.band_idx
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = $PhashBands),
+        |flagged AS (
+        |  SELECT DISTINCT inc_id FROM ham
+        |  WHERE hamming <= $BmpMaxHamming)
+        |SELECT DISTINCT doc_id AS item_id FROM sigsrc
+        |WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
+        |ORDER BY item_id""".stripMargin,
+
+    // the lossy-codec certification: geometry replayed arithmetically,
+    // the ≤1-luma-error contract asserted TRUE per item (the Spark side
+    // MEASURED it through the real round trip; a codec bug turns rows
+    // false and breaks the hash)
+    "q_media_jpeg_decode" -> {
+      val w = Multimodal.BmpWidth
+      s"""SELECT doc_id AS item_id,
+        |  CAST($w AS INT) AS width,
+        |  CAST((length(text) + ${w - 1}) // $w AS INT) AS height,
+        |  CAST($w * ((length(text) + ${w - 1}) // $w) AS BIGINT)
+        |    AS n_pixels,
+        |  TRUE AS luma_err_le1
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |ORDER BY item_id""".stripMargin
+    },
 
     // the bmp ingest face: the identical NOT-EXISTS admit replay under
     // the image real-decode chain

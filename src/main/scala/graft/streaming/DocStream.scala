@@ -903,6 +903,43 @@ object DocStream extends Serializable {
       graft.queries.MediaQueries.bmpSigsOf,
       graft.queries.MediaQueries.BmpMaxHamming)
 
+  /** The png history index: real compressed containers, real inflate —
+    * the batch q_media_png_incremental's history side verbatim (tag
+    * media_png_hist). */
+  def preparePngMediaIndex(historyDocs: DataFrame): DataFrame =
+    prepareMediaIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asPngMedia(d).toDF(),
+      graft.queries.MediaQueries.pngSigsOf, "media_png_hist")
+
+  /** The live face THROUGH the real PNG decoder — the compressed-image
+    * side of the media symmetry, the stream twin of
+    * q_media_png_incremental (MediaStreamSpec pins the admitted sets
+    * equal on a replayed split, zero state rows). */
+  def mediaDedupPng(spark: SparkSession, newDocs: DataFrame,
+                    histIndex: DataFrame): Dataset[MediaAdmit] =
+    mediaDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asPngMedia(d).toDF(),
+      graft.queries.MediaQueries.pngSigsOf,
+      graft.queries.MediaQueries.BmpMaxHamming)
+
+  /** The jpeg history index — the LOSSY codec's ingest-time memory
+    * (tag media_jpeg_hist). */
+  def prepareJpegMediaIndex(historyDocs: DataFrame): DataFrame =
+    prepareMediaIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asJpegMedia(d).toDF(),
+      graft.queries.MediaQueries.jpegSigsOf, "media_jpeg_hist")
+
+  /** The live face THROUGH the real JPEG decoder — the stream twin of
+    * q_media_jpeg_incremental at the [[graft.queries.MediaQueries
+    * .JpegMaxHamming]] ring (rows-only batch face; the stream/batch
+    * agreement pin in MediaStreamSpec is one of its anchors). */
+  def mediaDedupJpeg(spark: SparkSession, newDocs: DataFrame,
+                     histIndex: DataFrame): Dataset[MediaAdmit] =
+    mediaDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asJpegMedia(d).toDF(),
+      graft.queries.MediaQueries.jpegSigsOf,
+      graft.queries.MediaQueries.JpegMaxHamming)
+
   /** One judged video arrival from [[mediaDedupAvi]] — rejections
     * carry the blamed history item and its aligned-collision count. */
   case class AviAdmit(item_id: Long, admitted: Boolean,

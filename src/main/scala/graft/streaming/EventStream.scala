@@ -684,6 +684,44 @@ object EventStream {
           unix_timestamp(col("view_ts"))).as("delay_sec"))
   }
 
+  /** FULL-OUTER watermarked stream-stream interval join — [[attribJoin]]
+    * with the OTHER eviction arm completed: unmatched purchases emit
+    * null-view rows (the left-outer arm) AND unmatched views emit
+    * null-purchase rows, each authorized only when the WATERMARK closes
+    * the row's join window on its own side — so correctness rests on
+    * BOTH directions of symmetric-hash-join state eviction (a view can
+    * only be declared unmatched once no purchase within its 2-hour
+    * forward window can still arrive; a purchase once no view within
+    * its lookback can). The batch twin is `q_events_attrib_full`
+    * (inner pairs ∪ anti-join null arms — exactly the outer join's
+    * semantics on both sides); StreamStreamFullOuterSpec pins replay
+    * row-equality with both null arms populated, state eviction, and
+    * restart durability across a checkpoint. Output user_id coalesces
+    * across sides so every row names its user. */
+  def attribJoinFull(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        date_trunc("second", col("ts")).as("purchase_ts"),
+        col("value").as("revenue"))
+      .withWatermark("purchase_ts", "4 hours")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        date_trunc("second", col("ts")).as("view_ts"))
+      .withWatermark("view_ts", "4 hours")
+    purchases.join(views, expr(
+        """p_user = v_user
+          | AND view_ts > purchase_ts - interval 2 hours
+          | AND view_ts <= purchase_ts""".stripMargin), "fullOuter")
+      .select(col("purchase_id"),
+        coalesce(col("p_user"), col("v_user")).as("user_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_sec"),
+        col("revenue"), col("view_id"),
+        unix_timestamp(col("view_ts")).as("view_sec"),
+        (unix_timestamp(col("purchase_ts")) -
+          unix_timestamp(col("view_ts"))).as("delay_sec"))
+  }
+
   /** Sink: drive a streaming DataFrame into an in-memory table and block
     * until the source is drained (local smoke / tests). Windowed aggregates
     * need Complete mode to surface windows still behind the watermark. */

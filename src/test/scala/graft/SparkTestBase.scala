@@ -30,6 +30,8 @@ trait SparkTestBase extends AnyFunSuite {
       graft.functions.TopKFunctions.register(s)
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         "word_shingles", graft.queries.Shingles.builder, "internal")
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nfc_normalize", graft.functions.NfcNormalize.builder, "internal")
       if (!s.experimental.extraOptimizations
             .exists(_ eq graft.plans.FuseVectorHofs))
         s.experimental.extraOptimizations =

@@ -128,6 +128,53 @@ class MediaStreamSpec extends SparkTestBase {
     } finally index.unpersist()
   }
 
+  test("the PNG and JPEG stream faces equal their batch incrementals on " +
+      "the replayed increment, with zero state") {
+    // the compressed-image twins: arrivals wrap into genuine PNG/JPEG
+    // containers and the JDK's real inflate / IDCT paths parse them
+    // inside the stateless decode pass — admitted sets must match
+    // q_media_png_incremental (hash-matched) and
+    // q_media_jpeg_incremental (the rows-only face's batch/stream
+    // agreement anchor)
+    val dir = Files.createTempDirectory("media_stream_img_inc")
+    val docs = Tables.table(spark, sf0001, "documents")
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 250),
+      dir, "b0.parquet", 1700000000000L)
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" >= 250),
+      dir, "b1.parquet", 1700000100000L)
+
+    for ((tag, prepare, face, query) <- Seq(
+        ("png",
+          DocStream.preparePngMediaIndex _,
+          DocStream.mediaDedupPng _,
+          "q_media_png_incremental"),
+        ("jpeg",
+          DocStream.prepareJpegMediaIndex _,
+          DocStream.mediaDedupJpeg _,
+          "q_media_jpeg_incremental"))) {
+      val index = prepare(docs.filter($"doc_id" % 10 =!= 0))
+      try {
+        val out = face(spark,
+          DocStream.readDocs(spark, dir.toString), index).toDF()
+        val q = EventStream.runToMemory(out, s"media_dedup_$tag",
+          OutputMode.Append())
+        q.processAllAvailable()
+        val stateRows = q.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsTotal).foldLeft(0L)(math.max)
+        q.stop()
+        assert(stateRows === 0L,
+          s"the $tag verdict face must keep no state")
+
+        val admitted = spark.table(s"media_dedup_$tag")
+          .filter($"admitted").select($"item_id").as[Long].collect().toSet
+        val want = graft.SparkEntry.queries(query)(spark, sf0001)
+          .as[Long].collect().toSet
+        assert(admitted === want, s"$tag stream face diverges from $query")
+      } finally index.unpersist()
+    }
+  }
+
   test("the AVI stream face equals its batch incremental on the " +
       "replayed increment, across micro-batches, with zero state") {
     // the video twin at the frame-signature grain: every arrival wraps
