@@ -1048,6 +1048,51 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // The lifecycle on the ATOMIC-SNAPSHOT store — q_index_lifecycle's
+    // semantics (same base/admit/takedown slices, same owner-view
+    // oracle: hash-match = equivalence) through sources/SnapshotStore's
+    // versioned commit protocol instead of the table-backed dynamic
+    // overwrite. What changes is the CONSISTENCY contract, not the
+    // answer or the cost model: every maintenance step publishes one
+    // immutable manifest (data files are never overwritten or deleted
+    // in place), so a concurrent reader resolved against ANY version
+    // sees exactly that version — never the half-folded mix the
+    // table-backed fold could expose between its overwrite and its
+    // directory drops — and a second concurrent writer is REFUSED at
+    // commit (optimistic version check) instead of silently
+    // interleaving. SnapshotStoreSpec pins all of it: mid-cycle reader
+    // isolation, conflict refusal, untouched-partition file identity,
+    // vacuum reclaim. Cost shape identical to the table path: compact
+    // = one anti-join + increment-sized write; retract = affected
+    // partitions' survivors rewritten, manifest swap, nothing else
+    // touched.
+    "q_index_snapshot_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snapshot_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.retract(s, root,
+        postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.read(s, root)
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // Corpus version diff — the "what changed in this drop" report an
     // ingest operator reads before promoting a new corpus version: per
     // (source, status) document counts for added / removed / changed /
@@ -2256,6 +2301,30 @@ object DedupQueries {
     // derivation: base ∪ admits (identity-distinct) minus the
     // takedown docs' postings, grouped to the owner view
     "q_index_lifecycle" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings
+        |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // the snapshot-store lifecycle carries the IDENTICAL oracle — the
+    // commit protocol must not change a single output row (hash-match
+    // = equivalence, the r15 verdict's done-criterion for the
+    // versioned-commit item)
+    "q_index_snapshot_lifecycle" ->
       """WITH docs AS (
         |  SELECT doc_id,
         |    string_split_regex(regexp_replace(lower(trim(text)),

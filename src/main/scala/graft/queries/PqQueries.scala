@@ -549,7 +549,14 @@ object PqQueries {
 
     // The recall-per-scan audit of the two IVFADC variants at the
     // deployment nprobe — the measured claim behind shipping the
-    // residual index, ORACLE-GATED instead of asserted: per variant,
+    // residual index as THE SERVING DEFAULT (the r15 promotion
+    // decision: the sf0.1 recall audit attributed the non-residual
+    // gap to the untrained md5-corner router; this row pair shows the
+    // trained-coarse residual variant is the recall/scan Pareto
+    // point, so q_ann_ivfpq_res / DocStream.annSearchPqRes ship as
+    // the default and the corner-router face remains the
+    // oracle-anchoring twin), ORACLE-GATED instead of asserted: per
+    // variant,
     // the pair volume its probed cells scanned (cost), the top-5 rows
     // served, and how many sit in exact tick-L2 truth (quality). Both
     // full double-trained lifecycles plus the brute-force truth replay

@@ -158,6 +158,15 @@ object DocStream extends Serializable {
     * one exchange + bucket-aligned append (IndexCompact's contract).
     * StreamCompactLoopSpec pins the loop with a staged replay.
     *
+    * SINGLE-WRITER CONTRACT: each micro-batch's compact runs under the
+    * table's exclusive [[graft.operators.WriterLock]] — the loop plus a
+    * second concurrent compactor/retractor on the same table was
+    * previously UNDEFINED (keep-first idempotence protects replays of
+    * one writer, not interleaved writers); now the interloper — or
+    * this batch, if an out-of-band maintenance job holds the lock — is
+    * refused loudly instead of interleaving (StreamCompactLoopSpec's
+    * lock test).
+    *
     * @param onBatch  callback with each batch's appended-row count
     *                 (observability; tests record the per-batch admits)
     * @return a writer — caller adds trigger/checkpoint and starts */
@@ -170,8 +179,10 @@ object DocStream extends Serializable {
           .withColumn("fp",
             coalesce(graft.Clean.fingerprint(col("text")), lit("")))
           .groupBy(col("fp")).agg(min(col("doc_id")).as("owner_id"))
-        onBatch(graft.operators.IndexCompact.compact(
-          spark, table, admits, Seq("fp")))
+        onBatch(graft.operators.WriterLock.withLock(spark, table) {
+          graft.operators.IndexCompact.compact(
+            spark, table, admits, Seq("fp"))
+        })
         ()
       }
 

@@ -77,4 +77,45 @@ class StreamCompactLoopSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $Hist")
     }
   }
+
+  test("a concurrent writer holding the table's maintenance lock makes " +
+      "the loop's batch fail loudly instead of interleaving") {
+    val Hist = "loop_lock_spec"
+    try {
+      graft.sources.Layout.writeBucketed(
+        Seq(("fp-base", 1L)).toDF("fp", "owner_id"), Hist, "fp")
+      val dir = Files.createTempDirectory("compact_loop_lock")
+      stageFile(Seq((100L, "fresh text", "en", "web", 10L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        dir, "b0.parquet", 1700000000000L)
+
+      // the out-of-band maintenance job (a second compactor) holds the
+      // lock across the whole micro-batch
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        graft.operators.WriterLock.withLock(spark, Hist) {
+          val q = DocStream.ingestCompactLoop(spark,
+              DocStream.readDocs(spark, dir.toString), Hist)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation",
+              Files.createTempDirectory("compact_loop_lock_ckpt").toString)
+            .start()
+          q.awaitTermination()
+        }
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(
+        _.isInstanceOf[graft.operators.WriterLock.LockHeldException]),
+        s"expected a LockHeldException in the cause chain, got $ex")
+      // nothing interleaved: the table still holds only the base row
+      assert(spark.table(Hist).count() === 1L)
+
+      // the holder's exit released the lock (the exception propagated
+      // through the outer withLock's finally) — a new writer proceeds
+      graft.operators.WriterLock.withLock(spark, Hist) { () }
+    } finally {
+      graft.operators.WriterLock.break(spark, Hist)
+      spark.sql(s"DROP TABLE IF EXISTS $Hist")
+    }
+  }
 }
