@@ -34,7 +34,17 @@ class QuerySmokeSpec extends SparkTestBase {
       "q_dedup_minhash_lsh",   // twin: q_dedup_minhash_sql (green)
       "q_dedup_simhash",       // twin: q_dedup_simhash_sql (green)
       "q_agg_approx_distinct", // HLL: 3*rsd error-bound spec
-      "q_agg_approx_quantiles" // GK: rank-error-bound spec
+      "q_agg_approx_quantiles",// GK: rank-error-bound spec
+      // the LOSSY-codec faces: no SQL replay of a DCT codec exists IN
+      // PRINCIPLE. Anchors: q_media_png_dedup/_incremental are the
+      // hash-matched LOSSLESS twins of the identical pipeline (same
+      // grid, same device, swap the codec — identical 16-pair verdict
+      // set at sf0.01), q_media_jpeg_decode hash-matches the round
+      // trip's geometry + error-bound certification, ImageIoCodecSpec
+      // pins the planted re-encode fixture inside the measured ring,
+      // and MediaStreamSpec pins batch/stream agreement
+      "q_media_jpeg_dedup",
+      "q_media_jpeg_incremental"
     )
     val unanchored = SparkEntry.queries.keySet
       .diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
