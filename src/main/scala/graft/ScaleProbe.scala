@@ -206,6 +206,9 @@ object ScaleProbe {
     // like the uncompressed faces — only the encode scan and fan-out
     // grow; the decode-certification row is map-only linear
     "q_media_png_dedup", "q_media_jpeg_decode",
+    // the compressed-audio face on replicas: same collapse-bounded
+    // contract (deterministic µ-law containers collapse byte-identical)
+    "q_media_ulaw_dedup",
     // the banding sweep: one signature pass, three re-band projections,
     // the 8x8 rung's candidate volume bounds the whole report — must
     // track q_media_phash_dedup's replica contract
@@ -400,6 +403,10 @@ object ScaleProbe {
     // the media_png / media_jpeg capPerKey tags must bound pair work
     // exactly like the bmp face
     "q_media_png_dedup", "q_media_jpeg_dedup",
+    // the compressed-audio face under the same concentration: every rep
+    // pays a real G.711 expansion, near-identical quantized energy
+    // profiles concentrate the band buckets — media_ulaw cap bounds
+    "q_media_ulaw_dedup",
     // the REAL-DECODE video face under the same shape: every rep pays
     // a genuine AVI parse and the shared early frames make every
     // (frame_idx, sig) bucket hot — the media_avi cap must bound the

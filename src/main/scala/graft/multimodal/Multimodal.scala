@@ -244,6 +244,34 @@ object Multimodal {
       })
   }
 
+  /** Wrap the documents table as REAL COMPRESSED audio: the same PCM16
+    * samples as [[asWavMedia]], companded through the genuine G.711
+    * µ-law encoder into a canonical format-7 WAV container
+    * ([[WavCodec.encodeUlaw]] — 2:1 compression, javax.sound opens the
+    * payloads). The compressed-audio sibling of [[asJpegMedia]], with
+    * one decisive difference: µ-law quantization is stateless integer
+    * arithmetic, so unlike JPEG the whole lossy round trip replays in
+    * SQL and the family keeps hard oracles. */
+  def asUlawMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val samples = new Array[Int](bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          samples(i) = ((bytes(i) & 0xFF) - 128) * 256
+          i += 1
+        }
+        val payload = WavCodec.encodeUlaw(samples, WavSampleRate)
+        MediaItem(id, payload, "audio/mulaw", source, 0, 0,
+          samples.length * 1000L / WavSampleRate)
+      })
+  }
+
   /** Per-item features THROUGH THE REAL DECODER: [[WavCodec.decode]]
     * runs the genuine RIFF chunk scan + PCM16LE extraction inside the
     * partition-local batch function, then the Haitsma-Kalker fingerprint

@@ -70,6 +70,78 @@ object WavCodec {
     out
   }
 
+  // --- G.711 µ-law: the COMPRESSED audio codec behind the seam -------
+  //
+  // The r15 gap named "real corpora are JPEG/PNG/MP3": MP3/FLAC need
+  // external libraries this environment forbids, but µ-law (ITU-T
+  // G.711, the telephony standard) is a REAL lossy compression codec —
+  // 2:1, logarithmic companding — that is fully specified in public
+  // integer arithmetic AND natively read by the JDK's javax.sound
+  // (AudioFormat.Encoding.ULAW), giving the same independent
+  // cross-check as the PCM path. Unlike JPEG's DCT, its quantization
+  // is per-sample and stateless, so the encode∘decode composition
+  // replays EXACTLY in SQL: the compressed-audio query family carries
+  // hard DuckDB oracles, the strongest statement a lossy codec can
+  // make. Formulas are the published Sun/CCITT reference (BIAS 0x84,
+  // CLIP 32635, 8 segments, complemented code byte).
+
+  private val UlawBias = 0x84
+  private val UlawClip = 32635
+
+  /** Linear 16-bit sample → 8-bit µ-law code (the published encoder). */
+  def ulawEncode(pcm: Int): Int = {
+    val sign = if (pcm < 0) 0x80 else 0x00
+    var mag = if (pcm < 0) -pcm else pcm
+    if (mag > UlawClip) mag = UlawClip
+    mag += UlawBias
+    var seg = 0
+    while (seg < 7 && mag >= (0x100 << seg)) seg += 1
+    val mant = (mag >> (seg + 3)) & 0x0F
+    ~(sign | (seg << 4) | mant) & 0xFF
+  }
+
+  /** 8-bit µ-law code → linear 16-bit sample (the published decoder). */
+  def ulawDecode(code: Int): Int = {
+    val u = ~code & 0xFF
+    val t = (((u & 0x0F) << 3) + UlawBias) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) UlawBias - t else t - UlawBias
+  }
+
+  /** Canonical µ-law mono WAV writer: RIFF + 18-byte fmt (format tag 7,
+    * 8 bits, cbSize 0) + the fact chunk non-PCM WAVs carry + one code
+    * byte per sample (odd data chunks pad per the RIFF rule). Layout =
+    * 58 + n + (n & 1) bytes — the arithmetic the decode oracle
+    * replays. WavCodecSpec proves javax.sound parses it back and its
+    * ULAW→PCM conversion agrees with [[ulawDecode]] code-for-code. */
+  def encodeUlaw(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte](58 + n + (n & 1))
+    def putTag(o: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xFFFF); put16(o + 2, (v >> 16) & 0xFFFF)
+    }
+    putTag(0, "RIFF"); put32(4, out.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 18)
+    put16(20, 7) // WAVE_FORMAT_MULAW
+    put16(22, 1) // mono
+    put32(24, sampleRate)
+    put32(28, sampleRate) // byte rate = rate * blockAlign (1)
+    put16(32, 1) // blockAlign
+    put16(34, 8) // bits per code
+    put16(36, 0) // cbSize
+    putTag(38, "fact"); put32(42, 4); put32(46, n)
+    putTag(50, "data"); put32(54, n)
+    var i = 0
+    while (i < n) { out(58 + i) = ulawEncode(samples(i)).toByte; i += 1 }
+    out
+  }
+
   /** Decode a WAV payload: full RIFF chunk scan (chunks in ANY order,
     * unknown chunks — `LIST`, `fact`, cue points — skipped with the
     * spec's odd-size pad byte), `fmt ` parsed for format/channels/rate/
@@ -111,17 +183,32 @@ object WavCodec {
       s"trailing ${payload.length - pos} bytes after the last chunk")
     require(fmtSeen, "no fmt chunk")
     require(dataOff >= 0, "no data chunk")
-    require(audioFormat == 1 && bits == 16,
-      s"only PCM16 supported, got format=$audioFormat bits=$bits")
+    require((audioFormat == 1 && bits == 16) ||
+        (audioFormat == 7 && bits == 8),
+      s"only PCM16 or MULAW8 supported, got format=$audioFormat bits=$bits")
     require(channels == 1, s"only mono supported, got $channels channels")
-    val n = dataLen / 2
-    val samples = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      // little-endian signed 16-bit
-      samples(i) = (le16(payload, dataOff + 2 * i) << 16) >> 16
-      i += 1
+    if (audioFormat == 7) {
+      // µ-law: one code byte per sample, expanded to linear through the
+      // published table arithmetic — the decode emits PCM16-range
+      // samples like the PCM arm, so every downstream signature kernel
+      // is codec-agnostic
+      val samples = new Array[Int](dataLen)
+      var i = 0
+      while (i < dataLen) {
+        samples(i) = ulawDecode(payload(dataOff + i) & 0xFF)
+        i += 1
+      }
+      WavAudio(rate, channels, samples)
+    } else {
+      val n = dataLen / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        // little-endian signed 16-bit
+        samples(i) = (le16(payload, dataOff + 2 * i) << 16) >> 16
+        i += 1
+      }
+      WavAudio(rate, channels, samples)
     }
-    WavAudio(rate, channels, samples)
   }
 }

@@ -340,6 +340,29 @@ object EventQueries {
           coalesce($"view_id", lit(-1L)))
     }),
 
+    // The RIGHT-outer face — the view-side arm alone (every view kept,
+    // unmatched views null-padded once their forward window closes;
+    // unmatched purchases emit nothing), completing the inner /
+    // left-outer / right-outer / full-outer family on all of batch,
+    // SQL-oracle, and stream surfaces. Shares attribParts; the stream
+    // twin is EventStream.attribJoinRight (StreamStreamFullOuterSpec's
+    // right-outer test pins replay equality).
+    "q_events_attrib_right" -> ((s, dir) => {
+      import s.implicits._
+      val (_, v, inner) = attribParts(s, dir)
+      val unmatchedV = v.select($"view_id", $"v_user", $"view_sec")
+        .join(inner.select($"view_id"), Seq("view_id"), "left_anti")
+        .select(lit(null).cast("long").as("purchase_id"),
+          $"v_user".as("user_id"),
+          lit(null).cast("long").as("purchase_sec"),
+          lit(null).cast("double").as("revenue"),
+          $"view_id", $"view_sec",
+          lit(null).cast("long").as("delay_sec"))
+      inner.unionByName(unmatchedV)
+        .orderBy(coalesce($"purchase_id", lit(-1L)),
+          coalesce($"view_id", lit(-1L)))
+    }),
+
     // Temporal range join: purchases within +/-1 hour of each error event,
     // across all users — a non-equi join Spark would otherwise plan as a
     // nested-loop; graft.operators.RangeJoin turns it into a binned
@@ -607,6 +630,37 @@ object EventQueries {
         |  FROM p
         |  WHERE NOT EXISTS
         |    (SELECT 1 FROM pairs WHERE pairs.purchase_id = p.purchase_id)
+        |  UNION ALL
+        |  SELECT NULL, v.user_id, NULL, NULL,
+        |    v.view_id, v.view_sec, NULL
+        |  FROM v
+        |  WHERE NOT EXISTS
+        |    (SELECT 1 FROM pairs WHERE pairs.view_id = v.view_id))
+        |SELECT * FROM allrows
+        |ORDER BY coalesce(purchase_id, -1), coalesce(view_id, -1)""".stripMargin,
+
+    // the right-outer twin: inner pairs + the view-side NOT-EXISTS arm
+    "q_events_attrib_right" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_sec,
+        |    value AS revenue
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS view_sec
+        |  FROM events WHERE event_type = 'view'),
+        |pairs AS (
+        |  SELECT p.purchase_id, p.user_id, p.purchase_sec, p.revenue,
+        |    v.view_id, v.view_sec,
+        |    p.purchase_sec - v.view_sec AS delay_sec
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.view_sec > p.purchase_sec - 7200
+        |   AND v.view_sec <= p.purchase_sec),
+        |allrows AS (
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    view_id, view_sec, delay_sec
+        |  FROM pairs
         |  UNION ALL
         |  SELECT NULL, v.user_id, NULL, NULL,
         |    v.view_id, v.view_sec, NULL

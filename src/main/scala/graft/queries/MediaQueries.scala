@@ -178,6 +178,17 @@ object MediaQueries {
     * the planted re-encode fixture (ImageIoCodecSpec) quantifies. */
   private[graft] val JpegMaxHamming = BmpMaxHamming
 
+  /** q_media_ulaw_dedup's verdict ring, measured on this corpus's REAL
+    * µ-law-decoded fingerprints: G.711's logarithmic quantization
+    * (error ≤ 644 on the ingest domain, largest at high magnitudes)
+    * perturbs frame energies enough to shift a few near-tie
+    * temporal-difference bits, so the wav ring's measured pair
+    * distances move slightly but the banded pair survives at 12 and
+    * the background gap holds — the ring transfers. The oracle replays
+    * the QUANTIZED chain exactly, so this ring cuts the same measured
+    * boundary in both engines. */
+  private[graft] val UlawMaxHamming = WavMaxHamming
+
   /** The shared banded near-dup device, signature-agnostic: collapse
     * byte-identical payloads to md5 representatives (identical bytes =>
     * identical signature — one representative carries the group),
@@ -631,6 +642,50 @@ object MediaQueries {
         (s, d) => Multimodal.asPngMedia(Tables.table(s, d, "documents"))
           .toDF())),
 
+    // The COMPRESSED-audio real-decoder honesty check: documents
+    // companded through the genuine G.711 µ-law encoder into format-7
+    // WAV containers (Multimodal.asUlawMedia — 2:1 compression,
+    // javax.sound opens the payloads and its ULAW expansion matches
+    // the reference table 256/256, WavCodecSpec), then WavCodec.decode
+    // runs the real chunk scan + µ-law expansion inside the codec seam
+    // and the Haitsma-Kalker fingerprint computes over the EXPANDED
+    // samples. The decisive property vs JPEG: µ-law quantization is
+    // stateless integer arithmetic, so the oracle replays the whole
+    // LOSSY round trip exactly — encode segment/mantissa selection,
+    // decode expansion, quantized frame energies, difference bits,
+    // banding — a HARD hash-match through a real compression codec.
+    // byte_size replays the canonical fmt-18 + fact + padded-data
+    // layout (58 + n + n%2).
+    "q_media_ulaw_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.asUlawMedia(Tables.table(s, dir, "documents"))
+      Multimodal.wavDecodeFeatures(media).toDF()
+        .select($"item_id", $"sample_rate", $"n_samples", $"byte_size",
+          posexplode($"bands"))
+        .toDF("item_id", "sample_rate", "n_samples", "byte_size",
+          "band_idx", "band_val")
+        .orderBy("item_id", "band_idx")
+    }),
+
+    // Compressed-audio near-dup — the shared pairing device under the
+    // µ-law-expanded signature (the signature kernel is wavSigsOf
+    // verbatim: decode emits linear samples whatever the container's
+    // format tag, so the downstream is codec-agnostic BY CONSTRUCTION).
+    // Hard oracle: the quantized chain + the verbatim serve fragment.
+    "q_media_ulaw_dedup" -> ((s, dir) =>
+      bandNearDup(s, dir, wavSigsOf, "media_ulaw", UlawMaxHamming,
+        (s, d) => Multimodal.asUlawMedia(Tables.table(s, d, "documents"))
+          .toDF())),
+
+    // The compressed-audio ingest face (tag media_ulaw_hist), same
+    // banded-history scale shape, hard oracle;
+    // DocStream.mediaDedupUlaw is the live twin.
+    "q_media_ulaw_incremental" -> ((s, dir) =>
+      bandIncremental(s, dir, wavSigsOf, "media_ulaw_hist",
+        UlawMaxHamming,
+        (s, d) => Multimodal.asUlawMedia(Tables.table(s, d, "documents"))
+          .toDF())),
+
     // The LOSSY-codec decode certification — the honesty device for a
     // codec no SQL engine can replay (JPEG's DCT+quantization): each doc
     // round-trips through the REAL JDK JPEG writer (quality 1.0) and
@@ -872,6 +927,67 @@ object MediaQueries {
        |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
        |  FROM bits GROUP BY 1, 2)""".stripMargin
 
+  /** The µ-LAW real-decode replay as DuckDB CTEs over the caller's
+    * `sigsrc` (doc_id, text, len): [[wavBandCtes]] with the LOSSY round
+    * trip spliced in — sample s = (ord(char)−128)·256 compands through
+    * the published G.711 encoder (clip 32635, bias 132, 8-segment
+    * selection, 4-bit mantissa) and expands back
+    * (q = ((mant·8 + 132) << seg) − 132, sign restored), all stateless
+    * integer arithmetic, so the oracle replays the exact quantized
+    * samples [[graft.multimodal.WavCodec.ulawDecode]] emits; then the
+    * standard energy/diff/band chain over qs. Any divergence anywhere
+    * in the real encoder, container layout, chunk scan, or expansion
+    * table is a hash mismatch. Carries the wavBandCtes ASCII-corpus
+    * assumption. */
+  private def ulawBandCtes: String =
+    s"""chars AS (
+       |  SELECT doc_id, text, len, unnest(range(1, len + 1)) AS p
+       |  FROM sigsrc),
+       |lin AS (
+       |  SELECT doc_id, len, p,
+       |    (ord(substring(text, CAST(p AS INT), 1)) - 128) * 256 AS s
+       |  FROM chars),
+       |comp AS (
+       |  SELECT doc_id, len, p, s,
+       |    least(abs(s), 32635) + 132 AS ab
+       |  FROM lin),
+       |segsel AS (
+       |  SELECT doc_id, len, p, s, ab,
+       |    CASE WHEN ab < 256 THEN 0 WHEN ab < 512 THEN 1
+       |         WHEN ab < 1024 THEN 2 WHEN ab < 2048 THEN 3
+       |         WHEN ab < 4096 THEN 4 WHEN ab < 8192 THEN 5
+       |         WHEN ab < 16384 THEN 6 ELSE 7 END AS seg
+       |  FROM comp),
+       |quant AS (
+       |  SELECT doc_id, len, p,
+       |    CASE WHEN s < 0 THEN -q0 ELSE q0 END AS qs
+       |  FROM (SELECT doc_id, len, p, s,
+       |          (((ab >> (seg + 3)) & 15) * 8 + 132) * (1 << seg) - 132
+       |            AS q0
+       |        FROM segsel) z),
+       |samples AS (
+       |  SELECT doc_id, len, (p - 1) * $AudioFrames // len AS f, qs AS s
+       |  FROM quant),
+       |energy AS (
+       |  SELECT doc_id, f, sum(s * s) AS e
+       |  FROM samples GROUP BY 1, 2),
+       |framegrid AS (
+       |  SELECT doc_id, unnest(range(0, $AudioFrames)) AS f FROM sigsrc),
+       |efull AS (
+       |  SELECT g.doc_id, g.f, coalesce(e.e, 0) AS e
+       |  FROM framegrid g LEFT JOIN energy e
+       |    ON g.doc_id = e.doc_id AND g.f = e.f),
+       |bits AS (
+       |  SELECT a.doc_id, a.f AS j,
+       |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM efull a JOIN efull b
+       |    ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < ${AudioFrames - 1}),
+       |bands AS (
+       |  SELECT doc_id, j // $PhashBandWidth AS band_idx,
+       |    CAST(sum(bit << (j % $PhashBandWidth)) AS BIGINT) AS band_val
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
+
   /** The BMP real-decode replay as DuckDB CTEs over the caller's
     * `sigsrc` (doc_id, text, len): the encode∘decode composition is
     * arithmetic — luma at top-down row-major position p of the BMP
@@ -1088,6 +1204,66 @@ object MediaQueries {
         |  CAST(b.band_idx AS INT) AS band_idx, b.band_val
         |FROM sigsrc s JOIN bands b ON b.doc_id = s.doc_id
         |ORDER BY item_id, band_idx""".stripMargin,
+
+    // the compressed-audio real-decode replay: the LOSSY µ-law round
+    // trip replayed exactly (ulawBandCtes), container metadata from
+    // the canonical fmt-18 + fact + padded-data layout
+    "q_media_ulaw_decode" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$ulawBandCtes
+        |SELECT s.doc_id AS item_id,
+        |  CAST(${Multimodal.WavSampleRate} AS INT) AS sample_rate,
+        |  CAST(s.len AS BIGINT) AS n_samples,
+        |  CAST(58 + s.len + (s.len % 2) AS BIGINT) AS byte_size,
+        |  CAST(b.band_idx AS INT) AS band_idx, b.band_val
+        |FROM sigsrc s JOIN bands b ON b.doc_id = s.doc_id
+        |ORDER BY item_id, band_idx""".stripMargin,
+
+    // the compressed-audio near-dup: container-byte collapse (the
+    // µ-law encoder is deterministic in the text bytes), the quantized
+    // decode chain, the verbatim shared serve fragment
+    "q_media_ulaw_dedup" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |grp AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS rep_id,
+        |    list(doc_id) AS ids
+        |  FROM m GROUP BY 1),
+        |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
+        |$ulawBandCtes,
+        |${bandPairServeSql(UlawMaxHamming)}""".stripMargin,
+
+    // the compressed-audio ingest face: the NOT-EXISTS admit replay
+    // under the quantized chain
+    "q_media_ulaw_incremental" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$ulawBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+        |  FROM bands i JOIN bands h
+        |    ON i.band_idx = h.band_idx AND i.band_val = h.band_val
+        |    AND i.doc_id % 10 = 0 AND h.doc_id % 10 <> 0),
+        |ham AS (
+        |  SELECT c.inc_id, c.hist_id,
+        |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.inc_id
+        |  JOIN bands y ON y.doc_id = c.hist_id AND y.band_idx = x.band_idx
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = $PhashBands),
+        |flagged AS (
+        |  SELECT DISTINCT inc_id FROM ham
+        |  WHERE hamming <= $UlawMaxHamming)
+        |SELECT DISTINCT doc_id AS item_id FROM sigsrc
+        |WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
+        |ORDER BY item_id""".stripMargin,
 
     // the image-side real-decode replay: the aHash chain over the
     // PADDED pixel grid (bmpBandCtes), with container metadata from

@@ -186,6 +186,42 @@ object DocStream extends Serializable {
         ()
       }
 
+  /** The ingest-compact loop on the ATOMIC SNAPSHOT store — the
+    * [[ingestCompactLoop]] contract with the consistency upgrade the
+    * r15 verdict prescribed as the better arm of the single-writer
+    * item: each micro-batch's keep-first admits land through
+    * [[graft.sources.SnapshotStore.compact]], so every batch is ONE
+    * atomic manifest publish. Concurrent readers resolve complete
+    * versions mid-ingest (never a half-appended listing — the refresh
+    * dance the table-backed loop needed does not exist here), and a
+    * concurrent writer racing this loop's batch is REFUSED by the
+    * store's optimistic version check (ConcurrentCommitException fails
+    * the batch loudly) — serialized or refused, enforced by the commit
+    * protocol instead of a lock file. An interloper committing BETWEEN
+    * batches is tolerated by construction: each batch re-reads the
+    * current version (StreamCompactLoopSpec's snapshot test).
+    *
+    * The caller [[graft.sources.SnapshotStore.init]]s the store with
+    * the history `(fp, owner_id, pt)` frame first; `pt` routes on a
+    * deterministic hash of fp (routing is physical layout, not
+    * semantics, so any deterministic function works). */
+  def ingestCompactLoopSnapshot(spark: SparkSession, docs: DataFrame,
+                                root: String, parts: Int = 16,
+                                onBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val admits = batch
+          .withColumn("fp",
+            coalesce(graft.Clean.fingerprint(col("text")), lit("")))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("owner_id"))
+          .withColumn("pt",
+            pmod(xxhash64(col("fp")), lit(parts.toLong)).cast("int"))
+        onBatch(graft.sources.SnapshotStore.compact(
+          spark, root, admits, Seq("fp"), "pt")._1)
+        ()
+      }
+
   /** Streaming face of `q_dedup_span`'s keep rule — the ingest-time
     * NOVEL-SPAN feed: each arriving document is cut on the same
     * non-overlapping [[graft.queries.TextQueries.TileWidth]]-token
@@ -913,6 +949,24 @@ object DocStream extends Serializable {
       d => graft.multimodal.Multimodal.asBmpMedia(d).toDF(),
       graft.queries.MediaQueries.bmpSigsOf,
       graft.queries.MediaQueries.BmpMaxHamming)
+
+  /** The µ-law history index: real COMPRESSED audio containers, real
+    * G.711 expansion — the batch q_media_ulaw_incremental's history
+    * side verbatim (tag media_ulaw_hist). */
+  def prepareUlawMediaIndex(historyDocs: DataFrame): DataFrame =
+    prepareMediaIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asUlawMedia(d).toDF(),
+      graft.queries.MediaQueries.wavSigsOf, "media_ulaw_hist")
+
+  /** The live face THROUGH the real compressed-audio decoder — the
+    * stream twin of q_media_ulaw_incremental (MediaStreamSpec pins
+    * them equal on a replayed split, zero state rows). */
+  def mediaDedupUlaw(spark: SparkSession, newDocs: DataFrame,
+                     histIndex: DataFrame): Dataset[MediaAdmit] =
+    mediaDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asUlawMedia(d).toDF(),
+      graft.queries.MediaQueries.wavSigsOf,
+      graft.queries.MediaQueries.UlawMaxHamming)
 
   /** The png history index: real compressed containers, real inflate —
     * the batch q_media_png_incremental's history side verbatim (tag

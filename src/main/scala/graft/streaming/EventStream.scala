@@ -722,6 +722,36 @@ object EventStream {
           unix_timestamp(col("view_ts"))).as("delay_sec"))
   }
 
+  /** RIGHT-outer face completing the outer-join family — the view-side
+    * arm alone: every view emits (with its matched purchases, or one
+    * null-purchase row once the watermark closes its forward window);
+    * unmatched purchases emit nothing. Same machinery as
+    * [[attribJoinFull]] with only the view-side eviction arm carrying
+    * null output; batch twin `q_events_attrib_right`. */
+  def attribJoinRight(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        date_trunc("second", col("ts")).as("purchase_ts"),
+        col("value").as("revenue"))
+      .withWatermark("purchase_ts", "4 hours")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        date_trunc("second", col("ts")).as("view_ts"))
+      .withWatermark("view_ts", "4 hours")
+    purchases.join(views, expr(
+        """p_user = v_user
+          | AND view_ts > purchase_ts - interval 2 hours
+          | AND view_ts <= purchase_ts""".stripMargin), "rightOuter")
+      .select(col("purchase_id"),
+        coalesce(col("p_user"), col("v_user")).as("user_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_sec"),
+        col("revenue"), col("view_id"),
+        unix_timestamp(col("view_ts")).as("view_sec"),
+        (unix_timestamp(col("purchase_ts")) -
+          unix_timestamp(col("view_ts"))).as("delay_sec"))
+  }
+
   /** Sink: drive a streaming DataFrame into an in-memory table and block
     * until the source is drained (local smoke / tests). Windowed aggregates
     * need Complete mode to surface windows still behind the watermark. */

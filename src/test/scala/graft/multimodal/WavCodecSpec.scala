@@ -96,6 +96,66 @@ class WavCodecSpec extends AnyFunSuite {
     assert(a.samples.sameElements(edge))
   }
 
+  test("G.711 µ-law expansion agrees with javax.sound on all 256 codes " +
+      "(independent decode table)") {
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val ulaw = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1,
+      8000f, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), ulaw, 256)
+    val pcm = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+      2, 8000f, false)
+    val out = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(pcm, in).readAllBytes()
+    (0 until 256).foreach { c =>
+      val jdk = (((out(2 * c) & 0xFF) | ((out(2 * c + 1) & 0xFF) << 8))
+        << 16) >> 16
+      assert(jdk === WavCodec.ulawDecode(c),
+        s"µ-law code $c: jdk=$jdk ref=${WavCodec.ulawDecode(c)}")
+    }
+  }
+
+  test("µ-law round trip: known vectors, the ingest-domain error bound, " +
+      "and javax.sound parsing the format-7 container") {
+    // the classic vectors: silence encodes to 0xFF and back to 0
+    assert(WavCodec.ulawEncode(0) === 0xFF)
+    assert(WavCodec.ulawDecode(0xFF) === 0)
+    assert(WavCodec.ulawDecode(0x7F) === 0) // negative zero
+    // the certified bound over the ingest domain (byte-centered PCM):
+    // logarithmic companding — error largest at high magnitude, ≤ 644
+    val maxErr = (0 until 256).map { b =>
+      val s = (b - 128) * 256
+      math.abs(WavCodec.ulawDecode(WavCodec.ulawEncode(s)) - s)
+    }.max
+    assert(maxErr <= 644, s"quantization error $maxErr exceeds the bound")
+    // container round trip through OUR parser...
+    val samples = Array.tabulate(333)(i => ((i * 37) % 256 - 128) * 256)
+    val payload = WavCodec.encodeUlaw(samples, 8000)
+    assert(payload.length === 58 + 333 + 1) // fmt18 + fact + padded data
+    val a = WavCodec.decode(payload)
+    assert(a.sampleRate === 8000)
+    assert(a.samples.sameElements(
+      samples.map(s => WavCodec.ulawDecode(WavCodec.ulawEncode(s)))))
+    // ...and through the JDK's independent reader: same codes expand to
+    // the same linear samples
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    assert(ais.getFormat.getEncoding
+      === javax.sound.sampled.AudioFormat.Encoding.ULAW)
+    val pcm = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+      2, 8000f, false)
+    val raw = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(pcm, ais).readAllBytes()
+    val jdkSamples = Array.tabulate(samples.length) { i =>
+      (((raw(2 * i) & 0xFF) | ((raw(2 * i + 1) & 0xFF) << 8)) << 16) >> 16
+    }
+    assert(jdkSamples.sameElements(a.samples),
+      "JDK µ-law expansion diverges from WavCodec.decode on the container")
+  }
+
   test("malformed payloads fail loudly, never decode to garbage") {
     val good = WavCodec.encodePcm16(Array(1, 2, 3), 8000)
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2)))

@@ -128,12 +128,13 @@ class MediaStreamSpec extends SparkTestBase {
     } finally index.unpersist()
   }
 
-  test("the PNG and JPEG stream faces equal their batch incrementals on " +
-      "the replayed increment, with zero state") {
-    // the compressed-image twins: arrivals wrap into genuine PNG/JPEG
-    // containers and the JDK's real inflate / IDCT paths parse them
-    // inside the stateless decode pass — admitted sets must match
-    // q_media_png_incremental (hash-matched) and
+  test("the compressed-format stream faces (PNG/JPEG/µ-law) equal their " +
+      "batch incrementals on the replayed increment, with zero state") {
+    // the compressed-codec twins: arrivals wrap into genuine PNG/JPEG
+    // containers (the JDK's real inflate / IDCT paths) or format-7
+    // µ-law WAVs (the real G.711 expansion) inside the stateless
+    // decode pass — admitted sets must match q_media_png_incremental
+    // and q_media_ulaw_incremental (both hash-matched) and
     // q_media_jpeg_incremental (the rows-only face's batch/stream
     // agreement anchor)
     val dir = Files.createTempDirectory("media_stream_img_inc")
@@ -151,7 +152,11 @@ class MediaStreamSpec extends SparkTestBase {
         ("jpeg",
           DocStream.prepareJpegMediaIndex _,
           DocStream.mediaDedupJpeg _,
-          "q_media_jpeg_incremental"))) {
+          "q_media_jpeg_incremental"),
+        ("ulaw",
+          DocStream.prepareUlawMediaIndex _,
+          DocStream.mediaDedupUlaw _,
+          "q_media_ulaw_incremental"))) {
       val index = prepare(docs.filter($"doc_id" % 10 =!= 0))
       try {
         val out = face(spark,

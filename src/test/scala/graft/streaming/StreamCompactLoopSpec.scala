@@ -78,6 +78,82 @@ class StreamCompactLoopSpec extends SparkTestBase {
     }
   }
 
+  test("the snapshot-backed loop: per-batch atomic commits, keep-first " +
+      "across batches, interloper commits between batches tolerated") {
+    import graft.sources.SnapshotStore
+    val root = Files.createTempDirectory("loop_snap").resolve("store")
+      .toString
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    def fps(slice: Int) = docs.filter($"doc_id" % 3 === slice)
+      .select($"doc_id",
+        coalesce(graft.Clean.fingerprint($"text"), lit("")).as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("owner_id"))
+      .withColumn("pt",
+        pmod(xxhash64($"fp"), lit(16L)).cast("int"))
+    SnapshotStore.init(spark, root, fps(0), "pt")
+
+    val dir = Files.createTempDirectory("loop_snap_src")
+    stageFile(docs.filter($"doc_id" % 3 === 1), dir, "b0.parquet",
+      1700000000000L)
+    // an INTERLOPING writer lands a version while the loop is between
+    // batches — the loop's next batch must build on it, not clobber it
+    val interloper = Seq(("interloper-fp", 999999L))
+      .toDF("fp", "owner_id")
+      .withColumn("pt", pmod(xxhash64($"fp"), lit(16L)).cast("int"))
+
+    val admits = collection.mutable.ArrayBuffer.empty[Long]
+    val q1 = DocStream.ingestCompactLoopSnapshot(spark,
+        DocStream.readDocs(spark, dir.toString), root,
+        onBatch = n => admits.synchronized { admits += n })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("loop_snap_ckpt1").toString)
+      .start()
+    q1.awaitTermination()
+
+    SnapshotStore.compact(spark, root, interloper, Seq("fp"), "pt")
+
+    stageFile(docs.filter($"doc_id" % 3 =!= 0), dir, "b1.parquet",
+      1700000100000L)
+    val q2 = DocStream.ingestCompactLoopSnapshot(spark,
+        DocStream.readDocs(spark, dir.toString), root,
+        onBatch = n => admits.synchronized { admits += n })
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("loop_snap_ckpt2").toString)
+      .start()
+    q2.awaitTermination()
+
+    // final state = keep-first over history, batch 1, interloper,
+    // batch 2 — in commit order (the second loop run replays b0 then
+    // adds b1; the replay admits zero by keep-first)
+    val b2fps = docs.filter($"doc_id" % 3 =!= 0)
+      .select($"doc_id",
+        coalesce(graft.Clean.fingerprint($"text"), lit("")).as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("owner_id"))
+    val afterB1 = fps(0).drop("pt")
+      .unionByName(fps(1).drop("pt")
+        .join(fps(0), Seq("fp"), "left_anti"))
+    val expect = afterB1
+      .unionByName(interloper.drop("pt")
+        .join(afterB1, Seq("fp"), "left_anti"))
+    val expectAll = expect
+      .unionByName(b2fps.join(expect, Seq("fp"), "left_anti"))
+      .as[(String, Long)].collect().toSet
+    val got = SnapshotStore.read(spark, root)
+      .select($"fp", $"owner_id").as[(String, Long)].collect().toSet
+    assert(got === expectAll,
+      s"missing=${(expectAll diff got).take(3)} extra=${(got diff expectAll).take(3)}")
+    // the replayed b0 slice contributed ZERO in the second run's batch
+    val want1 = fps(1).join(fps(0), Seq("fp"), "left_anti").count()
+    assert(admits.head === want1)
+    assert(admits.sum === expectAll.size - fps(0).count() - 1,
+      "per-batch admit accounting diverged")
+    // every maintenance step was one atomic version
+    assert(SnapshotStore.current(spark, root).version >= 3L)
+  }
+
   test("a concurrent writer holding the table's maintenance lock makes " +
       "the loop's batch fail loudly instead of interleaving") {
     val Hist = "loop_lock_spec"

@@ -80,6 +80,30 @@ class StreamStreamFullOuterSpec extends SparkTestBase {
       s"join state not evicted: ${lastState.get.numRowsTotal} rows retained")
   }
 
+  test("right-outer attribution join replays to the batch rows — only " +
+      "the view-side arm carries nulls") {
+    val srcDir = Files.createTempDirectory("attribr_src").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(srcDir, "part-000.parquet"))
+    flushRows().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+
+    val q = EventStream.runToMemory(
+      EventStream.attribJoinRight(EventStream.readEvents(spark, srcDir)),
+      "attrib_right_pairs")
+    q.awaitTermination()
+
+    val got = spark.table("attrib_right_pairs")
+      .filter($"user_id" =!= -1L)
+      .as[FullRow].collect().toSet
+    val want = EventQueries.queries("q_events_attrib_right")(spark, sf0001)
+      .as[FullRow].collect().toSet
+    assert(!want.exists(r => r._1.nonEmpty && r._5.isEmpty),
+      "right-outer must not emit purchase-side null rows")
+    assert(want.exists(r => r._1.isEmpty && r._5.nonEmpty),
+      "fixture degenerate: no purchase-less views")
+    assert(got === want)
+  }
+
   test("full-outer join state survives a checkpointed restart: both " +
       "arms' buffered rows emit post-restart") {
     val srcDir = Files.createTempDirectory("attribf_restart_src").toString
