@@ -403,10 +403,16 @@ object ScaleProbe {
     // the media_png / media_jpeg capPerKey tags must bound pair work
     // exactly like the bmp face
     "q_media_png_dedup", "q_media_jpeg_dedup",
-    // the compressed-audio face under the same concentration: every rep
-    // pays a real G.711 expansion, near-identical quantized energy
-    // profiles concentrate the band buckets — media_ulaw cap bounds
-    "q_media_ulaw_dedup",
+    // the compressed-audio face under the same concentration — probed
+    // at the SIGNATURE grain: the pair-LISTING face's hostile output is
+    // quadratic BY SEMANTICS here (µ-law's coarse high-magnitude steps
+    // collide distinct trailers into byte-identical containers; the
+    // true pair set reached ~91M/~491M rows at 1×/2× and OOM'd the
+    // global sort at 4× — measured, scaleprobe_r21_ulaw.jsonl, and
+    // documented on the query), so the scalable face for this corpus
+    // shape is the linear-output signature-grain dedup, which must
+    // stay linear in docs
+    "q_media_ulaw_sig_dedup",
     // the REAL-DECODE video face under the same shape: every rep pays
     // a genuine AVI parse and the shared early frames make every
     // (frame_idx, sig) bucket hot — the media_avi cap must bound the
@@ -671,7 +677,8 @@ object ScaleProbe {
     val unknownQ = qFilter.diff(
       (probeQueries ++ hostileQueries ++ hostileTokQueries ++
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
-        hostileVecStreamFaces).toSet + "op_index_compact" + "op_index_retract")
+        hostileVecStreamFaces).toSet + "op_index_compact" +
+        "op_index_retract" + "op_snapshot_retract")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -896,6 +903,58 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"factor":$k,"query":"op_index_retract","sec":$sec%.3f,"rows":${stats.rowsRemoved},"store_rows":$storeRows,"partitions":$parts,"affected":${stats.partitionsRewritten},"rewrite_sec":$rewriteSec%.3f}""")
         spark.sql(s"DROP TABLE IF EXISTS $store")
+      }
+    }
+
+    // op_snapshot_retract: the SAME constant-delete-list fold through
+    // the atomic snapshot protocol — the claim the SCALING r21 table
+    // makes ("the commit protocol costs nothing measurable; cost stays
+    // affected-partition-bound") measured at the table path's exact
+    // geometry, plus the vacuum sweep's cost
+    if (qFilter.isEmpty || qFilter("op_snapshot_retract")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64 * k
+        val root = java.nio.file.Files
+          .createTempDirectory(s"snap_probe_f$k").resolve("store").toString
+        val amplified = spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+        graft.sources.SnapshotStore.init(spark, root, amplified, "pt")
+        val storeRows = graft.sources.SnapshotStore.read(spark, root).count()
+        val dead = postings.filter(col("doc_id") === 7)
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        val (affected, removed, _) = graft.sources.SnapshotStore.retract(
+          spark, root, dead, Seq("g", "doc_id"), "pt")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val vacuumed =
+          graft.sources.SnapshotStore.vacuum(spark, root, keepVersions = 1)
+        val vacSec = (System.nanoTime() - t1) / 1e9
+        println(f"""{"factor":$k,"query":"op_snapshot_retract","sec":$sec%.3f,"rows":$removed,"store_rows":$storeRows,"partitions":$parts,"affected":$affected,"vacuum_files":$vacuumed,"vacuum_sec":$vacSec%.3f}""")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
       }
     }
 

@@ -87,23 +87,35 @@ object ImageIoCodec {
     bos.toByteArray
   }
 
-  /** Decode any ImageIO-supported single-band grayscale container
-    * (PNG, JPEG) to its top-down luma plane. Anything unreadable or
-    * multi-band fails loudly (the quarantine-column rule — WavCodec
-    * scaladoc). */
+  /** Decode any ImageIO-supported container (PNG, JPEG — grayscale or
+    * color) to its top-down luma plane: single-band rasters read
+    * directly; 3-band RGB collapses with the integer mean
+    * (r + g + b) / 3 — the [[BmpCodec]] luma kernel, so a color
+    * re-encode of a gray image lands on (nearly) the same plane the
+    * signature devices consume. A real crawl corpus is mostly COLOR
+    * JPEG/PNG; rejecting 3-band rasters would quarantine the whole
+    * corpus. 4-band (alpha) and exotic layouts still fail loudly (the
+    * quarantine-column rule — WavCodec scaladoc). */
   def decodeGray(payload: Array[Byte]): GrayImage = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image container")
     val r = img.getRaster
-    require(r.getNumBands == 1,
-      s"expected a single-band grayscale image, got ${r.getNumBands} bands")
+    val bands = r.getNumBands
+    require(bands == 1 || bands == 3,
+      s"expected a 1-band gray or 3-band color image, got $bands bands")
     val w = img.getWidth
     val h = img.getHeight
     val luma = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { luma(y * w + x) = r.getSample(x, y, 0); x += 1 }
+      while (x < w) {
+        luma(y * w + x) =
+          if (bands == 1) r.getSample(x, y, 0)
+          else (r.getSample(x, y, 0) + r.getSample(x, y, 1) +
+            r.getSample(x, y, 2)) / 3
+        x += 1
+      }
       y += 1
     }
     GrayImage(w, h, luma)

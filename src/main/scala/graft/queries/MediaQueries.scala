@@ -672,10 +672,50 @@ object MediaQueries {
     // verbatim: decode emits linear samples whatever the container's
     // format tag, so the downstream is codec-agnostic BY CONSTRUCTION).
     // Hard oracle: the quantized chain + the verbatim serve fragment.
+    //
+    // MEASURED OUTPUT KNEE (scaleprobe_r21_ulaw.jsonl, the honest
+    // boundary of the pair-LISTING contract): on the hostile
+    // boilerplate corpus, G.711's coarse high-magnitude steps (512/
+    // 1024 linear units in segments 6–7) make many DISTINCT trailer
+    // bytes collide into byte-identical containers, so md5-collapse
+    // groups reach hundreds of members and the fan-out — rep pairs ×
+    // |group_a|·|group_b| — produces the TRUE quadratic pair set
+    // (~91M pairs at 1×, ~491M at 2×, OOM on the global sort at 4×).
+    // That is output volume, not wasted pair work (fanOut's contract);
+    // a pair-listing query on an everything-is-a-dup corpus is Ω(n²)
+    // BY SEMANTICS. The linear-output face for such corpora is
+    // q_media_ulaw_sig_dedup below — it, not this, carries the hostile
+    // probe row.
     "q_media_ulaw_dedup" -> ((s, dir) =>
       bandNearDup(s, dir, wavSigsOf, "media_ulaw", UlawMaxHamming,
         (s, d) => Multimodal.asUlawMedia(Tables.table(s, d, "documents"))
           .toDF())),
+
+    // The LINEAR-OUTPUT compressed-audio dedup — exact dedup at the
+    // QUANTIZED-SIGNATURE grain: group items by full 4-band signature
+    // equality (strictly coarser than byte equality — it merges the
+    // quantization-collision classes µ-law creates, which md5 cannot
+    // see) and report one row per class with its keeper and copy
+    // count. One exchange, output linear in items at ANY dup density —
+    // the face that answers the corpus shape where the pair listing
+    // above is inherently quadratic (the q_dedup_exact/q_dedup_clusters
+    // narrative, at the signature grain). Hard oracle: the quantized
+    // chain pivoted to one signature row per item.
+    "q_media_ulaw_sig_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.asUlawMedia(Tables.table(s, dir, "documents"))
+        .toDF().filter(length($"payload") > 0)
+      wavSigsOf(media)
+        .select($"item_id",
+          element_at($"bands", 1).as("b0"),
+          element_at($"bands", 2).as("b1"),
+          element_at($"bands", 3).as("b2"),
+          element_at($"bands", 4).as("b3"))
+        .groupBy($"b0", $"b1", $"b2", $"b3")
+        .agg(min($"item_id").as("keep_item_id"),
+          count(lit(1)).as("copy_count"))
+        .orderBy("keep_item_id")
+    }),
 
     // The compressed-audio ingest face (tag media_ulaw_hist), same
     // banded-history scale shape, hard oracle;
@@ -1235,6 +1275,25 @@ object MediaQueries {
         |sigsrc AS (SELECT m.* FROM m JOIN grp ON m.doc_id = grp.rep_id),
         |$ulawBandCtes,
         |${bandPairServeSql(UlawMaxHamming)}""".stripMargin,
+
+    // the linear-output signature-grain dedup: the quantized chain
+    // pivoted to one 4-band signature row per item, grouped
+    "q_media_ulaw_sig_dedup" ->
+      s"""WITH sigsrc AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |$ulawBandCtes,
+        |sigv AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+        |    max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+        |    max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+        |    max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        |  FROM bands GROUP BY doc_id)
+        |SELECT b0, b1, b2, b3, min(doc_id) AS keep_item_id,
+        |  CAST(count(*) AS BIGINT) AS copy_count
+        |FROM sigv GROUP BY 1, 2, 3, 4
+        |ORDER BY keep_item_id""".stripMargin,
 
     // the compressed-audio ingest face: the NOT-EXISTS admit replay
     // under the quantized chain

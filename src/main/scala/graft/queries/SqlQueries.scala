@@ -144,6 +144,56 @@ object SqlQueries {
         |               UNION ALL SELECT * FROM unmatched)
         |ORDER BY purchase_id, coalesce(view_id, -1L)""".stripMargin) _),
 
+    // the FULL-outer attribution through SQL — the attrib twin plus the
+    // symmetric view-side NOT-EXISTS arm, completing the outer family's
+    // third surface (DataFrame / SQL / stream); shares
+    // q_events_attrib_full's hard oracle verbatim
+    "q_sql_events_attrib_full" -> (sqlOver(
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    unix_timestamp(date_trunc('second', ts)) AS sec
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |        sec AS purchase_sec, value AS revenue
+        |      FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user,
+        |        sec AS view_sec
+        |      FROM ev WHERE event_type = 'view'),
+        |pb AS (SELECT purchase_id, user_id, purchase_sec, revenue,
+        |         explode(array(
+        |           CAST(floor(purchase_sec / 7200) AS BIGINT),
+        |           CAST(floor(purchase_sec / 7200) AS BIGINT) - 1L))
+        |           AS bin
+        |       FROM p),
+        |vb AS (SELECT view_id, v_user, view_sec,
+        |         CAST(floor(view_sec / 7200) AS BIGINT) AS bin
+        |       FROM v),
+        |pairs AS (
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    view_id, view_sec, purchase_sec - view_sec AS delay_sec
+        |  FROM pb JOIN vb ON pb.bin = vb.bin AND pb.user_id = vb.v_user
+        |   AND vb.view_sec > pb.purchase_sec - 7200
+        |   AND vb.view_sec <= pb.purchase_sec),
+        |unmatched_p AS (
+        |  SELECT purchase_id, user_id, purchase_sec, revenue,
+        |    CAST(NULL AS BIGINT) AS view_id,
+        |    CAST(NULL AS BIGINT) AS view_sec,
+        |    CAST(NULL AS BIGINT) AS delay_sec
+        |  FROM p WHERE NOT EXISTS
+        |    (SELECT 1 FROM pairs WHERE pairs.purchase_id = p.purchase_id)),
+        |unmatched_v AS (
+        |  SELECT CAST(NULL AS BIGINT) AS purchase_id, v_user AS user_id,
+        |    CAST(NULL AS BIGINT) AS purchase_sec,
+        |    CAST(NULL AS DOUBLE) AS revenue,
+        |    view_id, view_sec,
+        |    CAST(NULL AS BIGINT) AS delay_sec
+        |  FROM v WHERE NOT EXISTS
+        |    (SELECT 1 FROM pairs WHERE pairs.view_id = v.view_id))
+        |SELECT * FROM (SELECT * FROM pairs
+        |               UNION ALL SELECT * FROM unmatched_p
+        |               UNION ALL SELECT * FROM unmatched_v)
+        |ORDER BY coalesce(purchase_id, -1L), coalesce(view_id, -1L)""".stripMargin) _),
+
     // q_knn_brute through SQL via the registered codegen'd cosine_sim —
     // custom Catalyst expressions are first-class SQL functions here
     "q_sql_knn_brute" -> (sqlOver(
@@ -240,6 +290,8 @@ object SqlQueries {
     "q_sql_events_hourly" -> EventQueries.oracleSql("q_events_hourly"),
     "q_sql_events_sessions" -> EventQueries.oracleSql("q_events_sessions"),
     "q_sql_events_attrib" -> EventQueries.oracleSql("q_events_attrib"),
+    "q_sql_events_attrib_full" ->
+      EventQueries.oracleSql("q_events_attrib_full"),
     "q_sql_knn_brute" -> SimilarityQueries.oracleSql("q_knn_brute"),
     "q_sql_dedup_span" -> TextQueries.oracleSql("q_dedup_span"),
     "q_sql_curation_lite" -> CurationQueries.curationLiteOracle)

@@ -205,12 +205,19 @@ object DocStream extends Serializable {
     * the history `(fp, owner_id, pt)` frame first; `pt` routes on a
     * deterministic hash of fp (routing is physical layout, not
     * semantics, so any deterministic function works). */
+  /** @param vacuumEvery run [[graft.sources.SnapshotStore.vacuum]]
+    *                     (retaining `vacuumKeep` versions) after every
+    *                     N batches — an unvacuumed loop accumulates one
+    *                     manifest per batch forever; the retention
+    *                     window is the in-flight-reader grace period */
   def ingestCompactLoopSnapshot(spark: SparkSession, docs: DataFrame,
                                 root: String, parts: Int = 16,
-                                onBatch: Long => Unit = _ => ())
+                                onBatch: Long => Unit = _ => (),
+                                vacuumEvery: Int = 16,
+                                vacuumKeep: Int = 4)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admits = batch
           .withColumn("fp",
             coalesce(graft.Clean.fingerprint(col("text")), lit("")))
@@ -219,6 +226,8 @@ object DocStream extends Serializable {
             pmod(xxhash64(col("fp")), lit(parts.toLong)).cast("int"))
         onBatch(graft.sources.SnapshotStore.compact(
           spark, root, admits, Seq("fp"), "pt")._1)
+        if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1)
+          graft.sources.SnapshotStore.vacuum(spark, root, vacuumKeep)
         ()
       }
 

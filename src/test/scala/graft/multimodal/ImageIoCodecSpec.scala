@@ -85,6 +85,46 @@ class ImageIoCodecSpec extends SparkTestBase {
       s"re-encode variant at Hamming $hamming escapes the dedup ring")
   }
 
+  test("COLOR containers decode through the shared luma kernel — a " +
+      "color re-save of a gray image stays inside the dedup ring") {
+    // a real crawl corpus is mostly color JPEG/PNG: promote the gray
+    // fixture to 3-band RGB (every channel = the gray value), encode
+    // through the real color pipelines, and the decoded (r+g+b)/3 luma
+    // must be the gray plane (exact for PNG; within JPEG noise for
+    // JPEG — chroma subsampling applies to constant chroma here)
+    val gray = ImageIoCodec.decodeGray(
+      ImageIoCodec.encodeGrayPng(FixtureBytes, W))
+    val rgb = new java.awt.image.BufferedImage(gray.width, gray.height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until gray.height; x <- 0 until gray.width) {
+      val v = gray.luma(y * gray.width + x)
+      rgb.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, fmt, bos)
+      bos.toByteArray
+    }
+    val pngColor = ImageIoCodec.decodeGray(enc("png"))
+    assert(pngColor.luma.toSeq === gray.luma.toSeq,
+      "color-PNG luma diverges from the gray plane")
+    val jpgColor = ImageIoCodec.decodeGray(enc("jpg"))
+    val b1 = FakeCodec.perceptualBandsOf(gray.luma)
+    val b2 = FakeCodec.perceptualBandsOf(jpgColor.luma)
+    val hamming = b1.zip(b2).map { case (a, b) =>
+      java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hamming <= graft.queries.MediaQueries.JpegMaxHamming,
+      s"color-JPEG re-save at Hamming $hamming escapes the dedup ring")
+    // 4-band (alpha) still quarantines
+    val argb = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", bos)
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decodeGray(bos.toByteArray)
+    }
+  }
+
   test("encoding is deterministic; garbage fails loudly") {
     assert(java.util.Arrays.equals(
       ImageIoCodec.encodeGrayPng(FixtureBytes, W),

@@ -72,9 +72,10 @@ class QuerySmokeSpec extends SparkTestBase {
         "q_dedup_simhash", "q_dedup_embedding", "q_anti_fk",
         "q_dedup_containment",
         // the real-decode signatures' measured rings (WavMaxHamming /
-        // BmpMaxHamming scaladocs) hold pairs at sf0.01; the 50-doc
-        // corpus may have none
-        "q_media_wav_dedup", "q_media_bmp_dedup")
+        // BmpMaxHamming / UlawMaxHamming scaladocs) hold pairs at
+        // sf0.01; the 50-doc corpus may have none
+        "q_media_wav_dedup", "q_media_bmp_dedup", "q_media_ulaw_dedup",
+        "q_media_png_dedup", "q_media_jpeg_dedup")
       if (!mayBeEmpty.contains(name)) assert(df.count() > 0, s"$name empty")
       else assert(df.count() >= 0)
     }
