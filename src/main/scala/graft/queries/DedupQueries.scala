@@ -1093,6 +1093,37 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // The snapshot store's MERGE-ON-READ arm behind its own oracle —
+    // the deletion-vector shape: the delete-list lands as ONE staged
+    // delete file in ONE atomic commit (zero data files touched,
+    // q_index_snapshot_lifecycle's store build), readMor applies it as
+    // an anti-join — deletes visible atomically, cost ∝ delete-list —
+    // and the emitted owner view must equal what a physical fold
+    // produces (MOR == COW is the contract; SnapshotStoreSpec also
+    // pins the fold itself plus vacuum of the retired delete file).
+    // HARD oracle: surviving docs' postings grouped, the q_index_retract
+    // set algebra — one lineage, two consistency protocols, same hash.
+    "q_index_snapshot_mor" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snapmor_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.stageDeletes(s, root,
+        postings.filter($"doc_id" % 5 === 0).select($"g", $"doc_id"),
+        Seq("g", "doc_id"))
+      graft.sources.SnapshotStore.readMor(s, root, Seq("g", "doc_id"))
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // Corpus version diff — the "what changed in this drop" report an
     // ingest operator reads before promoting a new corpus version: per
     // (source, status) document counts for added / removed / changed /
@@ -2279,6 +2310,27 @@ object DedupQueries {
     // re-election is implicit at the postings grain (min over
     // survivors), and a gram whose every holder died simply vanishes
     "q_index_retract" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings WHERE doc_id % 5 <> 0
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // the snapshot MOR view carries the retract oracle VERBATIM —
+    // staged deletes applied at read must equal the physical fold
+    "q_index_snapshot_mor" ->
       """WITH docs AS (
         |  SELECT doc_id,
         |    string_split_regex(regexp_replace(lower(trim(text)),

@@ -115,20 +115,25 @@ object SnapshotStore {
     DataType.fromJson(body).asInstanceOf[StructType]
   }
 
-  /** Read a resolved snapshot: exactly its files, under the pinned
-    * schema (partition values parse at their written type). An empty
-    * snapshot reads as an empty frame of the pinned schema. */
+  /** Read a resolved snapshot's DATA files, under the pinned schema
+    * (partition values parse at their written type). An empty snapshot
+    * reads as an empty frame of the pinned schema. Staged delete
+    * entries (the `-`-prefixed manifest lines [[stageDeletes]] adds)
+    * are NOT applied here — this is the pre-delete physical view, the
+    * same contract as `spark.table` on the tombstone-bearing table
+    * path; deletion-aware readers use [[readMor]]. */
   def read(spark: SparkSession, root: String,
            snap: Snapshot = null): DataFrame = {
     val s = Option(snap).getOrElse(current(spark, root))
+    val dataFiles = s.files.filterNot(_.startsWith("-"))
     val schema = pinnedSchema(spark, root)
-    if (s.files.isEmpty)
+    if (dataFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     else spark.read
       .schema(schema)
       .option("basePath", s"$root/data")
-      .parquet(s.files.map(f => s"$root/data/$f"): _*)
+      .parquet(dataFiles.map(f => s"$root/data/$f"): _*)
   }
 
   /** Stage `df` as new immutable data files: Spark writes a private
@@ -271,6 +276,101 @@ object SnapshotStore {
     (affected.length, before - after, snap)
   }
 
+  /** Stage a delete-list WITHOUT rewriting data — the merge-on-read arm
+    * completing the snapshot store's MOR/COW symmetry with the table
+    * path's tombstone/readMor (the Delta deletion-vector shape, at the
+    * key grain): the dead keys land as an immutable DELETE file and ONE
+    * commit publishes a manifest that lists it alongside the untouched
+    * data files. Readers of that version (and later, until a
+    * [[retract]] folds) apply the delete set as an anti-join — deletes
+    * are visible ATOMICALLY with the commit, cost ∝ the delete-list,
+    * zero data files touched. A later [[retract]] of the same keys
+    * physically folds them and [[foldStagedDeletes]] clears the staged
+    * entries in the same pass. Manifest encoding: delete files carry a
+    * leading `-` (the format is line-per-file either way; old manifests
+    * have none). */
+  def stageDeletes(spark: SparkSession, root: String, dead: DataFrame,
+                   keys: Seq[String]): Snapshot = {
+    val base = current(spark, root)
+    val (fs, rootP) = fsOf(spark, root)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val staging = new Path(rootP, s"_staging/$tag")
+    dead.select(keys.map(col).toIndexedSeq: _*).distinct()
+      .coalesce(1).write.parquet(staging.toString)
+    fs.mkdirs(new Path(rootP, "deletes"))
+    val moved = fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+        val name = s"deletes/$tag-${f.getPath.getName}"
+        require(fs.rename(f.getPath, new Path(rootP, name)),
+          s"failed to stage delete file into $name")
+        s"-$name"
+      }.toSeq
+    fs.delete(staging, true)
+    commit(spark, root, base.files ++ moved, base.version)
+  }
+
+  /** The data-file / delete-file split of a snapshot's manifest. */
+  private def splitEntries(s: Snapshot): (Seq[String], Seq[String]) = {
+    val (del, data) = s.files.partition(_.startsWith("-"))
+    (data, del.map(_.stripPrefix("-")))
+  }
+
+  /** Read a snapshot WITH its staged deletes applied — what a reader
+    * sees between a [[stageDeletes]] and the next [[retract]]. `keys`
+    * names the identity columns the staged delete files carry; a
+    * snapshot with no staged deletes ignores it (so plain [[read]]
+    * callers stay valid until someone stages). Equal to the folded
+    * store by construction (SnapshotStoreSpec pins MOR == COW). */
+  def readMor(spark: SparkSession, root: String, keys: Seq[String],
+              snap: Snapshot = null): DataFrame = {
+    val s = Option(snap).getOrElse(current(spark, root))
+    val (dataFiles, delFiles) = splitEntries(s)
+    val data = read(spark, root, Snapshot(s.version, dataFiles))
+    if (delFiles.isEmpty) data
+    else data.join(
+      spark.read.parquet(delFiles.map(f => s"$root/$f"): _*).distinct(),
+      keys, "left_anti")
+  }
+
+  /** Fold every staged delete physically: [[retract]] of the staged
+    * key set plus removal of the delete entries, in ONE commit — after
+    * it, plain [[read]] equals the pre-fold [[readMor]]. Returns
+    * (partitionsRewritten, rowsRemoved, snapshot); no-op without
+    * staged deletes. */
+  def foldStagedDeletes(spark: SparkSession, root: String,
+                        keys: Seq[String], partCol: String)
+      : (Int, Long, Snapshot) = {
+    val base = current(spark, root)
+    val (dataFiles, delFiles) = splitEntries(base)
+    if (delFiles.isEmpty) return (0, 0L, base)
+    val store = read(spark, root, Snapshot(base.version, dataFiles))
+    val deadKeys = spark.read
+      .parquet(delFiles.map(f => s"$root/$f"): _*).distinct()
+    // route the delete keys: affected partitions = those holding a
+    // dead key (store-typed via the semi-join, the retract discipline)
+    val dead = store.join(deadKeys, keys, "left_semi")
+      .select((keys :+ partCol).map(col).toIndexedSeq: _*).distinct()
+    val affected = dead.select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    val pruned =
+      if (affected.isEmpty) store.limit(0)
+      else store.filter(col(partCol).isin(affected.toIndexedSeq: _*))
+    val before = pruned.count()
+    val survivors = pruned.join(deadKeys, keys, "left_anti")
+      .localCheckpoint()
+    val after = survivors.count()
+    val newFiles =
+      if (after == 0) Seq.empty
+      else writeData(spark, root, survivors, partCol)
+    val affectedDirs = affected.map(v =>
+      ExternalCatalogUtils.getPartitionPathString(partCol,
+        String.valueOf(v)) + "/").toSet
+    val kept = dataFiles.filterNot(f => affectedDirs.exists(f.startsWith))
+    // one commit: survivors in, affected files out, delete entries out
+    val snap = commit(spark, root, kept ++ newFiles, base.version)
+    (affected.length, before - after, snap)
+  }
+
   /** Reclaim data files no retained manifest references (the newest
     * `keepVersions` stay readable; older manifests are dropped with
     * their exclusive files). Returns the number of files deleted.
@@ -287,7 +387,8 @@ object SnapshotStore {
       .sorted
     val retain = versions.takeRight(keepVersions)
     val referenced = retain
-      .flatMap(v => snapshotAt(spark, root, v).files).toSet
+      .flatMap(v => snapshotAt(spark, root, v).files)
+      .map(_.stripPrefix("-")).toSet
     val dataRoot = new Path(rootP, "data")
     var deleted = 0
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
@@ -300,6 +401,15 @@ object SnapshotStore {
         }
       }
       if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+    }
+    // staged-delete files retired by a fold are unreferenced the same way
+    val delRoot = new Path(rootP, "deletes")
+    if (fs.exists(delRoot)) fs.listStatus(delRoot).foreach { f =>
+      val rel = s"deletes/${f.getPath.getName}"
+      if (!referenced.contains(rel)) {
+        require(fs.delete(f.getPath, false), s"vacuum failed on $rel")
+        deleted += 1
+      }
     }
     versions.dropRight(keepVersions).foreach { v =>
       require(fs.delete(manifestPath(rootP, v), false),

@@ -151,6 +151,50 @@ class SnapshotStoreSpec extends SparkTestBase {
       === Set(("g-a", 500L), ("g-b", 501L)))
   }
 
+  test("merge-on-read: staged deletes are atomically visible to readMor, " +
+      "invisible to the physical view, and fold to the identical store") {
+    val root = freshRoot()
+    SnapshotStore.init(spark, root, baseRows, "pt")
+    val dead = baseRows.filter($"doc_id" === 99L).select($"g", $"doc_id")
+    val want = rowSet(baseRows.filter($"doc_id" =!= 99L))
+
+    val staged = SnapshotStore.stageDeletes(spark, root, dead,
+      Seq("g", "doc_id"))
+    assert(staged.version === 2L, "staging must be one atomic commit")
+    // deletion-aware readers see the deletes immediately...
+    assert(rowSet(SnapshotStore.readMor(spark, root, Seq("g", "doc_id")))
+      === want)
+    // ...the physical view is untouched (zero data files rewritten)...
+    assert(rowSet(SnapshotStore.read(spark, root)) === rowSet(baseRows))
+    assert(staged.files.filterNot(_.startsWith("-")).toSet
+      === SnapshotStore.snapshotAt(spark, root, 1L).files.toSet,
+      "staging a delete-list touched data files")
+
+    // ...and the fold makes the physical view equal the MOR view in ONE
+    // commit, clearing the staged entries
+    val (rewritten, removed, folded) = SnapshotStore.foldStagedDeletes(
+      spark, root, Seq("g", "doc_id"), "pt")
+    assert(rewritten === 3 && removed === 5L)
+    assert(folded.version === 3L)
+    assert(!folded.files.exists(_.startsWith("-")),
+      "staged delete entries survived the fold")
+    assert(rowSet(SnapshotStore.read(spark, root)) === want,
+      "MOR != COW after the fold")
+    // untouched partitions carry identical files across the whole cycle
+    def dirOf(f: String) = f.takeWhile(_ != '/')
+    val affectedDirs = Set("pt=0", "pt=1", "pt=2", "deletes")
+    assert(folded.files.filterNot(f => affectedDirs(dirOf(f))).toSet
+      === SnapshotStore.snapshotAt(spark, root, 1L).files
+        .filterNot(f => affectedDirs(dirOf(f))).toSet)
+    // vacuum retires the delete file with the old versions
+    assert(SnapshotStore.vacuum(spark, root, keepVersions = 1) > 0)
+    assert(rowSet(SnapshotStore.read(spark, root)) === want)
+    // idempotence: folding with nothing staged is a no-op
+    val (r2, n2, s2) = SnapshotStore.foldStagedDeletes(
+      spark, root, Seq("g", "doc_id"), "pt")
+    assert(r2 === 0 && n2 === 0L && s2.version === folded.version)
+  }
+
   test("vacuum reclaims unreferenced files and retired manifests; " +
       "retained versions stay exact") {
     val root = freshRoot()
