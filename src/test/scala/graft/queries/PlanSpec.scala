@@ -73,10 +73,22 @@ class PlanSpec extends SparkTestBase {
       // the frame-signature video faces (synthetic and real-AVI): the
       // candidate stage must stay (frame_idx, sig) equi-collision
       "q_media_video_dedup", "q_media_avi_dedup",
+      // the compressed-codec faces ride the same banding device (PNG
+      // through the real inflate, JPEG through the real IDCT, µ-law
+      // through the real G.711 expansion); the signature-grain dedup
+      // is one hash aggregation and must never pair at all
+      "q_media_png_dedup", "q_media_jpeg_dedup", "q_media_ulaw_dedup",
+      "q_media_ulaw_sig_dedup",
+      // the NFC stage is a codegen projection ahead of the fingerprint
+      // aggregation — nothing about the exchange may change
+      "q_dedup_exact_nfc",
       // attribution pairs: the interval predicate must stay a residual
       // on the (user, time-bucket) equi-join — a bare range condition
-      // would plan the nested loop the binning exists to avoid
-      "q_events_attrib").foreach { q =>
+      // would plan the nested loop the binning exists to avoid; the
+      // outer-family twins add only anti-join arms on already-shuffled
+      // keys
+      "q_events_attrib", "q_events_attrib_full",
+      "q_events_attrib_right").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
