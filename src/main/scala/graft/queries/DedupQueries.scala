@@ -1093,6 +1093,48 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // TIME TRAVEL behind its own oracle — the training-data payoff of
+    // the versioned commits: a training job pinned to snapshot N reads
+    // EXACTLY version N's rows no matter how much maintenance ran
+    // since (reproducibility is a first-class corpus contract, not a
+    // backup feature). The query runs the FULL lifecycle — init (the
+    // %3==1 base), compact (%3≠0 admits), retract (%5==0 takedown) —
+    // and then emits the owner view of VERSION 1, which must equal the
+    // untouched base slice exactly: the two later commits (one
+    // appending files, one swapping affected partitions' files) may
+    // not leak a single row into the pinned view. HARD oracle: the
+    // base slice's postings grouped. Complements SnapshotStoreSpec's
+    // reader-isolation pin with the oracle-gated face (read-your-
+    // version is checked by DuckDB, not just ScalaTest), and vacuum's
+    // retention window is exactly what keeps this query answerable.
+    "q_index_snapshot_timetravel" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snaptt_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.retract(s, root,
+        postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.read(s, root,
+          graft.sources.SnapshotStore.snapshotAt(s, root, 1L))
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // The snapshot store's MERGE-ON-READ arm behind its own oracle —
     // the deletion-vector shape: the delete-list lands as ONE staged
     // delete file in ONE atomic commit (zero data files touched,
@@ -2326,6 +2368,27 @@ object DedupQueries {
         |SELECT g, min(doc_id) AS owner_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM postings WHERE doc_id % 5 <> 0
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // time travel: version 1's owner view = the base slice, exactly —
+    // later commits may not leak a row into the pinned version
+    "q_index_snapshot_timetravel" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings WHERE doc_id % 3 = 1
         |GROUP BY g ORDER BY g""".stripMargin,
 
     // the snapshot MOR view carries the retract oracle VERBATIM —
