@@ -23,6 +23,17 @@ import org.apache.spark.sql.SparkSession
   * the lock once the dead writer is confirmed gone). Lease-based
   * expiry would trade that manual step for clock coupling; for a
   * nightly maintenance window, loud-and-manual is the right default.
+  *
+  * Acquisition atomicity is the backing store's create-exclusive: a
+  * single namenode op on HDFS, but Hadoop's LOCAL filesystems
+  * implement `create(overwrite = false)` as a non-atomic exists check
+  * followed by create (the r16 ADVICE finding — two racers in that
+  * window could both "acquire"), so `file:` URIs route through
+  * java.nio `Files.createFile`, O_EXCL at the syscall level
+  * (WriterLockSpec races 16 threads through it). S3-style object
+  * stores provide no atomic create at all — there this lock needs a
+  * conditional-put or external lock service, the same seam as
+  * [[graft.sources.SnapshotStore.ClaimArm]].
   */
 object WriterLock {
 
@@ -41,21 +52,33 @@ object WriterLock {
     val p = lockPath(spark, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    val out =
-      try fs.create(p, false)
-      catch { case e: java.io.IOException =>
-        throw new LockHeldException(
-          s"maintenance lock $p is held by another writer — a second " +
-            "concurrent compactor/retractor on one table would " +
-            "interleave; wait for it, or WriterLock.break() after " +
-            "confirming the holder is dead", e)
+    val owner = s"${java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName}\n".getBytes("UTF-8")
+    def refused(e: Throwable) = new LockHeldException(
+      s"maintenance lock $p is held by another writer — a second " +
+        "concurrent compactor/retractor on one table would " +
+        "interleave; wait for it, or WriterLock.break() after " +
+        "confirming the holder is dead", e)
+    if (fs.getScheme == "file") {
+      // O_EXCL via java.nio: Hadoop's local create(overwrite=false) is
+      // exists-then-create, not atomic (scaladoc)
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      try java.nio.file.Files.write(nio, owner,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case e: java.nio.file.FileAlreadyExistsException =>
+        throw refused(e)
       }
-    try {
-      out.write(s"${java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getName}\n".getBytes("UTF-8"))
-      out.close()
-      body
-    } finally fs.delete(p, false)
+      try body finally fs.delete(p, false)
+    } else {
+      val out =
+        try fs.create(p, false)
+        catch { case e: java.io.IOException => throw refused(e) }
+      try {
+        out.write(owner)
+        out.close()
+        body
+      } finally fs.delete(p, false)
+    }
   }
 
   /** Forcibly remove a lock left by a confirmed-dead writer. */

@@ -1135,6 +1135,45 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // The SQL FRONT DOOR for snapshot time travel — the same lifecycle
+    // and the same pinned version as q_index_snapshot_timetravel, but
+    // the consumer is a `spark.sql` query over a REGISTERED VERSION
+    // VIEW (SnapshotStore.registerVersionView): the training job that
+    // pins its corpus version doesn't have to be a DataFrame program,
+    // any SQL client sees the identical frozen snapshot. HARD oracle:
+    // byte-identical to the timetravel oracle — the front door may not
+    // change a row. StreamCompactLoopSpec's consumer-contract test pins
+    // the live-loop side (the view stays frozen while commits land);
+    // SnapshotStoreSpec pins view-vs-readAt equality directly.
+    "q_index_snapshot_sql" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snapsql_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.retract(s, root,
+        postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.registerVersionView(
+        s, root, "gram_idx_snapsql_v1", 1L)
+      s.sql(
+        """SELECT g, min(doc_id) AS owner_id,
+          |  count(*) AS n_docs
+          |FROM gram_idx_snapsql_v1
+          |GROUP BY g ORDER BY g""".stripMargin)
+    }),
+
     // The snapshot store's MERGE-ON-READ arm behind its own oracle —
     // the deletion-vector shape: the delete-list lands as ONE staged
     // delete file in ONE atomic commit (zero data files touched,
@@ -2373,6 +2412,27 @@ object DedupQueries {
     // time travel: version 1's owner view = the base slice, exactly —
     // later commits may not leak a row into the pinned version
     "q_index_snapshot_timetravel" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings WHERE doc_id % 3 = 1
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // the SQL front door may not change a row of the pinned version —
+    // the timetravel oracle VERBATIM
+    "q_index_snapshot_sql" ->
       """WITH docs AS (
         |  SELECT doc_id,
         |    string_split_regex(regexp_replace(lower(trim(text)),

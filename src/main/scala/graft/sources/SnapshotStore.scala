@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** ATOMIC SNAPSHOT semantics for the partition-routed maintenance
   * stores — the r15 verdict's missing #2 made real: the table-backed
@@ -24,16 +24,39 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    manifest and read exactly its files — any interleaving with a
   *    writer yields exactly pre- or post-state, never a mix
   *    (SnapshotStoreSpec pins this with a reader resolved mid-cycle).
-  *  - COMMIT IS ONE FILE PUBLISH, optimistically checked: a writer
-  *    commits version base+1; if that manifest already exists, another
-  *    writer won the race and the commit throws
-  *    [[SnapshotStore.ConcurrentCommitException]] instead of silently
-  *    interleaving — the single-writer contract the live
-  *    ingest-compact loop needed (r15 verdict #6), enforced by the
-  *    store instead of assumed by the caller.
+  *  - COMMIT IS AN ATOMIC VERSION CLAIM + ONE FILE PUBLISH: a writer
+  *    committing version base+1 first CLAIMS the version by atomically
+  *    creating `v<N>.claim` (create-exclusive — O_EXCL via java.nio on
+  *    local filesystems, `create(overwrite = false)` on HDFS where that
+  *    call is an atomic namenode op), then renames its fully-written
+  *    manifest into place. The claim arbitrates, the rename only
+  *    publishes: two writers racing from the same base can never both
+  *    own a version, because exactly one exclusive-create succeeds —
+  *    the loser throws [[SnapshotStore.ConcurrentCommitException]]
+  *    without touching the winner's manifest. (The previous
+  *    exists-then-rename protocol had a TOCTOU window — two racers
+  *    could both pass the exists check, leaving arbitration to
+  *    whatever rename-onto-existing happens to do, which the
+  *    FileSystem contract does not specify: S3A's copy+delete rename
+  *    overwrites, this build's LocalFileSystem refuses (measured in
+  *    SnapshotStoreSpec's arbitration test), HDFS refuses — the r16
+  *    ADVICE finding. The claim moves arbitration onto one explicit,
+  *    documented-atomic primitive instead of unspecified semantics.)
+  *    OBJECT-STORE ARM: S3-style stores have neither atomic rename nor
+  *    exclusive create; there the claim must delegate to a
+  *    conditional-put (if-none-match) or an external lock/catalog —
+  *    plug a [[SnapshotStore.ClaimArm]] carrying that primitive.
+  *    [[SnapshotStore.ExclusiveCreateClaim]] (the default) documents
+  *    which filesystems its guarantee actually holds on.
   *  - OLD VERSIONS REMAIN READABLE until [[vacuum]] reclaims files no
   *    retained manifest references — in-flight readers finish on the
-  *    snapshot they resolved.
+  *    snapshot they resolved. Vacuum's `graceMs` window additionally
+  *    protects CONCURRENT WRITERS: files staged into `data/` by a
+  *    not-yet-committed writer are unreferenced by every manifest, so
+  *    an age-blind vacuum would reclaim them and the writer's later
+  *    commit would publish dangling entries (the r16 ADVICE finding) —
+  *    the Delta/Iceberg convention of only reclaiming files older than
+  *    a modification-time grace window closes it.
   *
   * The maintenance ops themselves are the [[graft.operators
   * .IndexCompact]]/[[graft.operators.IndexRetract]] cost model on this
@@ -49,7 +72,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `_schema.json` at [[init]] and applied on every read, so partition
   * values keep their written type instead of being re-inferred from
   * directory names (the LONG-vs-INT drift class the r15 ADVICE flagged
-  * in the table-backed fold).
+  * in the table-backed fold). SCHEMA EVOLUTION ([[evolve]]) widens the
+  * pin per-version: an add-column commit records the widened schema in
+  * `_schemas/s<N>.json` effective from its own version, so readers of
+  * OLD versions still see the exact schema those versions were written
+  * under (time travel stays byte-exact), readers of new versions see
+  * nulls for columns the pre-evolution files never carried (Spark's
+  * parquet reader backfills missing columns with null under an
+  * explicit schema), and dropping or retyping columns is refused — the
+  * add-only discipline that keeps every historical file readable.
   *
   * HONEST 100 TB caveat: each manifest lists EVERY live file, so a
   * commit rewrites O(total files) manifest lines — fine to millions of
@@ -57,7 +88,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ~400k files ≈ 20 MB manifest), past which the production designs
   * layer a manifest LIST over per-partition manifest segments so a
   * commit rewrites only the touched segments (Iceberg's exact shape).
-  * The commit PROTOCOL — immutable files, one atomic publish,
+  * The commit PROTOCOL — immutable files, atomic claim, one publish,
   * optimistic version check — is unchanged by that layering; this
   * implementation deliberately keeps the single-level form the local
   * evidence can actually exercise.
@@ -71,6 +102,39 @@ object SnapshotStore {
     * `<root>/data/`. */
   case class Snapshot(version: Long, files: Seq[String])
 
+  /** The commit-arbitration primitive: atomically create `p` such that
+    * exactly one of N concurrent callers succeeds. The manifest rename
+    * that follows only PUBLISHES — all mutual exclusion lives here, so
+    * a deployment on a store without an atomic create-exclusive (S3
+    * without conditional-put, for instance) swaps in an arm built on
+    * whatever that store does provide (if-none-match PUT, a DynamoDB-
+    * style lock table, a catalog swap) without touching the protocol. */
+  trait ClaimArm {
+    /** @return true iff this caller created `p` (won the claim). */
+    def claim(fs: FileSystem, p: Path): Boolean
+  }
+
+  /** Default arm: exclusive create. ATOMIC on HDFS (create with
+    * overwrite=false is a single namenode op) and on local filesystems
+    * — where Hadoop's ChecksumFileSystem create is a non-atomic
+    * exists-then-create (the r16 ADVICE finding against WriterLock),
+    * so `file:` URIs route through java.nio `Files.createFile`, which
+    * is O_EXCL at the syscall level. NOT atomic on S3A-style object
+    * stores (create is a buffered multipart PUT with no precondition);
+    * those need a conditional-put arm. */
+  object ExclusiveCreateClaim extends ClaimArm {
+    def claim(fs: FileSystem, p: Path): Boolean =
+      if (fs.getScheme == "file") {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(nio.getParent)
+        try { java.nio.file.Files.createFile(nio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+  }
+
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -78,6 +142,9 @@ object SnapshotStore {
 
   private def manifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, "_manifests"), f"v$v%09d.manifest")
+
+  private def claimPath(root: Path, v: Long): Path =
+    new Path(new Path(root, "_manifests"), f"v$v%09d.claim")
 
   /** Resolve the current snapshot: the highest committed manifest. */
   def current(spark: SparkSession, root: String): Snapshot = {
@@ -104,9 +171,8 @@ object SnapshotStore {
     Snapshot(v, body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
   }
 
-  private def pinnedSchema(spark: SparkSession, root: String): StructType = {
-    val (fs, rootP) = fsOf(spark, root)
-    val in = fs.open(new Path(rootP, "_schema.json"))
+  private def readSchemaFile(fs: FileSystem, p: Path): StructType = {
+    val in = fs.open(p)
     val body = try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
@@ -115,18 +181,38 @@ object SnapshotStore {
     DataType.fromJson(body).asInstanceOf[StructType]
   }
 
-  /** Read a resolved snapshot's DATA files, under the pinned schema
-    * (partition values parse at their written type). An empty snapshot
-    * reads as an empty frame of the pinned schema. Staged delete
-    * entries (the `-`-prefixed manifest lines [[stageDeletes]] adds)
-    * are NOT applied here — this is the pre-delete physical view, the
-    * same contract as `spark.table` on the tombstone-bearing table
-    * path; deletion-aware readers use [[readMor]]. */
+  /** The schema EFFECTIVE AT version `v`: the newest evolution record
+    * (`_schemas/s<K>.json`, effective from version K) with K ≤ v,
+    * falling back to the init-time `_schema.json`. Old versions keep
+    * reading under exactly the schema they were written with. */
+  def schemaAt(spark: SparkSession, root: String, v: Long): StructType = {
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, "_schemas")
+    val evolved =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("s") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("s").stripSuffix(".json").toLong)
+        .filter(_ <= v)
+        .sorted.lastOption
+        .map(k => readSchemaFile(fs, new Path(dir, f"s$k%09d.json")))
+    evolved.getOrElse(readSchemaFile(fs, new Path(rootP, "_schema.json")))
+  }
+
+  /** Read a resolved snapshot's DATA files, under the schema pinned for
+    * that snapshot's version (partition values parse at their written
+    * type; post-evolution readers see null for columns a pre-evolution
+    * file never carried). An empty snapshot reads as an empty frame of
+    * the pinned schema. Staged delete entries (the `-`-prefixed
+    * manifest lines [[stageDeletes]] adds) are NOT applied here — this
+    * is the pre-delete physical view, the same contract as
+    * `spark.table` on the tombstone-bearing table path;
+    * deletion-aware readers use [[readMor]]. */
   def read(spark: SparkSession, root: String,
            snap: Snapshot = null): DataFrame = {
     val s = Option(snap).getOrElse(current(spark, root))
     val dataFiles = s.files.filterNot(_.startsWith("-"))
-    val schema = pinnedSchema(spark, root)
+    val schema = schemaAt(spark, root, s.version)
     if (dataFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
@@ -134,6 +220,25 @@ object SnapshotStore {
       .schema(schema)
       .option("basePath", s"$root/data")
       .parquet(dataFiles.map(f => s"$root/data/$f"): _*)
+  }
+
+  /** Time travel by version number — [[read]] pinned at `v`. The
+    * version a training job records in its manifest is sufficient to
+    * re-materialize its exact input until vacuum retires it. */
+  def readAt(spark: SparkSession, root: String, v: Long): DataFrame =
+    read(spark, root, snapshotAt(spark, root, v))
+
+  /** SQL front door for time travel: register version `v` (or the
+    * current version when `v < 0`) as temp view `name`, so `spark.sql`
+    * users query the pinned snapshot like any table. The view holds
+    * the RESOLVED manifest — later commits don't move it (re-register
+    * to advance), which is exactly the reproducibility contract
+    * [[readAt]] gives the DataFrame face (SqlSurfaceSpec twin-checks
+    * the two faces; q_index_snapshot_sql carries the DuckDB oracle). */
+  def registerVersionView(spark: SparkSession, root: String, name: String,
+                          v: Long = -1L): Unit = {
+    val df = if (v < 0) read(spark, root) else readAt(spark, root, v)
+    df.createOrReplaceTempView(name)
   }
 
   /** Stage `df` as new immutable data files: Spark writes a private
@@ -167,18 +272,27 @@ object SnapshotStore {
     moved.result()
   }
 
-  /** Publish `files` as version `base.version + 1`. The manifest body
-    * is written to a temp file and RENAMED into its final name — one
-    * atomic publish; a reader never sees a partial manifest. If the
-    * target version already exists, a concurrent writer committed from
-    * the same base first: throw, caller re-reads and retries — the
-    * optimistic-concurrency arm. */
+  /** Publish `files` as version `base.version + 1`. Protocol: write the
+    * manifest body to a temp file, atomically CLAIM the version
+    * (`arm.claim` on `v<N>.claim` — exactly one concurrent caller
+    * wins), then rename the temp into the final manifest name — one
+    * atomic publish; a reader never sees a partial manifest, and a
+    * loser never overwrites a winner (the claim, not the rename,
+    * arbitrates). Losing the claim throws
+    * [[ConcurrentCommitException]]; the caller re-reads and retries.
+    *
+    * Crash window: a writer that dies between claim and rename leaves
+    * version N claimed but unpublished, and every later committer from
+    * base N-1 is refused — fail-stop, not fail-silent (the WriterLock
+    * discipline); [[breakClaim]] clears it once the dead writer is
+    * confirmed gone. */
   private[graft] def commit(spark: SparkSession, root: String,
-                            files: Seq[String], base: Long): Snapshot = {
+                            files: Seq[String], base: Long,
+                            arm: ClaimArm = ExclusiveCreateClaim): Snapshot = {
     val (fs, rootP) = fsOf(spark, root)
     val next = base + 1
     val target = manifestPath(rootP, next)
-    if (fs.exists(target))
+    if (fs.exists(target)) // cheap early refusal; the claim is the guarantee
       throw new ConcurrentCommitException(
         s"version $next already committed at $root — a concurrent " +
           "writer won from the same base; re-read and retry")
@@ -187,12 +301,26 @@ object SnapshotStore {
     val out = fs.create(tmp, false)
     try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, target)) {
+    if (!arm.claim(fs, claimPath(rootP, next))) {
       fs.delete(tmp, false)
       throw new ConcurrentCommitException(
-        s"lost the commit race for version $next at $root")
+        s"lost the commit race for version $next at $root — a " +
+          "concurrent writer holds the claim; re-read and retry")
     }
+    require(fs.rename(tmp, target),
+      s"claimed version $next but failed to publish $target")
     Snapshot(next, files.sorted)
+  }
+
+  /** Clear the claim a CONFIRMED-DEAD writer left between its claim and
+    * its publish (see [[commit]]'s crash window). Refused while the
+    * version's manifest exists — a published version's claim is
+    * permanent history, not a stale lock. */
+  def breakClaim(spark: SparkSession, root: String, v: Long): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    require(!fs.exists(manifestPath(rootP, v)),
+      s"version $v is published at $root — its claim is not stale")
+    fs.delete(claimPath(rootP, v), false)
   }
 
   /** Create the store: pin the schema (`partCol` must be `df`'s LAST
@@ -210,6 +338,42 @@ object SnapshotStore {
     try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
     val files = writeData(spark, root, df, partCol)
     commit(spark, root, files, 0L)
+  }
+
+  /** ADD-COLUMN schema evolution: commit a new version whose schema
+    * carries `added` (nullable, inserted BEFORE the partition column so
+    * the partition-last layout invariant holds), data files unchanged.
+    * Readers at or after the returned version see null for the new
+    * columns on every pre-evolution file; readers of earlier versions
+    * — including time travel to v1 — still see exactly the schema
+    * those versions were written under. Add-only by construction:
+    * name collisions are refused, drops/retypes don't exist (the
+    * discipline that keeps every historical file readable). Atomicity:
+    * the evolution record `_schemas/s<N>.json` is written BEFORE the
+    * version-N commit and rolled back if the commit loses its claim,
+    * so no committed version can ever resolve a schema that lost. */
+  def evolve(spark: SparkSession, root: String,
+             added: Seq[StructField]): Snapshot = {
+    require(added.nonEmpty, "evolve with no added columns")
+    val base = current(spark, root)
+    val old = schemaAt(spark, root, base.version)
+    val clash = added.map(_.name).toSet.intersect(old.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"evolve would collide with existing columns: ${clash.mkString(", ")}")
+    val widened = StructType(
+      old.fields.dropRight(1) ++ added.map(_.copy(nullable = true)) :+
+        old.fields.last)
+    val (fs, rootP) = fsOf(spark, root)
+    val next = base.version + 1
+    fs.mkdirs(new Path(rootP, "_schemas"))
+    val rec = new Path(new Path(rootP, "_schemas"), f"s$next%09d.json")
+    val out = fs.create(rec, false)
+    try out.write(widened.json.getBytes("UTF-8")) finally out.close()
+    try commit(spark, root, base.files, base.version)
+    catch { case e: ConcurrentCommitException =>
+      fs.delete(rec, false) // the losing schema record must not apply
+      throw e
+    }
   }
 
   /** Keep-first admit — [[graft.operators.IndexCompact]]'s semantics on
@@ -234,6 +398,28 @@ object SnapshotStore {
     (fresh.count(), commit(spark, root, base.files ++ newFiles, base.version))
   }
 
+  /** The affected-partition membership predicate, null-complete: `isin`
+    * alone silently drops NULL routing values (SQL three-valued logic),
+    * so a null-routed partition would be pruned out of the rewrite yet
+    * still lose its files from the manifest — silent data loss (the
+    * r16 ADVICE finding). */
+  private def partitionIn(partCol: String, affected: Array[Any]) = {
+    val nonNull = affected.filter(_ != null)
+    val base =
+      if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
+      else col(partCol).isin(nonNull.toIndexedSeq: _*)
+    if (affected.contains(null)) base || col(partCol).isNull else base
+  }
+
+  /** The directory prefix a routing VALUE writes under — null routes to
+    * Hive's default-partition directory, exactly where
+    * `write.partitionBy` put its rows (`String.valueOf` would have
+    * built the literal directory `pt=null`, orphaning the real one —
+    * the r16 ADVICE finding). */
+  private def partitionDir(partCol: String, v: Any): String =
+    ExternalCatalogUtils.getPartitionPathString(partCol,
+      if (v == null) null else v.toString) + "/"
+
   /** Atomic retraction — [[graft.operators.IndexRetract.fold]]'s
     * semantics on the snapshot protocol: rewrite ONLY the partitions
     * the delete-list routes to (survivors land as new files), then ONE
@@ -241,22 +427,24 @@ object SnapshotStore {
     * All-victims partitions simply contribute no survivors and lose
     * their files from the manifest — no directory-delete step exists
     * to half-apply. `dead` must carry `keys` and the routing column;
-    * the affected set derives from the STORE side (a semi-join, so
-    * Catalyst coerces a mistyped caller routing column instead of
-    * missing every partition). Returns
-    * (partitionsRewritten, rowsRemoved, newSnapshot). */
+    * the affected set derives from the STORE side (a null-safe
+    * semi-join, so Catalyst coerces a mistyped caller routing column
+    * instead of missing every partition, and a NULL routing value
+    * matches its partition instead of vanishing under join-null
+    * semantics). Returns (partitionsRewritten, rowsRemoved,
+    * newSnapshot). */
   def retract(spark: SparkSession, root: String, dead: DataFrame,
               keys: Seq[String], partCol: String)
       : (Int, Long, Snapshot) = {
     val base = current(spark, root)
     val store = read(spark, root, base)
-    // store-typed affected routing values via semi-join coercion
+    // store-typed affected routing values via null-safe semi-join coercion
+    val deadParts = dead.select(col(partCol).as("__dead_pt")).distinct()
     val affected = store.select(col(partCol)).distinct()
-      .join(dead.select(col(partCol)).distinct(), Seq(partCol),
-        "left_semi")
+      .join(deadParts, col(partCol) <=> col("__dead_pt"), "left_semi")
       .collect().map(_.get(0))
     if (affected.isEmpty) return (0, 0L, base)
-    val pruned = store.filter(col(partCol).isin(affected.toIndexedSeq: _*))
+    val pruned = store.filter(partitionIn(partCol, affected))
     val before = pruned.count()
     val survivors = pruned
       .join(dead.select(keys.map(col).toIndexedSeq: _*).distinct(), keys,
@@ -268,9 +456,7 @@ object SnapshotStore {
       else writeData(spark, root, survivors, partCol)
     // drop every affected partition's old files from the manifest —
     // the escaped directory prefix is the membership test
-    val affectedDirs = affected.map(v =>
-      ExternalCatalogUtils.getPartitionPathString(partCol,
-        String.valueOf(v)) + "/").toSet
+    val affectedDirs = affected.map(partitionDir(partCol, _)).toSet
     val kept = base.files.filterNot(f => affectedDirs.exists(f.startsWith))
     val snap = commit(spark, root, kept ++ newFiles, base.version)
     (affected.length, before - after, snap)
@@ -354,7 +540,7 @@ object SnapshotStore {
       .collect().map(_.get(0))
     val pruned =
       if (affected.isEmpty) store.limit(0)
-      else store.filter(col(partCol).isin(affected.toIndexedSeq: _*))
+      else store.filter(partitionIn(partCol, affected))
     val before = pruned.count()
     val survivors = pruned.join(deadKeys, keys, "left_anti")
       .localCheckpoint()
@@ -362,9 +548,7 @@ object SnapshotStore {
     val newFiles =
       if (after == 0) Seq.empty
       else writeData(spark, root, survivors, partCol)
-    val affectedDirs = affected.map(v =>
-      ExternalCatalogUtils.getPartitionPathString(partCol,
-        String.valueOf(v)) + "/").toSet
+    val affectedDirs = affected.map(partitionDir(partCol, _)).toSet
     val kept = dataFiles.filterNot(f => affectedDirs.exists(f.startsWith))
     // one commit: survivors in, affected files out, delete entries out
     val snap = commit(spark, root, kept ++ newFiles, base.version)
@@ -373,11 +557,26 @@ object SnapshotStore {
 
   /** Reclaim data files no retained manifest references (the newest
     * `keepVersions` stay readable; older manifests are dropped with
-    * their exclusive files). Returns the number of files deleted.
-    * Run AFTER in-flight readers of retired versions have drained —
-    * the retention window IS the reader-grace contract. */
+    * their exclusive files and claim markers). Returns the number of
+    * files deleted. Run AFTER in-flight readers of retired versions
+    * have drained — the retention window IS the reader-grace contract.
+    *
+    * `graceMs` is the IN-FLIGHT WRITER grace window: a concurrent
+    * writer between its writeData and its commit has staged files in
+    * `data/` that no manifest references YET — age-blind reclamation
+    * would delete them and the writer's subsequent commit would
+    * publish dangling entries (silent loss on every later read, the
+    * r16 ADVICE finding). Files modified within `graceMs` of now are
+    * therefore left alone, the Delta/Iceberg retention convention.
+    * The default 0 is SINGLE-WRITER mode — correct for the store's own
+    * maintenance loop, where vacuum runs in the same foreachBatch as
+    * the only writer ([[graft.streaming.DocStream
+    * .ingestCompactLoopSnapshot]]) and for the re-runnable oracle
+    * queries; any deployment with concurrent committers must pass a
+    * window comfortably above its slowest writeData-to-commit gap
+    * (SnapshotStoreSpec pins both arms). */
   def vacuum(spark: SparkSession, root: String,
-             keepVersions: Int = 2): Int = {
+             keepVersions: Int = 2, graceMs: Long = 0L): Int = {
     require(keepVersions >= 1, "must retain at least the current version")
     val (fs, rootP) = fsOf(spark, root)
     val dir = new Path(rootP, "_manifests")
@@ -389,13 +588,14 @@ object SnapshotStore {
     val referenced = retain
       .flatMap(v => snapshotAt(spark, root, v).files)
       .map(_.stripPrefix("-")).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(rootP, "data")
     var deleted = 0
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
       .filter(_.isDirectory).foreach { d =>
       fs.listStatus(d.getPath).foreach { f =>
         val rel = s"${d.getPath.getName}/${f.getPath.getName}"
-        if (!referenced.contains(rel)) {
+        if (!referenced.contains(rel) && f.getModificationTime < cutoff) {
           require(fs.delete(f.getPath, false), s"vacuum failed on $rel")
           deleted += 1
         }
@@ -406,7 +606,7 @@ object SnapshotStore {
     val delRoot = new Path(rootP, "deletes")
     if (fs.exists(delRoot)) fs.listStatus(delRoot).foreach { f =>
       val rel = s"deletes/${f.getPath.getName}"
-      if (!referenced.contains(rel)) {
+      if (!referenced.contains(rel) && f.getModificationTime < cutoff) {
         require(fs.delete(f.getPath, false), s"vacuum failed on $rel")
         deleted += 1
       }
@@ -414,6 +614,7 @@ object SnapshotStore {
     versions.dropRight(keepVersions).foreach { v =>
       require(fs.delete(manifestPath(rootP, v), false),
         s"vacuum failed to drop manifest v$v")
+      fs.delete(claimPath(rootP, v), false) // published → claim is history
     }
     deleted
   }

@@ -195,6 +195,250 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(r2 === 0 && n2 === 0L && s2.version === folded.version)
   }
 
+  test("commit arbitration is the atomic claim: 16 racers from one base " +
+      "produce exactly one version through the real arm, while a " +
+      "non-atomic arm (the object-store TOCTOU shape) lets many through") {
+    val root = freshRoot()
+    val v1 = SnapshotStore.init(spark, root, baseRows, "pt")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // the HAZARD, via an injected arm: exists-then-create with the
+    // check and the create not atomic — exactly what the old protocol's
+    // exists-then-rename amounted to, and what an S3-style store's
+    // unconditional PUT gives you. Under a real race, MANY writers pass
+    // such a check: whichever publish primitive follows is then
+    // arbitrating on unspecified filesystem semantics (S3A's
+    // copy+delete rename overwrites; this local FS happens to refuse;
+    // the FileSystem contract promises neither).
+    class NonAtomicArm extends SnapshotStore.ClaimArm {
+      val granted = new java.util.concurrent.atomic.AtomicInteger(0)
+      def claim(cfs: org.apache.hadoop.fs.FileSystem,
+                p: org.apache.hadoop.fs.Path): Boolean =
+        if (cfs.exists(p)) false
+        else { Thread.sleep(10); cfs.create(p, true).close()
+               granted.incrementAndGet(); true }
+    }
+    val hazard = new NonAtomicArm
+    val hazardPath = new org.apache.hadoop.fs.Path(root, "_hazard_claim")
+    val hazardThreads = (0 until 16).map { _ =>
+      new Thread(() => { hazard.claim(fs, hazardPath); () })
+    }
+    hazardThreads.foreach(_.start()); hazardThreads.foreach(_.join())
+    assert(hazard.granted.get() > 1,
+      s"the non-atomic arm granted ${hazard.granted.get()} claims — " +
+        "expected the race to expose multiple grants; if this is ever 1 " +
+        "by luck, widen the sleep, don't weaken the real-arm assertion")
+
+    // the FIX: the same 16-way race through the REAL protocol — exactly
+    // one exclusive-create claim wins, 15 throw, the winner's manifest
+    // is intact
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 16).map { i =>
+      new Thread(() =>
+        try {
+          SnapshotStore.commit(spark, root, v1.files, v1.version)
+          results.add(s"win-$i")
+        } catch {
+          case _: ConcurrentCommitException => results.add(s"refused-$i")
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (wins, refused) = results.asScala.toSeq.partition(_.startsWith("win"))
+    assert(wins.size === 1 && refused.size === 15,
+      s"claim arbitration failed: $wins / $refused")
+    assert(SnapshotStore.current(spark, root).version === 2L)
+    assert(SnapshotStore.snapshotAt(spark, root, 2L).files.toSet
+      === v1.files.toSet, "the racing losers corrupted the winner's manifest")
+    assert(rowSet(SnapshotStore.read(spark, root)) === rowSet(baseRows))
+  }
+
+  test("crash window: a claim whose writer died before publishing blocks " +
+      "the version loudly; breakClaim clears it, but refuses to touch a " +
+      "published version's claim") {
+    val root = freshRoot()
+    val v1 = SnapshotStore.init(spark, root, baseRows, "pt")
+    // simulate the crash: claim version 2 and die before the rename
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotStore.ExclusiveCreateClaim.claim(fs,
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/v000000002.claim")))
+    // every committer from base 1 is now refused — fail-stop
+    intercept[ConcurrentCommitException] {
+      SnapshotStore.commit(spark, root, v1.files, v1.version)
+    }
+    // the operator confirms the writer is dead and breaks the claim
+    assert(SnapshotStore.breakClaim(spark, root, 2L))
+    val v2 = SnapshotStore.commit(spark, root, v1.files, v1.version)
+    assert(v2.version === 2L)
+    // a PUBLISHED version's claim is history, not a stale lock
+    intercept[IllegalArgumentException] {
+      SnapshotStore.breakClaim(spark, root, 2L)
+    }
+  }
+
+  test("vacuum's grace window protects an in-flight writer's staged " +
+      "files: age-blind reclamation would publish dangling manifests") {
+    val root = freshRoot()
+    SnapshotStore.init(spark, root, baseRows, "pt")
+    SnapshotStore.retract(spark, root,
+      baseRows.filter($"doc_id" === 99L), Seq("g", "doc_id"), "pt")
+    val want = rowSet(baseRows.filter($"doc_id" =!= 99L))
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age the store's real history two hours into the past...
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+    fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      fs.listStatus(d.getPath).foreach(f => fs.setTimes(f.getPath, old, -1))
+    }
+    // ...and plant the in-flight writer: a fresh staged file no manifest
+    // references yet (exactly what exists between writeData and commit)
+    val inflight = new org.apache.hadoop.fs.Path(dataRoot,
+      "pt=0/inflight-tag-part-0.parquet")
+    val o = fs.create(inflight, false); o.write(Array[Byte](1, 2, 3)); o.close()
+
+    val reclaimed = SnapshotStore.vacuum(spark, root, keepVersions = 1,
+      graceMs = 3600 * 1000L)
+    assert(reclaimed > 0, "the aged unreferenced files were not reclaimed")
+    assert(fs.exists(inflight),
+      "vacuum reclaimed a concurrent writer's staged-but-uncommitted file " +
+        "inside the grace window — its commit would publish dangling entries")
+    assert(rowSet(SnapshotStore.read(spark, root)) === want)
+    // single-writer mode (grace 0) reclaims the orphan
+    assert(SnapshotStore.vacuum(spark, root, keepVersions = 1) >= 1)
+    assert(!fs.exists(inflight))
+  }
+
+  test("NULL routing values: retraction rewrites the default partition " +
+      "instead of orphaning it (isin drops nulls; String.valueOf built a " +
+      "literal pt=null directory)") {
+    val root = freshRoot()
+    // pt is a nullable INT with a real null partition
+    val rows = Seq(("g-a", 99L, Some(0)), ("g-a", 500L, Some(0)),
+      ("g-n", 99L, None), ("g-n", 501L, None), ("g-m", 502L, None),
+      ("g-b", 503L, Some(1)))
+      .toDF("g", "doc_id", "pt")
+    val v1 = SnapshotStore.init(spark, root, rows, "pt")
+    assert(v1.files.exists(_.startsWith("pt=__HIVE_DEFAULT_PARTITION__/")),
+      "fixture degenerate: no default-partition file was written")
+    assert(rowSet(SnapshotStore.read(spark, root)) === rowSet(rows))
+
+    // retract keys routed to pt=0 AND pt=null
+    val dead = rows.filter($"doc_id" === 99L)
+    val (rewritten, removed, v2) = SnapshotStore.retract(spark, root,
+      dead, Seq("g", "doc_id"), "pt")
+    assert(rewritten === 2 && removed === 2L,
+      s"null partition missed: rewritten=$rewritten removed=$removed")
+    assert(rowSet(SnapshotStore.read(spark, root))
+      === rowSet(rows.filter($"doc_id" =!= 99L)))
+    // the default partition's OLD files left the manifest and its
+    // survivors landed as NEW files — no orphaned pt=null directory
+    val oldNullFiles = v1.files.filter(
+      _.startsWith("pt=__HIVE_DEFAULT_PARTITION__/")).toSet
+    assert(v2.files.toSet.intersect(oldNullFiles).isEmpty,
+      "retraction carried the null partition's dead files forward")
+    assert(v2.files.exists(_.startsWith("pt=__HIVE_DEFAULT_PARTITION__/")),
+      "the null partition's survivors were not rewritten")
+    // and the MOR arm routes null partitions the same way
+    SnapshotStore.stageDeletes(spark, root,
+      rows.filter($"doc_id" === 501L).select($"g", $"doc_id"),
+      Seq("g", "doc_id"))
+    val (r2, n2, _) = SnapshotStore.foldStagedDeletes(spark, root,
+      Seq("g", "doc_id"), "pt")
+    assert(r2 === 1 && n2 === 1L)
+    assert(rowSet(SnapshotStore.read(spark, root))
+      === rowSet(rows.filter($"doc_id" =!= 99L && $"doc_id" =!= 501L)))
+  }
+
+  test("schema evolution: add-column commits widen the pin per-version; " +
+      "time travel reads the exact pre-evolution schema, new versions " +
+      "null-backfill old files, collisions are refused") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val root = freshRoot()
+    SnapshotStore.init(spark, root, baseRows, "pt")           // v1
+    SnapshotStore.compact(spark, root,
+      Seq(("g003", 900L)).toDF("g", "doc_id").withColumn("pt", lit(3)),
+      Seq("g", "doc_id"), "pt")                               // v2
+    val v2rows = rowSet(baseRows) + (("g003", 900L))
+
+    val v3 = SnapshotStore.evolve(spark, root,
+      Seq(StructField("score", IntegerType)))                 // v3
+    assert(v3.version === 3L)
+    assert(v3.files.toSet
+      === SnapshotStore.snapshotAt(spark, root, 2L).files.toSet,
+      "evolution rewrote data files")
+
+    // the widened schema keeps the partition column LAST
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.columns.toSeq === Seq("g", "doc_id", "score", "pt"))
+    // every pre-evolution file null-backfills
+    assert(cur.filter($"score".isNotNull).count() === 0)
+    assert(rowSet(cur) === v2rows)
+
+    // TIME TRAVEL: versions 1 and 2 read under the exact original schema
+    Seq(1L, 2L).foreach { v =>
+      val tt = SnapshotStore.readAt(spark, root, v)
+      assert(tt.columns.toSeq === Seq("g", "doc_id", "pt"),
+        s"version $v leaked the evolved schema")
+    }
+    assert(rowSet(SnapshotStore.readAt(spark, root, 1L)) === rowSet(baseRows))
+
+    // post-evolution writes carry the column; old rows stay null
+    SnapshotStore.compact(spark, root,
+      Seq(("g012", 902L, 7)).toDF("g", "doc_id", "score")
+        .withColumn("pt", lit(4)),
+      Seq("g", "doc_id"), "pt")                               // v4
+    val scored = SnapshotStore.read(spark, root)
+    assert(scored.filter($"score" === 7).count() === 1L)
+    assert(scored.count() === v2rows.size + 1)
+
+    // a retraction touching an old file keeps the widened schema whole
+    SnapshotStore.retract(spark, root,
+      baseRows.filter($"doc_id" === 99L), Seq("g", "doc_id"), "pt") // v5
+    val afterRetract = SnapshotStore.read(spark, root)
+    assert(afterRetract.columns.toSeq === Seq("g", "doc_id", "score", "pt"))
+    assert(rowSet(afterRetract)
+      === (v2rows + (("g012", 902L))).filterNot(_._2 == 99L))
+
+    // add-only discipline: collisions refused, nothing committed
+    val before = SnapshotStore.current(spark, root).version
+    intercept[IllegalArgumentException] {
+      SnapshotStore.evolve(spark, root,
+        Seq(StructField("doc_id", IntegerType)))
+    }
+    assert(SnapshotStore.current(spark, root).version === before)
+  }
+
+  test("SQL front door: a registered version view answers spark.sql " +
+      "with exactly the pinned version, and later commits don't move it") {
+    val root = freshRoot()
+    SnapshotStore.init(spark, root, baseRows, "pt")
+    SnapshotStore.registerVersionView(spark, root, "snap_spec_v1", 1L)
+    val viaSql = spark.sql(
+      "SELECT g, doc_id FROM snap_spec_v1").as[(String, Long)].collect().toSet
+    assert(viaSql === rowSet(SnapshotStore.readAt(spark, root, 1L)))
+
+    // maintenance advances the store; the registered view stays pinned
+    SnapshotStore.compact(spark, root,
+      Seq(("g003", 900L)).toDF("g", "doc_id").withColumn("pt", lit(3)),
+      Seq("g", "doc_id"), "pt")
+    SnapshotStore.retract(spark, root,
+      baseRows.filter($"doc_id" === 99L), Seq("g", "doc_id"), "pt")
+    assert(spark.sql("SELECT g, doc_id FROM snap_spec_v1")
+      .as[(String, Long)].collect().toSet === rowSet(baseRows),
+      "the pinned SQL view moved under maintenance")
+    // re-registering at current picks up the new version
+    SnapshotStore.registerVersionView(spark, root, "snap_spec_cur")
+    assert(spark.sql("SELECT g, doc_id FROM snap_spec_cur")
+      .as[(String, Long)].collect().toSet
+      === (rowSet(baseRows) + (("g003", 900L))).filterNot(_._2 == 99L))
+    spark.catalog.dropTempView("snap_spec_v1")
+    spark.catalog.dropTempView("snap_spec_cur")
+  }
+
   test("vacuum reclaims unreferenced files and retired manifests; " +
       "retained versions stay exact") {
     val root = freshRoot()

@@ -154,6 +154,77 @@ class StreamCompactLoopSpec extends SparkTestBase {
     assert(SnapshotStore.current(spark, root).version >= 3L)
   }
 
+  test("the consumer contract: a reader pinned at version N — DataFrame " +
+      "or SQL view — is unaffected by K later loop commits, and vacuum's " +
+      "retention window bounds exactly how long the pin stays answerable") {
+    import graft.sources.SnapshotStore
+    val root = Files.createTempDirectory("loop_snap_pin").resolve("store")
+      .toString
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    def fps(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select($"doc_id",
+        coalesce(graft.Clean.fingerprint($"text"), lit("")).as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("owner_id"))
+      .withColumn("pt", pmod(xxhash64($"fp"), lit(16L)).cast("int"))
+    SnapshotStore.init(spark, root, fps($"doc_id" % 4 === 0), "pt")
+
+    // the long-running training job pins its corpus version NOW —
+    // BOTH faces: the DataFrame pin and the SQL view
+    val pinned = SnapshotStore.current(spark, root)
+    SnapshotStore.registerVersionView(spark, root, "pin_spec_train",
+      pinned.version)
+    val want = SnapshotStore.read(spark, root, pinned)
+      .select($"fp", $"owner_id").as[(String, Long)].collect().toSet
+
+    // ...while the live ingest loop advances the store K=4 commits
+    // (3 micro-batches + 1 interloping maintenance commit), vacuuming
+    // with a retention window that KEEPS the pinned version readable
+    val dir = Files.createTempDirectory("loop_snap_pin_src")
+    stageFile(docs.filter($"doc_id" % 4 === 1), dir, "b0.parquet",
+      1700000000000L)
+    stageFile(docs.filter($"doc_id" % 4 === 2), dir, "b1.parquet",
+      1700000100000L)
+    stageFile(docs.filter($"doc_id" % 4 === 3), dir, "b2.parquet",
+      1700000200000L)
+    val q = DocStream.ingestCompactLoopSnapshot(spark,
+        DocStream.readDocs(spark, dir.toString), root,
+        vacuumEvery = 1, vacuumKeep = 8)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("loop_snap_pin_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    SnapshotStore.compact(spark, root,
+      Seq(("pin-interloper", 999999L)).toDF("fp", "owner_id")
+        .withColumn("pt", pmod(xxhash64($"fp"), lit(16L)).cast("int")),
+      Seq("fp"), "pt")
+    assert(SnapshotStore.current(spark, root).version >= pinned.version + 4,
+      "fixture degenerate: the loop advanced fewer commits than claimed")
+
+    // the pinned reader re-reads its EXACT version after every commit —
+    // the reproducibility contract q_index_snapshot_timetravel oracles
+    val gotDf = SnapshotStore.readAt(spark, root, pinned.version)
+      .select($"fp", $"owner_id").as[(String, Long)].collect().toSet
+    assert(gotDf === want, "the pinned DataFrame view drifted under the loop")
+    val gotSql = spark.sql(
+      "SELECT fp, owner_id FROM pin_spec_train")
+      .as[(String, Long)].collect().toSet
+    assert(gotSql === want, "the pinned SQL view drifted under the loop")
+
+    // vacuum honoring the retention window: keep enough versions and the
+    // pin survives; tighten past it and the pin is REFUSED (loudly dead,
+    // not silently wrong) — the grace contract's two sides
+    SnapshotStore.vacuum(spark, root, keepVersions = 8)
+    assert(SnapshotStore.readAt(spark, root, pinned.version)
+      .select($"fp", $"owner_id").as[(String, Long)].collect().toSet === want)
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    intercept[Exception] {
+      SnapshotStore.readAt(spark, root, pinned.version).collect()
+    }
+    spark.catalog.dropTempView("pin_spec_train")
+  }
+
   test("a concurrent writer holding the table's maintenance lock makes " +
       "the loop's batch fail loudly instead of interleaving") {
     val Hist = "loop_lock_spec"
