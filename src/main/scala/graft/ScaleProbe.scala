@@ -422,6 +422,13 @@ object ScaleProbe {
     // under the boilerplate corpus (media_avi_hist cap bounds the
     // index), per-arrival collision work must stay bucket-bounded
     "q_media_avi_incremental",
+    // the COMPRESSED-frame video face under the same shape: every rep
+    // pays a genuine MJPEG container walk + per-frame entropy-decode +
+    // IDCT (the heaviest per-rep decode in the media family) and the
+    // shared early frames make every (frame_idx, sig) bucket hot — the
+    // media_avi_mjpeg cap must bound the candidate set exactly like
+    // the lossless twin's
+    "q_media_avi_mjpeg_dedup",
     // the banding sweep under the same concentration: ALL THREE
     // layouts' buckets go hot simultaneously (the 8x8 rung worst —
     // eight hot buckets per rep) — each layout's own capPerKey tag

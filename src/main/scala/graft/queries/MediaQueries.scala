@@ -499,6 +499,59 @@ object MediaQueries {
       expr(s"((len div 100) + ${VideoEveryNth - 1}) div $VideoEveryNth"),
       col("durationMs"))),
 
+    // COMPRESSED-frame video near-dup — the sixth signature under the
+    // one pairing device, and the codec shape real crawl video ships:
+    // genuine MJPEG AVI containers (each '00dc' chunk a complete JPEG,
+    // Multimodal.asMjpegAviMedia), decoded frame-by-frame through the
+    // real entropy-decode + IDCT inside AviCodec's movi walk, then the
+    // LITERALLY SHARED frameSigNearDup device over the decoded luma —
+    // the uncompressed face and this one differ only in the frame
+    // codec. ROWS-ONLY by necessity (no SQL replay of a DCT codec
+    // exists in principle), with the full anchor set:
+    // q_media_avi_dedup is the hash-matched LOSSLESS twin of the
+    // identical pipeline (same grids, same device, swap the frame
+    // codec), q_media_avi_mjpeg_decode hash-matches the container
+    // geometry + per-frame error-bound certification, and AviMjpegSpec
+    // pins the planted re-encode fixture — the same clip re-saved at a
+    // lower quality, the case an MJPEG dedup exists for — recovered at
+    // q=0.8 (measured sampled-frame Hammings 2,1 <= the device ring),
+    // with the q=0.7 escape pinned as the measured boundary: at the
+    // 64-pixel frame grain a 4-pixel cell mean moves under q=0.7's
+    // ±43 luma error (per-frame Hamming 3-4), so recovery there needs
+    // coarser frames, not a wider ring. Twin-verdict agreement on the
+    // planted corpus completes the anchors.
+    "q_media_avi_mjpeg_dedup" -> ((s, dir) => frameSigNearDup(s, dir,
+      (s, d) => Multimodal.asMjpegAviMedia(Tables.table(s, d, "documents"))
+        .toDF(),
+      media => {
+        import media.sparkSession.implicits._
+        Multimodal.aviFrameSigs(
+          media.as[Multimodal.MediaItem], VideoEveryNth).toDF()
+      },
+      "media_avi_mjpeg",
+      expr(s"((len div 100) + ${VideoEveryNth - 1}) div $VideoEveryNth"),
+      col("durationMs"))),
+
+    // The MJPEG decode CERTIFICATION — the lossy-codec honesty device
+    // at the video grain (q_media_jpeg_decode's container sibling):
+    // every doc round-trips through the real MJPEG writer and the real
+    // container walk + per-frame JPEG decode, and the row carries the
+    // parsed geometry, the movi-walk frame count, and the MEASURED
+    // ≤2-per-pixel luma bound over EVERY frame against the exact
+    // zero-filled grids (one step looser than the still face's ≤1: a
+    // 16x4 frame is a partial 8x8 MCU — DCT edge extension on three
+    // sides; sf0.01 sweep: max error exactly 2, 4/500 items above 1,
+    // the same corpus ≤1 on the still grid). The oracle replays
+    // geometry and frame count arithmetically (n_frames = ceil(len/64)
+    // at the canonical 16x4 geometry) and asserts the bound TRUE per
+    // item — a LIST-walk, chunk-size, RIFF-padding, or frame-codec bug
+    // breaks the hash.
+    "q_media_avi_mjpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.aviMjpegCertify(Tables.table(s, dir, "documents")).toDF()
+        .orderBy("item_id")
+    }),
+
     // Ingest-time perceptual media dedup — the q_dedup_incremental
     // shape one modality over: an arriving media item (item_id % 10 = 0,
     // the documents family's increment convention) is ADMITTED iff no
@@ -1671,6 +1724,24 @@ object MediaQueries {
         |  CAST($w * ((length(text) + ${w - 1}) // $w) AS BIGINT)
         |    AS n_pixels,
         |  TRUE AS luma_err_le1
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |ORDER BY item_id""".stripMargin
+    },
+
+    // the MJPEG container certification: geometry and movi-walk frame
+    // count replayed arithmetically, the per-frame ≤2-luma contract
+    // (measured — partial-MCU frames, see the query scaladoc) asserted
+    // TRUE per item (the Spark side MEASURED it through the real round
+    // trip over every frame)
+    "q_media_avi_mjpeg_decode" -> {
+      val w = Multimodal.AviFrameWidth
+      val r = Multimodal.AviFrameRows
+      s"""SELECT doc_id AS item_id,
+        |  CAST($w AS INT) AS width,
+        |  CAST($r AS INT) AS height,
+        |  CAST(greatest((length(text) + ${w * r - 1}) // ${w * r}, 1)
+        |    AS BIGINT) AS n_frames,
+        |  TRUE AS frames_err_le2
         |FROM documents WHERE text IS NOT NULL AND length(text) > 0
         |ORDER BY item_id""".stripMargin
     },

@@ -70,9 +70,10 @@ class PlanSpec extends SparkTestBase {
       // the real-decode near-dups ride the same shared banding device;
       // a cartesian would mean bandNearDup's bucket pairing regressed
       "q_media_wav_dedup", "q_media_bmp_dedup",
-      // the frame-signature video faces (synthetic and real-AVI): the
-      // candidate stage must stay (frame_idx, sig) equi-collision
-      "q_media_video_dedup", "q_media_avi_dedup",
+      // the frame-signature video faces (synthetic, real-AVI, and the
+      // MJPEG compressed-frame twin): the candidate stage must stay
+      // (frame_idx, sig) equi-collision
+      "q_media_video_dedup", "q_media_avi_dedup", "q_media_avi_mjpeg_dedup",
       // the compressed-codec faces ride the same banding device (PNG
       // through the real inflate, JPEG through the real IDCT, µ-law
       // through the real G.711 expansion); the signature-grain dedup

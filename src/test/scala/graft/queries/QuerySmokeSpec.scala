@@ -44,7 +44,15 @@ class QuerySmokeSpec extends SparkTestBase {
       // pins the planted re-encode fixture inside the measured ring,
       // and MediaStreamSpec pins batch/stream agreement
       "q_media_jpeg_dedup",
-      "q_media_jpeg_incremental"
+      "q_media_jpeg_incremental",
+      // the MJPEG video face rides the same lossy-codec adjudication:
+      // q_media_avi_dedup is the hash-matched LOSSLESS twin of the
+      // identical container+device pipeline (swap the frame codec),
+      // q_media_avi_mjpeg_decode hash-matches the container geometry +
+      // per-frame error-bound certification, and AviMjpegSpec pins the
+      // planted re-encode fixture (q=0.8 recovered, q=0.7 boundary
+      // escape measured) and twin-verdict agreement
+      "q_media_avi_mjpeg_dedup"
     )
     val unanchored = SparkEntry.queries.keySet
       .diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
@@ -75,7 +83,8 @@ class QuerySmokeSpec extends SparkTestBase {
         // BmpMaxHamming / UlawMaxHamming scaladocs) hold pairs at
         // sf0.01; the 50-doc corpus may have none
         "q_media_wav_dedup", "q_media_bmp_dedup", "q_media_ulaw_dedup",
-        "q_media_png_dedup", "q_media_jpeg_dedup")
+        "q_media_png_dedup", "q_media_jpeg_dedup",
+        "q_media_avi_mjpeg_dedup")
       if (!mayBeEmpty.contains(name)) assert(df.count() > 0, s"$name empty")
       else assert(df.count() >= 0)
     }
