@@ -429,6 +429,11 @@ object ScaleProbe {
     // media_avi_mjpeg cap must bound the candidate set exactly like
     // the lossless twin's
     "q_media_avi_mjpeg_dedup",
+    // its ingest face: every history (frame_idx, sig) bucket hot under
+    // the boilerplate corpus (media_avi_mjpeg_hist cap bounds the
+    // index), per-arrival collision work bucket-bounded like the
+    // lossless twin's
+    "q_media_avi_mjpeg_incremental",
     // the banding sweep under the same concentration: ALL THREE
     // layouts' buckets go hot simultaneously (the 8x8 rung worst —
     // eight hot buckets per rep) — each layout's own capPerKey tag

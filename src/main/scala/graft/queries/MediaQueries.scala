@@ -321,6 +321,36 @@ object MediaQueries {
       .orderBy("item_a", "item_b")
   }
 
+  /** The frame-grain incremental admit, codec-agnostic — the named
+    * queries fix (mediaOf, capTag); admission = no single history item
+    * shares >= [[VideoMinMatched]] temporally-aligned EXACT frame-sig
+    * collisions (what a capped (frame_idx, sig) index answers with
+    * bucket-bounded per-arrival work). */
+  private def frameIncremental(s: SparkSession, dir: String,
+      mediaOf: DataFrame => org.apache.spark.sql.Dataset[
+        Multimodal.MediaItem],
+      capTag: String): DataFrame = {
+    import s.implicits._
+    val frames = Multimodal.aviFrameSigs(
+        mediaOf(Tables.table(s, dir, "documents")),
+        VideoEveryNth).toDF()
+    val hist = DedupQueries.capPerKey(
+        frames.filter($"item_id" % 10 =!= 0)
+          .select($"item_id".as("doc_id"), $"frame_idx", $"sig"),
+        capTag, $"frame_idx", $"sig")
+      .select($"frame_idx", $"sig", $"doc_id".as("hist_id"))
+    val inc = frames.filter($"item_id" % 10 === 0)
+    val flagged = inc
+      .join(hist, Seq("frame_idx", "sig"))
+      .groupBy($"item_id", $"hist_id")
+      .agg(count(lit(1)).as("matched"))
+      .filter($"matched" >= VideoMinMatched)
+      .select($"item_id").distinct()
+    inc.select($"item_id").distinct()
+      .join(flagged, Seq("item_id"), "left_anti")
+      .orderBy("item_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Perceptual near-dup detection over the MEDIA column — the image
     // analog of MinHash for text (the r11 verdict's top directive): an
@@ -614,27 +644,23 @@ object MediaQueries {
     // split, zero state rows). Oracle replays decode, padded-grid
     // signatures, aligned collision counting, and the NOT-EXISTS admit
     // rule (uncapped, the standard cap contract).
-    "q_media_avi_incremental" -> ((s, dir) => {
-      import s.implicits._
-      val frames = Multimodal.aviFrameSigs(
-          Multimodal.asAviMedia(Tables.table(s, dir, "documents")),
-          VideoEveryNth).toDF()
-      val hist = DedupQueries.capPerKey(
-          frames.filter($"item_id" % 10 =!= 0)
-            .select($"item_id".as("doc_id"), $"frame_idx", $"sig"),
-          "media_avi_hist", $"frame_idx", $"sig")
-        .select($"frame_idx", $"sig", $"doc_id".as("hist_id"))
-      val inc = frames.filter($"item_id" % 10 === 0)
-      val flagged = inc
-        .join(hist, Seq("frame_idx", "sig"))
-        .groupBy($"item_id", $"hist_id")
-        .agg(count(lit(1)).as("matched"))
-        .filter($"matched" >= VideoMinMatched)
-        .select($"item_id").distinct()
-      inc.select($"item_id").distinct()
-        .join(flagged, Seq("item_id"), "left_anti")
-        .orderBy("item_id")
-    }),
+    "q_media_avi_incremental" -> ((s, dir) =>
+      frameIncremental(s, dir,
+        d => Multimodal.asAviMedia(d), "media_avi_hist")),
+
+    // The COMPRESSED-video ingest face — the frame-signature admit
+    // rule through the real MJPEG decode chain (tag
+    // media_avi_mjpeg_hist), the same indexable grain and banded-
+    // history scale shape as the uncompressed face. ROWS-ONLY like the
+    // dedup face (no SQL replay of per-frame DCT exists), same anchor
+    // set: q_media_avi_incremental is the hash-matched lossless twin
+    // of the identical admit pipeline, the certification pins the
+    // decode, and DocStream.mediaDedupMjpeg is the live twin
+    // (MediaStreamSpec pins the admitted sets equal on a replayed
+    // split, zero state rows).
+    "q_media_avi_mjpeg_incremental" -> ((s, dir) =>
+      frameIncremental(s, dir,
+        d => Multimodal.asMjpegAviMedia(d), "media_avi_mjpeg_hist")),
 
     // The image-side ingest face, closing the media symmetry (every
     // real decoder now has batch dedup + incremental admit + live

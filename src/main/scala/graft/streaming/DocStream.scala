@@ -1024,15 +1024,26 @@ object DocStream extends Serializable {
     * ((frame_idx, sig) buckets capPerKey-bounded under media_avi_hist,
     * so a viral clip's re-uploads cap at the bucket bound). At 100 TB:
     * a (frame_idx, sig)-bucketed materialized table. */
-  def prepareAviMediaIndex(historyDocs: DataFrame): DataFrame = {
+  def prepareAviMediaIndex(historyDocs: DataFrame): DataFrame =
+    frameIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asAviMedia(d),
+      "media_avi_hist")
+
+  /** The frame-grain history index, codec-agnostic — the named faces
+    * fix (mediaOf, capTag); both run the REAL container parse inside
+    * the stateless decode pass. */
+  private def frameIndexOf(historyDocs: DataFrame,
+      mediaOf: DataFrame => org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaItem],
+      capTag: String): DataFrame = {
     import graft.queries.{DedupQueries, MediaQueries}
     DedupQueries.capPerKey(
         graft.multimodal.Multimodal.aviFrameSigs(
-            graft.multimodal.Multimodal.asAviMedia(historyDocs),
+            mediaOf(historyDocs),
             MediaQueries.VideoEveryNth).toDF()
           .select(col("item_id").as("doc_id"), col("frame_idx"),
             col("sig")),
-        "media_avi_hist", col("frame_idx"), col("sig"))
+        capTag, col("frame_idx"), col("sig"))
       .select(col("frame_idx"), col("sig"), col("doc_id").as("hist_id"))
       .cache()
   }
@@ -1048,11 +1059,42 @@ object DocStream extends Serializable {
     * blaming the most-matched (ties to the smallest id). Fires once
     * per arrival inside its own micro-batch: zero state rows. */
   def mediaDedupAvi(spark: SparkSession, newDocs: DataFrame,
-                    histIndex: DataFrame): Dataset[AviAdmit] = {
+                    histIndex: DataFrame): Dataset[AviAdmit] =
+    frameDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asAviMedia(d))
+
+  /** The MJPEG history frame index: real COMPRESSED containers, every
+    * frame through the real entropy-decode + IDCT — the batch
+    * q_media_avi_mjpeg_incremental's history side verbatim (tag
+    * media_avi_mjpeg_hist). */
+  def prepareMjpegMediaIndex(historyDocs: DataFrame): DataFrame =
+    frameIndexOf(historyDocs,
+      d => graft.multimodal.Multimodal.asMjpegAviMedia(d),
+      "media_avi_mjpeg_hist")
+
+  /** The live COMPRESSED-video ingest face — the stream twin of
+    * q_media_avi_mjpeg_incremental at the same indexable grain; the
+    * frame decode is the real JPEG pipeline per '00dc' chunk
+    * (MediaStreamSpec pins the admitted sets equal to the batch face
+    * on a replayed split, zero state rows — one of the rows-only
+    * family's anchors). */
+  def mediaDedupMjpeg(spark: SparkSession, newDocs: DataFrame,
+                      histIndex: DataFrame): Dataset[AviAdmit] =
+    frameDedupOf(spark, newDocs, histIndex,
+      d => graft.multimodal.Multimodal.asMjpegAviMedia(d))
+
+  /** The frame-grain verdict face, codec-agnostic (the [[mediaDedupOf]]
+    * discipline at the (frame_idx, sig) grain): exact aligned
+    * collisions against the static index, judged per arrival in its
+    * own micro-batch — zero state rows. */
+  private def frameDedupOf(spark: SparkSession, newDocs: DataFrame,
+      histIndex: DataFrame,
+      mediaOf: DataFrame => org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaItem]): Dataset[AviAdmit] = {
     import spark.implicits._
     import graft.queries.MediaQueries
     val scored = graft.multimodal.Multimodal.aviFrameSigs(
-        graft.multimodal.Multimodal.asAviMedia(newDocs),
+        mediaOf(newDocs),
         MediaQueries.VideoEveryNth).toDF()
       .join(histIndex, Seq("frame_idx", "sig"), "left_outer")
       .select($"item_id", $"hist_id")

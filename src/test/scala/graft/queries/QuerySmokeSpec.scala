@@ -52,7 +52,13 @@ class QuerySmokeSpec extends SparkTestBase {
       // per-frame error-bound certification, and AviMjpegSpec pins the
       // planted re-encode fixture (q=0.8 recovered, q=0.7 boundary
       // escape measured) and twin-verdict agreement
-      "q_media_avi_mjpeg_dedup"
+      "q_media_avi_mjpeg_dedup",
+      // the ingest face rides the same adjudication: the lossless
+      // q_media_avi_incremental is the hash-matched twin of the
+      // identical admit pipeline, and DocStream.mediaDedupMjpeg is the
+      // live twin (MediaStreamSpec pins stream == batch on a replayed
+      // split)
+      "q_media_avi_mjpeg_incremental"
     )
     val unanchored = SparkEntry.queries.keySet
       .diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)

@@ -223,6 +223,52 @@ class MediaStreamSpec extends SparkTestBase {
     } finally index.unpersist()
   }
 
+  test("the MJPEG stream face equals its batch incremental on the " +
+      "replayed increment, with zero state") {
+    // the compressed-video twin at the frame-signature grain: every
+    // arrival wraps into a genuine MJPEG AVI container, each '00dc'
+    // frame decodes through the real JPEG pipeline inside the
+    // stateless decode pass, and exact aligned (frame_idx, sig)
+    // collisions against the static index decide admission — the
+    // admitted sets must match q_media_avi_mjpeg_incremental (this pin
+    // is one of the rows-only family's documented anchors)
+    val dir = Files.createTempDirectory("media_stream_mjpeg_inc")
+    val docs = Tables.table(spark, sf0001, "documents")
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 250),
+      dir, "b0.parquet", 1700000000000L)
+    stageFile(docs.filter($"doc_id" % 10 === 0 && $"doc_id" >= 250),
+      dir, "b1.parquet", 1700000100000L)
+
+    val index = DocStream.prepareMjpegMediaIndex(
+      docs.filter($"doc_id" % 10 =!= 0))
+    try {
+      val out = DocStream.mediaDedupMjpeg(spark,
+        DocStream.readDocs(spark, dir.toString), index).toDF()
+      val q = EventStream.runToMemory(out, "media_dedup_mjpeg",
+        OutputMode.Append())
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      q.stop()
+      assert(stateRows === 0L, "the mjpeg verdict face must keep no state")
+
+      val admitted = spark.table("media_dedup_mjpeg")
+        .filter($"admitted").select($"item_id").as[Long].collect().toSet
+      val want = graft.SparkEntry.queries("q_media_avi_mjpeg_incremental")(
+          spark, sf0001)
+        .as[Long].collect().toSet
+      assert(admitted === want)
+      // and the lossless twin agrees on this corpus — the anchor
+      // relationship, checked live
+      val lossless = graft.SparkEntry.queries("q_media_avi_incremental")(
+          spark, sf0001)
+        .as[Long].collect().toSet
+      assert(admitted === lossless,
+        "the MJPEG and lossless admit sets diverged on the twin corpus")
+    } finally index.unpersist()
+  }
+
   test("planted fixture: byte-copy and near variant rejected with " +
       "blame, both judged against the banded history") {
     val base = "the quick brown fox jumps over the lazy dog " * 5
