@@ -1135,6 +1135,85 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // The CHANGE FEED between two corpus versions — the question an
+    // incremental training job asks before consuming a drop ("what
+    // entered and what left between snapshot 1 and snapshot 3"),
+    // answered from the MANIFESTS (the Delta-CDF shape without change
+    // files): partitions whose file-name sets are identical in both
+    // versions provably hold identical rows (immutability), so the
+    // diff READS only partitions the maintenance cycle touched — cost
+    // ∝ changed-partition bytes, not store bytes (SnapshotDiffSpec
+    // pins inputFiles ⊆ changed partitions) — and key-level anti-joins
+    // inside them classify added/removed. A retract's survivor rewrite
+    // (old rows in new files) correctly contributes nothing. HARD
+    // oracle: the lifecycle slices' set algebra — added = the admit
+    // slice minus base minus takedown, removed = the base rows the
+    // takedown hit. pt is routing (seeded xxhash64), not semantics, so
+    // the feed emits the key columns.
+    "q_index_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snapdiff_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.retract(s, root,
+        postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.diff(s, root, 1L, 3L,
+          Seq("g", "doc_id"))
+        .select($"g", $"doc_id", $"change_type")
+        .orderBy("change_type", "g", "doc_id")
+    }),
+
+    // SCHEMA EVOLUTION behind a hard oracle — the add-column contract
+    // checked by DuckDB, not just ScalaTest: evolve adds a nullable
+    // weight column between the base commit and the admit commit, so
+    // the final store holds pre-evolution rows (wt NULL — the parquet
+    // null backfill) and post-evolution admits (wt = doc_id % 7)
+    // side by side, and the owner view aggregates both: n_docs counts
+    // all members, wt_sum sums exactly the post-evolution ones. The
+    // oracle replays the slice arithmetic (members from the base slice
+    // contribute NULL; keep-first drops re-admitted base keys, so
+    // their wt values never land). A null-backfill, schema-pin, or
+    // keep-first bug shows up as a hash mismatch.
+    "q_index_snapshot_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snapevo_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.evolve(s, root,
+        Seq(org.apache.spark.sql.types.StructField("wt",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", ($"doc_id" % 7).as("wt"), $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.read(s, root)
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"),
+          sum($"wt").as("wt_sum"))
+        .orderBy("g")
+    }),
+
     // The SQL FRONT DOOR for snapshot time travel — the same lifecycle
     // and the same pinned version as q_index_snapshot_timetravel, but
     // the consumer is a `spark.sql` query over a REGISTERED VERSION
@@ -2428,6 +2507,54 @@ object DedupQueries {
         |SELECT g, min(doc_id) AS owner_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM postings WHERE doc_id % 3 = 1
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // the change feed replayed as slice set algebra: added = the admit
+    // slice that is neither base nor takedown, removed = the base rows
+    // the takedown hit
+    "q_index_snapshot_diff" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, doc_id, 'added' AS change_type FROM postings
+        |WHERE doc_id % 3 = 2 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT g, doc_id, 'removed' AS change_type FROM postings
+        |WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+        |ORDER BY change_type, g, doc_id""".stripMargin,
+
+    // schema evolution's owner view: every member counts, only the
+    // post-evolution admits (the %3==2 slice — keep-first drops the
+    // re-admitted base keys) carry weights; all-base groups sum to NULL
+    "q_index_snapshot_evolve" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 2 THEN doc_id % 7 END)
+        |    AS BIGINT) AS wt_sum
+        |FROM postings WHERE doc_id % 3 <> 0
         |GROUP BY g ORDER BY g""".stripMargin,
 
     // the SQL front door may not change a row of the pinned version —

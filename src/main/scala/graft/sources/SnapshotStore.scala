@@ -555,6 +555,80 @@ object SnapshotStore {
     (affected.length, before - after, snap)
   }
 
+  /** The CHANGE FEED between two committed versions — "what entered and
+    * what left the corpus between snapshot `fromV` and snapshot `toV`",
+    * the question every incremental training job asks before consuming
+    * a new corpus drop (the Delta CDF / Iceberg incremental-read shape,
+    * derived WITHOUT change files): one row per changed key, tagged
+    * `change_type` 'added' (key in `toV` only) or 'removed' (key in
+    * `fromV` only), carrying `toV`'s columns for additions and
+    * `fromV`'s for removals.
+    *
+    * The scale property comes from IMMUTABILITY: a partition whose
+    * manifest file-name set is IDENTICAL in both versions provably
+    * holds identical rows (files are never modified in place), so only
+    * partitions whose file sets DIFFER are read at all — cost ∝
+    * changed-partition bytes, not store bytes. A maintenance cycle
+    * that touched 3 of 512 partitions diffs by reading 3 partitions
+    * twice (SnapshotDiffSpec pins `inputFiles` ⊆ the changed
+    * partitions' files on both sides). Within changed partitions the
+    * change set is two key-level anti-joins; a retract's survivor
+    * REWRITE (old rows in new files) correctly contributes nothing,
+    * because the anti-join is on keys, not files. Staged-delete
+    * entries are resolved through [[readMor]] semantics on each side,
+    * so a MOR-staged key reads as removed exactly when its delete
+    * commit lands.
+    *
+    * GRAIN: this is a MEMBERSHIP feed — `keys` is the row identity,
+    * and a key present in both versions reports nothing even if its
+    * non-key columns differ (under the store's keep-first semantics a
+    * key's row only changes by leaving and re-entering, which the feed
+    * reports as removed in one interval and added in a later one). A
+    * value-grain feed would add a non-key-column fingerprint compare
+    * inside the changed partitions — the q_corpus_diff device. */
+  def diff(spark: SparkSession, root: String, fromV: Long, toV: Long,
+           keys: Seq[String]): DataFrame = {
+    require(fromV < toV, s"diff wants fromV < toV, got $fromV >= $toV")
+    val from = snapshotAt(spark, root, fromV)
+    val to = snapshotAt(spark, root, toV)
+    // identical file-name sets => identical rows, by immutability
+    def byDir(s: Snapshot): Map[String, Set[String]] =
+      s.files.filterNot(_.startsWith("-"))
+        .groupBy(_.takeWhile(_ != '/')).map { case (d, fs) => d -> fs.toSet }
+    val fromDirs = byDir(from)
+    val toDirs = byDir(to)
+    val changedDirs = (fromDirs.keySet ++ toDirs.keySet).filter(d =>
+      fromDirs.getOrElse(d, Set.empty) != toDirs.getOrElse(d, Set.empty))
+    // a staged-delete commit changes visible rows in ANY partition its
+    // keys route to without touching data files — if the delete-file
+    // set differs, fall back to the full key diff (correctness first;
+    // the pruned path is the common compact/retract cycle). Pruning is
+    // MANIFEST-DRIVEN (the Iceberg shape): the side views are built
+    // from Snapshots containing only the changed directories' files,
+    // so the unchanged partitions never even enter the plan — no
+    // reliance on runtime partition pruning, and SnapshotDiffSpec pins
+    // inputFiles ⊆ changed dirs directly.
+    def delFiles(s: Snapshot) = s.files.filter(_.startsWith("-")).toSet
+    val delChanged = delFiles(from) != delFiles(to)
+    def side(s: Snapshot): DataFrame =
+      if (delChanged) readMor(spark, root, keys, s)
+      else readMor(spark, root, keys, Snapshot(s.version,
+        s.files.filter(f => f.startsWith("-") ||
+          changedDirs.contains(f.takeWhile(_ != '/')))))
+    val fromSide = side(from)
+    val toSide = side(to)
+    val added = toSide.join(fromSide.select(keys.map(col).toIndexedSeq: _*),
+        keys, "left_anti")
+      .withColumn("change_type", org.apache.spark.sql.functions.lit("added"))
+    val removed = fromSide.join(toSide.select(keys.map(col).toIndexedSeq: _*),
+        keys, "left_anti")
+      .withColumn("change_type",
+        org.apache.spark.sql.functions.lit("removed"))
+    // a diff spanning a schema evolution carries each side's own
+    // columns; the union null-backfills the narrower side
+    added.unionByName(removed, allowMissingColumns = true)
+  }
+
   /** Reclaim data files no retained manifest references (the newest
     * `keepVersions` stay readable; older manifests are dropped with
     * their exclusive files and claim markers). Returns the number of
