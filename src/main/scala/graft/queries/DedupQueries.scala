@@ -1170,7 +1170,10 @@ object DedupQueries {
         postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0)
           .select($"g", $"doc_id", $"pt"),
         Seq("g", "doc_id"), "pt")
-      graft.sources.SnapshotStore.diff(s, root, 1L, 3L,
+      // v1 -> current (v3 on any non-degenerate corpus; an all-empty
+      // input's retract is a commitless no-op, leaving current at v2)
+      graft.sources.SnapshotStore.diff(s, root, 1L,
+          graft.sources.SnapshotStore.current(s, root).version,
           Seq("g", "doc_id"))
         .select($"g", $"doc_id", $"change_type")
         .orderBy("change_type", "g", "doc_id")
