@@ -690,7 +690,7 @@ object ScaleProbe {
       (probeQueries ++ hostileQueries ++ hostileTokQueries ++
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
         hostileVecStreamFaces).toSet + "op_index_compact" +
-        "op_index_retract" + "op_snapshot_retract")
+        "op_index_retract" + "op_snapshot_retract" + "op_snapshot_binpack")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -964,6 +964,69 @@ object ScaleProbe {
           graft.sources.SnapshotStore.vacuum(spark, root, keepVersions = 1)
         val vacSec = (System.nanoTime() - t1) / 1e9
         println(f"""{"factor":$k,"query":"op_snapshot_retract","sec":$sec%.3f,"rows":$removed,"store_rows":$storeRows,"partitions":$parts,"affected":$affected,"vacuum_files":$vacuumed,"vacuum_sec":$vacSec%.3f}""")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+      }
+    }
+
+    // op_snapshot_binpack: the OPTIMIZE op's payoff measured — a store
+    // fed by 16 sequential ingest commits accretes 16 small files per
+    // partition (the micro-batch-loop accretion pattern); the probe
+    // times a full scan BEFORE the pack (many-files cost), the pack
+    // itself (∝ fragmented bytes), and the scan AFTER (consolidated),
+    // with file counts attached so the recovery is attributable
+    if (qFilter.isEmpty || qFilter("op_snapshot_binpack")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64
+        val root = java.nio.file.Files
+          .createTempDirectory(s"snap_pack_f$k").resolve("store").toString
+        val amplified = spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .localCheckpoint()
+        graft.sources.SnapshotStore.init(spark, root,
+          amplified.filter(col("doc_id") % 16 === 0), "pt")
+        (1 to 15).foreach { sl =>
+          graft.sources.SnapshotStore.compact(spark, root,
+            amplified.filter(col("doc_id") % 16 === sl),
+            Seq("g", "doc_id"), "pt")
+        }
+        val filesBefore =
+          graft.sources.SnapshotStore.current(spark, root).files.size
+        val t0 = System.nanoTime()
+        val rowsBefore = graft.sources.SnapshotStore.read(spark, root).count()
+        val scanFragSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (packed, replaced, _) =
+          graft.sources.SnapshotStore.binPack(spark, root)
+        val packSec = (System.nanoTime() - t1) / 1e9
+        val filesAfter =
+          graft.sources.SnapshotStore.current(spark, root).files.size
+        val t2 = System.nanoTime()
+        val rowsAfter = graft.sources.SnapshotStore.read(spark, root).count()
+        val scanPackSec = (System.nanoTime() - t2) / 1e9
+        require(rowsBefore == rowsAfter, "binPack changed the row count")
+        println(f"""{"factor":$k,"query":"op_snapshot_binpack","sec":$packSec%.3f,"rows":$rowsBefore,"files_before":$filesBefore,"files_after":$filesAfter,"packed_partitions":$packed,"replaced_files":$replaced,"scan_frag_sec":$scanFragSec%.3f,"scan_packed_sec":$scanPackSec%.3f}""")
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)

@@ -1135,6 +1135,45 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // BIN-PACKING behind a hard oracle — the OPTIMIZE op on the
+    // snapshot store: five sequential ingest commits (the %5 slices,
+    // disjoint so keep-first admits all of them) leave up to five
+    // small files per partition — exactly what a micro-batch loop
+    // accretes — then SnapshotStore.binPack consolidates every
+    // fragmented partition to one file in ONE commit, and the owner
+    // view reads BACK from the packed files. The oracle is the FULL
+    // postings set algebra: packing may not change a row (hash-match =
+    // physical reorganization only). SnapshotStoreSpec pins the
+    // physical side (one file per packed dir, single-file partitions
+    // keep their exact file, pre-pack versions stay readable until
+    // vacuum); the op_snapshot_binpack probe measures the scan-cost
+    // recovery the op exists for.
+    "q_index_snapshot_binpack" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snappack_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 5 === 0)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      (1 to 4).foreach { slice =>
+        graft.sources.SnapshotStore.compact(s, root,
+          postings.filter($"doc_id" % 5 === slice)
+            .select($"g", $"doc_id", $"pt"),
+          Seq("g", "doc_id"), "pt")
+      }
+      graft.sources.SnapshotStore.binPack(s, root)
+      graft.sources.SnapshotStore.read(s, root)
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // The CHANGE FEED between two corpus versions — the question an
     // incremental training job asks before consuming a drop ("what
     // entered and what left between snapshot 1 and snapshot 3"),
@@ -2510,6 +2549,28 @@ object DedupQueries {
         |SELECT g, min(doc_id) AS owner_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM postings WHERE doc_id % 3 = 1
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // bin-packing is a physical reorganization: the owner view over
+    // the packed store equals the FULL postings set algebra — not one
+    // row may change
+    "q_index_snapshot_binpack" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings
         |GROUP BY g ORDER BY g""".stripMargin,
 
     // the change feed replayed as slice set algebra: added = the admit

@@ -555,6 +555,54 @@ object SnapshotStore {
     (affected.length, before - after, snap)
   }
 
+  /** BIN-PACK small files — the OPTIMIZE maintenance op, and the
+    * production pain it answers is THE 100 TB filesystem problem: every
+    * [[compact]] commit adds one new file per touched partition, so a
+    * store fed by a micro-batch ingest loop accretes one file per
+    * partition PER BATCH — thousands of small files per partition
+    * within days, and scan cost degrades with file COUNT (task
+    * scheduling, footer reads, row-group fragmentation) even though
+    * bytes never grew. This op rewrites every partition holding at
+    * least `minFilesToPack` data files into one consolidated file per
+    * partition and swaps the fragments for it in ONE commit:
+    *
+    *  - content is UNCHANGED by construction (read the fragments,
+    *    write them back — the owner-view oracle hash-matches across
+    *    the pack, q_index_snapshot_binpack);
+    *  - cost ∝ fragmented-partition bytes, never store bytes: the
+    *    fragment read is manifest-driven (only the packed partitions'
+    *    files enter the plan — the [[diff]] pruning), and partitions
+    *    already at one file keep their EXACT file (name identity,
+    *    SnapshotStoreSpec);
+    *  - readers are undisturbed: the fragments stay on disk until
+    *    [[vacuum]], so a reader resolved mid-pack finishes on its
+    *    version — the same isolation contract as every other commit,
+    *    where the table-backed OPTIMIZE would have rewritten files
+    *    under the reader;
+    *  - staged-delete entries carry through untouched (packing is a
+    *    physical reorganization; MOR semantics are orthogonal).
+    *
+    * Returns (partitionsPacked, fragmentFilesReplaced, newSnapshot);
+    * no-op (no commit) when nothing is fragmented. */
+  def binPack(spark: SparkSession, root: String,
+              minFilesToPack: Int = 2): (Int, Int, Snapshot) = {
+    require(minFilesToPack >= 2, "packing below 2 files is a rename")
+    val base = current(spark, root)
+    val (dataFiles, delFiles) = splitEntries(base)
+    val byDir = dataFiles.groupBy(_.takeWhile(_ != '/'))
+    val packDirs = byDir.filter(_._2.size >= minFilesToPack)
+    if (packDirs.isEmpty) return (0, 0, base)
+    val fragments = packDirs.values.flatten.toSeq
+    val frag = read(spark, root, Snapshot(base.version, fragments))
+    val partCol = schemaAt(spark, root, base.version).fields.last.name
+    val newFiles = writeData(spark, root, frag, partCol)
+    val kept = dataFiles.filterNot(f =>
+      packDirs.contains(f.takeWhile(_ != '/')))
+    val snap = commit(spark, root,
+      kept ++ newFiles ++ delFiles.map("-" + _), base.version)
+    (packDirs.size, fragments.size, snap)
+  }
+
   /** The CHANGE FEED between two committed versions — "what entered and
     * what left the corpus between snapshot `fromV` and snapshot `toV`",
     * the question every incremental training job asks before consuming

@@ -439,6 +439,60 @@ class SnapshotStoreSpec extends SparkTestBase {
     spark.catalog.dropTempView("snap_spec_cur")
   }
 
+  test("bin-packing consolidates fragmented partitions to one file in " +
+      "one commit, changes no row, keeps single-file partitions' exact " +
+      "files, and leaves pre-pack versions readable until vacuum") {
+    val root = freshRoot()
+    // three disjoint ingest commits fragment pt 0..7 (every slice
+    // routes rows into most partitions); the lone pt=9 row lands in
+    // ONE commit only — its partition must stay untouched
+    val slices = Seq(
+      baseRows.filter($"doc_id" % 3 === 0),
+      baseRows.filter($"doc_id" % 3 === 1),
+      baseRows.filter($"doc_id" % 3 === 2))
+    SnapshotStore.init(spark, root, slices.head, "pt")
+    slices.tail.foreach(sl =>
+      SnapshotStore.compact(spark, root, sl, Seq("g", "doc_id"), "pt"))
+    SnapshotStore.compact(spark, root,
+      Seq(("g-lone", 950L)).toDF("g", "doc_id").withColumn("pt", lit(9)),
+      Seq("g", "doc_id"), "pt")
+    val before = SnapshotStore.current(spark, root)
+    val want = rowSet(SnapshotStore.read(spark, root, before))
+    def dirOf(f: String) = f.takeWhile(_ != '/')
+    val fragDirs = before.files.groupBy(dirOf).filter(_._2.size >= 2).keySet
+    assert(fragDirs.size >= 3, s"fixture degenerate: $fragDirs")
+    val loneFiles = before.files.filter(dirOf(_) == "pt=9")
+    assert(loneFiles.size === 1, "fixture degenerate: pt=9 fragmented")
+
+    val (packed, replaced, after) = SnapshotStore.binPack(spark, root)
+    assert(packed === fragDirs.size)
+    assert(replaced ===
+      before.files.count(f => fragDirs.contains(dirOf(f))))
+    // one file per packed partition, not one row changed
+    val afterByDir = after.files.groupBy(dirOf)
+    fragDirs.foreach(d => assert(afterByDir(d).size === 1,
+      s"$d still fragmented: ${afterByDir(d)}"))
+    assert(rowSet(SnapshotStore.read(spark, root)) === want,
+      "packing changed the store's content")
+    // the single-file partition kept its EXACT file — immutability
+    // makes the name identity a content proof
+    assert(afterByDir("pt=9") === loneFiles,
+      "an already-packed partition was rewritten")
+    // reader isolation across the pack: the pre-pack version still
+    // reads its exact fragments...
+    assert(rowSet(SnapshotStore.read(spark, root, before)) === want)
+    // ...until vacuum reclaims them (the replaced fragment count)
+    assert(SnapshotStore.vacuum(spark, root, keepVersions = 1)
+      === replaced)
+    intercept[Exception] {
+      SnapshotStore.read(spark, root,
+        SnapshotStore.snapshotAt(spark, root, before.version)).collect()
+    }
+    // idempotence: a fully-packed store is a commitless no-op
+    val (p2, r2, s2) = SnapshotStore.binPack(spark, root)
+    assert(p2 === 0 && r2 === 0 && s2.version === after.version)
+  }
+
   test("vacuum reclaims unreferenced files and retired manifests; " +
       "retained versions stay exact") {
     val root = freshRoot()
