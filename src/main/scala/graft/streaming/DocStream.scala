@@ -209,12 +209,25 @@ object DocStream extends Serializable {
     *                     (retaining `vacuumKeep` versions) after every
     *                     N batches — an unvacuumed loop accumulates one
     *                     manifest per batch forever; the retention
-    *                     window is the in-flight-reader grace period */
+    *                     window is the in-flight-reader grace period
+    * @param packEvery   run [[graft.sources.SnapshotStore.binPack]]
+    *                    after every N batches (0 = never): every
+    *                    compact adds ONE file per touched partition,
+    *                    so the loop itself is the small-files
+    *                    accretion pattern — scheduled packing is its
+    *                    cure, and because a pack is one ordinary
+    *                    commit, readers and the loop's own next batch
+    *                    are undisturbed (StreamCompactLoopSpec). Packs
+    *                    run BEFORE a same-batch vacuum so the replaced
+    *                    fragments can be reclaimed immediately once
+    *                    the retention window passes them. */
   def ingestCompactLoopSnapshot(spark: SparkSession, docs: DataFrame,
                                 root: String, parts: Int = 16,
                                 onBatch: Long => Unit = _ => (),
                                 vacuumEvery: Int = 16,
-                                vacuumKeep: Int = 4)
+                                vacuumKeep: Int = 4,
+                                packEvery: Int = 0,
+                                packMinFiles: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -226,6 +239,8 @@ object DocStream extends Serializable {
             pmod(xxhash64(col("fp")), lit(parts.toLong)).cast("int"))
         onBatch(graft.sources.SnapshotStore.compact(
           spark, root, admits, Seq("fp"), "pt")._1)
+        if (packEvery > 0 && batchId % packEvery == packEvery - 1)
+          graft.sources.SnapshotStore.binPack(spark, root, packMinFiles)
         if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1)
           graft.sources.SnapshotStore.vacuum(spark, root, vacuumKeep)
         ()

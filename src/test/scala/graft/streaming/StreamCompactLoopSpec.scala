@@ -225,6 +225,53 @@ class StreamCompactLoopSpec extends SparkTestBase {
     spark.catalog.dropTempView("pin_spec_train")
   }
 
+  test("scheduled packing inside the loop: the accreted per-batch files " +
+      "consolidate without changing a row, and the loop keeps admitting " +
+      "across its own packs") {
+    import graft.sources.SnapshotStore
+    val root = Files.createTempDirectory("loop_snap_pack").resolve("store")
+      .toString
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    def fps(slice: Int) = docs.filter($"doc_id" % 4 === slice)
+      .select($"doc_id",
+        coalesce(graft.Clean.fingerprint($"text"), lit("")).as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("owner_id"))
+      .withColumn("pt", pmod(xxhash64($"fp"), lit(8L)).cast("int"))
+    SnapshotStore.init(spark, root, fps(0), "pt")
+
+    val dir = Files.createTempDirectory("loop_snap_pack_src")
+    (1 to 3).foreach(sl =>
+      stageFile(docs.filter($"doc_id" % 4 === sl), dir,
+        s"b${sl - 1}.parquet", 1700000000000L + sl * 100000))
+    // pack after every second batch, never vacuum (so the spec can see
+    // both the fragments' history and the packed present)
+    val q = DocStream.ingestCompactLoopSnapshot(spark,
+        DocStream.readDocs(spark, dir.toString), root, parts = 8,
+        vacuumEvery = 0, packEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("loop_snap_pack_ckpt").toString)
+      .start()
+    q.awaitTermination()
+
+    // keep-first over init + the three batches, in order
+    val expect = (1 to 3).foldLeft(fps(0).drop("pt")) { (acc, sl) =>
+      acc.unionByName(fps(sl).drop("pt").join(acc, Seq("fp"), "left_anti"))
+    }.as[(String, Long)].collect().toSet
+    val got = SnapshotStore.read(spark, root)
+      .select($"fp", $"owner_id").as[(String, Long)].collect().toSet
+    assert(got === expect, "packing inside the loop changed the store")
+    // the scheduled pack engaged: no partition holds more than the
+    // files accreted SINCE its last pack (2 batches' worth), strictly
+    // fewer than the 4 unpacked commits would have left
+    val byDir = SnapshotStore.current(spark, root).files
+      .groupBy(_.takeWhile(_ != '/'))
+    val maxFiles = byDir.values.map(_.size).max
+    assert(maxFiles <= 2,
+      s"scheduled packing never engaged: $byDir")
+  }
+
   test("a concurrent writer holding the table's maintenance lock makes " +
       "the loop's batch fail loudly instead of interleaving") {
     val Hist = "loop_lock_spec"
