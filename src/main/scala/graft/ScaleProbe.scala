@@ -690,7 +690,8 @@ object ScaleProbe {
       (probeQueries ++ hostileQueries ++ hostileTokQueries ++
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
         hostileVecStreamFaces).toSet + "op_index_compact" +
-        "op_index_retract" + "op_snapshot_retract" + "op_snapshot_binpack")
+        "op_index_retract" + "op_snapshot_retract" + "op_snapshot_binpack" +
+        "op_snapshot_diff")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -1027,6 +1028,72 @@ object ScaleProbe {
         val scanPackSec = (System.nanoTime() - t2) / 1e9
         require(rowsBefore == rowsAfter, "binPack changed the row count")
         println(f"""{"factor":$k,"query":"op_snapshot_binpack","sec":$packSec%.3f,"rows":$rowsBefore,"files_before":$filesBefore,"files_after":$filesAfter,"packed_partitions":$packed,"replaced_files":$replaced,"scan_frag_sec":$scanFragSec%.3f,"scan_packed_sec":$scanPackSec%.3f}""")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+      }
+    }
+
+    // op_snapshot_diff: the change feed's pruning claim MEASURED, not
+    // just plan-pinned — a CONSTANT single-slice ingest lands on a
+    // store growing 250k -> 2M rows (partitions ∝ corpus, the sizing
+    // rule), and the manifest-pruned diff must stay flat (cost ∝
+    // changed-partition bytes) while the NAIVE diff (both versions
+    // read in full, the same two anti-joins) grows with the store —
+    // the fold-vs-rewrite comparison, at the feed
+    if (qFilter.isEmpty || qFilter("op_snapshot_diff")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64 * k
+        val root = java.nio.file.Files
+          .createTempDirectory(s"snap_diff_f$k").resolve("store").toString
+        val amplified = spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .localCheckpoint()
+        graft.sources.SnapshotStore.init(spark, root, amplified, "pt")
+        val storeRows = amplified.count()
+        // the constant increment: one doc's postings (routes to a
+        // bounded set of partitions at any store size)
+        val inc = postings.filter(col("doc_id") === 7)
+          .select(concat(col("g"), lit("#new")).as("g"), col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+        graft.sources.SnapshotStore.compact(spark, root, inc,
+          Seq("g", "doc_id"), "pt")
+        val t0 = System.nanoTime()
+        val fed = graft.sources.SnapshotStore.diff(
+          spark, root, 1L, 2L, Seq("g", "doc_id")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // the naive feed: both versions in full, same two anti-joins
+        val t1 = System.nanoTime()
+        val v1 = graft.sources.SnapshotStore.readAt(spark, root, 1L)
+        val v2 = graft.sources.SnapshotStore.readAt(spark, root, 2L)
+        val naive =
+          v2.join(v1.select(col("g"), col("doc_id")), Seq("g", "doc_id"),
+              "left_anti").count() +
+          v1.join(v2.select(col("g"), col("doc_id")), Seq("g", "doc_id"),
+              "left_anti").count()
+        val naiveSec = (System.nanoTime() - t1) / 1e9
+        require(fed == naive, s"pruned feed $fed != naive $naive")
+        println(f"""{"factor":$k,"query":"op_snapshot_diff","sec":$sec%.3f,"rows":$fed,"store_rows":$storeRows,"partitions":$parts,"naive_sec":$naiveSec%.3f}""")
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
