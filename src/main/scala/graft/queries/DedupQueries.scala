@@ -1326,6 +1326,90 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // The VALUE-GRAIN change feed behind a hard oracle — the r17
+    // verdict's missing #5: a key whose PAYLOAD changed between two
+    // versions (under keep-first semantics: it was retracted and
+    // re-admitted with a different row inside the interval) reports
+    // change_type 'changed' carrying toV's columns, where the
+    // membership grain deliberately nets it out to silence. Store is
+    // the g-keyed OWNER view: v1 = owners over the %3==1 slice; v2
+    // retracts the odd-owner groups; v3 re-admits owners recomputed
+    // over the %3==2 slice (keep-first leaves the surviving even-owner
+    // groups alone). The feed then classifies: groups only in the
+    // %3==2 slice → added; odd-owner groups absent from %3==2 →
+    // removed; odd-owner groups re-admitted with a different owner →
+    // changed. The oracle replays exactly that slice algebra — the
+    // non-key compare is a plain column inequality, so DuckDB checks
+    // the 'changed' classification value for value. SnapshotStatsSpec
+    // additionally pins the silent identical-re-admit case the corpus
+    // can't produce (different slices ⇒ different owner doc_ids).
+    "q_index_snapshot_diff_values" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snapdiffv_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      def owners(slice: org.apache.spark.sql.DataFrame) = slice
+        .groupBy($"g", $"pt").agg(min($"doc_id").as("owner_id"))
+        .select($"g", $"owner_id", $"pt")
+      graft.sources.SnapshotStore.init(s, root,
+        owners(postings.filter($"doc_id" % 3 === 1)), "pt")
+      graft.sources.SnapshotStore.retract(s, root,
+        graft.sources.SnapshotStore.read(s, root)
+          .filter($"owner_id" % 2 === 1),
+        Seq("g"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        owners(postings.filter($"doc_id" % 3 === 2)),
+        Seq("g"), "pt")
+      graft.sources.SnapshotStore.diff(s, root, 1L,
+          graft.sources.SnapshotStore.current(s, root).version,
+          Seq("g"), valueGrain = true)
+        .select($"g", $"owner_id", $"change_type")
+        .orderBy("change_type", "g")
+    }),
+
+    // STAT-PRUNED range scan behind a hard oracle — the manifest's
+    // per-file bounds on the read path: the store ingests three
+    // doc_id-RANGED commits (the layout a time-ordered ingest makes),
+    // so every file's manifest stats carry a tight doc_id interval,
+    // and readRange plans ONLY the files overlapping the middle
+    // range — file skipping decided from the manifest, zero opens or
+    // footer reads for the rest (SnapshotStatsSpec pins inputFiles ⊆
+    // overlapping files; this query carries the value oracle: the
+    // range-filtered owner view, which must be identical whether or
+    // not any file was skipped — correctness never rides on stats).
+    "q_index_snapshot_statprune" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snapstat_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      val maxId = postings.agg(max($"doc_id")).collect()(0).getLong(0)
+      val (q1, q2) = (maxId / 4, maxId / 2)
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" < q1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" >= q1 && $"doc_id" < q2)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" >= q2)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.readRange(s, root, "doc_id", q1, q2 - 1)
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // Corpus version diff — the "what changed in this drop" report an
     // ingest operator reads before promoting a new corpus version: per
     // (source, status) document counts for added / removed / changed /
@@ -2661,6 +2745,72 @@ object DedupQueries {
         |SELECT g, min(doc_id) AS owner_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM postings WHERE doc_id % 5 <> 0
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // the value-grain feed replayed as slice algebra over the g-keyed
+    // owner views: base owners from the %3==1 slice, re-admit owners
+    // from the %3==2 slice; added = admit-only groups, removed =
+    // odd-owner groups absent from the admit slice, changed =
+    // odd-owner groups re-admitted with a different owner (the
+    // non-key compare, value for value)
+    "q_index_snapshot_diff_values" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts),
+        |base AS (
+        |  SELECT g, min(doc_id) AS owner_id FROM postings
+        |  WHERE doc_id % 3 = 1 GROUP BY g),
+        |adm AS (
+        |  SELECT g, min(doc_id) AS owner_id FROM postings
+        |  WHERE doc_id % 3 = 2 GROUP BY g)
+        |SELECT adm.g AS g, adm.owner_id AS owner_id,
+        |  'added' AS change_type
+        |FROM adm LEFT JOIN base ON adm.g = base.g
+        |WHERE base.g IS NULL
+        |UNION ALL
+        |SELECT base.g, base.owner_id, 'removed' AS change_type
+        |FROM base LEFT JOIN adm ON base.g = adm.g
+        |WHERE base.owner_id % 2 = 1 AND adm.g IS NULL
+        |UNION ALL
+        |SELECT adm.g, adm.owner_id, 'changed' AS change_type
+        |FROM base JOIN adm ON base.g = adm.g
+        |WHERE base.owner_id % 2 = 1 AND adm.owner_id <> base.owner_id
+        |ORDER BY change_type, g""".stripMargin,
+
+    // the stat-pruned range scan's VALUE oracle: the range-filtered
+    // owner view — identical whether or not any file was skipped
+    // (correctness never rides on the stats; the pruning itself is
+    // SnapshotStatsSpec's inputFiles pin)
+    "q_index_snapshot_statprune" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts),
+        |b AS (SELECT max(doc_id) // 4 AS q1, max(doc_id) // 2 AS q2
+        |      FROM postings)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings, b
+        |WHERE doc_id >= b.q1 AND doc_id <= b.q2 - 1
         |GROUP BY g ORDER BY g""".stripMargin,
 
     // the lifecycle replayed as set algebra over the same gram
