@@ -154,22 +154,72 @@ object Bench {
         (name, reported, err, Some((w, samples)))
       }
     }
+    // ---- TAIL-END RECOVERY (one pass, suite end). Mid-run contention
+    // that has since passed leaves entries far above their committed
+    // twins — the r17 record's shape: start canary clean, end canary
+    // 2.07x, four entries stamped query_inflated from a contention
+    // window that arrived mid-run. The ladder DETECTS those at
+    // measurement time; this pass RECOVERS them once the suite (and
+    // usually the window) is over: re-measure each entry still >2x a
+    // committed twin and report the MINIMUM — within a session code
+    // and data are fixed, so a clean re-sample is always legitimate
+    // (the reportFromSamples argument). A REAL regression stays
+    // flagged: its re-samples are just as slow, the minimum is the
+    // slow steady state, and the entry ships in query_inflated once
+    // before becoming the new twin. Armed under the same canary guard
+    // as the cross-session rung (a uniformly slower machine must not
+    // trigger a futile full re-run — the session-level canary stamps
+    // carry that verdict).
+    val fnOf = ordered.toMap
+    val offPath = officialRecordPath()
+    val (offSf, offTimedAll) = offPath.map(prevTimedSec)
+      .getOrElse((None: Option[String], Map.empty[String, Double]))
+    val offTimed: Map[String, Double] =
+      if (offSf.contains(sfDir)) offTimedAll else Map.empty
+    val offArmed = offPath.flatMap(prevCanaryMin)
+      .forall(p => canaryStart / p <= 2.0)
+    val recoveries =
+      scala.collection.mutable.Map.empty[String, (Double, Seq[Double])]
+    val timedFinal = timed.map { case t @ (name, rep, err, esc) =>
+      val prevT = if (sidecarArmed) prevTimed.get(name) else None
+      val offT = if (offArmed) offTimed.get(name) else None
+      if (err.isDefined || !tailRecoverNeeded(prevT, offT, rep)) t
+      else {
+        var samples = Vector.empty[Double]
+        var cur = rep
+        var broke = false
+        while (!broke && samples.size < TailRecoverSamples &&
+               tailRecoverNeeded(prevT, offT, cur)) {
+          val (s2, e2) = runOnce(fnOf(name))
+          if (e2.isDefined) broke = true
+          else { samples :+= s2; cur = math.min(cur, s2) }
+        }
+        if (samples.isEmpty) t
+        else {
+          System.err.println(f"[bench] tail_recover $name: first=$rep%.2f " +
+            s"resamples=${samples.map(fmt(2)).mkString(",")}")
+          recoveries(name) = (rep, samples)
+          (name, math.min(rep, samples.min), err, esc)
+        }
+      }
+    }
     // only a TIMED-pass failure disqualifies a measurement (its elapsed
     // time is the time-to-throw, not a benchmark); a transient warm-pass
     // failure still gets reported but must not drop a valid steady-state
     // number from the total — that would skew cross-round comparisons
     val errors = (warm.collect { case (n, _, Some(e)) => n -> s"warm: $e" } ++
-      timed.collect { case (n, _, Some(e), _) => n -> e }).toMap
+      timedFinal.collect { case (n, _, Some(e), _) => n -> e }).toMap
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e") }
-    val ok = timed.filter(_._3.isEmpty)
+    val ok = timedFinal.filter(_._3.isEmpty)
     // per-query cross-session verdict on the REPORTED values: an entry
     // still >2x its previous-record twin after the escalation ladder
-    // (which resolves codegen-band first executions to steady state;
-    // ambient co-inflation does not resolve) ships FLAGGED — the reader
-    // of the record alone sees "this number disagrees with the last
-    // committed clean record", no forensic round-trip required. A real
-    // regression also flags once, then becomes the new twin.
+    // AND the tail-recovery pass (which resolve codegen-band first
+    // executions and transient mid-run contention; a real regression
+    // does not resolve) ships FLAGGED — the reader of the record alone
+    // sees "this number disagrees with the last committed clean
+    // record", no forensic round-trip required. A real regression also
+    // flags once, then becomes the new twin.
     val inflated = ok.collect {
       case (n, rep, _, _) if sidecarTrigger(prevTimed.get(n), rep) =>
         (n, prevTimed(n), rep)
@@ -239,13 +289,8 @@ object Bench {
     // adjudicates within-session vs the last LOCAL run; this one carries
     // the cross-ROUND machine ratio plus per-query twins, so the ambient-
     // vs-regression verdict reads off the record alone
-    val offPath = officialRecordPath()
     val offJson = officialDriftJson(math.min(canaryStart, canaryEnd),
       offPath.flatMap(prevCanaryMin), offPath)
-    val (offSf, offTimedAll) = offPath.map(prevTimedSec)
-      .getOrElse((None: Option[String], Map.empty[String, Double]))
-    val offTimed: Map[String, Double] =
-      if (offSf.contains(sfDir)) offTimedAll else Map.empty
     val offInflated = ok.collect {
       case (n, rep, _, _) if sidecarTrigger(offTimed.get(n), rep) =>
         (n, offTimed(n), rep)
@@ -286,8 +331,9 @@ object Bench {
     // because ~140 chars of trailing output ate into the consumer's
     // 2000-char tail window AFTER a line that fit the budget on its own.
     try {
-      val json = sidecarJson(sfDir, warm, timed, errors, canaryStart, canaryEnd,
-        contended, driftJson + offJson, inflated, offInflated)
+      val json = sidecarJson(sfDir, warm, timedFinal, errors, canaryStart,
+        canaryEnd, contended, driftJson + offJson, inflated, offInflated,
+        recoveries.toMap)
       val p = java.nio.file.Paths.get(sidecar)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
@@ -323,6 +369,23 @@ object Bench {
     * right reading of it. */
   private[graft] val MaxTimedSamples = 4
 
+  /** Tail-recovery cap: two suite-end re-samples per still-flagged
+    * entry. One clean sample suffices to recover a transiently inflated
+    * number (the reported value is a minimum); two still-slow samples
+    * plus the original are three agreeing measurements — at that point
+    * the flag IS the verdict (regression or persistent ambient, both of
+    * which must ship visibly). */
+  private[graft] val TailRecoverSamples = 2
+
+  /** Does a reported value still disagree with a committed twin —
+    * either the local sidecar's or the official record's — badly enough
+    * (the [[sidecarTrigger]] shape) that the suite-end recovery pass
+    * should re-measure it? Pure — BenchLineSpec pins both twin arms
+    * and the no-baseline case. */
+  private[graft] def tailRecoverNeeded(prevTwin: Option[Double],
+      offTwin: Option[Double], reported: Double): Boolean =
+    sidecarTrigger(prevTwin, reported) || sidecarTrigger(offTwin, reported)
+
   /** The reported value for an escalated query: the MINIMUM of
     * {warm} ∪ samples.
     *
@@ -348,7 +411,8 @@ object Bench {
       canaryStart: Double = -1, canaryEnd: Double = -1,
       contended: Boolean = false, driftJson: String = "",
       inflated: Seq[(String, Double, Double)] = Nil,
-      inflatedOfficial: Seq[(String, Double, Double)] = Nil): String = {
+      inflatedOfficial: Seq[(String, Double, Double)] = Nil,
+      recoveries: Map[String, (Double, Seq[Double])] = Map.empty): String = {
     def dict(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"    ${JsonUtil.quote(k)}: $v" }
         .mkString("{\n", ",\n", "\n  }")
@@ -366,6 +430,11 @@ object Bench {
       n -> s"""{"prev": ${ms(p)}, "reported": ${ms(r)}}""" })
     val inflOffD = dict(inflatedOfficial.map { case (n, p, r) =>
       n -> s"""{"official": ${ms(p)}, "reported": ${ms(r)}}""" })
+    val recovD = dict(recoveries.toSeq.sortBy(_._1).map { case (n, (f, ss)) =>
+      n -> (s"""{"first": ${ms(f)}, "resamples": [${ss.map(ms)
+        .mkString(", ")}], """ +
+        s""""reported": ${ms(math.min(f, ss.min))}}""")
+    })
     s"""{
        |  "sf": ${JsonUtil.quote(sfDir)},
        |  "suite_size": ${timed.length},
@@ -374,6 +443,7 @@ object Bench {
        |  $driftJson"contended": $contended,
        |  "query_inflated": $inflD,
        |  "query_inflated_official": $inflOffD,
+       |  "tail_recovery": $recovD,
        |  "warm_sec": $warmD,
        |  "timed_sec": $timedD,
        |  "outlier_escalations": $retryD,

@@ -691,7 +691,7 @@ object ScaleProbe {
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
         hostileVecStreamFaces).toSet + "op_index_compact" +
         "op_index_retract" + "op_snapshot_retract" + "op_snapshot_binpack" +
-        "op_snapshot_diff")
+        "op_snapshot_diff" + "op_snapshot_diffwalk" + "op_snapshot_packskew")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -1097,6 +1097,151 @@ object ScaleProbe {
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+      }
+    }
+
+    // op_snapshot_diffwalk: the OP-ATTRIBUTED walk's claim MEASURED —
+    // a diff whose interval contains a binPack. Every partition's
+    // file-NAME set changes at the pack, so the endpoint comparison
+    // (the r17 shape, kept as the measured counterfactual arm) re-reads
+    // the WHOLE packed store for a diff whose true answer is one
+    // increment; the walk attributes the pack step as a reorg and reads
+    // only the data-step's partitions — walk_sec must stay flat while
+    // naive_sec grows with the store
+    if (qFilter.isEmpty || qFilter("op_snapshot_diffwalk")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64 * k
+        val root = java.nio.file.Files
+          .createTempDirectory(s"snap_dwalk_f$k").resolve("store").toString
+        val amplified = spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .localCheckpoint()
+        // two half-slices fragment every partition, then the constant
+        // one-doc increment, then the pack that renames everything
+        graft.sources.SnapshotStore.init(spark, root,
+          amplified.filter(col("doc_id") % 2 === 0), "pt")           // v1
+        graft.sources.SnapshotStore.compact(spark, root, amplified,
+          Seq("g", "doc_id"), "pt")                                  // v2
+        val inc = postings.filter(col("doc_id") === 7)
+          .select(concat(col("g"), lit("#new")).as("g"), col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+        graft.sources.SnapshotStore.compact(spark, root, inc,
+          Seq("g", "doc_id"), "pt")                                  // v3
+        graft.sources.SnapshotStore.binPack(spark, root)             // v4
+        val storeRows = amplified.count()
+        val t0 = System.nanoTime()
+        val walkRows = graft.sources.SnapshotStore.diff(
+          spark, root, 2L, 4L, Seq("g", "doc_id")).count()
+        val walkSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val naiveRows = graft.sources.SnapshotStore.diff(
+          spark, root, 2L, 4L, Seq("g", "doc_id"),
+          endpointNameSetOnly = true).count()
+        val naiveSec = (System.nanoTime() - t1) / 1e9
+        require(walkRows == naiveRows,
+          s"walk diff $walkRows != endpoint diff $naiveRows")
+        println(f"""{"factor":$k,"query":"op_snapshot_diffwalk","sec":$walkSec%.3f,"rows":$walkRows,"store_rows":$storeRows,"partitions":$parts,"naive_sec":$naiveSec%.3f}""")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+      }
+    }
+
+    // op_snapshot_packskew: the size-targeted pack's straggler claim
+    // MEASURED — a corpus where ONE partition holds ~half the rows.
+    // One-file consolidation (the counterfactual arm) writes the hot
+    // partition through a single task, so pack time tracks the hot
+    // partition's size no matter how many cores idle; the targeted
+    // pack shuffles on (partition, bin) and writes the hot partition's
+    // bins in parallel with every file hard-bounded by the target
+    if (qFilter.isEmpty || qFilter("op_snapshot_packskew")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64
+        // half the keys route to pt=0 (the hot partition), the rest
+        // hash across the fan-out
+        val amplified = spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt",
+            when(pmod(xxhash64(col("g")), lit(2)) === 0, lit(0))
+              .otherwise(pmod(xxhash64(col("g")), lit(parts)).cast("int")))
+          .localCheckpoint()
+        def buildStore(): String = {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"snap_skew_f$k").resolve("store").toString
+          graft.sources.SnapshotStore.init(spark, root,
+            amplified.filter(col("doc_id") % 4 === 0), "pt")
+          (1 to 3).foreach { sl =>
+            graft.sources.SnapshotStore.compact(spark, root,
+              amplified.filter(col("doc_id") % 4 === sl),
+              Seq("g", "doc_id"), "pt")
+          }
+          root
+        }
+        def drop(root: String): Unit = {
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+          ()
+        }
+        // hot-partition size from the MANIFEST STATS — zero I/O
+        val probeRoot = buildStore()
+        val snap = graft.sources.SnapshotStore.current(spark, probeRoot)
+        val hotRows = snap.files.filter(_.startsWith("pt=0/"))
+          .flatMap(snap.stats.get).map(_.rows).sum
+        val target = math.max(1L, hotRows / 8L)
+        val t0 = System.nanoTime()
+        graft.sources.SnapshotStore.binPack(spark, probeRoot,
+          targetRowsPerFile = target)
+        val targetSec = (System.nanoTime() - t0) / 1e9
+        val after = graft.sources.SnapshotStore.current(spark, probeRoot)
+        val hotFiles = after.files.count(_.startsWith("pt=0/"))
+        drop(probeRoot)
+        // counterfactual: one-file consolidation, fresh identical store
+        val oneRoot = buildStore()
+        val t1 = System.nanoTime()
+        graft.sources.SnapshotStore.binPack(spark, oneRoot)
+        val oneSec = (System.nanoTime() - t1) / 1e9
+        drop(oneRoot)
+        println(f"""{"factor":$k,"query":"op_snapshot_packskew","sec":$targetSec%.3f,"rows":${amplified.count()},"hot_rows":$hotRows,"hot_files_after":$hotFiles,"one_file_sec":$oneSec%.3f,"partitions":$parts}""")
       }
     }
 

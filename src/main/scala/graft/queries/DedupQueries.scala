@@ -1371,6 +1371,48 @@ object DedupQueries {
         .orderBy("change_type", "g")
     }),
 
+    // PARTITION-SPEC EVOLUTION behind the lifecycle's hard oracle —
+    // the fan-out rule the probes size by (partitions ∝ corpus) made
+    // followable on a LIVE store: the full lifecycle runs with a
+    // RESPEC dropped mid-cycle (after the admit commit, before the
+    // takedown), widening the routing from the 64-way gramPostings
+    // spec to 128-way. The re-spec rewrites only routing VALUES, so
+    // the owner view must hash-match the plain lifecycle oracle
+    // VERBATIM — one row's difference means the migration touched key
+    // semantics. The takedown selects its victims FROM the store
+    // (current routing values — the respec routing contract), exactly
+    // the production pattern. SnapshotRespecSpec pins the
+    // partition-at-a-time face, mid-migration maintenance, and
+    // byte-exact pre-respec time travel.
+    "q_index_snapshot_respec" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snaprespec_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 =!= 0)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.respec(s, root,
+        pmod(xxhash64($"g"), lit(128L)).cast("int"))
+      graft.sources.SnapshotStore.retract(s, root,
+        graft.sources.SnapshotStore.read(s, root)
+          .filter($"doc_id" % 5 === 0),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.read(s, root)
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // STAT-PRUNED range scan behind a hard oracle — the manifest's
     // per-file bounds on the read path: the store ingests three
     // doc_id-RANGED commits (the layout a time-ordered ingest makes),
@@ -2786,6 +2828,28 @@ object DedupQueries {
         |FROM base JOIN adm ON base.g = adm.g
         |WHERE base.owner_id % 2 = 1 AND adm.owner_id <> base.owner_id
         |ORDER BY change_type, g""".stripMargin,
+
+    // the mid-cycle re-spec may not change a row of the owner view —
+    // the lifecycle oracle VERBATIM
+    "q_index_snapshot_respec" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings
+        |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+        |GROUP BY g ORDER BY g""".stripMargin,
 
     // the stat-pruned range scan's VALUE oracle: the range-filtered
     // owner view — identical whether or not any file was skipped

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -157,6 +157,7 @@ object SnapshotStore {
   val OpFold = "fold"
   val OpBinPack = "binpack"
   val OpEvolve = "evolve"
+  val OpRespec = "respec"
   private[graft] def opChangesData(op: String): Boolean =
     op != OpBinPack && op != OpEvolve
 
@@ -789,6 +790,74 @@ object SnapshotStore {
       val out = fs.create(rec, false)
       try out.write(widened.json.getBytes("UTF-8")) finally out.close()
     }, op = OpEvolve, baseSnap = Some(base))
+  }
+
+  /** PARTITION-SPEC EVOLUTION (the r17 verdict's missing #6): re-route
+    * the store under a NEW fan-out — the probe ladders size partitions
+    * ∝ corpus (`pmod(xxhash64(key), parts)`), and a live store that
+    * grew 100× could not follow that rule before this op without a
+    * full manual rebuild. `newPart` is the new routing expression
+    * (evaluated per row; its type must equal the pinned partition
+    * column's type, or partition-value parsing would drift); `dirs`
+    * selects which OLD partition directories to re-route this call
+    * (empty = all), so a 100 TB deployment migrates
+    * PARTITION-AT-A-TIME as ordinary commits, Iceberg's approach:
+    *
+    *  - each call reads ONLY the chosen dirs' rows (manifest-driven),
+    *    recomputes the routing column, writes them under the new
+    *    layout, and swaps old files for new in ONE commit — cost ∝
+    *    chosen-partition bytes, isolation identical to every other
+    *    commit (pre-respec versions stay readable until vacuum,
+    *    byte-exact time travel included);
+    *  - MID-WAY THE STORE IS FULLY READABLE AND MAINTAINABLE: reads
+    *    are explicit-file-list + pinned-schema (mixed-spec dirs are
+    *    just files), and compact/retract route off the stored VALUES,
+    *    not the derivation, so maintenance interleaves with an
+    *    incremental migration (SnapshotRespecSpec pins a retract
+    *    landing between two respec slices);
+    *  - the routing column is DATA (partition-last layout), so its
+    *    values genuinely change: the op is data-changing for the
+    *    feed's op walk, a value-grain diff honestly reports the
+    *    re-routed rows, and key-level semantics are untouched
+    *    (q_index_snapshot_respec's owner-view oracle hash-matches
+    *    across a mid-cycle re-spec).
+    *
+    * ROUTING CONTRACT after a re-spec: [[retract]] derives the
+    * affected-partition set from the routing VALUES the caller's dead
+    * frame carries, so a dead frame built by re-deriving the OLD spec
+    * outside the store would silently miss re-routed rows. Frames
+    * selected FROM the store (`read(root).filter(...)`) always carry
+    * the current values and are correct under any spec — the
+    * production pattern, pinned by SnapshotRespecSpec's mid-migration
+    * retract. [[compact]] admits routed under a stale spec merely land
+    * in old-spec directories (layout quality, never correctness:
+    * keep-first is key-level), and the next targeted re-spec or
+    * [[binPack]] migrates them.
+    *
+    * Returns (partitionsRerouted, newSnapshot); choosing zero existing
+    * dirs is a commitless no-op. */
+  def respec(spark: SparkSession, root: String, newPart: Column,
+             dirs: Seq[String] = Seq.empty): (Int, Snapshot) = {
+    val base = current(spark, root)
+    val (dataFiles, delFiles) = splitEntries(base)
+    val partCol = schemaAt(spark, root, base.version).fields.last.name
+    val allDirs = dataFiles.map(dirOf).distinct
+    val chosen =
+      (if (dirs.isEmpty) allDirs else allDirs.filter(dirs.contains)).toSet
+    if (chosen.isEmpty) return (0, base)
+    val chosenFiles = dataFiles.filter(f => chosen(dirOf(f)))
+    val rows = read(spark, root, Snapshot(base.version, chosenFiles))
+    val rerouted = rows.withColumn(partCol, newPart)
+    val oldType = rows.schema(partCol).dataType
+    require(rerouted.schema(partCol).dataType == oldType,
+      s"newPart type ${rerouted.schema(partCol).dataType} != the pinned " +
+        s"partition type $oldType — a re-spec may not retype the routing")
+    val (newFiles, stats) = writeData(spark, root, rerouted, partCol)
+    val kept = dataFiles.filterNot(f => chosen(dirOf(f)))
+    val snap = commit(spark, root,
+      kept ++ newFiles ++ delFiles.map("-" + _), base.version,
+      op = OpRespec, newStats = stats, baseSnap = Some(base))
+    (chosen.size, snap)
   }
 
   /** Keep-first admit — [[graft.operators.IndexCompact]]'s semantics on

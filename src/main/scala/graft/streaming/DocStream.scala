@@ -246,6 +246,70 @@ object DocStream extends Serializable {
         ()
       }
 
+  /** One CATCH-UP pass of the snapshot store's change feed: emit the
+    * PER-COMMIT diff of every version the sink hasn't folded yet, each
+    * to its own `commit_version=<v>` partition directory under
+    * `sinkDir`. This is the incremental-consumer contract (Delta CDF's
+    * streaming read, derived from manifests instead of change files):
+    *
+    *  - PER-COMMIT GRAIN: version v's batch is exactly
+    *    `SnapshotStore.diff(v-1, v, keys)` — manifest-pruned, so a
+    *    compact's batch reads only the touched partitions and a
+    *    binPack/evolve commit emits zero rows through the op walk;
+    *  - IDEMPOTENT RESUME: the cursor IS the sink — the highest
+    *    committed `commit_version=` directory. A consumer that crashed
+    *    mid-version rewrites that version's directory (overwrite, not
+    *    append), so replays repair rather than duplicate, and a
+    *    restart continues from the directory listing alone: no
+    *    streaming state, no side cursor file to drift from the data
+    *    (DocStreamFacesSpec folds the emitted batches over v
+    *    `startAfter`'s rows and lands exactly on the final version);
+    *  - BOUNDED LAG WORK: each pass costs ∝ the unfolded commits'
+    *    changed partitions, never store size.
+    *
+    * Returns the number of versions emitted this pass. `startAfter` is
+    * the baseline version the consumer treats as already-folded state
+    * (its rows come from `readAt(startAfter)`, not the feed). */
+  def changeFeedOnce(spark: SparkSession, root: String, keys: Seq[String],
+                     sinkDir: String, startAfter: Long = 1L): Long = {
+    import graft.sources.SnapshotStore
+    val current = SnapshotStore.current(spark, root).version
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded: Long =
+      if (!fs.exists(sinkPath)) startAfter
+      else fs.listStatus(sinkPath).map(_.getPath.getName)
+        .filter(_.startsWith("commit_version="))
+        .map(_.stripPrefix("commit_version=").toLong)
+        .foldLeft(startAfter)(math.max)
+    ((folded + 1L) to current).foreach { v =>
+      SnapshotStore.diff(spark, root, v - 1L, v, keys)
+        .write.mode("overwrite")
+        .parquet(s"$sinkDir/commit_version=$v")
+    }
+    math.max(0L, current - folded)
+  }
+
+  /** The LIVE face of [[changeFeedOnce]]: a rate-ticked stream whose
+    * every trigger catches the sink up to the store's current version —
+    * the consumer that follows a store OTHER writers advance (the
+    * symmetry partner of [[ingestCompactLoopSnapshot]], which is the
+    * writer side). foreachBatch with no aggregation: ZERO streaming
+    * state (the sink listing is the cursor), restart-safe by the
+    * idempotent per-version overwrite, per-tick cost bounded by the
+    * unfolded commits' changed partitions. Caller adds
+    * trigger/checkpoint and starts. */
+  def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
+                 sinkDir: String, startAfter: Long = 1L,
+                 onTick: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        onTick(changeFeedOnce(spark, root, keys, sinkDir, startAfter))
+        ()
+      }
+
   /** Streaming face of `q_dedup_span`'s keep rule — the ingest-time
     * NOVEL-SPAN feed: each arriving document is cut on the same
     * non-overlapping [[graft.queries.TextQueries.TileWidth]]-token

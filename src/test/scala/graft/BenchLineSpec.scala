@@ -306,6 +306,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.sidecarTrigger(prev = None, timed = 100.0))
   }
 
+  test("tailRecoverNeeded fires on either committed twin and never " +
+      "without one — the suite-end recovery pass the r17 record needed") {
+    // the BENCH_r17 shape: q_dedup_minhash_sql reported 9.15 against a
+    // clean official twin of 1.41 (6.5x, from a mid-run contention
+    // window) — recovery must fire off the OFFICIAL twin even when the
+    // local sidecar has no baseline, and vice versa
+    assert(Bench.tailRecoverNeeded(None, Some(1.41), 9.15))
+    assert(Bench.tailRecoverNeeded(Some(1.41), None, 9.15))
+    // either twin clearing the entry (a re-sample landing inside the
+    // band) ends the loop only when BOTH arms are quiet
+    assert(Bench.tailRecoverNeeded(Some(1.41), Some(9.0), 9.15) ===
+      Bench.sidecarTrigger(Some(1.41), 9.15))
+    assert(!Bench.tailRecoverNeeded(Some(8.9), Some(9.0), 9.15))
+    // no baseline on either side: nothing to recover against
+    assert(!Bench.tailRecoverNeeded(None, None, 100.0))
+    // noise-scale floor carries over from sidecarTrigger
+    assert(!Bench.tailRecoverNeeded(Some(0.18), Some(0.2), 0.45))
+  }
+
   test("prevTimedSec round-trips the sidecar shape and degrades quietly") {
     val dir = java.nio.file.Files.createTempDirectory("timed_prev")
     def write(name: String, body: String): String = {

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+import graft.sources.SnapshotStore
+
+/** The snapshot store's STREAMING change-feed face — the incremental
+  * consumer contract (Delta CDF's streaming read):
+  *
+  *  (a) PER-COMMIT GRAIN: each emitted `commit_version=<v>` batch
+  *      equals `diff(v-1, v)` exactly, and a binPack commit emits an
+  *      EMPTY batch (the op walk knows a reorg changes no rows);
+  *  (b) FOLD: applying the batches in version order onto the baseline
+  *      version's rows lands exactly on the final version's rows;
+  *  (c) RESTART: the cursor is the sink listing, so a consumer resumed
+  *      mid-stream — even with a FRESH checkpoint — continues from
+  *      where the sink left off, and a replayed version repairs its
+  *      directory instead of duplicating rows;
+  *  (d) ZERO STATE: the live face carries no streaming state store at
+  *      all.
+  */
+class ChangeFeedStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def baseRows = {
+    val rows =
+      Seq(("g000", 99L), ("g000", 500L), ("g008", 99L), ("g008", 501L),
+        ("g001", 99L), ("g001", 502L), ("g009", 503L),
+        ("g002", 99L), ("g010", 99L)) ++
+        (3 to 7).flatMap(k =>
+          Seq((f"g$k%03d", 600L + k), (f"g${k + 8}%03d", 700L + k)))
+    rows.toDF("g", "doc_id")
+      .withColumn("pt", (substring($"g", 2, 3).cast("int") % 8))
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame) =
+    df.select($"g", $"doc_id").as[(String, Long)].collect().toSet
+
+  private def foldOnto(base: Set[(String, Long)],
+      sinkDir: String): Set[(String, Long)] = {
+    val events = spark.read.parquet(sinkDir)
+      .select($"commit_version", $"g", $"doc_id", $"change_type")
+      .as[(Long, String, Long, String)].collect()
+    events.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(base) { case (state, (_, evs)) =>
+        val adds = evs.filter(_._4 == "added").map(e => (e._2, e._3)).toSet
+        val removes = evs.filter(_._4 == "removed").map(e => (e._2, e._3)).toSet
+        state -- removes ++ adds
+      }
+  }
+
+  test("(a)+(b)+(c) per-commit batches fold onto the baseline to the " +
+      "final version; a reorg emits empty; resume and replay are " +
+      "idempotent off the sink listing alone") {
+    val root = Files.createTempDirectory("cfeed").resolve("store").toString
+    val sink = Files.createTempDirectory("cfeed_sink").resolve("feed").toString
+    SnapshotStore.init(spark, root,
+      baseRows.filter($"doc_id" % 3 === 1), "pt")                   // v1
+    SnapshotStore.compact(spark, root, baseRows,
+      Seq("g", "doc_id"), "pt")                                     // v2
+    SnapshotStore.retract(spark, root,
+      baseRows.filter($"doc_id" === 99L), Seq("g", "doc_id"), "pt") // v3
+
+    // first catch-up: two unfolded commits
+    assert(DocStream.changeFeedOnce(spark, root, Seq("g", "doc_id"),
+      sink) === 2L)
+    // the consumer "crashes" here; the store advances without it
+    val (packed, _, _) = SnapshotStore.binPack(spark, root)         // v4
+    assert(packed >= 2, "fixture degenerate: nothing fragmented")
+    SnapshotStore.compact(spark, root,
+      Seq(("g-new", 900L)).toDF("g", "doc_id").withColumn("pt", lit(3)),
+      Seq("g", "doc_id"), "pt")                                     // v5
+    // resume: the sink listing IS the cursor — exactly the two new
+    // commits emit, nothing re-emits
+    assert(DocStream.changeFeedOnce(spark, root, Seq("g", "doc_id"),
+      sink) === 2L)
+    assert(DocStream.changeFeedOnce(spark, root, Seq("g", "doc_id"),
+      sink) === 0L)
+
+    // (a) per-commit grain: v3's batch equals diff(2,3); the binPack
+    // version's batch is EMPTY
+    val v3batch = spark.read.parquet(s"$sink/commit_version=3")
+    assert(v3batch.select($"g", $"doc_id", $"change_type")
+      .as[(String, Long, String)].collect().toSet
+      === SnapshotStore.diff(spark, root, 2L, 3L, Seq("g", "doc_id"))
+        .select($"g", $"doc_id", $"change_type")
+        .as[(String, Long, String)].collect().toSet)
+    assert(spark.read.parquet(s"$sink/commit_version=4").count() === 0L,
+      "a pure-reorg commit leaked rows into the feed")
+
+    // (b) fold: baseline v1 + batches v2..v5 == the store at v5
+    assert(foldOnto(rowSet(SnapshotStore.readAt(spark, root, 1L)), sink)
+      === rowSet(SnapshotStore.read(spark, root)),
+      "folding the streamed batches missed the final version")
+
+    // (c) replay repairs: delete version 5's directory (the mid-write
+    // crash shape) — the next pass re-emits exactly it, and the fold
+    // is unchanged
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink/commit_version=5"), true)
+    assert(DocStream.changeFeedOnce(spark, root, Seq("g", "doc_id"),
+      sink) === 1L)
+    assert(foldOnto(rowSet(SnapshotStore.readAt(spark, root, 1L)), sink)
+      === rowSet(SnapshotStore.read(spark, root)))
+  }
+
+  test("(d) the live face follows a store other writers advance, with " +
+      "zero streaming state, and a restart under a FRESH checkpoint " +
+      "resumes from the sink") {
+    val root = Files.createTempDirectory("cfeedl").resolve("store").toString
+    val sink = Files.createTempDirectory("cfeedl_sink").resolve("feed").toString
+    SnapshotStore.init(spark, root,
+      baseRows.filter($"doc_id" % 3 === 1), "pt")                   // v1
+    SnapshotStore.compact(spark, root, baseRows,
+      Seq("g", "doc_id"), "pt")                                     // v2
+
+    def runUntilCaughtUp(): Unit = {
+      val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = DocStream.changeFeed(spark, root, Seq("g", "doc_id"), sink,
+          onTick = _ => { ticks.incrementAndGet(); () })
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation",
+          Files.createTempDirectory("cfeedl_ckpt").toString)
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        // catch-up is read off the SINK LISTING (the loop must do the
+        // emitting; the check may not)
+        def foldedMax(): Long = {
+          val p = new org.apache.hadoop.fs.Path(sink)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) 1L
+          else fs.listStatus(p).map(_.getPath.getName)
+            .filter(_.startsWith("commit_version="))
+            .map(_.stripPrefix("commit_version=").toLong)
+            .foldLeft(1L)(math.max)
+        }
+        def caughtUp(): Boolean =
+          foldedMax() == SnapshotStore.current(spark, root).version &&
+            ticks.get() >= 1
+        while (!caughtUp() && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(caughtUp(), "live feed never caught up")
+        // zero streaming state: foreachBatch over a rate tick carries
+        // no state operators at all
+        Option(q.lastProgress).foreach(p =>
+          assert(p.stateOperators.isEmpty,
+            "the change-feed loop grew a state store"))
+      } finally q.stop()
+    }
+    runUntilCaughtUp()
+    // the store advances while no consumer runs...
+    SnapshotStore.retract(spark, root,
+      baseRows.filter($"doc_id" === 99L), Seq("g", "doc_id"), "pt") // v3
+    // ...and a RESTARTED consumer (fresh checkpoint — the sink is the
+    // cursor) folds the missed commit
+    runUntilCaughtUp()
+    assert(foldOnto(rowSet(SnapshotStore.readAt(spark, root, 1L)), sink)
+      === rowSet(SnapshotStore.read(spark, root)))
+  }
+}
