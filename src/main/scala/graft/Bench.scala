@@ -176,32 +176,46 @@ object Bench {
       .getOrElse((None: Option[String], Map.empty[String, Double]))
     val offTimed: Map[String, Double] =
       if (offSf.contains(sfDir)) offTimedAll else Map.empty
-    val offArmed = offPath.flatMap(prevCanaryMin)
-      .forall(p => canaryStart / p <= 2.0)
+    // instead of an arming guard (which disarms exactly when the
+    // window is slow — the shape that produced the flags in the first
+    // place), the pass spends a bounded SESSION BUDGET of re-samples
+    // on the worst offenders first: a couple of isolated transients
+    // recover fully, while a uniformly slow session exhausts the
+    // budget on its top entries and ships the rest flagged with the
+    // session-level canary stamps as context — never a quadrupled
+    // suite (the r13 concern the old guard existed for)
     val recoveries =
       scala.collection.mutable.Map.empty[String, (Double, Seq[Double])]
-    val timedFinal = timed.map { case t @ (name, rep, err, esc) =>
-      val prevT = if (sidecarArmed) prevTimed.get(name) else None
-      val offT = if (offArmed) offTimed.get(name) else None
-      if (err.isDefined || !tailRecoverNeeded(prevT, offT, rep)) t
-      else {
-        var samples = Vector.empty[Double]
-        var cur = rep
-        var broke = false
-        while (!broke && samples.size < TailRecoverSamples &&
-               tailRecoverNeeded(prevT, offT, cur)) {
-          val (s2, e2) = runOnce(fnOf(name))
-          if (e2.isDefined) broke = true
-          else { samples :+= s2; cur = math.min(cur, s2) }
-        }
-        if (samples.isEmpty) t
-        else {
-          System.err.println(f"[bench] tail_recover $name: first=$rep%.2f " +
-            s"resamples=${samples.map(fmt(2)).mkString(",")}")
-          recoveries(name) = (rep, samples)
-          (name, math.min(rep, samples.min), err, esc)
-        }
+    var recoverBudget = TailRecoverBudget
+    val flaggedOrder = timed.collect {
+      case (name, rep, None, _)
+        if tailRecoverNeeded(prevTimed.get(name), offTimed.get(name), rep) =>
+        val worst = (prevTimed.get(name).toSeq ++ offTimed.get(name))
+          .map(rep / _).max
+        (name, worst)
+    }.sortBy(-_._2).map(_._1)
+    val recovered = flaggedOrder.iterator.map { name =>
+      val rep = timed.collectFirst { case (`name`, r, _, _) => r }.get
+      var samples = Vector.empty[Double]
+      var cur = rep
+      var broke = false
+      while (!broke && samples.size < TailRecoverSamples &&
+             recoverBudget > 0 &&
+             tailRecoverNeeded(prevTimed.get(name), offTimed.get(name), cur)) {
+        val (s2, e2) = runOnce(fnOf(name))
+        recoverBudget -= 1
+        if (e2.isDefined) broke = true
+        else { samples :+= s2; cur = math.min(cur, s2) }
       }
+      if (samples.nonEmpty) {
+        System.err.println(f"[bench] tail_recover $name: first=$rep%.2f " +
+          s"resamples=${samples.map(fmt(2)).mkString(",")}")
+        recoveries(name) = (rep, samples)
+      }
+      name -> cur
+    }.toMap
+    val timedFinal = timed.map { case (name, rep, err, esc) =>
+      (name, recovered.getOrElse(name, rep), err, esc)
     }
     // only a TIMED-pass failure disqualifies a measurement (its elapsed
     // time is the time-to-throw, not a benchmark); a transient warm-pass
@@ -376,6 +390,14 @@ object Bench {
     * the flag IS the verdict (regression or persistent ambient, both of
     * which must ship visibly). */
   private[graft] val TailRecoverSamples = 2
+
+  /** Session-wide tail-recovery budget (total re-samples across all
+    * flagged entries, spent worst-ratio first): bounds the pass at a
+    * few queries' worth of extra wall-clock even when a uniformly slow
+    * session mass-flags against a fast twin — the r13 futile-ladder
+    * concern, answered with a budget instead of a canary arming guard
+    * (which disarmed exactly in the slow windows that produce flags). */
+  private[graft] val TailRecoverBudget = 8
 
   /** Does a reported value still disagree with a committed twin —
     * either the local sidecar's or the official record's — badly enough

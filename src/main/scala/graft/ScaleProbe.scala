@@ -691,7 +691,8 @@ object ScaleProbe {
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
         hostileVecStreamFaces).toSet + "op_index_compact" +
         "op_index_retract" + "op_snapshot_retract" + "op_snapshot_binpack" +
-        "op_snapshot_diff" + "op_snapshot_diffwalk" + "op_snapshot_packskew")
+        "op_snapshot_diff" + "op_snapshot_diffwalk" + "op_snapshot_packskew" +
+        "op_snapshot_respec")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -1242,6 +1243,75 @@ object ScaleProbe {
         val oneSec = (System.nanoTime() - t1) / 1e9
         drop(oneRoot)
         println(f"""{"factor":$k,"query":"op_snapshot_packskew","sec":$targetSec%.3f,"rows":${amplified.count()},"hot_rows":$hotRows,"hot_files_after":$hotFiles,"one_file_sec":$oneSec%.3f,"partitions":$parts}""")
+      }
+    }
+
+    // op_snapshot_respec: partition-spec evolution's cost claim — an
+    // incremental re-spec (4 of 64 dirs per call, the
+    // partition-at-a-time migration) must cost ∝ the CHOSEN
+    // partitions' bytes while the full re-spec costs ∝ store bytes;
+    // both measured on fresh identical stores, with content invariance
+    // required on the incremental arm
+    if (qFilter.isEmpty || qFilter("op_snapshot_respec")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64
+        val amplified = spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .localCheckpoint()
+        val newPart =
+          pmod(xxhash64(col("g")), lit(2L * parts)).cast("int")
+        def buildStore(): String = {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"snap_respec_f$k").resolve("store").toString
+          graft.sources.SnapshotStore.init(spark, root, amplified, "pt")
+          root
+        }
+        def drop(root: String): Unit = {
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+          ()
+        }
+        val incrRoot = buildStore()
+        val dirs = graft.sources.SnapshotStore.current(spark, incrRoot)
+          .files.map(_.takeWhile(_ != '/')).distinct.sorted.take(4)
+        val before = graft.sources.SnapshotStore.read(spark, incrRoot).count()
+        val t0 = System.nanoTime()
+        val (movedIncr, _) = graft.sources.SnapshotStore.respec(
+          spark, incrRoot, newPart, dirs)
+        val incrSec = (System.nanoTime() - t0) / 1e9
+        require(movedIncr == dirs.size)
+        require(graft.sources.SnapshotStore.read(spark, incrRoot).count()
+          == before, "incremental respec changed the row count")
+        drop(incrRoot)
+        val fullRoot = buildStore()
+        val t1 = System.nanoTime()
+        val (movedFull, _) = graft.sources.SnapshotStore.respec(
+          spark, fullRoot, newPart)
+        val fullSec = (System.nanoTime() - t1) / 1e9
+        require(movedFull == parts)
+        drop(fullRoot)
+        println(f"""{"factor":$k,"query":"op_snapshot_respec","sec":$incrSec%.3f,"rows":$before,"dirs_chosen":${dirs.size},"dirs_total":$parts,"full_sec":$fullSec%.3f}""")
       }
     }
 

@@ -1413,6 +1413,68 @@ object DedupQueries {
         .orderBy("g")
     }),
 
+    // MULTI-TABLE TRANSACTIONS behind a hard oracle — two coupled
+    // derived stores (the gram postings index and its BAND index,
+    // band = the md5 prefix an LSH-style blocker buckets on) that must
+    // advance TOGETHER: a reader seeing new postings against old bands
+    // computes wrong candidates. The query initializes both stores on
+    // the %3==1 slice, then ONE SnapshotGroup.transact admits the
+    // %3≠0 slice to BOTH, and the output is read THROUGH the group
+    // pin with the cross-store SEMI-JOIN as the atomicity witness:
+    // per-band stats of the postings store keeping only (band,doc)
+    // pairs the band store confirms. If the two commits were not
+    // atomic — one store a version behind — the semi-join drops the
+    // unpaired rows and the hash mismatches. Oracle: the band stats
+    // of the %3≠0 slice directly (the semi-join is an identity
+    // exactly when both stores sit at the same slice).
+    // SnapshotGroupSpec pins the crash/race/rollback faces this
+    // deterministic query can't.
+    "q_index_snapshot_txn" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val bands = postings
+        .select(substring($"g", 1, 4).as("band"), $"doc_id")
+        .distinct()
+        .withColumn("pt", pmod(xxhash64($"band"), lit(32L)).cast("int"))
+        .localCheckpoint()
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val aRoot = new org.apache.hadoop.fs.Path(wh,
+        "gram_idx_snaptxn_a").toString
+      val bRoot = new org.apache.hadoop.fs.Path(wh,
+        "gram_idx_snaptxn_b").toString
+      val gRoot = new org.apache.hadoop.fs.Path(wh,
+        "gram_idx_snaptxn_g").toString
+      val fs = new org.apache.hadoop.fs.Path(gRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(aRoot, bRoot, gRoot).foreach(r => // re-runnable
+        fs.delete(new org.apache.hadoop.fs.Path(r), true))
+      graft.sources.SnapshotStore.init(s, aRoot,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.init(s, bRoot,
+        bands.filter($"doc_id" % 3 === 1), "pt")
+      graft.sources.SnapshotGroup.init(s, gRoot,
+        Map("postings" -> aRoot, "bands" -> bRoot))
+      graft.sources.SnapshotGroup.transact(s, gRoot) { txn =>
+        txn.compact("postings",
+          postings.filter($"doc_id" % 3 =!= 0)
+            .select($"g", $"doc_id", $"pt"),
+          Seq("g", "doc_id"), "pt"): Unit
+        txn.compact("bands",
+          bands.filter($"doc_id" % 3 =!= 0),
+          Seq("band", "doc_id"), "pt"): Unit
+      }
+      val a = graft.sources.SnapshotGroup.read(s, gRoot, "postings")
+      val b = graft.sources.SnapshotGroup.read(s, gRoot, "bands")
+      a.withColumn("band", substring($"g", 1, 4))
+        .join(b.select($"band", $"doc_id").distinct(),
+          Seq("band", "doc_id"), "left_semi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy("band")
+    }),
+
     // STAT-PRUNED range scan behind a hard oracle — the manifest's
     // per-file bounds on the read path: the store ingests three
     // doc_id-RANGED commits (the layout a time-ordered ingest makes),
@@ -1432,7 +1494,9 @@ object DedupQueries {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
-      val maxId = postings.agg(max($"doc_id")).collect()(0).getLong(0)
+      // empty-corpus guard: max() is NULL on zero rows (EmptyInputSpec)
+      val maxId = Option(postings.agg(max($"doc_id")).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       val (q1, q2) = (maxId / 4, maxId / 2)
       graft.sources.SnapshotStore.init(s, root,
         postings.filter($"doc_id" < q1)
@@ -2828,6 +2892,30 @@ object DedupQueries {
         |FROM base JOIN adm ON base.g = adm.g
         |WHERE base.owner_id % 2 = 1 AND adm.owner_id <> base.owner_id
         |ORDER BY change_type, g""".stripMargin,
+
+    // the transactional pair replayed as slice algebra: the semi-join
+    // against the band store is an IDENTITY exactly when both stores
+    // advanced together, so the oracle is the %3≠0 slice's band stats
+    // — one version behind on either store breaks the hash
+    "q_index_snapshot_txn" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT substring(g, 1, 4) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM postings WHERE doc_id % 3 <> 0
+        |GROUP BY 1 ORDER BY band""".stripMargin,
 
     // the mid-cycle re-spec may not change a row of the owner view —
     // the lifecycle oracle VERBATIM

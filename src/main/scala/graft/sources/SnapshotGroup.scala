@@ -1,0 +1,269 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MULTI-TABLE snapshot transactions (the r17 verdict's stretch #9) —
+  * the cross-table consistency a curation pipeline needs when two
+  * derived stores must advance TOGETHER (the worked example: a postings
+  * index and its band index — a reader that sees new postings against
+  * old bands computes wrong candidates).
+  *
+  * [[SnapshotStore]] gives each store single-table atomicity; no
+  * composition of per-table commits can give a reader all-or-nothing
+  * across tables (it can always resolve between them). The production
+  * answer is a LAYER UP — one more pointer swap, same primitives
+  * (Iceberg's multi-table transactions live in the catalog commit for
+  * exactly this reason):
+  *
+  *  - a GROUP MANIFEST `<groupRoot>/_manifests/v<K>.manifest` pins one
+  *    version per member store (`name=version` lines). Group readers
+  *    resolve members THROUGH the group pin ([[read]]), so any
+  *    interleaving with a transaction yields exactly pre- or
+  *    post-state across ALL members, never a mix;
+  *  - a transaction ([[transact]]) first CLAIMS the next group version
+  *    (the same atomic-create arbitration as the store commit — at
+  *    most one transaction in flight, racers refused loudly), verifies
+  *    every member sits at its pinned version (an out-of-band writer
+  *    is a contract violation, refused before any member commit),
+  *    runs the body's ordinary member commits, then publishes the
+  *    group manifest — ONE atomic rename making all member advances
+  *    visible together;
+  *  - crash/failure mid-transaction is FAIL-STOP, the store's crash-
+  *    window doctrine: the group claim stays held (every later
+  *    transaction refused), group readers still see the OLD versions
+  *    of every member (the half-committed member versions are
+  *    unreferenced by any group manifest), and [[rollback]] restores
+  *    the invariant — it deletes member versions beyond the pins
+  *    (safe exactly because the held claim guarantees nobody built on
+  *    them) and releases the claim.
+  *
+  * ENROLLMENT CONTRACT: stores enrolled in a group must be written
+  * ONLY through [[transact]] (the catalog requirement, stated instead
+  * of hidden): transact REFUSES when a member moved out of band, and
+  * rollback would delete an out-of-band writer's commit.
+  * SnapshotGroupSpec races 16 transactions (one winner), pins reader
+  * atomicity across a mid-transaction crash, and replays
+  * crash → rollback → retry.
+  */
+object SnapshotGroup {
+
+  case class GroupSnapshot(version: Long, members: Map[String, Long])
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+  private def manifestPath(root: Path, v: Long): Path =
+    new Path(new Path(root, "_manifests"), f"v$v%09d.manifest")
+  private def claimPath(root: Path, v: Long): Path =
+    new Path(new Path(root, "_manifests"), f"v$v%09d.claim")
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+  }
+  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The enrolled member roots (`_members` pin, written once at init —
+    * membership is fixed for the group's life; name → store root). */
+  def members(spark: SparkSession, groupRoot: String): Map[String, String] = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    readText(fs, new Path(rootP, "_members")).split("\n")
+      .map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(n, r) = l.split("\t", 2)
+        dec(n) -> dec(r)
+      }.toMap
+  }
+
+  /** Create the group over ALREADY-INITIALIZED member stores, pinning
+    * their current versions as group version 1. */
+  def init(spark: SparkSession, groupRoot: String,
+           memberRoots: Map[String, String]): GroupSnapshot = {
+    require(memberRoots.nonEmpty, "a group needs at least one member")
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    require(!fs.exists(new Path(rootP, "_manifests")),
+      s"snapshot group already exists at $groupRoot")
+    fs.mkdirs(new Path(rootP, "_manifests"))
+    writeFile(fs, new Path(rootP, "_members"),
+      memberRoots.toSeq.sorted
+        .map { case (n, r) => s"${enc(n)}\t${enc(r)}" }
+        .mkString("", "\n", "\n"))
+    val pins = memberRoots.map { case (n, r) =>
+      n -> SnapshotStore.current(spark, r).version }
+    publish(fs, rootP, 1L, pins)
+    GroupSnapshot(1L, pins)
+  }
+
+  private def publish(fs: FileSystem, rootP: Path, v: Long,
+                      pins: Map[String, Long]): Unit = {
+    val tmp = new Path(new Path(rootP, "_manifests"),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    writeFile(fs, tmp, pins.toSeq.sorted
+      .map { case (n, mv) => s"${enc(n)}=$mv" }.mkString("", "\n", "\n"))
+    require(fs.rename(tmp, manifestPath(rootP, v)),
+      s"failed to publish group manifest v$v")
+  }
+
+  def snapshotAt(spark: SparkSession, groupRoot: String,
+                 v: Long): GroupSnapshot = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    val pins = readText(fs, manifestPath(rootP, v)).split("\n")
+      .map(_.trim).filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf('=')
+        dec(l.take(i)) -> l.drop(i + 1).toLong
+      }.toMap
+    GroupSnapshot(v, pins)
+  }
+
+  def current(spark: SparkSession, groupRoot: String): GroupSnapshot = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    val dir = new Path(rootP, "_manifests")
+    require(fs.exists(dir), s"no snapshot group at $groupRoot")
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+    require(versions.nonEmpty, s"no committed group version at $groupRoot")
+    snapshotAt(spark, groupRoot, versions.max)
+  }
+
+  /** Read member `name` THROUGH the group pin — the all-or-nothing
+    * view ([[SnapshotStore.readAt]] of the pinned version). Group time
+    * travel is the same call on an older [[snapshotAt]]. */
+  def read(spark: SparkSession, groupRoot: String, name: String,
+           snap: GroupSnapshot = null): DataFrame = {
+    val s = Option(snap).getOrElse(current(spark, groupRoot))
+    val root = members(spark, groupRoot)(name)
+    SnapshotStore.readAt(spark, root, s.members(name))
+  }
+
+  /** The transaction body's handle: ordinary member-store maintenance,
+    * addressed by member name. Each call is a REAL member commit
+    * (invisible through the group until the group publish). */
+  final class Txn private[SnapshotGroup] (spark: SparkSession,
+      roots: Map[String, String]) {
+    private def rootOf(name: String): String = {
+      require(roots.contains(name), s"not a group member: $name")
+      roots(name)
+    }
+    def read(name: String): DataFrame =
+      SnapshotStore.read(spark, rootOf(name))
+    def compact(name: String, admits: DataFrame, keys: Seq[String],
+                partCol: String): Long =
+      SnapshotStore.compact(spark, rootOf(name), admits, keys, partCol)._1
+    def retract(name: String, dead: DataFrame, keys: Seq[String],
+                partCol: String): Long =
+      SnapshotStore.retract(spark, rootOf(name), dead, keys, partCol)._2
+    def stageDeletes(name: String, dead: DataFrame,
+                     keys: Seq[String]): Unit = {
+      SnapshotStore.stageDeletes(spark, rootOf(name), dead, keys); ()
+    }
+  }
+
+  /** Run `body`'s member commits as ONE atomic group advance (see the
+    * object scaladoc for the full protocol and failure doctrine).
+    * Throws [[SnapshotStore.ConcurrentCommitException]] when another
+    * transaction holds the claim or a member moved out of band; any
+    * body failure leaves the claim HELD (fail-stop) for [[rollback]]. */
+  def transact(spark: SparkSession, groupRoot: String)
+              (body: Txn => Unit): GroupSnapshot = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    val base = current(spark, groupRoot)
+    val roots = members(spark, groupRoot)
+    val next = base.version + 1
+    if (fs.exists(manifestPath(rootP, next)))
+      throw new SnapshotStore.ConcurrentCommitException(
+        s"group version $next already committed at $groupRoot — " +
+          "re-read and retry")
+    if (!SnapshotStore.ExclusiveCreateClaim.claim(fs, claimPath(rootP, next)))
+      throw new SnapshotStore.ConcurrentCommitException(
+        s"lost the group commit race for version $next at $groupRoot — " +
+          "a concurrent transaction holds the claim; re-read and retry")
+    // claim held from here: failures are fail-stop (rollback clears)
+    roots.foreach { case (n, r) =>
+      val cur = SnapshotStore.current(spark, r).version
+      if (cur != base.members(n))
+        throw new SnapshotStore.ConcurrentCommitException(
+          s"member $n moved out of band (version $cur, group pins " +
+            s"${base.members(n)}) — enrolled stores must be written " +
+            "through transact; rollback would destroy the interloper's " +
+            "commit, so this transaction fails instead")
+    }
+    body(new Txn(spark, roots))
+    val pins = roots.map { case (n, r) =>
+      n -> SnapshotStore.current(spark, r).version }
+    publish(fs, rootP, next, pins)
+    GroupSnapshot(next, pins)
+  }
+
+  /** Restore the group invariant after a transaction died between its
+    * claim and its publish: delete every member version beyond the
+    * group pins (safe exactly because the still-held claim kept later
+    * transactions out, so nothing built on them), then release the
+    * claim. Refused while the pending version's manifest exists.
+    * Returns the number of member versions removed. Run only once the
+    * dead transaction is CONFIRMED gone — the [[SnapshotStore
+    * .breakClaim]] discipline, one layer up. */
+  /** ADOPT out-of-band member commits: publish the next group version
+    * pinning every member's CURRENT version — the operator's OTHER
+    * recovery arm, for the case [[transact]] refuses because a member
+    * legitimately moved outside the group (a migration script, a
+    * manual fix). The choice is the operator's judgment call the
+    * refusal message forces: [[rollback]] DESTROYS versions beyond the
+    * pins, adopt BLESSES them. Never adopt after a mid-transaction
+    * crash — that would publish a half-committed transaction and break
+    * the atomicity the group exists for; rollback is the only correct
+    * arm there. Tolerates a held claim (the failed transaction's —
+    * confirmed dead by the operator, the breakClaim discipline);
+    * concurrent adopters race on the manifest rename, which refuses
+    * loudly for the loser. */
+  def adopt(spark: SparkSession, groupRoot: String): GroupSnapshot = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    val base = current(spark, groupRoot)
+    val next = base.version + 1
+    require(!fs.exists(manifestPath(rootP, next)),
+      s"group version $next is already published at $groupRoot")
+    SnapshotStore.ExclusiveCreateClaim.claim(fs, claimPath(rootP, next))
+    val pins = members(spark, groupRoot).map { case (n, r) =>
+      n -> SnapshotStore.current(spark, r).version }
+    publish(fs, rootP, next, pins)
+    GroupSnapshot(next, pins)
+  }
+
+  def rollback(spark: SparkSession, groupRoot: String): Int = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    val base = current(spark, groupRoot)
+    val next = base.version + 1
+    require(!fs.exists(manifestPath(rootP, next)),
+      s"group version $next is published at $groupRoot — nothing to roll back")
+    var removed = 0
+    members(spark, groupRoot).foreach { case (n, r) =>
+      val storeRoot = new Path(r)
+      val sfs = storeRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var v = SnapshotStore.current(spark, r).version
+      while (v > base.members(n)) {
+        val m = new Path(new Path(storeRoot, "_manifests"),
+          f"v$v%09d.manifest")
+        require(sfs.delete(m, false), s"rollback failed to drop $m")
+        sfs.delete(new Path(new Path(storeRoot, "_manifests"),
+          f"v$v%09d.claim"), false)
+        removed += 1
+        v -= 1
+      }
+    }
+    fs.delete(claimPath(rootP, next), false)
+    removed
+  }
+}

@@ -105,9 +105,11 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *
   * HONEST 100 TB caveat: the root manifest is still O(partitions) per
   * commit (fine to ~100k partitions at ~60 bytes/pointer), and stats
-  * are computed by a hot readback of the increment rather than inside
-  * the write task (this seam has no writer hook; a production writer
-  * computes the same bounds as it writes, the Iceberg writer shape).
+  * are computed by one aggregation over the increment rather than
+  * inside the write task (this seam has no writer hook): the default
+  * write computes them from the INPUT frame pre-write (file ↔ value
+  * is a bijection there — zero re-read), the salted/binned write
+  * falls back to a cache-hot readback of the new files.
   */
 object SnapshotStore {
 
@@ -507,28 +509,16 @@ object SnapshotStore {
     case _ => false
   }
 
-  /** Per-file stats for the just-written increment: ONE column-pruned
-    * aggregation over the new files (cache-hot — they were written
-    * milliseconds ago), grouped by `input_file_name`. Cost ∝ the
-    * increment's eligible-column bytes, never store bytes; a
-    * production writer computes the same bounds inside the write task
-    * (the Iceberg writer shape) — this seam has no writer hook, so the
-    * hot readback is the honest local equivalent. String bounds use
-    * the prefix device: `min(substring(v,1,64))` is ≤ the true min (a
-    * prefix never exceeds its string), and the upper bound truncates
-    * `max(substring(v,1,65))` to 64 chars and increments the last code
-    * point when truncation happened — both valid bounds at bounded
-    * manifest size. */
-  private def collectStats(spark: SparkSession, root: String,
-      rels: Seq[String], schema: StructType): Map[String, FileStat] = {
-    if (rels.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{count, input_file_name, lit,
-      max, min, substring}
-    val elig = schema.fields.filter(f => statEligible(f.dataType)).map(_.name)
-    val read = spark.read.schema(schema)
-      .option("basePath", s"$root/data")
-      .parquet(rels.map(r => s"$root/data/$r"): _*)
-    val aggs = count(lit(1)).as("__rows") +: elig.toSeq.flatMap { c =>
+  /** The stats aggregate columns for [[collectStats]] /
+    * [[collectStatsByValue]]: row count + per-eligible-column bounds.
+    * String bounds use the prefix device: `min(substring(v,1,64))` is
+    * ≤ the true min (a prefix never exceeds its string), and the upper
+    * bound truncates `max(substring(v,1,65))` to 64 chars and
+    * increments the last code point when truncation happened — both
+    * valid BOUNDS at bounded manifest size. */
+  private def statAggs(schema: StructType, elig: Seq[String]): Seq[Column] = {
+    import org.apache.spark.sql.functions.{count, lit, max, min, substring}
+    count(lit(1)).as("__rows") +: elig.flatMap { c =>
       val isStr = schema(c).dataType == org.apache.spark.sql.types.StringType
       val lo = if (isStr) min(substring(col(c), 1, StatPrefixLen))
         else min(col(c))
@@ -536,32 +526,84 @@ object SnapshotStore {
         else max(col(c))
       Seq(lo.cast("string").as(s"__min_$c"), hi.cast("string").as(s"__max_$c"))
     }
+  }
+
+  /** Decode one stats-agg row (offset = index of `__rows`). */
+  private def decodeStat(r: org.apache.spark.sql.Row, offset: Int,
+      schema: StructType, elig: Seq[String]): FileStat = {
+    val rows = r.getLong(offset)
+    val bounds = elig.zipWithIndex.flatMap { case (c, i) =>
+      val mn = Option(r.getString(offset + 1 + 2 * i))
+      val mxRaw = Option(r.getString(offset + 2 + 2 * i))
+      val isStr = schema(c).dataType == org.apache.spark.sql.types.StringType
+      val mx = mxRaw.flatMap { v =>
+        if (isStr && v.length > StatPrefixLen) incLast(v.take(StatPrefixLen))
+        else Some(v)
+      }
+      (mn, mx) match {
+        case (Some(a), Some(b)) => Some((c, a, b))
+        case _ => None
+      }
+    }
+    FileStat(rows, bounds.map(b => b._1 -> b._2).toMap,
+      bounds.map(b => b._1 -> b._3).toMap)
+  }
+
+  /** Per-file stats by parquet READBACK — the general arm (any file
+    * layout): one column-pruned aggregation over the new files,
+    * cache-hot, grouped by `input_file_name`. Cost ∝ the increment's
+    * eligible-column bytes, never store bytes. */
+  private def collectStats(spark: SparkSession, root: String,
+      rels: Seq[String], schema: StructType): Map[String, FileStat] = {
+    if (rels.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.input_file_name
+    val elig =
+      schema.fields.filter(f => statEligible(f.dataType)).map(_.name).toSeq
+    val read = spark.read.schema(schema)
+      .option("basePath", s"$root/data")
+      .parquet(rels.map(r => s"$root/data/$r"): _*)
+    val aggs = statAggs(schema, elig)
     val collected = read.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     collected.flatMap { r =>
       val uri = r.getString(0)
       val path = scala.util.Try(new java.net.URI(uri).getPath).getOrElse(uri)
-      rels.find(path.endsWith(_)).map { rel =>
-        val rows = r.getLong(1)
-        val bounds = elig.zipWithIndex.flatMap { case (c, i) =>
-          val mn = Option(r.getString(2 + 2 * i))
-          val mxRaw = Option(r.getString(3 + 2 * i))
-          val isStr =
-            schema(c).dataType == org.apache.spark.sql.types.StringType
-          val mx = mxRaw.flatMap { v =>
-            if (isStr && v.length > StatPrefixLen) incLast(v.take(StatPrefixLen))
-            else Some(v)
-          }
-          (mn, mx) match {
-            case (Some(a), Some(b)) => Some((c, a, b))
-            case _ => None
-          }
-        }
-        rel -> FileStat(rows,
-          bounds.map(b => b._1 -> b._2).toMap,
-          bounds.map(b => b._1 -> b._3).toMap)
-      }
+      rels.find(path.endsWith(_))
+        .map(rel => rel -> decodeStat(r, 1, schema, elig))
     }.toMap
+  }
+
+  /** Per-file stats WITHOUT re-reading what was just written — the
+    * default-write fast arm: `repartition(partCol)` hash-routes each
+    * partition VALUE to exactly one task, and `partitionBy` splits one
+    * file per value per task, so file ↔ value is a BIJECTION per
+    * writeData call, and a `groupBy(partCol)` over the INPUT frame
+    * (usually a localCheckpoint the caller already materialized) IS
+    * the per-file stats — the closest this seam gets to the Iceberg
+    * writer computing bounds inside the write task, and at 100 TB it
+    * saves a full re-read of the increment from object storage.
+    * Degrades to the readback arm whenever the bijection doesn't hold
+    * (a dir with ≠1 new file — task retries can leave one). */
+  private def collectStatsByValue(spark: SparkSession, root: String,
+      rels: Seq[String], df: DataFrame, partCol: String,
+      schema: StructType): Map[String, FileStat] = {
+    if (rels.isEmpty) return Map.empty
+    val fileByDir = rels.groupBy(dirOf)
+    if (fileByDir.values.exists(_.size != 1))
+      return collectStats(spark, root, rels, schema)
+    val elig =
+      schema.fields.filter(f => statEligible(f.dataType)).map(_.name).toSeq
+    val aggs = statAggs(schema, elig)
+    val collected = df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byValue = collected.flatMap { r =>
+      val dir = partitionDir(partCol, r.get(0)).stripSuffix("/")
+      fileByDir.get(dir).flatMap(_.headOption)
+        .map(rel => rel -> decodeStat(r, 1, schema, elig))
+    }.toMap
+    // the bijection must have matched every file — otherwise readback
+    if (byValue.size == rels.size) byValue
+    else collectStats(spark, root, rels, schema)
   }
 
   /** Stage `df` as new immutable data files: Spark writes a private
@@ -606,7 +648,13 @@ object SnapshotStore {
     val rels = moved.result()
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => binCol.contains(f.name)))
-    (rels, collectStats(spark, root, rels, dataSchema))
+    val stats =
+      if (binCol.isEmpty)
+        collectStatsByValue(spark, root, rels,
+          df.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*),
+          partCol, dataSchema)
+      else collectStats(spark, root, rels, dataSchema)
+    (rels, stats)
   }
 
   /** Publish `files` as version `base.version + 1`. Protocol: write the

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.SnapshotStore.ConcurrentCommitException
+
+/** Multi-table snapshot transactions ([[SnapshotGroup]]) — the
+  * cross-table all-or-nothing contract:
+  *
+  *  (a) a transaction advances BOTH member stores in one group
+  *      publish; a reader that resolved the group before it sees the
+  *      OLD version of every member after it;
+  *  (b) 16 racing transactions admit exactly one (the group claim
+  *      arbitrates before any member commit runs);
+  *  (c) a transaction that dies mid-way leaves group readers
+  *      atomically on the old state (the half-committed member
+  *      version is invisible through the group), wedges the group
+  *      loudly, and rollback removes the orphan member versions and
+  *      releases the claim so a retry lands cleanly;
+  *  (d) an out-of-band member commit is refused before any member
+  *      commit runs.
+  */
+class SnapshotGroupSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  /** Two coupled stores — the worked example: postings + band index. */
+  private def freshGroup(): (String, String, String) = {
+    val dir = Files.createTempDirectory("snapgroup")
+    val postings = dir.resolve("postings").toString
+    val bands = dir.resolve("bands").toString
+    SnapshotStore.init(spark, postings,
+      Seq(("g1", 10L, 0), ("g2", 20L, 1), ("g3", 30L, 0))
+        .toDF("g", "doc_id", "pt"), "pt")
+    SnapshotStore.init(spark, bands,
+      Seq(("b1", 10L, 0), ("b2", 20L, 1))
+        .toDF("band", "doc_id", "pt"), "pt")
+    val group = dir.resolve("group").toString
+    SnapshotGroup.init(spark, group,
+      Map("postings" -> postings, "bands" -> bands))
+    (group, postings, bands)
+  }
+
+  private def docs(df: org.apache.spark.sql.DataFrame) =
+    df.select($"doc_id").as[Long].collect().toSet
+
+  test("(a) one transaction, two stores, one visibility point — and " +
+      "a pre-transaction reader keeps the old view of BOTH members") {
+    val (group, _, _) = freshGroup()
+    val before = SnapshotGroup.current(spark, group)
+    assert(before.version === 1L)
+
+    val after = SnapshotGroup.transact(spark, group) { txn =>
+      txn.compact("postings",
+        Seq(("g4", 40L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+        Seq("g", "doc_id"), "pt"): Unit
+      txn.retract("bands",
+        Seq(("b1", 10L)).toDF("band", "doc_id").withColumn("pt", lit(0)),
+        Seq("band", "doc_id"), "pt"): Unit
+    }
+    assert(after.version === 2L)
+    // through the group: both advances visible together
+    assert(docs(SnapshotGroup.read(spark, group, "postings"))
+      === Set(10L, 20L, 30L, 40L))
+    assert(docs(SnapshotGroup.read(spark, group, "bands")) === Set(20L))
+    // the pre-transaction reader's pinned view: OLD versions of both
+    assert(docs(SnapshotGroup.read(spark, group, "postings", before))
+      === Set(10L, 20L, 30L))
+    assert(docs(SnapshotGroup.read(spark, group, "bands", before))
+      === Set(10L, 20L))
+  }
+
+  test("(b) 16 racing transactions: exactly one wins, members advance " +
+      "exactly once") {
+    val (group, postings, bands) = freshGroup()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 16).map { i =>
+      new Thread(() =>
+        try {
+          SnapshotGroup.transact(spark, group) { txn =>
+            txn.compact("postings",
+              Seq((s"gx$i", 100L + i)).toDF("g", "doc_id")
+                .withColumn("pt", lit(0)),
+              Seq("g", "doc_id"), "pt"): Unit
+            txn.compact("bands",
+              Seq((s"bx$i", 100L + i)).toDF("band", "doc_id")
+                .withColumn("pt", lit(0)),
+              Seq("band", "doc_id"), "pt"): Unit
+          }
+          results.add(s"win-$i")
+        } catch {
+          case _: ConcurrentCommitException => results.add(s"refused-$i")
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val wins = results.asScala.toSeq.filter(_.startsWith("win"))
+    assert(wins.size === 1, s"group arbitration failed: $wins")
+    assert(SnapshotGroup.current(spark, group).version === 2L)
+    // the losers never touched the members
+    assert(SnapshotStore.current(spark, postings).version === 2L)
+    assert(SnapshotStore.current(spark, bands).version === 2L)
+  }
+
+  test("(c) a mid-transaction crash leaves group readers atomic, " +
+      "wedges loudly, and rollback + retry lands cleanly") {
+    val (group, postings, _) = freshGroup()
+    intercept[RuntimeException] {
+      SnapshotGroup.transact(spark, group) { txn =>
+        txn.compact("postings",
+          Seq(("g4", 40L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+          Seq("g", "doc_id"), "pt"): Unit
+        throw new RuntimeException("transaction died mid-way")
+      }
+    }
+    // the postings store HAS a new physical version...
+    assert(SnapshotStore.current(spark, postings).version === 2L)
+    // ...but group readers see the old state of BOTH members
+    assert(SnapshotGroup.current(spark, group).version === 1L)
+    assert(docs(SnapshotGroup.read(spark, group, "postings"))
+      === Set(10L, 20L, 30L))
+    // the group is wedged loudly until the operator acts
+    intercept[ConcurrentCommitException] {
+      SnapshotGroup.transact(spark, group)(_ => ())
+    }
+    // rollback removes the orphan member version and releases the claim
+    assert(SnapshotGroup.rollback(spark, group) === 1)
+    assert(SnapshotStore.current(spark, postings).version === 1L)
+    val retried = SnapshotGroup.transact(spark, group) { txn =>
+      txn.compact("postings",
+        Seq(("g4", 40L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+        Seq("g", "doc_id"), "pt"): Unit
+    }
+    assert(retried.version === 2L)
+    assert(docs(SnapshotGroup.read(spark, group, "postings"))
+      === Set(10L, 20L, 30L, 40L))
+  }
+
+  test("(d) an out-of-band member commit is refused before any member " +
+      "commit runs") {
+    val (group, postings, bands) = freshGroup()
+    // an interloper writes a member DIRECTLY — the enrollment contract
+    // violation
+    SnapshotStore.compact(spark, postings,
+      Seq(("rogue", 999L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+      Seq("g", "doc_id"), "pt")
+    val ex = intercept[ConcurrentCommitException] {
+      SnapshotGroup.transact(spark, group) { txn =>
+        txn.compact("bands",
+          Seq(("b3", 30L)).toDF("band", "doc_id").withColumn("pt", lit(0)),
+          Seq("band", "doc_id"), "pt"): Unit
+      }
+    }
+    assert(ex.getMessage.contains("out of band"))
+    // the refused transaction committed NOTHING to any member
+    assert(SnapshotStore.current(spark, bands).version === 1L)
+    // the operator's recovery for a LEGITIMATE external commit is
+    // adopt (rollback would destroy it): the next group version pins
+    // the interloper's state, and transactions resume
+    val adopted = SnapshotGroup.adopt(spark, group)
+    assert(adopted.version === 2L && adopted.members("postings") === 2L)
+    assert(docs(SnapshotGroup.read(spark, group, "postings"))
+      .contains(999L))
+    val resumed = SnapshotGroup.transact(spark, group) { txn =>
+      txn.compact("bands",
+        Seq(("b3", 30L)).toDF("band", "doc_id").withColumn("pt", lit(0)),
+        Seq("band", "doc_id"), "pt"): Unit
+    }
+    assert(resumed.version === 3L)
+    assert(docs(SnapshotGroup.read(spark, group, "bands"))
+      === Set(10L, 20L, 30L))
+  }
+}
