@@ -208,6 +208,41 @@ object SnapshotGroup {
     GroupSnapshot(next, pins)
   }
 
+  /** GROUP-AWARE retention: drop group manifests beyond the newest
+    * `keepVersions`, then vacuum every member RETAINING each version a
+    * surviving group manifest still pins (plus the member's own
+    * newest `memberKeep` window) — a member-local vacuum is blind to
+    * group-level time travel and would delete manifests older group
+    * snapshots resolve through (SnapshotGroupSpec pins a read at the
+    * oldest retained group version across the sweep). `graceMs` is
+    * [[SnapshotStore.vacuum]]'s in-flight-writer window, passed
+    * through. Returns the total data/delete files reclaimed across
+    * the members. */
+  def vacuum(spark: SparkSession, groupRoot: String,
+             keepVersions: Int = 2, memberKeep: Int = 1,
+             graceMs: Long = 0L): Int = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    val dir = new Path(rootP, "_manifests")
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted
+    val retained = versions.takeRight(keepVersions)
+    val pinsByMember = retained.map(v => snapshotAt(spark, groupRoot, v))
+      .flatMap(_.members.toSeq)
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+    versions.dropRight(keepVersions).foreach { v =>
+      require(fs.delete(manifestPath(rootP, v), false),
+        s"group vacuum failed to drop manifest v$v")
+      fs.delete(claimPath(rootP, v), false)
+    }
+    members(spark, groupRoot).toSeq.sortBy(_._1).map { case (n, r) =>
+      SnapshotStore.vacuum(spark, r, memberKeep, graceMs,
+        alsoRetain = pinsByMember.getOrElse(n, Set.empty))
+    }.sum
+  }
+
   /** Restore the group invariant after a transaction died between its
     * claim and its publish: delete every member version beyond the
     * group pins (safe exactly because the still-held claim kept later

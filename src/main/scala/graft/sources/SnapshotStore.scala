@@ -1411,8 +1411,15 @@ object SnapshotStore {
     * queries; any deployment with concurrent committers must pass a
     * window comfortably above its slowest writeData-to-commit gap
     * (SnapshotStoreSpec pins both arms). */
+  /** `alsoRetain` names versions that must survive REGARDLESS of the
+    * newest-K window — the hook [[SnapshotGroup.vacuum]] uses to keep
+    * every member version a retained GROUP manifest still pins (a
+    * member-local vacuum is blind to group-level time travel; without
+    * this, group snapshotAt on an older group version would resolve a
+    * deleted member manifest). */
   def vacuum(spark: SparkSession, root: String,
-             keepVersions: Int = 2, graceMs: Long = 0L): Int = {
+             keepVersions: Int = 2, graceMs: Long = 0L,
+             alsoRetain: Set[Long] = Set.empty): Int = {
     require(keepVersions >= 1, "must retain at least the current version")
     val (fs, rootP) = fsOf(spark, root)
     val dir = new Path(rootP, "_manifests")
@@ -1420,7 +1427,8 @@ object SnapshotStore {
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
       .sorted
-    val retain = versions.takeRight(keepVersions)
+    val retain = (versions.takeRight(keepVersions) ++
+      versions.filter(alsoRetain)).distinct.sorted
     val retainSnaps = retain.map(v => snapshotAt(spark, root, v))
     val referenced = retainSnaps.flatMap(_.files)
       .map(_.stripPrefix("-")).toSet
@@ -1459,7 +1467,8 @@ object SnapshotStore {
       if (!refSegs.contains(rel) && f.getModificationTime < cutoff)
         fs.delete(f.getPath, false)
     }
-    versions.dropRight(keepVersions).foreach { v =>
+    val retainSet = retain.toSet
+    versions.filterNot(retainSet).foreach { v =>
       require(fs.delete(manifestPath(rootP, v), false),
         s"vacuum failed to drop manifest v$v")
       fs.delete(claimPath(rootP, v), false) // published → claim is history

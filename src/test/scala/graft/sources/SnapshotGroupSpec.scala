@@ -137,6 +137,47 @@ class SnapshotGroupSpec extends SparkTestBase {
       === Set(10L, 20L, 30L, 40L))
   }
 
+  test("group-aware vacuum retains every member version a surviving " +
+      "group manifest pins — member-local retention alone would break " +
+      "group time travel") {
+    val (group, postings, _) = freshGroup()
+    // txn1 RETRACTS g1 (pt=0 rewritten — v1's original pt=0 file is
+    // thereafter referenced by v1 ONLY, the reclaimable witness); txn2
+    // and txn3 compact — group ends at v4, postings at store v4
+    SnapshotGroup.transact(spark, group) { txn =>
+      txn.retract("postings",
+        Seq(("g1", 10L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+        Seq("g", "doc_id"), "pt"): Unit
+    }
+    (0 until 2).foreach { i =>
+      SnapshotGroup.transact(spark, group) { txn =>
+        txn.compact("postings",
+          Seq((s"gv$i", 200L + i)).toDF("g", "doc_id")
+            .withColumn("pt", lit(0)),
+          Seq("g", "doc_id"), "pt"): Unit
+      }
+    }
+    assert(SnapshotGroup.current(spark, group).version === 4L)
+    // keep the newest TWO group versions (v3, v4): postings store
+    // versions 3 and 4 are pinned; versions 1-2 retire with group v1-2
+    val reclaimed = SnapshotGroup.vacuum(spark, group, keepVersions = 2)
+    assert(reclaimed > 0,
+      "the retracted partition's v1-only file was not reclaimed")
+    // group time travel to the OLDEST retained version still works
+    assert(docs(SnapshotGroup.read(spark, group, "postings",
+      SnapshotGroup.snapshotAt(spark, group, 3L)))
+      === Set(20L, 30L, 200L))
+    // the retired group version is gone...
+    intercept[Exception] { SnapshotGroup.snapshotAt(spark, group, 1L) }
+    // ...and so is the member version only it pinned, while BOTH
+    // group-pinned member versions survived member-local keep=1
+    intercept[Exception] {
+      SnapshotStore.snapshotAt(spark, postings, 1L)
+    }
+    assert(SnapshotStore.snapshotAt(spark, postings, 3L).files.nonEmpty)
+    assert(SnapshotStore.snapshotAt(spark, postings, 4L).files.nonEmpty)
+  }
+
   test("(d) an out-of-band member commit is refused before any member " +
       "commit runs") {
     val (group, postings, bands) = freshGroup()

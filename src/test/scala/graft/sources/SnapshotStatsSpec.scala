@@ -91,6 +91,36 @@ class SnapshotStatsSpec extends SparkTestBase {
     assert(reread.stats.keySet === v2.files.toSet)
   }
 
+  test("(b2) manifest stats are VALID against the files themselves: " +
+      "exact row counts, bounds that contain every value — both the " +
+      "pre-write fast arm and the binned readback arm") {
+    val root = freshRoot()
+    SnapshotStore.init(spark, root, baseRows, "pt")      // fast arm
+    SnapshotStore.binPack(spark, root, minFilesToPack = 2,
+      targetRowsPerFile = 1000L)                          // readback arm
+    // (init leaves nothing fragmented; force the binned arm directly)
+    SnapshotStore.compact(spark, root,
+      Seq(("zz-extra", 9999L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+      Seq("g", "doc_id"), "pt")
+    SnapshotStore.binPack(spark, root, targetRowsPerFile = 1000L)
+    val snap = SnapshotStore.current(spark, root)
+    val schema = SnapshotStore.schemaAt(spark, root, snap.version)
+    snap.files.foreach { f =>
+      val one = spark.read.schema(schema)
+        .option("basePath", s"$root/data").parquet(s"$root/data/$f")
+      val st = snap.stats(f)
+      assert(st.rows === one.count(), s"$f row stat drifted")
+      val r = one.agg(min($"doc_id"), max($"doc_id"), min($"g"), max($"g"))
+        .collect()(0)
+      assert(BigDecimal(st.mins("doc_id")) <= BigDecimal(r.getLong(0))
+        && BigDecimal(st.maxs("doc_id")) >= BigDecimal(r.getLong(1)),
+        s"$f doc_id bounds invalid: ${st.mins("doc_id")}..${st.maxs("doc_id")} " +
+          s"vs ${r.getLong(0)}..${r.getLong(1)}")
+      assert(st.mins("g") <= r.getString(2) && st.maxs("g") >= r.getString(3),
+        s"$f g bounds invalid")
+    }
+  }
+
   test("(c) readRange plans only files whose bounds overlap and " +
       "returns exactly the filtered rows") {
     val root = freshRoot()
