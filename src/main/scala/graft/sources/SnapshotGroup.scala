@@ -191,15 +191,25 @@ object SnapshotGroup {
       throw new SnapshotStore.ConcurrentCommitException(
         s"lost the group commit race for version $next at $groupRoot — " +
           "a concurrent transaction holds the claim; re-read and retry")
-    // claim held from here: failures are fail-stop (rollback clears)
-    roots.foreach { case (n, r) =>
-      val cur = SnapshotStore.current(spark, r).version
-      if (cur != base.members(n))
-        throw new SnapshotStore.ConcurrentCommitException(
-          s"member $n moved out of band (version $cur, group pins " +
-            s"${base.members(n)}) — enrolled stores must be written " +
-            "through transact; rollback would destroy the interloper's " +
-            "commit, so this transaction fails instead")
+    // claim held from here. The pin verification runs before any
+    // member commit — a refusal there releases the claim (nothing is
+    // half-done, so wedging the group would only force a needless
+    // breakClaim); once the BODY runs, failures are fail-stop with the
+    // claim held (rollback clears).
+    try {
+      roots.foreach { case (n, r) =>
+        val cur = SnapshotStore.current(spark, r).version
+        if (cur != base.members(n))
+          throw new SnapshotStore.ConcurrentCommitException(
+            s"member $n moved out of band (version $cur, group pins " +
+              s"${base.members(n)}) — enrolled stores must be written " +
+              "through transact; rollback would destroy the interloper's " +
+              "commit, so this transaction fails instead")
+      }
+    } catch {
+      case e: SnapshotStore.ConcurrentCommitException =>
+        fs.delete(claimPath(rootP, next), false)
+        throw e
     }
     body(new Txn(spark, roots))
     val pins = roots.map { case (n, r) =>
@@ -260,21 +270,52 @@ object SnapshotGroup {
     * pins, adopt BLESSES them. Never adopt after a mid-transaction
     * crash — that would publish a half-committed transaction and break
     * the atomicity the group exists for; rollback is the only correct
-    * arm there. Tolerates a held claim (the failed transaction's —
-    * confirmed dead by the operator, the breakClaim discipline);
-    * concurrent adopters race on the manifest rename, which refuses
-    * loudly for the loser. */
+    * arm there.
+    *
+    * Adopt must WIN the version claim like every other publisher (the
+    * r18 verdict finding): the previous arm discarded the claim result
+    * and let racing adopters arbitrate on rename-onto-existing — the
+    * exact unspecified-FileSystem-semantics gap the store's commit
+    * protocol moved OFF of, so two adopters that each read different
+    * member states (a member commit landing between them) could both
+    * "publish", last-writer-wins. Now the loser throws
+    * [[SnapshotStore.ConcurrentCommitException]] before reading any
+    * member state it might publish (SnapshotGroupSpec races two
+    * adopters through the 16-racer harness). A claim HELD by a
+    * confirmed-dead transaction is cleared first with the explicit
+    * [[breakClaim]] step — the store's takeover discipline, no longer
+    * tolerated implicitly. */
   def adopt(spark: SparkSession, groupRoot: String): GroupSnapshot = {
     val (fs, rootP) = fsOf(spark, groupRoot)
     val base = current(spark, groupRoot)
     val next = base.version + 1
     require(!fs.exists(manifestPath(rootP, next)),
       s"group version $next is already published at $groupRoot")
-    SnapshotStore.ExclusiveCreateClaim.claim(fs, claimPath(rootP, next))
+    if (!SnapshotStore.ExclusiveCreateClaim.claim(fs, claimPath(rootP, next)))
+      throw new SnapshotStore.ConcurrentCommitException(
+        s"lost the adopt race for group version $next at $groupRoot — " +
+          "a concurrent adopter or transaction holds the claim; if its " +
+          "writer is confirmed dead, breakClaim then retry")
     val pins = members(spark, groupRoot).map { case (n, r) =>
       n -> SnapshotStore.current(spark, r).version }
     publish(fs, rootP, next, pins)
     GroupSnapshot(next, pins)
+  }
+
+  /** Clear the group claim a CONFIRMED-DEAD transaction (or adopter)
+    * left between its claim and its publish — the [[SnapshotStore
+    * .breakClaim]] discipline one layer up, and the explicit takeover
+    * step [[adopt]] requires where it previously tolerated a held
+    * claim implicitly. Refused while the version's manifest exists.
+    * NOTE: after a mid-TRANSACTION crash, [[rollback]] (which also
+    * releases the claim) is the correct arm — breakClaim alone would
+    * leave the half-committed member versions for [[adopt]] to bless. */
+  def breakClaim(spark: SparkSession, groupRoot: String,
+                 v: Long): Boolean = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    require(!fs.exists(manifestPath(rootP, v)),
+      s"group version $v is published at $groupRoot — its claim is not stale")
+    fs.delete(claimPath(rootP, v), false)
   }
 
   def rollback(spark: SparkSession, groupRoot: String): Int = {

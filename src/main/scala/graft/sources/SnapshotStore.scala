@@ -172,17 +172,45 @@ object SnapshotStore {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** Increment the last incrementable code point of a ≤[[StatPrefixLen]]
-    * prefix — the smallest convenient string strictly greater than every
-    * string starting with `s` (the truncated-upper-bound device). None
-    * when no character can be incremented. */
+  /** Increment the last incrementable CODE POINT of a ≤[[StatPrefixLen]]
+    * prefix — the smallest convenient string strictly greater (in UTF-8
+    * byte order, the order [[statCmp]] compares in) than every string
+    * starting with `s` (the truncated-upper-bound device, Iceberg's
+    * UnicodeUtil.truncateStringMax shape). Operating on UTF-16 CHARS
+    * was the r18 ADVICE finding: incrementing U+D7FF (or a char of a
+    * surrogate pair) yields an unpaired surrogate, which URL-encoding
+    * mangles to '?' — silently SHRINKING the stored upper bound below
+    * real values and enabling wrong file pruning. Code points carry
+    * through the surrogate gap ([U+D800,U+DFFF] → U+E000) and past
+    * U+10FFFF (carry left); None when every code point is maximal. */
   private[graft] def incLast(s: String): Option[String] = {
-    val cs = s.toCharArray
-    var i = cs.length - 1
-    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+    val cps = s.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
     if (i < 0) None
-    else Some(new String(cs.take(i)) + (cs(i) + 1).toChar)
+    else {
+      val bumped = cps(i) + 1
+      val next =
+        if (bumped >= 0xD800 && bumped <= 0xDFFF) 0xE000 else bumped
+      val sb = new java.lang.StringBuilder
+      cps.take(i).foreach(cp => { sb.appendCodePoint(cp); () })
+      sb.appendCodePoint(next)
+      Some(sb.toString)
+    }
   }
+
+  /** First `n` CODE POINTS of `s` — the truncation [[decodeStat]] pairs
+    * with [[incLast]]. A UTF-16 `take(n)` can cut a surrogate pair in
+    * half (the r18 ADVICE finding), leaving an unpaired surrogate the
+    * manifest encoding mangles; code-point truncation always yields a
+    * valid prefix. */
+  private[graft] def cpTake(s: String, n: Int): String = {
+    val total = s.codePointCount(0, s.length)
+    if (total <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+  }
+
+  private def cpCount(s: String): Int = s.codePointCount(0, s.length)
 
   /** The commit-arbitration primitive: atomically create `p` such that
     * exactly one of N concurrent callers succeeds. The manifest rename
@@ -211,12 +239,23 @@ object SnapshotStore {
     * created the file, a datanode hiccup) previously reported as
     * "lost the race" — turning a retriable fault into a permanent
     * ConcurrentCommitException, and possibly wedging the version if
-    * the claim file did land. Now: FileAlreadyExistsException (or a
-    * generic IOException with the claim file present — some stores
-    * report exists-collisions that way) returns false; every other
-    * IOException RETHROWS, so the caller sees a fault, investigates,
-    * and clears any half-landed claim with [[breakClaim]] — faults
-    * surface as faults, not as concurrent writers. */
+    * the claim file did land. FileAlreadyExistsException returns
+    * false; every other IOException consults the WRITER TAG below,
+    * and only rethrows when the tag cannot decide — faults surface as
+    * faults, not as concurrent writers.
+    *
+    * WRITER TAG (the r18 verdict's remaining ambiguous-exists arm):
+    * every claim is created with a per-call UUID body, so the
+    * ambiguous path — IOException with the claim file present — reads
+    * the body back and classifies: OUR tag ⇒ the create landed at the
+    * namenode before the fault, so we WON (the old arm returned
+    * "lost", wedging the version with no concurrent winner to blame
+    * and no fault surfaced); another writer's tag ⇒ genuinely lost.
+    * An empty/unreadable body stays classified as lost — the
+    * conservative legacy outcome for stores whose claims carry no tag
+    * — so the only residual window is a create that landed WITHOUT
+    * its one-line body (namenode create + fault before any byte),
+    * strictly narrower than the arm this closes. */
   object ExclusiveCreateClaim extends ClaimArm {
     def claim(fs: FileSystem, p: Path): Boolean =
       if (fs.getScheme == "file") {
@@ -225,19 +264,31 @@ object SnapshotStore {
         try { java.nio.file.Files.createFile(nio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
+        val tag = java.util.UUID.randomUUID().toString
+        def ourTag(): Option[Boolean] =
+          scala.util.Try(readTextFile(fs, p).trim).toOption
+            .filter(_.nonEmpty).map(_ == tag)
         val out =
           try fs.create(p, false)
           catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
               return false
             case e: java.io.IOException =>
-              if (fs.exists(p)) return false else throw e
+              if (fs.exists(p)) return ourTag().getOrElse(false) else throw e
           }
-        // a close failure propagates: the claim may already be ours
-        // (created at the namenode), so this is a fault to investigate,
-        // never a lost race
-        out.close()
-        true
+        try {
+          out.write(tag.getBytes("UTF-8"))
+          out.close()
+          true
+        } catch {
+          case e: java.io.IOException =>
+            // the create landed; whether WE own it is what the tag
+            // readback decides (a failed close can still have flushed)
+            ourTag() match {
+              case Some(mine) => mine
+              case None => throw e
+            }
+        }
       }
   }
 
@@ -537,7 +588,8 @@ object SnapshotStore {
       val mxRaw = Option(r.getString(offset + 2 + 2 * i))
       val isStr = schema(c).dataType == org.apache.spark.sql.types.StringType
       val mx = mxRaw.flatMap { v =>
-        if (isStr && v.length > StatPrefixLen) incLast(v.take(StatPrefixLen))
+        if (isStr && cpCount(v) > StatPrefixLen)
+          incLast(cpTake(v, StatPrefixLen))
         else Some(v)
       }
       (mn, mx) match {
@@ -1226,14 +1278,29 @@ object SnapshotStore {
     * q_corpus_diff device, replayed verbatim by
     * q_index_snapshot_diff_values' oracle. */
   /** Order comparator over [[FileStat]] bound strings: numerics as
-    * decimals (unparseable renderings — NaN/Infinity — yield None, so
-    * callers keep the file), everything else lexicographically on the
-    * order-preserving cast renderings [[statEligible]] documents. */
+    * decimals, timestamps parsed to the epoch (unparseable renderings —
+    * NaN/Infinity, an ISO-T query endpoint — yield None, so callers
+    * keep the file), everything else by CODE POINT via unsigned UTF-8
+    * byte comparison. Two r18 ADVICE findings live here: (1) Spark
+    * computes string min/max in UTF-8 binary order but
+    * `String.compareTo` is UTF-16 unit order — the two diverge for
+    * supplementary characters vs [U+E000,U+FFFF], so the old compare
+    * could PROVE false disjointness and skip files holding matching
+    * rows; UTF-8 byte comparison (the Iceberg convention) is exactly
+    * the order the bounds were computed in. (2) `Timestamp.toString`
+    * always renders '.0' while Spark's cast trims zero fractions, so
+    * '…05' < '…05.0' lexicographically pruned boundary-equal files —
+    * parsing both sides to the epoch compares values, not renderings. */
   private def statCmp(dt: DataType, a: String, b: String): Option[Int] =
     dt match {
       case _: org.apache.spark.sql.types.NumericType =>
         scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
-      case _ => Some(a.compareTo(b))
+      case org.apache.spark.sql.types.TimestampType =>
+        scala.util.Try(java.sql.Timestamp.valueOf(a)
+          .compareTo(java.sql.Timestamp.valueOf(b))).toOption
+      case _ => Some(java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
 
   /** Can file `f` (under snapshot `s`) hold a value of `colName` inside
@@ -1339,8 +1406,8 @@ object SnapshotStore {
         for {
           l <- Option(r.getString(0))
           hRaw <- Option(r.getString(1))
-          h <- if (isStr && hRaw.length > StatPrefixLen)
-            incLast(hRaw.take(StatPrefixLen)) else Some(hRaw)
+          h <- if (isStr && cpCount(hRaw) > StatPrefixLen)
+            incLast(cpTake(hRaw, StatPrefixLen)) else Some(hRaw)
         } yield (dt, l, h)
       }.toOption.flatten
     def keepForDeletes(s: Snapshot, f: String): Boolean =
@@ -1465,6 +1532,16 @@ object SnapshotStore {
     if (fs.exists(segRoot)) fs.listStatus(segRoot).foreach { f =>
       val rel = s"segments/${f.getPath.getName}"
       if (!refSegs.contains(rel) && f.getModificationTime < cutoff)
+        fs.delete(f.getPath, false)
+    }
+    // a prePublish failure (or a crash between the temp-manifest write
+    // and the claim) leaves a `.tmp-<tag>` root in _manifests that
+    // nothing ever references — reclaim them under the same grace
+    // window (an in-flight writer's temp exists between its write and
+    // its rename), the r18 ADVICE finding against unbounded accretion
+    fs.listStatus(dir).foreach { f =>
+      if (f.getPath.getName.startsWith(".tmp-") &&
+          f.getModificationTime < cutoff)
         fs.delete(f.getPath, false)
     }
     val retainSet = retain.toSet

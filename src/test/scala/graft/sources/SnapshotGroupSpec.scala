@@ -212,4 +212,63 @@ class SnapshotGroupSpec extends SparkTestBase {
     assert(docs(SnapshotGroup.read(spark, group, "bands"))
       === Set(10L, 20L, 30L))
   }
+
+  test("(e) racing adopters arbitrate on the CLAIM, not the rename: " +
+      "16 racers produce exactly one group version; a dead writer's " +
+      "held claim needs the explicit breakClaim takeover") {
+    val (group, postings, _) = freshGroup()
+    // the out-of-band move both adopters want to bless
+    SnapshotStore.compact(spark, postings,
+      Seq(("rogue", 999L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+      Seq("g", "doc_id"), "pt")
+    // 16 racing adopters — the old arm discarded the claim result and
+    // let the rename arbitrate (unspecified FileSystem semantics, the
+    // exact gap the store commit protocol closed). An adopter re-reads
+    // current() before claiming, so a racer starting after a winner
+    // published may legitimately land the NEXT version — the invariant
+    // is per-version exclusivity: no two adopters ever return the SAME
+    // version, every loser throws the claim's loud refusal (never a
+    // publish-time rename crash), and the version count equals the
+    // win count exactly.
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val losses = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 16).map { _ =>
+      new Thread(() =>
+        try { wins.add(SnapshotGroup.adopt(spark, group).version); () }
+        catch {
+          case _: ConcurrentCommitException => losses.add("refused"); ()
+          case t: Throwable => losses.add(s"CRASH:${t.getMessage}"); ()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val wonVersions = wins.asScala.toSeq
+    assert(wonVersions.nonEmpty, "no adopter won at all")
+    assert(wonVersions.distinct.size === wonVersions.size,
+      s"two adopters both published the same version: $wonVersions")
+    assert(losses.asScala.forall(_ == "refused"),
+      s"a losing adopter crashed instead of the claim's loud refusal: " +
+        s"${losses.asScala.filterNot(_ == "refused")}")
+    val adopted = SnapshotGroup.current(spark, group)
+    assert(adopted.version === 1L + wonVersions.size,
+      "version count and win count diverged")
+    assert(adopted.members("postings") === 2L)
+
+    // takeover discipline: a claim held by a CONFIRMED-DEAD writer is
+    // no longer tolerated implicitly — adopt refuses until the
+    // operator's explicit breakClaim clears it
+    val pending = adopted.version + 1
+    val fs = new org.apache.hadoop.fs.Path(group)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotStore.ExclusiveCreateClaim.claim(fs,
+      new org.apache.hadoop.fs.Path(group,
+        f"_manifests/v$pending%09d.claim")))
+    intercept[ConcurrentCommitException] { SnapshotGroup.adopt(spark, group) }
+    assert(SnapshotGroup.breakClaim(spark, group, pending))
+    assert(SnapshotGroup.adopt(spark, group).version === pending)
+    // a PUBLISHED group version's claim is history, not a stale lock
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.breakClaim(spark, group, pending)
+    }
+  }
 }
