@@ -269,6 +269,52 @@ class SnapshotStatsSpec extends SparkTestBase {
       "the size-targeted pack changed the store's content")
   }
 
+  test("(h) binned writes compute stats PRE-WRITE: a size-targeted " +
+      "pack takes ZERO full-readback passes, and every file's stats — " +
+      "including maxRecordsPerFile splits — are exact against the " +
+      "files themselves") {
+    val root = freshRoot()
+    val hot = (0 until 1000).map(i => (f"h$i%04d", i.toLong, 0))
+    val cold = (0 until 100).map(i => (f"c$i%04d", 2000L + i, 1))
+    val all = (hot ++ cold).toDF("g", "doc_id", "pt")
+    SnapshotStore.init(spark, root, all.filter($"doc_id" % 2 === 0), "pt")
+    SnapshotStore.compact(spark, root, all, Seq("g", "doc_id"), "pt")
+    val want = rowSet(SnapshotStore.read(spark, root))
+
+    // target 100 over 1000 hot rows → 10 hash bins averaging exactly
+    // the cap, so some bin overflows and maxRecordsPerFile SPLITS its
+    // cell (deterministic: the bin hash is a fixed function of the
+    // fixture) — the arm whose rows come from footer-only counts
+    val before = SnapshotStore.readbackRuns.get()
+    val (packed, _, after) =
+      SnapshotStore.binPack(spark, root, targetRowsPerFile = 100L)
+    assert(packed === 2)
+    assert(SnapshotStore.readbackRuns.get() === before,
+      "a binned commit took the full post-write readback arm")
+    val byDir = after.files.groupBy(dirOf)
+    assert(byDir("pt=0").size > 10,
+      s"fixture degenerate: no bin overflowed into a split " +
+        s"(${byDir("pt=0").size} files) — raise the row count")
+    // exactness against the files: rows exact (splits included), sums
+    // exact, bounds contain every value; a silent drift in the
+    // task-assignment replication fails HERE, not as a wrong prune
+    val schema = SnapshotStore.schemaAt(spark, root, after.version)
+    assert(after.stats.values.map(_.rows).sum === want.size.toLong)
+    byDir("pt=0").foreach { f =>
+      val one = spark.read.schema(schema)
+        .option("basePath", s"$root/data").parquet(s"$root/data/$f")
+      val st = after.stats(f)
+      assert(st.rows === one.count(), s"$f row stat drifted")
+      assert(st.rows <= 100L, s"$f exceeds maxRecordsPerFile")
+      val r = one.agg(min($"doc_id"), max($"doc_id")).collect()(0)
+      assert(BigDecimal(st.mins("doc_id")) <= BigDecimal(r.getLong(0)) &&
+        BigDecimal(st.maxs("doc_id")) >= BigDecimal(r.getLong(1)),
+        s"$f bounds invalid")
+    }
+    assert(rowSet(SnapshotStore.read(spark, root)) === want,
+      "the pack changed content")
+  }
+
   test("a 16-writer race through the conditional-put arm produces one " +
       "winner; the precondition-less shim measurably grants many claims " +
       "— the seam is load-bearing, not decorative") {
