@@ -691,8 +691,8 @@ object ScaleProbe {
         hostileEventQueries ++ hostileStreamFaces ++ hostileVecQueries ++
         hostileVecStreamFaces).toSet + "op_index_compact" +
         "op_index_retract" + "op_snapshot_retract" + "op_snapshot_binpack" +
-        "op_snapshot_diff" + "op_snapshot_diffwalk" + "op_snapshot_packskew" +
-        "op_snapshot_respec")
+        "op_snapshot_diff" + "op_snapshot_diffwalk" + "op_snapshot_diffvac" +
+        "op_snapshot_packskew" + "op_snapshot_respec")
     require(unknownQ.isEmpty,
       s"unknown probe query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val pickedProbes =
@@ -1162,6 +1162,76 @@ object ScaleProbe {
         require(walkRows == naiveRows,
           s"walk diff $walkRows != endpoint diff $naiveRows")
         println(f"""{"factor":$k,"query":"op_snapshot_diffwalk","sec":$walkSec%.3f,"rows":$walkRows,"store_rows":$storeRows,"partitions":$parts,"naive_sec":$naiveSec%.3f}""")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+      }
+    }
+
+    // op_snapshot_diffvac: the diffwalk claim ACROSS A VACUUM — before
+    // r19, reclaiming any intermediate version degraded the walk to the
+    // endpoint arm, so a consumer diffing past a vacuumed reorg re-read
+    // the whole packed store; with retired roots retained as
+    // metadata-only history the walk stays pruned. Same store shape as
+    // op_snapshot_diffwalk, but v1/v3 are vacuumed (v2 pinned via
+    // alsoRetain as the consumer's cursor) before the measured diff —
+    // walk_sec must stay flat with naive_sec growing, exactly like the
+    // unvacuumed twin
+    if (qFilter.isEmpty || qFilter("op_snapshot_diffvac")) {
+      val postings = {
+        val docs = Tables.table(spark, base, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+              .as("t"))
+          .filter(size(col("t")) >= 5)
+        Tables.spread(docs, col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - 4)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("g"))
+          .distinct()
+          .localCheckpoint()
+      }
+      factors.foreach { k =>
+        val parts = 64 * k
+        val root = java.nio.file.Files
+          .createTempDirectory(s"snap_dvac_f$k").resolve("store").toString
+        val amplified = spark.range(k).toDF("copy")
+          .crossJoin(postings)
+          .select(
+            when(col("copy") === 0, col("g"))
+              .otherwise(concat(col("g"), lit("#"), col("copy"))).as("g"),
+            col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+          .localCheckpoint()
+        graft.sources.SnapshotStore.init(spark, root,
+          amplified.filter(col("doc_id") % 2 === 0), "pt")           // v1
+        graft.sources.SnapshotStore.compact(spark, root, amplified,
+          Seq("g", "doc_id"), "pt")                                  // v2
+        val inc = postings.filter(col("doc_id") === 7)
+          .select(concat(col("g"), lit("#new")).as("g"), col("doc_id"))
+          .withColumn("pt", pmod(xxhash64(col("g")), lit(parts)).cast("int"))
+        graft.sources.SnapshotStore.compact(spark, root, inc,
+          Seq("g", "doc_id"), "pt")                                  // v3
+        graft.sources.SnapshotStore.binPack(spark, root)             // v4
+        // the vacuum that used to break the walk: v1 and v3 retire
+        // (roots → history), v2 survives only through alsoRetain
+        val reclaimed = graft.sources.SnapshotStore.vacuum(spark, root,
+          keepVersions = 1, alsoRetain = Set(2L))
+        val storeRows = amplified.count()
+        val t0 = System.nanoTime()
+        val walkRows = graft.sources.SnapshotStore.diff(
+          spark, root, 2L, 4L, Seq("g", "doc_id")).count()
+        val walkSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val naiveRows = graft.sources.SnapshotStore.diff(
+          spark, root, 2L, 4L, Seq("g", "doc_id"),
+          endpointNameSetOnly = true).count()
+        val naiveSec = (System.nanoTime() - t1) / 1e9
+        require(walkRows == naiveRows,
+          s"walk diff $walkRows != endpoint diff $naiveRows")
+        println(f"""{"factor":$k,"query":"op_snapshot_diffvac","sec":$walkSec%.3f,"rows":$walkRows,"store_rows":$storeRows,"partitions":$parts,"naive_sec":$naiveSec%.3f,"vacuum_files":$reclaimed}""")
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)

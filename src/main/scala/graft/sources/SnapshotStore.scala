@@ -427,10 +427,17 @@ object SnapshotStore {
         .getOrElse(OpData)
       val segRefs = lines.tail.filter(_.startsWith("@")).map(_.stripPrefix("@"))
       val delEntries = lines.tail.filter(_.startsWith("-"))
-      val perSeg = segRefs.map { ref =>
+      val perSeg = segRefs.map { line =>
+        // dir-qualified pointer (`@<encDir>\t<ref>`) — the walk-capable
+        // form; a bare `@<ref>` (pre-r19 roots) takes the dir from the
+        // segment body instead
+        val (rootDir, ref) = line.split("\t", 2) match {
+          case Array(d, r) => (Some(dec(d)), r)
+          case _ => (None, line)
+        }
         val segBody = readTextFile(fs, new Path(new Path(rootP, "_manifests"), ref))
-        val dir = segBody.split("\n").headOption
-          .filter(_.startsWith("#dir=")).map(h => dec(h.stripPrefix("#dir=")))
+        val dir = rootDir.orElse(segBody.split("\n").headOption
+          .filter(_.startsWith("#dir=")).map(h => dec(h.stripPrefix("#dir="))))
           .getOrElse("")
         (dir, ref, parseSegment(segBody))
       }
@@ -905,8 +912,14 @@ object SnapshotStore {
     }
     def rollbackSegs(): Unit = written.result().foreach(fs.delete(_, false))
 
+    // dir-qualified pointers: the root alone carries (dir → segment)
+    // so the diff walk can test pointer identity on RETIRED versions
+    // whose segment bodies vacuum already reclaimed (metadata-only
+    // history, the Iceberg snapshot-log shape)
+    val dirsSorted = byDir.keys.toSeq.sorted
     val rootBody = (s"$ManifestHeader op=$op" +:
-      (segRefs.map("@" + _) ++ delEntries.sorted)).mkString("", "\n", "\n")
+      (dirsSorted.zip(segRefs).map { case (d, r) => s"@${enc(d)}\t$r" } ++
+        delEntries.sorted)).mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir, s".tmp-$tag")
     val out = fs.create(tmp, false)
     try out.write(rootBody.getBytes("UTF-8"))
@@ -1421,6 +1434,90 @@ object SnapshotStore {
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
 
+  /** One version's WALK-GRAIN metadata — what [[diff]]'s op-attributed
+    * version walk needs from an intermediate step: the commit op and
+    * either the dir→segment-pointer map (segmented roots; pointer
+    * identity ⟺ file-set identity between CONSECUTIVE versions, by the
+    * commit reuse discipline) or the dir→file-set map (legacy flat
+    * roots list files inline). Never the stats, never the rows. */
+  private case class StepMeta(op: String,
+      pointers: Option[Map[String, String]],
+      fileSets: Option[Map[String, Set[String]]]) {
+    def dirs: Set[String] =
+      pointers.map(_.keySet).orElse(fileSets.map(_.keySet))
+        .getOrElse(Set.empty)
+  }
+
+  private def historyPath(root: Path, v: Long): Path =
+    new Path(new Path(root, "_manifests/history"), f"v$v%09d.root")
+
+  /** Read version `v`'s walk metadata from its LIVE root manifest or —
+    * after vacuum retired it — from the metadata-only history copy
+    * (`_manifests/history/`, the Iceberg snapshot-log shape): root
+    * manifests are pointer files, so retaining them costs ~100 bytes a
+    * version while keeping the op walk pruned across any vacuum. Reads
+    * segment BODIES only for pre-r19 roots whose pointers carry no dir
+    * (and returns None when those are already reclaimed — the caller
+    * degrades to the endpoint arm). */
+  private def stepMetaAt(fs: FileSystem, rootP: Path,
+      v: Long): Option[StepMeta] = scala.util.Try {
+    val live = manifestPath(rootP, v)
+    val p = if (fs.exists(live)) live else historyPath(rootP, v)
+    val lines = readTextFile(fs, p).split("\n").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    if (lines.headOption.exists(_.startsWith(ManifestHeader))) {
+      val op = lines.head.split("\\s+").drop(1)
+        .collectFirst { case s if s.startsWith("op=") => s.stripPrefix("op=") }
+        .getOrElse(OpData)
+      val segLines = lines.tail.filter(_.startsWith("@")).map(_.stripPrefix("@"))
+      val qualified = segLines.map(_.split("\t", 2))
+      if (qualified.forall(_.length == 2))
+        StepMeta(op,
+          Some(qualified.map(t => dec(t(0)) -> t(1)).toMap), None)
+      else {
+        // pre-r19 root: dirs live only in the segment bodies — resolve
+        // them if still on disk (throws into the Try when vacuumed)
+        val sets = segLines.map { line =>
+          val ref = line.split("\t", 2).last
+          val body = readTextFile(fs, new Path(new Path(rootP, "_manifests"), ref))
+          val dir = body.split("\n").headOption
+            .filter(_.startsWith("#dir=")).map(h => dec(h.stripPrefix("#dir=")))
+            .getOrElse("")
+          dir -> parseSegment(body).map(_._1).toSet
+        }.toMap
+        StepMeta(op, None, Some(sets))
+      }
+    } else StepMeta(OpData, None,
+      Some(lines.filterNot(_.startsWith("-"))
+        .groupBy(dirOf).map { case (d, fls) => d -> fls.toSet }))
+  }.toOption
+
+  /** Dirs whose file set CHANGED between consecutive versions `a` → `b`
+    * (`b` is the committing step): pointer symmetric-difference where
+    * both roots are dir-qualified (exact — a commit writes a new
+    * segment iff the dir's file set changed), file-set comparison where
+    * both are resolvable, and the conservative both-sides dir union
+    * when the forms are mixed (correct, merely unpruned for that
+    * step). */
+  private def stepChangedDirs(a: StepMeta, b: StepMeta): Set[String] =
+    (a.pointers, b.pointers) match {
+      case (Some(pa), Some(pb)) =>
+        (pa.keySet ++ pb.keySet).filter(d => pa.get(d) != pb.get(d))
+      case _ => (a.fileSets, b.fileSets) match {
+        case (Some(fa), Some(fb)) =>
+          (fa.keySet ++ fb.keySet).filter(d =>
+            fa.getOrElse(d, Set.empty) != fb.getOrElse(d, Set.empty))
+        case _ => a.dirs ++ b.dirs
+      }
+    }
+
+  private def stepMetaOf(s: Snapshot): StepMeta = {
+    val sets = s.files.filterNot(_.startsWith("-"))
+      .groupBy(dirOf).map { case (d, fls) => d -> fls.toSet }
+    StepMeta(s.op,
+      if (s.segments.nonEmpty) Some(s.segments) else None, Some(sets))
+  }
+
   /** Can file `f` (under snapshot `s`) hold a value of `colName` inside
     * [lo, hi]? True unless the manifest bounds PROVE disjointness —
     * absent stats always keep. */
@@ -1458,34 +1555,34 @@ object SnapshotStore {
     // steps provably change no rows (per-partition content is invariant
     // under packing; evolution touches no files) and contribute
     // nothing, so only partitions some DATA-CHANGING step touched are
-    // read. Segment-pointer identity is the step test where available
-    // (pointer equal ⟹ file set equal, by the commit reuse
-    // discipline). Needs every intermediate manifest; a vacuumed
-    // history (or `endpointNameSetOnly = true`, the measured
-    // counterfactual arm of the op_snapshot_diffwalk probe) degrades
-    // to the endpoint comparison — correct, just unpruned across
-    // reorgs.
-    val walk: Option[Seq[Snapshot]] =
+    // read. The walk runs on METADATA ALONE ([[stepMetaAt]]):
+    // dir-qualified segment pointers in the roots make pointer identity
+    // testable without opening a single segment body, and vacuum
+    // retains retired roots as `_manifests/history/` pointer files (the
+    // r18 verdict's missing #2 — previously ANY vacuumed intermediate
+    // degraded the feed to the endpoint arm and a post-vacuum consumer
+    // re-read every packed partition). `endpointNameSetOnly = true` is
+    // the measured counterfactual arm of the op_snapshot_diffwalk
+    // probe; a pre-r19 history whose bare-pointer roots AND segments
+    // are gone still degrades to the endpoint comparison — correct,
+    // just unpruned across reorgs.
+    val (fs0, rootP0) = fsOf(spark, root)
+    val walk: Option[Seq[StepMeta]] =
       if (endpointNameSetOnly) None
-      else scala.util.Try((fromV to toV).map { v =>
-        if (v == fromV) from else if (v == toV) to
-        else snapshotAt(spark, root, v)
-      }).toOption
+      else {
+        val metas = (fromV to toV).map { v =>
+          if (v == fromV) Some(stepMetaOf(from))
+          else if (v == toV) Some(stepMetaOf(to))
+          else stepMetaAt(fs0, rootP0, v)
+        }
+        if (metas.forall(_.isDefined)) Some(metas.map(_.get)) else None
+      }
     val changedDirs: Set[String] = walk match {
       case Some(steps) =>
         var dirs = Set.empty[String]
         steps.sliding(2).foreach {
           case Seq(a, b) =>
-            if (opChangesData(b.op)) {
-              val aD = byDir(a); val bD = byDir(b)
-              val cand =
-                if (a.segments.nonEmpty && b.segments.nonEmpty)
-                  (a.segments.keySet ++ b.segments.keySet)
-                    .filter(d => a.segments.get(d) != b.segments.get(d))
-                else aD.keySet ++ bD.keySet
-              dirs ++= cand.filter(d =>
-                aD.getOrElse(d, Set.empty) != bD.getOrElse(d, Set.empty))
-            }
+            if (opChangesData(b.op)) dirs ++= stepChangedDirs(a, b)
           case _ => ()
         }
         dirs
@@ -1662,10 +1759,19 @@ object SnapshotStore {
           f.getModificationTime < cutoff)
         fs.delete(f.getPath, false)
     }
+    // retired ROOT manifests become metadata-only history (the Iceberg
+    // snapshot-log shape, the r18 verdict's missing #2): the root is a
+    // pointer file (~100 bytes/version), and keeping it walk-capable
+    // lets [[diff]]'s op walk prune reorg commits across ANY vacuum —
+    // data files, delete files, and segment bodies still reclaim above.
+    // Retired versions stay UNREADABLE (snapshotAt refuses exactly as
+    // before); only the walk consults history.
     val retainSet = retain.toSet
+    val histDir = new Path(dir, "history")
     versions.filterNot(retainSet).foreach { v =>
-      require(fs.delete(manifestPath(rootP, v), false),
-        s"vacuum failed to drop manifest v$v")
+      fs.mkdirs(histDir)
+      require(fs.rename(manifestPath(rootP, v), historyPath(rootP, v)),
+        s"vacuum failed to retire manifest v$v into history")
       fs.delete(claimPath(rootP, v), false) // published → claim is history
     }
     deleted

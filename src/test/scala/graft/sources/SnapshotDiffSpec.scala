@@ -98,6 +98,61 @@ class SnapshotDiffSpec extends SparkTestBase {
       "MOR-staged removals missing from the feed")
   }
 
+  test("the op walk SURVIVES VACUUM: retired roots persist as " +
+      "metadata-only history, so a diff across a vacuumed interval " +
+      "still prunes reorg commits the endpoint arm must re-read") {
+    val root = freshRoot()
+    def dirOf(f: String) = f.takeWhile(_ != '/')
+    SnapshotStore.init(spark, root, baseRows, "pt")               // v1
+    SnapshotStore.compact(spark, root,                            // v2: pt=3
+      Seq(("g003", 900L)).toDF("g", "doc_id").withColumn("pt", lit(3)),
+      Seq("g", "doc_id"), "pt")
+    SnapshotStore.compact(spark, root,                            // v3: pt=5
+      Seq(("g005", 905L)).toDF("g", "doc_id").withColumn("pt", lit(5)),
+      Seq("g", "doc_id"), "pt")
+    val (packed, _, _) = SnapshotStore.binPack(spark, root)       // v4: reorg
+    assert(packed >= 2, "fixture degenerate: nothing fragmented")
+    SnapshotStore.compact(spark, root,                            // v5: pt=0
+      Seq(("g000x", 910L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+      Seq("g", "doc_id"), "pt")
+
+    // vacuum retires v1/v3's roots into history (v2 pinned via
+    // alsoRetain so the diff's FROM endpoint stays readable); the
+    // binPack'd fragments and retired segments reclaim
+    assert(SnapshotStore.vacuum(spark, root, keepVersions = 2,
+      alsoRetain = Set(2L)) > 0)
+    intercept[Exception] { SnapshotStore.snapshotAt(spark, root, 3L) }
+
+    // diff(2,5) spans the vacuumed v3 and the v4 binPack: the walk
+    // reads history metadata, attributes the pack as content-neutral,
+    // and reads ONLY pt=5 (v3's admit) and pt=0 (v5's admit). pt=3 —
+    // whose files the pack renamed — never enters the plan.
+    val d = SnapshotStore.diff(spark, root, 2L, 5L, Seq("g", "doc_id"))
+    assert(feed(d) ===
+      Set(("g005", 905L, "added"), ("g000x", 910L, "added")))
+    val touched = Set("pt=0", "pt=5")
+    val leaked = d.inputFiles.filterNot(f =>
+      touched.exists(p => f.contains(s"/$p/")))
+    assert(leaked.isEmpty,
+      s"post-vacuum walk read outside the data-changing dirs:\n" +
+        leaked.mkString("\n"))
+    // the counterfactual endpoint arm must re-read the packed pt=3 —
+    // proving the history metadata is load-bearing
+    val naive = SnapshotStore.diff(spark, root, 2L, 5L,
+      Seq("g", "doc_id"), endpointNameSetOnly = true)
+    assert(feed(naive) === feed(d))
+    assert(naive.inputFiles.exists(_.contains("/pt=3/")),
+      "the endpoint counterfactual no longer reads the packed dir — " +
+        "the walk's post-vacuum pruning is untestable")
+    // sanity: the pack really did rename pt=3's files between the
+    // endpoints (else the endpoint arm would prune it too)
+    val f2 = SnapshotStore.snapshotAt(spark, root, 2L).files
+      .filter(dirOf(_) == "pt=3")
+    val f5 = SnapshotStore.snapshotAt(spark, root, 5L).files
+      .filter(dirOf(_) == "pt=3")
+    assert(f2.toSet !== f5.toSet, "fixture degenerate: pt=3 unpacked")
+  }
+
   test("identical versions diff to empty without reading anything") {
     val root = freshRoot()
     SnapshotStore.init(spark, root, baseRows, "pt")               // v1
