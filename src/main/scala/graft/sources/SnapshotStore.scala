@@ -493,10 +493,32 @@ object SnapshotStore {
     if (dataFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
-    else spark.read
-      .schema(schema)
-      .option("basePath", s"$root/data")
-      .parquet(dataFiles.map(f => s"$root/data/$f"): _*)
+    else if (s.stats.isEmpty)
+      // legacy manifests carry no stats — the plain multi-path read
+      spark.read
+        .schema(schema)
+        .option("basePath", s"$root/data")
+        .parquet(dataFiles.map(f => s"$root/data/$f"): _*)
+    else {
+      // stat-bearing snapshots read through [[StatPruningFileIndex]]
+      // so MANIFEST bounds skip files on every consumer's pushed
+      // predicates — `read().filter(...)`, SQL over a registered view,
+      // readMor, the diff sides — not only the explicit readRange API.
+      // Same file list, same pinned schema, same column order
+      // (partition column last); an unfiltered read plans exactly the
+      // same files as before.
+      val index = new StatPruningFileIndex(spark,
+        dataFiles.map(f => new Path(s"$root/data/$f")),
+        Map("basePath" -> s"$root/data"), schema, s.stats)
+      val partSchema = index.partitionSpec().partitionColumns
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => partSchema.fieldNames.contains(f.name)))
+      val relation = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(index, partSchema, dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat(), Map.empty)(spark)
+      spark.baseRelationToDataFrame(relation)
+    }
   }
 
   /** Time travel by version number — [[read]] pinned at `v`. The
@@ -528,13 +550,7 @@ object SnapshotStore {
     val hiS = Option(hi).map(_.toString)
     val kept = s.files.filterNot(_.startsWith("-")).filter { f =>
       s.stats.get(f) match {
-        case Some(st) => (st.mins.get(colName), st.maxs.get(colName)) match {
-          case (Some(mn), Some(mx)) =>
-            val below = loS.exists(l => statCmp(dt, mx, l).exists(_ < 0))
-            val above = hiS.exists(h => statCmp(dt, mn, h).exists(_ > 0))
-            !(below || above)
-          case _ => true
-        }
+        case Some(st) => statOverlapOne(st, colName, dt, loS, hiS)
         case None => true
       }
     }
@@ -1422,7 +1438,7 @@ object SnapshotStore {
     * always renders '.0' while Spark's cast trims zero fractions, so
     * '…05' < '…05.0' lexicographically pruned boundary-equal files —
     * parsing both sides to the epoch compares values, not renderings. */
-  private def statCmp(dt: DataType, a: String, b: String): Option[Int] =
+  private[graft] def statCmp(dt: DataType, a: String, b: String): Option[Int] =
     dt match {
       case _: org.apache.spark.sql.types.NumericType =>
         scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
@@ -1518,19 +1534,26 @@ object SnapshotStore {
       if (s.segments.nonEmpty) Some(s.segments) else None, Some(sets))
   }
 
+  /** Can a file with stats `st` hold a value of `colName` inside
+    * [lo, hi] (None = open end)? True unless the bounds PROVE
+    * disjointness — absent bounds always keep. */
+  private[graft] def statOverlapOne(st: FileStat, colName: String,
+      dt: DataType, lo: Option[String], hi: Option[String]): Boolean =
+    (st.mins.get(colName), st.maxs.get(colName)) match {
+      case (Some(mn), Some(mx)) =>
+        val below = lo.exists(l => statCmp(dt, mx, l).exists(_ < 0))
+        val above = hi.exists(h => statCmp(dt, mn, h).exists(_ > 0))
+        !(below || above)
+      case _ => true
+    }
+
   /** Can file `f` (under snapshot `s`) hold a value of `colName` inside
     * [lo, hi]? True unless the manifest bounds PROVE disjointness —
     * absent stats always keep. */
   private def statsOverlap(s: Snapshot, f: String, colName: String,
       dt: DataType, lo: String, hi: String): Boolean =
     s.stats.get(f) match {
-      case Some(st) => (st.mins.get(colName), st.maxs.get(colName)) match {
-        case (Some(mn), Some(mx)) =>
-          val below = statCmp(dt, mx, lo).exists(_ < 0)
-          val above = statCmp(dt, mn, hi).exists(_ > 0)
-          !(below || above)
-        case _ => true
-      }
+      case Some(st) => statOverlapOne(st, colName, dt, Some(lo), Some(hi))
       case None => true
     }
 

@@ -151,6 +151,57 @@ class SnapshotStatsSpec extends SparkTestBase {
       === rowSet(all.filter($"doc_id" >= 700)))
   }
 
+  test("(c2) manifest-stat pruning reaches the DEFAULT read path: a " +
+      "spark.sql WHERE on a registered view and a plain read().filter " +
+      "scan only the overlapping files; an unfiltered read plans every " +
+      "file") {
+    val root = freshRoot()
+    val all = baseRows
+    SnapshotStore.init(spark, root, all.filter($"doc_id" < 510), "pt")
+    SnapshotStore.compact(spark, root,
+      all.filter($"doc_id" >= 510 && $"doc_id" < 700),
+      Seq("g", "doc_id"), "pt")
+    SnapshotStore.compact(spark, root,
+      all.filter($"doc_id" >= 700), Seq("g", "doc_id"), "pt")
+    val snap = SnapshotStore.current(spark, root)
+    val midFiles = SnapshotStore.snapshotAt(spark, root, 2L).files.toSet
+      .diff(SnapshotStore.snapshotAt(spark, root, 1L).files.toSet)
+    assert(midFiles.nonEmpty)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.executedPlan.foreach(_ => ()) // force planning
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScan in the plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    // SQL face: the WHERE's pushed predicates reach the FileIndex
+    SnapshotStore.registerVersionView(spark, root, "snap_prune_default")
+    val viaSql = spark.sql("SELECT g, doc_id FROM snap_prune_default " +
+      "WHERE doc_id >= 510 AND doc_id <= 699")
+    assert(scannedFiles(viaSql) === midFiles.size.toLong,
+      "the SQL face scanned files the manifest bounds prove disjoint")
+    assert(viaSql.as[(String, Long)].collect().toSet
+      === rowSet(all.filter($"doc_id" >= 510 && $"doc_id" < 700)))
+    spark.catalog.dropTempView("snap_prune_default")
+
+    // DataFrame face: plain read().filter, no readRange in sight
+    val viaDf = SnapshotStore.read(spark, root)
+      .filter($"doc_id" >= 510 && $"doc_id" <= 699)
+    assert(scannedFiles(viaDf) === midFiles.size.toLong,
+      "read().filter scanned files the manifest bounds prove disjoint")
+    assert(rowSet(viaDf)
+      === rowSet(all.filter($"doc_id" >= 510 && $"doc_id" < 700)))
+
+    // no over-pruning: an unfiltered read plans exactly every file
+    val dataCount = snap.files.count(!_.startsWith("-")).toLong
+    assert(scannedFiles(SnapshotStore.read(spark, root)) === dataCount,
+      "an unfiltered read lost files to the pruning index")
+  }
+
   test("(d) a diff across a binPack reads NOTHING through the op walk; " +
       "the endpoint name-set counterfactual re-reads every packed " +
       "partition") {
