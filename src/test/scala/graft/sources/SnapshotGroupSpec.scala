@@ -213,6 +213,90 @@ class SnapshotGroupSpec extends SparkTestBase {
       === Set(10L, 20L, 30L))
   }
 
+  test("(f) MEMBERSHIP EVOLUTION: a third store enrolls mid-history as " +
+      "an ordinary group commit; pre-enrollment time travel is exact " +
+      "and refuses the new name; withdraw removes it forward-only; " +
+      "group-aware vacuum spans the membership change") {
+    val (group, postings, _) = freshGroup()                    // group v1
+    SnapshotGroup.transact(spark, group) { txn =>              // group v2
+      txn.compact("postings",
+        Seq(("g4", 40L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+        Seq("g", "doc_id"), "pt"): Unit
+    }
+    // the third store initializes OUTSIDE the group, then enrolls
+    val scores = java.nio.file.Files.createTempDirectory("snapgrp_scores")
+      .resolve("scores").toString
+    SnapshotStore.init(spark, scores,
+      Seq(("s1", 10L, 0), ("s2", 20L, 1)).toDF("k", "doc_id", "pt"), "pt")
+    val enrolled = SnapshotGroup.enroll(spark, group, "scores", scores)
+    assert(enrolled.version === 3L)
+    assert(enrolled.members === Map(
+      "postings" -> 2L, "bands" -> 1L, "scores" -> 1L))
+    // double-enroll refused; withdraw of a non-member refused
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.enroll(spark, group, "scores", scores)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.withdraw(spark, group, "nope")
+    }
+
+    // transactions now span all three members
+    SnapshotGroup.transact(spark, group) { txn =>              // group v4
+      txn.compact("scores",
+        Seq(("s3", 30L)).toDF("k", "doc_id").withColumn("pt", lit(0)),
+        Seq("k", "doc_id"), "pt"): Unit
+      txn.compact("postings",
+        Seq(("g5", 50L)).toDF("g", "doc_id").withColumn("pt", lit(1)),
+        Seq("g", "doc_id"), "pt"): Unit
+    }
+    assert(docs(SnapshotGroup.read(spark, group, "scores"))
+      === Set(10L, 20L, 30L))
+
+    // PRE-ENROLLMENT TIME TRAVEL: group v2 knows no "scores" — it
+    // refuses by name rather than inventing history — and resolves
+    // the other members exactly as committed
+    val v2 = SnapshotGroup.snapshotAt(spark, group, 2L)
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.read(spark, group, "scores", v2)
+    }
+    assert(docs(SnapshotGroup.read(spark, group, "postings", v2))
+      === Set(10L, 20L, 30L, 40L))
+    assert(!SnapshotGroup.membersAt(spark, group, 2L).contains("scores"))
+    assert(SnapshotGroup.membersAt(spark, group, 4L).contains("scores"))
+
+    // group-grain diff across the enrollment: scores reports the -1
+    // not-enrolled sentinel on the from side, postings its real move
+    val moved = SnapshotGroup.changedMembers(spark, group, 2L, 4L)
+    assert(moved("scores") === ((-1L, 2L)))
+    assert(moved("postings") === ((2L, 3L)))
+    val feeds = SnapshotGroup.diff(spark, group, 2L, 4L,
+      Map("postings" -> Seq("g", "doc_id"), "scores" -> Seq("k", "doc_id")))
+    assert(feeds.keySet === Set("postings"),
+      "a mid-interval enrollee must be skipped, not half-diffed")
+    assert(feeds("postings").select($"g", $"doc_id")
+      .as[(String, Long)].collect().toSet === Set(("g5", 50L)))
+
+    // WITHDRAW: forward-only removal; retained history still reads it
+    val after = SnapshotGroup.withdraw(spark, group, "scores") // group v5
+    assert(after.members.keySet === Set("postings", "bands"))
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.read(spark, group, "scores")
+    }
+    assert(docs(SnapshotGroup.read(spark, group, "scores",
+      SnapshotGroup.snapshotAt(spark, group, 4L))) === Set(10L, 20L, 30L))
+
+    // GROUP-AWARE VACUUM across the membership change: keep v4..v5 —
+    // v4 still pins scores@2, so the scores store must keep version 2
+    // readable through member-local keep=1
+    SnapshotGroup.vacuum(spark, group, keepVersions = 2)
+    assert(docs(SnapshotGroup.read(spark, group, "scores",
+      SnapshotGroup.snapshotAt(spark, group, 4L))) === Set(10L, 20L, 30L),
+      "vacuum broke group time travel to the withdrawn member's pin")
+    assert(docs(SnapshotGroup.read(spark, group, "postings"))
+      === Set(10L, 20L, 30L, 40L, 50L))
+    intercept[Exception] { SnapshotGroup.snapshotAt(spark, group, 2L) }
+  }
+
   test("(e) racing adopters arbitrate on the CLAIM, not the rename: " +
       "16 racers produce exactly one group version; a dead writer's " +
       "held claim needs the explicit breakClaim takeover") {

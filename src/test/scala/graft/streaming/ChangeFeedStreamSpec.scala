@@ -96,7 +96,7 @@ class ChangeFeedStreamSpec extends SparkTestBase {
       === rowSet(SnapshotStore.read(spark, root)),
       "folding the streamed batches missed the final version")
 
-    // (c) replay repairs: delete version 5's directory (the mid-write
+    // (c) replay repairs: delete version 5's directory (the coarse
     // crash shape) — the next pass re-emits exactly it, and the fold
     // is unchanged
     val fs = new org.apache.hadoop.fs.Path(sink)
@@ -106,6 +106,78 @@ class ChangeFeedStreamSpec extends SparkTestBase {
       sink) === 1L)
     assert(foldOnto(rowSet(SnapshotStore.readAt(spark, root, 1L)), sink)
       === rowSet(SnapshotStore.read(spark, root)))
+
+    // (c2) the REAL mid-write crash shape (the r18 ADVICE finding):
+    // Spark creates the directory before the job commits, so a crash
+    // leaves a PARTIAL dir without _SUCCESS. A listing-only cursor
+    // counted it folded and silently lost the version; the
+    // marker-gated cursor re-emits and repairs it.
+    val v5dir = new org.apache.hadoop.fs.Path(s"$sink/commit_version=5")
+    fs.delete(new org.apache.hadoop.fs.Path(v5dir, "_SUCCESS"), false)
+    assert(DocStream.changeFeedOnce(spark, root, Seq("g", "doc_id"),
+      sink) === 1L,
+      "a marker-less partial directory was counted as folded — that " +
+        "version's changes are silently lost")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(v5dir, "_SUCCESS")))
+    assert(foldOnto(rowSet(SnapshotStore.readAt(spark, root, 1L)), sink)
+      === rowSet(SnapshotStore.read(spark, root)))
+  }
+
+  test("(e) VALUE GRAIN: the streaming feed carries 'changed' rows (a " +
+      "respec's re-routed payloads), folds onto the baseline to the " +
+      "final version's full rows, and a marker-less crash replays") {
+    val root = Files.createTempDirectory("cfeedv").resolve("store").toString
+    val sink = Files.createTempDirectory("cfeedv_sink").resolve("feed").toString
+    val keys = Seq("g", "doc_id")
+    SnapshotStore.init(spark, root, baseRows, "pt")                  // v1
+    SnapshotStore.compact(spark, root,
+      Seq(("g-new", 900L)).toDF("g", "doc_id").withColumn("pt", lit(3)),
+      keys, "pt")                                                    // v2
+    // the one-commit payload change: a re-spec re-routes pt=3's rows
+    // under a new derivation — pt is DATA (partition-last layout), so
+    // the value grain honestly reports the re-routed rows as 'changed'
+    val (rerouted, _) = SnapshotStore.respec(spark, root,
+      pmod($"doc_id", lit(16)).cast("int"), Seq("pt=3"))             // v3
+    assert(rerouted === 1)
+
+    assert(DocStream.changeFeedOnce(spark, root, keys, sink,
+      valueGrain = true) === 2L)
+    val v3batch = spark.read.parquet(s"$sink/commit_version=3")
+      .select($"g", $"doc_id", $"pt", $"change_type")
+      .as[(String, Long, Int, String)].collect()
+    assert(v3batch.exists(_._4 == "changed"),
+      "the re-spec's payload changes are missing at value grain")
+    assert(v3batch.forall(_._4 == "changed"),
+      "a pure re-route must emit no membership changes")
+
+    def foldVals(base: Map[(String, Long), Int]): Map[(String, Long), Int] = {
+      val events = spark.read.parquet(sink)
+        .select($"commit_version", $"g", $"doc_id", $"pt", $"change_type")
+        .as[(Long, String, Long, Int, String)].collect()
+      events.groupBy(_._1).toSeq.sortBy(_._1)
+        .foldLeft(base) { case (st, (_, evs)) =>
+          val rm = evs.filter(_._5 == "removed").map(e => (e._2, e._3))
+          val up = evs.filter(e => e._5 == "added" || e._5 == "changed")
+            .map(e => (e._2, e._3) -> e._4)
+          st -- rm ++ up
+        }
+    }
+    def fullRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"doc_id", $"pt").as[(String, Long, Int)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(foldVals(fullRows(SnapshotStore.readAt(spark, root, 1L)))
+      === fullRows(SnapshotStore.read(spark, root)),
+      "value-grain folding missed the final version's payloads")
+
+    // marker-less crash mid-replay: v3's partial dir must re-emit
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$sink/commit_version=3/_SUCCESS"), false)
+    assert(DocStream.changeFeedOnce(spark, root, keys, sink,
+      valueGrain = true) === 1L)
+    assert(foldVals(fullRows(SnapshotStore.readAt(spark, root, 1L)))
+      === fullRows(SnapshotStore.read(spark, root)))
   }
 
   test("(d) the live face follows a store other writers advance, with " +
