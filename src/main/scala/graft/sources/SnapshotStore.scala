@@ -1329,12 +1329,19 @@ object SnapshotStore {
     * probe measures the straggler the target mode removes. */
   def binPack(spark: SparkSession, root: String,
               minFilesToPack: Int = 2,
-              targetRowsPerFile: Long = 0L): (Int, Int, Snapshot) = {
+              targetRowsPerFile: Long = 0L,
+              dirs: Seq[String] = Seq.empty): (Int, Int, Snapshot) = {
     require(minFilesToPack >= 2, "packing below 2 files is a rename")
     val base = current(spark, root)
     val (dataFiles, delFiles) = splitEntries(base)
     val byDir = dataFiles.groupBy(dirOf)
-    val packDirs = byDir.filter(_._2.size >= minFilesToPack)
+    // explicit `dirs` (the [[maintenancePlan]] face) packs exactly the
+    // chosen partitions — including a HOT single-file partition the
+    // file-count threshold would never touch (re-binning one oversized
+    // file into parallel bounded files is the point of selecting it)
+    val packDirs =
+      if (dirs.nonEmpty) byDir.filter(kv => dirs.contains(kv._1))
+      else byDir.filter(_._2.size >= minFilesToPack)
     if (packDirs.isEmpty) return (0, 0, base)
     val fragments = packDirs.values.flatten.toSeq
     val frag = read(spark, root, Snapshot(base.version, fragments))
@@ -1388,6 +1395,67 @@ object SnapshotStore {
       kept ++ newFiles ++ delFiles.map("-" + _), base.version,
       op = OpBinPack, newStats = stats, baseSnap = Some(base))
     (packDirs.size, fragments.size, snap)
+  }
+
+  /** A [[maintenancePlan]]'s diagnosis: which partitions need packing
+    * and why. `fragmented` = file count ≥ the threshold (the
+    * small-files accretion every micro-batch ingest produces); `hot` =
+    * manifest row count > hotFactor × target (one-or-few oversized
+    * files — a write straggler when they were made, zero intra-
+    * partition read parallelism forever after). `dirs` is the union,
+    * ready for [[binPack]]'s explicit-dirs face. */
+  case class MaintenancePlan(fragmented: Seq[String], hot: Seq[String]) {
+    def dirs: Seq[String] = (fragmented ++ hot).distinct.sorted
+    def isEmpty: Boolean = fragmented.isEmpty && hot.isEmpty
+  }
+
+  /** STATS-DRIVEN maintenance policy (the r18 verdict's stretch #9):
+    * the manifest already knows per-partition file counts and exact
+    * per-file row counts, so choosing WHAT to maintain costs zero data
+    * I/O — this reads one manifest and returns the partitions a
+    * size-targeted [[binPack]] should rewrite: FRAGMENTED ones (file
+    * count ≥ `minFilesToPack` AND mean file size below HALF the
+    * target — many small files; a partition already sitting at
+    * ~target-sized files is healthy however many files that is) and
+    * HOT ones (manifest rows > `hotFactor` × `targetRowsPerFile` with
+    * some file over the target — oversized files that throttle read
+    * parallelism even when the file COUNT looks healthy, which the
+    * file-count threshold alone never catches). The half-target
+    * fragmentation band makes the plan IDEMPOTENT: a pack lands files
+    * in (target/2, target] (modulo one small remainder bin), so a
+    * re-plan right after `binPack(dirs = plan.dirs)` is empty
+    * (SnapshotStatsSpec pins it). Partitions whose rows are unknown
+    * (legacy pre-stats files, rows = -1) are never marked hot and
+    * count as fragmented on file count alone — hotness needs
+    * evidence; fragmentation is name-based and always works. */
+  def maintenancePlan(spark: SparkSession, root: String,
+                      minFilesToPack: Int = 2,
+                      targetRowsPerFile: Long,
+                      hotFactor: Long = 4L): MaintenancePlan = {
+    require(targetRowsPerFile > 0L, "a plan needs a target file size")
+    require(hotFactor >= 1L, "hotFactor below 1 marks healthy dirs hot")
+    val base = current(spark, root)
+    val byDir = base.files.filterNot(_.startsWith("-")).groupBy(dirOf)
+    def rowsOf(fls: Seq[String]): Option[Seq[Long]] = {
+      val rs = fls.map(f => base.stats.get(f).map(_.rows).getOrElse(-1L))
+      if (rs.forall(_ >= 0L)) Some(rs) else None
+    }
+    val fragmented = byDir.filter { case (_, fls) =>
+      fls.size >= minFilesToPack && (rowsOf(fls) match {
+        case Some(rs) => // mean < target/2, integer-safe
+          2L * rs.sum < targetRowsPerFile * fls.size
+        case None => true // unknown rows: count is the only evidence
+      })
+    }.keys.toSeq.sorted
+    val hot = byDir.filter { case (_, fls) =>
+      rowsOf(fls) match {
+        case Some(rs) =>
+          rs.sum > hotFactor * targetRowsPerFile &&
+            rs.exists(_ > targetRowsPerFile)
+        case None => false
+      }
+    }.keys.toSeq.sorted
+    MaintenancePlan(fragmented, hot)
   }
 
   /** The CHANGE FEED between two committed versions — "what entered and

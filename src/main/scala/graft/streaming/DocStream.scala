@@ -220,14 +220,25 @@ object DocStream extends Serializable {
     *                    are undisturbed (StreamCompactLoopSpec). Packs
     *                    run BEFORE a same-batch vacuum so the replaced
     *                    fragments can be reclaimed immediately once
-    *                    the retention window passes them. */
+    *                    the retention window passes them.
+    * @param packTargetRows when > 0, scheduled packs are POLICY-DRIVEN
+    *                    ([[graft.sources.SnapshotStore
+    *                    .maintenancePlan]]): the manifest's own file
+    *                    counts and row stats pick exactly the
+    *                    fragmented + hot partitions, and the pack
+    *                    rewrites only those at this size target —
+    *                    zero data I/O spent deciding, and a healthy
+    *                    store pays nothing (the plan is empty, no
+    *                    commit happens). 0 keeps the unconditional
+    *                    consolidate-everything-fragmented pack. */
   def ingestCompactLoopSnapshot(spark: SparkSession, docs: DataFrame,
                                 root: String, parts: Int = 16,
                                 onBatch: Long => Unit = _ => (),
                                 vacuumEvery: Int = 16,
                                 vacuumKeep: Int = 4,
                                 packEvery: Int = 0,
-                                packMinFiles: Int = 2)
+                                packMinFiles: Int = 2,
+                                packTargetRows: Long = 0L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -239,8 +250,16 @@ object DocStream extends Serializable {
             pmod(xxhash64(col("fp")), lit(parts.toLong)).cast("int"))
         onBatch(graft.sources.SnapshotStore.compact(
           spark, root, admits, Seq("fp"), "pt")._1)
-        if (packEvery > 0 && batchId % packEvery == packEvery - 1)
-          graft.sources.SnapshotStore.binPack(spark, root, packMinFiles)
+        if (packEvery > 0 && batchId % packEvery == packEvery - 1) {
+          if (packTargetRows > 0L) {
+            val plan = graft.sources.SnapshotStore.maintenancePlan(
+              spark, root, packMinFiles, packTargetRows)
+            if (!plan.isEmpty)
+              graft.sources.SnapshotStore.binPack(spark, root,
+                packMinFiles, packTargetRows, plan.dirs)
+          } else
+            graft.sources.SnapshotStore.binPack(spark, root, packMinFiles)
+        }
         if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1)
           graft.sources.SnapshotStore.vacuum(spark, root, vacuumKeep)
         ()

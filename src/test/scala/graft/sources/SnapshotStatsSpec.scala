@@ -366,6 +366,61 @@ class SnapshotStatsSpec extends SparkTestBase {
       "the pack changed content")
   }
 
+  test("(i) STATS-DRIVEN MAINTENANCE POLICY: the plan picks exactly " +
+      "the fragmented + hot partitions from the manifest alone, the " +
+      "targeted pack heals them without touching healthy ones, and a " +
+      "re-plan is empty (idempotent)") {
+    val root = freshRoot()
+    // pt=0 FRAGMENTED: three tiny commits; pt=1 HOT single file (800
+    // rows, no fragmentation to see by file count); pt=2 healthy
+    // single small file; pt=3 hot via two oversized files
+    def slice(pt: Int, lo: Int, n: Int) =
+      (lo until lo + n).map(i => (f"k$pt%02d_$i%05d", i.toLong, pt))
+        .toDF("g", "doc_id", "pt")
+    SnapshotStore.init(spark, root,
+      slice(0, 0, 10).unionByName(slice(1, 0, 800))
+        .unionByName(slice(2, 0, 20)).unionByName(slice(3, 0, 300)), "pt")
+    SnapshotStore.compact(spark, root,
+      slice(0, 100, 10).unionByName(slice(3, 1000, 300)),
+      Seq("g", "doc_id"), "pt")
+    SnapshotStore.compact(spark, root, slice(0, 200, 10),
+      Seq("g", "doc_id"), "pt")
+    val before = SnapshotStore.current(spark, root)
+    val want = rowSet(SnapshotStore.read(spark, root))
+    val healthyFiles = before.files.filter(dirOf(_) == "pt=2")
+    assert(healthyFiles.size === 1)
+
+    val plan = SnapshotStore.maintenancePlan(spark, root,
+      minFilesToPack = 2, targetRowsPerFile = 100L, hotFactor = 4L)
+    assert(plan.fragmented === Seq("pt=0"),
+      s"fragmented misdiagnosed: ${plan.fragmented}")
+    assert(plan.hot === Seq("pt=1", "pt=3"),
+      s"hot misdiagnosed: ${plan.hot}")
+    assert(plan.dirs === Seq("pt=0", "pt=1", "pt=3"))
+
+    val (packed, _, after) = SnapshotStore.binPack(spark, root,
+      minFilesToPack = 2, targetRowsPerFile = 100L, dirs = plan.dirs)
+    assert(packed === 3)
+    val byDir = after.files.groupBy(dirOf)
+    // the fragmented partition consolidates; the hot ones split into
+    // parallel bounded files the file-count policy alone never touches
+    assert(byDir("pt=0").size === 1)
+    assert(byDir("pt=1").size >= 8, s"hot pt=1: ${byDir("pt=1").size}")
+    byDir("pt=1").foreach(f => assert(after.stats(f).rows <= 100L))
+    assert(byDir("pt=3").size >= 6)
+    assert(byDir("pt=2") === healthyFiles,
+      "the policy rewrote a healthy partition")
+    assert(rowSet(SnapshotStore.read(spark, root)) === want,
+      "the policy pack changed content")
+
+    // idempotence: the healed store plans nothing, and the loop's
+    // policy arm would therefore commit nothing
+    val replan = SnapshotStore.maintenancePlan(spark, root,
+      minFilesToPack = 2, targetRowsPerFile = 100L, hotFactor = 4L)
+    assert(replan.isEmpty,
+      s"re-plan not empty: ${replan.fragmented} / ${replan.hot}")
+  }
+
   test("a 16-writer race through the conditional-put arm produces one " +
       "winner; the precondition-less shim measurably grants many claims " +
       "— the seam is load-bearing, not decorative") {
