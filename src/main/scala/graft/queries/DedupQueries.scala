@@ -1541,6 +1541,62 @@ object DedupQueries {
         GROUP BY p.band ORDER BY band""")
     }),
 
+    // STATS-DRIVEN MAINTENANCE POLICY behind a hard oracle — the
+    // policy→pack composition on a real fragmented store: three
+    // disjoint ingest commits leave three small files per partition
+    // (the micro-batch accretion pattern), maintenancePlan diagnoses
+    // the fragmented set from ONE manifest read (mean file size below
+    // half the target — zero data I/O spent deciding), and
+    // binPack(dirs = plan.dirs) rewrites exactly the diagnosed
+    // partitions at the size target. Content must be UNCHANGED — the
+    // owner view of the full postings set hash-matches the oracle
+    // whether or not any partition was packed, and the re-plan is
+    // required empty in-query (the idempotence contract, fail-loud).
+    // Hot-partition selection (the arm a file-count policy never
+    // catches) is pinned by SnapshotStatsSpec (i); the live-loop
+    // integration by StreamCompactLoopSpec.
+    "q_index_snapshot_policy" -> ((s, dir) => {
+      import s.implicits._
+      val postings = gramPostings(s, dir).localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        "gram_idx_snappolicy_q").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      graft.sources.SnapshotStore.init(s, root,
+        postings.filter($"doc_id" % 3 === 0)
+          .select($"g", $"doc_id", $"pt"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 === 1)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      graft.sources.SnapshotStore.compact(s, root,
+        postings.filter($"doc_id" % 3 === 2)
+          .select($"g", $"doc_id", $"pt"),
+        Seq("g", "doc_id"), "pt")
+      val total = math.max(1L,
+        graft.sources.SnapshotStore.current(s, root)
+          .stats.values.map(_.rows).sum)
+      val target = math.max(1L, total / 64L)
+      val plan = graft.sources.SnapshotStore.maintenancePlan(s, root,
+        minFilesToPack = 2, targetRowsPerFile = target)
+      if (!plan.isEmpty)
+        graft.sources.SnapshotStore.binPack(s, root,
+          minFilesToPack = 2, targetRowsPerFile = target,
+          dirs = plan.dirs)
+      val replan = graft.sources.SnapshotStore.maintenancePlan(s, root,
+        minFilesToPack = 2, targetRowsPerFile = target)
+      require(replan.isEmpty,
+        s"policy not idempotent after its own pack: " +
+          s"${replan.fragmented} / ${replan.hot}")
+      graft.sources.SnapshotStore.read(s, root)
+        .groupBy($"g")
+        .agg(min($"doc_id").as("owner_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("g")
+    }),
+
     // STAT-PRUNED range scan behind a hard oracle — the manifest's
     // per-file bounds on the read path: the store ingests three
     // doc_id-RANGED commits (the layout a time-ordered ingest makes),
@@ -2982,6 +3038,26 @@ object DedupQueries {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM postings WHERE doc_id % 3 <> 0
         |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // the policy pack may not change a row: the oracle is the FULL
+    // postings owner view (all three ingest slices), packed or not
+    "q_index_snapshot_policy" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS s
+        |  FROM docs),
+        |postings AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS g
+        |  FROM starts)
+        |SELECT g, min(doc_id) AS owner_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM postings GROUP BY g ORDER BY g""".stripMargin,
 
     // the SQL front door + mid-history enrollment carry the SAME
     // transactional witness — the oracle is verbatim the txn oracle

@@ -349,6 +349,96 @@ object DocStream extends Serializable {
         ()
       }
 
+  /** The change feed AT GROUP GRAIN — the streaming completion of the
+    * [[graft.sources.SnapshotGroup]] feed symmetry: one catch-up pass
+    * emits, for every group version the sink hasn't folded, the
+    * per-member diffs of exactly the members that MOVED in that group
+    * step ([[graft.sources.SnapshotGroup.changedMembers]] — two group
+    * manifests, zero member I/O, before any member data is touched),
+    * each to `group_version=<gv>/member=<name>/` under `sinkDir`.
+    *
+    *  - ALL-OR-NOTHING AT GROUP GRAIN: a group version's batches are
+    *    cut from ONE group manifest pair, so a consumer folding them
+    *    lands on mutually-consistent member states — never postings
+    *    from one transaction against bands from another (the reason
+    *    the group exists);
+    *  - ENROLLMENT IS THE CHANGE: a member enrolled inside a step
+    *    emits its full pinned content as change_type 'added' (the
+    *    consumer's bootstrap — skipping it would silently lose the
+    *    member); a withdrawal emits nothing (a management event, not
+    *    data deletion — the store's rows did not change);
+    *  - IDEMPOTENT RESUME, the `_SUCCESS` lesson one level up: member
+    *    batches carry Spark's own markers, and the GROUP version is
+    *    committed by an explicit `_GROUP_SUCCESS` marker written only
+    *    after every member batch landed — a crash between member
+    *    writes leaves the group version marker-less, so the whole
+    *    version re-emits and repairs (per-member overwrite);
+    *  - a moved member missing from `keysByMember` is REFUSED loudly —
+    *    silently skipping it would lose its changes.
+    *
+    * Returns the number of group versions emitted this pass. */
+  def groupChangeFeedOnce(spark: SparkSession, groupRoot: String,
+                          keysByMember: Map[String, Seq[String]],
+                          sinkDir: String, startAfter: Long = 1L,
+                          valueGrain: Boolean = false): Long = {
+    import graft.sources.{SnapshotGroup, SnapshotStore}
+    import org.apache.spark.sql.functions.lit
+    val current = SnapshotGroup.current(spark, groupRoot).version
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded: Long =
+      if (!fs.exists(sinkPath)) startAfter
+      else fs.listStatus(sinkPath).map(_.getPath)
+        .filter(_.getName.startsWith("group_version="))
+        .filter(p => fs.exists(
+          new org.apache.hadoop.fs.Path(p, "_GROUP_SUCCESS")))
+        .map(_.getName.stripPrefix("group_version=").toLong)
+        .foldLeft(startAfter)(math.max)
+    ((folded + 1L) to current).foreach { gv =>
+      val roots = SnapshotGroup.membersAt(spark, groupRoot, gv)
+      val vDir = s"$sinkDir/group_version=$gv"
+      SnapshotGroup.changedMembers(spark, groupRoot, gv - 1L, gv)
+        .toSeq.sortBy(_._1).foreach {
+          case (_, (_, -1L)) => () // withdrawal: management, not data
+          case (n, (-1L, t)) => // enrollment: full content IS the change
+            SnapshotStore.readAt(spark, roots(n), t)
+              .withColumn("change_type", lit("added"))
+              .write.mode("overwrite").parquet(s"$vDir/member=$n")
+          case (n, (f, t)) =>
+            require(keysByMember.contains(n),
+              s"member $n moved in group version $gv but has no " +
+                "keysByMember entry — skipping it would lose its changes")
+            SnapshotStore.diff(spark, roots(n), f, t, keysByMember(n),
+                valueGrain = valueGrain)
+              .write.mode("overwrite").parquet(s"$vDir/member=$n")
+        }
+      // the group-version commit point: all member batches are durable
+      val marker = new org.apache.hadoop.fs.Path(vDir, "_GROUP_SUCCESS")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(vDir))
+      val out = fs.create(marker, true)
+      out.close()
+    }
+    math.max(0L, current - folded)
+  }
+
+  /** The LIVE face of [[groupChangeFeedOnce]] — the group-grain twin of
+    * [[changeFeed]]: rate-ticked foreachBatch, zero streaming state
+    * (the group-marker listing is the cursor), restart-safe by the
+    * whole-version re-emit. Caller adds trigger/checkpoint and starts. */
+  def groupChangeFeed(spark: SparkSession, groupRoot: String,
+                      keysByMember: Map[String, Seq[String]],
+                      sinkDir: String, startAfter: Long = 1L,
+                      onTick: Long => Unit = _ => (),
+                      valueGrain: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        onTick(groupChangeFeedOnce(spark, groupRoot, keysByMember,
+          sinkDir, startAfter, valueGrain))
+        ()
+      }
+
   /** Streaming face of `q_dedup_span`'s keep rule — the ingest-time
     * NOVEL-SPAN feed: each arriving document is cut on the same
     * non-overlapping [[graft.queries.TextQueries.TileWidth]]-token

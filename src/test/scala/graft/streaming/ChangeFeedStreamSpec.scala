@@ -180,6 +180,108 @@ class ChangeFeedStreamSpec extends SparkTestBase {
       === fullRows(SnapshotStore.read(spark, root)))
   }
 
+  test("(g) GROUP GRAIN: per-group-version member batches fold onto " +
+      "mutually-consistent member states, an enrollment bootstraps as " +
+      "'added', a marker-less group version re-emits whole, and a " +
+      "moved member without keys is refused loudly") {
+    import graft.sources.SnapshotGroup
+    val dir = Files.createTempDirectory("gfeed")
+    val aRoot = dir.resolve("postings").toString
+    val bRoot = dir.resolve("bands").toString
+    val cRoot = dir.resolve("scores").toString
+    val gRoot = dir.resolve("group").toString
+    val sink = dir.resolve("feed").toString
+    SnapshotStore.init(spark, aRoot,
+      Seq(("g1", 10L, 0), ("g2", 20L, 1)).toDF("g", "doc_id", "pt"), "pt")
+    SnapshotStore.init(spark, bRoot,
+      Seq(("b1", 10L, 0)).toDF("band", "doc_id", "pt"), "pt")
+    SnapshotGroup.init(spark, gRoot,
+      Map("postings" -> aRoot, "bands" -> bRoot))              // gv1
+    SnapshotGroup.transact(spark, gRoot) { txn =>              // gv2: both
+      txn.compact("postings",
+        Seq(("g3", 30L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+        Seq("g", "doc_id"), "pt"): Unit
+      txn.retract("bands",
+        Seq(("b1", 10L)).toDF("band", "doc_id").withColumn("pt", lit(0)),
+        Seq("band", "doc_id"), "pt"): Unit
+    }
+    SnapshotGroup.transact(spark, gRoot) { txn =>              // gv3: one
+      txn.compact("postings",
+        Seq(("g4", 40L)).toDF("g", "doc_id").withColumn("pt", lit(1)),
+        Seq("g", "doc_id"), "pt"): Unit
+    }
+    SnapshotStore.init(spark, cRoot,
+      Seq(("s1", 100L, 0), ("s2", 200L, 0)).toDF("k", "doc_id", "pt"), "pt")
+    SnapshotGroup.enroll(spark, gRoot, "scores", cRoot)        // gv4
+
+    val keys = Map("postings" -> Seq("g", "doc_id"),
+      "bands" -> Seq("band", "doc_id"), "scores" -> Seq("k", "doc_id"))
+    assert(DocStream.groupChangeFeedOnce(spark, gRoot, keys, sink) === 3L)
+    assert(DocStream.groupChangeFeedOnce(spark, gRoot, keys, sink) === 0L)
+
+    // gv3 touched ONLY postings — bands has no batch there
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$sink/group_version=3/member=bands")),
+      "an unmoved member grew a batch")
+    // the enrollment bootstraps the new member as pure 'added'
+    val boot = spark.read.parquet(s"$sink/group_version=4/member=scores")
+    assert(boot.select($"k", $"doc_id", $"change_type")
+      .as[(String, Long, String)].collect().toSet
+      === Set(("s1", 100L, "added"), ("s2", 200L, "added")))
+
+    // fold every member's batches onto its gv1 baseline (scores: empty
+    // baseline — it did not exist in the group) → current group state
+    def pairsOf(df: org.apache.spark.sql.DataFrame, c1: String)
+        : Set[(String, Long)] =
+      df.select(col(c1), $"doc_id").as[(String, Long)].collect().toSet
+    def foldMember(name: String, c1: String,
+        base: Set[(String, Long)]): Set[(String, Long)] =
+      (2L to 4L).foldLeft(base) { case (st, gv) =>
+        val p = s"$sink/group_version=$gv/member=$name"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p))) st
+        else {
+          val evs = spark.read.parquet(p)
+            .select(col(c1), $"doc_id", $"change_type")
+            .as[(String, Long, String)].collect()
+          val rm = evs.filter(_._3 == "removed").map(e => (e._1, e._2)).toSet
+          val add = evs.filter(e => e._3 == "added" || e._3 == "changed")
+            .map(e => (e._1, e._2)).toSet
+          st -- rm ++ add
+        }
+      }
+    val g1 = SnapshotGroup.snapshotAt(spark, gRoot, 1L)
+    assert(foldMember("postings", "g",
+      pairsOf(SnapshotGroup.read(spark, gRoot, "postings", g1), "g"))
+      === pairsOf(SnapshotGroup.read(spark, gRoot, "postings"), "g"))
+    assert(foldMember("bands", "band",
+      pairsOf(SnapshotGroup.read(spark, gRoot, "bands", g1), "band"))
+      === pairsOf(SnapshotGroup.read(spark, gRoot, "bands"), "band"))
+    assert(foldMember("scores", "k", Set.empty)
+      === pairsOf(SnapshotGroup.read(spark, gRoot, "scores"), "k"))
+
+    // crash between member writes: the group marker is the commit
+    // point — a marker-less version re-emits WHOLE and repairs
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$sink/group_version=4/_GROUP_SUCCESS"), false)
+    assert(DocStream.groupChangeFeedOnce(spark, gRoot, keys, sink) === 1L)
+    assert(spark.read.parquet(s"$sink/group_version=4/member=scores")
+      .count() === 2L)
+
+    // a moved member missing from keysByMember refuses loudly
+    SnapshotGroup.transact(spark, gRoot) { txn =>              // gv5
+      txn.compact("bands",
+        Seq(("b9", 90L)).toDF("band", "doc_id").withColumn("pt", lit(0)),
+        Seq("band", "doc_id"), "pt"): Unit
+    }
+    intercept[IllegalArgumentException] {
+      DocStream.groupChangeFeedOnce(spark, gRoot,
+        keys - "bands", sink)
+    }
+    assert(DocStream.groupChangeFeedOnce(spark, gRoot, keys, sink) === 1L)
+  }
+
   test("(d) the live face follows a store other writers advance, with " +
       "zero streaming state, and a restart under a FRESH checkpoint " +
       "resumes from the sink") {
