@@ -132,9 +132,14 @@ object SnapshotStore {
     * `rows = -1` marks a file carried forward from a pre-stats
     * manifest (unknown; every consumer must treat absence as "keep").
     * Columns with no non-null values (or inexpressible bounds) are
-    * simply absent from the maps. */
+    * simply absent from the maps. `bytes` is the file's exact length,
+    * captured from the staging listing at write time (r19): with it the
+    * read path plans entirely from the manifest — zero listing jobs,
+    * zero per-file FS calls (the Iceberg scan-planning shape); `-1`
+    * (legacy manifests) degrades to a per-dir listing. */
   case class FileStat(rows: Long,
-      mins: Map[String, String], maxs: Map[String, String])
+      mins: Map[String, String], maxs: Map[String, String],
+      bytes: Long = -1L)
 
   /** One resolved version: the manifest's exact file list, relative to
     * `<root>/data/` (staged-delete entries keep their `-` prefix), plus
@@ -386,24 +391,53 @@ object SnapshotStore {
     } finally in.close()
   }
 
-  /** Segment line: `relpath TAB rows [TAB col TAB min TAB max]*`, every
-    * token URL-encoded so no value can smuggle a separator. */
+  /** Write one small metadata file (segment / temp manifest body).
+    * `file:` URIs go through java.nio directly — Hadoop's
+    * LocalFileSystem wraps every create in ChecksumFileSystem stream
+    * machinery plus a sibling `.crc` write, ~10-30x the syscall cost
+    * for a 100-byte pointer file, measured dominating commit time on
+    * the bench (the ExclusiveCreateClaim precedent). Remote schemes
+    * keep the Hadoop stream. Never used for anything arbitration
+    * depends on — claims stay on [[ClaimArm]]. */
+  private def writeSmallFile(fs: FileSystem, p: Path, body: String): Unit =
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(nio.getParent)
+      java.nio.file.Files.write(nio,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } else {
+      val out = fs.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Segment line: `relpath TAB rows[:bytes] [TAB col TAB min TAB max]*`,
+    * every token URL-encoded so no value can smuggle a separator. The
+    * `:bytes` suffix (r19) rides inside the rows token so pre-r19
+    * segments parse unchanged (`-1` = unknown length). */
   private def parseSegment(body: String): Seq[(String, FileStat)] =
     body.split("\n").map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.map { l =>
         val t = l.split("\t", -1)
         val rel = dec(t(0))
-        val rows = t(1).toLong
+        val (rows, bytes) = t(1).split(":", 2) match {
+          case Array(r, b) => (r.toLong, b.toLong)
+          case _ => (t(1).toLong, -1L)
+        }
         val cols = t.drop(2).grouped(3).filter(_.length == 3).toSeq
         rel -> FileStat(rows,
           cols.map(c => dec(c(0)) -> dec(c(1))).toMap,
-          cols.map(c => dec(c(0)) -> dec(c(2))).toMap)
+          cols.map(c => dec(c(0)) -> dec(c(2))).toMap,
+          bytes)
       }
 
   private def renderSegment(dir: String,
       entries: Seq[(String, Option[FileStat])]): String = {
     val lines = entries.sortBy(_._1).map { case (rel, st) =>
-      val base = s"${enc(rel)}\t${st.map(_.rows).getOrElse(-1L)}"
+      val rowsTok = st.map(s =>
+        if (s.bytes >= 0L) s"${s.rows}:${s.bytes}" else s.rows.toString)
+        .getOrElse("-1")
+      val base = s"${enc(rel)}\t$rowsTok"
       val colStats = st.toSeq.flatMap(s =>
         s.mins.keys.toSeq.sorted.flatMap(c =>
           s.maxs.get(c).map(mx => s"${enc(c)}\t${enc(s.mins(c))}\t${enc(mx)}")))
@@ -417,7 +451,7 @@ object SnapshotStore {
     * manifest form: the segmented v2 root (`#graft2 op=…` header, one
     * `@segment` pointer per partition, delete entries inline) or the
     * legacy flat file list. */
-  def snapshotAt(spark: SparkSession, root: String, v: Long): Snapshot = {
+  def snapshotAt(spark: SparkSession, root: String, v: Long): Snapshot = timed("snapshotAt") {
     val (fs, rootP) = fsOf(spark, root)
     val body = readTextFile(fs, manifestPath(rootP, v))
     val lines = body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
@@ -506,10 +540,15 @@ object SnapshotStore {
       // readMor, the diff sides — not only the explicit readRange API.
       // Same file list, same pinned schema, same column order
       // (partition column last); an unfiltered read plans exactly the
-      // same files as before.
+      // same files as before. r19: the manifest also carries each
+      // file's exact length, so planning synthesizes the FileStatuses
+      // instead of listing — zero listing jobs, zero per-file FS calls
+      // (the Iceberg scan-planning shape); legacy entries without a
+      // recorded length pay one listStatus per directory.
       val index = new StatPruningFileIndex(spark,
         dataFiles.map(f => new Path(s"$root/data/$f")),
-        Map("basePath" -> s"$root/data"), schema, s.stats)
+        Map("basePath" -> s"$root/data"), schema, s.stats,
+        fileStatuses(spark, root, s, dataFiles))
       val partSchema = index.partitionSpec().partitionColumns
       val dataSchema = StructType(
         schema.fields.filterNot(f => partSchema.fieldNames.contains(f.name)))
@@ -518,6 +557,34 @@ object SnapshotStore {
           new org.apache.spark.sql.execution.datasources.parquet
             .ParquetFileFormat(), Map.empty)(spark)
       spark.baseRelationToDataFrame(relation)
+    }
+  }
+
+  /** The exact [[org.apache.hadoop.fs.FileStatus]] of every data file
+    * in `dataFiles` order: synthesized from the manifest's recorded
+    * lengths when every entry has one (zero FS calls — block size is
+    * nominal, mtime 0; splitting uses only the length), else one
+    * listStatus per directory (legacy manifests). A manifest-listed
+    * file missing from its directory fails loudly here instead of
+    * mid-scan. */
+  private def fileStatuses(spark: SparkSession, root: String,
+      s: Snapshot, dataFiles: Seq[String])
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val lens = dataFiles.map(f => s.stats.get(f).map(_.bytes).getOrElse(-1L))
+    if (lens.forall(_ >= 0L))
+      dataFiles.zip(lens).map { case (rel, len) =>
+        new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+          new Path(s"$root/data/$rel"))
+      }
+    else {
+      val (fs, rootP) = fsOf(spark, root)
+      val byName: Map[String, org.apache.hadoop.fs.FileStatus] =
+        dataFiles.map(dirOf).distinct.flatMap { dir =>
+          fs.listStatus(new Path(new Path(rootP, "data"), dir))
+            .map(st => s"$dir/${st.getPath.getName}" -> st)
+        }.toMap
+      dataFiles.map(rel => byName.getOrElse(rel,
+        throw new java.io.FileNotFoundException(s"$root/data/$rel")))
     }
   }
 
@@ -554,7 +621,7 @@ object SnapshotStore {
         case None => true
       }
     }
-    val pruned = read(spark, root, Snapshot(s.version, kept))
+    val pruned = read(spark, root, s.copy(files = kept))
     val c = col(colName)
     Seq(Option(lo).map(v => c >= org.apache.spark.sql.functions.lit(v)),
         Option(hi).map(v => c <= org.apache.spark.sql.functions.lit(v)))
@@ -588,212 +655,304 @@ object SnapshotStore {
     case _ => false
   }
 
-  /** The stats aggregate columns for [[collectStats]] /
-    * [[collectStatsByValue]]: row count + per-eligible-column bounds.
-    * String bounds use the prefix device: `min(substring(v,1,64))` is
-    * ≤ the true min (a prefix never exceeds its string), and the upper
-    * bound truncates `max(substring(v,1,65))` to 64 chars and
-    * increments the last code point when truncation happened — both
-    * valid BOUNDS at bounded manifest size. */
-  private def statAggs(schema: StructType, elig: Seq[String]): Seq[Column] = {
-    import org.apache.spark.sql.functions.{count, lit, max, min, substring}
-    count(lit(1)).as("__rows") +: elig.flatMap { c =>
-      val isStr = schema(c).dataType == org.apache.spark.sql.types.StringType
-      val lo = if (isStr) min(substring(col(c), 1, StatPrefixLen))
-        else min(col(c))
-      val hi = if (isStr) max(substring(col(c), 1, StatPrefixLen + 1))
-        else max(col(c))
-      Seq(lo.cast("string").as(s"__min_$c"), hi.cast("string").as(s"__max_$c"))
+  /** Per-file stats FROM THE PARQUET FOOTERS of the just-written
+    * files (r19 — the Iceberg in-writer-stats shape this seam can
+    * actually reach): the writer already computed exact row counts and
+    * per-column min/max while encoding each file, so commit-time stats
+    * are a driver-side metadata read of the new files' footers — zero
+    * Spark jobs, zero data decode, no layout assumptions (binned,
+    * split, retried tasks — all the same). This replaces the three
+    * aggregation arms (pre-write by value, pre-write by cell, full
+    * readback) the previous rounds layered up: each cost one extra
+    * aggregation pass + one Spark job per commit and carried a
+    * recompute-the-task-assignment proof obligation.
+    *
+    * Bound encoding is unchanged ([[FileStat]]): numerics render as
+    * decimals, strings through the 64-code-point prefix device
+    * ([[cpTake]]/[[incLast]]), dates as ISO, timestamps as the session
+    * time zone's wall clock with trailing fraction zeros trimmed (the
+    * Spark cast rendering [[statCmp]] parses). Any column whose footer
+    * statistics are absent, untyped, or not confidently convertible
+    * simply carries NO bounds — consumers keep the file, correctness
+    * never rides on a bound existing. Row counts and byte lengths are
+    * always exact (every footer carries them). The partition column's
+    * bound is the directory's own value (min = max), matching what the
+    * aggregation arms produced. */
+  private def footerStats(spark: SparkSession, root: String,
+      rels: Seq[String], sizes: Map[String, Long],
+      schema: StructType, partCol: String): Map[String, FileStat] = {
+    if (rels.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val eligData = schema.fields
+      .filter(f => f.name != partCol && statEligible(f.dataType))
+    def statOf(rel: String): (String, FileStat) = {
+      val path = new Path(s"$root/data/$rel")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+      val (rows, bounds) =
+        try {
+          val blocks = scala.jdk.CollectionConverters
+            .ListHasAsScala(reader.getFooter.getBlocks).asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val bounds = eligData.flatMap { f =>
+            footerBounds(blocks, f.name, f.dataType, tz)
+              .map { case (lo, hi) => (f.name, lo, hi) }
+          }
+          (rows, bounds)
+        } finally reader.close()
+      val partBound = dirValueString(dirOf(rel))
+        .map(v => (partCol, v, v)).toSeq
+      val all = bounds ++ partBound
+      rel -> FileStat(rows,
+        all.map(b => b._1 -> b._2).toMap,
+        all.map(b => b._1 -> b._3).toMap,
+        sizes.getOrElse(rel, -1L))
+    }
+    // footer opens are independent ~ms-scale metadata reads; a small
+    // pool hides their per-file latency (local fs and object stores
+    // alike — the same parallelism a real committer applies)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, rels.size))
+    try
+      rels.map(rel => pool.submit(
+        new java.util.concurrent.Callable[(String, FileStat)] {
+          def call(): (String, FileStat) = statOf(rel)
+        }))
+        .map(_.get()).toMap
+    finally pool.shutdown()
+  }
+
+  /** Merged (lo, hi) bound strings for one column across a file's row
+    * groups, or None when any group's statistics are missing or the
+    * physical/logical type is not one this encoder trusts. All-null
+    * groups contribute nothing; an all-null column carries no bounds
+    * (exactly what the aggregation arms produced for it). */
+  private def footerBounds(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      name: String, dt: DataType, tz: String)
+      : Option[(String, String)] = {
+    val chunks = blocks.flatMap(b =>
+      scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
+        .find(c => c.getPath.size() == 1 && c.getPath.toDotString == name))
+    if (chunks.isEmpty || chunks.size != blocks.size) return None
+    val conv = footerRawConverter(dt, chunks.head.getPrimitiveType)
+      .getOrElse(return None)
+    var lo: Any = null
+    var hi: Any = null
+    val cmp = footerCmp(dt)
+    chunks.foreach { c =>
+      val st = c.getStatistics
+      if (st == null) return None
+      if (!st.hasNonNullValue) {
+        // trustworthy only as "all null": the null count must account
+        // for every value in the chunk; anything else means the writer
+        // recorded no usable statistics — no bounds for this column
+        if (!st.isNumNullsSet || st.getNumNulls != c.getValueCount)
+          return None
+      } else {
+        val (mnR, mxR) = (st.genericGetMin, st.genericGetMax)
+        if (mnR == null || mxR == null) return None
+        val (mn, mx) = (conv(mnR), conv(mxR))
+        if (lo == null || cmp(mn, lo) < 0) lo = mn
+        if (hi == null || cmp(mx, hi) > 0) hi = mx
+      }
+    }
+    if (lo == null || hi == null) None
+    else for {
+      l <- renderFooterValue(dt, lo, tz, isMax = false)
+      h <- renderFooterValue(dt, hi, tz, isMax = true)
+    } yield (l, h)
+  }
+
+  /** Is the column's parquet physical/logical type one this encoder
+    * trusts for the Spark type, and how does a raw footer value
+    * normalize (timestamps to MICROS)? None = don't trust — the
+    * column carries no bounds. Notably refuses INT96 timestamps
+    * (deprecated; their statistics have no defined sort order). */
+  private def footerRawConverter(dt: DataType,
+      prim: org.apache.parquet.schema.PrimitiveType)
+      : Option[Any => Any] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val name = prim.getPrimitiveTypeName
+    dt match {
+      case org.apache.spark.sql.types.StringType if name == BINARY =>
+        Some(identity)
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType
+          if name == INT32 || name == INT64 => Some(identity)
+      case org.apache.spark.sql.types.FloatType if name == FLOAT =>
+        Some(identity)
+      case org.apache.spark.sql.types.DoubleType if name == DOUBLE =>
+        Some(identity)
+      case _: org.apache.spark.sql.types.DecimalType
+          if prim.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          => Some(identity)
+      case org.apache.spark.sql.types.DateType if name == INT32 =>
+        Some(identity)
+      case org.apache.spark.sql.types.TimestampType if name == INT64 =>
+        prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(identity)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(v => java.lang.Long.valueOf(
+                  v.asInstanceOf[Number].longValue() * 1000L))
+              // NANOS would truncate a max bound below real values —
+              // not a unit this writer produces; refuse
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
     }
   }
 
-  /** Decode one stats-agg row (offset = index of `__rows`). */
-  private def decodeStat(r: org.apache.spark.sql.Row, offset: Int,
-      schema: StructType, elig: Seq[String]): FileStat = {
-    val rows = r.getLong(offset)
-    val bounds = elig.zipWithIndex.flatMap { case (c, i) =>
-      val mn = Option(r.getString(offset + 1 + 2 * i))
-      val mxRaw = Option(r.getString(offset + 2 + 2 * i))
-      val isStr = schema(c).dataType == org.apache.spark.sql.types.StringType
-      val mx = mxRaw.flatMap { v =>
-        if (isStr && cpCount(v) > StatPrefixLen)
-          incLast(cpTake(v, StatPrefixLen))
-        else Some(v)
-      }
-      (mn, mx) match {
-        case (Some(a), Some(b)) => Some((c, a, b))
-        case _ => None
-      }
-    }
-    FileStat(rows, bounds.map(b => b._1 -> b._2).toMap,
-      bounds.map(b => b._1 -> b._3).toMap)
+  /** Natural-order comparator over raw footer min/max values of one
+    * Spark type (strings in unsigned UTF-8 byte order — the order the
+    * stats were computed in and [[statCmp]] compares in). */
+  private def footerCmp(dt: DataType): (Any, Any) => Int = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      (a, b) => java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+        b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+    case _: org.apache.spark.sql.types.DecimalType =>
+      (a, b) => footerDecimal(a).compare(footerDecimal(b))
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType =>
+      (a, b) => java.lang.Double.compare(
+        a.asInstanceOf[Number].doubleValue(),
+        b.asInstanceOf[Number].doubleValue())
+    case _ => // integral, date (int32 days), timestamp (int64 micros)
+      (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
   }
 
-  /** Test hook: how many times the full post-write readback arm ran —
-    * the cost the pre-write arms exist to avoid (SnapshotStatsSpec
-    * pins that binned commits leave it untouched). */
+  private def footerDecimal(v: Any): BigDecimal = v match {
+    case b: org.apache.parquet.io.api.Binary =>
+      BigDecimal(new java.math.BigInteger(b.getBytes))
+    case n: Number => BigDecimal(n.longValue())
+  }
+
+  /** One footer min/max value rendered into the manifest's bound-string
+    * encoding for its Spark type; None = not confidently expressible
+    * (the column then carries no bounds). */
+  private def renderFooterValue(dt: DataType, v: Any, tz: String,
+      isMax: Boolean): Option[String] = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      val s = new String(
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (cpCount(s) <= StatPrefixLen) Some(s)
+      else if (isMax) incLast(cpTake(s, StatPrefixLen))
+      else Some(cpTake(s, StatPrefixLen))
+    case d: org.apache.spark.sql.types.DecimalType =>
+      scala.util.Try(BigDecimal(footerDecimal(v).bigDecimal
+        .movePointLeft(d.scale).stripTrailingZeros).toString).toOption
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType =>
+      val d = v.asInstanceOf[Number].doubleValue()
+      if (d.isNaN || d.isInfinite) None
+      else Some(
+        if (dt == org.apache.spark.sql.types.FloatType)
+          v.asInstanceOf[Number].floatValue().toString
+        else d.toString)
+    case org.apache.spark.sql.types.DateType =>
+      val days = v.asInstanceOf[Number].longValue()
+      val ld = scala.util.Try(java.time.LocalDate.ofEpochDay(days)).toOption
+      // DateType bounds compare as raw strings: only the fixed-width
+      // 4-digit-year ISO band is order-safe
+      ld.filter(d => d.getYear >= 1000 && d.getYear <= 9999)
+        .map(_.toString)
+    case org.apache.spark.sql.types.TimestampType =>
+      val micros = v.asInstanceOf[Number].longValue()
+      scala.util.Try {
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+        val ldt = java.time.LocalDateTime.ofInstant(inst,
+          java.time.ZoneId.of(tz))
+        require(ldt.getYear >= 1000 && ldt.getYear <= 9999)
+        val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+          f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+          f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+        val micro = ldt.getNano / 1000
+        if (micro == 0) base
+        else base + "." + f"$micro%06d".reverse.dropWhile(_ == '0').reverse
+      }.toOption
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType =>
+      Some(v.asInstanceOf[Number].longValue().toString)
+    case _ => None
+  }
+
+  /** A partition directory name's VALUE as its raw string rendering
+    * (the exact string `write.partitionBy` escaped into the path);
+    * None for the Hive default-partition directory (null). */
+  private def dirValueString(dir: String): Option[String] = {
+    val raw = dir.dropWhile(_ != '=').drop(1)
+    val unescaped = ExternalCatalogUtils.unescapePathName(raw)
+    if (unescaped == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+    else Some(unescaped)
+  }
+
+  /** A partition directory name's value as a TYPED external (Scala)
+    * value under the pinned partition type — exactly the parse the
+    * read path's partition inference applies, so a frame built from
+    * these values joins/compares against stored rows losslessly. */
+  private def dirValueTyped(spark: SparkSession, dir: String,
+      dt: DataType): Any =
+    dirValueString(dir) match {
+      case None => null
+      case Some(s) =>
+        val internal = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType),
+          dt, Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(dt)(internal)
+    }
+
+  /** Test hook, retained for [[graft.sources]] spec compatibility: how
+    * many times a post-write data READBACK computed stats. With the
+    * footer arm it is structurally zero — footers are metadata, never
+    * a data read — and the specs pin it stays zero. */
   private[graft] val readbackRuns =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Per-file stats by parquet READBACK — the general arm (any file
-    * layout): one column-pruned aggregation over the new files,
-    * cache-hot, grouped by `input_file_name`. Cost ∝ the increment's
-    * eligible-column bytes, never store bytes. */
-  private def collectStats(spark: SparkSession, root: String,
-      rels: Seq[String], schema: StructType): Map[String, FileStat] = {
-    if (rels.isEmpty) return Map.empty
-    readbackRuns.incrementAndGet()
-    import org.apache.spark.sql.functions.input_file_name
-    val elig =
-      schema.fields.filter(f => statEligible(f.dataType)).map(_.name).toSeq
-    val read = spark.read.schema(schema)
-      .option("basePath", s"$root/data")
-      .parquet(rels.map(r => s"$root/data/$r"): _*)
-    val aggs = statAggs(schema, elig)
-    val collected = read.groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    collected.flatMap { r =>
-      val uri = r.getString(0)
-      val path = scala.util.Try(new java.net.URI(uri).getPath).getOrElse(uri)
-      rels.find(path.endsWith(_))
-        .map(rel => rel -> decodeStat(r, 1, schema, elig))
-    }.toMap
-  }
-
-  /** Per-file stats WITHOUT re-reading what was just written — the
-    * default-write fast arm: `repartition(partCol)` hash-routes each
-    * partition VALUE to exactly one task, and `partitionBy` splits one
-    * file per value per task, so file ↔ value is a BIJECTION per
-    * writeData call, and a `groupBy(partCol)` over the INPUT frame
-    * (usually a localCheckpoint the caller already materialized) IS
-    * the per-file stats — the closest this seam gets to the Iceberg
-    * writer computing bounds inside the write task, and at 100 TB it
-    * saves a full re-read of the increment from object storage.
-    * Degrades to the readback arm whenever the bijection doesn't hold
-    * (a dir with ≠1 new file — task retries can leave one). */
-  private def collectStatsByValue(spark: SparkSession, root: String,
-      rels: Seq[String], df: DataFrame, partCol: String,
-      schema: StructType): Map[String, FileStat] = {
-    if (rels.isEmpty) return Map.empty
-    val fileByDir = rels.groupBy(dirOf)
-    if (fileByDir.values.exists(_.size != 1))
-      return collectStats(spark, root, rels, schema)
-    val elig =
-      schema.fields.filter(f => statEligible(f.dataType)).map(_.name).toSeq
-    val aggs = statAggs(schema, elig)
-    val collected = df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val byValue = collected.flatMap { r =>
-      val dir = partitionDir(partCol, r.get(0)).stripSuffix("/")
-      fileByDir.get(dir).flatMap(_.headOption)
-        .map(rel => rel -> decodeStat(r, 1, schema, elig))
-    }.toMap
-    // the bijection must have matched every file — otherwise readback
-    if (byValue.size == rels.size) byValue
-    else collectStats(spark, root, rels, schema)
-  }
-
-  /** Shuffle-partition id of each staged file, parsed from the
-    * `part-NNNNN` token Spark embeds in every task's output name (the
-    * rel is `pt=<v>/<tag>-part-NNNNN-<uuid>[.cNNN].parquet`). */
-  private def pidOf(rel: String): Option[Int] =
-    "part-(\\d+)-".r.findFirstMatchIn(rel).map(_.group(1).toInt)
-
-  /** Per-file stats WITHOUT a post-write readback for the BINNED
-    * layout (the r18 verdict's missing #1: size-targeted [[binPack]]
-    * and any hot-partition store write through bins, and the readback
-    * arm re-decoded the whole increment from parquet right after
-    * writing it — the one measured cost the segmented-stats round
-    * added). The write shuffles on explicit-`numParts`
-    * `repartition(numParts, partCol, binCol)`, whose task assignment
-    * is `pmod(murmur3_hash(partCol, binCol), numParts)` — exactly what
-    * `functions.hash` (same Murmur3, same seed 42 as Catalyst's
-    * HashPartitioning) computes — and Spark embeds the task id in
-    * every output file name, so file ↔ (partition dir, task) is
-    * RECOVERABLE and one aggregation over the INPUT frame keyed on
-    * (partition value, computed task id) IS the per-file stats: the
-    * closest this seam gets to Iceberg's in-writer stats, with zero
-    * re-decode of the increment (the caller passes the pre-write
-    * frame, ideally already localCheckpointed).
-    *
-    * `maxRecordsPerFile` can SPLIT one task-cell into several files;
-    * those files inherit the cell's (valid, merely conservative)
-    * bounds, and their exact row counts come from a metadata-only
-    * count over just the split files — parquet row counts live in the
-    * footer, no column bytes are decoded. Any file whose task id
-    * cannot be parsed, or any cell the aggregation failed to cover
-    * (a hash-mapping drift on a future Spark), degrades to the full
-    * readback arm — correctness never rests on the replication
-    * (SnapshotStatsSpec additionally pins the stats EXACT against the
-    * files themselves, so a silent mapping drift fails the spec, not
-    * the store). */
-  private def collectStatsByCell(spark: SparkSession, root: String,
-      rels: Seq[String], df: DataFrame, partCol: String, binCol: String,
-      numParts: Int, schema: StructType): Map[String, FileStat] = {
-    import org.apache.spark.sql.functions.{hash, input_file_name, lit, pmod}
-    if (rels.isEmpty) return Map.empty
-    val pids = rels.map(r => r -> pidOf(r)).toMap
-    if (pids.values.exists(_.isEmpty))
-      return collectStats(spark, root, rels, schema)
-    val byCell: Map[(String, Int), Seq[String]] =
-      rels.groupBy(r => (dirOf(r), pids(r).get))
-    val elig =
-      schema.fields.filter(f => statEligible(f.dataType)).map(_.name).toSeq
-    val aggs = statAggs(schema, elig)
-    val collected = df
-      .groupBy(col(partCol),
-        pmod(hash(col(partCol), col(binCol)), lit(numParts)).as("__pid"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val assigned = Map.newBuilder[String, FileStat]
-    val splitCells = Seq.newBuilder[(Seq[String], FileStat)]
-    var covered = 0
-    collected.foreach { r =>
-      val dir = partitionDir(partCol, r.get(0)).stripSuffix("/")
-      val pid = r.getInt(1)
-      byCell.get((dir, pid)).foreach { cellFiles =>
-        val st = decodeStat(r, 2, schema, elig)
-        covered += cellFiles.size
-        if (cellFiles.size == 1) assigned += cellFiles.head -> st
-        else splitCells += ((cellFiles, st))
-      }
-    }
-    if (covered != rels.size)
-      return collectStats(spark, root, rels, schema)
-    val splits = splitCells.result()
-    if (splits.nonEmpty) {
-      // footer-only row counts for maxRecordsPerFile splits: the scan
-      // materializes zero columns, so this is metadata I/O, not the
-      // readback arm
-      val splitRels = splits.flatMap(_._1)
-      val counts = spark.read.schema(schema)
-        .option("basePath", s"$root/data")
-        .parquet(splitRels.map(r => s"$root/data/$r"): _*)
-        .groupBy(input_file_name().as("__f")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      splits.foreach { case (cellFiles, st) =>
-        cellFiles.foreach { rel =>
-          val n = counts.collectFirst {
-            case (uri, c) if scala.util.Try(new java.net.URI(uri).getPath)
-              .getOrElse(uri).endsWith(rel) => c
-          }
-          assigned += rel -> FileStat(n.getOrElse(-1L), st.mins, st.maxs)
-        }
-      }
-    }
-    assigned.result()
-  }
-
   /** Stage `df` as new immutable data files: Spark writes a private
     * directory, then each part file moves into the shared
-    * `data/pt=<v>/` layout under a commit-unique name, and one hot
-    * readback records each new file's [[FileStat]]. Returns the new
-    * files' relative paths + stats — they become visible only when a
-    * commit publishes a manifest listing them. One shuffle, partition-
-    * aligned: by default each touched directory gains ONE file (the
-    * IndexRetract write lesson); with `binCol` set (the size-targeted
-    * [[binPack]] path) the shuffle keys on (partition, bin) so a hot
-    * partition's bins write in PARALLEL, and `maxRecordsPerFile`
-    * hard-bounds every output file regardless of bin-hash skew. */
+    * `data/pt=<v>/` layout under a commit-unique name, and the new
+    * files' [[FileStat]]s come from their own parquet FOOTERS
+    * ([[footerStats]] — driver-side metadata, zero Spark jobs, zero
+    * data decode) with each file's exact length captured from the
+    * staging listing. Returns the new files' relative paths + stats —
+    * they become visible only when a commit publishes a manifest
+    * listing them. One shuffle, partition-aligned: by default each
+    * touched directory gains ONE file (the IndexRetract write lesson);
+    * with `binCol` set (the size-targeted [[binPack]] path) the
+    * shuffle keys on (partition, bin) so a hot partition's bins write
+    * in PARALLEL, and `maxRecordsPerFile` hard-bounds every output
+    * file regardless of bin-hash skew. */
+  // temporary round-19 instrumentation (env-guarded, zero cost unset)
+  private val storeTimers = sys.env.contains("SPARK_GRAFT_STORE_TIMERS")
+  private def timed[A](label: String)(body: => A): A =
+    if (!storeTimers) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[store] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
                         partCol: String, binCol: Option[String] = None,
                         maxRecordsPerFile: Long = 0L)
@@ -802,19 +961,31 @@ object SnapshotStore {
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(rootP, s"_staging/$tag")
     val repCols = (Seq(partCol) ++ binCol).map(col)
-    // EXPLICIT partition count: (a) pins the task assignment to
-    // pmod(murmur3(repCols), numParts) so [[collectStatsByCell]] can
-    // recompute it pre-write, and (b) keeps AQE from coalescing bins
-    // of one hot partition back into a single write task
+    // EXPLICIT partition count: keeps AQE from coalescing bins of one
+    // hot partition back into a single write task
     val numParts = spark.sessionState.conf.numShufflePartitions
     val writer = df.repartition(numParts, repCols: _*)
       .drop(binCol.toSeq: _*)
       .write.partitionBy(partCol)
-    (if (maxRecordsPerFile > 0L)
-      writer.option("maxRecordsPerFile", maxRecordsPerFile)
-    else writer).parquet(staging.toString)
-    val moved = Seq.newBuilder[String]
-    fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+    // TIMESTAMP_MICROS, not the legacy INT96 default: identical values
+    // on read (Spark timestamps are micros internally), but INT96 is
+    // deprecated and its footer statistics have no defined sort order,
+    // so a timestamp column would carry no manifest bounds and lose
+    // its file skipping (SnapshotBoundsSpec (c) pins it still prunes).
+    // Session-conf scoped around this one write; restored after.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try timed("write.parquet")(
+      (if (maxRecordsPerFile > 0L)
+        writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer).parquet(staging.toString))
+    finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val moved = Seq.newBuilder[(String, Long)]
+    timed("rename-loop")(fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
       val dirName = d.getPath.getName // pt=<escaped-v>
       val target = new Path(new Path(rootP, "data"), dirName)
       fs.mkdirs(target)
@@ -823,20 +994,16 @@ object SnapshotStore {
         val name = s"$tag-${f.getPath.getName}"
         require(fs.rename(f.getPath, new Path(target, name)),
           s"failed to stage data file ${f.getPath} into $target")
-        moved += s"$dirName/$name"
+        moved += ((s"$dirName/$name", f.getLen))
       }
-    }
+    })
     fs.delete(staging, true)
-    val rels = moved.result()
+    val sized = moved.result()
+    val rels = sized.map(_._1)
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => binCol.contains(f.name)))
-    val stats =
-      if (binCol.isEmpty)
-        collectStatsByValue(spark, root, rels,
-          df.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*),
-          partCol, dataSchema)
-      else collectStatsByCell(spark, root, rels, df, partCol,
-        binCol.get, numParts, dataSchema)
+    val stats = timed("collect-stats")(
+      footerStats(spark, root, rels, sized.toMap, dataSchema, partCol))
     (rels, stats)
   }
 
@@ -910,22 +1077,20 @@ object SnapshotStore {
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val written = Seq.newBuilder[Path]
     var segIdx = 0
-    val segRefs = byDir.toSeq.sortBy(_._1).map { case (dir, dirFiles) =>
+    val segRefs = timed("commit-segments")(byDir.toSeq.sortBy(_._1).map { case (dir, dirFiles) =>
       val reuse = prevSegs.get(dir)
         .filter(_ => prevByDir.get(dir).contains(dirFiles.toSet))
       reuse.getOrElse {
         val ref = f"segments/$tag-$segIdx%04d.seg"
         segIdx += 1
         val p = new Path(manifestsDir, ref)
-        fs.mkdirs(p.getParent)
         val body = renderSegment(dir, dirFiles.map(f =>
           f -> newStats.get(f).orElse(prevStats.get(f))))
-        val o = fs.create(p, false)
-        try o.write(body.getBytes("UTF-8")) finally o.close()
+        writeSmallFile(fs, p, body)
         written += p
         ref
       }
-    }
+    })
     def rollbackSegs(): Unit = written.result().foreach(fs.delete(_, false))
 
     // dir-qualified pointers: the root alone carries (dir → segment)
@@ -937,9 +1102,7 @@ object SnapshotStore {
       (dirsSorted.zip(segRefs).map { case (d, r) => s"@${enc(d)}\t$r" } ++
         delEntries.sorted)).mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir, s".tmp-$tag")
-    val out = fs.create(tmp, false)
-    try out.write(rootBody.getBytes("UTF-8"))
-    finally out.close()
+    writeSmallFile(fs, tmp, rootBody)
     if (!arm.claim(fs, claimPath(rootP, next))) {
       fs.delete(tmp, false)
       rollbackSegs()
@@ -1083,16 +1246,15 @@ object SnapshotStore {
       (if (dirs.isEmpty) allDirs else allDirs.filter(dirs.contains)).toSet
     if (chosen.isEmpty) return (0, base)
     val chosenFiles = dataFiles.filter(f => chosen(dirOf(f)))
-    val rows = read(spark, root, Snapshot(base.version, chosenFiles))
+    val rows = read(spark, root, base.copy(files = chosenFiles))
     val rerouted = rows.withColumn(partCol, newPart)
     val oldType = rows.schema(partCol).dataType
     require(rerouted.schema(partCol).dataType == oldType,
       s"newPart type ${rerouted.schema(partCol).dataType} != the pinned " +
         s"partition type $oldType — a re-spec may not retype the routing")
-    // one decode of the chosen partitions: the write and the pre-write
-    // stats aggregation both run from the checkpointed blocks
-    val (newFiles, stats) =
-      writeData(spark, root, rerouted.localCheckpoint(), partCol)
+    // one decode of the chosen partitions feeding the write directly;
+    // stats come from the new files' footers (r19)
+    val (newFiles, stats) = writeData(spark, root, rerouted, partCol)
     val kept = dataFiles.filterNot(f => chosen(dirOf(f)))
     val snap = commit(spark, root,
       kept ++ newFiles ++ delFiles.map("-" + _), base.version,
@@ -1114,13 +1276,17 @@ object SnapshotStore {
     val missing = store.columns.filterNot(admits.columns.contains)
     require(missing.isEmpty,
       s"admits frame lacks store columns: ${missing.mkString(", ")}")
+    // ONE pass (r19): the anti-join feeds the write directly — its
+    // only consumer. The old shape localCheckpointed the join, probed
+    // isEmpty, wrote, and counted: three extra Spark jobs plus a full
+    // materialization, all so the stats aggregation and the admitted
+    // count could re-read the join; with footer stats the count is the
+    // new files' exact row sum and nothing reads the join twice.
     val fresh = admits.select(store.columns.map(col).toIndexedSeq: _*)
       .join(store, keys, "left_anti")
-      .localCheckpoint()
-    val (newFiles, stats) =
-      if (fresh.isEmpty) (Seq.empty[String], Map.empty[String, FileStat])
-      else writeData(spark, root, fresh, partCol)
-    (fresh.count(), commit(spark, root, base.files ++ newFiles, base.version,
+    val (newFiles, stats) = writeData(spark, root, fresh, partCol)
+    (stats.valuesIterator.map(_.rows).sum,
+      commit(spark, root, base.files ++ newFiles, base.version,
       op = OpCompact, newStats = stats, baseSnap = Some(base)))
   }
 
@@ -1165,24 +1331,44 @@ object SnapshotStore {
     val base = current(spark, root)
     val store = read(spark, root, base)
     // store-typed affected routing values via null-safe semi-join coercion
+    // The store side of the affected-partition semi-join is the
+    // MANIFEST's directory values (r19): a partition value exists in
+    // the store iff some file routed there, so a driver-built
+    // dirs-as-rows frame replaces the full store scan + distinct the
+    // old shape paid — the join keeps its null-safe, Catalyst-coerced
+    // match semantics, now against 64 local rows.
+    val partType = store.schema(partCol).dataType
+    val storeValsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        base.files.filterNot(_.startsWith("-")).map(dirOf).distinct
+          .map(d => org.apache.spark.sql.Row(dirValueTyped(spark, d, partType)))
+          .toIndexedSeq, 1),
+      StructType(Seq(StructField(partCol, partType))))
     val deadParts = dead.select(col(partCol).as("__dead_pt")).distinct()
-    val affected = store.select(col(partCol)).distinct()
-      .join(deadParts, col(partCol) <=> col("__dead_pt"), "left_semi")
-      .collect().map(_.get(0))
+    val affected = timed("retract-affected")(
+      storeValsDf
+        .join(deadParts, col(partCol) <=> col("__dead_pt"), "left_semi")
+        .collect().map(_.get(0)))
     if (affected.isEmpty) return (0, 0L, base)
     val pruned = store.filter(partitionIn(partCol, affected))
-    val before = pruned.count()
+    // `before` (the rowsRemoved minuend) comes from the manifest's
+    // exact per-file row counts — zero I/O; a pre-stats legacy file in
+    // an affected dir degrades to the counting pass
+    val affectedDirs = affected.map(partitionDir(partCol, _)).toSet
+    val affRows = base.files
+      .filterNot(_.startsWith("-"))
+      .filter(f => affectedDirs.exists(f.startsWith))
+      .map(f => base.stats.get(f).map(_.rows).getOrElse(-1L))
+    val before =
+      if (affRows.forall(_ >= 0L)) affRows.sum
+      else timed("retract-before-count")(pruned.count())
+    // survivors feed the write directly (the compact one-pass shape);
+    // `after` is the new files' exact footer row sum
     val survivors = pruned
       .join(dead.select(keys.map(col).toIndexedSeq: _*).distinct(), keys,
         "left_anti")
-      .localCheckpoint()
-    val after = survivors.count()
-    val (newFiles, stats) =
-      if (after == 0) (Seq.empty[String], Map.empty[String, FileStat])
-      else writeData(spark, root, survivors, partCol)
-    // drop every affected partition's old files from the manifest —
-    // the escaped directory prefix is the membership test
-    val affectedDirs = affected.map(partitionDir(partCol, _)).toSet
+    val (newFiles, stats) = writeData(spark, root, survivors, partCol)
+    val after = stats.valuesIterator.map(_.rows).sum
     val kept = base.files.filterNot(f => affectedDirs.exists(f.startsWith))
     val snap = commit(spark, root, kept ++ newFiles, base.version,
       op = OpRetract, newStats = stats, baseSnap = Some(base))
@@ -1239,7 +1425,7 @@ object SnapshotStore {
               snap: Snapshot = null): DataFrame = {
     val s = Option(snap).getOrElse(current(spark, root))
     val (dataFiles, delFiles) = splitEntries(s)
-    val data = read(spark, root, Snapshot(s.version, dataFiles))
+    val data = read(spark, root, s.copy(files = dataFiles))
     if (delFiles.isEmpty) data
     else data.join(
       spark.read.parquet(delFiles.map(f => s"$root/$f"): _*).distinct(),
@@ -1257,7 +1443,7 @@ object SnapshotStore {
     val base = current(spark, root)
     val (dataFiles, delFiles) = splitEntries(base)
     if (delFiles.isEmpty) return (0, 0L, base)
-    val store = read(spark, root, Snapshot(base.version, dataFiles))
+    val store = read(spark, root, base.copy(files = dataFiles))
     val deadKeys = spark.read
       .parquet(delFiles.map(f => s"$root/$f"): _*).distinct()
     // route the delete keys: affected partitions = those holding a
@@ -1269,14 +1455,21 @@ object SnapshotStore {
     val pruned =
       if (affected.isEmpty) store.limit(0)
       else store.filter(partitionIn(partCol, affected))
-    val before = pruned.count()
-    val survivors = pruned.join(deadKeys, keys, "left_anti")
-      .localCheckpoint()
-    val after = survivors.count()
-    val (newFiles, stats) =
-      if (after == 0) (Seq.empty[String], Map.empty[String, FileStat])
-      else writeData(spark, root, survivors, partCol)
+    // manifest-exact `before`, one-pass survivors write, footer-exact
+    // `after` — the retract r19 shape
     val affectedDirs = affected.map(partitionDir(partCol, _)).toSet
+    val affRows = dataFiles
+      .filter(f => affectedDirs.exists(f.startsWith))
+      .map(f => base.stats.get(f).map(_.rows).getOrElse(-1L))
+    val before =
+      if (affected.isEmpty) 0L
+      else if (affRows.forall(_ >= 0L)) affRows.sum
+      else pruned.count()
+    val survivors = pruned.join(deadKeys, keys, "left_anti")
+    val (newFiles, stats) =
+      if (affected.isEmpty) (Seq.empty[String], Map.empty[String, FileStat])
+      else writeData(spark, root, survivors, partCol)
+    val after = stats.valuesIterator.map(_.rows).sum
     val kept = dataFiles.filterNot(f => affectedDirs.exists(f.startsWith))
     // one commit: survivors in, affected files out, delete entries out
     val snap = commit(spark, root, kept ++ newFiles, base.version,
@@ -1344,11 +1537,11 @@ object SnapshotStore {
       else byDir.filter(_._2.size >= minFilesToPack)
     if (packDirs.isEmpty) return (0, 0, base)
     val fragments = packDirs.values.flatten.toSeq
-    val frag = read(spark, root, Snapshot(base.version, fragments))
+    val frag = read(spark, root, base.copy(files = fragments))
     val partCol = schemaAt(spark, root, base.version).fields.last.name
     val (newFiles, stats) =
       if (targetRowsPerFile <= 0L)
-        writeData(spark, root, frag.localCheckpoint(), partCol)
+        writeData(spark, root, frag, partCol)
       else {
         import org.apache.spark.sql.functions.{broadcast, pmod, xxhash64}
         val statRows: Option[Map[String, Long]] =
@@ -1356,8 +1549,12 @@ object SnapshotStore {
             Some(packDirs.map { case (d, fls) =>
               d -> fls.map(base.stats(_).rows).sum })
           else None
-        val values = frag.select(col(partCol)).distinct()
-          .collect().map(_.get(0))
+        val partType = frag.schema(partCol).dataType
+        // the packed partitions' VALUES are the chosen dirs' own values
+        // (r19) — no distinct-over-fragments job; legacy stores without
+        // row stats still pay one counting pass for the bin sizing
+        val values: IndexedSeq[Any] =
+          packDirs.keys.toIndexedSeq.map(dirValueTyped(spark, _, partType))
         val rowsOf: Any => Long = statRows match {
           case Some(m) => v =>
             m.getOrElse(partitionDir(partCol, v).stripSuffix("/"), 0L)
@@ -1366,27 +1563,22 @@ object SnapshotStore {
               .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
             v => counted.getOrElse(Option(v), 0L)
         }
-        val partType = frag.schema(partCol).dataType
         val binsSchema = StructType(Seq(
           StructField("__pv", partType), StructField("__bins",
             org.apache.spark.sql.types.LongType, nullable = false)))
-        val binRows = values.toIndexedSeq.map(v =>
+        val binRows = values.map(v =>
           org.apache.spark.sql.Row(v, math.max(1L,
             (rowsOf(v) + targetRowsPerFile - 1L) / targetRowsPerFile)))
         val binsDf = spark.createDataFrame(
           spark.sparkContext.parallelize(binRows, 1), binsSchema)
         val dataCols = frag.columns.filterNot(_ == partCol).toIndexedSeq
-        // localCheckpoint: the fragments are DECODED FROM PARQUET ONCE —
-        // the pre-write stats aggregation and the binned write both run
-        // from the materialized blocks (the compact/retract discipline),
-        // so the whole pack costs one decode of the packed partitions
-        // plus the write, with zero post-write readback
+        // one decode of the packed partitions feeding the binned write
+        // directly — footer stats need no second pass (r19)
         val salted = frag
           .join(broadcast(binsDf), col(partCol) <=> col("__pv"), "inner")
           .withColumn("__bin",
             pmod(xxhash64(dataCols.map(col): _*), col("__bins")).cast("int"))
           .drop("__pv", "__bins")
-          .localCheckpoint()
         writeData(spark, root, salted, partCol, binCol = Some("__bin"),
           maxRecordsPerFile = targetRowsPerFile)
       }
@@ -1725,7 +1917,7 @@ object SnapshotStore {
       }
 
     def side(s: Snapshot): DataFrame =
-      readMor(spark, root, keys, Snapshot(s.version,
+      readMor(spark, root, keys, s.copy(files =
         s.files.filter(f => f.startsWith("-") ||
           changedDirs.contains(dirOf(f)) || keepForDeletes(s, f))))
     val fromSide = side(from)

@@ -1,10 +1,10 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex,
-  PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache,
+  InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
 /** Manifest-stat file skipping wired into the DEFAULT read path (the
@@ -36,9 +36,17 @@ private[graft] class StatPruningFileIndex(
     dataFiles: Seq[Path],
     parameters: Map[String, String],
     pinnedSchema: StructType,
-    stats: Map[String, SnapshotStore.FileStat])
+    stats: Map[String, SnapshotStore.FileStat],
+    knownStatuses: Seq[FileStatus])
   extends InMemoryFileIndex(spark, dataFiles, parameters,
-    Some(pinnedSchema)) {
+    Some(pinnedSchema),
+    // r19: the manifest already knows every file (and its exact
+    // length), so planning must not re-discover it — a prefilled
+    // status cache answers every root-path lookup and the parallel
+    // file-listing Spark JOB InMemoryFileIndex launches above the
+    // discovery threshold (one per store read, measured 0.14-0.26s
+    // each on the bench) never runs
+    StatPruningFileIndex.prefilled(dataFiles, knownStatuses), None, None) {
 
   private val tz = spark.sessionState.conf.sessionLocalTimeZone
 
@@ -118,5 +126,23 @@ private[graft] class StatPruningFileIndex(
         }
       })
     }.filter(_.files.nonEmpty)
+  }
+}
+
+private[graft] object StatPruningFileIndex {
+  /** A [[FileStatusCache]] that already holds every root path's status
+    * (the manifest is the source of truth; see the class doc). */
+  private def prefilled(paths: Seq[Path],
+      statuses: Seq[FileStatus]): FileStatusCache = {
+    require(paths.length == statuses.length,
+      s"${paths.length} paths vs ${statuses.length} statuses")
+    val m = paths.zip(statuses).toMap
+    new FileStatusCache {
+      override def getLeafFiles(path: Path): Option[Array[FileStatus]] =
+        m.get(path).map(Array(_))
+      override def putLeafFiles(path: Path,
+          leafFiles: Array[FileStatus]): Unit = ()
+      override def invalidateAll(): Unit = ()
+    }
   }
 }
