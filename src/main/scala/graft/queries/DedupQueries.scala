@@ -42,6 +42,27 @@ object DedupQueries {
     * substring/winnow-family inverted index, chosen because its keys
     * naturally span documents (deletions force real owner
     * re-elections; the corpus has zero full-text duplicates). */
+  /** Run two INDEPENDENT maintenance steps concurrently — distinct
+    * store roots only (no data/version dependency): Spark happily runs
+    * both jobs at once and the second back-fills executors the first's
+    * tail frees (r19; the optimization guide's overlap-independent-jobs
+    * device). Failures propagate; both futures are always awaited.
+    * Session-conf safety: [[graft.sources.SnapshotStore]]'s writeData
+    * scopes its parquet-writer conf through a reference-counted
+    * save/restore, so concurrent writers cannot leave the session
+    * flipped (the naive pair raced exactly here and leaked
+    * TIMESTAMP_MICROS into every later write of the session). */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = fa })
+      val f2 = pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = fb })
+      (f1.get(), f2.get())
+    } finally pool.shutdown()
+  }
+
   private def gramPostings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
@@ -1031,13 +1052,17 @@ object DedupQueries {
         .repartition($"pt")
         .write.partitionBy("pt").format("parquet")
         .saveAsTable("gram_idx_lifecycle_q")
-      graft.operators.IndexCompact.compactPartitioned(
-        s, "gram_idx_lifecycle_q",
-        postings.filter($"doc_id" % 3 =!= 0).select($"g", $"doc_id", $"pt"),
-        Seq("g", "doc_id"), "pt")
-      graft.operators.IndexRetract.tombstone(
-        s, "gram_tomb_lifecycle_q",
-        postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0))
+      // the admit compact (idx table) and the tombstone staging (tomb
+      // table) touch DIFFERENT tables with no dependency — overlap them
+      // (the txn query's inParallel discipline); fold then consumes both
+      inParallel(
+        graft.operators.IndexCompact.compactPartitioned(
+          s, "gram_idx_lifecycle_q",
+          postings.filter($"doc_id" % 3 =!= 0).select($"g", $"doc_id", $"pt"),
+          Seq("g", "doc_id"), "pt"),
+        graft.operators.IndexRetract.tombstone(
+          s, "gram_tomb_lifecycle_q",
+          postings.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 0)))
       graft.operators.IndexRetract.fold(
         s, "gram_idx_lifecycle_q", "gram_tomb_lifecycle_q",
         "pt", Seq("g", "doc_id"))
@@ -1448,21 +1473,31 @@ object DedupQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(aRoot, bRoot, gRoot).foreach(r => // re-runnable
         fs.delete(new org.apache.hadoop.fs.Path(r), true))
-      graft.sources.SnapshotStore.init(s, aRoot,
-        postings.filter($"doc_id" % 3 === 1)
-          .select($"g", $"doc_id", $"pt"), "pt")
-      graft.sources.SnapshotStore.init(s, bRoot,
-        bands.filter($"doc_id" % 3 === 1), "pt")
+      // the two member stores are INDEPENDENT roots: their inits, and
+      // their compacts inside the one transaction, have no data or
+      // version dependency — run each pair concurrently so the second
+      // build back-fills executors freed by the first's tail (the
+      // overlap-independent-jobs discipline; Spark schedules concurrent
+      // jobs FIFO, which is exactly back-fill). The group protocol is
+      // untouched: both commits still land inside ONE transact claim.
+      inParallel(
+        graft.sources.SnapshotStore.init(s, aRoot,
+          postings.filter($"doc_id" % 3 === 1)
+            .select($"g", $"doc_id", $"pt"), "pt"),
+        graft.sources.SnapshotStore.init(s, bRoot,
+          bands.filter($"doc_id" % 3 === 1), "pt"))
       graft.sources.SnapshotGroup.init(s, gRoot,
         Map("postings" -> aRoot, "bands" -> bRoot))
       graft.sources.SnapshotGroup.transact(s, gRoot) { txn =>
-        txn.compact("postings",
-          postings.filter($"doc_id" % 3 =!= 0)
-            .select($"g", $"doc_id", $"pt"),
-          Seq("g", "doc_id"), "pt"): Unit
-        txn.compact("bands",
-          bands.filter($"doc_id" % 3 =!= 0),
-          Seq("band", "doc_id"), "pt"): Unit
+        inParallel(
+          txn.compact("postings",
+            postings.filter($"doc_id" % 3 =!= 0)
+              .select($"g", $"doc_id", $"pt"),
+            Seq("g", "doc_id"), "pt"),
+          txn.compact("bands",
+            bands.filter($"doc_id" % 3 =!= 0),
+            Seq("band", "doc_id"), "pt"))
+        ()
       }
       val a = graft.sources.SnapshotGroup.read(s, gRoot, "postings")
       val b = graft.sources.SnapshotGroup.read(s, gRoot, "bands")
@@ -1512,14 +1547,19 @@ object DedupQueries {
           .select($"g", $"doc_id", $"pt"), "pt")
       graft.sources.SnapshotGroup.init(s, gRoot,
         Map("postings" -> aRoot))                       // group v1
-      graft.sources.SnapshotGroup.transact(s, gRoot) { txn =>
-        txn.compact("postings",
-          postings.filter($"doc_id" % 3 =!= 0)
-            .select($"g", $"doc_id", $"pt"),
-          Seq("g", "doc_id"), "pt"): Unit
-      }                                                 // group v2
-      graft.sources.SnapshotStore.init(s, bRoot,
-        bands.filter($"doc_id" % 3 === 1), "pt")
+      // the not-yet-enrolled band store's init is independent of the
+      // postings transaction (different roots, no group claim overlap)
+      // — overlap them (the txn query's inParallel discipline); the
+      // group version history v1→v4 is unchanged
+      inParallel(
+        graft.sources.SnapshotGroup.transact(s, gRoot) { txn =>
+          txn.compact("postings",
+            postings.filter($"doc_id" % 3 =!= 0)
+              .select($"g", $"doc_id", $"pt"),
+            Seq("g", "doc_id"), "pt"): Unit
+        },                                              // group v2
+        graft.sources.SnapshotStore.init(s, bRoot,
+          bands.filter($"doc_id" % 3 === 1), "pt"))
       graft.sources.SnapshotGroup.enroll(s, gRoot,
         "bands", bRoot)                                 // group v3
       graft.sources.SnapshotGroup.transact(s, gRoot) { txn =>

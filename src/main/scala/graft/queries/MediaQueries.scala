@@ -293,6 +293,11 @@ object MediaQueries {
         first($"len").as("len"))
     val reps = media
       .join(grouped.select($"rep_id".as("item_id")), Seq("item_id"))
+    // NOT checkpointed (r19, measured): materializing the 3-consumer
+    // decoded-sig frame here read 2.9→3.5s on the mjpeg arm — the
+    // blocking decode job costs more than AQE's in-plan reuse of the
+    // branches saves; the incremental twin below measures the opposite
+    // and keeps its checkpoint. Left as the plan-shared lineage.
     val frames = framesOf(reps)
       .select($"item_id".as("doc_id"), $"frame_idx", $"sig")
     val candPairs = DedupQueries.capPerKey(
@@ -331,9 +336,13 @@ object MediaQueries {
         Multimodal.MediaItem],
       capTag: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint (r19): same three-consumer decode-fan-out as
+    // [[frameSigNearDup]] — history slice, increment slice, and the
+    // admit join would each re-run the frame decode without it
     val frames = Multimodal.aviFrameSigs(
         mediaOf(Tables.table(s, dir, "documents")),
         VideoEveryNth).toDF()
+      .localCheckpoint()
     val hist = DedupQueries.capPerKey(
         frames.filter($"item_id" % 10 =!= 0)
           .select($"item_id".as("doc_id"), $"frame_idx", $"sig"),

@@ -449,8 +449,16 @@ object SnapshotGroup {
     val (fs, rootP) = fsOf(spark, groupRoot)
     val base = current(spark, groupRoot)
     val next = base.version + 1
-    require(!fs.exists(manifestPath(rootP, next)),
-      s"group version $next is already published at $groupRoot")
+    // cheap early refusal — the commit() convention: a winner that
+    // published between our current() read and here is a LOST RACE
+    // (retry from the new base), never an operator error. A require
+    // here misclassified exactly that interleaving as a crash — a
+    // pre-existing window the r19 sub-ms nio publishes made wide
+    // enough for the 16-racer spec to hit.
+    if (fs.exists(manifestPath(rootP, next)))
+      throw new SnapshotStore.ConcurrentCommitException(
+        s"group version $next is already published at $groupRoot — a " +
+          "concurrent publisher won from the same base; re-read and retry")
     if (!SnapshotStore.ExclusiveCreateClaim.claim(fs, claimPath(rootP, next)))
       throw new SnapshotStore.ConcurrentCommitException(
         s"lost the adopt race for group version $next at $groupRoot — " +

@@ -953,6 +953,43 @@ object SnapshotStore {
       r
     }
 
+  /** Reference-counted per-session scope flipping the parquet writer to
+    * TIMESTAMP_MICROS (see the call site in [[writeData]]): there is no
+    * per-write option for the output timestamp type, only the session
+    * conf — and a plain save/set/restore pair RACES under concurrent
+    * writers (the inParallel query device): writer B reads "previous"
+    * AFTER writer A already set the value, so B's restore re-installs
+    * A's setting permanently and every later parquet write in the
+    * session silently flips type (observed: downstream event-query
+    * dumps went timezone-aware and broke the oracle dtype compare).
+    * First entrant saves and sets, last leaver restores; sessions are
+    * weak keys so test suites' sessions can collect. */
+  private final class TsScope { var depth = 0; var saved: Option[String] = None }
+  private val tsScopes = new java.util.WeakHashMap[SparkSession, TsScope]()
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val scope = tsScopes.synchronized {
+      var s = tsScopes.get(spark)
+      if (s == null) { s = new TsScope; tsScopes.put(spark, s) }
+      s
+    }
+    scope.synchronized {
+      if (scope.depth == 0) {
+        scope.saved = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+      }
+      scope.depth += 1
+    }
+    try body
+    finally scope.synchronized {
+      scope.depth -= 1
+      if (scope.depth == 0) scope.saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
                         partCol: String, binCol: Option[String] = None,
                         maxRecordsPerFile: Long = 0L)
@@ -972,18 +1009,13 @@ object SnapshotStore {
     // deprecated and its footer statistics have no defined sort order,
     // so a timestamp column would carry no manifest bounds and lose
     // its file skipping (SnapshotBoundsSpec (c) pins it still prunes).
-    // Session-conf scoped around this one write; restored after.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsPrev = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try timed("write.parquet")(
+    // Session-conf scoped around this one write via the reference-
+    // counted [[withMicrosTimestamps]] — concurrent writers must not
+    // race the save/restore.
+    withMicrosTimestamps(spark)(timed("write.parquet")(
       (if (maxRecordsPerFile > 0L)
         writer.option("maxRecordsPerFile", maxRecordsPerFile)
-      else writer).parquet(staging.toString))
-    finally tsPrev match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+      else writer).parquet(staging.toString)))
     val moved = Seq.newBuilder[(String, Long)]
     timed("rename-loop")(fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
       val dirName = d.getPath.getName // pt=<escaped-v>
@@ -1394,8 +1426,12 @@ object SnapshotStore {
     val (fs, rootP) = fsOf(spark, root)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(rootP, s"_staging/$tag")
+    // repartition(1), not coalesce(1): coalesce collapses the distinct
+    // aggregation itself into the single writer task (one core dedupes
+    // the whole delete-list); the explicit exchange keeps the dedup
+    // parallel and funnels only the survivors to the one-file write
     dead.select(keys.map(col).toIndexedSeq: _*).distinct()
-      .coalesce(1).write.parquet(staging.toString)
+      .repartition(1).write.parquet(staging.toString)
     fs.mkdirs(new Path(rootP, "deletes"))
     val moved = fs.listStatus(staging)
       .filter(_.getPath.getName.endsWith(".parquet")).map { f =>

@@ -57,6 +57,35 @@ class SnapshotStatsSpec extends SparkTestBase {
 
   private def dirOf(f: String) = f.takeWhile(_ != '/')
 
+  test("concurrent commits to two stores leave the session's parquet " +
+      "timestamp conf exactly as it was (the reference-counted scope: " +
+      "a naive save/restore pair races and re-installs the other " +
+      "writer's TIMESTAMP_MICROS for the rest of the session)") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.getOption(key)
+    val roots = Seq(freshRoot(), freshRoot())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 3).foreach { _ =>
+        roots.foreach { r =>
+          val fs = new org.apache.hadoop.fs.Path(r)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(r), true)
+        }
+        roots.map(r => pool.submit(new java.lang.Runnable {
+          def run(): Unit = {
+            SnapshotStore.init(spark, r, baseRows, "pt"): Unit
+            SnapshotStore.compact(spark, r,
+              Seq(("gzzz", 9999L)).toDF("g", "doc_id").withColumn("pt", lit(0)),
+              Seq("g", "doc_id"), "pt"): Unit
+          }
+        })).foreach(_.get())
+        assert(spark.conf.getOption(key) === before,
+          "a concurrent writer leaked the timestamp conf into the session")
+      }
+    } finally pool.shutdown()
+  }
+
   test("(a)+(b) a compact rewrites only the touched partition's " +
       "segment — untouched pointers are IDENTICAL — and every file " +
       "carries exact row counts and bounds") {
