@@ -101,25 +101,41 @@ object IndexRetract {
     // partition-pruned read: only directories a victim can live in
     val pruned = spark.table(storeTable)
       .filter(col(partCol).isin(affected.toIndexedSeq: _*))
-    val before = pruned.count()
-    val survivors = pruned.join(tomb.drop(partCol), keys, "left_anti")
+    // `before` rides the survivors job as an observed metric (r19):
+    // a separate pruned.count() re-scanned every affected partition
+    // only to size FoldStats.rowsRemoved. CollectMetrics sits above
+    // the partition filter (pruning intact) and below the anti-join
+    // (which eliminates no left rows at plan time), so the count is
+    // exactly pruned's rows and the scan runs once.
+    val obs = new org.apache.spark.sql.Observation()
+    val survivors = pruned.observe(obs, count(lit(1)).as("rows"),
+        collect_set(col(partCol)).as("pvals"))
+      .join(tomb.drop(partCol), keys, "left_anti")
       // sever lineage from the very files the overwrite replaces
       .localCheckpoint()
     val after = survivors.count()
-    // All-victims partitions, derived IN SPARK on the store's OWN
-    // partition column (pruned ⟕anti survivors) and materialized BEFORE
-    // the overwrite replaces the files. A driver-side boxed filterNot of
-    // tombstone-typed values against store-typed values was the previous
-    // form, and it is a silent-data-loss trap: a caller whose tombstone
-    // partCol type differs from the store's (LONG vs INT — the isin and
-    // join above coerce, so nothing else fails) makes the boxed equality
-    // match nothing, flagging EVERY affected partition as fully dead and
-    // deleting directories that still hold survivors. Catalyst's join
-    // coercion cannot miscompare.
-    val fullyDead = pruned.select(col(partCol)).distinct()
-      .join(survivors.select(col(partCol)).distinct(), Seq(partCol),
-        "left_anti")
-      .collect().map(_.get(0))
+    val before = obs.get("rows").asInstanceOf[Long]
+    // pruned's own distinct partition values, off the same observed
+    // job — the third scan of the affected partitions the old shape
+    // paid (pruned.distinct for the fullyDead anti-join) is gone
+    val prunedVals = obs.get("pvals") match {
+      case s: scala.collection.Seq[_] => s.toSeq.asInstanceOf[Seq[Any]]
+      case a: Array[_] => a.toSeq.asInstanceOf[Seq[Any]]
+      case other => throw new IllegalStateException(
+        s"unexpected collect_set metric shape: ${other.getClass}")
+    }
+    // All-victims partitions = pruned's values minus the survivors' —
+    // both sides STORE-typed (prunedVals comes off pruned itself, the
+    // survivors inherit its schema), so the boxed set-difference cannot
+    // hit the r16 coercion trap (that trap was TOMB-typed values boxed
+    // against store-typed ones; the isin/join coercions still guard the
+    // tomb side upstream). Materialized BEFORE the overwrite replaces
+    // the files, exactly as the old pruned-vs-survivors anti-join was —
+    // this form just reads the survivors' checkpointed blocks instead
+    // of re-scanning the affected partitions a third time.
+    val survivorVals = survivors.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val fullyDead = prunedVals.filterNot(survivorVals).toArray
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
