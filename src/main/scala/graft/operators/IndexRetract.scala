@@ -45,14 +45,17 @@ object IndexRetract {
     * store was written with. Returns rows staged. */
   def tombstone(spark: SparkSession, tombTable: String,
                 dead: DataFrame): Long = {
-    // one materialization serves the count AND the write (fold's
-    // discipline): with expensive or non-deterministic lineage, counting
-    // `dead` separately could report a different row set than the one
-    // actually staged
-    val staged = dead.localCheckpoint()
-    staged.write.mode(SaveMode.Append).format("parquet")
+    // the staged count rides the write job as an observed metric (r20):
+    // observe() reports exactly the rows the write consumed — the same
+    // "count what was actually staged" guarantee the old localCheckpoint
+    // + count shape bought with two extra Spark jobs, even under
+    // expensive or non-deterministic lineage (the metric and the files
+    // come from the ONE execution)
+    val obs = new org.apache.spark.sql.Observation()
+    dead.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(tombTable)
-    staged.count()
+    obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
   }
 
   /** The merge-on-read view: store rows minus tombstoned identities —
@@ -108,13 +111,19 @@ object IndexRetract {
     // (which eliminates no left rows at plan time), so the count is
     // exactly pruned's rows and the scan runs once.
     val obs = new org.apache.spark.sql.Observation()
+    // `after` rides the SAME checkpoint job as a second observation
+    // (r20): the survivors' materialization already computes every row,
+    // so a separate count() over the checkpointed blocks was one more
+    // Spark job per fold for a number the job in flight already knew
+    val obsAfter = new org.apache.spark.sql.Observation()
     val survivors = pruned.observe(obs, count(lit(1)).as("rows"),
         collect_set(col(partCol)).as("pvals"))
       .join(tomb.drop(partCol), keys, "left_anti")
+      .observe(obsAfter, count(lit(1)).as("rows"))
       // sever lineage from the very files the overwrite replaces
       .localCheckpoint()
-    val after = survivors.count()
-    val before = obs.get("rows").asInstanceOf[Long]
+    val after = obsAfter.get.getOrElse("rows", 0L).asInstanceOf[Long]
+    val before = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
     // pruned's own distinct partition values, off the same observed
     // job — the third scan of the affected partitions the old shape
     // paid (pruned.distinct for the fullyDead anti-join) is gone

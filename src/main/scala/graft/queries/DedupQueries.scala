@@ -46,21 +46,42 @@ object DedupQueries {
     * store roots only (no data/version dependency): Spark happily runs
     * both jobs at once and the second back-fills executors the first's
     * tail frees (r19; the optimization guide's overlap-independent-jobs
-    * device). Failures propagate; both futures are always awaited.
-    * Session-conf safety: [[graft.sources.SnapshotStore]]'s writeData
-    * scopes its parquet-writer conf through a reference-counted
-    * save/restore, so concurrent writers cannot leave the session
-    * flipped (the naive pair raced exactly here and leaked
-    * TIMESTAMP_MICROS into every later write of the session). */
-  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    * device). Session-conf safety: [[graft.sources.SnapshotStore]]'s
+    * writeData scopes its parquet-writer conf through a
+    * reference-counted save/restore, so concurrent writers cannot leave
+    * the session flipped (the naive pair raced exactly here and leaked
+    * TIMESTAMP_MICROS into every later write of the session).
+    *
+    * FAILURE SEMANTICS (r20, the r19 verdict's finding #4): a failing
+    * arm surfaces its ORIGINAL exception — the pool's
+    * ExecutionException wrapper is unwrapped, so a
+    * [[graft.sources.SnapshotStore.ConcurrentCommitException]] thrown
+    * inside a parallel txn step keeps its type for the store's
+    * documented retry-on-ConcurrentCommit doctrine (InParallelSpec pins
+    * it) — and the SIBLING future is cancelled with interrupt instead
+    * of being left running fire-and-forget (best-effort: the interrupt
+    * aborts the sibling's driver thread between/inside its blocking
+    * Spark actions; pool teardown is shutdownNow so the throw never
+    * strands a thread). */
+  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       val f1 = pool.submit(new java.util.concurrent.Callable[A] {
         def call(): A = fa })
       val f2 = pool.submit(new java.util.concurrent.Callable[B] {
         def call(): B = fb })
-      (f1.get(), f2.get())
-    } finally pool.shutdown()
+      def await[T](f: java.util.concurrent.Future[T],
+          sibling: java.util.concurrent.Future[_]): T =
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            sibling.cancel(true)
+            throw Option(e.getCause).getOrElse(e)
+        }
+      val a = await(f1, f2)
+      val b = await(f2, f1)
+      (a, b)
+    } finally { pool.shutdownNow(); () }
   }
 
   private def gramPostings(s: SparkSession, dir: String): DataFrame = {

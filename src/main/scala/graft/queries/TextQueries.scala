@@ -684,8 +684,16 @@ object TextQueries {
     // ContextCleaner after driver GC rather than eagerly — acceptable
     // because each block is the VOCABULARY table (KB–MB scale, never
     // corpus mass), so a full tokenizer-family bench holds tens of
-    // vocabulary copies, not tens of corpora
-    var seg = words.localCheckpoint()
+    // vocabulary copies, not tens of corpora.
+    // LAZY (r20): eager checkpoints ran one dedicated Spark job per
+    // iteration just to persist the replace's output; lazy persistence
+    // rides the NEXT iteration's aggregation job (first computation
+    // caches the blocks — same O(J) replace bound, same merge values),
+    // and the final iteration's never-consumed checkpoint job
+    // disappears outright — halving the trainer's job count, which is
+    // the family's measured cost at bench scale (guide §1.2 step 1:
+    // per-job overhead, not data, dominates these loops).
+    var seg = words.localCheckpoint(eager = false)
     var i = 1
     var exhausted = false
     while (i <= budget && !exhausted) {
@@ -706,7 +714,7 @@ object TextQueries {
         seg = seg.select(
           call_function("replace",
             $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         i += 1
       }
     }
@@ -776,8 +784,11 @@ object TextQueries {
     // checkpoint-chain like [[bpeMerges]]: WordPiece runs TWO
     // aggregations per iteration (pair + symbol counts), so the
     // materialized base matters twice over — both consumers read the
-    // snapshot instead of re-executing the replace lineage
-    var seg = words.localCheckpoint()
+    // snapshot instead of re-executing the replace lineage. LAZY (r20,
+    // the bpeMerges rationale): the first consumer of each iteration —
+    // here the symbol-count broadcast build — materializes the blocks
+    // as part of its own job, and the second consumer reads them.
+    var seg = words.localCheckpoint(eager = false)
     // ENFORCE the [[WpScoreScale]] overflow bound, don't just document
     // it: every pair count is bounded by the seg table's weighted
     // character mass, and Spark's non-ANSI `c * 1e10` would WRAP
@@ -818,7 +829,7 @@ object TextQueries {
         seg = seg.select(
           call_function("replace",
             $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         i += 1
       }
     }
