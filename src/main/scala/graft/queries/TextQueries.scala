@@ -784,11 +784,14 @@ object TextQueries {
     // checkpoint-chain like [[bpeMerges]]: WordPiece runs TWO
     // aggregations per iteration (pair + symbol counts), so the
     // materialized base matters twice over — both consumers read the
-    // snapshot instead of re-executing the replace lineage. LAZY (r20,
-    // the bpeMerges rationale): the first consumer of each iteration —
-    // here the symbol-count broadcast build — materializes the blocks
-    // as part of its own job, and the second consumer reads them.
-    var seg = words.localCheckpoint(eager = false)
+    // snapshot instead of re-executing the replace lineage. EAGER, and
+    // deliberately NOT the bpeMerges lazy form (r20, measured): with a
+    // lazy chain the symbol-count broadcast build and the pair
+    // aggregation's map stage are CONCURRENT first computations of the
+    // same unmaterialized blocks — both execute the replace lineage and
+    // race the block store (q_doc_wordpiece_train 2.25 → 2.80 s when
+    // tried). Lazy is only sound where an iteration has ONE consumer.
+    var seg = words.localCheckpoint()
     // ENFORCE the [[WpScoreScale]] overflow bound, don't just document
     // it: every pair count is bounded by the seg table's weighted
     // character mass, and Spark's non-ANSI `c * 1e10` would WRAP
@@ -805,6 +808,16 @@ object TextQueries {
     var exhausted = false
     while (i <= WpMergeCount && !exhausted) {
       val syms = regexp_extract_all($"seg", lit("\\(([^()]*)\\)"), lit(1))
+      // Iteration fusion REJECTED with plan evidence (r20, the r19
+      // verdict's backlog #4): deriving symbol counts from a
+      // sentinel-extended pair table would scan seg once per iteration
+      // in principle, but the pair exchange is NOT reused between the
+      // symbol-count broadcast subtrees and the main argmax branch
+      // (relation deduplication gives each occurrence fresh exprIds;
+      // the executed plan showed two independent seg scans + two pair
+      // shuffles — WpPlanProbe), so the "fusion" net-ADDED an exchange
+      // and measured 2.25 → 3.5 s on q_doc_wordpiece_train. The two
+      // honest aggregations below stay.
       val symCnt = seg.select($"cnt", explode(syms).as("sym"))
         .groupBy($"sym").agg(sum($"cnt").as("u"))
       val top = seg
@@ -829,7 +842,7 @@ object TextQueries {
         seg = seg.select(
           call_function("replace",
             $"seg", lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), $"cnt")
-          .localCheckpoint(eager = false)
+          .localCheckpoint()
         i += 1
       }
     }
