@@ -297,7 +297,15 @@ object MediaQueries {
     // decoded-sig frame here read 2.9→3.5s on the mjpeg arm — the
     // blocking decode job costs more than AQE's in-plan reuse of the
     // branches saves; the incremental twin below measures the opposite
-    // and keeps its checkpoint. Left as the plan-shared lineage.
+    // and keeps its checkpoint. Decode-once via an EXPLICIT EXCHANGE on
+    // (frame_idx, sig) was also tried and REJECTED with numbers (r20,
+    // the r19 verdict's backlog #5): relation deduplication gives the
+    // three consumer branches fresh exprId subtrees, the executed plan
+    // carried three separate REPARTITION_BY_COL exchanges with no
+    // ReusedExchange, and the paired A/B read mjpeg 3.32→2.90/3.40
+    // (inconclusive) with avi_dedup consistently worse (1.42→1.62/1.67)
+    // — the device only added exchanges. Left as the plan-shared
+    // lineage; both sharing attempts are now measured dead ends.
     val frames = framesOf(reps)
       .select($"item_id".as("doc_id"), $"frame_idx", $"sig")
     val candPairs = DedupQueries.capPerKey(

@@ -26,16 +26,17 @@ object PlanSnap {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r19"))
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r20")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
       val df = graft.SparkEntry.allQueries(name)(spark, dir)
       df.count() // finalize AQE
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"plans/r19/${name}_$suffix.txt"),
+        java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
         formatted.getBytes("UTF-8"))
-      println(s"[plansnap] wrote plans/r19/${name}_$suffix.txt")
+      println(s"[plansnap] wrote $outDir/${name}_$suffix.txt")
     }
     spark.stop()
   }
