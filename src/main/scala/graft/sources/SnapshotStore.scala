@@ -1485,7 +1485,12 @@ object SnapshotStore {
     // the whole delete-list); the explicit exchange keeps the dedup
     // parallel and funnels only the survivors to the one-file write
     dead.select(keys.map(col).toIndexedSeq: _*).distinct()
-      .repartition(1).write.parquet(staging.toString)
+      .repartition(1).write
+      // private staging + manifest-claim atomicity: the writeData
+      // committer rationale applies verbatim (r20)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(staging.toString)
     fs.mkdirs(new Path(rootP, "deletes"))
     val moved = fs.listStatus(staging)
       .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
